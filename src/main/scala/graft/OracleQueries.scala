@@ -1,0 +1,172 @@
+package graft
+
+/** DuckDB oracle SQL for SparkEntry.queries.
+  *
+  * Engine-parity rules applied throughout (SURVEY.md §7 risk 4):
+  * - per-row double arithmetic is left unrounded (identical IEEE ops on
+  *   identical inputs are bit-reproducible across engines);
+  * - aggregated doubles (sum/avg — summation order varies, and rounding
+  *   a noisy sum is unstable at the .xx5 boundaries that k-decimal
+  *   inputs hit systematically) are computed as exact DECIMAL sums cast
+  *   back to double, mirroring graft.functions.ExactAgg;
+  * - DuckDB `year()`/`row_number()`/`count()` return BIGINT where Spark
+  *   returns INT — cast on the DuckDB side;
+  * - DuckDB `dayofweek` is Sunday=0, Spark Sunday=1 — `+1` on the
+  *   DuckDB side;
+  * - DuckDB `sum(INT)` returns HUGEINT — cast to BIGINT;
+  * - ORDER BY on nullable keys states nulls placement explicitly
+  *   (DuckDB ASC defaults NULLS LAST; Spark asc() defaults nulls
+  *   first).
+  */
+object OracleQueries {
+
+  /** Cleaned lineitem (mirrors pipeline.Ingestion.cleanLineitem). */
+  val cleanLineitemSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(l_shipdate AS DATE) AS ship_date,
+      |  CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  CAST(month(l_shipdate) AS INT) AS ship_month,
+      |  l_quantity, l_extendedprice, l_discount,
+      |  l_extendedprice * (1 - l_discount) AS revenue,
+      |  l_extendedprice / l_quantity AS unit_price,
+      |  CASE WHEN l_extendedprice < 20000 THEN 'low'
+      |       WHEN l_extendedprice < 45000 THEN 'mid'
+      |       ELSE 'high' END AS price_band,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  AND l_discount IS NOT NULL AND l_shipdate IS NOT NULL
+      |  AND l_quantity > 0 AND l_extendedprice > 0
+      |  AND l_discount >= 0 AND l_discount < 1""".stripMargin
+
+  /** Fact table (mirrors pipeline.Fact.build over cleaned lineitem). */
+  val factSql: String =
+    s"""SELECT CAST(l.l_shipdate AS DATE) AS ship_date_key,
+       |  l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+       |  l.l_quantity, l.l_extendedprice, l.l_discount,
+       |  l.l_extendedprice * (1 - l.l_discount) AS revenue,
+       |  l.l_returnflag, l.l_linestatus,
+       |  CAST(o.o_orderdate AS DATE) AS order_date,
+       |  o.o_orderpriority, o.o_totalprice,
+       |  cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       |  cn.n_regionkey AS cust_regionkey, sn.n_regionkey AS supp_regionkey,
+       |  CAST(year(o.o_orderdate) AS INT) AS order_year,
+       |  CAST(quarter(o.o_orderdate) AS INT) AS order_quarter
+       |FROM lineitem l
+       |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+       |  AND l.l_discount IS NOT NULL AND l.l_shipdate IS NOT NULL
+       |  AND l.l_quantity > 0 AND l.l_extendedprice > 0
+       |  AND l.l_discount >= 0 AND l.l_discount < 1
+       |  AND l.l_quantity < 1000
+       |  AND l.l_extendedprice * (1 - l.l_discount) > 0""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_clean_project" -> cleanLineitemSql,
+
+    "q02_location_dim" ->
+      """SELECT location_id,
+        |  'LOC_' || CAST(location_id AS VARCHAR) AS location_name,
+        |  CASE WHEN location_id BETWEEN 0 AND 4 THEN 'AMERICA'
+        |       WHEN location_id BETWEEN 5 AND 9 THEN 'ASIA'
+        |       WHEN location_id BETWEEN 10 AND 14 THEN 'EUROPE'
+        |       WHEN location_id BETWEEN 15 AND 19 THEN 'MIDEAST'
+        |       ELSE 'AFRICA' END AS region_bucket,
+        |  'Zone_' || CAST(location_id AS VARCHAR) AS zone,
+        |  location_id IN (1, 7, 13) AS is_hub
+        |FROM (
+        |  SELECT DISTINCT location_id FROM (
+        |    SELECT c_nationkey AS location_id FROM customer
+        |    UNION ALL
+        |    SELECT s_nationkey FROM supplier))
+        |WHERE location_id IS NOT NULL AND location_id <> -1""".stripMargin,
+
+    "q03_date_dim" ->
+      """SELECT CAST(d AS DATE) AS full_date,
+        |  CAST(d AS DATE) AS date_key,
+        |  CAST(year(d) AS INT) AS year,
+        |  CAST(quarter(d) AS INT) AS quarter,
+        |  CAST(month(d) AS INT) AS month,
+        |  CAST(day(d) AS INT) AS day_of_month,
+        |  CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+        |  dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        |  FROM (SELECT CAST(min(o_orderdate) AS DATE) AS mn,
+        |               CAST(max(o_orderdate) AS DATE) AS mx
+        |        FROM orders))""".stripMargin,
+
+    "q04_fact_join" -> factSql,
+
+    "q05_pair_daily_summary" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT ship_date_key, cust_nation, supp_nation,
+         |  CAST(count(*) AS BIGINT) AS total_trips,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_quantity,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)) AS BIGINT) AS total_quantity
+         |FROM fact
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q06_time_summary" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT order_year, order_quarter,
+         |  CAST(month(order_date) AS INT) AS order_month,
+         |  CAST(dayofweek(order_date) + 1 AS INT) AS day_of_week,
+         |  dayofweek(order_date) IN (0, 6) AS is_weekend,
+         |  CAST(count(*) AS BIGINT) AS trip_count,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_fare
+         |FROM fact
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q07_top_pairs" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT cust_nation, supp_nation,
+         |  CAST(count(*) AS BIGINT) AS trip_count,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_distance,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_fare,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+         |FROM fact
+         |GROUP BY 1, 2
+         |ORDER BY trip_count DESC, cust_nation ASC NULLS LAST,
+         |  supp_nation ASC NULLS LAST
+         |LIMIT 50""".stripMargin,
+
+    "q08_quality_checks" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT
+         |  CAST(sum(CASE WHEN cust_nation IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust_nation,
+         |  CAST(sum(CASE WHEN supp_nation IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_supp_nation,
+         |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_quantity,
+         |  CAST(sum(CASE WHEN revenue < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_revenue,
+         |  CAST(count(*) AS BIGINT) AS total_rows
+         |FROM fact""".stripMargin,
+
+    "q09_global_stats" ->
+      """SELECT
+        |  CAST(min(o_orderdate) AS DATE) AS min_order_date,
+        |  CAST(max(o_orderdate) AS DATE) AS max_order_date,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_order_dates,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_totalprice
+        |FROM orders""".stripMargin,
+
+    "q10_window_topk" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT l_returnflag, l_orderkey, l_linenumber, revenue, rn
+         |FROM (
+         |  SELECT l_returnflag, l_orderkey, l_linenumber, revenue,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY l_returnflag
+         |      ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
+         |  FROM clean)
+         |WHERE rn <= 3""".stripMargin
+  )
+}

@@ -1,13 +1,122 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+import graft.pipeline.{Aggregations, Dimensions, Fact, Ingestion, Quality}
+import graft.tables.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator group from SURVEY.md §2,
+  * expressed over the harness testdata; `oracleSql` carries the
+  * DuckDB-equivalent SQL (see OracleQueries for the parity rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full reference-shaped pipeline end-to-end through
+    * the table layer (ingest -> dims -> fact -> aggregates -> quality),
+    * on sf0.001. Exercises every §2 category incl. the partitioned
+    * append sink (S4), overwrite sink (S5), existence guard (S6), and
+    * read-back (S2). Returns the top-pairs summary read back from the
+    * warehouse; driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    val io = TableIO(spark, wh)
+
+    // Ingestion (reference: IngestionJob) — partitioned append
+    val clean = Ingestion.cleanLineitem(Tables.lineitem(spark, sfDir))
+    io.append(clean.repartition(col("ship_year")), "default.trips_raw", Seq("ship_year"))
+
+    // Dimensions (reference: DimensionJob) — overwrite
+    val locDim = Dimensions.locationDim(Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir))
+    io.overwrite(locDim, "default.location_dim")
+    val dateDim = Dimensions.dateDim(spark, Tables.orders(spark, sfDir), "o_orderdate")
+    io.overwrite(dateDim, "default.date_dim")
+
+    // Fact (reference: FactJob) — guarded on upstream existence
+    require(io.tableExists("default.trips_raw"), "upstream table missing")
+    val fact = Fact.build(
+      io.read("default.trips_raw"),
+      Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir)
+    )
+    io.append(fact.repartition(col("order_year")), "default.fact", Seq("order_year"))
+
+    // Aggregations + quality (reference: AggregationJob, DataQualityJob)
+    val factBack = io.read("default.fact")
+    io.overwrite(Aggregations.pairDailySummary(factBack), "default.pair_daily")
+    io.overwrite(Aggregations.timeSummary(factBack), "default.time_summary")
+    io.overwrite(Aggregations.topPairs(factBack), "default.top_pairs")
+    Quality.run(factBack, Quality.factChecks).collect() // QC pass (reference: DataQualityJob)
+
+    io.read("default.top_pairs")
+  }
+
+  private def fact(s: SparkSession, dir: String): DataFrame =
+    Fact.build(
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir)),
+      Tables.orders(s, dir),
+      Tables.customer(s, dir),
+      Tables.supplier(s, dir),
+      Tables.nation(s, dir)
+    )
+
+  /** One entry per implemented operator group from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+P1-P3+F1-F3+X1-X8: scan -> clean -> enrich
+    "q01_clean_project" -> ((s, dir) =>
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir)).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("ship_date"), col("ship_year"), col("ship_month"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("revenue"), col("unit_price"), col("price_band"),
+        col("l_returnflag"), col("l_linestatus")
+      )),
+    // U1+U2+F4-F8+X6-X8: union-distinct dimension synthesis
+    "q02_location_dim" -> ((s, dir) =>
+      Dimensions.locationDim(Tables.customer(s, dir), Tables.supplier(s, dir))),
+    // S3+A4+X9+X10: range-sourced date dimension w/ driver round-trip
+    "q03_date_dim" -> ((s, dir) =>
+      Dimensions.dateDim(s, Tables.orders(s, dir), "o_orderdate")),
+    // J1+J2+P4+P5: role-played dimensional left-outer joins
+    "q04_fact_join" -> ((s, dir) => fact(s, dir)),
+    // A1: multi-key hash aggregate, 5 aggregates
+    "q05_pair_daily_summary" -> ((s, dir) => Aggregations.pairDailySummary(fact(s, dir))),
+    // A2: calendar-key aggregate
+    "q06_time_summary" -> ((s, dir) => Aggregations.timeSummary(fact(s, dir))),
+    // A3+O1: pair aggregate -> global top-k (TakeOrderedAndProject)
+    "q07_top_pairs" -> ((s, dir) => Aggregations.topPairs(fact(s, dir))),
+    // A6: data-quality checks folded into one scan
+    "q08_quality_checks" -> ((s, dir) => Quality.run(fact(s, dir), Quality.factChecks)),
+    // A4+A5+A7+A8: global min/max/count/countDistinct/avg
+    "q09_global_stats" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        min(to_date(col("o_orderdate"))).as("min_order_date"),
+        max(to_date(col("o_orderdate"))).as("max_order_date"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(to_date(col("o_orderdate"))).as("n_order_dates"),
+        graft.functions.ExactAgg.davg(col("o_totalprice"), 2).as("avg_totalprice")
+      )),
+    // §2.7 note: per-group top-k via window ranking
+    "q10_window_topk" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("revenue"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names/types). */
+  def oracleSql: Map[String, String] = OracleQueries.all
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg.{davg, dsum}
+
+/** Summary-table aggregations over the fact table.
+  *
+  * Capability parity with the reference's three aggregation queries
+  * (AggregationJob.scala:43-86): multi-key hash aggregates with
+  * count/sum/avg batteries (A1, A2), and a pair aggregation feeding a
+  * global top-k (A3 + O1).
+  *
+  * Scale notes: every aggregate is a partial (map-side) + final
+  * HashAggregate around one hash-partitioned exchange — the minimum
+  * shuffle shape. Double-typed sums/avgs go through ExactAgg (decimal
+  * summation) so results are order-independent — summation order
+  * varies across partitions and would otherwise make results
+  * nondeterministic at any scale. The top-k is orderBy+limit, which
+  * Catalyst plans as
+  * TakeOrderedAndProject — per-partition top-k then a driver merge of
+  * k*numPartitions rows, never a global sort (reference gets the same
+  * physical plan from AggregationJob.scala:84-85).
+  */
+object Aggregations {
+
+  /** A1-shape: date x cust-nation x supp-nation daily summary
+    * (reference: AggregationJob.scala:43-51, incl. the sum().cast long
+    * — expressed as floor() so the truncation direction is explicit).
+    */
+  def pairDailySummary(fact: DataFrame): DataFrame =
+    fact
+      .groupBy(col("ship_date_key"), col("cust_nation"), col("supp_nation"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        dsum(col("revenue"), 4).as("total_revenue"),
+        davg(col("l_quantity"), 2).as("avg_quantity"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        floor(dsum(col("l_quantity"), 2)).cast("long").as("total_quantity")
+      )
+
+  /** A2-shape: calendar-attribute summary
+    * (reference: AggregationJob.scala:60-66).
+    */
+  def timeSummary(fact: DataFrame): DataFrame =
+    fact
+      .groupBy(
+        col("order_year"),
+        col("order_quarter"),
+        month(col("order_date")).as("order_month"),
+        dayofweek(col("order_date")).as("day_of_week"),
+        dayofweek(col("order_date")).isin(1, 7).as("is_weekend")
+      )
+      .agg(
+        count(lit(1)).as("trip_count"),
+        dsum(col("revenue"), 4).as("total_revenue"),
+        davg(col("l_extendedprice"), 2).as("avg_fare")
+      )
+
+  /** A3 + O1: nation-pair aggregate -> global top-k. Tie-broken on the
+    * full key so LIMIT is deterministic (SURVEY.md §7 risk 4; the
+    * reference's bare orderBy(desc).limit(50) at
+    * AggregationJob.scala:84-85 is nondeterministic under ties).
+    */
+  def topPairs(fact: DataFrame, k: Int = 50): DataFrame =
+    fact
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(
+        count(lit(1)).as("trip_count"),
+        davg(col("l_quantity"), 2).as("avg_distance"),
+        davg(col("l_extendedprice"), 2).as("avg_fare"),
+        dsum(col("revenue"), 4).as("total_revenue")
+      )
+      .orderBy(desc("trip_count"), asc_nulls_last("cust_nation"), asc_nulls_last("supp_nation"))
+      .limit(k)
+}
