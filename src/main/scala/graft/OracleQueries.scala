@@ -167,6 +167,137 @@ object OracleQueries {
          |      PARTITION BY l_returnflag
          |      ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
          |  FROM clean)
-         |WHERE rn <= 3""".stripMargin
+         |WHERE rn <= 3""".stripMargin,
+
+    // ---- training-data pipeline extensions ----
+    // (q12/q14/q20 are hash-/seed-defined and intentionally have no
+    //  oracle entry -> driver records the weaker rows-only check.)
+
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q13_dedup_neardup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, $duckShingles AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    "q15_text_stats" ->
+      s"""SELECT doc_id,
+         |  $duckTok AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_re,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         |  CAST($duckStop AS DOUBLE) / $duckTok AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $duckTok AS avg_token_len,
+         |  $duckQuality AS quality,
+         |  $duckLang AS lang_pred,
+         |  md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q16_text_lang_summary" ->
+      s"""WITH t AS (
+         |  SELECT $duckLang AS lang_pred, $duckTok AS n_tokens, $duckQuality AS quality
+         |  FROM documents)
+         |SELECT lang_pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+         |  min(quality) AS min_quality,
+         |  max(quality) AS max_quality
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q17_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q18_events_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, value, ts, event_id,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, session_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sv
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(sum(CAST(sv AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q19_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 16),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+        |FROM s
+        |QUALIFY rn <= 5""".stripMargin
   )
+
+  /** DuckDB fragments shared by the document-corpus oracles. */
+
+  private def duckShingles: String =
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"
+
+  private def duckTok: String =
+    """len(regexp_extract_all(text, '\S+'))"""
+
+  private def duckStop: String =
+    """len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b'))"""
+
+  /** Mirrors TextAnalysis.qualityScore term-for-term (same IEEE op order). */
+  private def duckQuality: String =
+    s"""CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST($duckTok AS DOUBLE) / CAST(50.0 AS DOUBLE))
+       | + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+       |     - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+       | + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+       |     CAST(4.0 AS DOUBLE) * (CAST($duckStop AS DOUBLE) / $duckTok))""".stripMargin.replace("\n", " ")
+
+  /** Mirrors TextAnalysis.langId: first language whose marker count >= all later ones. */
+  private def duckLang: String = {
+    val markers = Seq(
+      "en" -> """\b(the|and|of|to)\b""",
+      "es" -> """\b(el|la|de|que)\b""",
+      "de" -> """\b(der|die|und|das)\b""",
+      "fr" -> """\b(le|les|et|une)\b""",
+      "zh" -> "(的|是|了)"
+    )
+    def cnt(p: String) = s"len(regexp_extract_all(text, '$p'))"
+    val conds = markers.zipWithIndex.dropRight(1).map { case ((lang, p), i) =>
+      val rest = markers.drop(i + 1).map(m => s"${cnt(p)} >= ${cnt(m._2)}")
+      s"WHEN ${rest.mkString(" AND ")} THEN '$lang'"
+    }
+    s"(CASE ${conds.mkString(" ")} ELSE '${markers.last._1}' END)"
+  }
 }

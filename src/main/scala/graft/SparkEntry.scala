@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
+import graft.events.Events
 import graft.io.TableIO
 import graft.pipeline.{Aggregations, Dimensions, Fact, Ingestion, Quality}
+import graft.similarity.Similarity
 import graft.tables.Tables
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,7 +118,67 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("revenue"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-    })
+    }),
+
+    // ---- training-data pipeline extensions (documents/embeddings/events) ----
+
+    // Exact dedup: content-hash groups, representative = min doc_id
+    "q11_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // MinHash signatures + LSH band keys (hash-defined; rows-only check)
+    "q12_dedup_minhash" -> ((s, dir) =>
+      Dedup.withLshBands(Dedup.withMinhash(Tables.documents(s, dir)), bands = 8, rowsPerBand = 2)
+        .select(col("doc_id"), col("minhash"), col("bands"))),
+    // Near-dup pairs: LSH candidates verified by exact n-gram Jaccard
+    "q13_dedup_neardup" -> ((s, dir) =>
+      Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.7)),
+    // SimHash fingerprints (hash-defined; rows-only check)
+    "q14_dedup_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(Tables.documents(s, dir)).select(col("doc_id"), col("simhash"))),
+    // Per-document text analysis: tokens, quality, language-ID, fingerprint
+    "q15_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.regexTokenCount(t).as("n_tokens_re"),
+        TextAnalysis.punctCount(t).as("n_punct"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.fingerprint(t).as("fingerprint")
+      )
+    }),
+    // Corpus rollup by predicted language (exact int sums, min/max quality)
+    "q16_text_lang_summary" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.qualityScore(t).as("quality")
+        )
+        .groupBy(col("lang_pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality")
+        )
+    }),
+    // Hourly event rollup with JSON property extraction
+    "q17_events_hourly" -> ((s, dir) => Events.hourly(Tables.events(s, dir))),
+    // Gap-based sessionization -> per-user session stats
+    "q18_events_sessions" -> ((s, dir) => Events.sessionStats(Tables.events(s, dir))),
+    // Exact brute-force cosine top-k ANN (ranking only: fp-stable output)
+    "q19_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
+        .select(col("q_id"), col("neighbor_id"), col("rn"))),
+    // LSH-bucketed approximate ANN (plane-seed-defined; rows-only check)
+    "q20_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
+        .select(col("q_id"), col("neighbor_id"), col("rn")))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types). */

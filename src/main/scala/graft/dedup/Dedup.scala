@@ -1,0 +1,205 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact (hash-group),
+  * MinHash+LSH (near-dup candidate generation), SimHash, and exact
+  * n-gram Jaccard verification.
+  *
+  * Scale design: signatures are computed in a single codegen'd
+  * projection per document (higher-order array expressions over
+  * shingles — no explode, no shuffle). Only the LSH bucket join
+  * shuffles, and it shuffles band-bucket keys, not documents: the
+  * payload per row is (doc_id, bucket). Identical-document floods
+  * (a bucket with m docs yields m^2/2 pairs) are the classic skew
+  * risk — `candidatePairs` caps bucket width so a pathological bucket
+  * degrades to sampling instead of an O(m^2) explosion.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groups with representative = min id.
+    * One hash-partitioned aggregate; the md5 is computed map-side.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct character n-gram shingles as an array column (no explode). */
+  def shingleSql(textCol: String, n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n)))"
+
+  /** MinHash signature: k minima of per-seed xxhash64 over shingles.
+    * One projection; k*|shingles| hashes per doc, all codegen-side.
+    */
+  def withMinhash(docs: DataFrame, textCol: String = "text", k: Int = 16, shingleN: Int = 5): DataFrame =
+    docs
+      .withColumn("shingles", expr(shingleSql(textCol, shingleN)))
+      .withColumn(
+        "minhash",
+        expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(shingles, s -> xxhash64(i, s))))")
+      )
+      .drop("shingles")
+
+  /** LSH band keys: hash of each `rowsPerBand`-wide signature slice.
+    * Docs sharing any band key are candidate pairs; with b bands of r
+    * rows the match probability is 1-(1-j^r)^b (threshold ~0.5 for
+    * b=4, r=4).
+    */
+  def withLshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    sigs.withColumn(
+      "bands",
+      expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))")
+    )
+
+  /** Candidate pairs from shared LSH buckets, with the MinHash-estimated
+    * Jaccard. `maxBucket` bounds the per-bucket pair blowup (skew guard):
+    * buckets wider than it are truncated to their lowest ids — at 100 TB
+    * a boilerplate page repeated 10M times must not produce 10^13 pairs.
+    */
+  def candidatePairs(withBands: DataFrame, idCol: String = "doc_id", maxBucket: Int = 1000): DataFrame = {
+    val k = "size(sig_a)"
+    val buckets = withBands
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy(col(idCol))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val pairs = buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sigs = withBands.select(col(idCol), col("minhash"))
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash").as("sig_b")), "id_b")
+      .withColumn(
+        "est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)")
+      )
+      .drop("sig_a", "sig_b")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit weight sums then
+    * sign-pack. Pure array expressions — one projection, no shuffle.
+    * Near-dups are pairs with small hamming distance:
+    * `bit_count(a ^ b)`.
+    */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("tokens_", expr(s"split($textCol, '\\\\s+')"))
+      .withColumn(
+        "bitsums_",
+        expr("""aggregate(tokens_, array_repeat(0L, 64),
+               |  (acc, t) -> zip_with(acc,
+               |    transform(sequence(0, 63),
+               |      b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END),
+               |    (x, y) -> x + y))""".stripMargin)
+      )
+      .withColumn(
+        "simhash",
+        expr("""aggregate(transform(sequence(0, 63),
+               |  b -> CASE WHEN element_at(bitsums_, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+               |  0L, (acc, v) -> acc + v)""".stripMargin)
+      )
+      .drop("tokens_", "bitsums_")
+
+  /** Exact character-n-gram Jaccard between two text columns (the
+    * verification step after candidate generation).
+    */
+  def ngramJaccardSql(aCol: String, bCol: String, n: Int): String = {
+    val ga = shingleSql(aCol, n)
+    val gb = shingleSql(bCol, n)
+    s"CAST(size(array_intersect($ga, $gb)) AS DOUBLE) / size(array_union($ga, $gb))"
+  }
+
+  /** End-to-end near-duplicate detection: MinHash -> LSH candidate
+    * pairs -> exact n-gram-Jaccard verification at `threshold`.
+    *
+    * Band parameters are selective (b bands of r=k/b rows): a pair at
+    * Jaccard j collides with probability 1-(1-j^r)^b. Defaults k=32,
+    * b=8, r=4 put the S-curve knee near j~0.55: background pairs of a
+    * shared-vocabulary corpus (j ~ 0.2) collide at ~0.1% — without the
+    * r=4 sharpening a 5000-doc corpus already yields millions of false
+    * candidates, and at 100 TB the candidate join IS the cost — while
+    * real near-dups (j >= 0.8) are found with prob > 1-1e-4.
+    *
+    * Verification cost controls, both exact (no recall loss):
+    * - shingle sets are computed ONCE per doc and joined to the pairs,
+    *   not recomputed from text per candidate;
+    * - size-ratio prune before the set ops: j <= min(|A|,|B|)/max, so
+    *   pairs whose shingle counts differ by more than the threshold
+    *   ratio cannot pass and are dropped on two int columns.
+    */
+  def nearDuplicates(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val r = k / bands
+    // Signature computation is the CPU-heavy stage (k hashes per
+    // shingle per doc) and its expressions are interpreted, not
+    // codegen'd — two plan-shape decisions keep it scale-safe:
+    // 1. scatter first if the scan has fewer partitions than cores (a
+    //    single small parquet file would otherwise serialize the whole
+    //    corpus onto one task);
+    // 2. cache the signature table so every consumer (bucket explode +
+    //    both sides of the self-join + the two verification joins)
+    //    reads one materialized copy. Without the cache, per-consumer
+    //    column pruning rewrites the projection differently each time
+    //    (defeating exchange reuse) and inlines the shingle expression
+    //    into the per-band lambda, where interpreted higher-order
+    //    functions re-evaluate it once per band per row — a 32x
+    //    recompute measured as the dominant cost of the whole job.
+    val sc = docs.sparkSession.sparkContext
+    val scattered =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism) docs.repartition(sc.defaultParallelism)
+      else docs
+    val base = scattered
+      .withColumn("sh", expr(shingleSql(textCol, shingleN)))
+      .withColumn(
+        "bands",
+        expr(s"""transform(sequence(0, ${bands - 1}),
+                |  b -> xxhash64(b, transform(sequence(b * $r, b * $r + ${r - 1}),
+                |                             i -> array_min(transform(sh, s -> xxhash64(i, s))))))""".stripMargin)
+      )
+      .select(col(idCol), col("sh"), size(col("sh")).as("n_sh"), col("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = base
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy(col(idCol))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val pairs = buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sides = base.select(col(idCol), col("sh"), col("n_sh"))
+    pairs
+      .join(sides.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg.dsum
+
+/** Event-stream batch analytics: time-bucketed aggregation, JSON
+  * property extraction, and gap-based sessionization. The same
+  * transforms back the Structured Streaming variant
+  * (graft.streaming.EventsStream) — watermark+window there, identical
+  * aggregation semantics here.
+  */
+object Events {
+
+  /** Hourly tumbling aggregate per event type, with a JSON-extracted
+    * property predicate (props is a JSON string column).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(
+          when(get_json_object(col("props"), "$.k").cast("int") > 50, 1L).otherwise(0L)
+        ).as("n_high_k")
+      )
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapMinutes`. Window
+    * functions partition by user — one shuffle on user_id; at scale
+    * the per-user event lists are small so no skew concern beyond
+    * bot-like hot users (which AQE skew-split handles since the
+    * partition key is the user hash).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats on top of sessionize(). */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        dsum(col("session_value"), 2).as("total_value")
+      )
+}

@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard scale trade-off:
+  * - brute-force cosine top-k: exact, O(|queries| * |corpus|); the
+  *   query side is broadcast so the corpus never shuffles — each
+  *   executor streams its corpus partition once per batch of queries.
+  * - LSH (random hyperplane) buckets: approximate; corpus and queries
+  *   shuffle only on bucket keys, turning the cross product into a
+  *   per-bucket join — the 100 TB path (an IVF variant would swap the
+  *   hyperplane bucketer for k-means centroids, same plan shape).
+  *
+  * Dot products use sequential left-fold `aggregate` over zipped
+  * arrays: deterministic summation order, so scores are reproducible
+  * run-to-run (floating-point sums are order-sensitive).
+  */
+object Similarity {
+
+  /** Cast float embedding to double for stable arithmetic. */
+  def doubleVec(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
+
+  def cosineSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
+       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""".stripMargin
+
+  /** Exact top-k neighbors for each query vector (query set broadcast). */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val q = broadcast(
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    )
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(cosineSql("qv", "v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector against the hyperplanes, packed to a long. */
+  def withLshBucket(df: DataFrame, vecCol: String, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val p = typedlit(planes(nPlanes, dim, seed))
+    df.withColumn("__planes", p)
+      .withColumn(
+        "bucket",
+        expr(s"""aggregate(transform(sequence(0, ${nPlanes - 1}),
+                |  i -> CASE WHEN aggregate(zip_with(__planes[i], $vecCol, (p, x) -> p * x), 0D, (acc, v) -> acc + v) > 0
+                |       THEN shiftleft(1L, i) ELSE 0L END),
+                |  0L, (acc, v) -> acc + v)""".stripMargin)
+      )
+      .drop("__planes")
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * Recall improves with fewer planes (wider buckets) or multi-probe;
+    * the join is on bucket keys so the corpus shuffles once by bucket.
+    */
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val e = withLshBucket(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), "v", nPlanes
+    )
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(cosineSql("qv", "v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+}

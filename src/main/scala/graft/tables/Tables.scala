@@ -19,7 +19,16 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = read(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = read(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = read(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame     = read(spark, d, "events")
+  /** The events table stores INT64 TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects; read nanos as long and truncate to
+    * micros (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast).
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
 }

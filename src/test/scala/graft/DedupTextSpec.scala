@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),// near dup of 1
+    (4L, "completely unrelated text about database systems and query optimization")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getAs[Long]("n_docs") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("identical texts share identical minhash signatures and band keys") {
+    val sigs = Dedup.withLshBands(Dedup.withMinhash(docs), bands = 8, rowsPerBand = 2)
+      .select("doc_id", "minhash", "bands").collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("nearDuplicates finds exact+near pairs and excludes unrelated docs") {
+    val pairs = Dedup.nearDuplicates(docs, threshold = 0.7).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // jaccard of the exact pair is 1.0
+    val j = Dedup.nearDuplicates(docs, 0.7).filter($"id_a" === 1L && $"id_b" === 2L)
+      .head().getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0) < 1e-12)
+  }
+
+  test("simhash: identical texts equal; near texts within small hamming distance") {
+    val h = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+    assert(hamming(h(1L), h(3L)) <= 12)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("token counts") {
+    val df = one("  Hello, world! 42 ")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.regexTokenCount($"text").as("nre"),
+      TextAnalysis.punctCount($"text").as("p")
+    ).head()
+    assert(r.getAs[Int]("n") == 3)      // \S+ runs: "Hello,", "world!", "42"
+    assert(r.getAs[Int]("nre") == 5)    // Hello , world ! 42
+    assert(r.getAs[Int]("p") == 2)      // , and !
+  }
+
+  test("quality score stays in [0,1] and rewards natural text") {
+    val natural = "the cat sat on the mat and looked at the dog with a calm face for a while"
+    val junk = "!!!! ???? ;;;; @@@@ #### %%%%"
+    val q = Seq((1L, natural), (2L, junk)).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("langId picks the dominant marker language") {
+    val samples = Seq(
+      (1L, "the cat and the dog went to the park of the town"),
+      (2L, "el gato y la casa de que hablamos en la plaza"),
+      (3L, "der Hund und die Katze und das Haus"),
+      (4L, "le chat et les chiens et une maison"),
+      (5L, "这是一个测试 的 文本 是 很好 了")
+    ).toDF("doc_id", "text")
+    val out = samples.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("fingerprint is case- and punctuation-insensitive") {
+    val fp = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("f")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

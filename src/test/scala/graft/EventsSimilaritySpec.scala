@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.events.Events
+import graft.similarity.Similarity
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // user 1: two sessions (gap 31 min between 2nd and 3rd event);
+  // user 2: one session of one event.
+  private def events = Seq(
+    (1L, 1L, "2024-01-01 10:00:00", "click", 1.0, """{"k": 60}"""),
+    (2L, 1L, "2024-01-01 10:10:00", "view", 2.0, """{"k": 10}"""),
+    (3L, 1L, "2024-01-01 10:41:00", "click", 4.0, """{"k": 99}"""),
+    (4L, 2L, "2024-01-01 23:59:00", "error", 8.0, """{"k": 1}""")
+  ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    .withColumn("ts", to_timestamp($"ts"))
+
+  test("hourly rollup buckets by hour and extracts JSON props") {
+    val out = Events.hourly(events).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_ts").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_high_k"))).toMap
+    assert(out(("2024-01-01 10:00:00.0", "click")) == (2L, 2L)) // k=60 and k=99 both > 50
+    assert(out(("2024-01-01 10:00:00.0", "view")) == (1L, 0L))
+    assert(out(("2024-01-01 23:00:00.0", "error")) == (1L, 0L))
+  }
+
+  test("sessionize splits on gaps > 30 min") {
+    val s = Events.sessionize(events).select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == 1L && s(2L) == 1L)
+    assert(s(3L) == 2L)
+    assert(s(4L) == 1L)
+  }
+
+  test("sessionStats aggregates per user") {
+    val out = Events.sessionStats(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+         r.getAs[Long]("max_session_events"), r.getAs[Double]("total_value"))).toMap
+    assert(out(1L) == (2L, 3L, 2L, 7.0))
+    assert(out(2L) == (1L, 1L, 1L, 8.0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Orthogonal-ish unit vectors: 0 aligns with 2, anti-aligns with 3.
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.5f, 0.5f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 4).collect()
+      .map(r => r.getAs[Int]("rn") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(out(1) == 2L) // cos ~ 0.994
+    assert(out(2) == 4L) // cos ~ 0.707
+    assert(out(3) == 1L) // cos 0
+    assert(out(4) == 3L) // cos -1
+  }
+
+  test("LSH bucket is identical for identical vectors, differs for opposite") {
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.withLshBucket(
+      df.select($"vec_id", expr(Similarity.doubleVec("embedding")).as("v")), "v",
+      nPlanes = 8, dim = 3
+    ).select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // all plane signs flip
+  }
+}
+
+class TableIOSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.io.TableIO
+
+  test("append/overwrite/exists/list/drop roundtrip with partition pruning") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_test_wh_").toString
+    val io = TableIO(spark, wh)
+    assert(!io.tableExists("default.t1"))
+
+    val df = Seq((1, "a", 2020), (2, "b", 2021)).toDF("id", "s", "yr")
+    io.append(df, "default.t1", Seq("yr"))
+    assert(io.tableExists("default.t1"))
+    assert(io.read("default.t1").count() == 2)
+
+    io.append(df.filter($"yr" === 2020), "default.t1", Seq("yr"))
+    assert(io.read("default.t1").count() == 3)
+
+    // partition pruning: only the yr=2020 directory is scanned
+    val pruned = io.read("default.t1").filter($"yr" === 2021)
+    assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("yr=2020") || plan.contains("PartitionFilters"))
+
+    io.overwrite(df, "default.t1", Seq("yr"))
+    assert(io.read("default.t1").count() == 2)
+
+    assert(io.catalog.listTables() == Seq("default.t1"))
+    io.catalog.dropTable("default.t1")
+    assert(!io.tableExists("default.t1"))
+  }
+}
