@@ -248,6 +248,36 @@ object OracleQueries {
         |  CAST(sum(CAST(sv AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY 1""".stripMargin,
 
+    "q21_multimodal_meta" ->
+      s"""SELECT doc_id, $duckFormat AS format,
+         |  $duckWidth AS width, $duckHeight AS height,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST($duckWidth * $duckHeight * 3 AS BIGINT) AS n_pixels
+         |FROM documents""".stripMargin,
+
+    "q22_multimodal_format_summary" ->
+      s"""SELECT $duckFormat AS format,
+         |  CAST(count(*) AS BIGINT) AS n_blobs,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         |  min($duckWidth) AS min_width,
+         |  max($duckWidth) AS max_width,
+         |  avg($duckWidth * $duckHeight) AS avg_pixels
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // decode stub is deterministic byte stats over the (ASCII) payload,
+    // so the oracle recomputes it from code points
+    "q23_multimodal_decode" ->
+      """SELECT doc_id, format, n_bytes,
+        |  CAST(bsum AS DOUBLE) / n_bytes AS mean_byte,
+        |  CAST(least(1 + n_bytes // 64, 16) AS INT) AS frames_sampled
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |                            i -> ascii(substring(text, i, 1)))) AS bsum
+        |  FROM documents)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -266,6 +296,15 @@ object OracleQueries {
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */
+
+  private def duckFormat: String =
+    "(CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END)"
+
+  private def duckWidth: String =
+    "CAST(32 + ascii(text) % 64 AS INT)"
+
+  private def duckHeight: String =
+    "CAST(32 + length(text) % 64 AS INT)"
 
   private def duckShingles: String =
     "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"

@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 import graft.events.Events
 import graft.io.TableIO
 import graft.pipeline.{Aggregations, Dimensions, Fact, Ingestion, Quality}
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.text.TextAnalysis
@@ -178,7 +179,20 @@ object SparkEntry {
     // LSH-bucketed approximate ANN (plane-seed-defined; rows-only check)
     "q20_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
-        .select(col("q_id"), col("neighbor_id"), col("rn")))
+        .select(col("q_id"), col("neighbor_id"), col("rn"))),
+
+    // ---- multimodal binary columns ----
+
+    // Blob metadata projection (binary col pruned: metadata-only scan)
+    "q21_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaStats(Multimodal.withBlob(Tables.documents(s, dir)))),
+    // Per-format corpus rollup over blob metadata
+    "q22_multimodal_format_summary" -> ((s, dir) =>
+      Multimodal.formatSummary(Multimodal.withBlob(Tables.documents(s, dir)))),
+    // Batch decode via typed mapPartitions (stub kernel; deterministic
+    // byte stats, so oracle-checkable on the UTF-8 payload)
+    "q23_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.withBlob(Tables.documents(s, dir))))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types). */

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming variants of the batch event analytics
+  * (graft.events.Events): the same aggregation semantics expressed as
+  * an unbounded query. Batch parity is the design rule — a windowed
+  * streaming aggregate over a finite input must equal the batch
+  * `groupBy(window(...))` on the same rows (pinned by the spec).
+  *
+  * Scale notes: the windowed aggregate keeps one state row per
+  * (window, event_type) — bounded by the watermark horizon, not the
+  * stream length. Sessionization state is one row per open session per
+  * user, evicted by processing-time timeout; both shapes run on a
+  * 1000-executor cluster with state in the default HDFS-backed store
+  * (or RocksDB via config, no code change).
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window counts per event type with a 2-hour
+    * watermark for late data (reference pipeline is batch-only —
+    * SURVEY.md §2.10 — so this is capability extension, not parity).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value")
+      )
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState:
+    * one state row per user holding the open session; a batch closes
+    * the session when it sees a gap > `gapMinutes` (emitting the
+    * closed session) or — with the default ProcessingTimeTimeout —
+    * when the state times out after inactivity. Pass NoTimeout for
+    * deterministic finite-input runs (a processing-time timeout makes
+    * the engine schedule continuous empty micro-batches to fire it).
+    */
+  def sessionize(
+      events: Dataset[Ev],
+      gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()
+  ): Dataset[SessionOut] = {
+    val gapMs = gapMinutes.toLong * 60000L
+    val withTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout
+      ) { (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+        val out = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        if (state.hasTimedOut) {
+          cur.foreach(s => out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.n, s.total))
+          state.remove()
+          cur = None
+        }
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.n, s.total)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (withTimeout) state.setTimeoutDuration(gapMs)
+        }
+        out.result().iterator
+      }(Encoders.product[SessionState], Encoders.product[SessionOut])
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "Hello world"), (2L, "bb"), (3L, "x" * 200)).toDF("doc_id", "text")
+
+  test("withBlob attaches binary payload and typed metadata") {
+    val out = Multimodal.withBlob(docs)
+    assert(out.schema("blob").dataType.typeName == "binary")
+    val m = out.filter($"doc_id" === 1L).select("meta.*").head()
+    assert(m.schema.fieldNames.toSeq == Seq("format", "width", "height", "channels", "n_bytes"))
+  }
+
+  test("metadata is deterministic byte-derived") {
+    val m = Multimodal.metaStats(Multimodal.withBlob(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 'H' = 72: even → png, width = 32 + 72%64 = 40; len 11 → height 43
+    assert(m(1L).getAs[String]("format") == "png")
+    assert(m(1L).getAs[Int]("width") == 40)
+    assert(m(1L).getAs[Int]("height") == 43)
+    assert(m(1L).getAs[Long]("n_bytes") == 11L)
+    assert(m(1L).getAs[Long]("n_pixels") == 40L * 43 * 3)
+    // 'b' = 98: even → png; 'x' = 120 even → png, height = 32 + 200%64 = 40
+    assert(m(3L).getAs[Int]("height") == 40)
+  }
+
+  test("decodeFeatures computes batch byte stats through mapPartitions") {
+    val out = Multimodal.decodeFeatures(Multimodal.withBlob(docs), parallelism = Some(2))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "bb" → bytes (98, 98) → mean 98.0; frames = 1 + 2/64 = 1
+    assert(out(2L).getAs[Double]("mean_byte") == 98.0)
+    assert(out(2L).getAs[Int]("frames_sampled") == 1)
+    // 200 x's → frames = min(1 + 200/64, 16) = 4
+    assert(out(3L).getAs[Double]("mean_byte") == 120.0)
+    assert(out(3L).getAs[Int]("frames_sampled") == 4)
+    assert(out(1L).getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("fakeDecodeStats handles empty input") {
+    assert(Multimodal.fakeDecodeStats(Array.empty[Byte]) == (0.0, 0))
+    assert(Multimodal.fakeDecodeStats(null) == (0.0, 0))
+  }
+}
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts match batch aggregation semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventsStream.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly_test").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:55:00"), "click", 2.0),
+        (t("2024-01-01 11:05:00"), "view", 4.0)
+      )
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((t("2024-01-02 00:00:00"), "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_ts").toString, r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "click")) == (2L, 3.0))
+      assert(rows(("2024-01-01 11:00:00.0", "view")) == (1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Ev]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).writeStream
+      .format("memory").queryName("sessions_test").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        EventsStream.Ev(1L, t("2024-01-01 10:00:00"), 1.0),
+        EventsStream.Ev(1L, t("2024-01-01 10:10:00"), 2.0),
+        EventsStream.Ev(1L, t("2024-01-01 11:00:00"), 4.0) // gap 50min → closes session 1
+      )
+      q.processAllAvailable()
+      val rows = spark.table("sessions_test").as[EventsStream.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows.head.user_id == 1L)
+      assert(rows.head.n_events == 2L)
+      assert(rows.head.total_value == 3.0)
+      assert(rows.head.session_end.toString == "2024-01-01 10:10:00.0")
+    } finally q.stop()
+  }
+}
