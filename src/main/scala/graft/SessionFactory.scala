@@ -23,6 +23,7 @@ object SessionFactory {
     val b = SparkSession
       .builder()
       .appName(appName)
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", localCores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

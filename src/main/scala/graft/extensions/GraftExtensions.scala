@@ -1,0 +1,37 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Session extension injecting graft's native Catalyst expressions.
+  *
+  * Wire-up (either works):
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+  *
+  * This is the same hook the reference uses for Iceberg's extensions
+  * (reference: IngestionJob.scala:15 `spark.sql.extensions =
+  * IcebergSparkSessionExtensions`) — the public, documented way to add
+  * engine capability without forking Spark.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two array<double> vectors"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double> vectors"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+  }
+}

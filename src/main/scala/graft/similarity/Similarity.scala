@@ -24,10 +24,15 @@ object Similarity {
   /** Cast float embedding to double for stable arithmetic. */
   def doubleVec(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
 
-  def cosineSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
-       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""".stripMargin
+  /** Cosine via the native codegen'd expression (graft.functions
+    * .CosineSimilarity, injected by graft.extensions.GraftExtensions):
+    * a primitive loop inside whole-stage codegen instead of an
+    * interpreted per-element aggregate/zip_with — the scorer runs
+    * |corpus| x |queries| times, so the hot path must not box.
+    * Summation order (ascending index) matches the previous HOF
+    * formulation, so scores are unchanged bit-for-bit.
+    */
+  def cosineSql(a: String, b: String): String = s"graft_cosine($a, $b)"
 
   /** Exact top-k neighbors for each query vector (query set broadcast). */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -57,7 +62,7 @@ object Similarity {
       .withColumn(
         "bucket",
         expr(s"""aggregate(transform(sequence(0, ${nPlanes - 1}),
-                |  i -> CASE WHEN aggregate(zip_with(__planes[i], $vecCol, (p, x) -> p * x), 0D, (acc, v) -> acc + v) > 0
+                |  i -> CASE WHEN graft_dot(__planes[i], $vecCol) > 0
                 |       THEN shiftleft(1L, i) ELSE 0L END),
                 |  0L, (acc, v) -> acc + v)""".stripMargin)
       )

@@ -9,7 +9,8 @@ object TestSpark {
     .builder()
     .master("local[2]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
