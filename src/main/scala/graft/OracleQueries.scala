@@ -278,6 +278,16 @@ object OracleQueries {
         |                            i -> ascii(substring(text, i, 1)))) AS bsum
         |  FROM documents)""".stripMargin,
 
+    "q24_csv_lookup_join" ->
+      """SELECT CAST(l.LocationID AS INT) AS location_id,
+        |  l.Borough AS borough, l.Zone AS zone,
+        |  c.n_customers
+        |FROM read_csv('/root/repo/data/zone-lookup.csv', header=true) l
+        |JOIN (SELECT CAST(c_nationkey AS INT) AS location_id,
+        |             CAST(count(*) AS BIGINT) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |  ON CAST(l.LocationID AS INT) = c.location_id""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

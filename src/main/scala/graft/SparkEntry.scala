@@ -192,7 +192,22 @@ object SparkEntry {
     // Batch decode via typed mapPartitions (stub kernel; deterministic
     // byte stats, so oracle-checkable on the UTF-8 payload)
     "q23_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.withBlob(Tables.documents(s, dir))))
+      Multimodal.decodeFeatures(Multimodal.withBlob(Tables.documents(s, dir)))),
+
+    // S9: header-CSV dimension source (the reference ships
+    // taxi-zone-lookup.csv as the realistic dim source, README.md:50)
+    // joined against a fact-side aggregate — broadcast-joined lookup
+    "q24_csv_lookup_join" -> ((s, dir) => {
+      val lookup = Dimensions.locationDimFromLookup(
+        s.read.option("header", "true").csv("/root/repo/data/zone-lookup.csv"),
+        "LocationID", "Borough", "Zone")
+      val custByNation = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("int").as("location_id"))
+        .agg(count(lit(1)).as("n_customers"))
+      custByNation
+        .join(broadcast(lookup), Seq("location_id"))
+        .select(col("location_id"), col("borough"), col("zone"), col("n_customers"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types). */

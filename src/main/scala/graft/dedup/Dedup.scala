@@ -30,17 +30,12 @@ object Dedup {
   def shingleSql(textCol: String, n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n)))"
 
-  /** MinHash signature: k minima of per-seed xxhash64 over shingles.
-    * One projection; k*|shingles| hashes per doc, all codegen-side.
+  /** MinHash signature via the native one-pass expression
+    * (graft.functions.MinHashSignature): each shingle hashed once, k
+    * minima tracked in a primitive loop inside codegen.
     */
   def withMinhash(docs: DataFrame, textCol: String = "text", k: Int = 16, shingleN: Int = 5): DataFrame =
-    docs
-      .withColumn("shingles", expr(shingleSql(textCol, shingleN)))
-      .withColumn(
-        "minhash",
-        expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(shingles, s -> xxhash64(i, s))))")
-      )
-      .drop("shingles")
+    docs.withColumn("minhash", expr(s"graft_minhash(${shingleSql(textCol, shingleN)}, $k)"))
 
   /** LSH band keys: hash of each `rowsPerBand`-wide signature slice.
     * Docs sharing any band key are candidate pairs; with b bands of r
@@ -167,11 +162,10 @@ object Dedup {
       else docs
     val base = scattered
       .withColumn("sh", expr(shingleSql(textCol, shingleN)))
+      .withColumn("mh", expr(s"graft_minhash(sh, $k)"))
       .withColumn(
         "bands",
-        expr(s"""transform(sequence(0, ${bands - 1}),
-                |  b -> xxhash64(b, transform(sequence(b * $r, b * $r + ${r - 1}),
-                |                             i -> array_min(transform(sh, s -> xxhash64(i, s))))))""".stripMargin)
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
       )
       .select(col(idCol), col("sh"), size(col("sh")).as("n_sh"), col("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -32,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double> vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-minima MinHash signature of an array<string>"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k: Int, IntegerType) => MinHashSignature(children(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be an integer literal, got $other")
+      }
     ))
   }
 }

@@ -108,4 +108,27 @@ class TableIOSpec extends SparkSpec {
     io.catalog.dropTable("default.t1")
     assert(!io.tableExists("default.t1"))
   }
+
+  test("snapshot time travel: every write commits a readable version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tt_wh_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.versioned"
+
+    io.append(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)           // v1: 2 rows
+    io.append(Seq((3, "c")).toDF("id", "s"), t)                     // v2: 3 rows
+    io.overwrite(Seq((9, "z")).toDF("id", "s"), t)                  // v3: 1 row
+
+    assert(io.versions(t) == Seq(1, 2, 3))
+    assert(io.read(t).count() == 1)                                 // current = v3
+    assert(io.readVersion(t, 1).count() == 2)
+    assert(io.readVersion(t, 2).count() == 3)
+    // the reference's README verification shape: current vs VERSION AS OF
+    // counts via UNION ALL (reference: README.md:143-154)
+    val cmp = io.read(t).selectExpr("'current' src", "id")
+      .unionAll(io.readVersion(t, 2).selectExpr("'v2' src", "id"))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cmp == Map("current" -> 1L, "v2" -> 3L))
+    // overwrite is logical: v2's files still on disk, only manifests differ
+    assert(io.catalog.manifest(t, 3).toSet.subsetOf(io.catalog.listDataFiles(t).toSet))
+  }
 }

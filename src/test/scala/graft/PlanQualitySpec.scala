@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Aggregations, Fact, Ingestion}
+import graft.tables.Tables
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale are pinned here so a refactor can't silently regress them
+  * (SURVEY.md §4 — pushdown/pruning/broadcast/top-k are Catalyst's
+  * job, but only if our plan shapes let it do it).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("cleaning filters push down into the parquet scan") {
+    val p = plan(Ingestion.cleanLineitem(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull"), "null-drop should reach the reader")
+    assert(p.contains("GreaterThan"), "positivity filters should reach the reader")
+  }
+
+  test("narrow projections prune the parquet read schema") {
+    val df = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:"), p)
+    assert(!p.contains("l_comment"), "unused columns must not be read")
+  }
+
+  test("fact build broadcasts every dimension join") {
+    val fact = Fact.build(
+      Ingestion.cleanLineitem(Tables.lineitem(spark, sfDir)),
+      Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir)
+    )
+    val p = plan(fact)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins (cust/supp/nation x2), got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") || broadcasts >= 4, "dims must not shuffle the fact side")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val fact = Fact.build(
+      Ingestion.cleanLineitem(Tables.lineitem(spark, sfDir)),
+      Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir)
+    )
+    val p = plan(Aggregations.topPairs(fact))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not materialize a full sort:\n$p")
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))
+      .select(expr("graft_cosine(v, v)").as("c"))
+    e.collect()
+    val p = e.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen stage in the compact rendering
+    val cosLine = p.linesIterator.find(_.contains("graft_cosine")).getOrElse("")
+    assert(cosLine.trim.startsWith("*("), s"graft_cosine not codegen'd:\n$p")
+  }
+}
