@@ -288,6 +288,25 @@ object OracleQueries {
         |      FROM customer GROUP BY 1) c
         |  ON CAST(l.LocationID AS INT) = c.location_id""".stripMargin,
 
+    "q25_sql_front_end" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q26_multimodal_resize" ->
+      s"""SELECT doc_id, format, CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,
+         |  rb AS resized_bytes, least(rb, n_bytes) AS payload_bytes
+         |FROM (
+         |  SELECT doc_id, $duckFormat AS format,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    greatest(1, (CAST(octet_length(encode(text)) AS BIGINT) * 48 * 48)
+         |      // (CAST($duckWidth AS BIGINT) * $duckHeight)) AS rb
+         |  FROM documents)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -207,7 +207,36 @@ object SparkEntry {
       custByNation
         .join(broadcast(lookup), Seq("location_id"))
         .select(col("location_id"), col("borough"), col("zone"), col("n_customers"))
-    })
+    }),
+
+    // Full ANSI SQL front end over registered views (the reference has
+    // no SQL surface at all — its README verification queries run in a
+    // spark-shell; here the same engine parses/plans/optimizes SQL)
+    "q25_sql_front_end" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o.o_orderpriority,
+          |  count(*) AS n_lines,
+          |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE l.l_shipdate > o.o_orderdate
+          |GROUP BY o.o_orderpriority""".stripMargin)
+    }),
+
+    // Multimodal resize: exact target metadata + byte budget, stubbed
+    // pixel kernel (payload truncation)
+    "q26_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(Multimodal.withBlob(Tables.documents(s, dir)), 48, 48)
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("resized_bytes"),
+          octet_length(col("blob")).cast("long").as("payload_bytes")
+        ))
   )
 
   /** DuckDB-equivalent SQL per query (same column names/types). */

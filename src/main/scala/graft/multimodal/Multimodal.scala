@@ -83,6 +83,31 @@ object Multimodal {
         avg(col("meta.width") * col("meta.height")).as("avg_pixels")
       )
 
+  /** STUB resize: recomputes target metadata exactly (the real part —
+    * output dims, byte budget via integer area scaling) and stands in
+    * for the pixel kernel by truncating the payload to the scaled byte
+    * count. Swap the blob expression for a real resampler; the
+    * metadata/schema contract is what downstream consumers bind to.
+    */
+  def resizeStub(withBlobs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val scaledBytes = expr(
+      s"greatest(1L, (meta.n_bytes * $targetW * $targetH) div (CAST(meta.width AS BIGINT) * meta.height))")
+    withBlobs
+      .withColumn("__rb", scaledBytes)
+      .withColumn("blob", expr("substring(blob, 1, __rb)"))
+      .withColumn(
+        "meta",
+        struct(
+          col("meta.format").as("format"),
+          lit(targetW).as("width"),
+          lit(targetH).as("height"),
+          col("meta.channels").as("channels"),
+          col("__rb").as("n_bytes")
+        )
+      )
+      .drop("__rb")
+  }
+
   /** Typed rows crossing the decode boundary. */
   final case class BlobRow(doc_id: Long, blob: Array[Byte], format: String, n_bytes: Long)
   final case class DecodedRow(doc_id: Long, format: String, n_bytes: Long, mean_byte: Double, frames_sampled: Int)
