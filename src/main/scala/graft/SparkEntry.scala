@@ -225,6 +225,11 @@ object SparkEntry {
           |GROUP BY o.o_orderpriority""".stripMargin)
     }),
 
+    // Embedding-cosine near-dup pairs (exact baseline; LSH variant is
+    // the scale path, see q20)
+    "q27_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir), threshold = 0.4)),
+
     // Multimodal resize: exact target metadata + byte budget, stubbed
     // pixel kernel (payload truncation)
     "q26_multimodal_resize" -> ((s, dir) =>

@@ -69,6 +69,23 @@ object Similarity {
       .drop("__planes")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold, exact upper-triangle formulation (one side
+    * broadcast, native codegen'd cosine — |corpus|^2/2 scorer evals).
+    * This is the exactness baseline; at corpus scale the same
+    * threshold-join runs through the LSH bucket path (`lshTopK`'s plan
+    * shape) so only same-bucket pairs are scored.
+    */
+  def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val right = broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb")))
+    e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(right, col("id_a") < col("id_b"))
+      .withColumn("cos", expr(cosineSql("va", "vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Recall improves with fewer planes (wider buckets) or multi-probe;
     * the join is on bucket keys so the corpus shuffles once by bucket.

