@@ -225,6 +225,11 @@ object SparkEntry {
           |GROUP BY o.o_orderpriority""".stripMargin)
     }),
 
+    // IVF-bucketed ANN (centroid-defined; rows-only check)
+    "q28_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
+        .select(col("q_id"), col("neighbor_id"), col("rn"))),
+
     // Embedding-cosine near-dup pairs (exact baseline; LSH variant is
     // the scale path, see q20)
     "q27_embedding_neardup" -> ((s, dir) =>

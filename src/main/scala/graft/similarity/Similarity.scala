@@ -86,6 +86,78 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: k-means-style centroids partition the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells, so the scorer touches ~nprobe/nlist of the corpus instead
+    * of all of it. The alternative scale path to the LSH buckets (same
+    * plan shape: cell-key equi-join instead of a cross product).
+    *
+    * Centroid bootstrap is deterministic (the `nlist` lowest vec_ids)
+    * refined by `iters` Lloyd rounds; per-round centroid recompute is a
+    * driver round-trip of nlist x dim doubles — the same tiny
+    * collect-and-reenter idiom as the date dimension's min/max
+    * (`Dimensions.dateDim`), so it scales independently of corpus size.
+    * With nprobe == nlist, results equal brute force exactly (pinned by
+    * spec).
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic bootstrap: lowest-id vectors as initial centroids
+    var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+    def withCell(df: DataFrame): DataFrame = df
+      .withColumn("__cent", typedlit(centroids))
+      .withColumn("__scores", expr(s"transform(sequence(0, ${centroids.size - 1}), i -> graft_cosine(__cent[i], v))"))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
+
+    // Lloyd refinement: assign -> element-wise mean per cell (via
+    // posexplode so the mean is a plain hash aggregate) -> re-enter
+    (1 to iters).foreach { _ =>
+      val dims = withCell(e)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getAs[Long]("cell"))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c.toLong) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+
+    val corpus = withCell(e).select(col("vec_id"), col("v"), col("cell"))
+    val probes = withCell(e.filter(col("vec_id") < nQueries))
+      .withColumn(
+        "__probes",
+        expr(s"""transform(slice(array_sort(
+                |    zip_with(__scores, sequence(0, ${centroids.size - 1}),
+                |             (s, i) -> named_struct('s', s, 'i', i)),
+                |    (l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+                |              WHEN l.i < r.i THEN -1 ELSE 1 END),
+                |  1, $nprobe), x -> x.i)""".stripMargin)
+      )
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(col("__probes")).as("cell"))
+
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(cosineSql("qv", "v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Recall improves with fewer planes (wider buckets) or multi-probe;
     * the join is on bucket keys so the corpus shuffles once by bucket.

@@ -66,6 +66,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4) == 3L) // cos -1
   }
 
+  test("IVF with full probes equals brute force; partial probes return valid rankings") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.bruteForceTopK(e, nQueries = 4, k = 3)
+      .select("q_id", "rn", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ivfFull = Similarity.ivfTopK(e, nQueries = 4, k = 3, nlist = 8, nprobe = 8, iters = 1)
+      .select("q_id", "rn", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ivfFull == bf)
+
+    val ivfPartial = Similarity.ivfTopK(e, nQueries = 4, k = 3, nlist = 8, nprobe = 2, iters = 2)
+      .collect()
+    assert(ivfPartial.nonEmpty)
+    assert(ivfPartial.forall(_.getAs[Int]("rn") <= 3))
+    assert(ivfPartial.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+  }
+
   test("LSH bucket is identical for identical vectors, differs for opposite") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+import graft.tables.Tables
+
+/** SURVEY.md §7 risk 5 (mergeSchema across drifted files) and §2 S7
+  * (catalog introspection surface).
+  */
+class SchemaCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeSchema unions drifted schemas across files (added column; explicit schema for widening)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    // month 1: (id int, amount double); month 2 adds a column
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+      .write.parquet(s"$dir/m1.parquet")
+    Seq((3, 30.0, "x"), (4, 40.0, "y")).toDF("id", "amount", "note")
+      .write.parquet(s"$dir/m2.parquet")
+
+    val all = spark.read.option("mergeSchema", "true").parquet(s"$dir/m1.parquet", s"$dir/m2.parquet")
+    assert(all.columns.contains("note"), "new column must appear")
+    assert(all.count() == 4)
+    // rows from the old file read null for the new column
+    assert(all.filter($"note".isNull).count() == 2)
+
+    // type WIDENING (int->long) is NOT merged by mergeSchema — Spark
+    // throws CANNOT_MERGE_SCHEMAS. The supported path for the taxi-style
+    // int->long month drift is an explicit reader schema:
+    Seq((5L, 50.0)).toDF("id", "amount").write.parquet(s"$dir/m3.parquet")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/m1.parquet", s"$dir/m3.parquet").schema
+    }
+    val widened = spark.read
+      .schema("id LONG, amount DOUBLE")
+      .parquet(s"$dir/m1.parquet", s"$dir/m3.parquet")
+    assert(widened.schema("id").dataType.typeName == "long")
+    assert(widened.select(sum($"id")).head().getLong(0) == 8L)
+  }
+
+  test("catalog introspection: SHOW TABLES and DESCRIBE over registered snapshot views") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val io = TableIO(spark, wh)
+    io.overwrite(Seq((1, "a")).toDF("id", "s"), "default.demo_tbl")
+    io.registerView("default.demo_tbl", "demo_tbl")
+
+    val shown = spark.sql("SHOW TABLES").collect().map(_.getAs[String]("tableName"))
+    assert(shown.contains("demo_tbl"))
+
+    val desc = spark.sql("DESCRIBE demo_tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("id") == "int" && desc("s") == "string")
+
+    assert(io.catalog.listTables() == Seq("default.demo_tbl"))
+    spark.catalog.dropTempView("demo_tbl")
+  }
+}
