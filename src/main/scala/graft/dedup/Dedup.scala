@@ -160,9 +160,11 @@ object Dedup {
     val scattered =
       if (docs.rdd.getNumPartitions < sc.defaultParallelism) docs.repartition(sc.defaultParallelism)
       else docs
+    // sh = sorted distinct n-gram hashes (primitive longs) — the native
+    // trio shingle/minhash/jaccard keeps the whole verify path codegen'd
     val base = scattered
-      .withColumn("sh", expr(shingleSql(textCol, shingleN)))
-      .withColumn("mh", expr(s"graft_minhash(sh, $k)"))
+      .withColumn("sh", expr(s"graft_shingle_hashes($textCol, $shingleN)"))
+      .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
       .withColumn(
         "bands",
         expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
@@ -188,11 +190,7 @@ object Dedup {
       .join(sides.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
       .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))
-      )
+      .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, ShingleHashes}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -43,6 +43,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, IntegerType) => MinHashSignature(children(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhash k must be an integer literal, got $other")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(text, n) - sorted distinct xxhash64 of every n-gram"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted", "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted array<long>"),
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_hashed"),
+      info("graft_minhash_hashed", "graft_minhash_hashed(hashes, k) - MinHash signature over pre-hashed shingles"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k: Int, IntegerType) => MinHashFromHashes(children(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_hashed k must be an integer literal, got $other")
       }
     ))
   }
