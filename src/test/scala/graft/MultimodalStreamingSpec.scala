@@ -79,6 +79,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events table matches batch hourly counts") {
+    // stream the parquet file through readStream (schema must be
+    // explicit for file sources) and compare against the batch rollup
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.tables.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventsStream.hourlyCounts(streamed).writeStream
+      .format("memory").queryName("file_hourly_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    // Append mode only emits windows the watermark has passed; compare
+    // those that were emitted against the batch aggregate — and require
+    // substantial coverage (everything except the trailing watermark
+    // horizon can close).
+    val streamRows = spark.table("file_hourly_test").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_ts"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    val batchRows = batch
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_ts"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(streamRows.nonEmpty, "stream emitted no closed windows")
+    streamRows.foreach { case (key, v) =>
+      assert(batchRows(key) == v, s"window $key diverged from batch")
+    }
+    assert(streamRows.size >= batchRows.size / 2, "most windows should have closed")
+  }
+
   test("streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Ev]

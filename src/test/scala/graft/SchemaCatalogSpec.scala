@@ -56,4 +56,30 @@ class SchemaCatalogSpec extends SparkSpec {
     assert(io.catalog.listTables() == Seq("default.demo_tbl"))
     spark.catalog.dropTempView("demo_tbl")
   }
+
+  test("DSv2 catalog: SQL name resolution, partition pruning, VERSION AS OF") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2cat_").toString
+    val io = TableIO(spark, wh)
+    io.append(Seq((1, "a", 2020), (2, "b", 2021)).toDF("id", "s", "yr"), "default.sales", Seq("yr"))
+    io.append(Seq((3, "c", 2021)).toDF("id", "s", "yr"), "default.sales", Seq("yr"))
+
+    spark.conf.set("spark.sql.catalog.gtest", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+    try {
+      assert(spark.sql("SELECT count(*) c FROM gtest.default.sales").head().getLong(0) == 3L)
+      // snapshot SQL — the reference's Iceberg VERSION AS OF surface
+      assert(spark.sql("SELECT count(*) c FROM gtest.default.sales VERSION AS OF 1")
+        .head().getLong(0) == 2L)
+      // partition column survives the manifest read and prunes
+      val pruned = spark.sql("SELECT id FROM gtest.default.sales WHERE yr = 2021")
+      assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(yr"))
+      // catalog listing through SQL
+      val listed = spark.sql("SHOW TABLES IN gtest.default").collect().map(_.getString(1))
+      assert(listed.contains("sales"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gtest")
+      spark.conf.unset("spark.sql.catalog.gtest.warehouse")
+    }
+  }
 }
