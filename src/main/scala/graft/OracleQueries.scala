@@ -288,6 +288,25 @@ object OracleQueries {
         |      FROM customer GROUP BY 1) c
         |  ON CAST(l.LocationID AS INT) = c.location_id""".stripMargin,
 
+    "q29_dedup_corpus" ->
+      """SELECT d.* FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
+
+    "q30_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2)
+        |SELECT token,
+        |  CAST(sum(tf) AS BIGINT) AS total_freq,
+        |  CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM tf GROUP BY 1
+        |ORDER BY total_freq DESC, token
+        |LIMIT 100""".stripMargin,
+
     "q25_sql_front_end" ->
       """SELECT o.o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_lines,

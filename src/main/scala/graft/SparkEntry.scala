@@ -225,6 +225,14 @@ object SparkEntry {
           |GROUP BY o.o_orderpriority""".stripMargin)
     }),
 
+    // Dedup-filtered corpus: one representative per exact-content group
+    "q29_dedup_corpus" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, dir))),
+    // Corpus vocabulary: top-k tokens by total frequency (explode ->
+    // two-level aggregate, deterministic tiebreak)
+    "q30_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.documents(s, dir), k = 100)),
+
     // IVF-bucketed ANN (centroid-defined; rows-only check)
     "q28_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)

@@ -26,6 +26,16 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** The deduplicated corpus: keep one representative (min id) per
+    * exact-content group. One aggregate + one semi-join-shaped join on
+    * the representative ids — the standard "drop exact dups before
+    * training" pass.
+    */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = exact(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Distinct character n-gram shingles as an array column (no explode). */
   def shingleSql(textCol: String, n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n)))"

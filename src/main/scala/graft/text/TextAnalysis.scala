@@ -79,4 +79,27 @@ object TextAnalysis {
   /** Normalized content fingerprint (case/punctuation-insensitive). */
   def fingerprint(t: Column): Column =
     md5(lower(regexp_replace(t, "[^a-zA-Z0-9 ]", "")))
+
+  /** Corpus vocabulary: top-k lowercased word tokens by document and
+    * total frequency. explode -> two-level aggregate; the per-token
+    * partial aggregation happens map-side so the shuffle carries one
+    * row per (partition, token), not one per occurrence — the standard
+    * vocab-building pass at corpus scale. Ties break on the token for
+    * a deterministic LIMIT.
+    */
+  def topTokens(docs: org.apache.spark.sql.DataFrame, k: Int, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count_distinct, explode, split => fsplit, sum => fsum}
+    docs
+      .select(col("doc_id"), explode(fsplit(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(
+        fsum(col("tf")).as("total_freq"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("doc_freq")
+      )
+      .orderBy(org.apache.spark.sql.functions.desc("total_freq"), col("token"))
+      .limit(k)
+  }
 }

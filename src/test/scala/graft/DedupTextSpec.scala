@@ -22,6 +22,11 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("dropExactDuplicates keeps min-id representative per content group") {
+    val out = Dedup.dropExactDuplicates(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L)) // doc 2 is the exact dup of 1
+  }
+
   test("identical texts share identical minhash signatures and band keys") {
     val sigs = Dedup.withLshBands(Dedup.withMinhash(docs), bands = 8, rowsPerBand = 2)
       .select("doc_id", "minhash", "bands").collect().map(r =>
@@ -90,6 +95,13 @@ class TextAnalysisSpec extends SparkSpec {
     val out = samples.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("topTokens ranks by total frequency with deterministic ties") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTokens(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L)))
   }
 
   test("fingerprint is case- and punctuation-insensitive") {
