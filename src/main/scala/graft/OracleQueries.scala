@@ -288,6 +288,19 @@ object OracleQueries {
         |      FROM customer GROUP BY 1) c
         |  ON CAST(l.LocationID AS INT) = c.location_id""".stripMargin,
 
+    "q31_part_region_summary" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT r.r_name AS region, p.p_brand AS brand,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+         |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+         |FROM clean l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2""".stripMargin,
+
     "q29_dedup_corpus" ->
       """SELECT d.* FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k

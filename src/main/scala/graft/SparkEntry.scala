@@ -225,6 +225,22 @@ object SparkEntry {
           |GROUP BY o.o_orderpriority""".stripMargin)
     }),
 
+    // Full-star rollup touching every TPC-H-ish table role: lineitem
+    // x part (mfgr) x supplier->nation->region — broadcast dims again
+    "q31_part_region_summary" -> ((s, dir) => {
+      val li = Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+      li.join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          graft.functions.ExactAgg.dsum(col("revenue"), 4).as("revenue"),
+          countDistinct(col("l_suppkey")).as("n_suppliers")
+        )
+    }),
+
     // Dedup-filtered corpus: one representative per exact-content group
     "q29_dedup_corpus" -> ((s, dir) =>
       Dedup.dropExactDuplicates(Tables.documents(s, dir))),
