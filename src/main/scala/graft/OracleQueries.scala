@@ -350,6 +350,28 @@ object OracleQueries {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
 
+    // session_window boundary: a gap of EXACTLY the duration starts a
+    // new session (window end is exclusive), hence >= in new_session
+    "q32_events_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, value, ts,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, value, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+        |FROM t GROUP BY user_id, sid""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

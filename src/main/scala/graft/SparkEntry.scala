@@ -172,6 +172,9 @@ object SparkEntry {
     "q17_events_hourly" -> ((s, dir) => Events.hourly(Tables.events(s, dir))),
     // Gap-based sessionization -> per-user session stats
     "q18_events_sessions" -> ((s, dir) => Events.sessionStats(Tables.events(s, dir))),
+    // Native session_window operator (one aggregate, no window funcs)
+    "q32_events_session_window" -> ((s, dir) =>
+      Events.sessionWindowStats(Tables.events(s, dir))),
     // Exact brute-force cosine top-k ANN (ranking only: fp-stable output)
     "q19_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)

@@ -52,6 +52,23 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Gap sessions via Spark's NATIVE session_window operator (same
+    * semantics as sessionize() modulo the boundary convention: a gap of
+    * exactly `gapMinutes` starts a new session here). One aggregate,
+    * no window functions — the operator Spark added precisely so
+    * sessionization doesn't need the lag/cumsum idiom.
+    */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("n_events"),
+        col("session_value")
+      )
+
   /** Per-user session stats on top of sessionize(). */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)
