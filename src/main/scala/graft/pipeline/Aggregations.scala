@@ -58,6 +58,22 @@ object Aggregations {
         davg(col("l_extendedprice"), 2).as("avg_fare")
       )
 
+  /** Sketch-based corpus statistics — the approximate battery for
+    * scales where exact distinct/percentile shuffles are the cost
+    * (SURVEY.md A7 notes approx_count_distinct as the built-in).
+    * HLL++ distinct and quantile sketches are mergeable, so both run
+    * as one partial+final aggregate with bounded state per partition
+    * regardless of cardinality; accuracy bounds are pinned by spec
+    * against the exact answers at test scale.
+    */
+  def approxStats(df: DataFrame, keyCol: String, valueCol: String, rsd: Double = 0.02): DataFrame =
+    df.agg(
+      approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
+      percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("approx_median"),
+      percentile_approx(col(valueCol), lit(0.99), lit(10000)).as("approx_p99"),
+      count(lit(1)).as("n_rows")
+    )
+
   /** A3 + O1: nation-pair aggregate -> global top-k. Tie-broken on the
     * full key so LIMIT is deterministic (SURVEY.md §7 risk 4; the
     * reference's bare orderBy(desc).limit(50) at

@@ -143,6 +143,19 @@ class AggregationsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("trip_count") == 2L)
   }
 
+  test("approx sketches land within documented error of exact answers") {
+    val orders = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = Aggregations.approxStats(orders, "o_custkey", "o_totalprice").head()
+    val exactDistinct = orders.select(countDistinct($"o_custkey")).head().getLong(0)
+    val approxDistinct = r.getAs[Long]("approx_distinct")
+    assert(math.abs(approxDistinct - exactDistinct).toDouble / exactDistinct < 0.05,
+      s"HLL distinct $approxDistinct vs exact $exactDistinct")
+    val exactMedian = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.001).head
+    val approxMedian = r.getAs[Double]("approx_median")
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+    assert(r.getAs[Double]("approx_p99") > approxMedian)
+  }
+
   test("quality checks fold into one row with per-check counts") {
     val df = Seq((null.asInstanceOf[String], "x", 5.0, 1.0), ("y", "x", -1.0, -2.0))
       .toDF("cust_nation", "supp_nation", "l_quantity", "revenue")
