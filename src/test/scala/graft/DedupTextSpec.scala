@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("candidatePairs estimates jaccard 1.0 for identical docs via shared buckets") {
+    val cands = Dedup.candidatePairs(
+      Dedup.withLshBands(Dedup.withMinhash(docs), bands = 8, rowsPerBand = 2)).collect()
+    val exactPair = cands.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(exactPair.isDefined, "identical docs must collide in every band")
+    assert(exactPair.get.getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("nearDuplicates finds exact+near pairs and excludes unrelated docs") {
     val pairs = Dedup.nearDuplicates(docs, threshold = 0.7).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
