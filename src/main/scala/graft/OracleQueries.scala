@@ -372,6 +372,16 @@ object OracleQueries {
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
         |FROM t GROUP BY user_id, sid""".stripMargin,
 
+    "q33_rollup_summary" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT ship_year, ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+         |  CAST(grouping(ship_month) AS INT) AS is_year_total,
+         |  CAST(grouping(ship_year) AS INT) AS is_grand_total
+         |FROM clean
+         |GROUP BY ROLLUP(ship_year, ship_month)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -175,6 +175,17 @@ object SparkEntry {
     // Native session_window operator (one aggregate, no window funcs)
     "q32_events_session_window" -> ((s, dir) =>
       Events.sessionWindowStats(Tables.events(s, dir))),
+    // Grouping sets: ROLLUP hierarchy totals in one Expand+aggregate
+    // (reference has no grouping-sets capability at all)
+    "q33_rollup_summary" -> ((s, dir) =>
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .rollup(col("ship_year"), col("ship_month"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          graft.functions.ExactAgg.dsum(col("revenue"), 4).as("revenue"),
+          grouping(col("ship_month")).cast("int").as("is_year_total"),
+          grouping(col("ship_year")).cast("int").as("is_grand_total")
+        )),
     // Exact brute-force cosine top-k ANN (ranking only: fp-stable output)
     "q19_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
