@@ -382,6 +382,25 @@ object OracleQueries {
          |FROM clean
          |GROUP BY ROLLUP(ship_year, ship_month)""".stripMargin,
 
+    "q34_pivot_returnflag" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT ship_year,
+         |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(revenue AS DECIMAL(30,4)) END) AS DOUBLE) AS rev_a,
+         |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(revenue AS DECIMAL(30,4)) END) AS DOUBLE) AS rev_n,
+         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(revenue AS DECIMAL(30,4)) END) AS DOUBLE) AS rev_r
+         |FROM clean GROUP BY 1""".stripMargin,
+
+    "q35_window_analytics" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, revenue,
+         |  lag(l_orderkey, 1) OVER w AS prev_orderkey,
+         |  CAST(sum(CAST(revenue AS DECIMAL(30,4))) OVER (
+         |    PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+         |FROM clean
+         |WHERE l_suppkey < 20
+         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -175,6 +175,29 @@ object SparkEntry {
     // Native session_window operator (one aggregate, no window funcs)
     "q32_events_session_window" -> ((s, dir) =>
       Events.sessionWindowStats(Tables.events(s, dir))),
+    // PIVOT: returnflag columns per ship year (explicit value list so
+    // the schema is static — no extra distinct-values job)
+    "q34_pivot_returnflag" -> ((s, dir) =>
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .groupBy(col("ship_year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(graft.functions.ExactAgg.dsum(col("revenue"), 4))
+        .select(col("ship_year"), col("A").as("rev_a"), col("N").as("rev_n"), col("R").as("rev_r"))),
+    // Analytic windows: lag + exact running total per supplier
+    "q35_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .filter(col("l_suppkey") < 20)
+        .select(
+          col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"), col("revenue"),
+          lag(col("l_orderkey"), 1).over(w).as("prev_orderkey"),
+          sum(col("revenue").cast("decimal(30,4)")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ).cast("double").as("running_revenue")
+        )
+    }),
+
     // Grouping sets: ROLLUP hierarchy totals in one Expand+aggregate
     // (reference has no grouping-sets capability at all)
     "q33_rollup_summary" -> ((s, dir) =>
