@@ -401,6 +401,26 @@ object OracleQueries {
          |WHERE l_suppkey < 20
          |WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date, l_orderkey, l_linenumber)""".stripMargin,
 
+    "q36_set_ops" ->
+      """SELECT CAST(nk AS INT) AS nk, 'both' AS src FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT CAST(nk AS INT) AS nk, 'cust_only' AS src FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q37_semi_anti_join" ->
+      s"""WITH clean AS ($cleanLineitemSql),
+         |hot AS (SELECT DISTINCT l_suppkey FROM clean WHERE revenue > 80000)
+         |SELECT s_suppkey, s_nationkey, TRUE AS has_hot_line
+         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+         |UNION ALL
+         |SELECT s_suppkey, s_nationkey, FALSE AS has_hot_line
+         |FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM hot)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -175,6 +175,28 @@ object SparkEntry {
     // Native session_window operator (one aggregate, no window funcs)
     "q32_events_session_window" -> ((s, dir) =>
       Events.sessionWindowStats(Tables.events(s, dir))),
+    // Set algebra the reference lacks: INTERSECT / EXCEPT with
+    // set semantics (HashAggregate-backed, same shuffle shape as
+    // distinct)
+    "q36_set_ops" -> ((s, dir) => {
+      val custNations = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nk"))
+      val suppNations = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nk"))
+      custNations.intersect(suppNations).withColumn("src", lit("both"))
+        .unionAll(custNations.except(suppNations).withColumn("src", lit("cust_only")))
+    }),
+    // Semi/anti joins the reference lacks: suppliers with at least one
+    // high-value line (semi) and with none (anti) — no payload columns
+    // cross the join, just existence
+    "q37_semi_anti_join" -> ((s, dir) => {
+      val hot = Ingestion.cleanLineitem(Tables.lineitem(s, dir)).filter(col("revenue") > 80000)
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      supp.join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .withColumn("has_hot_line", lit(true))
+        .unionAll(
+          supp.join(hot, col("s_suppkey") === col("l_suppkey"), "left_anti")
+            .withColumn("has_hot_line", lit(false)))
+    }),
+
     // PIVOT: returnflag columns per ship year (explicit value list so
     // the schema is static — no extra distinct-values job)
     "q34_pivot_returnflag" -> ((s, dir) =>
