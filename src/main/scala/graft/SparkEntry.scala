@@ -110,16 +110,24 @@ object SparkEntry {
         countDistinct(to_date(col("o_orderdate"))).as("n_order_dates"),
         graft.functions.ExactAgg.davg(col("o_totalprice"), 2).as("avg_totalprice")
       )),
-    // §2.7 note: per-group top-k via window ranking
-    "q10_window_topk" -> ((s, dir) => {
-      val w = Window
-        .partitionBy(col("l_returnflag"))
-        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+    // §2.7 note: per-group top-k. NOT a window rank: l_returnflag has
+    // 3 distinct values, so Window.partitionBy(l_returnflag) would
+    // sort the whole input in at most 3 tasks regardless of cluster
+    // size. graft_topk (native TypedImperativeAggregate) reduces each
+    // scan partition to <=k rows per group map-side; the exchange
+    // carries groups x partitions x k rows and the merge is O(k).
+    "q10_window_topk" -> ((s, dir) =>
       Ingestion.cleanLineitem(Tables.lineitem(s, dir))
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("revenue"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-    }),
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_topk(revenue, l_orderkey, CAST(l_linenumber AS INT), 3)").as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(
+          col("l_returnflag"),
+          col("e.id1").as("l_orderkey"),
+          col("e.id2").as("l_linenumber"),
+          col("e.score").as("revenue"),
+          (col("pos") + 1).cast("int").as("rn")
+        )),
 
     // ---- training-data pipeline extensions (documents/embeddings/events) ----
 
@@ -150,14 +158,29 @@ object SparkEntry {
         TextAnalysis.fingerprint(t).as("fingerprint")
       )
     }),
-    // Corpus rollup by predicted language (exact int sums, min/max quality)
+    // Corpus rollup by predicted language (exact int sums, min/max
+    // quality). Marker/token/punct/stopword counts are materialized in
+    // one projection — each is referenced several times by the argmax
+    // chain and the quality formula, and inlined regex counts get
+    // re-evaluated per reference (measured 20x slower).
     "q16_text_lang_summary" -> ((s, dir) => {
       val t = col("text")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
       Tables.documents(s, dir)
         .select(
-          TextAnalysis.langId(t).as("lang_pred"),
-          TextAnalysis.tokenCount(t).as("n_tokens"),
-          TextAnalysis.qualityScore(t).as("quality")
+          Seq(
+            TextAnalysis.tokenCount(t).as("n_tokens"),
+            TextAnalysis.punctCount(t).as("n_punct"),
+            TextAnalysis.stopwordCount(t).as("n_stop"),
+            length(t).as("len")
+          ) ++ TextAnalysis.LangMarkers.map { case (lang, p) =>
+            TextAnalysis.markerCount(t, p).as(s"c_$lang")
+          }: _*
+        )
+        .select(
+          TextAnalysis.langIdFromCounts(langs.map(l => l -> col(s"c_$l"))).as("lang_pred"),
+          col("n_tokens"),
+          TextAnalysis.qualityFromCounts(col("n_tokens"), col("n_punct"), col("n_stop"), col("len")).as("quality")
         )
         .groupBy(col("lang_pred"))
         .agg(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, ShingleHashes}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, ShingleHashes, TopKByScore}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted", "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted array<long>"),
       (children: Seq[Expression]) => JaccardSorted(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(score, id1, id2, k) - bounded per-group top-k by (score DESC, id1 ASC, id2 ASC)"),
+      (children: Seq[Expression]) => children(3) match {
+        case Literal(k: Int, IntegerType) => TopKByScore(children(0), children(1), children(2), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_topk k must be an integer literal, got $other")
+      }
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_hashed"),

@@ -45,9 +45,17 @@ object TextAnalysis {
     * sanity + stopword presence (natural text has function words).
     */
   def qualityScore(t: Column): Column =
-    lit(0.4) * least(lit(1.0), tokenCount(t).cast("double") / lit(50.0)) +
-      lit(0.3) * (lit(1.0) - punctCount(t).cast("double") / greatest(length(t), lit(1))) +
-      lit(0.3) * least(lit(1.0), lit(4.0) * stopwordRatio(t))
+    qualityFromCounts(tokenCount(t), punctCount(t), stopwordCount(t), length(t))
+
+  /** Quality score over pre-materialized counts — same IEEE op order
+    * as `qualityScore`, so hoisting the counts into an earlier
+    * projection (one regex pass per row instead of one per use) does
+    * not change a single bit of the result.
+    */
+  def qualityFromCounts(nTokens: Column, nPunct: Column, nStop: Column, len: Column): Column =
+    lit(0.4) * least(lit(1.0), nTokens.cast("double") / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - nPunct.cast("double") / greatest(len, lit(1))) +
+      lit(0.3) * least(lit(1.0), lit(4.0) * (nStop.cast("double") / nTokens))
 
   /** Marker-word language ID: per-language function-word hit counts,
     * argmax with a fixed preference order for ties. The marker lists
@@ -66,39 +74,54 @@ object TextAnalysis {
   def markerCount(t: Column, pattern: String): Column =
     size(regexp_extract_all(t, lit(pattern), lit(0)))
 
-  def langId(t: Column): Column = {
-    val counts = LangMarkers.map { case (lang, p) => lang -> markerCount(t, p) }
-    // argmax with first-listed language winning ties
+  def langId(t: Column): Column =
+    langIdFromCounts(LangMarkers.map { case (lang, p) => lang -> markerCount(t, p) })
+
+  /** Argmax over per-language marker counts, first-listed language
+    * winning ties. Takes the counts as columns so callers can
+    * materialize them once in a projection: inlined, each count
+    * expression appears in up to four comparisons of the when-chain
+    * and gets re-evaluated per use (regex scans are not
+    * common-subexpression-eliminated across CASE branches).
+    */
+  def langIdFromCounts(counts: Seq[(String, Column)]): Column =
     counts.zipWithIndex.foldRight(lit(counts.last._1)) { case (((lang, c), i), elseCol) =>
       val rest = counts.drop(i + 1).map(_._2)
       if (rest.isEmpty) elseCol
       else when(rest.foldLeft(lit(true))((acc, r) => acc && c >= r), lang).otherwise(elseCol)
     }
-  }
 
   /** Normalized content fingerprint (case/punctuation-insensitive). */
   def fingerprint(t: Column): Column =
     md5(lower(regexp_replace(t, "[^a-zA-Z0-9 ]", "")))
 
-  /** Corpus vocabulary: top-k lowercased word tokens by document and
-    * total frequency. explode -> two-level aggregate; the per-token
-    * partial aggregation happens map-side so the shuffle carries one
-    * row per (partition, token), not one per occurrence — the standard
-    * vocab-building pass at corpus scale. Ties break on the token for
-    * a deterministic LIMIT.
+  /** Corpus vocabulary: top-k lowercased word tokens by total
+    * frequency, with document frequency.
+    *
+    * Plan shape: ONE aggregate keyed on `token` alone. Each document
+    * row explodes to (token, tf=1, df=0) per occurrence plus
+    * (token, tf=0, df=1) per distinct-in-doc token, so both counters
+    * are plain sums and the map-side partial aggregation compresses
+    * the shuffle to ~one row per (input partition, token) — shuffle
+    * volume is bounded by vocabulary size, not corpus token count.
+    * (A key that includes doc_id would defeat map-side combine and
+    * shuffle the whole token stream.) Final top-k is
+    * TakeOrderedAndProject with the token as a deterministic
+    * tiebreak.
     */
   def topTokens(docs: org.apache.spark.sql.DataFrame, k: Int, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, count_distinct, explode, split => fsplit, sum => fsum}
+    import org.apache.spark.sql.functions.{col, sum => fsum}
     docs
-      .select(col("doc_id"), explode(fsplit(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
+      .select(expr(
+        s"""explode(concat(
+           |  transform(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != ''),
+           |            t -> struct(t AS token, 1L AS tf, 0L AS df)),
+           |  transform(array_distinct(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')),
+           |            t -> struct(t AS token, 0L AS tf, 1L AS df))
+           |)) AS e""".stripMargin).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"), col("e.df").as("df"))
       .groupBy(col("token"))
-      .agg(
-        fsum(col("tf")).as("total_freq"),
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("doc_freq")
-      )
+      .agg(fsum(col("tf")).as("total_freq"), fsum(col("df")).as("doc_freq"))
       .orderBy(org.apache.spark.sql.functions.desc("total_freq"), col("token"))
       .limit(k)
   }

@@ -31,6 +31,53 @@ class JoinsSpec extends SparkSpec {
   }
 }
 
+class TopKAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_topk returns k best by (score desc, id1 asc, id2 asc) per group") {
+    val df = Seq(
+      ("a", 5.0, 10L, 1), ("a", 5.0, 9L, 2), ("a", 7.0, 3L, 1), ("a", 1.0, 1L, 1),
+      ("b", 2.0, 4L, 9), ("b", 2.0, 4L, 3)
+    ).toDF("g", "score", "id1", "id2")
+    val out = df.groupBy($"g")
+      .agg(expr("graft_topk(score, id1, id2, 3)").as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "e")))
+      .select($"g", $"pos", $"e.score", $"e.id1", $"e.id2")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", 0, 7.0, 3L, 1), ("a", 1, 5.0, 9L, 2), ("a", 2, 5.0, 10L, 1),
+      ("b", 0, 2.0, 4L, 3), ("b", 1, 2.0, 4L, 9)
+    ))
+  }
+
+  test("graft_topk merge across many partitions equals global ordering") {
+    val n = 5000
+    val df = spark.range(n).repartition(13)
+      .selectExpr("CAST(id % 7 AS STRING) AS g",
+        "CAST((id * 2654435761) % 100003 AS DOUBLE) AS score", "id AS id1", "CAST(id % 97 AS INT) AS id2")
+    val got = df.groupBy($"g").agg(expr("graft_topk(score, id1, id2, 5)").as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "e")))
+      .select($"g", $"pos", $"e.score", $"e.id1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val expect = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.toSeq.sortBy(t => (-t._2, t._3, t._4)).take(5).zipWithIndex
+          .map { case (t, i) => (g, i, t._2, t._3) }
+      }.toSet
+    assert(got == expect)
+  }
+
+  test("graft_topk ignores null scores and handles groups smaller than k") {
+    val df = Seq((Some(1.0), 1L), (None, 2L)).toDF("score", "id1")
+      .selectExpr("'g' AS g", "score", "id1", "CAST(0 AS INT) AS id2")
+    val out = df.groupBy($"g").agg(expr("graft_topk(score, id1, id2, 10)").as("top"))
+      .selectExpr("size(top) AS n").head().getInt(0)
+    assert(out == 1)
+  }
+}
+
 class MultimodalResizeSpec extends SparkSpec {
   import spark.implicits._
 

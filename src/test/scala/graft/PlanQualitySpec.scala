@@ -58,6 +58,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not materialize a full sort:\n$p")
   }
 
+  test("per-group top-k is a bounded aggregate, not a low-cardinality window sort") {
+    val df = Ingestion.cleanLineitem(Tables.lineitem(spark, sfDir))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_topk(revenue, l_orderkey, CAST(l_linenumber AS INT), 3)").as("top"))
+    val p = plan(df)
+    assert(p.contains("graft_topk"), p)
+    // partial (map-side) aggregation must exist so each scan partition
+    // reduces to <=k rows per group before the exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), s"top-k must not plan a window sort:\n$p")
+    // exactly one exchange (the group-key one); no full-data sort
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("vocab top-k aggregates on token alone (map-side combine) and takes ordered top-k") {
+    val p = plan(graft.text.TextAnalysis.topTokens(Tables.documents(spark, sfDir), k = 10))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k must not materialize a full sort:\n$p")
+    assert(!p.contains("doc_id"), s"aggregate key must not include doc_id (full-token-stream shuffle):\n$p")
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
       .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))
