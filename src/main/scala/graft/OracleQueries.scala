@@ -170,8 +170,28 @@ object OracleQueries {
          |WHERE rn <= 3""".stripMargin,
 
     // ---- training-data pipeline extensions ----
-    // (q12/q14/q20 are hash-/seed-defined and intentionally have no
-    //  oracle entry -> driver records the weaker rows-only check.)
+    // (q14/q28 are hash-/centroid-defined and intentionally have no
+    //  oracle entry -> driver records the weaker rows-only check;
+    //  both are pinned by quantitative specs instead.)
+
+    // portable minhash: first-60-bits-of-md5 shingle hash ('0x'-cast
+    // here, conv(,16,10) on the Spark side), double-hashed mod 2^31-1
+    "q12_dedup_minhash" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform($duckShingles,
+         |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 15), i ->
+         |      list_min(list_transform(hs,
+         |        h -> ((h % 2147483647) + i * (1 + (h // 2147483647) % 2147483647)) % 2147483647))) AS sig
+         |  FROM g)
+         |SELECT doc_id, CAST(b AS INT) AS band,
+         |  sig[2*b + 1] AS sig_a, sig[2*b + 2] AS sig_b,
+         |  sig[2*b + 1] * 2147483647 + sig[2*b + 2] AS band_key
+         |FROM sig, unnest(generate_series(0, 7)) AS t(b)""".stripMargin,
 
     "q11_dedup_exact" ->
       """SELECT md5(text) AS fingerprint,

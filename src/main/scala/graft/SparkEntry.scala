@@ -133,10 +133,11 @@ object SparkEntry {
 
     // Exact dedup: content-hash groups, representative = min doc_id
     "q11_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
-    // MinHash signatures + LSH band keys (hash-defined; rows-only check)
+    // MinHash signatures + LSH band keys, scalar rows so the harness
+    // can canonicalize them; md5-portable hash -> full DuckDB oracle
+    // (the native xxhash64 signature path is verified through q13)
     "q12_dedup_minhash" -> ((s, dir) =>
-      Dedup.withLshBands(Dedup.withMinhash(Tables.documents(s, dir)), bands = 8, rowsPerBand = 2)
-        .select(col("doc_id"), col("minhash"), col("bands"))),
+      Dedup.portableMinhashBands(Tables.documents(s, dir))),
     // Near-dup pairs: LSH candidates verified by exact n-gram Jaccard
     "q13_dedup_neardup" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.7)),

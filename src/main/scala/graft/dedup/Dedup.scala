@@ -90,6 +90,83 @@ object Dedup {
       .drop("sig_a", "sig_b")
   }
 
+  /** Portable MinHash + LSH band keys, one scalar row per (doc, band):
+    * `(doc_id, band, sig_a, sig_b, band_key)`.
+    *
+    * "Portable" = the hash is md5-based and every step is expressible
+    * identically in ANSI-ish SQL, so an independent engine (the DuckDB
+    * oracle) can recompute the signature bit-for-bit — unlike the
+    * production path (`withMinhash`/`nearDuplicates`), whose xxhash64
+    * kernel exists only here and is therefore verified end-to-end
+    * through the exact-Jaccard output of q13 rather than value-by-value.
+    * Shingle hash = first 60 bits of md5 (fits a signed long in both
+    * engines); k hash functions by Kirsch–Mitzenmacher double hashing
+    * mod the Mersenne prime 2^31-1; band key packs the r=2 signature
+    * slice injectively into one long.
+    *
+    * Executes via the native codegen'd kernel
+    * (graft.functions.PortableMinHashBands); one projection + one
+    * generator per document, no shuffle, no join.
+    */
+  def portableMinhashBands(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 5
+  ): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(expr(s"graft_minhash_md5_bands(${shingleSql(textCol, shingleN)}, $k, $bands)")).as("e")
+    ).select(col(idCol), col("e.band").as("band"), col("e.sig_a").as("sig_a"),
+      col("e.sig_b").as("sig_b"), col("e.band_key").as("band_key"))
+
+  /** The declarative formulation of `portableMinhashBands`, entirely in
+    * built-in higher-order functions — kept as the executable
+    * specification of the native kernel (a spec asserts row-for-row
+    * equality), not for production use (interpreted HOFs are ~7x
+    * slower here).
+    *
+    * Plan-shape note: the `transform(array(x), v -> ...)` wrappers are
+    * let-bindings — they stop the optimizer from inlining the
+    * shingle-hash array into the consuming lambdas, where interpreted
+    * higher-order functions would re-evaluate the md5 pass once per
+    * signature position.
+    */
+  def portableMinhashBandsReference(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 5
+  ): DataFrame = {
+    require(k % bands == 0 && k / bands == 2, "portable variant is fixed at r = 2 rows per band")
+    val P = 2147483647L // Mersenne prime 2^31-1
+    docs.select(
+      col(idCol),
+      expr(
+        s"""explode(
+           |  transform(
+           |    array(transform(${shingleSql(textCol, shingleN)},
+           |                    s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))),
+           |    hs -> transform(
+           |      array(transform(sequence(0, ${k - 1}),
+           |              i -> array_min(transform(hs,
+           |                     h -> ((h % $P) + i * (1 + (h div $P) % $P)) % $P)))),
+           |      sig -> transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |        'band', CAST(b AS INT),
+           |        'sig_a', element_at(sig, 2 * b + 1),
+           |        'sig_b', element_at(sig, 2 * b + 2),
+           |        'band_key', element_at(sig, 2 * b + 1) * ${P}L + element_at(sig, 2 * b + 2))))
+           |    [0])
+           |  [0]
+           |) AS e""".stripMargin).as("e")
+    ).select(col(idCol), col("e.band").as("band"), col("e.sig_a").as("sig_a"),
+      col("e.sig_b").as("sig_b"), col("e.band_key").as("band_key"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit weight sums then
     * sign-pack. Pure array expressions — one projection, no shuffle.
     * Near-dups are pairs with small hamming distance:

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, ShingleHashes, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, IntegerType) => TopKByScore(children(0), children(1), children(2), k)
         case other => throw new IllegalArgumentException(
           s"graft_topk k must be an integer literal, got $other")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_md5_bands"),
+      info("graft_minhash_md5_bands", "graft_minhash_md5_bands(shingles, k, bands) - md5-portable banded MinHash signature (r=2)"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+          PortableMinHashBands(children(0), k, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_md5_bands k and bands must be integer literals, got $other")
       }
     ))
     ext.injectFunction((

@@ -55,6 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0) < 1e-12)
   }
 
+  test("portable minhash: native kernel matches the HOF reference formulation row-for-row") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("band"))
+    val native = Dedup.portableMinhashBands(docs).collect().map(r => key(r) -> r.toSeq).toMap
+    val ref = Dedup.portableMinhashBandsReference(docs).collect().map(r => key(r) -> r.toSeq).toMap
+    assert(native.size == 4 * 8) // 4 docs x 8 bands
+    assert(native == ref)
+  }
+
+  test("portable minhash: identical docs share every band key; signature values are in-range") {
+    val rows = Dedup.portableMinhashBands(docs).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.sortBy(_.getAs[Int]("band")).map(_.getAs[Long]("band_key")).toSeq }
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+    val P = graft.functions.PortableMinHashBands.P
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("sig_a"); val b = r.getAs[Long]("sig_b")
+      a >= 0 && a < P && b >= 0 && b < P && r.getAs[Long]("band_key") == a * P + b
+    })
+  }
+
   test("simhash: identical texts equal; near texts within small hamming distance") {
     val h = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
