@@ -337,8 +337,9 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
         .select(col("q_id"), col("neighbor_id"), col("rn"))),
 
-    // Embedding-cosine near-dup pairs (exact baseline; LSH variant is
-    // the scale path, see q20)
+    // Embedding-cosine near-dup pairs: exact results via the
+    // cell-bucketed triangle-inequality join (no corpus broadcast,
+    // no nested loop; pinned equal to the all-pairs oracle by spec)
     "q27_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir), threshold = 0.4)),
 

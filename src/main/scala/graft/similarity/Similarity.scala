@@ -55,6 +55,62 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Cell assignment against a fixed centroid list: `cell` = argmax
+    * cosine (ties to the lowest index via array_position), plus the
+    * raw `__scores` array for callers that need probe lists or the
+    * member-to-centroid cosine.
+    */
+  private[similarity] def withCell(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = df
+    .withColumn("__cent", typedlit(centroids))
+    .withColumn("__scores", expr(s"transform(sequence(0, ${centroids.size - 1}), i -> graft_cosine(__cent[i], v))"))
+    .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
+    .drop("__cent")
+
+  /** k-means-style centroids: deterministic bootstrap (the `nlist`
+    * lowest vec_ids) refined by `iters` Lloyd rounds over a bounded,
+    * deterministic pseudo-random sample (`nlist * samplePerCell`
+    * vectors picked by lowest xxhash64(vec_id) — a TakeOrdered, one
+    * O(corpus) scan, no full sort). Per-round recompute posexplodes
+    * only the sample and round-trips nlist x dim doubles through the
+    * driver — the same tiny collect-and-reenter idiom as the date
+    * dimension's min/max (`Dimensions.dateDim`). Training therefore
+    * costs O(sample) per round, independent of corpus size.
+    */
+  private[similarity] def trainCentroids(
+      e: DataFrame,
+      nlist: Int,
+      iters: Int,
+      samplePerCell: Int = 256
+  ): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    if (iters > 0) {
+      val sample = e
+        .withColumn("__h", expr("xxhash64(vec_id)"))
+        .orderBy("__h").limit(nlist * samplePerCell)
+        .drop("__h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Lloyd refinement: assign -> element-wise mean per cell (via
+        // posexplode so the mean is a plain hash aggregate) -> re-enter
+        (1 to iters).foreach { _ =>
+          val dims = withCell(sample, centroids)
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos").agg(avg("x").as("m"))
+            .collect()
+          val byCell = dims.groupBy(_.getAs[Long]("cell"))
+          centroids = centroids.indices.map { c =>
+            byCell.get(c.toLong) match {
+              case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+              case None => centroids(c) // empty cell keeps its centroid
+            }
+          }
+        }
+      } finally sample.unpersist()
+    }
+    centroids
+  }
+
   /** Sign-bucket of a vector against the hyperplanes, packed to a long. */
   def withLshBucket(df: DataFrame, vecCol: String, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val p = typedlit(planes(nPlanes, dim, seed))
@@ -69,14 +125,13 @@ object Similarity {
       .drop("__planes")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine >= threshold, exact upper-triangle formulation (one side
-    * broadcast, native codegen'd cosine — |corpus|^2/2 scorer evals).
-    * This is the exactness baseline; at corpus scale the same
-    * threshold-join runs through the LSH bucket path (`lshTopK`'s plan
-    * shape) so only same-bucket pairs are scored.
+  /** Exact all-pairs formulation of the cosine threshold join: one side
+    * broadcast, |corpus|^2/2 scorer evals. Test-scale oracle ONLY — the
+    * broadcast of the whole corpus and the nested-loop pair generation
+    * both die at real scale. Production path: `embeddingNearDuplicates`
+    * (cell-bucketed, exact), pinned equal to this by spec.
     */
-  def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDuplicatesExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val right = broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb")))
     e.select(col("vec_id").as("id_a"), col("v").as("va"))
@@ -86,6 +141,86 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold — EXACT results through a bucketed plan.
+    *
+    * Random-hyperplane LSH cannot serve an exact threshold join (any
+    * banding misses some true pairs, and at moderate thresholds the
+    * miss rate is tens of percent), so the bucketing here is IVF cells
+    * with a triangle-inequality bound instead: angular distance is a
+    * metric on the sphere, so a pair with cos(a,b) >= t can only span
+    * cells (c1, c2) with angle(c1, c2) <= radius(c1) + radius(c2) +
+    * arccos(t), where radius(c) is the cell's max member-to-centroid
+    * angle. Candidate cell pairs are enumerated on the driver (nlist^2
+    * angles — trivial) and only those cell pairs are joined, as a
+    * cell-key equi-join: no corpus broadcast, no nested loop, pair
+    * generation partitioned by cell pair.
+    *
+    * On a clustered corpus (real embedding spaces) the bound prunes
+    * most cell pairs; on an unclustered one it degrades to all cell
+    * pairs — still the distributed block-wise exact join, which is the
+    * best any exact method can do. The corpus is scanned once per join
+    * side rather than cached: at 100 TB the self-join's two pruned
+    * scans are the design, not a bug.
+    */
+  def embeddingNearDuplicates(
+      embeddings: DataFrame,
+      threshold: Double,
+      nlist: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val centroids = trainCentroids(e, nlist, iters)
+
+    val assigned = withCell(e, centroids)
+      .select(col("vec_id"), col("v"), col("cell"), col("__scores"))
+      .withColumn("ccos", expr("array_max(__scores)"))
+      .drop("__scores")
+
+    // Per-cell max angular radius (driver round-trip of <= nlist rows).
+    val radii = assigned
+      .groupBy("cell")
+      .agg(max(expr("acos(greatest(-1.0D, least(1.0D, ccos)))")).as("r"))
+      .collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Double]("r"))
+      .toMap
+
+    // Candidate cell pairs by the angular triangle inequality. The
+    // 1e-9 pad guards executor-vs-driver float rounding in the bound
+    // (never in the final exact cosine filter).
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def angle(a: Seq[Double], b: Seq[Double]): Double = {
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.acos(math.max(-1.0, math.min(1.0, c)))
+    }
+    val tAngle = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val candidates = for {
+      c1 <- 0 until nlist
+      c2 <- c1 until nlist
+      bound = radii.getOrElse(c1.toLong, 0.0) + radii.getOrElse(c2.toLong, 0.0) + tAngle + 1e-9
+      if angle(centroids(c1), centroids(c2)) <= bound
+    } yield (c1.toLong, c2.toLong)
+
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cellPairs = broadcast(candidates.toDF("cell_a", "cell_b"))
+
+    val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"), col("cell").as("cell_a"))
+    val b = assigned.select(col("vec_id").as("idb"), col("v").as("vb"), col("cell").as("cell_b"))
+    a.join(cellPairs, "cell_a")
+      .join(b, "cell_b")
+      // same-cell pairs dedupe by id order; cross-cell pairs (c1 < c2)
+      // occur exactly once by construction
+      .filter(col("cell_a") =!= col("cell_b") || col("ida") < col("idb"))
+      .withColumn("cos", expr(cosineSql("va", "vb")))
+      .filter(col("cos") >= threshold)
+      .select(
+        least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        col("cos"))
+  }
+
   /** IVF (inverted-file) ANN: k-means-style centroids partition the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells, so the scorer touches ~nprobe/nlist of the corpus instead
@@ -93,12 +228,10 @@ object Similarity {
     * plan shape: cell-key equi-join instead of a cross product).
     *
     * Centroid bootstrap is deterministic (the `nlist` lowest vec_ids)
-    * refined by `iters` Lloyd rounds; per-round centroid recompute is a
-    * driver round-trip of nlist x dim doubles — the same tiny
-    * collect-and-reenter idiom as the date dimension's min/max
-    * (`Dimensions.dateDim`), so it scales independently of corpus size.
-    * With nprobe == nlist, results equal brute force exactly (pinned by
-    * spec).
+    * refined by `iters` Lloyd rounds over a BOUNDED sample (see
+    * `trainCentroids`) — training cost is O(sample), independent of
+    * corpus size. With nprobe == nlist, results equal brute force
+    * exactly regardless of centroid quality (pinned by spec).
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -109,35 +242,10 @@ object Similarity {
       iters: Int = 2
   ): DataFrame = {
     val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
-    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(e, nlist, iters)
 
-    // deterministic bootstrap: lowest-id vectors as initial centroids
-    var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(nlist)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-
-    def withCell(df: DataFrame): DataFrame = df
-      .withColumn("__cent", typedlit(centroids))
-      .withColumn("__scores", expr(s"transform(sequence(0, ${centroids.size - 1}), i -> graft_cosine(__cent[i], v))"))
-      .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
-
-    // Lloyd refinement: assign -> element-wise mean per cell (via
-    // posexplode so the mean is a plain hash aggregate) -> re-enter
-    (1 to iters).foreach { _ =>
-      val dims = withCell(e)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .collect()
-      val byCell = dims.groupBy(_.getAs[Long]("cell"))
-      centroids = centroids.indices.map { c =>
-        byCell.get(c.toLong) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
-          case None => centroids(c) // empty cell keeps its centroid
-        }
-      }
-    }
-
-    val corpus = withCell(e).select(col("vec_id"), col("v"), col("cell"))
-    val probes = withCell(e.filter(col("vec_id") < nQueries))
+    val corpus = withCell(e, centroids).select(col("vec_id"), col("v"), col("cell"))
+    val probes = withCell(e.filter(col("vec_id") < nQueries), centroids)
       .withColumn(
         "__probes",
         expr(s"""transform(slice(array_sort(
@@ -158,16 +266,30 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * Recall improves with fewer planes (wider buckets) or multi-probe;
-    * the join is on bucket keys so the corpus shuffles once by bucket.
+  /** Approximate top-k: candidates restricted to LSH buckets near the
+    * query's. Multi-probe: each query also probes every bucket within
+    * Hamming distance `probeRadius` of its own (sum_{i<=r} C(p, i)
+    * probe keys — the QUERY side fans out; the corpus still shuffles
+    * exactly once, on its single bucket key). Single-probe recall
+    * collapses on weakly-clustered data (a neighbor at cosine c agrees
+    * with each plane w.p. 1 - arccos(c)/pi, so all-p agreement decays
+    * geometrically); allowing r plane disagreements recovers the bulk
+    * of it at a candidate-set cost of ~sum_{i<=r} C(p,i)/2^p of the
+    * corpus per query. Recall@5 on testdata: 0.0125 at r=0 -> ~0.5 at
+    * r=2 (floor pinned by spec).
     */
-  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8,
+              probeRadius: Int = 2): DataFrame = {
     val e = withLshBucket(
       embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), "v", nPlanes
     )
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("__mask", explode(expr(s"array(${masks.map(m => s"${m}L").mkString(",")})")))
+      .withColumn("bucket", expr("bucket ^ __mask"))
+      .drop("__mask")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
     e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -77,6 +77,37 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("simhash: 64-bit packing matches an independent model, on fixtures and real docs") {
+    // Independent reimplementation of the bit logic (shares only the
+    // xxhash64 primitive with the operator) — pins the per-bit weight
+    // sums, the sign rule, and the bit order of the packed long.
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx(t: String): Long = {
+      val u = UTF8String.fromString(t)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    def model(text: String): Long = {
+      val bits = new Array[Long](64)
+      text.split("\\s+").foreach { t =>
+        val h = xx(t)
+        var b = 0
+        while (b < 64) { bits(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L); b += 1 }
+      }
+      (0 until 64).map(b => if (bits(b) > 0) 1L << b else 0L).sum
+    }
+    val fixtures = Seq("a", "a b", "the quick brown fox", "x y z x y z")
+    val real = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(20).select("text").as[String].collect().toSeq
+    val texts = (fixtures ++ real).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.withSimhash(texts.toDF("doc_id", "text"))
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id) == model(t), s"simhash mismatch for doc $id")
+    }
+  }
+
   test("simhash: identical texts equal; near texts within small hamming distance") {
     val h = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -83,6 +83,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPartial.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
   }
 
+  private def recallVsBruteForce(approx: org.apache.spark.sql.DataFrame,
+                                 nQueries: Int, k: Int): Double = {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = Similarity.bruteForceTopK(e, nQueries, k).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = approx.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (truth & got).size.toDouble / truth.size
+  }
+
+  test("IVF recall@5 vs brute force meets a quantitative floor at default probes") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = recallVsBruteForce(
+      Similarity.ivfTopK(e, nQueries = 16, k = 5, nlist = 16, nprobe = 4), 16, 5)
+    assert(r >= 0.55, s"IVF recall@5 = $r")
+  }
+
+  test("LSH recall@5 vs brute force meets a quantitative floor") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = recallVsBruteForce(
+      Similarity.lshTopK(e, nQueries = 16, k = 5, nPlanes = 8), 16, 5)
+    assert(r >= 0.25, s"LSH recall@5 = $r")
+  }
+
+  test("bucketed near-dup join equals the exact all-pairs oracle, with no nested-loop join") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos"))
+    val exact = Similarity.embeddingNearDuplicatesExact(e, threshold = 0.4).collect().map(key).toSet
+    val bucketed = Similarity.embeddingNearDuplicates(e, threshold = 0.4)
+    assert(bucketed.collect().map(key).toSet == exact)
+    assert(exact.nonEmpty)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "near-dup join must stay bucketed")
+  }
+
   test("LSH bucket is identical for identical vectors, differs for opposite") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
