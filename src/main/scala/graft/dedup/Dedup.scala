@@ -208,8 +208,19 @@ object Dedup {
     * b=8, r=4 put the S-curve knee near j~0.55: background pairs of a
     * shared-vocabulary corpus (j ~ 0.2) collide at ~0.1% — without the
     * r=4 sharpening a 5000-doc corpus already yields millions of false
-    * candidates, and at 100 TB the candidate join IS the cost — while
-    * real near-dups (j >= 0.8) are found with prob > 1-1e-4.
+    * candidates, and at 100 TB the candidate join IS the cost. Recall
+    * at these defaults: a pair at j=0.8 collides w.p. 1-(1-0.8^4)^8 ~
+    * 0.985, and at exactly j=0.7 only ~0.89 — so parity with an exact
+    * all-pairs-Jaccard oracle is guaranteed only when true pairs sit
+    * well above the threshold (testdata's do); raise `bands` to push
+    * recall at the threshold toward 1 at linear candidate cost.
+    *
+    * The signature cache (`base` below) stays registered for the
+    * session once the result is materialized — repeated invocations in
+    * a long-lived driver should unpersist between calls
+    * (spark.catalog.clearCache() or sqlContext.clearCache()); blocks
+    * are MEMORY_AND_DISK so eviction pressure degrades to recompute,
+    * never OOM.
     *
     * Verification cost controls, both exact (no recall loss):
     * - shingle sets are computed ONCE per doc and joined to the pairs,

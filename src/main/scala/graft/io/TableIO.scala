@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Path-based table catalog: name -> directory under a warehouse root.
   * Replaces the reference's Iceberg Hadoop catalog
@@ -21,6 +22,14 @@ import scala.jdk.CollectionConverters._
   * README.md:143-154) without an Iceberg runtime. Names may be
   * qualified ("default.nyc_taxi_fact"); the namespace becomes a
   * subdirectory.
+  *
+  * Manifest JSON escapes quotes/backslashes/control chars on write and
+  * is decoded by a real string scanner on read, so arbitrary file
+  * paths round-trip. Maintenance mirrors Iceberg's: `expireSnapshots`
+  * bounds manifest history and `removeOrphanFiles` reclaims data files
+  * no remaining snapshot references — without it physical files
+  * accumulate forever (overwrite never deletes), which at scale kills
+  * listing and planning.
   *
   * Concurrency: single-writer batch, as in the reference pipeline
   * (SURVEY.md §7 risk 1) — manifest commit is a tmp-file + atomic
@@ -41,12 +50,14 @@ final case class TableCatalog(warehouse: String) {
     val meta = metaPath(name)
     if (!Files.isDirectory(meta)) Seq.empty
     else
-      Files.list(meta).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toInt
-        }
-        .toSeq.sorted
+      Using.resource(Files.list(meta)) { s =>
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+            n.stripPrefix("v").stripSuffix(".json").toInt
+          }
+          .toSeq
+      }.sorted
   }
 
   def currentVersion(name: String): Option[Int] = versions(name).lastOption
@@ -54,18 +65,15 @@ final case class TableCatalog(warehouse: String) {
   /** Data files (absolute paths) in snapshot `version`. */
   def manifest(name: String, version: Int): Seq[String] = {
     val f = metaPath(name).resolve(s"v$version.json")
-    val text = Files.readString(f)
-    // minimal JSON: {"files": ["path", ...]}
-    val body = text.substring(text.indexOf('[') + 1, text.lastIndexOf(']'))
-    if (body.trim.isEmpty) Seq.empty
-    else body.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    TableCatalog.parseStringArray(Files.readString(f))
   }
 
   def commitSnapshot(name: String, files: Seq[String]): Int = {
     val meta = metaPath(name)
     Files.createDirectories(meta)
     val v = currentVersion(name).getOrElse(0) + 1
-    val json = files.map(f => "\"" + f + "\"").mkString("{\"files\": [", ", ", "]}")
+    val json = files.map(f => "\"" + TableCatalog.escape(f) + "\"")
+      .mkString("{\"files\": [", ", ", "]}")
     val tmp = meta.resolve(s".v$v.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, meta.resolve(s"v$v.json"),
@@ -73,38 +81,110 @@ final case class TableCatalog(warehouse: String) {
     v
   }
 
+  /** Drop manifests older than the newest `keepLast`; returns the
+    * expired version numbers. Data files are untouched — run
+    * `removeOrphanFiles` afterwards to reclaim the bytes (Iceberg's
+    * expire_snapshots + remove_orphan_files split).
+    */
+  def expireSnapshots(name: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val expired = versions(name).dropRight(keepLast)
+    expired.foreach(v => Files.delete(metaPath(name).resolve(s"v$v.json")))
+    expired
+  }
+
+  /** Delete data files referenced by no surviving manifest; returns
+    * the deleted paths. Safe under the single-writer model: every live
+    * snapshot's file list is consulted, so current reads see no change.
+    */
+  def removeOrphanFiles(name: String): Seq[String] = {
+    val live = versions(name).flatMap(manifest(name, _)).toSet
+    val orphans = listDataFiles(name).filterNot(live)
+    orphans.foreach(f => Files.delete(Paths.get(f)))
+    orphans
+  }
+
   /** All parquet data files currently on disk for the table. */
   def listDataFiles(name: String): Seq[String] = {
     val root = Paths.get(dataPath(name))
     if (!Files.isDirectory(root)) Seq.empty
     else
-      Files.walk(root).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .map(_.toString)
-        .filter(p => p.endsWith(".parquet") || p.endsWith(".snappy.parquet"))
-        .toSeq.sorted
+      Using.resource(Files.walk(root)) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(_.toString)
+          .filter(p => p.endsWith(".parquet") || p.endsWith(".snappy.parquet"))
+          .toSeq
+      }.sorted
   }
 
   def listTables(): Seq[String] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      Files.list(root).forEach { ns =>
-        if (Files.isDirectory(ns))
-          Files.list(ns).forEach { t =>
-            if (Files.isDirectory(t)) out += s"${ns.getFileName}.${t.getFileName}"
+    else
+      Using.resource(Files.list(root)) { nss =>
+        nss.iterator().asScala.filter(Files.isDirectory(_)).flatMap { ns =>
+          Using.resource(Files.list(ns)) { ts =>
+            ts.iterator().asScala
+              .filter(Files.isDirectory(_))
+              .map(t => s"${ns.getFileName}.${t.getFileName}")
+              .toSeq
           }
-      }
-      out.result().sorted
-    }
+        }.toSeq
+      }.sorted
   }
 
   def dropTable(name: String): Unit = {
     val p = Paths.get(pathOf(name))
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq
+      }.foreach(f => Files.delete(f))
     }
+  }
+}
+
+object TableCatalog {
+  /** JSON string escape: backslash, quote, and all control chars. */
+  private[io] def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Decode every JSON string inside the manifest's [...] array —
+    * a real scanner, not split(','), so escaped paths round-trip.
+    */
+  private[io] def parseStringArray(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = json.indexOf('[') + 1
+    val end = json.lastIndexOf(']')
+    if (i == 0 || end < i) return Seq.empty
+    while (i < end) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\') {
+            i += 1
+            json.charAt(i) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r')
+              case 't' => sb.append('\t')
+              case c   => sb.append(c) // covers \" \\ \/
+            }
+          } else sb.append(json.charAt(i))
+          i += 1
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.result()
   }
 }
 
@@ -115,12 +195,15 @@ final case class TableCatalog(warehouse: String) {
   * plus snapshot reads (`readVersion`) emulating Iceberg time travel.
   *
   * Scale notes: data files are written once and only manifests change
-  * on commit — an overwrite never rewrites surviving bytes. Callers
-  * control file count via the DataFrame's partitioning (the pipeline
-  * repartitions by the table partition column before appending so each
-  * Hive partition gets few large files). Partition-column predicates
-  * prune at the file level because reads pass `basePath`, keeping
-  * Hive-style directory semantics on the manifest's file list.
+  * on commit — an overwrite never rewrites surviving bytes, and
+  * `overwritePartition` swaps only the touched partitions' files, so
+  * the daily "re-run one date partition" rebuild commits O(partition)
+  * new bytes regardless of table size. Callers control file count via
+  * the DataFrame's partitioning (the pipeline repartitions by the
+  * table partition column before appending so each Hive partition gets
+  * few large files). Partition-column predicates prune at the file
+  * level because reads pass `basePath`, keeping Hive-style directory
+  * semantics on the manifest's file list.
   */
 final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
@@ -131,13 +214,18 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     readVersion(name, v)
   }
 
-  /** Time travel: the reference's `VERSION AS OF` (README.md:143-154). */
+  /** Time travel: the reference's `VERSION AS OF` (README.md:143-154).
+    * mergeSchema, like the raw-scan path (`Tables`): an append with a
+    * drifted (added-column) schema must not silently drop the new
+    * column on read-back.
+    */
   def readVersion(name: String, version: Int): DataFrame = {
     val files = catalog.manifest(name, version)
     if (files.isEmpty) spark.emptyDataFrame
     else
       spark.read
         .option("basePath", catalog.dataPath(name))
+        .option("mergeSchema", "true")
         .parquet(files: _*)
   }
 
@@ -146,13 +234,42 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     write(df, name, append = true, partitionCols)
 
   /** Logical full-table replace: new files, new manifest referencing
-    * only them; prior snapshots stay readable. The reference calls this
-    * `overwritePartition` but only ever uses whole-table overwrite
-    * (DimensionJob.scala:58,90; AggregationJob.scala:87-90) — named
-    * honestly here (SURVEY.md §7 risk 2).
+    * only them; prior snapshots stay readable.
     */
   def overwrite(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): Unit =
     write(df, name, append = false, partitionCols)
+
+  /** Dynamic partition-level overwrite — the reference's
+    * `overwritePartition` (DimensionJob.scala:58,90;
+    * AggregationJob.scala:87-90): exactly the partitions PRESENT IN
+    * `df` are replaced; every other partition's files carry over into
+    * the new manifest byte-identical (they are never rewritten, only
+    * re-referenced). Untouched-partition reads and prior snapshots are
+    * unaffected. This is the incremental daily-rebuild primitive:
+    * re-running one date partition commits O(that partition).
+    */
+  def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
+    val before = catalog.listDataFiles(name).toSet
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
+      .parquet(catalog.dataPath(name))
+    val newFiles = catalog.listDataFiles(name).filterNot(before)
+    val touched = newFiles.map(partitionKeyOf(name, _)).toSet
+    val prev = catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
+    val kept = prev.filterNot(f => touched.contains(partitionKeyOf(name, f)))
+    catalog.commitSnapshot(name, kept ++ newFiles)
+  }
+
+  /** Hive-style partition key of a data file: its `col=value` path
+    * segments relative to the table's data dir (empty for
+    * unpartitioned files).
+    */
+  private def partitionKeyOf(name: String, file: String): Seq[String] = {
+    val data = Paths.get(catalog.dataPath(name)).toAbsolutePath.normalize
+    val rel = data.relativize(Paths.get(file).toAbsolutePath.normalize)
+    (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+      .filter(_.contains('='))
+  }
 
   def tableExists(name: String): Boolean = catalog.tableExists(name)
 

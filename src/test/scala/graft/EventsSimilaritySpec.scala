@@ -184,4 +184,71 @@ class TableIOSpec extends SparkSpec {
     // overwrite is logical: v2's files still on disk, only manifests differ
     assert(io.catalog.manifest(t, 3).toSet.subsetOf(io.catalog.listDataFiles(t).toSet))
   }
+
+  test("overwritePartition swaps only the touched partition; untouched files carry over byte-identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_po_wh_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.daily"
+
+    io.append(Seq((1, "a", 2020), (2, "b", 2021)).toDF("id", "s", "yr"), t, Seq("yr"))
+    val v1Files = io.catalog.manifest(t, 1)
+    val keep2021 = v1Files.filter(_.contains("yr=2021"))
+    val bytes2021 = keep2021.map(f => f -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq).toMap
+
+    // rebuild ONLY the 2020 partition
+    io.overwritePartition(Seq((10, "a2", 2020), (11, "a3", 2020)).toDF("id", "s", "yr"), t, Seq("yr"))
+
+    val v2Files = io.catalog.manifest(t, 2)
+    // untouched partition: same file paths, same bytes
+    assert(v2Files.filter(_.contains("yr=2021")) == keep2021)
+    keep2021.foreach { f =>
+      assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq == bytes2021(f))
+    }
+    // touched partition fully replaced
+    assert(v2Files.filter(_.contains("yr=2020")).forall(f => !v1Files.contains(f)))
+    val cur = io.read(t).select("id", "yr").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cur == Set((10, 2020), (11, 2020), (2, 2021)))
+    // old snapshot still readable in full
+    assert(io.readVersion(t, 1).select("id").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("expireSnapshots + removeOrphanFiles reclaim only dead files; current reads unaffected") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gc_wh_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.gc"
+
+    io.append(Seq((1, "a")).toDF("id", "s"), t)       // v1
+    io.overwrite(Seq((2, "b")).toDF("id", "s"), t)    // v2: v1 files now dead
+    io.append(Seq((3, "c")).toDF("id", "s"), t)       // v3
+    val v1Only = io.catalog.manifest(t, 1)
+    val liveFiles = io.catalog.manifest(t, 3)
+
+    assert(io.catalog.expireSnapshots(t, keepLast = 2) == Seq(1))
+    val removed = io.catalog.removeOrphanFiles(t)
+    assert(removed.toSet == v1Only.toSet, "exactly the v1-only files are orphans")
+    liveFiles.foreach(f => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    assert(io.versions(t) == Seq(2, 3))
+    assert(io.read(t).select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("manifest round-trips hostile file paths and drifted schemas merge on read-back") {
+    // hostile-path round-trip straight through the catalog layer
+    val wh = java.nio.file.Files.createTempDirectory("graft_esc_wh_").toString
+    val cat = graft.io.TableCatalog(wh)
+    val nasty = Seq("""/tmp/a "quoted", comma.parquet""", "/tmp/back\\slash\tand\ncontrol.parquet")
+    cat.commitSnapshot("default.esc", nasty)
+    assert(cat.manifest("default.esc", 1) == nasty)
+
+    // schema drift: an appended file adds a column; read-back keeps it
+    val io = TableIO(spark, wh)
+    val t = "default.drift"
+    io.append(Seq((1, "a")).toDF("id", "s"), t)
+    io.append(Seq((2, "b", 7.5)).toDF("id", "s", "score"), t)
+    val back = io.read(t)
+    assert(back.columns.toSet == Set("id", "s", "score"))
+    val byId = back.collect().map(r => r.getAs[Int]("id") -> r.getAs[Any]("score")).toMap
+    assert(byId(2) == 7.5 && byId(1) == null)
+    // time travel too: the drifted column survives snapshot reads
+    assert(io.readVersion(t, 2).columns.contains("score"))
+  }
 }
