@@ -81,6 +81,32 @@ final case class TableCatalog(warehouse: String) {
     v
   }
 
+  /** Persist declared table metadata (schema JSON + partition columns)
+    * — needed for SQL-created tables whose first snapshot is empty
+    * (CTAS validates the write against the declared schema before any
+    * data file exists). Absent for tables created by path writes,
+    * where schema-on-read applies.
+    */
+  def writeTableMeta(name: String, schemaJson: String, partitionCols: Seq[String]): Unit = {
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("schema.json"), schemaJson)
+    Files.writeString(meta.resolve("pcols.json"),
+      partitionCols.map(c => "\"" + TableCatalog.escape(c) + "\"")
+        .mkString("{\"cols\": [", ", ", "]}"))
+  }
+
+  def tableSchemaJson(name: String): Option[String] = {
+    val f = metaPath(name).resolve("schema.json")
+    if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
+  }
+
+  def tablePartitionCols(name: String): Option[Seq[String]] = {
+    val f = metaPath(name).resolve("pcols.json")
+    if (Files.isRegularFile(f)) Some(TableCatalog.parseStringArray(Files.readString(f)))
+    else None
+  }
+
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. Data files are untouched — run
     * `removeOrphanFiles` afterwards to reclaim the bytes (Iceberg's
@@ -269,6 +295,28 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val rel = data.relativize(Paths.get(file).toAbsolutePath.normalize)
     (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
       .filter(_.contains('='))
+  }
+
+  /** Small-file compaction: rewrite the current snapshot to one file
+    * per Hive partition (clustering the shuffle on the partition
+    * columns), or `targetFiles` files for an unpartitioned table, and
+    * commit the rewrite as a new snapshot. Logical like every other
+    * commit — the small files stay on disk for older snapshots until
+    * `expireSnapshots` + `removeOrphanFiles` reclaims them. This is
+    * the companion to append-heavy ingestion: without periodic
+    * compaction the file count grows per append and listing/planning
+    * dominate at scale. (At real scale pair with
+    * `spark.sql.files.maxRecordsPerFile` so a hot partition still
+    * splits into bounded files.)
+    */
+  def compact(name: String, partitionCols: Seq[String] = Seq.empty,
+              targetFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = read(name)
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(targetFiles)
+    overwrite(out, name, partitionCols)
   }
 
   def tableExists(name: String): Boolean = catalog.tableExists(name)

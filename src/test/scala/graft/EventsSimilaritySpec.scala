@@ -231,6 +231,28 @@ class TableIOSpec extends SparkSpec {
     assert(io.read(t).select("id").as[Int].collect().toSet == Set(2, 3))
   }
 
+  test("compact rewrites many small files into one per partition, preserving rows and history") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cp_wh_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.smallfiles"
+    (1 to 3).foreach { i =>
+      io.append(Seq((i, s"r$i", 2020), (i + 10, s"s$i", 2021)).toDF("id", "s", "yr"), t, Seq("yr"))
+    }
+    val beforeRows = io.read(t).select("id").as[Int].collect().toSet
+    assert(io.catalog.manifest(t, 3).size >= 6) // >= one file per append per partition
+
+    io.compact(t, Seq("yr"))
+
+    val m = io.catalog.manifest(t, 4)
+    assert(m.count(_.contains("yr=2020")) == 1 && m.count(_.contains("yr=2021")) == 1)
+    assert(io.read(t).select("id").as[Int].collect().toSet == beforeRows)
+    assert(io.readVersion(t, 3).count() == 6) // pre-compaction snapshot intact
+    // expire + orphan-delete reclaims the small files
+    io.catalog.expireSnapshots(t, keepLast = 1)
+    assert(io.catalog.removeOrphanFiles(t).nonEmpty)
+    assert(io.read(t).select("id").as[Int].collect().toSet == beforeRows)
+  }
+
   test("manifest round-trips hostile file paths and drifted schemas merge on read-back") {
     // hostile-path round-trip straight through the catalog layer
     val wh = java.nio.file.Files.createTempDirectory("graft_esc_wh_").toString

@@ -82,4 +82,38 @@ class SchemaCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gtest.warehouse")
     }
   }
+
+  test("DSv2 catalog SQL writes: CTAS, INSERT INTO, INSERT OVERWRITE commit snapshots") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2w_").toString
+    spark.conf.set("spark.sql.catalog.gw", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    try {
+      // CTAS with partitioning: v1 = empty create, v2 = the SELECT's rows
+      spark.sql(
+        """CREATE TABLE gw.default.sales PARTITIONED BY (yr)
+          |AS SELECT * FROM VALUES (1, 'a', 2020), (2, 'b', 2021) AS t(id, s, yr)""".stripMargin)
+      assert(spark.sql("SELECT id FROM gw.default.sales").as[Int].collect().toSet == Set(1, 2))
+
+      // INSERT INTO appends a snapshot
+      spark.sql("INSERT INTO gw.default.sales SELECT 3, 'c', 2021")
+      assert(spark.sql("SELECT count(*) c FROM gw.default.sales").head().getLong(0) == 3L)
+
+      // partition pruning works on SQL-written data
+      val pruned = spark.sql("SELECT id FROM gw.default.sales WHERE yr = 2021")
+      assert(pruned.as[Int].collect().toSet == Set(2, 3))
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(yr"))
+
+      // INSERT OVERWRITE is a logical replace; prior snapshots stay readable
+      spark.sql("INSERT OVERWRITE gw.default.sales SELECT 9, 'z', 2022")
+      assert(spark.sql("SELECT id FROM gw.default.sales").as[Int].collect().toSet == Set(9))
+      val io = TableIO(spark, wh)
+      assert(io.versions("default.sales") == Seq(1, 2, 3, 4))
+      assert(spark.sql("SELECT count(*) c FROM gw.default.sales VERSION AS OF 3")
+        .head().getLong(0) == 3L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gw.default.sales")
+      spark.conf.unset("spark.sql.catalog.gw")
+      spark.conf.unset("spark.sql.catalog.gw.warehouse")
+    }
+  }
 }
