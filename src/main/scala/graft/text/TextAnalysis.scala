@@ -111,14 +111,21 @@ object TextAnalysis {
     */
   def topTokens(docs: org.apache.spark.sql.DataFrame, k: Int, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum => fsum}
+    // The regex split + filter pass is hoisted into its own projection
+    // beneath the Generate: generators get no common-subexpression
+    // elimination across lambda arguments, so referencing the split
+    // twice inside explode() would tokenize every document twice —
+    // the regex pass dominates this query's cost. CollapseProject
+    // keeps the hoist (the alias is non-cheap and consumed twice, so
+    // the optimizer won't inline it back).
     docs
       .select(expr(
-        s"""explode(concat(
-           |  transform(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != ''),
-           |            t -> struct(t AS token, 1L AS tf, 0L AS df)),
-           |  transform(array_distinct(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')),
-           |            t -> struct(t AS token, 0L AS tf, 1L AS df))
-           |)) AS e""".stripMargin).as("e"))
+        s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')").as("tokens"))
+      .select(expr(
+        """explode(concat(
+          |  transform(tokens, t -> struct(t AS token, 1L AS tf, 0L AS df)),
+          |  transform(array_distinct(tokens), t -> struct(t AS token, 0L AS tf, 1L AS df))
+          |)) AS e""".stripMargin).as("e"))
       .select(col("e.token").as("token"), col("e.tf").as("tf"), col("e.df").as("df"))
       .groupBy(col("token"))
       .agg(fsum(col("tf")).as("total_freq"), fsum(col("df")).as("doc_freq"))
