@@ -1,15 +1,15 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -41,7 +41,7 @@ import scala.jdk.CollectionConverters._
   * appending a snapshot and INSERT OVERWRITE committing a logical
   * replace (prior versions stay readable).
   */
-class GraftCatalog extends V2TableCatalog {
+class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
   private var catalog: TableCatalog = _
@@ -89,13 +89,13 @@ class GraftCatalog extends V2TableCatalog {
     val files = catalog.manifest(name, version)
     val options = new CaseInsensitiveStringMap(
       Map("basePath" -> catalog.dataPath(name)).asJava)
-    // declared schema only matters while the manifest is empty (a
-    // just-created CTAS target); once files exist, schema-on-read (with
-    // merge) wins, matching the path-read surface
+    // A declared schema (CTAS or ALTER TABLE) wins when present —
+    // that's what lets ADD COLUMN surface a column the existing data
+    // files don't carry yet (parquet null-fills missing columns).
+    // Tables written only through the path API carry no schema.json
+    // and keep schema-on-read semantics.
     val declared =
-      if (files.isEmpty)
-        catalog.tableSchemaJson(name).map(DataType.fromJson(_).asInstanceOf[StructType])
-      else None
+      catalog.tableSchemaJson(name).map(DataType.fromJson(_).asInstanceOf[StructType])
     val delegate = ParquetTable(
       s"$catalogName.$name@v$version",
       SparkSession.active,
@@ -153,16 +153,118 @@ class GraftCatalog extends V2TableCatalog {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // SQL hands the rename TARGET through unresolved: a fully qualified
+    // `cat.ns.t` arrives with the catalog name still leading the
+    // namespace — strip it so both spellings work.
+    val target =
+      if (newIdent.namespace().length > 1 && newIdent.namespace().head == catalogName)
+        Identifier.of(newIdent.namespace().tail, newIdent.name())
+      else newIdent
     if (!catalog.tableExists(qualified(oldIdent))) throw new NoSuchTableException(oldIdent)
-    if (catalog.tableExists(qualified(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    if (catalog.tableExists(qualified(target))) throw new TableAlreadyExistsException(target)
+    val dst = java.nio.file.Paths.get(catalog.pathOf(qualified(target)))
+    java.nio.file.Files.createDirectories(dst.getParent)
+    // manifests store table-relative paths, so the directory move IS
+    // the whole rename — every snapshot stays readable at the new name
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(catalog.pathOf(qualified(oldIdent))),
-      java.nio.file.Paths.get(catalog.pathOf(qualified(newIdent))))
+      java.nio.file.Paths.get(catalog.pathOf(qualified(oldIdent))), dst)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog supports CTAS/INSERT but not ALTER; write via graft.io.TableIO")
+  /** Schema evolution DDL — the slice that is safe without Iceberg
+    * field IDs. ADD COLUMN updates the declared schema; existing data
+    * files simply null-fill the new column on read (parquet
+    * schema-on-read), so no data is rewritten. DROP COLUMN narrows the
+    * declared schema; the bytes stay in old files but no longer
+    * project. RENAME COLUMN is rejected: parquet resolves columns by
+    * NAME here, so a rename would silently null out every existing
+    * value — Iceberg only supports it via field-ID indirection we
+    * deliberately don't replicate.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val name = qualified(ident)
+    if (!catalog.tableExists(name)) throw new NoSuchTableException(ident)
+    // tables created via the path API have no schema.json yet — seed it
+    // from the current snapshot so evolution works on them too
+    val current = catalog.tableSchemaJson(name)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(loadTable(ident).schema())
+    val pcols = catalog.tablePartitionCols(name)
+      .getOrElse(partitionColsFromPaths(name,
+        catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)))
+    val updated = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
+        val field = StructField(add.fieldNames()(0), add.dataType(), add.isNullable)
+        require(!schema.fieldNames.contains(field.name),
+          s"column already exists: ${field.name}")
+        StructType(schema.fields :+ field)
+      case (schema, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"nested DROP COLUMN not supported: ${del.fieldNames().mkString(".")}")
+        val colName = del.fieldNames()(0)
+        require(schema.fieldNames.contains(colName), s"no such column: $colName")
+        require(!pcols.contains(colName), s"cannot drop partition column: $colName")
+        StructType(schema.fields.filterNot(_.name == colName))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft catalog supports ADD/DROP COLUMN only, got: $other")
+    }
+    catalog.writeTableMeta(name, updated.json, pcols)
+    loadTable(ident)
+  }
+
+  // ---- SupportsNamespaces: namespaces are directories directly under
+  // the warehouse root (single level, matching the ns.table layout).
+
+  private def nsPath(namespace: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get((catalog.warehouse +: namespace).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && java.nio.file.Files.isDirectory(nsPath(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = java.nio.file.Paths.get(catalog.warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) Array.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level model
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft catalog supports single-level namespaces, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no mutable properties")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
+    tables.foreach(dropTable)
+    java.nio.file.Files.deleteIfExists(nsPath(namespace))
+    true
+  }
 }
 
 /** A snapshot table that reads through the parquet v2 delegate and

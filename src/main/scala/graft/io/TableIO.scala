@@ -25,7 +25,8 @@ import scala.util.Using
   *
   * Manifest JSON escapes quotes/backslashes/control chars on write and
   * is decoded by a real string scanner on read, so arbitrary file
-  * paths round-trip. Maintenance mirrors Iceberg's: `expireSnapshots`
+  * paths round-trip. Paths are stored relative to the table directory
+  * so a table rename (directory move) keeps every snapshot readable. Maintenance mirrors Iceberg's: `expireSnapshots`
   * bounds manifest history and `removeOrphanFiles` reclaims data files
   * no remaining snapshot references — without it physical files
   * accumulate forever (overwrite never deletes), which at scale kills
@@ -62,17 +63,33 @@ final case class TableCatalog(warehouse: String) {
 
   def currentVersion(name: String): Option[Int] = versions(name).lastOption
 
-  /** Data files (absolute paths) in snapshot `version`. */
+  private def tableRoot(name: String): Path =
+    Paths.get(pathOf(name)).toAbsolutePath.normalize
+
+  /** Data files (absolute paths) in snapshot `version`. Manifests store
+    * paths RELATIVE to the table directory (resolved here), so moving
+    * the directory — `renameTable`, a warehouse relocation, a backup
+    * restore — never invalidates a snapshot. Absolute entries (written
+    * by pre-rename-fix manifests) still resolve as-is.
+    */
   def manifest(name: String, version: Int): Seq[String] = {
     val f = metaPath(name).resolve(s"v$version.json")
-    TableCatalog.parseStringArray(Files.readString(f))
+    val base = tableRoot(name)
+    TableCatalog.parseStringArray(Files.readString(f)).map { p =>
+      if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+    }
   }
 
   def commitSnapshot(name: String, files: Seq[String]): Int = {
     val meta = metaPath(name)
     Files.createDirectories(meta)
+    val base = tableRoot(name)
+    val stored = files.map { f =>
+      val p = Paths.get(f).toAbsolutePath.normalize
+      if (p.startsWith(base)) base.relativize(p).toString else f
+    }
     val v = currentVersion(name).getOrElse(0) + 1
-    val json = files.map(f => "\"" + TableCatalog.escape(f) + "\"")
+    val json = stored.map(f => "\"" + TableCatalog.escape(f) + "\"")
       .mkString("{\"files\": [", ", ", "]}")
     val tmp = meta.resolve(s".v$v.json.tmp")
     Files.writeString(tmp, json)
@@ -130,7 +147,10 @@ final case class TableCatalog(warehouse: String) {
     orphans
   }
 
-  /** All parquet data files currently on disk for the table. */
+  /** All parquet data files currently on disk for the table
+    * (absolute paths, so they compare cleanly against resolved
+    * manifest entries).
+    */
   def listDataFiles(name: String): Seq[String] = {
     val root = Paths.get(dataPath(name))
     if (!Files.isDirectory(root)) Seq.empty
@@ -138,7 +158,7 @@ final case class TableCatalog(warehouse: String) {
       Using.resource(Files.walk(root)) { s =>
         s.iterator().asScala
           .filter(p => Files.isRegularFile(p))
-          .map(_.toString)
+          .map(_.toAbsolutePath.normalize.toString)
           .filter(p => p.endsWith(".parquet") || p.endsWith(".snappy.parquet"))
           .toSeq
       }.sorted

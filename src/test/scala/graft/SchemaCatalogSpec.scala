@@ -83,6 +83,94 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("renameTable keeps every snapshot readable (manifest paths are relative)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ren_").toString
+    val io = TableIO(spark, wh)
+    io.append(Seq((1, "a", 2020)).toDF("id", "s", "yr"), "default.src", Seq("yr"))
+    io.append(Seq((2, "b", 2021)).toDF("id", "s", "yr"), "default.src", Seq("yr"))
+
+    spark.conf.set("spark.sql.catalog.gr", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gr.warehouse", wh)
+    try {
+      spark.sql("ALTER TABLE gr.default.src RENAME TO gr.default.dst")
+      assert(!io.tableExists("default.src"))
+      // current read, programmatic time travel, and SQL time travel all
+      // work on the new name — this is exactly what absolute manifest
+      // paths used to corrupt
+      assert(io.read("default.dst").count() == 2)
+      assert(io.readVersion("default.dst", 1).as[(Int, String, Int)].collect().toSet ==
+        Set((1, "a", 2020)))
+      assert(spark.sql("SELECT id FROM gr.default.dst VERSION AS OF 1")
+        .as[Int].collect().toSeq == Seq(1))
+      assert(spark.sql("SELECT count(*) c FROM gr.default.dst").head().getLong(0) == 2L)
+      // and the renamed table still accepts commits
+      io.append(Seq((3, "c", 2021)).toDF("id", "s", "yr"), "default.dst", Seq("yr"))
+      assert(io.read("default.dst").count() == 3)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gr")
+      spark.conf.unset("spark.sql.catalog.gr.warehouse")
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN evolves the declared schema without rewriting data") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_alter_").toString
+    spark.conf.set("spark.sql.catalog.ga", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ga.warehouse", wh)
+    try {
+      spark.sql(
+        """CREATE TABLE ga.default.fares PARTITIONED BY (yr)
+          |AS SELECT * FROM VALUES (1, 10.0, 2020), (2, 20.0, 2021) AS t(id, fare, yr)""".stripMargin)
+      spark.sql("ALTER TABLE ga.default.fares ADD COLUMN tip double")
+
+      // old rows null-fill the new column; inserts can now carry it
+      spark.sql("INSERT INTO ga.default.fares SELECT 3, 30.0, 1.5, 2021")
+      val rows = spark.sql("SELECT id, tip FROM ga.default.fares")
+        .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+      assert(rows == Map(1 -> None, 2 -> None, 3 -> Some(1.5)))
+
+      // DROP narrows the projection (bytes stay in old files)
+      spark.sql("ALTER TABLE ga.default.fares DROP COLUMN fare")
+      assert(!spark.table("ga.default.fares").columns.contains("fare"))
+      assert(spark.sql("SELECT count(*) c FROM ga.default.fares").head().getLong(0) == 3L)
+
+      // renames would silently null existing values (no field IDs) — rejected
+      intercept[Exception] {
+        spark.sql("ALTER TABLE ga.default.fares RENAME COLUMN tip TO gratuity")
+      }
+      // dropping a partition column is rejected
+      intercept[Exception] {
+        spark.sql("ALTER TABLE ga.default.fares DROP COLUMN yr")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ga.default.fares")
+      spark.conf.unset("spark.sql.catalog.ga")
+      spark.conf.unset("spark.sql.catalog.ga.warehouse")
+    }
+  }
+
+  test("namespace DDL: CREATE/SHOW/DROP NAMESPACE and CTAS into a new namespace") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ns_").toString
+    spark.conf.set("spark.sql.catalog.gn", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gn.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE gn.lake")
+      val shown = spark.sql("SHOW NAMESPACES IN gn").collect().map(_.getString(0))
+      assert(shown.contains("lake"))
+
+      spark.sql("CREATE TABLE gn.lake.t AS SELECT 1 AS id")
+      assert(spark.sql("SELECT id FROM gn.lake.t").as[Int].head() == 1)
+      assert(spark.sql("SHOW TABLES IN gn.lake").collect().map(_.getString(1)).contains("t"))
+
+      // non-empty namespace refuses a plain drop, cascades on request
+      intercept[Exception] { spark.sql("DROP NAMESPACE gn.lake") }
+      spark.sql("DROP NAMESPACE gn.lake CASCADE")
+      assert(!spark.sql("SHOW NAMESPACES IN gn").collect().map(_.getString(0)).contains("lake"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gn")
+      spark.conf.unset("spark.sql.catalog.gn.warehouse")
+    }
+  }
+
   test("DSv2 catalog SQL writes: CTAS, INSERT INTO, INSERT OVERWRITE commit snapshots") {
     val wh = java.nio.file.Files.createTempDirectory("graft_v2w_").toString
     spark.conf.set("spark.sql.catalog.gw", classOf[graft.io.GraftCatalog].getName)
