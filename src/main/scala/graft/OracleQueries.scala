@@ -170,9 +170,9 @@ object OracleQueries {
          |WHERE rn <= 3""".stripMargin,
 
     // ---- training-data pipeline extensions ----
-    // (q14/q28 are hash-/centroid-defined and intentionally have no
-    //  oracle entry -> driver records the weaker rows-only check;
-    //  both are pinned by quantitative specs instead.)
+    // (q28 is centroid-defined and intentionally has no oracle entry
+    //  -> driver records the weaker rows-only check; it is pinned by
+    //  quantitative specs instead.)
 
     // portable minhash: first-60-bits-of-md5 shingle hash ('0x'-cast
     // here, conv(,16,10) on the Spark side), double-hashed mod 2^31-1
@@ -209,6 +209,22 @@ object OracleQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    // portable simhash: per-bit sign of +/-1 weight sums over the same
+    // md5-60-bit shingle hashes as q12, packed little-endian
+    "q14_dedup_simhash" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform($duckShingles,
+         |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |    CASE WHEN list_sum(list_transform(hs,
+         |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS simhash
+         |FROM g""".stripMargin,
 
     "q15_text_stats" ->
       s"""SELECT doc_id,

@@ -141,9 +141,10 @@ object SparkEntry {
     // Near-dup pairs: LSH candidates verified by exact n-gram Jaccard
     "q13_dedup_neardup" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), threshold = 0.7)),
-    // SimHash fingerprints (hash-defined; rows-only check)
+    // SimHash fingerprints: portable md5-shingle variant so DuckDB can
+    // recompute every bit (the xxhash64 token variant is spec-pinned)
     "q14_dedup_simhash" -> ((s, dir) =>
-      Dedup.withSimhash(Tables.documents(s, dir)).select(col("doc_id"), col("simhash"))),
+      Dedup.portableSimhash(Tables.documents(s, dir)).select(col("doc_id"), col("simhash"))),
     // Per-document text analysis: tokens, quality, language-ID, fingerprint
     "q15_text_stats" -> ((s, dir) => {
       val t = col("text")

@@ -191,6 +191,37 @@ object Dedup {
       )
       .drop("tokens_", "bitsums_")
 
+  /** Oracle-portable 60-bit SimHash over the same 5-gram shingle
+    * features as the portable MinHash path: feature hash = first 60
+    * bits of md5 (`conv(substr(md5(s),1,15),16,10)` — the identical
+    * value DuckDB computes as `CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT)`, parity proven by q12), per-bit weight sums, sign-pack.
+    * Same single-projection / no-shuffle shape as `withSimhash`; that
+    * xxhash64 token variant stays the production path (one fewer md5
+    * per feature) and is pinned by its independent-model spec.
+    */
+  def portableSimhash(docs: DataFrame, textCol: String = "text", shingleN: Int = 5): DataFrame =
+    docs
+      .withColumn(
+        "hs_",
+        expr(s"""transform(${shingleSql(textCol, shingleN)},
+                |  s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn(
+        "bitsums_",
+        expr("""aggregate(hs_, array_repeat(0L, 60),
+               |  (acc, h) -> zip_with(acc,
+               |    transform(sequence(0, 59),
+               |      b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END),
+               |    (x, y) -> x + y))""".stripMargin)
+      )
+      .withColumn(
+        "simhash",
+        expr("""aggregate(transform(sequence(0, 59),
+               |  b -> CASE WHEN element_at(bitsums_, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+               |  0L, (acc, v) -> acc + v)""".stripMargin)
+      )
+      .drop("hs_", "bitsums_")
+
   /** Exact character-n-gram Jaccard between two text columns (the
     * verification step after candidate generation).
     */

@@ -108,6 +108,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("portable simhash: 60-bit md5-shingle packing matches an independent model") {
+    // Independent reimplementation sharing only java.security md5 with
+    // nothing in the operator (which goes through Spark's md5/conv
+    // expressions) — pins the 60-bit hash extraction, the per-bit
+    // weight sums, the sign rule, and the bit order.
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def model(text: String): Long = {
+      val shingles = (1 to math.max(text.length - 4, 1))
+        .map(i => text.slice(i - 1, i - 1 + 5)).distinct
+      val bits = new Array[Long](60)
+      shingles.foreach { s =>
+        val h = md5_60(s)
+        var b = 0
+        while (b < 60) { bits(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L); b += 1 }
+      }
+      (0 until 60).map(b => if (bits(b) > 0) 1L << b else 0L).sum
+    }
+    val fixtures = Seq("abcdef", "a", "the quick brown fox jumps", "x y z x y z")
+    val real = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(20).select("text").as[String].collect().toSeq
+    val texts = (fixtures ++ real).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.portableSimhash(texts.toDF("doc_id", "text"))
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id) == model(t), s"portable simhash mismatch for doc $id")
+    }
+  }
+
   test("simhash: identical texts equal; near texts within small hamming distance") {
     val h = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
