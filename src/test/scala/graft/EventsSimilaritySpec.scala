@@ -101,10 +101,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH recall@5 vs brute force meets a quantitative floor") {
+    // Deterministic (fixed plane seeds, fixed data): measured 0.8375
+    // at the p=8/r=2/L=4 defaults on this corpus; floor leaves margin
+    // for testdata regeneration, not for run-to-run noise.
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r = recallVsBruteForce(
       Similarity.lshTopK(e, nQueries = 16, k = 5, nPlanes = 8), 16, 5)
-    assert(r >= 0.25, s"LSH recall@5 = $r")
+    assert(r >= 0.6, s"LSH recall@5 = $r")
   }
 
   test("bucketed near-dup join equals the exact all-pairs oracle, with no nested-loop join") {
