@@ -125,6 +125,9 @@ final class TopKBuffer(val k: Int) {
     s > scores(i) || (s == scores(i) && (a < id1s(i) || (a == id1s(i) && b < id2s(i))))
 
   def insert(s: Double, a: Long, b: Int): Unit = {
+    // NaN compares false both ways, which would let a NaN row slot in
+    // unordered — treat it like null input and skip.
+    if (java.lang.Double.isNaN(s)) return
     if (n == k && !better(s, a, b, n - 1)) return
     var pos = if (n == k) n - 1 else n
     if (n < k) n += 1

@@ -143,7 +143,26 @@ final case class TableCatalog(warehouse: String) {
   def removeOrphanFiles(name: String): Seq[String] = {
     val live = versions(name).flatMap(manifest(name, _)).toSet
     val orphans = listDataFiles(name).filterNot(live)
-    orphans.foreach(f => Files.delete(Paths.get(f)))
+    orphans.foreach { f =>
+      val p = Paths.get(f)
+      Files.delete(p)
+      // local-FS checksum sidecar (.<name>.crc) goes with its file
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+    }
+    // Reclaim partition directories the deletions emptied (deepest
+    // first so nested col=value levels collapse) — leaving them behind
+    // is listing noise that accumulates across overwrite+GC cycles.
+    val dataRoot = Paths.get(dataPath(name))
+    if (Files.isDirectory(dataRoot)) {
+      Using.resource(Files.walk(dataRoot)) { s =>
+        s.iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) && p != dataRoot)
+          .sortBy(-_.getNameCount)
+      }.foreach { d =>
+        val empty = Using.resource(Files.list(d))(es => !es.iterator().hasNext)
+        if (empty) Files.delete(d)
+      }
+    }
     orphans
   }
 

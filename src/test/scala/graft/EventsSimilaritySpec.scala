@@ -254,6 +254,23 @@ class TableIOSpec extends SparkSpec {
     io.catalog.expireSnapshots(t, keepLast = 1)
     assert(io.catalog.removeOrphanFiles(t).nonEmpty)
     assert(io.read(t).select("id").as[Int].collect().toSet == beforeRows)
+
+    // an overwrite that drops yr=2020 entirely + expire + GC must also
+    // reclaim the now-empty partition DIRECTORY, not just its files
+    io.overwrite(Seq((99, "z", 2021)).toDF("id", "s", "yr"), t, Seq("yr"))
+    io.catalog.expireSnapshots(t, keepLast = 1)
+    io.catalog.removeOrphanFiles(t)
+    val dataRoot = java.nio.file.Paths.get(io.catalog.dataPath(t))
+    val emptyDirs = scala.util.Using.resource(java.nio.file.Files.walk(dataRoot)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.filter { p =>
+        java.nio.file.Files.isDirectory(p) && p != dataRoot &&
+          scala.util.Using.resource(java.nio.file.Files.list(p))(!_.iterator().hasNext)
+      }
+    }
+    assert(emptyDirs.isEmpty, s"empty partition dirs left behind: $emptyDirs")
+    assert(!java.nio.file.Files.exists(dataRoot.resolve("yr=2020")))
+    assert(io.read(t).select("id").as[Int].collect().toSet == Set(99))
   }
 
   test("manifest round-trips hostile file paths and drifted schemas merge on read-back") {

@@ -76,6 +76,15 @@ class TopKAggregateSpec extends SparkSpec {
       .selectExpr("size(top) AS n").head().getInt(0)
     assert(out == 1)
   }
+
+  test("graft_topk ignores NaN scores (NaN compares false both ways)") {
+    val df = Seq((Double.NaN, 1L), (2.0, 2L), (Double.NaN, 3L), (1.0, 4L))
+      .toDF("score", "id1")
+      .selectExpr("'g' AS g", "score", "id1", "CAST(0 AS INT) AS id2")
+    val ids = df.groupBy($"g").agg(expr("graft_topk(score, id1, id2, 3)").as("top"))
+      .selectExpr("transform(top, x -> x.id1) AS ids").head().getSeq[Long](0)
+    assert(ids == Seq(2L, 4L))
+  }
 }
 
 class MultimodalResizeSpec extends SparkSpec {
