@@ -457,6 +457,33 @@ object OracleQueries {
          |SELECT s_suppkey, s_nationkey, FALSE AS has_hot_line
          |FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM hot)""".stripMargin,
 
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // formulation; right side pre-deduped per (custkey, orderdate)
+    // with the same max-orderkey tie-break. ts is TIMESTAMP_NS in
+    // DuckDB -> CAST to micros to match the Spark read.
+    "q38_asof_join" ->
+      """WITH rd AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate,
+        |      o_orderkey AS last_orderkey, o_totalprice AS last_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  rd.last_orderkey, rd.last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN rd
+        |  ON e.user_id = rd.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rd.o_orderdate""".stripMargin,
+
+    // same md5 bucket as the Spark side (60-bit md5 prefix mod 10000);
+    // cuts are integer literals so no float compare is involved
+    "q39_stratified_sample" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |  < (CASE WHEN lang = 'zh' THEN 5000 WHEN lang = 'en' THEN 1000 ELSE 2500 END)""".stripMargin,
+
     "q19_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -222,6 +222,35 @@ object SparkEntry {
             .withColumn("has_hot_line", lit(false)))
     }),
 
+    // As-of join: each event picks up the user's latest order at or
+    // before the event time (union+window formulation — one shuffle on
+    // the key, no range-join blowup; right side pre-deduped per
+    // (custkey, orderdate) with max-orderkey tie-break so the match is
+    // deterministic on both engines)
+    "q38_asof_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val orders = Tables.orders(s, dir)
+        .withColumn("__rn", row_number().over(wDedup)).filter(col("__rn") === 1).drop("__rn")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").as("last_orderkey"), col("o_totalprice").as("last_totalprice"))
+      graft.operators.Joins.asOfJoin(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("last_orderkey", "last_totalprice"))
+    }),
+    // Deterministic stratified sampling: md5-bucket per doc_id, per-
+    // language keep rates (downsample dominant en, keep rare strata) —
+    // a scalar scan predicate, reproducible across engines and appends
+    "q39_stratified_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        strataCol = "lang", idCol = "doc_id",
+        fractions = Map("en" -> 0.10, "zh" -> 0.50), defaultFraction = 0.25)
+        .withColumn("bucket", graft.sampling.Sampling.portableBucket("doc_id"))),
+
     // PIVOT: returnflag columns per ship year (explicit value list so
     // the schema is static — no extra distinct-values job)
     "q34_pivot_returnflag" -> ((s, dir) =>

@@ -46,4 +46,60 @@ object Joins {
       .join(saltedSmall, Seq(key, "__graft_salt"), joinType)
       .drop("__graft_salt")
   }
+
+  /** As-of join (left): for every left row, attach `rightPayload` from
+    * the LATEST right row with the same key whose time is <= the left
+    * row's time; nulls when no such row exists.
+    *
+    * Spark has no native as-of join, and the naive formulation
+    * (inequality join + per-left-row max) is a range join that
+    * degenerates to O(|L|x|R|) per key. This is the union+window
+    * formulation instead — the composition of existing operators the
+    * engine already optimizes (brief's preference order (a)):
+    * tag both sides, union, and take a running `last(ignoreNulls)`
+    * of the right payload over (key, time) order. ONE shuffle on the
+    * key, no join node at all, cost O((|L|+|R|) log) per key
+    * partition; payload rides in a single struct so the matched right
+    * row stays atomic (no column-wise mixing when payload fields are
+    * null). At equal timestamps the right row sorts first (inclusive
+    * <=). Right rows should be unique per (key, time) — pre-dedupe
+    * with a deterministic tie-break, as `SparkEntry` q38 does —
+    * otherwise which duplicate wins follows the union's internal
+    * order.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    require(rightPayload.nonEmpty, "asOfJoin needs at least one right payload column")
+    val lCols = left.columns.toSeq
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(rightPayload.map(p => StructField(p, right.schema(p).dataType, nullable = true)))
+    }
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        lit(null).cast(payloadType).as("__r") +: lCols.map(col): _*)
+    // null-keyed / null-timed right rows can never match under join
+    // semantics, but a window PARTITION BY groups nulls together —
+    // drop them so a null-keyed left row doesn't pick up their payload
+    val r = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull).select(
+      col(rightKey).as("__k") +: col(rightTime).cast(left.schema(leftTime).dataType).as("__t") +:
+        lit(0).as("__side") +: payloadStruct.as("__r") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rightPayload.map(p => col(s"__r.$p").as(p)): _*)
+  }
 }

@@ -1,0 +1,62 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for corpus subsetting.
+  *
+  * Training-data pipelines need samples that are (a) reproducible
+  * across re-runs and engines (no RNG state, no partition-order
+  * dependence — `df.sample` gives neither), (b) stable under appends
+  * (a document's membership never changes as the corpus grows), and
+  * (c) pushdown-friendly (a scalar predicate on the scan, no shuffle,
+  * no extra pass). Hashing a stable id into a fixed bucket space and
+  * keeping buckets below a cut gives all three: the filter evaluates
+  * inside the scan stage and composes with column pruning.
+  *
+  * The portable flavor uses the first 60 bits of md5 over the id
+  * rendered as a string — bit-identical in DuckDB
+  * (`CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT)`,
+  * same trick as the q12/q14 signatures), so sampling decisions are
+  * oracle-checkable row-for-row. Production pipelines that don't need
+  * cross-engine parity can swap `xxhash64` in for ~10x cheaper hashing
+  * with the same properties.
+  */
+object Sampling {
+
+  val DefaultBuckets = 10000
+
+  /** Portable deterministic bucket in [0, buckets). */
+  def portableBucket(idCol: String, buckets: Int = DefaultBuckets): Column =
+    pmod(
+      expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
+      lit(buckets.toLong))
+
+  /** Uniform sample: keep ids whose bucket falls below
+    * round(fraction * buckets). The realized rate is exact over the
+    * bucket space (quantized to 1/buckets), not a per-row coin flip.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 buckets: Int = DefaultBuckets): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(portableBucket(idCol, buckets) < lit(math.round(fraction * buckets)))
+  }
+
+  /** Stratified sample: per-stratum keep rates (fraction by value of
+    * `strataCol`, `defaultFraction` otherwise) — the "downsample the
+    * dominant language / upweight the rare one" rebalancing pass.
+    * Still one scalar predicate on the scan: the per-stratum cut is a
+    * CASE over `strataCol`, so no join, no shuffle, no second pass.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double = 0.0,
+                       buckets: Int = DefaultBuckets): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultFraction * buckets))) {
+      case (acc, (value, fraction)) =>
+        when(col(strataCol) === lit(value), lit(math.round(fraction * buckets))).otherwise(acc)
+    }
+    df.filter(portableBucket(idCol, buckets) < cut)
+  }
+}

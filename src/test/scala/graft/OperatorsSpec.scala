@@ -31,6 +31,88 @@ class JoinsSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin attaches the latest right row at or before each left time") {
+    val left = Seq(
+      (1L, 10L, "e1"), // before any right row for key 1
+      (1L, 20L, "e2"), // exactly at right t=20 -> inclusive match
+      (1L, 35L, "e3"), // between 30 and 40 -> matches t=30
+      (2L, 50L, "e4"), // key with no right rows at all
+      (3L, 5L, "e5")   // key 3 right row is later -> no match
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 40L, "r40"),
+      (3L, 9L, "r9")
+    ).toDF("k", "t", "payload")
+    val out = graft.operators.Joins.asOfJoin(
+      left, right, leftKey = "k", rightKey = "k",
+      leftTime = "t", rightTime = "t", rightPayload = Seq("payload"))
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[String]("payload"))).toMap
+    assert(out == Map(
+      "e1" -> None, "e2" -> Some("r20"), "e3" -> Some("r30"),
+      "e4" -> None, "e5" -> None))
+  }
+
+  test("asOfJoin: null-keyed right rows never leak into null-keyed left rows") {
+    val left = Seq((Option.empty[Long], 10L, "ln")).toDF("k", "t", "tag")
+    val right = Seq((Option.empty[Long], 5L, "rn")).toDF("k", "t", "payload")
+    val out = graft.operators.Joins.asOfJoin(
+      left, right, "k", "k", "t", "t", Seq("payload")).collect()
+    assert(out.length == 1 && out.head.getAs[String]("payload") == null)
+  }
+
+  test("asOfJoin plan is a single shuffle (one window, no join node)") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "p")).toDF("k", "t", "payload")
+    val plan = graft.operators.Joins.asOfJoin(
+      left, right, "k", "k", "t", "t", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not produce a join node:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"as-of must shuffle exactly once:\n$plan")
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic, append-stable, and close to the target rate") {
+    val docs = spark.range(0, 5000).toDF("doc_id")
+    val a = graft.sampling.Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.sampling.Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same corpus, same sample")
+    // membership never changes when the corpus grows
+    val grown = graft.sampling.Sampling.hashSample(
+      spark.range(0, 10000).toDF("doc_id"), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(grown.filter(_ < 5000) == a, "append-stable membership")
+    val rate = a.size.toDouble / 5000
+    assert(rate > 0.17 && rate < 0.23, s"rate $rate far from 0.2")
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val docs = spark.range(0, 6000)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'zh' ELSE 'de' END AS lang")
+    val out = graft.sampling.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 0.25)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = out.getOrElse(l, 0L).toDouble / 2000
+    assert(rate("en") > 0.06 && rate("en") < 0.14, s"en ${rate("en")}")
+    assert(rate("zh") > 0.44 && rate("zh") < 0.56, s"zh ${rate("zh")}")
+    assert(rate("de") > 0.20 && rate("de") < 0.30, s"de ${rate("de")}")
+    // the sampling predicate must ride the scan, not a shuffle
+    val plan = graft.sampling.Sampling.hashSample(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "hash sample must not shuffle")
+  }
+}
+
 class TopKAggregateSpec extends SparkSpec {
   import spark.implicits._
 
