@@ -210,6 +210,27 @@ object OracleQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
 
+    // connected components via recursive transitive closure over the
+    // exact near-dup pair graph (tiny at oracle scale); cluster_id =
+    // min reachable doc_id, singletons map to themselves
+    "q40_dedup_clusters" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS d
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         |e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+         |r(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+         |SELECT doc.doc_id,
+         |  CAST(least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS BIGINT) AS cluster_id
+         |FROM documents doc LEFT JOIN r ON r.s = doc.doc_id
+         |GROUP BY doc.doc_id""".stripMargin,
+
     // portable simhash: per-bit sign of +/-1 weight sums over the same
     // md5-60-bit shingle hashes as q12, packed little-endian
     "q14_dedup_simhash" ->

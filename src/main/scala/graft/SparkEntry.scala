@@ -145,6 +145,10 @@ object SparkEntry {
     // recompute every bit (the xxhash64 token variant is spec-pinned)
     "q14_dedup_simhash" -> ((s, dir) =>
       Dedup.portableSimhash(Tables.documents(s, dir)).select(col("doc_id"), col("simhash"))),
+    // Near-dup clusters: connected components over the pair graph
+    // (min-label propagation); every doc gets a cluster_id
+    "q40_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), threshold = 0.7)),
     // Per-document text analysis: tokens, quality, language-ID, fingerprint
     "q15_text_stats" -> ((s, dir) => {
       val t = col("text")

@@ -323,4 +323,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Near-duplicate CLUSTERS: connected components over the near-dup
+    * pair graph — the dedup endgame (pairs alone don't dedupe; A~B and
+    * B~C must collapse to one kept document even when A~C was never
+    * emitted). Returns (doc_id, cluster_id) for EVERY document,
+    * cluster_id = min doc_id reachable through pairs; singletons map
+    * to themselves, so `groupBy(cluster_id).min(doc_id)` is the
+    * keep-list.
+    *
+    * Iterative min-label propagation (the standard distributed CC
+    * loop, cf. GraphX's connectedComponents): each round joins labels
+    * across edges and takes the per-vertex min. Rounds needed = graph
+    * diameter — for near-dup graphs that's the longest duplicate
+    * chain, small in practice; `maxIters` bounds the worst case. Per
+    * round: one join + one aggregate over the EDGE set (pairs, not
+    * corpus) plus a labels aggregate; the corpus-sized frame is
+    * touched once at the start and once at the end. Convergence is
+    * checked with an isEmpty probe on changed labels (no collect of
+    * data rows).
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the PAIR set (the expensive LSH+verify job) — edges and
+    // every propagation round re-read this one materialized copy; a
+    // count() forces it so no downstream action pays the job twice
+    // (the union's two branches would otherwise each recompute it)
+    val pairs = nearDuplicates(docs, threshold, textCol, idCol)
+      .select("id_a", "id_b").persist(storage)
+    pairs.count()
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(storage)
+    var converged = false
+    var it = 0
+    var prevCached = labels
+    while (!converged && it < maxIters) {
+      // one round: per-vertex min of neighbor labels, folded into the
+      // current label with a changed flag — so ONE count() both fully
+      // materializes the new cache (a partial probe like isEmpty would
+      // leave holes whose recompute, after the parent unpersist below,
+      // replays every earlier round) and decides convergence.
+      val nbrMin = edges
+        .join(labels, edges("id_a") === labels("id"))
+        .groupBy(col("id_b").as("id")).agg(min("label").as("nbr"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
+          (coalesce(col("nbr"), col("old")) < col("old")).as("__changed"))
+        .persist(storage)
+      converged = next.filter(col("__changed")).count() == 0
+      prevCached.unpersist()
+      prevCached = next
+      labels = next.drop("__changed")
+      it += 1
+    }
+    // final labels stay cached for the consumer (same session-lifetime
+    // cache idiom as nearDuplicates' signature table); pairs can go —
+    // labels are fully materialized and only lineage references remain
+    pairs.unpersist()
+    // every document: clustered ones get their component min, the rest themselves
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
 }

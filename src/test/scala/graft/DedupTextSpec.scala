@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0) < 1e-12)
   }
 
+  test("nearDupClusters collapses transitive chains; singletons keep their own id") {
+    // 5~1 is a near-dup of the 1/2/3 family worded so it links through
+    // the chain even if some direct pair is below threshold — the
+    // cluster must still collapse to min id 1 transitively.
+    val five = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank tonite")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs.unionAll(five), threshold = 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L && clusters(5L) == 1L)
+    assert(clusters(4L) == 4L, "unrelated doc is its own singleton cluster")
+    assert(clusters.size == 5, "every document gets a cluster row")
+  }
+
   test("portable minhash: native kernel matches the HOF reference formulation row-for-row") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("doc_id"), r.getAs[Int]("band"))
