@@ -34,8 +34,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
-      Some((System.nanoTime() - t0) / 1e9)
+      val res =
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      // Cold-cache policy: every run starts with an empty cache.
+      // Operators that persist intermediates (q12/q13/q40) would
+      // otherwise accumulate a fresh MEMORY_AND_DISK cache per run in
+      // this shared JVM and skew every later query's measurement.
+      spark.catalog.clearCache()
+      res
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -336,12 +336,25 @@ object Dedup {
     * loop, cf. GraphX's connectedComponents): each round joins labels
     * across edges and takes the per-vertex min. Rounds needed = graph
     * diameter — for near-dup graphs that's the longest duplicate
-    * chain, small in practice; `maxIters` bounds the worst case. Per
-    * round: one join + one aggregate over the EDGE set (pairs, not
-    * corpus) plus a labels aggregate; the corpus-sized frame is
-    * touched once at the start and once at the end. Convergence is
-    * checked with an isEmpty probe on changed labels (no collect of
-    * data rows).
+    * chain, small in practice; `maxIters` bounds the worst case (the
+    * loop logs a warning if it exits non-converged, so truncated
+    * propagation is detectable). Per round: one join + one aggregate
+    * over the EDGE set (pairs, not corpus); the corpus-sized frame is
+    * touched once at the start and once at the end.
+    *
+    * Job-count control (at test scale the per-job fixed overhead, not
+    * the plan, dominates this operator): labels are SEEDED with one
+    * neighbor-min aggregate — no join — which fully converges any
+    * component whose members all touch its min vertex (stars and
+    * cliques, the overwhelming near-dup shape); the loop then checks
+    * convergence after ONE verification round, and every TWO rounds
+    * thereafter (labels decrease monotonically, so any round equal to
+    * its predecessor is a fixpoint), halving the driver-visible jobs
+    * on long chains without a wasted round on the common path.
+    *
+    * The returned frame is fully materialized and cached; every
+    * intermediate (pair set, label rounds) is unpersisted before
+    * return. Callers should `unpersist()` the result when done.
     */
   def nearDupClusters(
       docs: DataFrame,
@@ -360,42 +373,66 @@ object Dedup {
     pairs.count()
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = edges.select(col("id_a").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // seed: label = min(id, min neighbor id) — one aggregate over the
+    // edge set, and the distinct-vertex pass rolled in for free
+    var labels = edges
+      .groupBy(col("id_a").as("id")).agg(min("id_b").as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("label"))
       .persist(storage)
+    // one propagation round: per-vertex min of neighbor labels folded
+    // into the current label (monotone decreasing); the changed flag
+    // rides in the same select — comparing a round to its predecessor
+    // costs no extra join
+    def propagate(cur: DataFrame, withChanged: Boolean): DataFrame = {
+      val nbrMin = edges
+        .join(cur, edges("id_a") === cur("id"))
+        .groupBy(col("id_b").as("id")).agg(min("label").as("nbr"))
+      val base = cur.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
+      val sel =
+        Seq(col("id"), least(col("old"), coalesce(col("nbr"), col("old"))).as("label")) ++
+          (if (withChanged) Seq((coalesce(col("nbr"), col("old")) < col("old")).as("__changed"))
+           else Nil)
+      base.select(sel: _*)
+    }
     var converged = false
     var it = 0
     var prevCached = labels
+    // first convergence check after ONE round (the seed alone converges
+    // stars and cliques — the overwhelming case — so the common path is
+    // a single verification round); afterwards TWO rounds per count():
+    // the intermediate round is persisted but not acted on — its cache
+    // fills while the second round's count evaluates. The count also
+    // fully materializes the new cache (a partial probe like isEmpty
+    // would leave holes whose recompute, after the parent unpersist
+    // below, replays every earlier round).
+    var roundsPerCheck = 1
     while (!converged && it < maxIters) {
-      // one round: per-vertex min of neighbor labels, folded into the
-      // current label with a changed flag — so ONE count() both fully
-      // materializes the new cache (a partial probe like isEmpty would
-      // leave holes whose recompute, after the parent unpersist below,
-      // replays every earlier round) and decides convergence.
-      val nbrMin = edges
-        .join(labels, edges("id_a") === labels("id"))
-        .groupBy(col("id_b").as("id")).agg(min("label").as("nbr"))
-      val next = labels.withColumnRenamed("label", "old")
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
-          (coalesce(col("nbr"), col("old")) < col("old")).as("__changed"))
-        .persist(storage)
+      val mid =
+        if (roundsPerCheck == 2) propagate(labels, withChanged = false).persist(storage)
+        else labels
+      val next = propagate(mid, withChanged = true).persist(storage)
       converged = next.filter(col("__changed")).count() == 0
+      if (!(mid eq labels)) mid.unpersist()
       prevCached.unpersist()
       prevCached = next
       labels = next.drop("__changed")
-      it += 1
+      it += roundsPerCheck
+      roundsPerCheck = 2
     }
-    // final labels stay cached for the consumer (same session-lifetime
-    // cache idiom as nearDuplicates' signature table); pairs can go —
-    // labels are fully materialized and only lineage references remain
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters exited after $it rounds WITHOUT converging " +
+          s"(a duplicate chain longer than maxIters=$maxIters); cluster ids are partial")
     pairs.unpersist()
-    // every document: clustered ones get their component min, the rest themselves
-    docs.select(col(idCol).as("doc_id"))
+    // every document: clustered ones get their component min, the rest
+    // themselves — materialized so every intermediate can be released
+    val result = docs.select(col(idCol).as("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .persist(storage)
+    result.count()
+    prevCached.unpersist()
+    result
   }
 }

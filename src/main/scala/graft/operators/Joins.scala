@@ -88,9 +88,15 @@ object Joins {
         lit(null).cast(payloadType).as("__r") +: lCols.map(col): _*)
     // null-keyed / null-timed right rows can never match under join
     // semantics, but a window PARTITION BY groups nulls together —
-    // drop them so a null-keyed left row doesn't pick up their payload
-    val r = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull).select(
-      col(rightKey).as("__k") +: col(rightTime).cast(left.schema(leftTime).dataType).as("__t") +:
+    // drop them so a null-keyed left row doesn't pick up their payload.
+    // The time filter applies to the CASTED value: a right time that
+    // casts to null (e.g. an unparsable string -> timestamp) would
+    // survive a pre-cast filter, sort first (nulls-first asc), and
+    // attach its payload to every left row of the key as if it
+    // occurred at time -infinity.
+    val castRightTime = col(rightTime).cast(left.schema(leftTime).dataType)
+    val r = right.filter(col(rightKey).isNotNull && castRightTime.isNotNull).select(
+      col(rightKey).as("__k") +: castRightTime.as("__t") +:
         lit(0).as("__side") +: payloadStruct.as("__r") +:
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = org.apache.spark.sql.expressions.Window

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -24,6 +23,25 @@ object Similarity {
   /** Cast float embedding to double for stable arithmetic. */
   def doubleVec(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
 
+  /** Per-query top-k over scored candidates `(q_id, vec_id, cos)` via
+    * the bounded native aggregate (graft.functions.TopKByScore)
+    * instead of a `row_number` window: the window shuffles EVERY
+    * candidate row into at most nQueries partitions and fully sorts
+    * each — rank parallelism capped by the query count; the aggregate
+    * reduces map-side to <= k rows per query BEFORE the exchange and
+    * merges in O(k), so the shuffle carries <= partitions x queries x k
+    * rows no matter how large the candidate set. Ordering
+    * (cos DESC, vec_id ASC) and output (q_id, neighbor_id, cos, rn)
+    * are identical to the window form.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(cos, vec_id, 0, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id1").as("neighbor_id"), col("e.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+
   /** Cosine via the native codegen'd expression (graft.functions
     * .CosineSimilarity, injected by graft.extensions.GraftExtensions):
     * a primitive loop inside whole-stage codegen instead of an
@@ -40,13 +58,11 @@ object Similarity {
     val q = broadcast(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     )
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    e.crossJoin(q)
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(cosineSql("qv", "v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    topKPerQuery(
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(cosineSql("qv", "v"))),
+      k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
@@ -279,13 +295,11 @@ object Similarity {
       )
       .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(col("__probes")).as("cell"))
 
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(cosineSql("qv", "v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    topKPerQuery(
+      corpus.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(cosineSql("qv", "v"))),
+      k)
   }
 
   /** Approximate top-k via multi-table (band-OR) hyperplane LSH with
@@ -330,14 +344,15 @@ object Similarity {
       .withColumn("__mask", explode(expr(s"array(${masks.map(m => s"${m}L").mkString(",")})")))
       .withColumn("bucket", expr("bucket ^ __mask"))
       .drop("__mask")
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    corpus.join(broadcast(probes), Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(cosineSql("qv", "v")))
-      .select("q_id", "vec_id", "cos")
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    // cross-table dedup BEFORE ranking: the same (q, vec) candidate
+    // surfaces from up to nTables buckets and duplicates would occupy
+    // multiple top-k slots
+    topKPerQuery(
+      corpus.join(broadcast(probes), Seq("table", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(cosineSql("qv", "v")))
+        .select("q_id", "vec_id", "cos")
+        .dropDuplicates("q_id", "vec_id"),
+      k)
   }
 }

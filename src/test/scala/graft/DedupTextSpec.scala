@@ -69,6 +69,31 @@ class DedupSpec extends SparkSpec {
     assert(clusters.size == 5, "every document gets a cluster row")
   }
 
+  test("nearDupClusters converges on a diameter-3 chain A~B~C~D (adjacent-only pairs)") {
+    // sliding windows over one deterministic random string: adjacent
+    // windows overlap 160/180 chars (shingle jaccard ~0.78, above the
+    // 0.7 threshold), skip-2 windows ~0.64 (below), so the near-dup
+    // graph is exactly the path 10-11-12-13 — min-label propagation
+    // needs the full 3-hop chain to collapse it to cluster 10.
+    val rnd = new scala.util.Random(7)
+    val s = Array.fill(500)(('a' + rnd.nextInt(26)).toChar).mkString
+    val chain = Seq(
+      (10L, s.substring(0, 180)),
+      (11L, s.substring(20, 200)),
+      (12L, s.substring(40, 220)),
+      (13L, s.substring(60, 240))
+    ).toDF("doc_id", "text")
+    val pairSet = Dedup.nearDuplicates(chain, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet == Set((10L, 11L), (11L, 12L), (12L, 13L)),
+      s"expected the adjacent-only path, got $pairSet")
+    val clusters = Dedup.nearDupClusters(chain, threshold = 0.7)
+    val byDoc = clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    clusters.unpersist()
+    assert(byDoc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
   test("portable minhash: native kernel matches the HOF reference formulation row-for-row") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("doc_id"), r.getAs[Int]("band"))

@@ -63,6 +63,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[String]("payload") == null)
   }
 
+  test("asOfJoin drops right rows whose time casts to null (no -infinity match)") {
+    // "xyz" casts to null long under non-ANSI semantics (ANSI mode
+    // throws instead — loud either way): pre-fix the null-cast row
+    // survived the pre-cast null filter, sorted first (nulls-first
+    // asc), and attached its payload to every left row of the key
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val left = Seq((1L, 3L, "ln")).toDF("k", "t", "tag")
+      val right = Seq((1L, "xyz", "bad"), (1L, "5", "late")).toDF("k", "t", "payload")
+      val out = graft.operators.Joins.asOfJoin(
+        left, right, "k", "k", "t", "t", Seq("payload")).collect()
+      assert(out.length == 1 && out.head.getAs[String]("payload") == null,
+        s"no castable right time <= 3 exists, got ${out.head}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
+
   test("asOfJoin plan is a single shuffle (one window, no join node)") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, "p")).toDF("k", "t", "payload")

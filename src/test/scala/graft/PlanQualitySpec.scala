@@ -78,6 +78,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("doc_id"), s"aggregate key must not include doc_id (full-token-stream shuffle):\n$p")
   }
 
+  test("ANN ranking is a bounded aggregate, not a per-query window sort") {
+    val df = graft.similarity.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sfDir), nQueries = 4, k = 3)
+    val p = plan(df)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), s"ANN rank must not shuffle all candidates into nQueries partitions:\n$p")
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
       .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))
