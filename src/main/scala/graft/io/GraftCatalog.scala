@@ -2,9 +2,9 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -94,19 +94,30 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     // files don't carry yet (parquet null-fills missing columns).
     // Tables written only through the path API carry no schema.json
     // and keep schema-on-read semantics.
+    // NOTE (documented simplification vs Iceberg): the CURRENT declared
+    // schema and rename map apply to every snapshot, so `VERSION AS OF`
+    // after an ALTER projects the post-ALTER schema rather than the
+    // snapshot-time one (Iceberg versions schemas per snapshot).
     val declared =
       catalog.tableSchemaJson(name).map(DataType.fromJson(_).asInstanceOf[StructType])
+    // the delegate reads by PHYSICAL (on-disk) names; logical names are
+    // restored at the Table/Scan boundary (GraftTable) — renames stay
+    // metadata-only while every data file keeps its at-birth column name
+    val renames = catalog.renames(name)
+    val physicalSchema = declared.map { s =>
+      StructType(s.fields.map(f => renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    }
     val delegate = ParquetTable(
       s"$catalogName.$name@v$version",
       SparkSession.active,
       options,
       files,
-      userSpecifiedSchema = declared,
+      userSpecifiedSchema = physicalSchema,
       fallbackFileFormat = classOf[ParquetFileFormat]
     )
     val pcols = catalog.tablePartitionCols(name)
       .getOrElse(partitionColsFromPaths(name, files))
-    new GraftTable(name, catalog, delegate, pcols)
+    new GraftTable(name, catalog, delegate, pcols, declared, renames)
   }
 
   /** Hive-style partition columns inferred from a manifest's file
@@ -175,10 +186,19 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     * files simply null-fill the new column on read (parquet
     * schema-on-read), so no data is rewritten. DROP COLUMN narrows the
     * declared schema; the bytes stay in old files but no longer
-    * project. RENAME COLUMN is rejected: parquet resolves columns by
-    * NAME here, so a rename would silently null out every existing
-    * value — Iceberg only supports it via field-ID indirection we
-    * deliberately don't replicate.
+    * project, and the dropped PHYSICAL name is recorded so a later ADD
+    * COLUMN cannot resurrect the stale bytes under the same name.
+    * RENAME COLUMN is metadata-only: the column keeps its at-birth
+    * physical name in every data file (parquet resolves by name — we
+    * deliberately don't replicate Iceberg's field-ID indirection);
+    * readers alias physical -> logical and writers logical -> physical,
+    * so old data appears under the new name and old snapshots stay
+    * readable. Partition columns can be neither dropped nor renamed.
+    *
+    * Documented simplification vs Iceberg: there is ONE declared
+    * schema + rename map for all snapshots — `VERSION AS OF` an old
+    * version after an ALTER projects the post-ALTER schema (see
+    * loadVersion).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val name = qualified(ident)
@@ -191,26 +211,56 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val pcols = catalog.tablePartitionCols(name)
       .getOrElse(partitionColsFromPaths(name,
         catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)))
-    val updated = changes.foldLeft(current) {
-      case (schema, add: TableChange.AddColumn) =>
+    var schema = current
+    var renames = catalog.renames(name)
+    var dropped = catalog.droppedCols(name).toSet
+    def physOf(logical: String): String = renames.getOrElse(logical, logical)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
         val field = StructField(add.fieldNames()(0), add.dataType(), add.isNullable)
         require(!schema.fieldNames.contains(field.name),
           s"column already exists: ${field.name}")
-        StructType(schema.fields :+ field)
-      case (schema, del: TableChange.DeleteColumn) =>
+        // a new column is born with physical name == its logical name;
+        // live data files may still carry bytes under that name (a
+        // previously dropped column, or the on-disk name of a renamed
+        // one) and parquet resolves by name — adding it would read the
+        // stale bytes instead of nulls
+        val livePhysical = schema.fieldNames.map(physOf).toSet
+        require(!dropped.contains(field.name) && !livePhysical.contains(field.name),
+          s"cannot add column '${field.name}': live data files still carry bytes under this " +
+            "name (previously dropped column or on-disk name of a renamed column); re-adding " +
+            "it would resurrect stale values — use a new name or rewrite the table first")
+        schema = StructType(schema.fields :+ field)
+      case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           s"nested DROP COLUMN not supported: ${del.fieldNames().mkString(".")}")
         val colName = del.fieldNames()(0)
         require(schema.fieldNames.contains(colName), s"no such column: $colName")
         require(!pcols.contains(colName), s"cannot drop partition column: $colName")
-        StructType(schema.fields.filterNot(_.name == colName))
-      case (_, other) =>
+        dropped += physOf(colName)
+        renames -= colName
+        schema = StructType(schema.fields.filterNot(_.name == colName))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          s"nested RENAME COLUMN not supported: ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from), s"no such column: $from")
+        require(!schema.fieldNames.contains(to), s"column already exists: $to")
+        require(!pcols.contains(from), s"cannot rename partition column: $from")
+        val phys = physOf(from)
+        renames -= from
+        if (to != phys) renames += (to -> phys) // renaming back to the birth name clears the entry
+        schema = StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      case other =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ADD/DROP COLUMN only, got: $other")
+          s"graft catalog supports ADD/DROP/RENAME COLUMN only, got: $other")
     }
-    catalog.writeTableMeta(name, updated.json, pcols)
+    catalog.writeTableMeta(name, schema.json, pcols)
+    catalog.writeRenames(name, renames)
+    catalog.writeDroppedCols(name, dropped.toSeq)
     loadTable(ident)
   }
 
@@ -262,7 +312,25 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val tables = listTables(namespace)
     if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
     tables.foreach(dropTable)
-    java.nio.file.Files.deleteIfExists(nsPath(namespace))
+    val p = nsPath(namespace)
+    if (cascade) {
+      // cascade also sweeps entries table drops don't cover (stray
+      // files, table dirs with no committed snapshot)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.delete)
+        finally s.close()
+      }
+    } else {
+      try java.nio.file.Files.deleteIfExists(p)
+      catch {
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          // leftovers that aren't tables (tableExists == false): a raw
+          // DirectoryNotEmptyException would be meaningless to a SQL user
+          throw new NonEmptyNamespaceException(namespace)
+      }
+    }
     true
   }
 }
@@ -271,16 +339,29 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
   * writes through TableIO's snapshot commit (V1Write fallback — the
   * data movement is a distributed parquet write; only the manifest
   * commit is driver-side).
+  *
+  * When the table has renamed columns, the delegate operates on
+  * PHYSICAL (on-disk) names and this wrapper translates at the
+  * Table/Scan boundary: `schema()` reports logical names, column
+  * pruning maps logical -> physical on the way down, and the built
+  * scan's `readSchema` maps physical -> logical on the way up (rows
+  * are positional at execution, so only planning needs names).
+  * Filter pushdown is deliberately not forwarded for renamed tables —
+  * filters still apply post-scan, correct but unpruned; `compact()`
+  * rewrites files under current names and restores pushdown.
   */
 private[io] class GraftTable(
     tableName: String,
     cat: TableCatalog,
     delegate: ParquetTable,
-    partitionCols: Seq[String]
-) extends Table with SupportsRead with SupportsWrite {
+    partitionCols: Seq[String],
+    declaredSchema: Option[StructType],
+    renames: Map[String, String]
+) extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+  override def schema(): StructType =
+    if (renames.nonEmpty) declaredSchema.getOrElse(delegate.schema) else delegate.schema
 
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray
@@ -290,7 +371,48 @@ private[io] class GraftTable(
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    if (renames.isEmpty) delegate.newScanBuilder(options)
+    else new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val db = delegate.newScanBuilder(options)
+      private val toLogicalName = renames.map(_.swap)
+      private def physical(s: StructType): StructType =
+        StructType(s.fields.map(f => renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+      private def logical(s: StructType): StructType =
+        StructType(s.fields.map(f => toLogicalName.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+      override def pruneColumns(requiredSchema: StructType): Unit = db match {
+        case p: SupportsPushDownRequiredColumns => p.pruneColumns(physical(requiredSchema))
+        case _ => ()
+      }
+      override def build(): Scan = {
+        val ds = db.build()
+        new Scan {
+          override def readSchema(): StructType = logical(ds.readSchema())
+          override def toBatch: Batch = ds.toBatch
+          override def description(): String = ds.description()
+        }
+      }
+    }
+
+  /** Copy-on-write `DELETE FROM`: read the current snapshot, keep the
+    * rows the predicate does NOT select (null-valued predicates keep
+    * the row, per SQL DELETE), and commit the remainder as a logical
+    * overwrite — new files + new manifest; prior snapshots still
+    * include the deleted rows via `VERSION AS OF`. This is the
+    * row-level DML slice the reference inherits from Iceberg's SQL
+    * extensions (reference: FactJob.scala:19); MERGE/UPDATE would
+    * follow the same read-rewrite-commit shape.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.toCondition(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val io = new TableIO(SparkSession.active, cat)
+    val cond = filters.flatMap(GraftTable.toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val remaining = io.read(tableName).filter(not(coalesce(cond, lit(false))))
+    io.overwrite(remaining, tableName, partitionCols)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -307,4 +429,39 @@ private[io] class GraftTable(
           }
       }
     }
+}
+
+private[io] object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** v1 `Filter` -> `Column` for copy-on-write DELETE. Conjunctions of
+    * comparisons/IN/null-tests/string-matches cover the DELETE
+    * predicates SQL can push through the v2 -> v1 bridge; anything
+    * untranslatable makes `canDeleteWhere` return false so Spark
+    * errors up front instead of deleting the wrong rows.
+    */
+  def toCondition(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(attr(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(attr(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(attr(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+    case LessThan(a, v)           => Some(attr(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(attr(a) <= lit(v))
+    case In(a, vs)                => Some(attr(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(attr(a).isNull)
+    case IsNotNull(a)             => Some(attr(a).isNotNull)
+    case And(l, r)                => for { lc <- toCondition(l); rc <- toCondition(r) } yield lc && rc
+    case Or(l, r)                 => for { lc <- toCondition(l); rc <- toCondition(r) } yield lc || rc
+    case Not(c)                   => toCondition(c).map(!_)
+    case StringStartsWith(a, v)   => Some(attr(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(attr(a).endsWith(v))
+    case StringContains(a, v)     => Some(attr(a).contains(v))
+    case _: AlwaysTrue            => Some(lit(true))
+    case _: AlwaysFalse           => Some(lit(false))
+    case _                        => None
+  }
+
+  private def attr(a: String): Column = col("`" + a.replace("`", "``") + "`")
 }

@@ -34,7 +34,11 @@ import scala.util.Using
   *
   * Concurrency: single-writer batch, as in the reference pipeline
   * (SURVEY.md §7 risk 1) — manifest commit is a tmp-file + atomic
-  * rename, so readers never observe a torn manifest.
+  * hard-link, so readers never observe a torn manifest AND a second
+  * writer racing to the same version number fails loudly with
+  * `ConcurrentCommitException` instead of silently winning last
+  * (optimistic concurrency on the version file, as in Iceberg's
+  * HadoopTableOperations).
   */
 final case class TableCatalog(warehouse: String) {
   def pathOf(name: String): String = {
@@ -80,7 +84,16 @@ final case class TableCatalog(warehouse: String) {
     }
   }
 
-  def commitSnapshot(name: String, files: Seq[String]): Int = {
+  def commitSnapshot(name: String, files: Seq[String]): Int =
+    commitSnapshotAt(name, files, currentVersion(name).getOrElse(0) + 1)
+
+  /** Commit at a WRITER-COMPUTED version — the optimistic-concurrency
+    * primitive: two writers that both read version N race to create
+    * `v(N+1).json`; exactly one wins, the other gets
+    * `ConcurrentCommitException` (package-visible so the conflict path
+    * is deterministically testable).
+    */
+  private[graft] def commitSnapshotAt(name: String, files: Seq[String], v: Int): Int = {
     val meta = metaPath(name)
     Files.createDirectories(meta)
     val base = tableRoot(name)
@@ -88,13 +101,30 @@ final case class TableCatalog(warehouse: String) {
       val p = Paths.get(f).toAbsolutePath.normalize
       if (p.startsWith(base)) base.relativize(p).toString else f
     }
-    val v = currentVersion(name).getOrElse(0) + 1
     val json = stored.map(f => "\"" + TableCatalog.escape(f) + "\"")
       .mkString("{\"files\": [", ", ", "]}")
     val tmp = meta.resolve(s".v$v.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, meta.resolve(s"v$v.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val target = meta.resolve(s"v$v.json")
+    // hard-link, not move: atomic AND exclusive — the target appears
+    // fully formed (it aliases the completed tmp file), and a second
+    // writer racing to the same version fails instead of clobbering
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"concurrent commit to $name: version $v already exists (another writer won)")
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links: best-effort check + atomic move
+        if (Files.exists(target)) {
+          Files.deleteIfExists(tmp)
+          throw new ConcurrentCommitException(
+            s"concurrent commit to $name: version $v already exists (another writer won)")
+        }
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(tmp)
     v
   }
 
@@ -122,6 +152,51 @@ final case class TableCatalog(warehouse: String) {
     val f = metaPath(name).resolve("pcols.json")
     if (Files.isRegularFile(f)) Some(TableCatalog.parseStringArray(Files.readString(f)))
     else None
+  }
+
+  /** Column renames as a logical-name -> physical-name map. The
+    * PHYSICAL name is the column's name at birth — the name every
+    * data file stores, fixed forever (parquet resolves columns by
+    * name and we deliberately don't replicate Iceberg's field-ID
+    * indirection). RENAME COLUMN only changes the logical name;
+    * readers alias physical -> logical, writers alias logical ->
+    * physical, so all data files stay uniform and a rename is pure
+    * metadata. Identity entries are never stored.
+    */
+  def renames(name: String): Map[String, String] = {
+    val f = metaPath(name).resolve("renames.json")
+    if (!Files.isRegularFile(f)) Map.empty
+    else TableCatalog.parseStringArray(Files.readString(f))
+      .grouped(2).collect { case Seq(l, p) => l -> p }.toMap
+  }
+
+  def writeRenames(name: String, pairs: Map[String, String]): Unit = {
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    val flat = pairs.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) }
+    Files.writeString(meta.resolve("renames.json"),
+      flat.map(s => "\"" + TableCatalog.escape(s) + "\"")
+        .mkString("{\"pairs\": [", ", ", "]}"))
+  }
+
+  /** Physical names of columns dropped by ALTER TABLE: their bytes are
+    * still present in live data files (DROP is metadata-only), so
+    * re-adding a column under such a name would resurrect stale
+    * values on read — `GraftCatalog.alterTable` consults this list to
+    * reject that.
+    */
+  def droppedCols(name: String): Seq[String] = {
+    val f = metaPath(name).resolve("dropped.json")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else TableCatalog.parseStringArray(Files.readString(f))
+  }
+
+  def writeDroppedCols(name: String, cols: Seq[String]): Unit = {
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("dropped.json"),
+      cols.distinct.sorted.map(c => "\"" + TableCatalog.escape(c) + "\"")
+        .mkString("{\"cols\": [", ", ", "]}"))
   }
 
   /** Drop manifests older than the newest `keepLast`; returns the
@@ -209,6 +284,12 @@ final case class TableCatalog(warehouse: String) {
   }
 }
 
+/** Two writers raced to the same snapshot version; exactly one won and
+  * the loser sees this. Retry = re-read the current version and
+  * re-commit (the caller decides whether its file list still applies).
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object TableCatalog {
   /** JSON string escape: backslash, quote, and all control chars. */
   private[io] def escape(s: String): String = s.flatMap {
@@ -287,11 +368,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def readVersion(name: String, version: Int): DataFrame = {
     val files = catalog.manifest(name, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else
-      spark.read
+    else {
+      val raw = spark.read
         .option("basePath", catalog.dataPath(name))
         .option("mergeSchema", "true")
         .parquet(files: _*)
+      // alias on-disk physical names back to their current logical
+      // names (ALTER TABLE RENAME COLUMN is metadata-only)
+      catalog.renames(name).foldLeft(raw) { case (df, (logical, physical)) =>
+        df.withColumnRenamed(physical, logical)
+      }
+    }
   }
 
   /** Create-if-absent, append data files, commit a new snapshot. */
@@ -316,7 +403,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
     val before = catalog.listDataFiles(name).toSet
-    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
+    toPhysical(df, name).write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
       .parquet(catalog.dataPath(name))
     val newFiles = catalog.listDataFiles(name).filterNot(before)
     val touched = newFiles.map(partitionKeyOf(name, _)).toSet
@@ -369,9 +456,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def registerView(name: String, viewName: String): Unit =
     read(name).createOrReplaceTempView(viewName)
 
+  /** Writers store the PHYSICAL (at-birth) column names so every data
+    * file stays uniform across renames; readers alias back.
+    */
+  private def toPhysical(df: DataFrame, name: String): DataFrame =
+    catalog.renames(name).foldLeft(df) { case (d, (logical, physical)) =>
+      d.withColumnRenamed(logical, physical)
+    }
+
   private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String]): Unit = {
     val before = catalog.listDataFiles(name).toSet
-    val w = df.write.mode(SaveMode.Append) // physical files accumulate; manifests decide visibility
+    val w = toPhysical(df, name).write.mode(SaveMode.Append) // physical files accumulate; manifests decide visibility
     val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     withParts.parquet(catalog.dataPath(name))
     val newFiles = catalog.listDataFiles(name).filterNot(before)

@@ -133,10 +133,11 @@ class SchemaCatalogSpec extends SparkSpec {
       assert(!spark.table("ga.default.fares").columns.contains("fare"))
       assert(spark.sql("SELECT count(*) c FROM ga.default.fares").head().getLong(0) == 3L)
 
-      // renames would silently null existing values (no field IDs) — rejected
-      intercept[Exception] {
-        spark.sql("ALTER TABLE ga.default.fares RENAME COLUMN tip TO gratuity")
-      }
+      // rename is metadata-only and preserves existing values (the
+      // dedicated RENAME COLUMN test covers the full surface)
+      spark.sql("ALTER TABLE ga.default.fares RENAME COLUMN tip TO gratuity")
+      assert(spark.sql("SELECT gratuity FROM ga.default.fares WHERE id = 3")
+        .head().getDouble(0) == 1.5)
       // dropping a partition column is rejected
       intercept[Exception] {
         spark.sql("ALTER TABLE ga.default.fares DROP COLUMN yr")
@@ -202,6 +203,121 @@ class SchemaCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gw.default.sales")
       spark.conf.unset("spark.sql.catalog.gw")
       spark.conf.unset("spark.sql.catalog.gw.warehouse")
+    }
+  }
+
+  test("DELETE FROM is copy-on-write: current read excludes, prior snapshots include") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_del_").toString
+    spark.conf.set("spark.sql.catalog.gd", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gd.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gd.default.t (k INT, s STRING)")
+      spark.sql("INSERT INTO gd.default.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("DELETE FROM gd.default.t WHERE k = 1")
+      assert(spark.sql("SELECT k FROM gd.default.t").as[Int].collect().toSet == Set(2, 3))
+      // the delete commit is a new snapshot; the pre-delete version still has the row
+      val io = TableIO(spark, wh)
+      val preDelete = io.versions("default.t").dropRight(1).last
+      assert(spark.sql(s"SELECT k FROM gd.default.t VERSION AS OF $preDelete")
+        .as[Int].collect().toSet == Set(1, 2, 3))
+      // compound predicate + IN-list
+      spark.sql("DELETE FROM gd.default.t WHERE k IN (2, 99) AND s = 'b'")
+      assert(spark.sql("SELECT k FROM gd.default.t").as[Int].collect().toSet == Set(3))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gd.default.t")
+      spark.conf.unset("spark.sql.catalog.gd")
+      spark.conf.unset("spark.sql.catalog.gd.warehouse")
+    }
+  }
+
+  test("ALTER TABLE RENAME COLUMN is metadata-only: old data under the new name, writes still land") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ren_").toString
+    spark.conf.set("spark.sql.catalog.gc", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gc.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gc.default.t (k INT, v STRING)")
+      spark.sql("INSERT INTO gc.default.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE gc.default.t RENAME COLUMN v TO label")
+      // old data appears under the new name (physical files untouched)
+      assert(spark.sql("SELECT label FROM gc.default.t WHERE k = 1").as[String].head() == "a")
+      assert(!spark.table("gc.default.t").columns.contains("v"))
+      // post-rename inserts write the PHYSICAL name so files stay uniform
+      spark.sql("INSERT INTO gc.default.t VALUES (3, 'c')")
+      assert(spark.sql("SELECT label FROM gc.default.t ORDER BY k").as[String].collect().toSeq
+        == Seq("a", "b", "c"))
+      // the programmatic read path aliases too
+      val io = TableIO(spark, wh)
+      assert(io.read("default.t").columns.toSeq.sorted == Seq("k", "label"))
+      // rename back to the birth name clears the mapping
+      spark.sql("ALTER TABLE gc.default.t RENAME COLUMN label TO v")
+      assert(io.catalog.renames("default.t").isEmpty)
+      assert(spark.sql("SELECT v FROM gc.default.t WHERE k = 3").as[String].head() == "c")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gc.default.t")
+      spark.conf.unset("spark.sql.catalog.gc")
+      spark.conf.unset("spark.sql.catalog.gc.warehouse")
+    }
+  }
+
+  test("ALTER TABLE rejects re-adding a dropped column name (stale-byte resurrection guard)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_readd_").toString
+    spark.conf.set("spark.sql.catalog.gx", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gx.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gx.default.t (k INT, x STRING)")
+      spark.sql("INSERT INTO gx.default.t VALUES (1, 'stale')")
+      spark.sql("ALTER TABLE gx.default.t DROP COLUMN x")
+      // re-adding x would read 'stale' from the live file instead of null
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE gx.default.t ADD COLUMN x STRING")
+      }
+      assert(e.getMessage.contains("resurrect"), e.getMessage)
+      // a fresh name is fine and null-fills
+      spark.sql("ALTER TABLE gx.default.t ADD COLUMN y STRING")
+      assert(spark.sql("SELECT y FROM gx.default.t").head().isNullAt(0))
+      // the on-disk name of a renamed column is equally protected
+      spark.sql("ALTER TABLE gx.default.t RENAME COLUMN y TO z")
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE gx.default.t ADD COLUMN y STRING")
+      }
+      assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gx.default.t")
+      spark.conf.unset("spark.sql.catalog.gx")
+      spark.conf.unset("spark.sql.catalog.gx.warehouse")
+    }
+  }
+
+  test("concurrent snapshot commits: one writer wins, the loser fails fast") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_race_").toString
+    val io = TableIO(spark, wh)
+    io.append(Seq((1, "a")).toDF("id", "s"), "default.r")
+    // both writers read version 1 and race to commit version 2
+    val v = io.catalog.currentVersion("default.r").get + 1
+    io.catalog.commitSnapshotAt("default.r", Seq.empty, v)
+    intercept[graft.io.ConcurrentCommitException] {
+      io.catalog.commitSnapshotAt("default.r", Seq.empty, v)
+    }
+    assert(io.versions("default.r") == Seq(1, 2))
+  }
+
+  test("DROP NAMESPACE: stray non-table files fail cleanly without cascade, sweep with it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_nsdrop_").toString
+    spark.conf.set("spark.sql.catalog.gs", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE gs.scratch")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(wh, "scratch", "stray.txt"), "not a table")
+      // surfaces as SCHEMA_NOT_EMPTY (NonEmptyNamespaceException), not
+      // a raw DirectoryNotEmptyException
+      val e = intercept[Exception] { spark.sql("DROP NAMESPACE gs.scratch") }
+      assert(e.getMessage.contains("SCHEMA_NOT_EMPTY"), e.getMessage)
+      spark.sql("DROP NAMESPACE gs.scratch CASCADE")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "scratch")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gs")
+      spark.conf.unset("spark.sql.catalog.gs.warehouse")
     }
   }
 }
