@@ -94,10 +94,14 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF recall@5 vs brute force meets a quantitative floor at default probes") {
+    // Deterministic (fixed bootstrap, bounded deterministic Lloyd
+    // sample, fixed data): measured 0.9625 at the nlist=16/nprobe=6
+    // defaults on this corpus; floor leaves margin for testdata
+    // regeneration, not for run-to-run noise.
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r = recallVsBruteForce(
-      Similarity.ivfTopK(e, nQueries = 16, k = 5, nlist = 16, nprobe = 4), 16, 5)
-    assert(r >= 0.55, s"IVF recall@5 = $r")
+      Similarity.ivfTopK(e, nQueries = 16, k = 5), 16, 5)
+    assert(r >= 0.75, s"IVF recall@5 = $r")
   }
 
   test("LSH recall@5 vs brute force meets a quantitative floor") {

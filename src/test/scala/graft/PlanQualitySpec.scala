@@ -86,6 +86,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"ANN rank must not shuffle all candidates into nQueries partitions:\n$p")
   }
 
+  test("as-of join (q38) plans windows over a union — no join node, one shuffle per window") {
+    val df = SparkEntry.queries("q38_asof_join")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"as-of must not produce a join node:\n$p")
+    // exactly two shuffles: the right-side dedup window on
+    // (custkey, orderdate) and the as-of window on the key — the union
+    // itself adds none (ShuffleQueryStage counts the AQE-final plan
+    // only; the raw Exchange string also appears in the echoed
+    // initial plan)
+    assert("ShuffleQueryStage".r.findAllIn(p).length == 2,
+      s"expected dedup + as-of shuffles only:\n$p")
+  }
+
+  test("stratified sample (q39) is a scalar scan predicate — no shuffle, no join, one scan") {
+    val df = SparkEntry.queries("q39_stratified_sample")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"sampling must read the corpus once:\n$p")
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
       .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))
