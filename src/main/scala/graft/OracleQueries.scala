@@ -231,6 +231,46 @@ object OracleQueries {
          |FROM documents doc LEFT JOIN r ON r.s = doc.doc_id
          |GROUP BY doc.doc_id""".stripMargin,
 
+    // benchmark decontamination: corpus docs (bucket >= 50) sharing no
+    // word 5-gram with the benchmark bucket (bucket < 50); tokenizer
+    // identical to q30's (parity proven there)
+    "q41_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE bucket < 50),
+        |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.bucket >= 50)
+        |SELECT doc_id, lang, source FROM t
+        |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    // repetition signals: same tokenizer as q30; trigram grams as in
+    // q41 but n=3; ratios are exact small-int divisions so they
+    // hash-match bit-for-bit
+    "q42_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS type_token_ratio,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+        |  ELSE 0.0 END AS dup_trigram_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks)
+        |  ELSE 0.0 END AS top_token_ratio
+        |FROM t""".stripMargin,
+
     // portable simhash: per-bit sign of +/-1 weight sums over the same
     // md5-60-bit shingle hashes as q12, packed little-endian
     "q14_dedup_simhash" ->

@@ -149,6 +149,16 @@ object SparkEntry {
     // (min-label propagation); every doc gets a cluster_id
     "q40_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir), threshold = 0.7)),
+    // Benchmark decontamination: drop corpus docs sharing any word
+    // 5-gram with the (hash-bucket-defined) benchmark set
+    "q41_decontaminate" -> ((s, dir) =>
+      graft.text.Contamination.decontaminate(
+        Tables.documents(s, dir).select("doc_id", "text", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+    // Gopher-style repetition signals: type/token ratio, duplicate
+    // trigram ratio, top-single-token mass — one shuffle-free projection
+    "q42_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     // Per-document text analysis: tokens, quality, language-ID, fingerprint
     "q15_text_stats" -> ((s, dir) => {
       val t = col("text")

@@ -445,6 +445,40 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     overwrite(out, name, partitionCols)
   }
 
+  /** Copy-on-write row-level DELETE — the programmatic twin of SQL
+    * `DELETE FROM` through the DSv2 catalog: keep the rows the
+    * predicate does NOT select (a null-valued predicate keeps the row,
+    * per SQL) and commit the remainder as a logical overwrite. Deleted
+    * rows stay readable in prior snapshots.
+    */
+  def deleteWhere(name: String, condition: org.apache.spark.sql.Column,
+                  partitionCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    overwrite(read(name).filter(not(coalesce(condition, lit(false)))), name, partitionCols)
+  }
+
+  /** Copy-on-write row-level UPDATE: rows matching `condition` get the
+    * `assignments` expressions applied (each may reference the row's
+    * current columns); all other rows pass through unchanged. One
+    * read-rewrite-commit like `deleteWhere`; MERGE INTO composes the
+    * same way with a join in front.
+    */
+  def updateWhere(name: String, condition: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column],
+                  partitionCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val cur = read(name)
+    assignments.keys.foreach(k =>
+      require(cur.columns.contains(k), s"no such column in $name: $k"))
+    val cond = coalesce(condition, lit(false))
+    val updated = cur.select(cur.columns.toSeq.map { c =>
+      assignments.get(c)
+        .map(v => when(cond, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    overwrite(updated, name, partitionCols)
+  }
+
   def tableExists(name: String): Boolean = catalog.tableExists(name)
 
   def versions(name: String): Seq[Int] = catalog.versions(name)

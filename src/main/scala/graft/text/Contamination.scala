@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Sampling
+
+/** Benchmark decontamination: remove corpus documents that share any
+  * word n-gram with a held-out benchmark set — the standard guard
+  * against evaluation contamination in training-data pipelines (a
+  * training document containing a benchmark question's 5-gram leaks
+  * the answer).
+  *
+  * Scale shape: the benchmark side is distinct-deduped and BROADCAST —
+  * evaluation suites are megabytes against a 100 TB corpus, so the
+  * semi-join runs map-side and the corpus never shuffles; only the
+  * (small) contaminated-id set moves, and the final anti-join
+  * broadcasts it back. N-grams join as exact strings (not hashes) so
+  * a hash collision can never silently drop a clean document, and the
+  * whole decision is oracle-checkable cross-engine.
+  */
+object Contamination {
+
+  /** Distinct word `n`-grams of `textCol` as an array column; the
+    * `transform(array(toks), ts -> ...)[0]` wrapper is the let-binding
+    * that keeps the tokenizer from being inlined (and re-evaluated)
+    * into the gram lambda.
+    */
+  def wordGramsSql(textCol: String, n: Int): String =
+    s"""transform(array(${TextAnalysis.wordTokensSql(textCol)}), ts ->
+       |  CASE WHEN size(ts) >= $n
+       |  THEN array_distinct(transform(sequence(1, size(ts) - ${n - 1}),
+       |         i -> concat_ws(' ', slice(ts, i, $n))))
+       |  ELSE slice(ts, 1, 0) END)[0]""".stripMargin
+
+  /** The decontaminated corpus: every document outside the benchmark
+    * bucket range that shares NO word `n`-gram with any benchmark
+    * document. The benchmark set is defined deterministically by the
+    * portable id-hash bucket (`Sampling.portableBucket`), standing in
+    * for an external eval-suite table — swap `bench` for a real
+    * benchmark DataFrame in production use.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 5,
+      benchBuckets: Int = 50,
+      buckets: Int = 1000
+  ): DataFrame = {
+    val grams = expr(wordGramsSql(textCol, n))
+    val bucket = Sampling.portableBucket(idCol, buckets)
+    val bench = docs.filter(bucket < benchBuckets)
+      .select(explode(grams).as("gram")).distinct()
+    val corpus = docs.filter(bucket >= benchBuckets)
+    val dirty = corpus.select(col(idCol), explode(grams).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

@@ -132,4 +132,54 @@ object TextAnalysis {
       .orderBy(org.apache.spark.sql.functions.desc("total_freq"), col("token"))
       .limit(k)
   }
+
+  /** Lowercased word tokens as an array (empty tokens filtered), the
+    * shared tokenizer of topTokens / repetitionStats / Contamination —
+    * the DuckDB-parity form (`regexp_split_to_array` + filter).
+    */
+  def wordTokensSql(textCol: String): String =
+    s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Per-document repetition signals (the Gopher-style quality
+    * filters): type/token ratio, duplicate word-trigram ratio, and
+    * top-single-token mass. High duplicate-n-gram or top-token ratios
+    * mark boilerplate and degenerate generations for removal before
+    * training.
+    *
+    * Plan shape: ONE projection over the scan, no shuffle — all
+    * signals are array expressions over the token vector. The
+    * `transform(array(tokens), ts -> ...)[0]` wrapper is a
+    * let-binding: it stops the optimizer from inlining the tokenizer
+    * into each consuming lambda, where interpreted higher-order
+    * functions would re-split the text once per signal. Top-token
+    * counting is O(types x tokens) per document — quadratic in
+    * document length, acceptable because documents are
+    * length-bounded; corpus scale only multiplies rows.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        col(idCol),
+        expr(
+          s"""transform(array(${wordTokensSql(textCol)}), ts -> named_struct(
+             |  'n_tokens', CAST(size(ts) AS BIGINT),
+             |  'n_types', CAST(size(array_distinct(ts)) AS BIGINT),
+             |  'type_token_ratio',
+             |    CAST(size(array_distinct(ts)) AS DOUBLE) / greatest(size(ts), 1),
+             |  'dup_trigram_ratio', CASE WHEN size(ts) >= 3 THEN
+             |      1.0D - CAST(size(array_distinct(transform(sequence(1, size(ts) - 2),
+             |               i -> concat_ws(' ', slice(ts, i, 3))))) AS DOUBLE)
+             |           / (size(ts) - 2)
+             |    ELSE 0.0D END,
+             |  'top_token_ratio', CASE WHEN size(ts) > 0 THEN
+             |      CAST(array_max(transform(array_distinct(ts),
+             |             t -> size(filter(ts, x -> x = t)))) AS DOUBLE) / size(ts)
+             |    ELSE 0.0D END
+             |))[0]""".stripMargin).as("s"))
+      .select(col(idCol), col("s.n_tokens").as("n_tokens"), col("s.n_types").as("n_types"),
+        col("s.type_token_ratio").as("type_token_ratio"),
+        col("s.dup_trigram_ratio").as("dup_trigram_ratio"),
+        col("s.top_token_ratio").as("top_token_ratio"))
 }

@@ -195,6 +195,42 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
 
+  test("repetitionStats matches hand-computed signals") {
+    val docs = Seq(
+      (1L, "a a a b"),     // 4 toks, 2 types, trigrams {a a a, a a b} all distinct
+      (2L, "x x x x x"),   // 5 toks, 1 type, 3 trigrams all "x x x"
+      (3L, "one two")      // too short for trigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_types"),
+         x.getAs[Double]("type_token_ratio"), x.getAs[Double]("dup_trigram_ratio"),
+         x.getAs[Double]("top_token_ratio"))).toMap
+    assert(r(1L) == ((4L, 2L, 0.5, 0.0, 0.75)))
+    assert(r(2L) == ((5L, 1L, 0.2, 1.0 - 1.0 / 3, 1.0)))
+    assert(r(3L) == ((2L, 2L, 1.0, 0.0, 0.5)))
+  }
+
+  test("decontaminate drops exactly the corpus docs sharing a word 5-gram with the bench set") {
+    // bucket membership is hash-defined — discover a bench id and
+    // corpus ids empirically with the same portable bucket
+    val ids = spark.range(0, 200).toDF("doc_id")
+      .withColumn("b", graft.sampling.Sampling.portableBucket("doc_id", 1000))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("b")).toMap
+    val benchId = ids.collectFirst { case (id, b) if b < 50 => id }.get
+    val corpusIds = ids.collect { case (id, b) if b >= 50 => id }.toSeq.sorted.take(3)
+    val benchText = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (benchId, benchText),                                        // benchmark member
+      (corpusIds(0), "beta gamma delta epsilon zeta unrelated"),   // shares the 5-gram -> dirty
+      (corpusIds(1), "totally different words with no overlap"),   // clean
+      (corpusIds(2), "alpha beta gamma delta unrelated epsilon")   // only 4-gram overlap -> clean
+    ).toDF("doc_id", "text")
+    val out = graft.text.Contamination.decontaminate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(corpusIds(1), corpusIds(2)), s"got $out")
+  }
+
   test("token counts") {
     val df = one("  Hello, world! 42 ")
     val r = df.select(

@@ -142,6 +142,32 @@ class TableIOSpec extends SparkSpec {
   import spark.implicits._
   import graft.io.TableIO
 
+  test("deleteWhere/updateWhere are copy-on-write; prior snapshots keep the old rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+    val io = TableIO(spark, wh)
+    io.append(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "s", "v"), "default.t")
+
+    io.updateWhere("default.t", col("k") === 2, Map("v" -> (col("v") * 10), "s" -> lit("B")))
+    val afterUpdate = io.read("default.t").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(afterUpdate == Map(1 -> (("a", 10.0)), 2 -> (("B", 200.0)), 3 -> (("c", 30.0))))
+
+    io.deleteWhere("default.t", col("k") === 1)
+    assert(io.read("default.t").select("k").as[Int].collect().toSet == Set(2, 3))
+
+    // every mutation committed a snapshot; v1 still has the original rows
+    assert(io.versions("default.t") == Seq(1, 2, 3))
+    val v1 = io.readVersion("default.t", 1).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(v1 == Map(1 -> 10.0, 2 -> 20.0, 3 -> 30.0))
+
+    // unknown assignment column fails fast
+    intercept[IllegalArgumentException] {
+      io.updateWhere("default.t", lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
   test("append/overwrite/exists/list/drop roundtrip with partition pruning") {
     val wh = java.nio.file.Files.createTempDirectory("graft_test_wh_").toString
     val io = TableIO(spark, wh)
