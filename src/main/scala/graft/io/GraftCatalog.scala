@@ -2,10 +2,10 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog => V2TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
@@ -117,7 +117,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     )
     val pcols = catalog.tablePartitionCols(name)
       .getOrElse(partitionColsFromPaths(name, files))
-    new GraftTable(name, catalog, delegate, pcols, declared, renames)
+    // Unpartitioned tables additionally expose group-based (copy-on-
+    // write) row-level operations — SQL UPDATE / MERGE INTO. The
+    // rewrite's DSv2 replacement write doesn't lay out Hive-style
+    // partition directories, which would leave a partitioned table
+    // with mixed directory depths (breaking partition discovery), so
+    // partitioned tables keep DELETE-only DML (SupportsDelete V1
+    // path) plus the programmatic TableIO.updateWhere.
+    if (pcols.isEmpty) new GraftRowOpsTable(name, catalog, delegate, declared, renames)
+    else new GraftTable(name, catalog, delegate, pcols, declared, renames)
   }
 
   /** Hive-style partition columns inferred from a manifest's file
@@ -429,6 +437,146 @@ private[io] class GraftTable(
           }
       }
     }
+}
+
+/** Adds SQL UPDATE / MERGE INTO (and rewrite-based DELETE) via
+  * group-based copy-on-write row-level operations: the operation's
+  * scan reads the whole current snapshot (one "group" — no file-level
+  * scoping metadata), Spark's rewrite plan computes the full
+  * replacement row set, and the replacement write streams it through
+  * the delegate's distributed DSv2 parquet write into the table's
+  * data directory; the driver-side commit then snapshots exactly the
+  * new files as a logical overwrite. Old files are never touched, so
+  * prior versions time-travel like every other commit. This is the
+  * copy-on-write half of Iceberg's row-level DML (the merge-on-read
+  * delta path is deliberately out of scope).
+  */
+private[io] class GraftRowOpsTable(
+    tableName: String,
+    cat: TableCatalog,
+    delegate: ParquetTable,
+    declaredSchema: Option[StructType],
+    renames: Map[String, String]
+) extends GraftTable(tableName, cat, delegate, Seq.empty, declaredSchema, renames)
+  with SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String = s"graft copy-on-write ${info.command()}"
+        // The operation scan exposes NO pushdown surface on purpose.
+        // Spark's group-based rewrite pushes the command's condition
+        // into the scan and replaces exactly the groups the source
+        // returns — but a parquet scan prunes at ROW-GROUP granularity
+        // (footer stats), so a pushed condition could silently drop a
+        // matched file's other row groups from the replacement: data
+        // loss. With no pushdown the scan always reads the whole
+        // current snapshot, the rewrite's CASE projection applies the
+        // condition row-by-row, and the commit below replaces the
+        // full table — the one group there is. (File-scoped
+        // copy-on-write needs a file-granular scan + group reporting,
+        // Iceberg's _file metadata design — future work.)
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          val db = GraftRowOpsTable.this.newScanBuilder(options)
+          new ScanBuilder {
+            override def build(): Scan = {
+              val ds = db.build()
+              new Scan {
+                override def readSchema(): StructType = ds.readSchema()
+                override def toBatch: Batch = ds.toBatch
+                override def description(): String = ds.description()
+              }
+            }
+          }
+        }
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = {
+              // files carry PHYSICAL names under renames (rows are
+              // positional — only the writer's schema needs mapping)
+              val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
+                override def options(): CaseInsensitiveStringMap = winfo.options()
+                override def queryId(): String = winfo.queryId()
+                override def schema(): StructType = StructType(winfo.schema().fields.map(f =>
+                  renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+                // no delta (merge-on-read) support: no row-id or
+                // metadata columns ride along the replacement rows
+                override def rowIdSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+                override def metadataSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+              }
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(cat.dataPath(tableName)))
+              val writeTable = ParquetTable(
+                s"${delegate.name}#rewrite",
+                SparkSession.active,
+                winfo.options(),
+                Seq(cat.dataPath(tableName)),
+                userSpecifiedSchema = Some(physInfo.schema()),
+                fallbackFileFormat = classOf[ParquetFileFormat])
+              val before = cat.listDataFiles(tableName).toSet
+              val dBatch = writeTable.newWriteBuilder(physInfo).build().toBatch
+              new BatchWrite {
+                override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+                  // the rewrite plan prepends bookkeeping columns
+                  // (__row_operation) the parquet writer must not see
+                  new ProjectToDataColsFactory(
+                    dBatch.createBatchWriterFactory(p), physInfo.schema())
+                override def useCommitCoordinator(): Boolean = dBatch.useCommitCoordinator()
+                override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+                  dBatch.onDataWriterCommit(m)
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  dBatch.commit(messages)
+                  // the replacement rows ARE the new table: snapshot
+                  // only the files this write produced (logical
+                  // overwrite, prior versions untouched)
+                  val newFiles = cat.listDataFiles(tableName).filterNot(before)
+                  cat.commitSnapshot(tableName, newFiles)
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit =
+                  dBatch.abort(messages)
+              }
+            }
+          }
+        }
+      }
+    }
+}
+
+/** Projects each incoming row onto its TRAILING `schema.length` fields
+  * before handing it to the delegate writer: Spark's row-level rewrite
+  * plans prepend bookkeeping columns (`__row_operation`) to the
+  * replacement rows while the file writer's schema carries only the
+  * data columns. Rows already at the data width pass through untouched.
+  */
+private[io] class ProjectToDataColsFactory(
+    delegate: DataWriterFactory,
+    schema: StructType
+) extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val dw = delegate.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == schema.length) dw.write(row)
+        else {
+          if (proj == null) {
+            val offset = row.numFields - schema.length
+            proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+              schema, (offset until row.numFields).toIndexedSeq)
+          }
+          proj.project(row)
+          dw.write(proj)
+        }
+      override def commit(): WriterCommitMessage = dw.commit()
+      override def abort(): Unit = dw.abort()
+      override def close(): Unit = dw.close()
+    }
+  }
 }
 
 private[io] object GraftTable {

@@ -288,6 +288,43 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE and MERGE INTO are copy-on-write row-level operations") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rlo_").toString
+    spark.conf.set("spark.sql.catalog.gu", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gu.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gu.default.t (k INT, v DOUBLE, s STRING)")
+      spark.sql("INSERT INTO gu.default.t VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')")
+
+      spark.sql("UPDATE gu.default.t SET v = v * 10, s = 'X' WHERE k = 2")
+      val afterUpdate = spark.sql("SELECT k, v, s FROM gu.default.t").collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+      assert(afterUpdate ==
+        Map(1 -> ((10.0, "a")), 2 -> ((200.0, "X")), 3 -> ((30.0, "c"))))
+
+      Seq((2, 999.0, "m"), (4, 40.0, "d")).toDF("k", "v", "s")
+        .createOrReplaceTempView("merge_src")
+      spark.sql(
+        """MERGE INTO gu.default.t t USING merge_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = spark.sql("SELECT k, v FROM gu.default.t").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(afterMerge == Map(1 -> 10.0, 2 -> 999.0, 3 -> 30.0, 4 -> 40.0))
+
+      // both mutations committed snapshots; pre-UPDATE version intact
+      val io = TableIO(spark, wh)
+      assert(io.versions("default.t").size >= 4)
+      assert(spark.sql("SELECT v FROM gu.default.t VERSION AS OF 2 WHERE k = 2")
+        .head().getDouble(0) == 20.0)
+      spark.catalog.dropTempView("merge_src")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gu.default.t")
+      spark.conf.unset("spark.sql.catalog.gu")
+      spark.conf.unset("spark.sql.catalog.gu.warehouse")
+    }
+  }
+
   test("concurrent snapshot commits: one writer wins, the loser fails fast") {
     val wh = java.nio.file.Files.createTempDirectory("graft_race_").toString
     val io = TableIO(spark, wh)
