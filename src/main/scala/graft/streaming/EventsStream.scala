@@ -85,4 +85,20 @@ object EventsStream {
         out.result().iterator
       }(Encoders.product[SessionState], Encoders.product[SessionOut])
   }
+
+  /** Streaming exactly-once ingest dedup: drop events whose `idCol`
+    * was already seen, keeping dedup state only within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`) — the at-least-once
+    * source -> exactly-once corpus bridge. Unbounded `dropDuplicates`
+    * state grows forever on a 100 TB stream; bounding it by the
+    * watermark is the standard trade: a duplicate arriving later than
+    * `delay` after the original slips through, which ingestion
+    * tolerates because the batch layer's exact dedup (Dedup.exact)
+    * catches stragglers downstream.
+    */
+  def dedupedEvents(events: DataFrame, tsCol: String = "ts",
+                    idCol: String = "event_id", delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
 }

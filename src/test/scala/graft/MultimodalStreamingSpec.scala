@@ -79,6 +79,29 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate ids, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "event_id", "event_type")
+    val q = EventsStream.dedupedEvents(df).writeStream
+      .format("memory").queryName("dedup_test").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:00:00"), 1L, "click"),
+        (t("2024-01-01 10:01:00"), 1L, "click_dup"),   // same id inside watermark
+        (t("2024-01-01 10:02:00"), 2L, "view")
+      )
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:03:00"), 1L, "click_dup2")) // still duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("event_type"))
+      assert(ids.sorted.toSeq == Seq(1L -> "click", 2L -> "view"),
+        s"expected first occurrence per id, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table matches batch hourly counts") {
     // stream the parquet file through readStream (schema must be
     // explicit for file sources) and compare against the batch rollup
