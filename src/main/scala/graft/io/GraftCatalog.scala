@@ -272,32 +272,38 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  // ---- SupportsNamespaces: namespaces are directories directly under
-  // the warehouse root (single level, matching the ns.table layout).
+  // ---- SupportsNamespaces: namespaces are directory trees under the
+  // warehouse root (multi-level, Iceberg's a.b.c layout); a directory
+  // is a TABLE iff it carries _graft_meta, a namespace otherwise.
 
   private def nsPath(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get((catalog.warehouse +: namespace).mkString("/"))
 
-  override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && java.nio.file.Files.isDirectory(nsPath(namespace))
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p.resolve("_graft_meta"))
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val root = java.nio.file.Paths.get(catalog.warehouse)
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    namespace.nonEmpty && java.nio.file.Files.isDirectory(p) && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val root = nsPath(namespace)
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
     if (!java.nio.file.Files.isDirectory(root)) Array.empty
     else {
       val s = java.nio.file.Files.list(root)
       try s.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(p => Array(p.getFileName.toString))
+        .filter(p => java.nio.file.Files.isDirectory(p) && !isTableDir(p))
+        .map(p => namespace :+ p.getFileName.toString)
         .toArray
       finally s.close()
     }
   }
-
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty // single-level model
-    else throw new NoSuchNamespaceException(namespace)
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
     if (namespaceExists(namespace)) java.util.Collections.emptyMap()
@@ -306,8 +312,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
   override def createNamespace(
       namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    require(namespace.length == 1,
-      s"graft catalog supports single-level namespaces, got ${namespace.mkString(".")}")
+    require(namespace.nonEmpty, "namespace must have at least one level")
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
     java.nio.file.Files.createDirectories(nsPath(namespace))
   }

@@ -258,19 +258,19 @@ final case class TableCatalog(warehouse: String) {
       }.sorted
   }
 
+  /** All tables under the warehouse at ANY namespace depth (a table
+    * directory is one carrying `_graft_meta`), as dot-qualified names.
+    */
   def listTables(): Seq[String] = {
-    val root = Paths.get(warehouse)
+    val root = Paths.get(warehouse).toAbsolutePath.normalize
     if (!Files.isDirectory(root)) Seq.empty
     else
-      Using.resource(Files.list(root)) { nss =>
-        nss.iterator().asScala.filter(Files.isDirectory(_)).flatMap { ns =>
-          Using.resource(Files.list(ns)) { ts =>
-            ts.iterator().asScala
-              .filter(Files.isDirectory(_))
-              .map(t => s"${ns.getFileName}.${t.getFileName}")
-              .toSeq
-          }
-        }.toSeq
+      Using.resource(Files.walk(root)) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isDirectory(p) && Files.isDirectory(p.resolve("_graft_meta")))
+          .map(p => root.relativize(p.toAbsolutePath.normalize)
+            .iterator().asScala.map(_.toString).mkString("."))
+          .toSeq
       }.sorted
   }
 

@@ -338,6 +338,29 @@ class SchemaCatalogSpec extends SparkSpec {
     assert(io.versions("default.r") == Seq(1, 2))
   }
 
+  test("multi-level namespaces: create, CTAS, list, drop cascade") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mlns_").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE gm.teamx.raw")
+      spark.sql("CREATE TABLE gm.teamx.raw.t AS SELECT 1 AS k, 'a' AS s")
+      assert(spark.sql("SELECT k FROM gm.teamx.raw.t").as[Int].head() == 1)
+      val nss = spark.sql("SHOW NAMESPACES IN gm.teamx").collect().map(_.getString(0))
+      assert(nss.contains("teamx.raw"), nss.mkString(","))
+      val tbls = spark.sql("SHOW TABLES IN gm.teamx.raw").collect().map(_.getString(1))
+      assert(tbls.contains("t"), tbls.mkString(","))
+      // the nested table is a table, not a namespace
+      assert(!spark.sql("SHOW NAMESPACES IN gm.teamx.raw").collect()
+        .map(_.getString(0)).contains("teamx.raw.t"))
+      spark.sql("DROP NAMESPACE gm.teamx CASCADE")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "teamx")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm")
+      spark.conf.unset("spark.sql.catalog.gm.warehouse")
+    }
+  }
+
   test("DROP NAMESPACE: stray non-table files fail cleanly without cascade, sweep with it") {
     val wh = java.nio.file.Files.createTempDirectory("graft_nsdrop_").toString
     spark.conf.set("spark.sql.catalog.gs", classOf[graft.io.GraftCatalog].getName)
