@@ -103,7 +103,10 @@ final case class TableCatalog(warehouse: String) {
     }
     val json = stored.map(f => "\"" + TableCatalog.escape(f) + "\"")
       .mkString("{\"files\": [", ", ", "]}")
-    val tmp = meta.resolve(s".v$v.json.tmp")
+    // tmp name must be writer-unique: two racers sharing `.vN.json.tmp`
+    // could interleave write/link so the winner links the LOSER's
+    // content — the whole point of the exclusive link is defeated
+    val tmp = meta.resolve(s".v$v-${java.util.UUID.randomUUID()}.json.tmp")
     Files.writeString(tmp, json)
     val target = meta.resolve(s"v$v.json")
     // hard-link, not move: atomic AND exclusive — the target appears
