@@ -271,6 +271,38 @@ object OracleQueries {
         |  ELSE 0.0 END AS top_token_ratio
         |FROM t""".stripMargin,
 
+    // sharded sequence packing: per-shard running token total, integer
+    // div/mod into 2048-token sequences (same md5 bucket as q39/q41)
+    "q43_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    // overlapping char chunks: 200-char windows every 150, tail kept
+    "q44_chunking" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(1 + ceil(greatest(n - 200, 0) / 150.0) AS BIGINT)),
+        |      i -> {'cid': i, 'chunk': substr(text, CAST(i*150 + 1 AS BIGINT), 200)})) AS u
+        |  FROM t)
+        |SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id, u.chunk AS chunk,
+        |  CAST(length(u.chunk) AS BIGINT) AS chunk_len
+        |FROM e WHERE length(u.chunk) > 0""".stripMargin,
+
     // portable simhash: per-bit sign of +/-1 weight sums over the same
     // md5-60-bit shingle hashes as q12, packed little-endian
     "q14_dedup_simhash" ->

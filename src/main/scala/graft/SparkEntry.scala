@@ -159,6 +159,13 @@ object SparkEntry {
     // trigram ratio, top-single-token mass — one shuffle-free projection
     "q42_repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    // Sharded sequence packing: doc -> (shard, seq_id, seq_offset) for
+    // fixed 2048-token training sequences; parallel unit = shard
+    "q43_sequence_pack" -> ((s, dir) =>
+      graft.text.Packing.sequencePack(Tables.documents(s, dir))),
+    // Overlapping char-window chunking (RAG-style), 200 chars / 150 stride
+    "q44_chunking" -> ((s, dir) =>
+      graft.text.Packing.chunk(Tables.documents(s, dir))),
     // Per-document text analysis: tokens, quality, language-ID, fingerprint
     "q15_text_stats" -> ((s, dir) => {
       val t = col("text")

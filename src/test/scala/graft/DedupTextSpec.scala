@@ -231,6 +231,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Set(corpusIds(1), corpusIds(2)), s"got $out")
   }
 
+  test("sequencePack assigns contiguous per-shard offsets that wrap at seqLen") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "d e"),          // 2 tokens
+      (3L, "f g h i")       // 4 tokens
+    ).toDF("doc_id", "text")
+    // one shard so the running order is just doc_id; tiny seqLen to force a wrap
+    val out = graft.text.Packing.sequencePack(docs, seqLen = 4, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((2L, 0L, 3L))) // starts at token 3 of sequence 0
+    assert(out(3L) == ((4L, 1L, 1L))) // starts at token 5 -> sequence 1, offset 1
+  }
+
+  test("chunk produces overlapping windows covering the whole document") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = graft.text.Packing.chunk(docs, size = 200, stride = 150).collect()
+      .map(r => r.getAs[Long]("chunk_id") -> r.getAs[String]("chunk")).toMap
+    // ceil((520-200)/150) = 3 -> ids 0..3
+    assert(chunks.keySet == Set(0L, 1L, 2L, 3L))
+    assert(chunks(0L) == text.substring(0, 200))
+    assert(chunks(1L) == text.substring(150, 350))
+    assert(chunks(3L) == text.substring(450)) // 70-char tail kept
+    // consecutive windows overlap by size - stride = 50 chars
+    assert(chunks(0L).takeRight(50) == chunks(1L).take(50))
+  }
+
   test("token counts") {
     val df = one("  Hello, world! 42 ")
     val r = df.select(
