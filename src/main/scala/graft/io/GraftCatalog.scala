@@ -445,16 +445,18 @@ private[io] class GraftTable(
 }
 
 /** Adds SQL UPDATE / MERGE INTO (and rewrite-based DELETE) via
-  * group-based copy-on-write row-level operations: the operation's
-  * scan reads the whole current snapshot (one "group" — no file-level
-  * scoping metadata), Spark's rewrite plan computes the full
-  * replacement row set, and the replacement write streams it through
-  * the delegate's distributed DSv2 parquet write into the table's
-  * data directory; the driver-side commit then snapshots exactly the
-  * new files as a logical overwrite. Old files are never touched, so
-  * prior versions time-travel like every other commit. This is the
-  * copy-on-write half of Iceberg's row-level DML (the merge-on-read
-  * delta path is deliberately out of scope).
+  * group-based copy-on-write row-level operations, FILE-scoped: the
+  * command's predicate is evaluated against parquet footer statistics
+  * driver-side (graft.io.FileStats), files it provably cannot touch
+  * are excluded from the rewrite scan and carried into the new
+  * manifest verbatim, and only the remaining files' rows flow through
+  * Spark's rewrite plan into the replacement write (the delegate's
+  * distributed DSv2 parquet write); the driver-side commit snapshots
+  * carried-over + replacement files as a logical overwrite. Old files
+  * are never touched, so prior versions time-travel like every other
+  * commit. This is the copy-on-write half of Iceberg's row-level DML
+  * with footer stats standing in for manifest column stats (the
+  * merge-on-read delta path is deliberately out of scope).
   */
 private[io] class GraftRowOpsTable(
     tableName: String,
@@ -468,33 +470,70 @@ private[io] class GraftRowOpsTable(
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
+        // files proven untouchable by the command's predicate: they are
+        // excluded from the rewrite scan AND carried into the new
+        // manifest unchanged (file-scoped copy-on-write)
+        @volatile private var carriedOver: Seq[String] = Seq.empty
+
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String = s"graft copy-on-write ${info.command()}"
-        // The operation scan exposes NO pushdown surface on purpose.
-        // Spark's group-based rewrite pushes the command's condition
-        // into the scan and replaces exactly the groups the source
-        // returns — but a parquet scan prunes at ROW-GROUP granularity
-        // (footer stats), so a pushed condition could silently drop a
+        // Group granularity here is the FILE. Spark's group-based
+        // rewrite pushes the command's condition into this scan and
+        // replaces exactly the groups the source returns, so the scan
+        // must never return PARTIAL files — a raw parquet scan would
+        // (row-group pruning on footer stats could silently drop a
         // matched file's other row groups from the replacement: data
-        // loss. With no pushdown the scan always reads the whole
-        // current snapshot, the rewrite's CASE projection applies the
-        // condition row-by-row, and the commit below replaces the
-        // full table — the one group there is. (File-scoped
-        // copy-on-write needs a file-granular scan + group reporting,
-        // Iceberg's _file metadata design — future work.)
-        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-          val db = GraftRowOpsTable.this.newScanBuilder(options)
-          new ScanBuilder {
+        // loss). Instead the condition is consumed HERE, driver-side:
+        // parquet footer stats conservatively partition the snapshot's
+        // files into can't-match (carried over verbatim) and
+        // might-match (scanned WHOLLY — the delegate gets no filters,
+        // so files are all-or-nothing). An UPDATE of one key rewrites
+        // the files that key can live in, not the table.
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+            private val allFiles = cat.currentVersion(tableName)
+              .map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+            private var chosen: Seq[String] = allFiles
+            private val toLogicalName = renames.map(_.swap)
+
+            override def pushFilters(
+                filters: Array[org.apache.spark.sql.sources.Filter]
+            ): Array[org.apache.spark.sql.sources.Filter] = {
+              val (pruned, scanned) =
+                try {
+                  val conf = SparkSession.active.sessionState.newHadoopConf()
+                  allFiles.partition { f =>
+                    // footers carry physical names; filters logical
+                    val stats = FileStats.read(f, conf)
+                      .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
+                    !FileStats.mightMatch(stats, filters.toSeq)
+                  }
+                } catch { case _: Throwable => (Seq.empty, allFiles) } // unreadable: rewrite all
+              chosen = scanned
+              carriedOver = pruned
+              filters // rows are filtered by the rewrite's projection, not the scan
+            }
+            override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+              Array.empty
+
             override def build(): Scan = {
-              val ds = db.build()
+              val scanTable =
+                if (chosen == allFiles) delegate
+                else ParquetTable(s"${delegate.name}#scoped", SparkSession.active,
+                  delegate.options, chosen, delegate.userSpecifiedSchema,
+                  classOf[ParquetFileFormat])
+              val ds = scanTable.newScanBuilder(options).build()
               new Scan {
-                override def readSchema(): StructType = ds.readSchema()
+                override def readSchema(): StructType = {
+                  val s = ds.readSchema()
+                  StructType(s.fields.map(f =>
+                    toLogicalName.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+                }
                 override def toBatch: Batch = ds.toBatch
                 override def description(): String = ds.description()
               }
             }
           }
-        }
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite = {
@@ -534,11 +573,11 @@ private[io] class GraftRowOpsTable(
                   dBatch.onDataWriterCommit(m)
                 override def commit(messages: Array[WriterCommitMessage]): Unit = {
                   dBatch.commit(messages)
-                  // the replacement rows ARE the new table: snapshot
-                  // only the files this write produced (logical
-                  // overwrite, prior versions untouched)
+                  // new table = files the scan proved untouchable
+                  // (carried over verbatim) + this write's replacement
+                  // files; logical overwrite, prior versions untouched
                   val newFiles = cat.listDataFiles(tableName).filterNot(before)
-                  cat.commitSnapshot(tableName, newFiles)
+                  cat.commitSnapshot(tableName, carriedOver ++ newFiles)
                 }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   dBatch.abort(messages)

@@ -325,6 +325,46 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE is file-scoped: files the predicate cannot touch carry over verbatim") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_scoped_").toString
+    spark.conf.set("spark.sql.catalog.gf", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gf.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gf.default.t (k INT, s STRING)")
+      spark.sql("INSERT INTO gf.default.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")   // k in [1,3]
+      spark.sql("INSERT INTO gf.default.t VALUES (100, 'x'), (101, 'y')")         // k in [100,101]
+      val io = TableIO(spark, wh)
+      val preVersion = io.versions("default.t").last
+      val preManifest = io.catalog.manifest("default.t", preVersion).toSet
+      val lowFiles = preManifest.filter { f =>
+        // footer stats: the files whose k-range excludes 100
+        val st = graft.io.FileStats.read(f, spark.sessionState.newHadoopConf())
+        !graft.io.FileStats.mightMatch(st,
+          Seq(org.apache.spark.sql.sources.EqualTo("k", 100)))
+      }
+      assert(lowFiles.nonEmpty && lowFiles != preManifest,
+        s"fixture needs both prunable and matching files, got ${lowFiles.size}/${preManifest.size}")
+
+      spark.sql("UPDATE gf.default.t SET s = 'XX' WHERE k = 100")
+      val rows = spark.sql("SELECT k, s FROM gf.default.t").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(rows == Map(1 -> "a", 2 -> "b", 3 -> "c", 100 -> "XX", 101 -> "y"))
+
+      val postManifest = io.catalog.manifest("default.t",
+        io.versions("default.t").last).toSet
+      // every k<100 file carried over by PATH (not rewritten) ...
+      assert(lowFiles.subsetOf(postManifest),
+        s"prunable files must carry over: ${lowFiles -- postManifest}")
+      // ... and every file that might hold k=100 was replaced
+      assert((preManifest -- lowFiles).intersect(postManifest).isEmpty,
+        "matching files must be rewritten")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gf.default.t")
+      spark.conf.unset("spark.sql.catalog.gf")
+      spark.conf.unset("spark.sql.catalog.gf.warehouse")
+    }
+  }
+
   test("concurrent snapshot commits: one writer wins, the loser fails fast") {
     val wh = java.nio.file.Files.createTempDirectory("graft_race_").toString
     val io = TableIO(spark, wh)
