@@ -248,6 +248,12 @@ class SchemaCatalogSpec extends SparkSpec {
       // the programmatic read path aliases too
       val io = TableIO(spark, wh)
       assert(io.read("default.t").columns.toSeq.sorted == Seq("k", "label"))
+      // row-level UPDATE through the renamed column: the predicate and
+      // assignment use the LOGICAL name while footer stats and data
+      // files carry the physical one
+      spark.sql("UPDATE gc.default.t SET label = 'Z' WHERE label = 'b'")
+      assert(spark.sql("SELECT label FROM gc.default.t ORDER BY k").as[String].collect().toSeq
+        == Seq("a", "Z", "c"))
       // rename back to the birth name clears the mapping
       spark.sql("ALTER TABLE gc.default.t RENAME COLUMN label TO v")
       assert(io.catalog.renames("default.t").isEmpty)
