@@ -142,6 +142,66 @@ class TableIOSpec extends SparkSpec {
   import spark.implicits._
   import graft.io.TableIO
 
+  test("FileStats pruning is conservative: never prunes a file containing a matching row") {
+    import org.apache.spark.sql.sources._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_").toString
+    // three files with known contents, incl. nulls and strings
+    Seq((1, Some(10.0), "apple"), (5, None, "banana")).toDF("k", "v", "s")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((100, Some(50.5), "pear"), (200, Some(60.5), "plum")).toDF("k", "v", "s")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    Seq((Option.empty[Int], Option.empty[Double], Option.empty[String])).toDF("k", "v", "s")
+      .coalesce(1).write.parquet(s"$dir/f3")
+    val files = Seq("f1", "f2", "f3").map { d =>
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir, d))
+      try s.iterator().asScala.toSeq.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      finally s.close()
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Seq(
+      Seq((Some(1), Some(10.0), Some("apple")), (Some(5), None, Some("banana"))),
+      Seq((Some(100), Some(50.5), Some("pear")), (Some(200), Some(60.5), Some("plum"))),
+      Seq((Option.empty[Int], Option.empty[Double], Option.empty[String])))
+
+    def actuallyMatches(fileIdx: Int, p: ((Option[Int], Option[Double], Option[String])) => Boolean) =
+      rows(fileIdx).exists(p)
+
+    val cases: Seq[(Filter, ((Option[Int], Option[Double], Option[String])) => Boolean)] = Seq(
+      (EqualTo("k", 5), r => r._1.contains(5)),
+      (EqualTo("k", 6), r => r._1.contains(6)),
+      (EqualTo("k", 100), r => r._1.contains(100)),        // boundary: == min
+      (EqualTo("k", 200), r => r._1.contains(200)),        // boundary: == max
+      (EqualTo("s", "banana"), r => r._3.contains("banana")),
+      (GreaterThan("k", 200), r => r._1.exists(_ > 200)),
+      (GreaterThanOrEqual("k", 200), r => r._1.exists(_ >= 200)),
+      (LessThan("k", 1), r => r._1.exists(_ < 1)),
+      (LessThanOrEqual("k", 1), r => r._1.exists(_ <= 1)),
+      (In("k", Array(6, 7, 100)), r => r._1.exists(Set(6, 7, 100))),
+      (IsNull("v"), r => r._2.isEmpty),
+      (IsNotNull("k"), r => r._1.nonEmpty),
+      (And(GreaterThan("k", 4), LessThan("k", 99)), r => r._1.exists(x => x > 4 && x < 99)),
+      (Or(EqualTo("k", 1), EqualTo("k", 200)), r => r._1.exists(Set(1, 200))),
+      (GreaterThan("v", 55.0), r => r._2.exists(_ > 55.0))
+    )
+    files.zipWithIndex.foreach { case (f, i) =>
+      val stats = graft.io.FileStats.read(f, conf)
+      cases.foreach { case (filter, pred) =>
+        val might = graft.io.FileStats.mightMatch(stats, Seq(filter))
+        // conservative: a real match must never be pruned
+        assert(!(actuallyMatches(i, pred) && !might),
+          s"file $i pruned despite matching row for $filter")
+      }
+    }
+    // and the pruning is actually useful: clear non-matches get pruned
+    val s1 = graft.io.FileStats.read(files(0), conf)
+    assert(!graft.io.FileStats.mightMatch(s1, Seq(EqualTo("k", 100))))
+    assert(!graft.io.FileStats.mightMatch(s1, Seq(GreaterThan("k", 5))))
+    val s2 = graft.io.FileStats.read(files(1), conf)
+    assert(!graft.io.FileStats.mightMatch(s2, Seq(EqualTo("s", "banana"))))
+  }
+
   test("deleteWhere/updateWhere are copy-on-write; prior snapshots keep the old rows") {
     import org.apache.spark.sql.functions.{col, lit}
     val wh = java.nio.file.Files.createTempDirectory("graft_dml_").toString
