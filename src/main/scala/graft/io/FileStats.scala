@@ -28,6 +28,18 @@ object FileStats {
     */
   final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long)
 
+  /** Footer stats memoized per absolute path — data files are
+    * immutable once committed (overwrites write NEW files), so the
+    * cache never staleses within a JVM. At real scale this cache is
+    * the stand-in for stats persisted into the manifest at commit
+    * time; rewriting it as a commit-time sidecar changes only where
+    * `read` runs, not any decision made here.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStats]]()
+
+  def cached(file: String, conf: Configuration): Map[String, ColStats] =
+    cache.computeIfAbsent(file, f => read(f, conf))
+
   def read(file: String, conf: Configuration): Map[String, ColStats] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {

@@ -384,7 +384,8 @@ private[io] class GraftTable(
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (renames.isEmpty) delegate.newScanBuilder(options)
+    if (renames.isEmpty)
+      new StatsPruningScanBuilder(delegate, options)
     else new ScanBuilder with SupportsPushDownRequiredColumns {
       private val db = delegate.newScanBuilder(options)
       private val toLogicalName = renames.map(_.swap)
@@ -587,6 +588,122 @@ private[io] class GraftRowOpsTable(
         }
       }
     }
+}
+
+/** Read-path metadata file skipping (the SELECT-side use of
+  * graft.io.FileStats): query filters are checked against each data
+  * file's footer statistics at plan time and files that provably
+  * cannot match are dropped from the scan's file list BEFORE any task
+  * is scheduled — the manifest-stats skip Iceberg does, with memoized
+  * footers standing in for stats persisted at commit. Everything else
+  * (column pruning, parquet row-group pruning, residual filters)
+  * forwards to the real `FileScanBuilder`, so plans keep their
+  * `PushedFilters`/`ReadSchema` shape; stats pruning only shrinks the
+  * file index. Conservative by construction: only the filters
+  * `DataSourceStrategy.translateFilter` can express participate, and
+  * any file with unknown stats stays in.
+  */
+private[io] class StatsPruningScanBuilder(
+    delegate: ParquetTable,
+    options: CaseInsensitiveStringMap
+) extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var current: ScanBuilder = delegate.newScanBuilder(options)
+  private var prunedColumns: Option[StructType] = None
+
+  // Conservative catalyst -> v1 translation for stats evaluation only:
+  // shapes we don't recognize contribute NO constraint (the delegate
+  // still receives the full expressions for its own pushdown).
+  private def toV1(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.sources
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        Some(sources.EqualTo(a.name, convertToScala(v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        Some(sources.EqualTo(a.name, convertToScala(v, dt)))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        Some(sources.GreaterThan(a.name, convertToScala(v, dt)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        Some(sources.LessThan(a.name, convertToScala(v, dt)))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        Some(sources.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        Some(sources.LessThanOrEqual(a.name, convertToScala(v, dt)))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        Some(sources.LessThan(a.name, convertToScala(v, dt)))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        Some(sources.GreaterThan(a.name, convertToScala(v, dt)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        Some(sources.LessThanOrEqual(a.name, convertToScala(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        Some(sources.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(sources.In(a.name,
+          vs.map { case Literal(v, dt) => convertToScala(v, dt) }.toArray))
+      case InSet(a: AttributeReference, vs) =>
+        Some(sources.In(a.name, vs.map(convertToScala(_, a.dataType)).toArray))
+      case IsNull(a: AttributeReference) => Some(sources.IsNull(a.name))
+      case IsNotNull(a: AttributeReference) => Some(sources.IsNotNull(a.name))
+      case And(l, r) =>
+        (toV1(l), toV1(r)) match {
+          case (Some(lf), Some(rf)) => Some(sources.And(lf, rf))
+          case (one, other) => one.orElse(other) // a conjunct alone is still a valid constraint
+        }
+      case Or(l, r) =>
+        for { lf <- toV1(l); rf <- toV1(r) } yield sources.Or(lf, rf)
+      case _ => None
+    }
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+  ): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val v1 = filters.flatMap(toV1)
+    val keep =
+      if (v1.isEmpty) delegate.paths
+      else
+        try {
+          val conf = SparkSession.active.sessionState.newHadoopConf()
+          delegate.paths.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
+        } catch { case _: Throwable => delegate.paths }
+    if (keep.size < delegate.paths.size) {
+      current = ParquetTable(s"${delegate.name}#skipped", SparkSession.active,
+        delegate.options, keep, delegate.userSpecifiedSchema,
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+      prunedColumns.foreach(s => current match {
+        case p: SupportsPushDownRequiredColumns => p.pruneColumns(s)
+        case _ => ()
+      })
+    }
+    current match {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    current match {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedColumns = Some(requiredSchema)
+    current match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+  }
+
+  override def build(): Scan = current.build()
 }
 
 /** Projects each incoming row onto its TRAILING `schema.length` fields

@@ -331,6 +331,40 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SELECT skips files whose footer stats exclude the predicate") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_skip_").toString
+    spark.conf.set("spark.sql.catalog.gk", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gk.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gk.default.t (k INT, s STRING)")
+      spark.sql("INSERT INTO gk.default.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO gk.default.t VALUES (100, 'x'), (200, 'y')")
+      val io = TableIO(spark, wh)
+      val total = io.catalog.manifest("default.t", io.versions("default.t").last).size
+      assert(total >= 2)
+
+      def pathsIn(sql: String): Int = {
+        val df = spark.sql(sql)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+          .getOrElse(fail(s"no file index in plan:\n$p"))
+      }
+      // unfiltered: every manifest file is in the scan
+      assert(pathsIn("SELECT * FROM gk.default.t") == total)
+      // filtered: files whose k-range excludes 100 are skipped at plan time
+      val pruned = pathsIn("SELECT * FROM gk.default.t WHERE k = 100")
+      assert(pruned < total, s"expected stats skip, scanned $pruned/$total")
+      // and the results are right
+      assert(spark.sql("SELECT s FROM gk.default.t WHERE k = 100").as[String].head() == "x")
+      assert(spark.sql("SELECT count(*) c FROM gk.default.t").head().getLong(0) == 4L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gk.default.t")
+      spark.conf.unset("spark.sql.catalog.gk")
+      spark.conf.unset("spark.sql.catalog.gk.warehouse")
+    }
+  }
+
   test("UPDATE is file-scoped: files the predicate cannot touch carry over verbatim") {
     val wh = java.nio.file.Files.createTempDirectory("graft_scoped_").toString
     spark.conf.set("spark.sql.catalog.gf", classOf[graft.io.GraftCatalog].getName)
