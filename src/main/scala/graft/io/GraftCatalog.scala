@@ -407,25 +407,41 @@ private[io] class GraftTable(
       }
     }
 
-  /** Copy-on-write `DELETE FROM`: read the current snapshot, keep the
-    * rows the predicate does NOT select (null-valued predicates keep
-    * the row, per SQL DELETE), and commit the remainder as a logical
-    * overwrite — new files + new manifest; prior snapshots still
-    * include the deleted rows via `VERSION AS OF`. This is the
-    * row-level DML slice the reference inherits from Iceberg's SQL
-    * extensions (reference: FactJob.scala:19); MERGE/UPDATE would
-    * follow the same read-rewrite-commit shape.
+  /** Copy-on-write `DELETE FROM`, file-scoped like UPDATE/MERGE: the
+    * predicate runs against footer stats first, files it provably
+    * cannot touch carry into the new manifest verbatim, and only the
+    * candidate files are read, filtered (keep the rows the predicate
+    * does NOT select — null-valued predicates keep the row, per SQL),
+    * and rewritten. No candidate files = a no-op, no snapshot. Deleted
+    * rows stay readable via `VERSION AS OF`. This is the row-level DML
+    * the reference inherits from Iceberg's SQL extensions (reference:
+    * FactJob.scala:19); UPDATE/MERGE take the rewrite path in
+    * GraftRowOpsTable.
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftTable.toCondition(f).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val io = new TableIO(SparkSession.active, cat)
+    val spark = SparkSession.active
+    val io = new TableIO(spark, cat)
+    val all = cat.currentVersion(tableName).map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+    val toLogicalName = renames.map(_.swap)
+    val (kept, candidates) =
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        all.partition { f =>
+          val stats = FileStats.cached(f, conf)
+            .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
+          !FileStats.mightMatch(stats, filters.toSeq)
+        }
+      } catch { case _: Throwable => (Seq.empty, all) }
+    if (candidates.isEmpty) return // nothing can match: no new snapshot
     val cond = filters.flatMap(GraftTable.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val remaining = io.read(tableName).filter(not(coalesce(cond, lit(false))))
-    io.overwrite(remaining, tableName, partitionCols)
+    val remaining = io.readFiles(tableName, candidates)
+      .filter(not(coalesce(cond, lit(false))))
+    io.commitReplacement(remaining, tableName, kept, partitionCols)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

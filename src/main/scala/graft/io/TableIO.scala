@@ -384,6 +384,37 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     }
   }
 
+  /** Read an explicit subset of the current snapshot's files (same
+    * aliasing/merge behavior as `readVersion`) — the scoped-rewrite
+    * primitive: mutate only the files a predicate can touch.
+    */
+  private[graft] def readFiles(name: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else {
+      val raw = spark.read
+        .option("basePath", catalog.dataPath(name))
+        .option("mergeSchema", "true")
+        .parquet(files: _*)
+      catalog.renames(name).foldLeft(raw) { case (df, (logical, physical)) =>
+        df.withColumnRenamed(physical, logical)
+      }
+    }
+
+  /** Commit `df`'s rows as the replacement for everything EXCEPT
+    * `keepFiles`, which carry into the new manifest verbatim — the
+    * commit half of a file-scoped copy-on-write mutation.
+    */
+  private[graft] def commitReplacement(df: DataFrame, name: String,
+                                       keepFiles: Seq[String],
+                                       partitionCols: Seq[String]): Unit = {
+    val before = catalog.listDataFiles(name).toSet
+    val w = toPhysical(df, name).write.mode(SaveMode.Append)
+    val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    withParts.parquet(catalog.dataPath(name))
+    val newFiles = catalog.listDataFiles(name).filterNot(before)
+    catalog.commitSnapshot(name, keepFiles ++ newFiles)
+  }
+
   /** Create-if-absent, append data files, commit a new snapshot. */
   def append(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): Unit =
     write(df, name, append = true, partitionCols)

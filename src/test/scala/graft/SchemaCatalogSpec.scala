@@ -223,6 +223,19 @@ class SchemaCatalogSpec extends SparkSpec {
       // compound predicate + IN-list
       spark.sql("DELETE FROM gd.default.t WHERE k IN (2, 99) AND s = 'b'")
       assert(spark.sql("SELECT k FROM gd.default.t").as[Int].collect().toSet == Set(3))
+      // DELETE is file-scoped too: files whose stats exclude the key carry over
+      spark.sql("INSERT INTO gd.default.t VALUES (500, 'z'), (501, 'w')")
+      val preDel = io.catalog.manifest("default.t", io.versions("default.t").last).toSet
+      val conf = spark.sessionState.newHadoopConf()
+      val untouchable = preDel.filter { f =>
+        !graft.io.FileStats.mightMatch(graft.io.FileStats.read(f, conf),
+          Seq(org.apache.spark.sql.sources.EqualTo("k", 500)))
+      }
+      assert(untouchable.nonEmpty)
+      spark.sql("DELETE FROM gd.default.t WHERE k = 500")
+      val postDel = io.catalog.manifest("default.t", io.versions("default.t").last).toSet
+      assert(untouchable.subsetOf(postDel), "non-candidate files must carry over verbatim")
+      assert(spark.sql("SELECT k FROM gd.default.t").as[Int].collect().toSet == Set(3, 501))
     } finally {
       spark.sql("DROP TABLE IF EXISTS gd.default.t")
       spark.conf.unset("spark.sql.catalog.gd")
