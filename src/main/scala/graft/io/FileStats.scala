@@ -40,6 +40,12 @@ object FileStats {
   def cached(file: String, conf: Configuration): Map[String, ColStats] =
     cache.computeIfAbsent(file, f => read(f, conf))
 
+  /** Drop cache entries for files physically deleted by GC
+    * (`removeOrphanFiles`) so a long-lived driver doesn't accumulate
+    * stats for bytes that no longer exist.
+    */
+  def invalidate(files: Iterable[String]): Unit = files.foreach(cache.remove)
+
   def read(file: String, conf: Configuration): Map[String, ColStats] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {

@@ -227,6 +227,7 @@ final case class TableCatalog(warehouse: String) {
       // local-FS checksum sidecar (.<name>.crc) goes with its file
       Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
     }
+    FileStats.invalidate(orphans)
     // Reclaim partition directories the deletions emptied (deepest
     // first so nested col=value levels collapse) — leaving them behind
     // is listing noise that accumulates across overwrite+GC cycles.
