@@ -202,6 +202,20 @@ final case class TableCatalog(warehouse: String) {
         .mkString("{\"cols\": [", ", ", "]}"))
   }
 
+  /** Streaming-sink batch-id high-water mark (exactly-once guard for
+    * replayed micro-batches — see graft.streaming.TableSink).
+    */
+  def streamBatchMark(name: String): Option[Long] = {
+    val f = metaPath(name).resolve("stream_batch.txt")
+    if (Files.isRegularFile(f)) Files.readString(f).trim.toLongOption else None
+  }
+
+  def writeStreamBatchMark(name: String, batchId: Long): Unit = {
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("stream_batch.txt"), batchId.toString)
+  }
+
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. Data files are untouched — run
     * `removeOrphanFiles` afterwards to reclaim the bytes (Iceberg's

@@ -102,6 +102,35 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TableSink commits one snapshot per micro-batch and skips replayed batch ids") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.stream_t"
+    val b0 = Seq((1L, "a")).toDF("id", "s")
+    val b1 = Seq((2L, "b")).toDF("id", "s")
+    assert(graft.streaming.TableSink.commitStreamBatch(io, t, 0L, b0))
+    assert(graft.streaming.TableSink.commitStreamBatch(io, t, 1L, b1))
+    // at-least-once replay of batch 1: no duplicate snapshot, no duplicate rows
+    assert(!graft.streaming.TableSink.commitStreamBatch(io, t, 1L, b1))
+    assert(io.versions(t) == Seq(1, 2))
+    assert(io.read(t).count() == 2)
+
+    // end-to-end through a real stream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt_").toString
+    val q = graft.streaming.TableSink.appendStream(
+      input.toDF().toDF("id", "s"), io, "default.stream_e2e", ckpt)
+    try {
+      input.addData((10L, "x"), (11L, "y"))
+      q.processAllAvailable()
+      input.addData((12L, "z"))
+      q.processAllAvailable()
+      assert(io.read("default.stream_e2e").count() == 3)
+      assert(io.versions("default.stream_e2e").size == 2) // one snapshot per micro-batch
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table matches batch hourly counts") {
     // stream the parquet file through readStream (schema must be
     // explicit for file sources) and compare against the batch rollup
