@@ -41,7 +41,8 @@ import scala.jdk.CollectionConverters._
   * appending a snapshot and INSERT OVERWRITE committing a logical
   * replace (prior versions stay readable).
   */
-class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
+class GraftCatalog extends V2TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var catalog: TableCatalog = _
@@ -271,6 +272,25 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     catalog.writeDroppedCols(name, dropped.toSeq)
     loadTable(ident)
   }
+
+  // ---- ProcedureCatalog: Iceberg's CALL surface —
+  //   CALL <cat>.system.expire_snapshots('<ns.table>', <keep_last>)
+  //   CALL <cat>.system.remove_orphan_files('<ns.table>')
+  //   CALL <cat>.system.compact('<ns.table>')
+
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    (if (ok) GraftProcedures.load(catalog, ident.name()) else None)
+      .getOrElse(throw new RuntimeException(
+        s"procedure not found: ${(ident.namespace() :+ ident.name()).mkString(".")} " +
+          s"(available: system.{${GraftProcedures.list().mkString(", ")}})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.list().map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   // ---- SupportsNamespaces: namespaces are directory trees under the
   // warehouse root (multi-level, Iceberg's a.b.c layout); a directory

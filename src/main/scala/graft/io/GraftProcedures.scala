@@ -1,0 +1,92 @@
+package graft.io
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures for the graft catalog — Iceberg's
+  * `CALL catalog.system.<proc>(...)` surface over our manifest layer:
+  *
+  *   CALL graft.system.expire_snapshots('default.t', 2)
+  *   CALL graft.system.remove_orphan_files('default.t')
+  *   CALL graft.system.compact('default.t')
+  *
+  * Each runs the corresponding TableIO/TableCatalog maintenance
+  * primitive and returns its outcome as rows (expired versions,
+  * deleted paths, file counts) through a driver-local scan — these are
+  * metadata operations; only `compact` launches distributed work (the
+  * rewrite itself is a Spark job).
+  */
+private[io] object GraftProcedures {
+
+  def list(): Array[String] = Array("expire_snapshots", "remove_orphan_files", "compact")
+
+  def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
+    case "expire_snapshots" =>
+      Some(proc("expire_snapshots",
+        Seq("table" -> StringType, "keep_last" -> IntegerType),
+        new StructType().add("expired_version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val expired = cat.expireSnapshots(t, in.getInt(1))
+          expired.map(v => new GenericInternalRow(Array[Any](v)))
+        }))
+    case "remove_orphan_files" =>
+      Some(proc("remove_orphan_files",
+        Seq("table" -> StringType),
+        new StructType().add("deleted_file", StringType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          cat.removeOrphanFiles(t)
+            .map(f => new GenericInternalRow(Array[Any](UTF8String.fromString(f))))
+        }))
+    case "compact" =>
+      Some(proc("compact",
+        Seq("table" -> StringType),
+        new StructType().add("files_before", LongType, nullable = false)
+          .add("files_after", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val spark = SparkSession.active
+          val io = new TableIO(spark, cat)
+          val before = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          val pcols = cat.tablePartitionCols(t).getOrElse(Seq.empty)
+          io.compact(t, pcols)
+          val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case _ => None
+  }
+
+  private def proc(
+      procName: String,
+      params: Seq[(String, DataType)],
+      outSchema: StructType,
+      run: InternalRow => Seq[InternalRow]
+  ): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def parameters(): Array[ProcedureParameter] =
+        params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        // name must differ from the LocalScan method: `def rows() = rows`
+        // resolves to the method itself (an infinite tail-recursive loop)
+        val resultRows = run(input).toArray[InternalRow]
+        Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = resultRows
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+  }
+}

@@ -431,6 +431,39 @@ class SchemaCatalogSpec extends SparkSpec {
     assert(io.versions("default.r") == Seq(1, 2))
   }
 
+  test("CALL system procedures: expire_snapshots, remove_orphan_files, compact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_proc_").toString
+    spark.conf.set("spark.sql.catalog.gp", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gp.warehouse", wh)
+    try {
+      val io = TableIO(spark, wh)
+      io.append(Seq((1, "a")).toDF("k", "s"), "default.m")
+      io.overwrite(Seq((2, "b")).toDF("k", "s"), "default.m")
+      io.overwrite(Seq((3, "c")).toDF("k", "s"), "default.m")
+      assert(io.versions("default.m") == Seq(1, 2, 3))
+
+      val expired = spark.sql("CALL gp.system.expire_snapshots('default.m', 1)")
+        .collect().map(_.getInt(0)).toSeq
+      assert(expired == Seq(1, 2))
+      assert(io.versions("default.m") == Seq(3))
+
+      val deleted = spark.sql("CALL gp.system.remove_orphan_files('default.m')")
+        .collect().map(_.getString(0))
+      assert(deleted.nonEmpty, "files of expired snapshots must be reclaimed")
+      assert(io.read("default.m").collect().map(_.getInt(0)).toSeq == Seq(3))
+
+      // many small appends, then compact to one file
+      (10 to 15).foreach(i => io.append(Seq((i, "x")).toDF("k", "s"), "default.m"))
+      val res = spark.sql("CALL gp.system.compact('default.m')").head()
+      assert(res.getLong(0) > res.getLong(1), s"compact must shrink file count: $res")
+      assert(res.getLong(1) == 1L)
+      assert(io.read("default.m").count() == 7)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gp")
+      spark.conf.unset("spark.sql.catalog.gp.warehouse")
+    }
+  }
+
   test("multi-level namespaces: create, CTAS, list, drop cascade") {
     val wh = java.nio.file.Files.createTempDirectory("graft_mlns_").toString
     spark.conf.set("spark.sql.catalog.gm", classOf[graft.io.GraftCatalog].getName)
