@@ -72,9 +72,17 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val name = qualified(ident)
-    val v = catalog.currentVersion(name)
-      .getOrElse(throw new NoSuchTableException(ident))
-    loadVersion(ident, v)
+    catalog.currentVersion(name) match {
+      case Some(v) => loadVersion(ident, v)
+      case None =>
+        // Iceberg-style metadata tables: <ns>.<table>.snapshots etc.
+        // parse as namespace [ns, table] + name "snapshots"
+        val base = ident.namespace().mkString(".")
+        if (ident.namespace().nonEmpty && MetadataTables.Names.contains(ident.name()) &&
+            catalog.tableExists(base))
+          MetadataTables.load(catalog, base, ident.name())
+        else throw new NoSuchTableException(ident)
+    }
   }
 
   /** SQL `VERSION AS OF <n>` lands here. */

@@ -1,0 +1,76 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style metadata tables over the manifest layer:
+  *
+  *   SELECT * FROM <cat>.<ns>.<table>.snapshots   -- one row per version
+  *   SELECT * FROM <cat>.<ns>.<table>.files       -- current snapshot's data files
+  *   SELECT * FROM <cat>.<ns>.<table>.history     -- alias of snapshots (commit order)
+  *
+  * All state lives in the manifests + filesystem, so the rows are
+  * assembled driver-side and served through a LocalScan — metadata
+  * volume is O(versions + files), not data-sized. Timestamps are the
+  * manifest files' modification times (the commit instant).
+  */
+private[io] object MetadataTables {
+
+  val Names: Set[String] = Set("snapshots", "files", "history")
+
+  def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
+    case "snapshots" | "history" =>
+      val schema = new StructType()
+        .add("version", IntegerType, nullable = false)
+        .add("committed_at", TimestampType, nullable = false)
+        .add("n_files", IntegerType, nullable = false)
+        .add("total_bytes", LongType, nullable = false)
+      val rows = cat.versions(table).map { v =>
+        val files = cat.manifest(table, v)
+        val bytes = files.map(f => sizeOf(f)).sum
+        val mtimeMicros = Files.getLastModifiedTime(
+          cat.metaPath(table).resolve(s"v$v.json")).toMillis * 1000L
+        new GenericInternalRow(Array[Any](v, mtimeMicros, files.size, bytes)): InternalRow
+      }
+      local(s"$table.$meta", schema, rows)
+    case "files" =>
+      val schema = new StructType()
+        .add("file_path", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("size_bytes", LongType, nullable = false)
+      val rows = cat.currentVersion(table).toSeq
+        .flatMap(v => cat.manifest(table, v))
+        .map(f => new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(f), sizeOf(f))): InternalRow)
+      local(s"$table.files", schema, rows)
+    case other =>
+      throw new IllegalArgumentException(s"unknown metadata table: $other")
+  }
+
+  private def sizeOf(f: String): Long = {
+    val p = Paths.get(f)
+    if (Files.isRegularFile(p)) Files.size(p) else 0L
+  }
+
+  private def local(tableName: String, tableSchema: StructType, rowSeq: Seq[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = tableName
+      override def schema(): StructType = tableSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        Set(TableCapability.BATCH_READ).asJava
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = rowSeq.toArray
+            override def readSchema(): StructType = tableSchema
+          }
+        }
+    }
+}

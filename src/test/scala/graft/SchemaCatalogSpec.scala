@@ -431,6 +431,29 @@ class SchemaCatalogSpec extends SparkSpec {
     assert(io.versions("default.r") == Seq(1, 2))
   }
 
+  test("metadata tables: <table>.snapshots / .files / .history") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+    spark.conf.set("spark.sql.catalog.gmd", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmd.warehouse", wh)
+    try {
+      val io = TableIO(spark, wh)
+      io.append(Seq((1, "a")).toDF("k", "s"), "default.mt")
+      io.append(Seq((2, "b")).toDF("k", "s"), "default.mt")
+      val snaps = spark.sql("SELECT * FROM gmd.default.mt.snapshots ORDER BY version").collect()
+      assert(snaps.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(snaps.last.getInt(2) > snaps.head.getInt(2), "append grows the file count")
+      assert(snaps.forall(r => r.getLong(3) > 0L), "total_bytes populated")
+      assert(snaps.forall(r => r.getTimestamp(1) != null))
+      val files = spark.sql("SELECT file_path, size_bytes FROM gmd.default.mt.files").collect()
+      assert(files.length == snaps.last.getInt(2))
+      assert(files.forall(r => r.getString(0).endsWith(".parquet") && r.getLong(1) > 0))
+      assert(spark.sql("SELECT count(*) c FROM gmd.default.mt.history").head().getLong(0) == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmd")
+      spark.conf.unset("spark.sql.catalog.gmd.warehouse")
+    }
+  }
+
   test("CALL system procedures: expire_snapshots, remove_orphan_files, compact") {
     val wh = java.nio.file.Files.createTempDirectory("graft_proc_").toString
     spark.conf.set("spark.sql.catalog.gp", classOf[graft.io.GraftCatalog].getName)
