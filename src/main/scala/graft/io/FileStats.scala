@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveComparator
 import org.apache.spark.sql.sources._
 
 import scala.jdk.CollectionConverters._
@@ -83,8 +84,17 @@ object FileStats {
       Some(java.lang.Long.compare(a.longValue(), b.longValue()))
     case (a: java.lang.Number, b: java.lang.Number) =>
       Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case (a: Binary, b: String) => Some(a.toStringUsingUTF8.compareTo(b))
-    case (a: Binary, b: Binary) => Some(a.toStringUsingUTF8.compareTo(b.toStringUsingUTF8))
+    // parquet orders UTF8 binary min/max in UNSIGNED byte order; java
+    // String.compareTo is UTF-16 code-unit order and the two disagree
+    // for supplementary characters (anything above U+FFFF, e.g. emoji)
+    // — comparing in the wrong order can "prove" a non-match and
+    // silently drop a file, so compare literals as UTF-8 bytes in the
+    // same unsigned order the stats were computed in
+    case (a: Binary, b: String) =>
+      Some(PrimitiveComparator.UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+        .compare(a, Binary.fromString(b)))
+    case (a: Binary, b: Binary) =>
+      Some(PrimitiveComparator.UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR.compare(a, b))
     case _ => None
   }
 

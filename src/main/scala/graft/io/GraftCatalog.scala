@@ -166,7 +166,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         s"graft catalog supports identity partitioning only, got $t")
       t.references().head.fieldNames().mkString(".")
     }
-    catalog.writeTableMeta(name, schema.json, pcols)
+    catalog.writeMeta(name, catalog.TableMeta(
+      schemaJson = Some(schema.json), partitionCols = Some(pcols)))
     // the file index resolves basePath eagerly even for an empty table
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(catalog.dataPath(name)))
     catalog.commitSnapshot(name, Seq.empty)
@@ -275,9 +276,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"graft catalog supports ADD/DROP/RENAME COLUMN only, got: $other")
     }
-    catalog.writeTableMeta(name, schema.json, pcols)
-    catalog.writeRenames(name, renames)
-    catalog.writeDroppedCols(name, dropped.toSeq)
+    // one atomic metadata commit: schema + renames + dropped move
+    // together or not at all (no crash window between pieces)
+    catalog.writeMeta(name, catalog.TableMeta(
+      schemaJson = Some(schema.json), partitionCols = Some(pcols),
+      renames = renames, dropped = dropped.toSeq))
     loadTable(ident)
   }
 
@@ -463,7 +466,7 @@ private[io] class GraftTable(
             .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
           !FileStats.mightMatch(stats, filters.toSeq)
         }
-      } catch { case _: Throwable => (Seq.empty, all) }
+      } catch { case scala.util.control.NonFatal(_) => (Seq.empty, all) }
     if (candidates.isEmpty) return // nothing can match: no new snapshot
     val cond = filters.flatMap(GraftTable.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -553,7 +556,7 @@ private[io] class GraftRowOpsTable(
                       .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
                     !FileStats.mightMatch(stats, filters.toSeq)
                   }
-                } catch { case _: Throwable => (Seq.empty, allFiles) } // unreadable: rewrite all
+                } catch { case scala.util.control.NonFatal(_) => (Seq.empty, allFiles) } // unreadable: rewrite all
               chosen = scanned
               carriedOver = pruned
               filters // rows are filtered by the rewrite's projection, not the scan
@@ -715,7 +718,7 @@ private[io] class StatsPruningScanBuilder(
         try {
           val conf = SparkSession.active.sessionState.newHadoopConf()
           delegate.paths.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
-        } catch { case _: Throwable => delegate.paths }
+        } catch { case scala.util.control.NonFatal(_) => delegate.paths }
     if (keep.size < delegate.paths.size) {
       current = ParquetTable(s"${delegate.name}#skipped", SparkSession.active,
         delegate.options, keep, delegate.userSpecifiedSchema,

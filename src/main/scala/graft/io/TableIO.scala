@@ -79,13 +79,25 @@ final case class TableCatalog(warehouse: String) {
   def manifest(name: String, version: Int): Seq[String] = {
     val f = metaPath(name).resolve(s"v$version.json")
     val base = tableRoot(name)
-    TableCatalog.parseStringArray(Files.readString(f)).map { p =>
+    TableCatalog.parseStringArrayAt(Files.readString(f), "files").map { p =>
       if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
     }
   }
 
-  def commitSnapshot(name: String, files: Seq[String]): Int =
-    commitSnapshotAt(name, files, currentVersion(name).getOrElse(0) + 1)
+  def commitSnapshot(name: String, files: Seq[String],
+                     props: Map[String, String] = Map.empty): Int =
+    commitSnapshotAt(name, files, currentVersion(name).getOrElse(0) + 1, props)
+
+  /** Snapshot properties committed WITH the manifest (same atomic
+    * hard-link), e.g. the streaming sink's batch-id high-water mark —
+    * a state change that must be indivisible from the snapshot it
+    * describes rides inside the manifest, never in a second file.
+    */
+  def manifestProps(name: String, version: Int): Map[String, String] = {
+    val f = metaPath(name).resolve(s"v$version.json")
+    TableCatalog.parseStringArrayAt(Files.readString(f), "props")
+      .grouped(2).collect { case Seq(k, v) => k -> v }.toMap
+  }
 
   /** Commit at a WRITER-COMPUTED version — the optimistic-concurrency
     * primitive: two writers that both read version N race to create
@@ -93,7 +105,8 @@ final case class TableCatalog(warehouse: String) {
     * `ConcurrentCommitException` (package-visible so the conflict path
     * is deterministically testable).
     */
-  private[graft] def commitSnapshotAt(name: String, files: Seq[String], v: Int): Int = {
+  private[graft] def commitSnapshotAt(name: String, files: Seq[String], v: Int,
+                                      props: Map[String, String] = Map.empty): Int = {
     val meta = metaPath(name)
     Files.createDirectories(meta)
     val base = tableRoot(name)
@@ -101,8 +114,14 @@ final case class TableCatalog(warehouse: String) {
       val p = Paths.get(f).toAbsolutePath.normalize
       if (p.startsWith(base)) base.relativize(p).toString else f
     }
-    val json = stored.map(f => "\"" + TableCatalog.escape(f) + "\"")
-      .mkString("{\"files\": [", ", ", "]}")
+    val filesJson = stored.map(f => "\"" + TableCatalog.escape(f) + "\"")
+      .mkString("\"files\": [", ", ", "]")
+    val propsJson =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(k, v) }
+        .map(s => "\"" + TableCatalog.escape(s) + "\"")
+        .mkString(", \"props\": [", ", ", "]")
+    val json = s"{$filesJson$propsJson}"
     // tmp name must be writer-unique: two racers sharing `.vN.json.tmp`
     // could interleave write/link so the winner links the LOSER's
     // content — the whole point of the exclusive link is defeated
@@ -131,90 +150,95 @@ final case class TableCatalog(warehouse: String) {
     v
   }
 
-  /** Persist declared table metadata (schema JSON + partition columns)
-    * — needed for SQL-created tables whose first snapshot is empty
-    * (CTAS validates the write against the declared schema before any
-    * data file exists). Absent for tables created by path writes,
-    * where schema-on-read applies.
+  /** Declared table metadata — ONE document (`meta.json`), so a
+    * multi-piece change (ALTER TABLE touching schema + renames +
+    * dropped list together) commits or doesn't as a unit: three
+    * separate files would let a crash land between writes and leave,
+    * e.g., a renamed logical column with no physical mapping (reads
+    * as null, next write forks a second physical column — permanent).
+    * Fields:
+    *   - schema: declared schema JSON — present for SQL-created
+    *     tables (CTAS validates the write against it before any data
+    *     file exists); absent for path-written tables (schema-on-read)
+    *   - pcols: declared partition columns (absent = undeclared)
+    *   - renames: logical-name -> physical-name pairs. The PHYSICAL
+    *     name is the column's name at birth — the name every data
+    *     file stores, fixed forever (parquet resolves columns by name;
+    *     we deliberately don't replicate Iceberg's field-ID
+    *     indirection). RENAME COLUMN only changes the logical name;
+    *     readers alias physical -> logical, writers logical ->
+    *     physical. Identity entries are never stored.
+    *   - dropped: physical names dropped by ALTER TABLE — their bytes
+    *     are still present in live data files (DROP is metadata-only),
+    *     so re-adding a column under such a name would resurrect stale
+    *     values; `GraftCatalog.alterTable` consults this to reject it.
     */
-  def writeTableMeta(name: String, schemaJson: String, partitionCols: Seq[String]): Unit = {
-    val meta = metaPath(name)
-    Files.createDirectories(meta)
-    Files.writeString(meta.resolve("schema.json"), schemaJson)
-    Files.writeString(meta.resolve("pcols.json"),
-      partitionCols.map(c => "\"" + TableCatalog.escape(c) + "\"")
-        .mkString("{\"cols\": [", ", ", "]}"))
+  final case class TableMeta(schemaJson: Option[String] = None,
+                             partitionCols: Option[Seq[String]] = None,
+                             renames: Map[String, String] = Map.empty,
+                             dropped: Seq[String] = Seq.empty)
+
+  def readMeta(name: String): TableMeta = {
+    val f = metaPath(name).resolve("meta.json")
+    if (!Files.isRegularFile(f)) TableMeta()
+    else {
+      val json = Files.readString(f)
+      TableMeta(
+        schemaJson = TableCatalog.parseStringAt(json, "schema"),
+        partitionCols =
+          if (json.contains("\"pcols\"")) Some(TableCatalog.parseStringArrayAt(json, "pcols"))
+          else None,
+        renames = TableCatalog.parseStringArrayAt(json, "renames")
+          .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
+        dropped = TableCatalog.parseStringArrayAt(json, "dropped"))
+    }
   }
 
-  def tableSchemaJson(name: String): Option[String] = {
-    val f = metaPath(name).resolve("schema.json")
-    if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
-  }
-
-  def tablePartitionCols(name: String): Option[Seq[String]] = {
-    val f = metaPath(name).resolve("pcols.json")
-    if (Files.isRegularFile(f)) Some(TableCatalog.parseStringArray(Files.readString(f)))
-    else None
-  }
-
-  /** Column renames as a logical-name -> physical-name map. The
-    * PHYSICAL name is the column's name at birth — the name every
-    * data file stores, fixed forever (parquet resolves columns by
-    * name and we deliberately don't replicate Iceberg's field-ID
-    * indirection). RENAME COLUMN only changes the logical name;
-    * readers alias physical -> logical, writers alias logical ->
-    * physical, so all data files stay uniform and a rename is pure
-    * metadata. Identity entries are never stored.
+  /** Single-file atomic metadata commit: serialize the whole document
+    * to a writer-unique tmp file, then ATOMIC_MOVE over `meta.json` —
+    * readers see the old document or the new one, never a mix.
     */
-  def renames(name: String): Map[String, String] = {
-    val f = metaPath(name).resolve("renames.json")
-    if (!Files.isRegularFile(f)) Map.empty
-    else TableCatalog.parseStringArray(Files.readString(f))
-      .grouped(2).collect { case Seq(l, p) => l -> p }.toMap
+  def writeMeta(name: String, meta: TableMeta): Unit = {
+    val dir = metaPath(name)
+    Files.createDirectories(dir)
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + TableCatalog.escape(s) + "\"").mkString("[", ", ", "]")
+    val fields = Seq.newBuilder[String]
+    meta.schemaJson.foreach(s => fields += s""""schema": "${TableCatalog.escape(s)}"""")
+    meta.partitionCols.foreach(p => fields += s""""pcols": ${arr(p)}""")
+    fields += s""""renames": ${arr(meta.renames.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) })}"""
+    fields += s""""dropped": ${arr(meta.dropped.distinct.sorted)}"""
+    val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID()}.json.tmp")
+    Files.writeString(tmp, fields.result().mkString("{", ", ", "}"))
+    Files.move(tmp, dir.resolve("meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def writeRenames(name: String, pairs: Map[String, String]): Unit = {
-    val meta = metaPath(name)
-    Files.createDirectories(meta)
-    val flat = pairs.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) }
-    Files.writeString(meta.resolve("renames.json"),
-      flat.map(s => "\"" + TableCatalog.escape(s) + "\"")
-        .mkString("{\"pairs\": [", ", ", "]}"))
-  }
-
-  /** Physical names of columns dropped by ALTER TABLE: their bytes are
-    * still present in live data files (DROP is metadata-only), so
-    * re-adding a column under such a name would resurrect stale
-    * values on read — `GraftCatalog.alterTable` consults this list to
-    * reject that.
-    */
-  def droppedCols(name: String): Seq[String] = {
-    val f = metaPath(name).resolve("dropped.json")
-    if (!Files.isRegularFile(f)) Seq.empty
-    else TableCatalog.parseStringArray(Files.readString(f))
-  }
-
-  def writeDroppedCols(name: String, cols: Seq[String]): Unit = {
-    val meta = metaPath(name)
-    Files.createDirectories(meta)
-    Files.writeString(meta.resolve("dropped.json"),
-      cols.distinct.sorted.map(c => "\"" + TableCatalog.escape(c) + "\"")
-        .mkString("{\"cols\": [", ", ", "]}"))
-  }
+  def tableSchemaJson(name: String): Option[String] = readMeta(name).schemaJson
+  def tablePartitionCols(name: String): Option[Seq[String]] = readMeta(name).partitionCols
+  def renames(name: String): Map[String, String] = readMeta(name).renames
+  def droppedCols(name: String): Seq[String] = readMeta(name).dropped
 
   /** Streaming-sink batch-id high-water mark (exactly-once guard for
-    * replayed micro-batches — see graft.streaming.TableSink).
+    * replayed micro-batches — see graft.streaming.TableSink): the
+    * newest snapshot carrying a `streamBatchId` property. The mark is
+    * INSIDE the manifest commit, so "rows appended" and "batch marked
+    * done" are one atomic filesystem operation — there is no crash
+    * window in which one happened without the other. Non-stream
+    * commits interleave harmlessly (the scan walks past them to the
+    * newest stream commit). Replays only ever reach back one
+    * micro-batch, so expiring the stream's newest marked snapshot
+    * while its query is mid-replay is the one way to lose the guard —
+    * keep `expireSnapshots(keepLast)` above the commits-per-batch
+    * rate, which keepLast >= 1 guarantees for a stream that is the
+    * table's only writer.
     */
-  def streamBatchMark(name: String): Option[Long] = {
-    val f = metaPath(name).resolve("stream_batch.txt")
-    if (Files.isRegularFile(f)) Files.readString(f).trim.toLongOption else None
-  }
-
-  def writeStreamBatchMark(name: String, batchId: Long): Unit = {
-    val meta = metaPath(name)
-    Files.createDirectories(meta)
-    Files.writeString(meta.resolve("stream_batch.txt"), batchId.toString)
-  }
+  def streamBatchMark(name: String): Option[Long] =
+    versions(name).reverseIterator
+      .flatMap(v => manifestProps(name, v).get(TableCatalog.StreamBatchProp))
+      .flatMap(_.toLongOption)
+      .nextOption()
 
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. Data files are untouched — run
@@ -309,6 +333,9 @@ final case class TableCatalog(warehouse: String) {
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 object TableCatalog {
+  /** Manifest property carrying the streaming sink's micro-batch id. */
+  val StreamBatchProp = "streamBatchId"
+
   /** JSON string escape: backslash, quote, and all control chars. */
   private[io] def escape(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -317,15 +344,58 @@ object TableCatalog {
     case c => c.toString
   }
 
-  /** Decode every JSON string inside the manifest's [...] array —
-    * a real scanner, not split(','), so escaped paths round-trip.
+  /** Decode every JSON string inside the document's first [...] array —
+    * a real scanner, not split(','), so escaped paths round-trip. Stops
+    * at the array's own closing bracket (first unquoted `]`), so a
+    * document may carry further fields after the array.
     */
-  private[io] def parseStringArray(json: String): Seq[String] = {
+  private[io] def parseStringArray(json: String): Seq[String] =
+    parseStringArrayFrom(json, json.indexOf('['))
+
+  /** Decode the string array under a NAMED key (`"key": [...]`); empty
+    * when the key is absent. Safe on escaped content: a raw `"key"`
+    * byte sequence cannot appear inside an encoded string because
+    * quotes are always escaped there.
+    */
+  private[io] def parseStringArrayAt(json: String, key: String): Seq[String] = {
+    val at = json.indexOf("\"" + key + "\"")
+    if (at < 0) Seq.empty
+    else parseStringArrayFrom(json, json.indexOf('[', at))
+  }
+
+  /** Decode the single string value under a NAMED key
+    * (`"key": "..."`); None when the key is absent.
+    */
+  private[io] def parseStringAt(json: String, key: String): Option[String] = {
+    val at = json.indexOf("\"" + key + "\"")
+    if (at < 0) return None
+    var i = json.indexOf('"', at + key.length + 2)
+    if (i < 0) return None
+    val sb = new StringBuilder
+    i += 1
+    while (json.charAt(i) != '"') {
+      if (json.charAt(i) == '\\') {
+        i += 1
+        json.charAt(i) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar)
+            i += 4
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case c   => sb.append(c)
+        }
+      } else sb.append(json.charAt(i))
+      i += 1
+    }
+    Some(sb.toString)
+  }
+
+  private def parseStringArrayFrom(json: String, open: Int): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var i = json.indexOf('[') + 1
-    val end = json.lastIndexOf(']')
-    if (i == 0 || end < i) return Seq.empty
-    while (i < end) {
+    if (open < 0) return Seq.empty
+    var i = open + 1
+    while (i < json.length && json.charAt(i) != ']') {
       if (json.charAt(i) == '"') {
         val sb = new StringBuilder
         i += 1
@@ -430,9 +500,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     catalog.commitSnapshot(name, keepFiles ++ newFiles)
   }
 
-  /** Create-if-absent, append data files, commit a new snapshot. */
-  def append(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): Unit =
-    write(df, name, append = true, partitionCols)
+  /** Create-if-absent, append data files, commit a new snapshot.
+    * `props` ride inside the manifest commit (atomic with the file
+    * list) — see `TableCatalog.manifestProps`.
+    */
+  def append(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty,
+             props: Map[String, String] = Map.empty): Unit =
+    write(df, name, append = true, partitionCols, props)
 
   /** Logical full-table replace: new files, new manifest referencing
     * only them; prior snapshots stay readable.
@@ -547,7 +621,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       d.withColumnRenamed(logical, physical)
     }
 
-  private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String]): Unit = {
+  private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
+                    props: Map[String, String] = Map.empty): Unit = {
     val before = catalog.listDataFiles(name).toSet
     val w = toPhysical(df, name).write.mode(SaveMode.Append) // physical files accumulate; manifests decide visibility
     val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
@@ -556,7 +631,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val prev =
       if (append) catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
       else Seq.empty
-    catalog.commitSnapshot(name, prev ++ newFiles)
+    catalog.commitSnapshot(name, prev ++ newFiles, props)
   }
 }
 

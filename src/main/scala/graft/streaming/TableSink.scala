@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.io.TableIO
+import graft.io.{TableCatalog, TableIO}
 
 /** Streaming sink into the graft snapshot table layer with
   * exactly-once batch commits — the `writeStream.format("iceberg")`
@@ -12,26 +12,29 @@ import graft.io.TableIO
   * Structured Streaming's foreachBatch is at-least-once: after a
   * failure the engine replays the last uncommitted micro-batch, so a
   * sink that blindly appends duplicates it. The guard is the batch-id
-  * high-water mark persisted in the table's meta directory in the
-  * SAME place as the snapshots: a replayed batch id <= the mark is
-  * skipped, so each micro-batch commits exactly one snapshot. (The
-  * mark is per-table; one streaming query per table, consistent with
-  * the single-writer commit model.)
+  * high-water mark committed INSIDE the snapshot manifest (a
+  * `streamBatchId` property riding the same atomic hard-link as the
+  * file list), so "rows visible" and "batch marked done" cannot
+  * diverge: a crash before the manifest commit leaves only orphaned
+  * data files — invisible to readers, reclaimed by GC — and the
+  * replay re-commits; a crash after it leaves the mark in place and
+  * the replay is a no-op. (The mark is per-table; one streaming query
+  * per table, consistent with the single-writer commit model.)
   */
 object TableSink {
 
-  /** Commit one micro-batch: append + advance the high-water mark,
-    * skipping batch ids at or below it. Returns whether a snapshot was
-    * committed — factored out of the stream wiring so the replay
-    * guard is directly testable.
+  /** Commit one micro-batch: one snapshot carrying both the rows and
+    * the batch-id mark, skipping batch ids at or below the current
+    * mark. Returns whether a snapshot was committed — factored out of
+    * the stream wiring so the replay guard is directly testable.
     */
   def commitStreamBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
                         partitionCols: Seq[String] = Seq.empty): Boolean = {
     val mark = io.catalog.streamBatchMark(table)
     if (mark.exists(_ >= batchId)) false
     else {
-      io.append(batch, table, partitionCols)
-      io.catalog.writeStreamBatchMark(table, batchId)
+      io.append(batch, table, partitionCols,
+        props = Map(TableCatalog.StreamBatchProp -> batchId.toString))
       true
     }
   }

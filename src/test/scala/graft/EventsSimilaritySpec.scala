@@ -202,6 +202,35 @@ class TableIOSpec extends SparkSpec {
     assert(!graft.io.FileStats.mightMatch(s2, Seq(EqualTo("s", "banana"))))
   }
 
+  test("FileStats string pruning uses unsigned UTF-8 byte order (supplementary chars)") {
+    import org.apache.spark.sql.sources._
+    import scala.jdk.CollectionConverters._
+    // U+1F600 (emoji, a surrogate pair in UTF-16) vs U+E000: UTF-16
+    // code-unit order says emoji < U+E000 (0xD83D < 0xE000) while the
+    // unsigned UTF-8 byte order parquet computes stats in says the
+    // opposite — a String.compareTo-based evaluator "proves" no match
+    // and silently prunes the file
+    val emoji = new String(Character.toChars(0x1F600))
+    val fence = "\uE000"
+    assert(emoji.compareTo(fence) < 0) // the UTF-16 trap this guards against
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_utf8_").toString
+    Seq(Tuple1(emoji)).toDF("s").coalesce(1).write.parquet(s"$dir/f")
+    val f = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "f"))
+      try s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).next()
+      finally s.close()
+    }
+    val stats = graft.io.FileStats.read(f, spark.sessionState.newHadoopConf())
+    // the file's only row ('😀') satisfies s > U+E000 in byte order:
+    // pruning it would lose the row
+    assert(graft.io.FileStats.mightMatch(stats, Seq(GreaterThan("s", fence))))
+    assert(graft.io.FileStats.mightMatch(stats, Seq(GreaterThanOrEqual("s", fence))))
+    assert(graft.io.FileStats.mightMatch(stats, Seq(EqualTo("s", emoji))))
+    // and the correct order still prunes what provably cannot match
+    assert(!graft.io.FileStats.mightMatch(stats, Seq(LessThan("s", fence))))
+    assert(!graft.io.FileStats.mightMatch(stats, Seq(EqualTo("s", fence))))
+  }
+
   test("deleteWhere/updateWhere are copy-on-write; prior snapshots keep the old rows") {
     import org.apache.spark.sql.functions.{col, lit}
     val wh = java.nio.file.Files.createTempDirectory("graft_dml_").toString

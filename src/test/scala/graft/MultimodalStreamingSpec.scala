@@ -115,6 +115,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(io.versions(t) == Seq(1, 2))
     assert(io.read(t).count() == 2)
 
+    // the mark is INSIDE the manifest commit (atomic with the rows) —
+    // no second file whose write could be torn or lost in a crash
+    assert(io.catalog.manifestProps(t, 2).get("streamBatchId").contains("1"))
+    assert(io.catalog.streamBatchMark(t).contains(1L))
+    assert(!java.nio.file.Files.exists(
+      io.catalog.metaPath(t).resolve("stream_batch.txt")))
+    // a non-stream commit interleaving after the stream's last batch
+    // doesn't erase the mark: the scan walks back to the newest
+    // stream-marked snapshot, so the replay is still a no-op
+    io.append(Seq((99L, "z")).toDF("id", "s"), t)
+    assert(io.catalog.manifestProps(t, 3).isEmpty)
+    assert(io.catalog.streamBatchMark(t).contains(1L))
+    assert(!graft.streaming.TableSink.commitStreamBatch(io, t, 1L, b1))
+    assert(io.read(t).count() == 3)
+
     // end-to-end through a real stream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
