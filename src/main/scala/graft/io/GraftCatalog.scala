@@ -166,7 +166,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         s"graft catalog supports identity partitioning only, got $t")
       t.references().head.fieldNames().mkString(".")
     }
-    catalog.writeMeta(name, catalog.TableMeta(
+    val c0 = catalog
+    c0.writeMeta(name, c0.TableMeta(
       schemaJson = Some(schema.json), partitionCols = Some(pcols)))
     // the file index resolves basePath eagerly even for an empty table
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(catalog.dataPath(name)))
@@ -278,7 +279,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     }
     // one atomic metadata commit: schema + renames + dropped move
     // together or not at all (no crash window between pieces)
-    catalog.writeMeta(name, catalog.TableMeta(
+    val c1 = catalog
+    c1.writeMeta(name, c1.TableMeta(
       schemaJson = Some(schema.json), partitionCols = Some(pcols),
       renames = renames, dropped = dropped.toSeq))
     loadTable(ident)
