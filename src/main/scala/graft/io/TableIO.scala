@@ -180,18 +180,42 @@ final case class TableCatalog(warehouse: String) {
 
   def readMeta(name: String): TableMeta = {
     val f = metaPath(name).resolve("meta.json")
-    if (!Files.isRegularFile(f)) TableMeta()
+    if (!Files.isRegularFile(f)) readLegacyMeta(name)
     else {
       val json = Files.readString(f)
       TableMeta(
         schemaJson = TableCatalog.parseStringAt(json, "schema"),
         partitionCols =
-          if (json.contains("\"pcols\"")) Some(TableCatalog.parseStringArrayAt(json, "pcols"))
+          if (TableCatalog.hasKey(json, "pcols"))
+            Some(TableCatalog.parseStringArrayAt(json, "pcols"))
           else None,
         renames = TableCatalog.parseStringArrayAt(json, "renames")
           .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
         dropped = TableCatalog.parseStringArrayAt(json, "dropped"))
     }
+  }
+
+  /** Pre-meta.json tables stored each field in its own sidecar
+    * (schema.json raw, pcols.json/renames.json/dropped.json as
+    * `{"cols"|"pairs": [...]}`). Read them when meta.json is absent so
+    * an upgrade doesn't silently drop a table's declared schema,
+    * rename map, or dropped-column guard; the next writeMeta migrates
+    * the table to the single-file format.
+    */
+  private def readLegacyMeta(name: String): TableMeta = {
+    val meta = metaPath(name)
+    def sidecar(file: String): Option[String] = {
+      val f = meta.resolve(file)
+      if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
+    }
+    TableMeta(
+      schemaJson = sidecar("schema.json"),
+      partitionCols = sidecar("pcols.json").map(TableCatalog.parseStringArray),
+      renames = sidecar("renames.json").map(TableCatalog.parseStringArray)
+        .getOrElse(Seq.empty)
+        .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
+      dropped = sidecar("dropped.json").map(TableCatalog.parseStringArray)
+        .getOrElse(Seq.empty))
   }
 
   /** Single-file atomic metadata commit: serialize the whole document
@@ -227,28 +251,49 @@ final case class TableCatalog(warehouse: String) {
     * done" are one atomic filesystem operation — there is no crash
     * window in which one happened without the other. Non-stream
     * commits interleave harmlessly (the scan walks past them to the
-    * newest stream commit). Replays only ever reach back one
-    * micro-batch, so expiring the stream's newest marked snapshot
-    * while its query is mid-replay is the one way to lose the guard —
-    * keep `expireSnapshots(keepLast)` above the commits-per-batch
-    * rate, which keepLast >= 1 guarantees for a stream that is the
-    * table's only writer.
+    * newest stream commit), and `expireSnapshots` never drops the
+    * newest MARKED manifest, so maintenance interleaving can't erase
+    * the guard either — keepLast >= 1 genuinely suffices. A manifest
+    * expired between the version listing and its read is skipped, not
+    * an error (expiry may run concurrently with a stream's own
+    * commit). Tables last written by the pre-manifest-props layout
+    * fall back to their `stream_batch.txt` sidecar.
     */
   def streamBatchMark(name: String): Option[Long] =
     versions(name).reverseIterator
-      .flatMap(v => manifestProps(name, v).get(TableCatalog.StreamBatchProp))
+      .flatMap { v =>
+        try manifestProps(name, v).get(TableCatalog.StreamBatchProp)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
       .flatMap(_.toLongOption)
       .nextOption()
+      .orElse {
+        val legacy = metaPath(name).resolve("stream_batch.txt")
+        if (Files.isRegularFile(legacy)) Files.readString(legacy).trim.toLongOption
+        else None
+      }
 
   /** Drop manifests older than the newest `keepLast`; returns the
-    * expired version numbers. Data files are untouched — run
-    * `removeOrphanFiles` afterwards to reclaim the bytes (Iceberg's
-    * expire_snapshots + remove_orphan_files split).
+    * expired version numbers. The newest manifest carrying a
+    * `streamBatchId` mark is always retained even when older than the
+    * cutoff: it is the exactly-once replay guard for a streaming
+    * writer, and non-stream commits (appends, compaction, DML) landing
+    * after the stream's last batch would otherwise push it over the
+    * edge — a post-crash replayed micro-batch would then re-append its
+    * rows. Data files are untouched — run `removeOrphanFiles`
+    * afterwards to reclaim the bytes (Iceberg's expire_snapshots +
+    * remove_orphan_files split); the retained marked manifest pins its
+    * own files until the stream commits a newer batch.
     */
   def expireSnapshots(name: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val newestMarked = versions(name).reverseIterator.find { v =>
+      try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
+      catch { case _: java.nio.file.NoSuchFileException => false }
+    }
     val expired = versions(name).dropRight(keepLast)
-    expired.foreach(v => Files.delete(metaPath(name).resolve(s"v$v.json")))
+      .filterNot(newestMarked.contains)
+    expired.foreach(v => Files.deleteIfExists(metaPath(name).resolve(s"v$v.json")))
     expired
   }
 
@@ -352,13 +397,35 @@ object TableCatalog {
   private[io] def parseStringArray(json: String): Seq[String] =
     parseStringArrayFrom(json, json.indexOf('['))
 
+  /** Index of `"key"` used AS A KEY — the occurrence whose next
+    * non-space char is ':'. Array ELEMENTS are raw quoted strings too,
+    * but an element is always followed by ',' or ']', never ':', so a
+    * column literally named "dropped" stored as a value (e.g. inside
+    * the renames array) can't shadow the real "dropped" key. Quotes
+    * inside encoded strings are always escaped, so the closing quote
+    * we test after is a real delimiter. -1 when absent.
+    */
+  private def keyIndex(json: String, key: String): Int = {
+    val pat = "\"" + key + "\""
+    var at = json.indexOf(pat)
+    while (at >= 0) {
+      var j = at + pat.length
+      while (j < json.length && json.charAt(j).isWhitespace) j += 1
+      if (j < json.length && json.charAt(j) == ':') return at
+      at = json.indexOf(pat, at + 1)
+    }
+    -1
+  }
+
+  /** Whether the document carries `key` as a KEY (not a value). */
+  private[io] def hasKey(json: String, key: String): Boolean =
+    keyIndex(json, key) >= 0
+
   /** Decode the string array under a NAMED key (`"key": [...]`); empty
-    * when the key is absent. Safe on escaped content: a raw `"key"`
-    * byte sequence cannot appear inside an encoded string because
-    * quotes are always escaped there.
+    * when the key is absent.
     */
   private[io] def parseStringArrayAt(json: String, key: String): Seq[String] = {
-    val at = json.indexOf("\"" + key + "\"")
+    val at = keyIndex(json, key)
     if (at < 0) Seq.empty
     else parseStringArrayFrom(json, json.indexOf('[', at))
   }
@@ -367,7 +434,7 @@ object TableCatalog {
     * (`"key": "..."`); None when the key is absent.
     */
   private[io] def parseStringAt(json: String, key: String): Option[String] = {
-    val at = json.indexOf("\"" + key + "\"")
+    val at = keyIndex(json, key)
     if (at < 0) return None
     var i = json.indexOf('"', at + key.length + 2)
     if (i < 0) return None
