@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL maintenance procedures for the graft catalog — Iceberg's
@@ -29,14 +29,27 @@ private[io] object GraftProcedures {
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
-      Some(proc("expire_snapshots",
-        Seq("table" -> StringType, "keep_last" -> IntegerType),
-        new StructType().add("expired_version", IntegerType, nullable = false),
-        (in: InternalRow) => {
-          val t = in.getUTF8String(0).toString
-          val expired = cat.expireSnapshots(t, in.getInt(1))
-          expired.map(v => new GenericInternalRow(Array[Any](v)))
-        }))
+      // Optional third arg `release_stream_mark` (default false) is the
+      // decommissioned-stream escape hatch — see
+      // TableCatalog.expireSnapshots. Bound by call arity so the
+      // two-arg form keeps its signature.
+      Some(new UnboundProcedure {
+        override def name(): String = "expire_snapshots"
+        override def description(): String = "graft maintenance procedure expire_snapshots"
+        override def bind(inputType: StructType): BoundProcedure = {
+          val withRelease = inputType.size >= 3
+          val params = Seq("table" -> StringType, "keep_last" -> IntegerType) ++
+            (if (withRelease) Seq("release_stream_mark" -> BooleanType) else Nil)
+          bound("expire_snapshots", params,
+            new StructType().add("expired_version", IntegerType, nullable = false),
+            (in: InternalRow) => {
+              val t = in.getUTF8String(0).toString
+              val release = withRelease && !in.isNullAt(2) && in.getBoolean(2)
+              cat.expireSnapshots(t, in.getInt(1), release)
+                .map(v => new GenericInternalRow(Array[Any](v)))
+            })
+        }
+      })
     case "remove_orphan_files" =>
       Some(proc("remove_orphan_files",
         Seq("table" -> StringType),
@@ -72,21 +85,29 @@ private[io] object GraftProcedures {
   ): UnboundProcedure = new UnboundProcedure {
     override def name(): String = procName
     override def description(): String = s"graft maintenance procedure $procName"
-    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
-      override def name(): String = procName
-      override def description(): String = s"graft maintenance procedure $procName"
-      override def parameters(): Array[ProcedureParameter] =
-        params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
-      override def isDeterministic: Boolean = false
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        // name must differ from the LocalScan method: `def rows() = rows`
-        // resolves to the method itself (an infinite tail-recursive loop)
-        val resultRows = run(input).toArray[InternalRow]
-        Collections.singletonList[Scan](new LocalScan {
-          override def rows(): Array[InternalRow] = resultRows
-          override def readSchema(): StructType = outSchema
-        }).iterator()
-      }
+    override def bind(inputType: StructType): BoundProcedure =
+      bound(procName, params, outSchema, run)
+  }
+
+  private def bound(
+      procName: String,
+      params: Seq[(String, DataType)],
+      outSchema: StructType,
+      run: InternalRow => Seq[InternalRow]
+  ): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // name must differ from the LocalScan method: `def rows() = rows`
+      // resolves to the method itself (an infinite tail-recursive loop)
+      val resultRows = run(input).toArray[InternalRow]
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = outSchema
+      }).iterator()
     }
   }
 }

@@ -237,6 +237,15 @@ final case class TableCatalog(warehouse: String) {
     Files.move(tmp, dir.resolve("meta.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The commit migrated any legacy sidecars into meta.json; remove
+    // them so a later loss of meta.json can't silently resurrect stale
+    // metadata through readLegacyMeta. (stream_batch.txt stays: it is
+    // the stream-mark fallback, not a meta field — readLegacyMeta never
+    // reads it, and deleting it here would erase the replay guard of a
+    // legacy streaming table that gets an ALTER before its stream's
+    // next commit.)
+    Seq("schema.json", "pcols.json", "renames.json", "dropped.json")
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
   def tableSchemaJson(name: String): Option[String] = readMeta(name).schemaJson
@@ -284,15 +293,26 @@ final case class TableCatalog(warehouse: String) {
     * afterwards to reclaim the bytes (Iceberg's expire_snapshots +
     * remove_orphan_files split); the retained marked manifest pins its
     * own files until the stream commits a newer batch.
+    *
+    * `releaseStreamMark = true` is the decommissioned-stream escape
+    * hatch: without it the newest marked manifest (and, via
+    * `removeOrphanFiles` liveness, its data files) is pinned forever
+    * once a stream stops writing. Releasing FORFEITS the replay guard —
+    * a later restart of that stream from an old checkpoint would
+    * re-append its last batch — so only pass it for streams that are
+    * genuinely retired.
     */
-  def expireSnapshots(name: String, keepLast: Int): Seq[Int] = {
+  def expireSnapshots(name: String, keepLast: Int,
+                      releaseStreamMark: Boolean = false): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val newestMarked = versions(name).reverseIterator.find { v =>
-      try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
-      catch { case _: java.nio.file.NoSuchFileException => false }
-    }
-    val expired = versions(name).dropRight(keepLast)
-      .filterNot(newestMarked.contains)
+    val vs = versions(name) // one listing: newestMarked + expired derive from the same snapshot of the directory
+    val newestMarked =
+      if (releaseStreamMark) None
+      else vs.reverseIterator.find { v =>
+        try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+    val expired = vs.dropRight(keepLast).filterNot(newestMarked.contains)
     expired.foreach(v => Files.deleteIfExists(metaPath(name).resolve(s"v$v.json")))
     expired
   }
@@ -520,37 +540,53 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * drifted (added-column) schema must not silently drop the new
     * column on read-back.
     */
-  def readVersion(name: String, version: Int): DataFrame = {
-    val files = catalog.manifest(name, version)
-    if (files.isEmpty) spark.emptyDataFrame
-    else {
-      val raw = spark.read
-        .option("basePath", catalog.dataPath(name))
-        .option("mergeSchema", "true")
-        .parquet(files: _*)
-      // alias on-disk physical names back to their current logical
-      // names (ALTER TABLE RENAME COLUMN is metadata-only)
-      catalog.renames(name).foldLeft(raw) { case (df, (logical, physical)) =>
-        df.withColumnRenamed(physical, logical)
-      }
-    }
-  }
+  def readVersion(name: String, version: Int): DataFrame =
+    readFiles(name, catalog.manifest(name, version))
 
   /** Read an explicit subset of the current snapshot's files (same
     * aliasing/merge behavior as `readVersion`) — the scoped-rewrite
     * primitive: mutate only the files a predicate can touch.
+    *
+    * Tables WITH a declared schema (CTAS / ALTER TABLE) read under that
+    * schema instead of a footer merge. Beyond letting ADD COLUMN
+    * surface before any file carries the column, this reconciles TYPE
+    * DRIFT that `mergeSchema` rejects outright: parquet footers that
+    * disagree int-vs-long or float-vs-double (the drifted-monthly-file
+    * scenario, SURVEY.md §7 risk 5) fail `StructType.merge`, while the
+    * Spark 4 parquet reader widens narrower physical types up to the
+    * declared type per file. Schema-on-read tables (no declared meta)
+    * keep mergeSchema semantics.
     */
-  private[graft] def readFiles(name: String, files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.emptyDataFrame
+  private[graft] def readFiles(name: String, files: Seq[String]): DataFrame = {
+    val meta = catalog.readMeta(name)
+    if (files.isEmpty)
+      meta.schemaJson
+        .map(js => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(spark.emptyDataFrame)
     else {
-      val raw = spark.read
-        .option("basePath", catalog.dataPath(name))
-        .option("mergeSchema", "true")
-        .parquet(files: _*)
-      catalog.renames(name).foldLeft(raw) { case (df, (logical, physical)) =>
+      val reader = spark.read.option("basePath", catalog.dataPath(name))
+      val raw = meta.schemaJson match {
+        case Some(js) =>
+          // declared schema is in LOGICAL names; the scan needs the
+          // on-disk PHYSICAL names (renames are metadata-only)
+          val declared = org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val physical = org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+            meta.renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+          reader.schema(physical).parquet(files: _*)
+        case None =>
+          reader.option("mergeSchema", "true").parquet(files: _*)
+      }
+      // alias on-disk physical names back to their current logical
+      // names (ALTER TABLE RENAME COLUMN is metadata-only)
+      meta.renames.foldLeft(raw) { case (df, (logical, physical)) =>
         df.withColumnRenamed(physical, logical)
       }
     }
+  }
 
   /** Commit `df`'s rows as the replacement for everything EXCEPT
     * `keepFiles`, which carry into the new manifest verbatim — the

@@ -1,0 +1,163 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+
+/** Pins the table-layer metadata-compatibility and stream-replay-guard
+  * behavior (the round-7 hardening): legacy sidecar fallback +
+  * migration, key-vs-value JSON parsing, expire-retains-marked-manifest
+  * (and its release escape hatch), the expiry-race skip, and
+  * type-widening reads under a declared schema.
+  */
+class TableMetaSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import TableCatalog.StreamBatchProp
+
+  private def freshIO(): TableIO =
+    TableIO(spark, Files.createTempDirectory("graft_meta_spec_").toString)
+
+  test("legacy sidecar metadata is recovered; writeMeta migrates and removes the sidecars") {
+    val io = freshIO()
+    val t = "default.legacy"
+    io.append(Seq((1L, "x", 2020)).toDF("id", "comment", "yr"), t, Seq("yr"))
+
+    // pre-meta.json layout: one sidecar per field
+    val meta = io.catalog.metaPath(t)
+    val declared = new StructType().add("id", LongType).add("note", StringType).add("yr", org.apache.spark.sql.types.IntegerType)
+    Files.writeString(meta.resolve("schema.json"), declared.json)
+    Files.writeString(meta.resolve("pcols.json"), """{"cols": ["yr"]}""")
+    Files.writeString(meta.resolve("renames.json"), """{"pairs": ["note", "comment"]}""")
+    Files.writeString(meta.resolve("dropped.json"), """{"cols": ["old_col"]}""")
+    Files.writeString(meta.resolve("stream_batch.txt"), "7\n")
+    assert(!Files.exists(meta.resolve("meta.json")))
+
+    // fallback read returns every legacy field
+    val m = io.catalog.readMeta(t)
+    assert(m.schemaJson.contains(declared.json))
+    assert(m.partitionCols.contains(Seq("yr")))
+    assert(m.renames == Map("note" -> "comment"))
+    assert(m.dropped == Seq("old_col"))
+    // and the renamed read path works off the legacy rename map
+    assert(io.read(t).columns.toSeq == Seq("id", "note", "yr"))
+    // stream mark falls back to the legacy sidecar (no props-marked manifest)
+    assert(io.catalog.streamBatchMark(t).contains(7L))
+
+    // migration: next writeMeta produces meta.json and deletes the
+    // stale sidecars so they can never resurrect outdated state...
+    io.catalog.writeMeta(t, m)
+    assert(Files.exists(meta.resolve("meta.json")))
+    Seq("schema.json", "pcols.json", "renames.json", "dropped.json").foreach { f =>
+      assert(!Files.exists(meta.resolve(f)), s"stale sidecar $f survived migration")
+    }
+    // ...except stream_batch.txt — it is not a meta field, and it is
+    // still the only record of the replay high-water mark
+    assert(Files.exists(meta.resolve("stream_batch.txt")))
+    assert(io.catalog.readMeta(t) == m)
+    assert(io.catalog.streamBatchMark(t).contains(7L))
+  }
+
+  test("meta.json fields resolve by KEY — values colliding with key names cannot shadow them") {
+    val io = freshIO()
+    val t = "default.collide"
+    io.append(Seq((1, "a")).toDF("k", "s"), t)
+    // every value below is the name of some other meta key, and the
+    // serialized field order (schema, pcols, renames, dropped) puts
+    // several of them BEFORE the real key they collide with
+    val meta = io.catalog.TableMeta(
+      schemaJson = None,
+      partitionCols = Some(Seq("dropped")),
+      renames = Map("a" -> "schema", "dropped" -> "pcols"),
+      dropped = Seq("renames"))
+    io.catalog.writeMeta(t, meta)
+    assert(io.catalog.readMeta(t) == meta)
+
+    // a rename VALUE named "pcols" must not fake a declared partitioning
+    val noPcols = io.catalog.TableMeta(renames = Map("x" -> "pcols"))
+    io.catalog.writeMeta(t, noPcols)
+    val back = io.catalog.readMeta(t)
+    assert(back.partitionCols.isEmpty, s"value 'pcols' faked partitionCols: $back")
+    assert(back.renames == Map("x" -> "pcols"))
+
+    // unit-level: an array ELEMENT is never a key (elements are
+    // followed by ',' or ']', keys by ':')
+    assert(!TableCatalog.hasKey("""{"renames": ["x", "pcols"]}""", "pcols"))
+    assert(TableCatalog.hasKey("""{"renames": ["x", "pcols"]}""", "renames"))
+    assert(TableCatalog.parseStringArrayAt("""{"renames": ["dropped", "d"], "dropped": ["real"]}""", "dropped") == Seq("real"))
+  }
+
+  test("expireSnapshots retains the newest stream-marked manifest; releaseStreamMark forfeits the guard") {
+    val io = freshIO()
+    val t = "default.stream_guard"
+    val b0 = Seq((1L, "a")).toDF("id", "s")
+    assert(graft.streaming.TableSink.commitStreamBatch(io, t, 0L, b0)) // v1, marked "0"
+    (1 to 3).foreach(i => io.append(Seq((10L + i, "z")).toDF("id", "s"), t)) // v2..v4
+
+    // the marked manifest is older than the cutoff but survives
+    assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq(2, 3))
+    assert(io.versions(t) == Seq(1, 4))
+    assert(io.catalog.streamBatchMark(t).contains(0L))
+    // so a post-crash replay of batch 0 is still a no-op
+    assert(!graft.streaming.TableSink.commitStreamBatch(io, t, 0L, b0))
+    assert(io.read(t).count() == 4)
+
+    // decommissioned-stream escape hatch: the pin is released, and with
+    // it (documented) the replay guard
+    assert(io.catalog.expireSnapshots(t, keepLast = 1, releaseStreamMark = true) == Seq(1))
+    assert(io.versions(t) == Seq(4))
+    assert(io.catalog.streamBatchMark(t).isEmpty)
+    assert(graft.streaming.TableSink.commitStreamBatch(io, t, 0L, b0)) // guard forfeited
+  }
+
+  test("a manifest vanishing between listing and read is skipped, not thrown") {
+    val io = freshIO()
+    val t = "default.race"
+    assert(graft.streaming.TableSink.commitStreamBatch(io, t, 5L, Seq((1L, "a")).toDF("id", "s"))) // v1, marked
+    io.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+
+    // simulate expiry racing the scan: the version is listed (the link
+    // exists) but its content is gone by the time it is read
+    val meta = io.catalog.metaPath(t)
+    Files.createSymbolicLink(meta.resolve("v99.json"), meta.resolve("never-written.json"))
+    assert(io.catalog.versions(t).contains(99))
+    intercept[java.nio.file.NoSuchFileException](io.catalog.manifestProps(t, 99))
+
+    // both scanners walk past the vanished manifest
+    assert(io.catalog.streamBatchMark(t).contains(5L))
+    assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq(2)) // v1 kept (marked), v99 newest
+    assert(io.catalog.streamBatchMark(t).contains(5L))
+    Files.delete(meta.resolve("v99.json"))
+  }
+
+  test("declared-schema reads widen drifted narrower file types (int->long, float->double)") {
+    val io = freshIO()
+    val t = "default.widen"
+    val declared = new StructType()
+      .add("id", LongType).add("v", DoubleType).add("s", StringType)
+    io.catalog.writeMeta(t, io.catalog.TableMeta(schemaJson = Some(declared.json)))
+
+    // month 1 drifted narrow (int32/float), month 2 matches the declaration
+    io.append(Seq((1, 1.5f, "a")).toDF("id", "v", "s"), t)
+    io.append(Seq((2L, 2.5d, "b")).toDF("id", "v", "s"), t)
+
+    // mergeSchema would fail the footer merge here; the declared read widens
+    val back = io.read(t)
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      Seq("id" -> LongType, "v" -> DoubleType, "s" -> StringType))
+    assert(back.as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 1.5d, "a"), (2L, 2.5d, "b")))
+
+    // both snapshots stay readable, each under the declared types
+    assert(io.readVersion(t, 1).as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.5d, "a")))
+
+    // an empty declared table reads back its declared schema, not an
+    // empty dataframe with no columns
+    val t2 = "default.widen_empty"
+    io.catalog.writeMeta(t2, io.catalog.TableMeta(schemaJson = Some(declared.json)))
+    io.catalog.commitSnapshot(t2, Seq.empty)
+    val empty = io.read(t2)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "s"))
+  }
+}
