@@ -248,10 +248,13 @@ object Dedup {
     *
     * The signature cache (`base` below) stays registered for the
     * session once the result is materialized — repeated invocations in
-    * a long-lived driver should unpersist between calls
-    * (spark.catalog.clearCache() or sqlContext.clearCache()); blocks
-    * are MEMORY_AND_DISK so eviction pressure degrades to recompute,
-    * never OOM.
+    * a long-lived driver should either unpersist between calls
+    * (spark.catalog.clearCache()) or pass `releaseOnMaterialize =
+    * true`, which computes the pair set eagerly, releases the internal
+    * cache, and returns the MATERIALIZED (persisted) pairs — then the
+    * only registered entry is the returned frame, and `unpersist()` on
+    * it leaves the session cache-clean. Blocks are MEMORY_AND_DISK so
+    * eviction pressure degrades to recompute, never OOM.
     *
     * Verification cost controls, both exact (no recall loss):
     * - shingle sets are computed ONCE per doc and joined to the pairs,
@@ -268,15 +271,24 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 32,
       bands: Int = 8,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      parallelism: Option[Int] = None,
+      releaseOnMaterialize: Boolean = false
   ): DataFrame = {
     val r = k / bands
     // Signature computation is the CPU-heavy stage (k hashes per
     // shingle per doc) and its expressions are interpreted, not
     // codegen'd — two plan-shape decisions keep it scale-safe:
-    // 1. scatter first if the scan has fewer partitions than cores (a
-    //    single small parquet file would otherwise serialize the whole
-    //    corpus onto one task);
+    // 1. scatter first (a single small parquet file would otherwise
+    //    serialize the whole corpus onto one task). The scatter is
+    //    unconditional by default: probing the input's partition count
+    //    to decide would force full physical planning just to read a
+    //    number, and the one-pass text exchange is cheap against the
+    //    k-hashes-per-shingle stage it balances. `parallelism` =
+    //    Some(n) picks the fan-out, None uses every core, Some(0)
+    //    keeps the input layout (pass it when the input is already
+    //    well-scattered — e.g. a 100 TB corpus whose scan has far more
+    //    splits than cores).
     // 2. cache the signature table so every consumer (bucket explode +
     //    both sides of the self-join + the two verification joins)
     //    reads one materialized copy. Without the cache, per-consumer
@@ -286,9 +298,8 @@ object Dedup {
     //    functions re-evaluate it once per band per row — a 32x
     //    recompute measured as the dominant cost of the whole job.
     val sc = docs.sparkSession.sparkContext
-    val scattered =
-      if (docs.rdd.getNumPartitions < sc.defaultParallelism) docs.repartition(sc.defaultParallelism)
-      else docs
+    val target = parallelism.getOrElse(sc.defaultParallelism)
+    val scattered = if (target > 0) docs.repartition(target) else docs
     // sh = sorted distinct n-gram hashes (primitive longs) — the native
     // trio shingle/minhash/jaccard keeps the whole verify path codegen'd
     val base = scattered
@@ -315,13 +326,24 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val sides = base.select(col(idCol), col("sh"), col("n_sh"))
-    pairs
+    val out = pairs
       .join(sides.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
       .filter(least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (!releaseOnMaterialize) out
+    else {
+      // eager variant: materialize the pair set NOW, release the
+      // internal signature cache, and hand back the one cache entry
+      // the caller knows about (and is documented to unpersist) — an
+      // embedding application can't accumulate hidden caches this way
+      val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.count()
+      base.unpersist()
+      mat
+    }
   }
 
   /** Near-duplicate CLUSTERS: connected components over the near-dup
@@ -364,13 +386,14 @@ object Dedup {
       maxIters: Int = 20
   ): DataFrame = {
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the PAIR set (the expensive LSH+verify job) — edges and
-    // every propagation round re-read this one materialized copy; a
-    // count() forces it so no downstream action pays the job twice
-    // (the union's two branches would otherwise each recompute it)
-    val pairs = nearDuplicates(docs, threshold, textCol, idCol)
-      .select("id_a", "id_b").persist(storage)
-    pairs.count()
+    // the eager pair set (the expensive LSH+verify job): materialized
+    // once — edges and every propagation round re-read that one copy
+    // (the union's two branches would otherwise each recompute it) —
+    // and the signature cache inside nearDuplicates is already
+    // released by the time it returns
+    val matPairs = nearDuplicates(docs, threshold, textCol, idCol,
+      releaseOnMaterialize = true)
+    val pairs = matPairs.select("id_a", "id_b")
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // seed: label = min(id, min neighbor id) — one aggregate over the
@@ -424,7 +447,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"nearDupClusters exited after $it rounds WITHOUT converging " +
           s"(a duplicate chain longer than maxIters=$maxIters); cluster ids are partial")
-    pairs.unpersist()
+    matPairs.unpersist()
     // every document: clustered ones get their component min, the rest
     // themselves — materialized so every intermediate can be released
     val result = docs.select(col(idCol).as("doc_id"))

@@ -131,10 +131,13 @@ object Multimodal {
   /** Batch decode: per-partition iterator processing over (id, blob,
     * meta) rows. `mapPartitions` keeps the decode a single executor
     * pass with per-batch (not per-row) setup cost — the JVM equivalent
-    * of an Arrow-batched `mapInPandas` UDF. `parallelism` rescatters
-    * blobs before the CPU-bound kernel when the scan is under-split
-    * (one giant tar-shard parquet file must not pin decode to one
-    * core).
+    * of an Arrow-batched `mapInPandas` UDF. Blobs are rescattered
+    * before the CPU-bound kernel by default (one giant tar-shard
+    * parquet file must not pin decode to one core; probing the input's
+    * partition count to decide would force full physical planning just
+    * to read a number): `parallelism` = Some(n) picks the fan-out,
+    * None uses every core, Some(0) keeps the input layout (for inputs
+    * already scattered, e.g. a pipeline stage that just shuffled).
     */
   def decodeFeatures(withBlobs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -142,7 +145,7 @@ object Multimodal {
     val target = parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val src = withBlobs.select(
       col("doc_id"), col("blob"), col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
-    val scattered = if (src.rdd.getNumPartitions < target) src.repartition(target) else src
+    val scattered = if (target > 0) src.repartition(target) else src
     scattered
       .as(Encoders.product[BlobRow])
       .mapPartitions { batch =>

@@ -94,6 +94,31 @@ class DedupSpec extends SparkSpec {
     assert(byDoc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("releaseOnMaterialize leaves no hidden cache entries; results match the lazy variant") {
+    val cm = spark.sharedState.cacheManager
+    spark.catalog.clearCache()
+    assert(cm.isEmpty)
+
+    // eager variant: the ONLY registered entry is the returned frame
+    val mat = Dedup.nearDuplicates(docs, threshold = 0.7, releaseOnMaterialize = true)
+    assert(!cm.isEmpty)
+    val matPairs = mat.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lazyPairs = Dedup.nearDuplicates(docs, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(matPairs == lazyPairs)
+    spark.catalog.clearCache() // drop the lazy variant's signature cache too
+    mat.unpersist()
+    assert(cm.isEmpty, "eager nearDuplicates left a hidden cache entry")
+
+    // nearDupClusters uses the eager path: after unpersisting the
+    // returned frame the session is cache-clean (no signature cache,
+    // no pair set, no label rounds)
+    val clusters = Dedup.nearDupClusters(docs, threshold = 0.7)
+    clusters.count()
+    clusters.unpersist()
+    assert(cm.isEmpty, "nearDupClusters left a cache entry behind")
+  }
+
   test("portable minhash: native kernel matches the HOF reference formulation row-for-row") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("doc_id"), r.getAs[Int]("band"))
