@@ -274,8 +274,11 @@ object Similarity {
     * Measured recall@5 vs brute force on testdata (near-random 64-dim
     * vectors, nlist=16, iters=2): nprobe=4 0.91, nprobe=6 0.96,
     * nprobe=8 0.975 — the default nprobe=6 trades a 6/16 corpus-scan
-    * fraction for >0.95 recall; clustered production embeddings sit
-    * above this curve at the same cost.
+    * fraction for >0.95 recall. Clustered production-shaped embeddings
+    * sit above this curve at the same cost: 1.00 measured at the same
+    * defaults on a mixture-of-Gaussians fixture (8 clusters,
+    * same-cluster cosine ~0.93 — spec-pinned at a 0.9 floor,
+    * SimilaritySpec "clustered embeddings").
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -327,13 +330,17 @@ object Similarity {
     * shuffled, for the cross-table dedup and the per-query top-k.
     *
     * Measured recall@5 grid on testdata (near-random 64-dim vectors —
-    * the worst case for LSH; clustered production embeddings sit well
-    * above this curve at the same cost):
+    * the worst case for LSH):
     * p=8  r=1: L=2 0.23 / L=4 0.40 / L=6 0.50
     * p=8  r=2: L=2 0.60 / L=4 0.84 / L=6 0.91
     * p=10 r=2: L=4 0.49 / L=6 0.64
     * Defaults (p=8, r=2, L=4) measure 0.84 (spec floor 0.6); the old
     * single-table r=2 measured ~0.5 at similar candidate volume.
+    * Clustered production-shaped embeddings sit well above the curve
+    * at the same cost: 1.00 measured at the defaults on a
+    * mixture-of-Gaussians fixture (8 clusters, same-cluster cosine
+    * ~0.93 — spec-pinned at a 0.9 floor, SimilaritySpec "clustered
+    * embeddings").
     */
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8,
               probeRadius: Int = 2, nTables: Int = 4): DataFrame = {

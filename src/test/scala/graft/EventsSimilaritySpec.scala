@@ -83,14 +83,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPartial.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
   }
 
-  private def recallVsBruteForce(approx: org.apache.spark.sql.DataFrame,
-                                 nQueries: Int, k: Int): Double = {
-    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val truth = Similarity.bruteForceTopK(e, nQueries, k).collect()
+  private def recallOn(corpus: org.apache.spark.sql.DataFrame,
+                       approx: org.apache.spark.sql.DataFrame,
+                       nQueries: Int, k: Int): Double = {
+    val truth = Similarity.bruteForceTopK(corpus, nQueries, k).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     val got = approx.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     (truth & got).size.toDouble / truth.size
+  }
+
+  private def recallVsBruteForce(approx: org.apache.spark.sql.DataFrame,
+                                 nQueries: Int, k: Int): Double =
+    recallOn(graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      approx, nQueries, k)
+
+  /** Mixture-of-Gaussians fixture: production-shaped CLUSTERED
+    * embeddings, vs the near-random testdata vectors that are the
+    * worst case for both ANN paths. Cluster ids interleave across
+    * vec_id so the query set (vec_id < nQueries) spans every cluster.
+    * sigma=0.05/coord on unit centers → same-cluster cosine ~0.93,
+    * cross-cluster ~0 — separation typical of sentence embeddings.
+    */
+  private def clusteredEmbeddings(nClusters: Int = 8, perCluster: Int = 50,
+                                  dim: Int = 32): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = for (i <- 0 until perCluster; c <- 0 until nClusters) yield {
+      val v = unit(centers(c).map(x => x + 0.05 * rnd.nextGaussian()))
+      ((i * nClusters + c).toLong, v.map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
   }
 
   test("IVF recall@5 vs brute force meets a quantitative floor at default probes") {
@@ -112,6 +138,18 @@ class SimilaritySpec extends SparkSpec {
     val r = recallVsBruteForce(
       Similarity.lshTopK(e, nQueries = 16, k = 5, nPlanes = 8), 16, 5)
     assert(r >= 0.6, s"LSH recall@5 = $r")
+  }
+
+  test("clustered embeddings: LSH and IVF recall@5 meet a 0.9 floor at the same defaults") {
+    // The 0.6/0.75 floors above are calibrated on near-random vectors
+    // (the ANN worst case); this pins the production-shaped claim in
+    // Similarity.scala's recall notes with a measured number.
+    val e = clusteredEmbeddings()
+    val rLsh = recallOn(e, Similarity.lshTopK(e, nQueries = 16, k = 5), 16, 5)
+    val rIvf = recallOn(e, Similarity.ivfTopK(e, nQueries = 16, k = 5), 16, 5)
+    assert(rLsh >= 0.9, s"clustered LSH recall@5 = $rLsh")
+    assert(rIvf >= 0.9, s"clustered IVF recall@5 = $rIvf")
+    info(s"clustered recall@5: LSH=$rLsh IVF=$rIvf")
   }
 
   test("bucketed near-dup join equals the exact all-pairs oracle, with no nested-loop join") {
