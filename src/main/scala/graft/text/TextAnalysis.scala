@@ -152,9 +152,12 @@ object TextAnalysis {
     * let-binding: it stops the optimizer from inlining the tokenizer
     * into each consuming lambda, where interpreted higher-order
     * functions would re-split the text once per signal. Top-token
-    * counting is O(types x tokens) per document — quadratic in
-    * document length, acceptable because documents are
-    * length-bounded; corpus scale only multiplies rows.
+    * counting sorts the token vector once and takes the longest
+    * equal-adjacent run — O(n log n) per document (an earlier
+    * count-each-distinct-type formulation was O(types x tokens),
+    * quadratic on repetitive documents, the exact corpus shape this
+    * filter exists to catch). The max run count and size(ts) are the
+    * same exact integers either way, so the ratio is bit-identical.
     */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame,
                       textCol: String = "text",
@@ -174,8 +177,14 @@ object TextAnalysis {
              |           / (size(ts) - 2)
              |    ELSE 0.0D END,
              |  'top_token_ratio', CASE WHEN size(ts) > 0 THEN
-             |      CAST(array_max(transform(array_distinct(ts),
-             |             t -> size(filter(ts, x -> x = t)))) AS DOUBLE) / size(ts)
+             |      CAST(aggregate(array_sort(ts),
+             |             named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+             |             (a, t) -> named_struct(
+             |               'prev', t,
+             |               'run',  IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L),
+             |               'best', greatest(a.best,
+             |                 IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L))),
+             |             a -> a.best) AS DOUBLE) / size(ts)
              |    ELSE 0.0D END
              |))[0]""".stripMargin).as("s"))
       .select(col(idCol), col("s.n_tokens").as("n_tokens"), col("s.n_types").as("n_types"),

@@ -107,6 +107,38 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, s"sampling must read the corpus once:\n$p")
   }
 
+  test("decontamination (q41) is a gram-keyed semi-join — no cartesian, no nested loop") {
+    val p = plan(SparkEntry.queries("q41_decontaminate")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"decontamination must not go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"gram join must stay an equi-join:\n$p")
+  }
+
+  test("repetition stats (q42) is one shuffle-free projection over the scan") {
+    val p = plan(SparkEntry.queries("q42_repetition_stats")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"repetition signals must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
+  }
+
+  test("sequence packing (q43) shuffles once on shard — no join, one scan") {
+    val p = plan(SparkEntry.queries("q43_sequence_pack")(spark, sfDir))
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert("ShuffleQueryStage".r.findAllIn(p).length == 1,
+      s"exactly the per-shard window shuffle:\n$p")
+    // AQE renderings echo the pre-adaptive plan after "== Initial Plan ==";
+    // count scans in the executed (final) section only
+    val fin = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).length == 1, s"one corpus scan only:\n$p")
+  }
+
+  test("chunking (q44) is a single generator in the scan pipeline — no shuffle") {
+    val p = plan(SparkEntry.queries("q44_chunking")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert("Generate".r.findAllIn(p).length == 1, s"exactly one generator:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
       .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))
