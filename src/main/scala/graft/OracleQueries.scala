@@ -591,7 +591,46 @@ object OracleQueries {
         |  CAST(row_number() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
         |FROM s
-        |QUALIFY rn <= 5""".stripMargin
+        |QUALIFY rn <= 5""".stripMargin,
+
+    // v1 = the full nation table; v2 = after DELETE WHERE n_regionkey = 2
+    "q45_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'v1' AS snap FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'v2' AS snap FROM nation
+        |WHERE n_regionkey <> 2""".stripMargin,
+
+    // post-MERGE state reconstructed with a full outer join: matched ->
+    // balance + delta (per-row IEEE adds, deterministic), target-only ->
+    // balance, source-only -> delta inserted as balance
+    "q46_merge_dml" ->
+      """WITH t AS (SELECT s_suppkey, s_name, s_acctbal AS balance
+        |           FROM supplier WHERE s_suppkey <= 80),
+        |s AS (SELECT s_suppkey, s_name, s_acctbal * CAST(0.5 AS DOUBLE) AS delta
+        |      FROM supplier WHERE s_suppkey > 40)
+        |SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+        |  COALESCE(t.s_name, s.s_name) AS s_name,
+        |  CASE WHEN t.s_suppkey IS NOT NULL AND s.s_suppkey IS NOT NULL
+        |         THEN t.balance + s.delta
+        |       WHEN t.s_suppkey IS NOT NULL THEN t.balance
+        |       ELSE s.delta END AS balance
+        |FROM t FULL JOIN s ON t.s_suppkey = s.s_suppkey""".stripMargin,
+
+    // the incremental read returns exactly the second append's rows
+    "q47_incremental_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey <= 500 AND o_orderpriority = '2-HIGH'""".stripMargin,
+
+    // the stream ingested every event exactly once (ids are unique, so
+    // the watermark-bounded dedup is a pass-through) -> the rollup over
+    // the sink table equals the rollup over the raw events
+    "q48_stream_ingest" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -405,8 +405,88 @@ object SparkEntry {
           col("meta.height").as("height"),
           col("meta.n_bytes").as("resized_bytes"),
           octet_length(col("blob")).cast("long").as("payload_bytes")
-        ))
+        )),
+
+    // ---- table-layer semantics as oracle rows (S8 / DML / CDC / streaming) ----
+
+    // S8 oracle row: snapshot isolation across a row-level DELETE —
+    // version 1 stays byte-identical while the current version has
+    // lost region 2 (previously pinned only by specs)
+    "q45_time_travel" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_tt_"))
+      io.overwrite(Tables.nation(s, dir), "default.nation_tt")
+      io.deleteWhere("default.nation_tt", col("n_regionkey") === 2)
+      io.readVersion("default.nation_tt", 1).withColumn("snap", lit("v1"))
+        .unionAll(io.read("default.nation_tt").withColumn("snap", lit("v2")))
+    }),
+
+    // SQL MERGE INTO through the DSv2 catalog (file-scoped
+    // copy-on-write): matched rows get balance += delta, unmatched
+    // source rows insert — the post-merge table is the query result.
+    // Catalog names are per-invocation (Spark caches catalog instances
+    // by name; a reused name would pin the first run's warehouse).
+    "q46_merge_dml" -> ((s, dir) => {
+      val cname = s"gq${catSeq.incrementAndGet()}"
+      val wh = tempDir("graft_mrg_")
+      s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+      val io = TableIO(s, wh)
+      io.overwrite(
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 80)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("balance")),
+        "default.supp_bal")
+      Tables.supplier(s, dir).filter(col("s_suppkey") > 40)
+        .select(col("s_suppkey"), col("s_name"), (col("s_acctbal") * 0.5).as("delta"))
+        .createOrReplaceTempView(s"merge_src_$cname")
+      s.sql(
+        s"""MERGE INTO $cname.default.supp_bal t USING merge_src_$cname s
+           |ON t.s_suppkey = s.s_suppkey
+           |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_name, balance)
+           |  VALUES (s.s_suppkey, s.s_name, s.delta)""".stripMargin)
+      io.read("default.supp_bal")
+    }),
+
+    // Incremental (CDC-style) scan: two appends, then read ONLY the
+    // rows snapshot 2 added — the consumer cost scales with the delta,
+    // not the table (TableIO.readIncremental rejects non-append ranges)
+    "q47_incremental_read" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_inc_"))
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.append(ords.filter(col("o_orderpriority") === "1-URGENT"), "default.orders_inc")
+      io.append(ords.filter(col("o_orderpriority") === "2-HIGH"), "default.orders_inc")
+      io.readIncremental("default.orders_inc", fromVersion = 1)
+    }),
+
+    // Structured Streaming ingest end-to-end as an oracle row: file
+    // stream -> watermark-bounded dedup -> exactly-once snapshot sink
+    // (Trigger.AvailableNow), then a batch rollup of the table the
+    // stream wrote. Oracle = the same rollup over the raw events.
+    "q48_stream_ingest" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_str_"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts arrives as nanos-long
+      // the file stream source wants a DIRECTORY; glob-filter the one table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.TableSink.appendStream(
+        graft.streaming.EventsStream.dedupedEvents(stream),
+        io, "default.events_ingest", tempDir("graft_ckpt_"), availableNow = true)
+        .awaitTermination()
+      io.read("default.events_ingest")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.functions.ExactAgg.dsum(col("value"), 2).as("total_value"))
+    })
   )
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** DuckDB-equivalent SQL per query (same column names/types). */
   def oracleSql: Map[String, String] = OracleQueries.all

@@ -40,14 +40,19 @@ object TableSink {
   }
 
   /** Wire a streaming DataFrame into a table: every micro-batch is one
-    * snapshot commit, replays are no-ops.
+    * snapshot commit, replays are no-ops. `availableNow = true` runs
+    * the bounded catch-up variant (process everything currently
+    * available, then stop) — the batch-backfill mode of the same sink.
     */
   def appendStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
-                   partitionCols: Seq[String] = Seq.empty): StreamingQuery =
-    stream.writeStream
+                   partitionCols: Seq[String] = Seq.empty,
+                   availableNow: Boolean = false): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         commitStreamBatch(io, table, id, batch, partitionCols); ()
       }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
       .start()
+  }
 }

@@ -146,6 +146,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendStream availableNow drains the source, commits exactly once, then stops") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.tables.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val src = java.nio.file.Files.createTempDirectory("graft_an_src_").toString
+    batch.write.mode("overwrite").parquet(src)
+
+    val io = graft.io.TableIO(spark,
+      java.nio.file.Files.createTempDirectory("graft_an_wh_").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_ckpt_").toString
+    val stream = EventsStream.dedupedEvents(
+      spark.readStream.schema(batch.schema).parquet(src))
+    val q = graft.streaming.TableSink.appendStream(
+      stream, io, "default.an_events", ckpt, availableNow = true)
+    // AvailableNow terminates by itself once the source is drained
+    assert(q.awaitTermination(120000), "availableNow query did not self-terminate")
+
+    assert(io.read("default.an_events").count() == batch.count())
+    // a RESTART from the same checkpoint with no new files is a no-op:
+    // no new snapshot, no duplicate rows
+    val versionsAfter = io.versions("default.an_events")
+    val q2 = graft.streaming.TableSink.appendStream(
+      stream, io, "default.an_events", ckpt, availableNow = true)
+    assert(q2.awaitTermination(120000))
+    assert(io.versions("default.an_events") == versionsAfter)
+    assert(io.read("default.an_events").count() == batch.count())
+  }
+
   test("file-source stream over the real events table matches batch hourly counts") {
     // stream the parquet file through readStream (schema must be
     // explicit for file sources) and compare against the batch rollup

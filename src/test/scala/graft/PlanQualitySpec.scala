@@ -139,6 +139,33 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
   }
 
+  test("time travel (q45) is pure snapshot scans — no shuffle, no join") {
+    val df = SparkEntry.queries("q45_time_travel")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"snapshot union must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"snapshot union must not join:\n$p")
+  }
+
+  test("incremental read (q47) is a delta-file scan — no shuffle, no join") {
+    // (that the scan's file list is EXACTLY the appended delta is
+    // pinned with manifest access in TableMetaSpec)
+    val df = SparkEntry.queries("q47_incremental_read")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"incremental read must not join:\n$p")
+    assert(!p.contains("Exchange"), s"incremental read must not shuffle:\n$p")
+  }
+
+  test("stream-ingest rollup (q48) is the canonical distinct-agg shape over the sink table — no join") {
+    val df = SparkEntry.queries("q48_stream_ingest")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"rollup must not join:\n$p")
+    // count(DISTINCT user_id) legitimately needs the two-phase distinct
+    // expansion: one exchange on (day, event_type, user_id), one on the
+    // final group key — anything beyond that is a regression
+    assert("ShuffleQueryStage".r.findAllIn(p).length == 2,
+      s"expected distinct-expansion + group-key exchanges only:\n$p")
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
       .select(expr(graft.similarity.Similarity.doubleVec("embedding")).as("v"))

@@ -160,4 +160,58 @@ class TableMetaSpec extends graft.SparkSpec {
     assert(empty.count() == 0)
     assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "s"))
   }
+
+  test("readIncremental returns exactly the rows appended in the range") {
+    val io = freshIO()
+    val t = "default.inc"
+    io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1
+    io.append(Seq((3L, "c")).toDF("id", "s"), t)            // v2
+    io.append(Seq((4L, "d"), (5L, "e")).toDF("id", "s"), t) // v3
+
+    // (v1, v3] = the two later appends; (v2, v3] = only the last
+    assert(io.readIncremental(t, 1).as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d"), (5L, "e")))
+    assert(io.readIncremental(t, 2).as[(Long, String)].collect().toSet ==
+      Set((4L, "d"), (5L, "e")))
+    // bounded upper end
+    assert(io.readIncremental(t, 1, Some(2)).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    // empty range = zero rows, table schema intact
+    val none = io.readIncremental(t, 3)
+    assert(none.count() == 0)
+    assert(none.schema.fieldNames.toSeq == Seq("id", "s"))
+
+    // the scan reads EXACTLY the delta files — consumer cost scales
+    // with the appended data, never the table
+    val v2Files = io.catalog.manifest(t, 2).toSet
+    val scanned = io.readIncremental(t, 2).inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
+    assert(scanned.nonEmpty && scanned.intersect(v2Files).isEmpty,
+      s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
+  }
+
+  test("readIncremental rejects non-append ranges and unverifiable (expired) ranges") {
+    val io = freshIO()
+    val t = "default.inc_rw"
+    io.append(Seq((1L, "a")).toDF("id", "s"), t)    // v1
+    io.append(Seq((2L, "b")).toDF("id", "s"), t)    // v2
+    io.overwrite(Seq((9L, "z")).toDF("id", "s"), t) // v3 removes files
+
+    // a range containing the overwrite answers loudly, not wrong
+    val e = intercept[IllegalStateException](io.readIncremental(t, 1))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // a range strictly before the overwrite still works
+    assert(io.readIncremental(t, 1, Some(2)).as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+    // post-overwrite appends are incremental again
+    io.append(Seq((10L, "y")).toDF("id", "s"), t)   // v4
+    assert(io.readIncremental(t, 3).as[(Long, String)].collect().toSet ==
+      Set((10L, "y")))
+
+    // an expired manifest INSIDE the range makes append-only unprovable
+    io.append(Seq((11L, "x")).toDF("id", "s"), t)   // v5
+    Files.delete(io.catalog.metaPath(t).resolve("v4.json"))
+    val e2 = intercept[IllegalStateException](io.readIncremental(t, 3))
+    assert(e2.getMessage.contains("expired"), e2.getMessage)
+  }
 }
