@@ -16,6 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.expire_snapshots('default.t', 2)
   *   CALL graft.system.remove_orphan_files('default.t')
   *   CALL graft.system.compact('default.t')
+  *   CALL graft.system.compact_sorted('default.t', 'k1,k2', 8)
+  *   CALL graft.system.compact_zorder('default.t', 'a', 'b', 8)
   *
   * Each runs the corresponding TableIO/TableCatalog maintenance
   * primitive and returns its outcome as rows (expired versions,
@@ -25,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[io] object GraftProcedures {
 
-  def list(): Array[String] = Array("expire_snapshots", "remove_orphan_files", "compact")
+  def list(): Array[String] =
+    Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted", "compact_zorder")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -71,6 +74,37 @@ private[io] object GraftProcedures {
           val before = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           val pcols = cat.tablePartitionCols(t).getOrElse(Seq.empty)
           io.compact(t, pcols)
+          val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "compact_sorted" =>
+      // sort_cols is comma-separated; target_files bounds the rewrite
+      Some(proc("compact_sorted",
+        Seq("table" -> StringType, "sort_cols" -> StringType, "target_files" -> IntegerType),
+        new StructType().add("files_before", LongType, nullable = false)
+          .add("files_after", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val io = new TableIO(SparkSession.active, cat)
+          val before = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          io.compactSorted(t, cols, in.getInt(2),
+            cat.tablePartitionCols(t).getOrElse(Seq.empty))
+          val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "compact_zorder" =>
+      Some(proc("compact_zorder",
+        Seq("table" -> StringType, "col_a" -> StringType, "col_b" -> StringType,
+          "target_files" -> IntegerType),
+        new StructType().add("files_before", LongType, nullable = false)
+          .add("files_after", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val io = new TableIO(SparkSession.active, cat)
+          val before = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
+          io.compactZOrder(t, in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3))
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
         }))

@@ -717,6 +717,48 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     overwrite(out, name, partitionCols)
   }
 
+  /** Sort-clustered compaction (Iceberg's sort-order rewrite): rewrite
+    * the current snapshot range-partitioned AND sorted on `sortCols`,
+    * so the output files tile the key space disjointly and parquet
+    * footer min/max stats make plan-time file skipping
+    * (graft.io.FileStats) effective — a point or range predicate on
+    * the leading sort column scans O(matching files), not the table.
+    * At 100 TB this is what turns "filter on ship_date" from a
+    * full-table scan into a handful of files; without clustering,
+    * every file's min/max spans the whole domain and nothing prunes.
+    * Logical like every commit: old files stay for older snapshots
+    * until expire + GC.
+    */
+  def compactSorted(name: String, sortCols: Seq[String], targetFiles: Int = 8,
+                    partitionCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "compactSorted requires sort columns")
+    val out = read(name)
+      .repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    overwrite(out, name, partitionCols)
+  }
+
+  /** Z-order-clustered compaction: like `compactSorted` but clustered
+    * on the 2-D Morton value of (`colA`, `colB`)
+    * (graft.functions.ZOrder — non-negative 31-bit inputs), so each
+    * output file covers a small SQUARE of the plane and single-column
+    * predicates on EITHER column prune files. A lexicographic sort
+    * only prunes on its leading column — this is the difference
+    * between Iceberg's sort and zorder rewrite strategies.
+    */
+  def compactZOrder(name: String, colA: String, colB: String,
+                    targetFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = "__graft_z"
+    val out = read(name)
+      .withColumn(z, graft.functions.ZOrder.zvalue(col(colA), col(colB)))
+      .repartitionByRange(targetFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z) // projection after the sort: row order within partitions survives
+    overwrite(out, name)
+  }
+
   /** Copy-on-write row-level DELETE — the programmatic twin of SQL
     * `DELETE FROM` through the DSv2 catalog: keep the rows the
     * predicate does NOT select (a null-valued predicate keeps the row,

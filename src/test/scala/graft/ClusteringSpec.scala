@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the clustered-compaction layer: Morton values are exactly the
+  * interleaved-bit reference, and sort-/z-order rewrites actually buy
+  * plan-time file skipping (the reason they exist at 100 TB).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference Morton implementation (bit-by-bit). */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 31).foldLeft(0L) { (acc, i) =>
+      acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("ZOrder.zvalue equals the bit-by-bit Morton reference") {
+    val grid = for (a <- 0L to 40L; b <- 0L to 40L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select($"a", $"b", graft.functions.ZOrder.zvalue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == mortonRef(a, b), s"zvalue($a, $b)")
+    }
+    // and a couple of wide values exercising the high bits
+    val wide = Seq((0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (0x12345678L, 0x0FEDCBA9L))
+    val gotWide = wide.toDF("a", "b")
+      .select(graft.functions.ZOrder.zvalue($"a", $"b")).as[Long].collect()
+    wide.zip(gotWide).foreach { case ((a, b), z) =>
+      assert(z == mortonRef(a, b), s"zvalue($a, $b) wide")
+    }
+  }
+
+  /** Files the catalog scan actually planned (post stats-skip). */
+  private def pathsIn(sql: String): Int = {
+    val df = spark.sql(sql)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      .getOrElse(fail(s"no file index in plan:\n$p"))
+  }
+
+  test("compactSorted turns key predicates into file-skipping scans") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_csort_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val rnd = new scala.util.Random(42)
+    // keys scattered uniformly across 8 files: every file's (min, max)
+    // spans the whole domain, so nothing can prune pre-compaction
+    val rows = rnd.shuffle((0 until 2000).toVector).map(k => (k, s"s$k"))
+    io.append(rows.toDF("k", "s").repartition(8), "default.t")
+
+    spark.conf.set("spark.sql.catalog.gcs", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs.warehouse", wh)
+    try {
+      val before = io.catalog.manifest("default.t", io.versions("default.t").last).size
+      assert(before >= 8)
+      assert(pathsIn("SELECT * FROM gcs.default.t WHERE k BETWEEN 100 AND 140") == before,
+        "scattered layout must not prune (fixture invariant)")
+
+      io.compactSorted("default.t", Seq("k"), targetFiles = 8)
+
+      val total = io.catalog.manifest("default.t", io.versions("default.t").last).size
+      val pruned = pathsIn("SELECT * FROM gcs.default.t WHERE k BETWEEN 100 AND 140")
+      assert(pruned < total, s"expected file skip after sort, scanned $pruned/$total")
+      assert(pruned <= 2, s"a 2% key range should hit ~1 of $total range-tiled files, got $pruned")
+      // rows survive the rewrite byte-for-value
+      assert(spark.sql("SELECT count(*) c FROM gcs.default.t").head().getLong(0) == 2000L)
+      assert(spark.sql("SELECT s FROM gcs.default.t WHERE k = 137").as[String].head() == "s137")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcs")
+      spark.conf.unset("spark.sql.catalog.gcs.warehouse")
+    }
+  }
+
+  test("compactZOrder prunes on BOTH dimensions; lexicographic sort only on the leading one") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_zord_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val rnd = new scala.util.Random(7)
+    // a 64x64 grid, scattered
+    val rows = rnd.shuffle((for (a <- 0 until 64; b <- 0 until 64) yield (a, b, a * 64 + b)).toVector)
+    io.append(rows.toDF("a", "b", "v").repartition(8), "default.g")
+
+    spark.conf.set("spark.sql.catalog.gcz", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcz.warehouse", wh)
+    try {
+      // lexicographic sort first: leading column prunes, trailing doesn't
+      io.compactSorted("default.g", Seq("a", "b"), targetFiles = 8)
+      val totalSorted = io.catalog.manifest("default.g", io.versions("default.g").last).size
+      val aSorted = pathsIn("SELECT * FROM gcz.default.g WHERE a BETWEEN 0 AND 7")
+      val bSorted = pathsIn("SELECT * FROM gcz.default.g WHERE b BETWEEN 0 AND 7")
+      assert(aSorted < totalSorted, s"sort must prune on the leading column: $aSorted/$totalSorted")
+      assert(bSorted == totalSorted,
+        s"fixture invariant: lexicographic files span the full b-range ($bSorted/$totalSorted)")
+
+      // z-order via the SQL procedure surface: each file becomes a
+      // square tile -> BOTH dimensions prune
+      val out = spark.sql("CALL gcz.system.compact_zorder('default.g', 'a', 'b', 8)").head()
+      assert(out.getLong(0) >= 8 && out.getLong(1) <= 9,
+        s"rewrite should consolidate files: ${out.getLong(0)} -> ${out.getLong(1)}")
+      val total = io.catalog.manifest("default.g", io.versions("default.g").last).size
+      val aZ = pathsIn("SELECT * FROM gcz.default.g WHERE a BETWEEN 0 AND 7")
+      val bZ = pathsIn("SELECT * FROM gcz.default.g WHERE b BETWEEN 0 AND 7")
+      assert(aZ < total, s"z-order must prune on a: $aZ/$total")
+      assert(bZ < total, s"z-order must prune on b: $bZ/$total")
+      // rows intact
+      assert(spark.sql("SELECT count(*) c FROM gcz.default.g").head().getLong(0) == 4096L)
+      assert(spark.sql("SELECT v FROM gcz.default.g WHERE a = 3 AND b = 5").as[Int].head() == 3 * 64 + 5)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcz")
+      spark.conf.unset("spark.sql.catalog.gcz.warehouse")
+    }
+  }
+}
