@@ -622,6 +622,27 @@ object OracleQueries {
         |FROM orders
         |WHERE o_custkey <= 500 AND o_orderpriority = '2-HIGH'""".stripMargin,
 
+    // frames at a 64-byte stride; the corpus is pure ASCII (verified at
+    // every SF), so VARCHAR substring == byte slice and md5(VARCHAR) ==
+    // Spark's md5 over the UTF-8 binary slice
+    "q49_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(least(1 + octet_length(encode(text)) // 64, 16) AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS fi FROM b)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * 64 AS BIGINT) AS frame_offset,
+        |  CAST(length(substring(text, CAST(fi * 64 + 1 AS BIGINT), 16)) AS INT) AS frame_len,
+        |  md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 16)) AS frame_sig
+        |FROM f""".stripMargin,
+
+    "q50_salted_join" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT c.l_orderkey, c.l_linenumber, c.l_suppkey, c.revenue,
+         |  s.s_name, s.s_nationkey
+         |FROM clean c JOIN supplier s ON c.l_suppkey = s.s_suppkey""".stripMargin,
+
     // the stream ingested every event exactly once (ids are unique, so
     // the watermark-bounded dedup is a pass-through) -> the rollup over
     // the sink table equals the rollup over the raw events

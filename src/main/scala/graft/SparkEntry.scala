@@ -407,6 +407,22 @@ object SparkEntry {
           octet_length(col("blob")).cast("long").as("payload_bytes")
         )),
 
+    // Frame sampling (video-pipeline demux step): one row per sampled
+    // frame at a 64-byte stride, md5 per frame for frame-level dedup —
+    // a generator in the scan pipeline, output O(frames) not O(blob)
+    "q49_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.withBlob(Tables.documents(s, dir)))),
+
+    // Salted skew join as an oracle row: the explicit hot-key fan-out
+    // must equal the plain join bit-for-bit (the salt never escapes)
+    "q50_salted_join" -> ((s, dir) => {
+      val big = Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("revenue"))
+      val small = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+      graft.operators.Joins.saltedJoin(big, small, key = "l_suppkey", salt = 8)
+    }),
+
     // ---- table-layer semantics as oracle rows (S8 / DML / CDC / streaming) ----
 
     // S8 oracle row: snapshot isolation across a row-level DELETE —

@@ -108,6 +108,33 @@ object Multimodal {
       .drop("__rb")
   }
 
+  /** Frame sampling over a video-like blob: one output row per sampled
+    * frame at a fixed byte `stride`, capped at `maxFrames` per blob —
+    * the demux step of a video pipeline, with the offset->slice stand-in
+    * for a real container demuxer (same stub policy as the decode
+    * kernel; the offsets/row-shape/generator plumbing is the real
+    * part). A generator in the scan pipeline — no shuffle, no join;
+    * output volume is O(frames), never O(blob), and each frame carries
+    * its md5 so downstream frame-level dedup works without re-reading
+    * payloads.
+    */
+  def frameSample(withBlobs: DataFrame, stride: Int = 64, frameLen: Int = 16,
+                  maxFrames: Int = 16): DataFrame =
+    withBlobs
+      .select(
+        col("doc_id"), col("blob"),
+        least(lit(1L) + expr(s"meta.n_bytes div $stride"), lit(maxFrames.toLong))
+          .cast("int").as("n_frames"))
+      .select(col("doc_id"), col("blob"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx").cast("long") * stride).as("frame_offset"),
+        octet_length(expr(s"substring(blob, frame_idx * $stride + 1, $frameLen)"))
+          .as("frame_len"),
+        md5(expr(s"substring(blob, frame_idx * $stride + 1, $frameLen)")).as("frame_sig"))
+
   /** Typed rows crossing the decode boundary. */
   final case class BlobRow(doc_id: Long, blob: Array[Byte], format: String, n_bytes: Long)
   final case class DecodedRow(doc_id: Long, format: String, n_bytes: Long, mean_byte: Double, frames_sampled: Int)

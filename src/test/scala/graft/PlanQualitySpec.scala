@@ -139,6 +139,21 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
   }
 
+  test("frame sampling (q49) is a single generator in the scan pipeline — no shuffle") {
+    val p = plan(SparkEntry.queries("q49_multimodal_frames")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"frame sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"frame sampling must not join:\n$p")
+    assert("Generate".r.findAllIn(p).length == 1, s"exactly one generator:\n$p")
+  }
+
+  test("salted join (q50) stays an equi-join and the salt column never escapes") {
+    val df = SparkEntry.queries("q50_salted_join")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salting must keep the equi-join:\n$p")
+    assert(!df.columns.contains("__graft_salt"), "salt column escaped the operator")
+  }
+
   test("time travel (q45) is pure snapshot scans — no shuffle, no join") {
     val df = SparkEntry.queries("q45_time_travel")(spark, sfDir)
     val p = plan(df)
