@@ -622,6 +622,33 @@ object OracleQueries {
         |FROM orders
         |WHERE o_custkey <= 500 AND o_orderpriority = '2-HIGH'""".stripMargin,
 
+    // the curation composition: q29's dedup, q15's quality/langid
+    // scoring (identical IEEE term order, so the 0.5 threshold cuts the
+    // same rows), q41's 5-gram decontamination over the kept set
+    "q51_corpus_curation" ->
+      s"""WITH dedup AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+         |    ON d.doc_id = k.doc_id),
+         |kept AS (
+         |  SELECT doc_id, text, $duckLang AS lang_pred, $duckQuality AS quality,
+         |    $duckTok AS n_tokens
+         |  FROM dedup
+         |  WHERE $duckQuality >= 0.5),
+         |t AS (
+         |  SELECT doc_id, lang_pred, quality, n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+         |  FROM kept),
+         |g AS (
+         |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         |  FROM t),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE bucket < 50),
+         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.bucket >= 50)
+         |SELECT doc_id, lang_pred, quality, n_tokens FROM t
+         |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
     // frames at a 64-byte stride; the corpus is pure ASCII (verified at
     // every SF), so VARCHAR substring == byte slice and md5(VARCHAR) ==
     // Spark's md5 over the UTF-8 binary slice

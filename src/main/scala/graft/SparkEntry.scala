@@ -423,6 +423,25 @@ object SparkEntry {
       graft.operators.Joins.saltedJoin(big, small, key = "l_suppkey", salt = 8)
     }),
 
+    // Flagship curation composition — the end-to-end training-corpus
+    // materialization the engine exists for: exact dedup -> per-doc
+    // quality + language scoring -> threshold filter -> benchmark
+    // decontamination. Every stage is bucketed/broadcast (no all-pairs,
+    // corpus shuffles once for the dedup aggregate); each piece is
+    // individually oracle-checked (q29/q15/q41), this row pins the
+    // composition.
+    "q51_corpus_curation" -> ((s, dir) => {
+      val t = col("text")
+      val scored = Dedup.dropExactDuplicates(Tables.documents(s, dir))
+        .withColumn("quality", TextAnalysis.qualityScore(t))
+        .withColumn("lang_pred", TextAnalysis.langId(t))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+        .filter(col("quality") >= 0.5)
+      graft.text.Contamination.decontaminate(
+        scored.select("doc_id", "text", "lang_pred", "quality", "n_tokens"))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    }),
+
     // ---- table-layer semantics as oracle rows (S8 / DML / CDC / streaming) ----
 
     // S8 oracle row: snapshot isolation across a row-level DELETE —

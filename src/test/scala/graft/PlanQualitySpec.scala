@@ -154,6 +154,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!df.columns.contains("__graft_salt"), "salt column escaped the operator")
   }
 
+  test("corpus curation (q51) composes without any all-pairs node") {
+    val p = plan(SparkEntry.queries("q51_corpus_curation")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"curation must not go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"curation joins must stay equi-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bench/dirty sides are small by construction — joins must broadcast:\n$p")
+  }
+
   test("time travel (q45) is pure snapshot scans — no shuffle, no join") {
     val df = SparkEntry.queries("q45_time_travel")(spark, sfDir)
     val p = plan(df)

@@ -74,6 +74,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("readIncremental(from) ∪ readVersion(from) ≡ current read on append-only histories") {
+    val appendBatches = Gen.listOfN(4, Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 99L), Gen.alphaStr)))
+    forAllSampled(appendBatches, rounds = 3) { batches =>
+      val io = graft.io.TableIO(spark,
+        java.nio.file.Files.createTempDirectory("graft_prop_inc_").toString)
+      val t = "default.p"
+      batches.foreach(b => io.append(b.toDF("id", "s"), t))
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      (1 to batches.size).foreach { from =>
+        val recombined = multiset(io.readVersion(t, from).unionAll(io.readIncremental(t, from)))
+        assert(recombined == multiset(io.read(t)), s"split at version $from diverged")
+      }
+    }
+  }
+
+  test("Morton zvalue is monotone along each axis (the locality that makes tiles prune)") {
+    forAllSampled(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 1L << 30), Gen.choose(0L, 1L << 30))), rounds = 3) { pts =>
+      val z = pts.toDF("a", "b")
+        .select($"a", $"b",
+          graft.functions.ZOrder.zvalue($"a", $"b").as("z"),
+          graft.functions.ZOrder.zvalue($"a" + 1, $"b").as("za"),
+          graft.functions.ZOrder.zvalue($"a", $"b" + 1).as("zb"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      z.foreach { case (a, b, zv, za, zb) =>
+        assert(za > zv, s"not monotone in a at ($a, $b)")
+        assert(zb > zv, s"not monotone in b at ($a, $b)")
+      }
+    }
+  }
+
   test("minhash estimated jaccard is within tolerance of exact jaccard") {
     // deterministic sampled check (not forAll — one spark job suffices):
     // identical sets → est 1.0; disjoint sets → est ~0
