@@ -85,10 +85,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     }
   }
 
-  /** SQL `VERSION AS OF <n>` lands here. */
+  /** SQL `VERSION AS OF <n>` / `VERSION AS OF '<tag>'` lands here:
+    * a non-numeric version string resolves through the table's
+    * snapshot tags (Iceberg refs).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val name = qualified(ident)
-    val v = version.toIntOption.getOrElse(throw new NoSuchTableException(ident))
+    val v = version.toIntOption
+      .orElse(catalog.tags(name).get(version))
+      .getOrElse(throw new NoSuchTableException(ident))
     if (!catalog.versions(name).contains(v)) throw new NoSuchTableException(ident)
     loadVersion(ident, v)
   }

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[io] object GraftProcedures {
 
   def list(): Array[String] =
-    Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted", "compact_zorder")
+    Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
+      "compact_zorder", "tag_snapshot", "remove_tag")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -107,6 +108,26 @@ private[io] object GraftProcedures {
             in.getInt(3))
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "tag_snapshot" =>
+      Some(proc("tag_snapshot",
+        Seq("table" -> StringType, "tag" -> StringType, "version" -> IntegerType),
+        new StructType().add("tag", StringType, nullable = false)
+          .add("version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val (t, tag, v) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString, in.getInt(2))
+          cat.tagSnapshot(t, tag, v)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(tag), v)))
+        }))
+    case "remove_tag" =>
+      Some(proc("remove_tag",
+        Seq("table" -> StringType, "tag" -> StringType),
+        new StructType().add("removed", BooleanType, nullable = false),
+        (in: InternalRow) => {
+          val (t, tag) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+          val had = cat.tags(t).contains(tag)
+          cat.removeTag(t, tag)
+          Seq(new GenericInternalRow(Array[Any](had)))
         }))
     case _ => None
   }

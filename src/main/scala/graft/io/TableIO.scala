@@ -282,6 +282,45 @@ final case class TableCatalog(warehouse: String) {
         else None
       }
 
+  /** Snapshot tags (Iceberg refs): a named pointer to a version, so
+    * "the corpus we trained run 47 on" survives every later commit and
+    * GC cycle by NAME instead of by a version number someone wrote
+    * down. Stored as one atomic document (`tags.json`, flat pair
+    * array); a tagged version is retained by `expireSnapshots` and its
+    * files stay live for `removeOrphanFiles` until the tag is removed
+    * (Iceberg's ref-retention semantics). Re-tagging an existing name
+    * repoints it.
+    */
+  def tags(name: String): Map[String, Int] = {
+    val f = metaPath(name).resolve("tags.json")
+    if (!Files.isRegularFile(f)) Map.empty
+    else TableCatalog.parseStringArrayAt(Files.readString(f), "tags")
+      .grouped(2).collect { case Seq(t, v) => t -> v.toInt }.toMap
+  }
+
+  def tagSnapshot(name: String, tag: String, version: Int): Unit = {
+    require(versions(name).contains(version),
+      s"cannot tag $name@$tag: version $version does not exist")
+    writeTags(name, tags(name) + (tag -> version))
+  }
+
+  /** Remove a tag; the version becomes expirable again. */
+  def removeTag(name: String, tag: String): Unit =
+    writeTags(name, tags(name) - tag)
+
+  private def writeTags(name: String, all: Map[String, Int]): Unit = {
+    val dir = metaPath(name)
+    Files.createDirectories(dir)
+    val arr = all.toSeq.sortBy(_._1)
+      .flatMap { case (t, v) => Seq(t, v.toString) }
+      .map(s => "\"" + TableCatalog.escape(s) + "\"").mkString("[", ", ", "]")
+    val tmp = dir.resolve(s".tags-${java.util.UUID.randomUUID()}.json.tmp")
+    Files.writeString(tmp, s"""{"tags": $arr}""")
+    Files.move(tmp, dir.resolve("tags.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. The newest manifest carrying a
     * `streamBatchId` mark is always retained even when older than the
@@ -293,6 +332,10 @@ final case class TableCatalog(warehouse: String) {
     * afterwards to reclaim the bytes (Iceberg's expire_snapshots +
     * remove_orphan_files split); the retained marked manifest pins its
     * own files until the stream commits a newer batch.
+    *
+    * Tagged versions are likewise always retained — a tag is a promise
+    * that the snapshot stays addressable by name; `removeTag` is its
+    * release.
     *
     * `releaseStreamMark = true` is the decommissioned-stream escape
     * hatch: without it the newest marked manifest (and, via
@@ -312,7 +355,9 @@ final case class TableCatalog(warehouse: String) {
         try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
         catch { case _: java.nio.file.NoSuchFileException => false }
       }
-    val expired = vs.dropRight(keepLast).filterNot(newestMarked.contains)
+    val tagged = tags(name).values.toSet
+    val expired = vs.dropRight(keepLast)
+      .filterNot(v => newestMarked.contains(v) || tagged(v))
     expired.foreach(v => Files.deleteIfExists(metaPath(name).resolve(s"v$v.json")))
     expired
   }
@@ -534,6 +579,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     readVersion(name, v)
   }
+
+  /** Time travel by tag: `readTag(t, "train-run-47")` — the named-ref
+    * variant of `readVersion`.
+    */
+  def readTag(name: String, tag: String): DataFrame =
+    readVersion(name, catalog.tags(name).getOrElse(tag,
+      throw new IllegalArgumentException(s"no such tag on $name: $tag")))
 
   /** Time travel: the reference's `VERSION AS OF` (README.md:143-154).
     * mergeSchema, like the raw-scan path (`Tables`): an append with a

@@ -190,6 +190,46 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("snapshot tags: named time travel, GC retention, release on removeTag") {
+    val io = freshIO()
+    val t = "default.tagged"
+    io.append(Seq((1L, "a")).toDF("id", "s"), t)  // v1
+    io.append(Seq((2L, "b")).toDF("id", "s"), t)  // v2
+    io.catalog.tagSnapshot(t, "train-run-47", 1)
+    io.append(Seq((3L, "c")).toDF("id", "s"), t)  // v3
+
+    // named read sees the tagged snapshot, not the head
+    assert(io.readTag(t, "train-run-47").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(intercept[IllegalArgumentException](io.readTag(t, "nope"))
+      .getMessage.contains("no such tag"))
+    // tagging a nonexistent version fails loudly
+    intercept[IllegalArgumentException](io.catalog.tagSnapshot(t, "x", 99))
+
+    // SQL: VERSION AS OF '<tag>' resolves through the tag map, and the
+    // tag procedures drive the lifecycle
+    spark.conf.set("spark.sql.catalog.gtag", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtag.warehouse", io.catalog.warehouse)
+    try {
+      assert(spark.sql("SELECT id FROM gtag.default.tagged VERSION AS OF 'train-run-47'")
+        .as[Long].collect().toSeq == Seq(1L))
+      spark.sql("CALL gtag.system.tag_snapshot('default.tagged', 'head2', 2)")
+      assert(spark.sql("SELECT count(*) c FROM gtag.default.tagged VERSION AS OF 'head2'")
+        .head().getLong(0) == 2L)
+
+      // GC: tagged manifests are never expired, their files never orphaned
+      assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq.empty) // v1, v2 both tagged
+      spark.sql("CALL gtag.system.remove_tag('default.tagged', 'head2')")
+      assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq(2))    // v2 released
+      io.catalog.removeOrphanFiles(t)
+      // the still-tagged v1 remains fully readable after GC
+      assert(io.readTag(t, "train-run-47").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+      assert(io.read(t).count() == 3)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gtag")
+      spark.conf.unset("spark.sql.catalog.gtag.warehouse")
+    }
+  }
+
   test("readIncremental rejects non-append ranges and unverifiable (expired) ranges") {
     val io = freshIO()
     val t = "default.inc_rw"
