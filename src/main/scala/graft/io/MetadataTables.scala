@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   */
 private[io] object MetadataTables {
 
-  val Names: Set[String] = Set("snapshots", "files", "history")
+  val Names: Set[String] = Set("snapshots", "files", "history", "tags")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -50,6 +50,15 @@ private[io] object MetadataTables {
         .map(f => new GenericInternalRow(Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(f), sizeOf(f))): InternalRow)
       local(s"$table.files", schema, rows)
+    case "tags" =>
+      val schema = new StructType()
+        .add("tag", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("version", IntegerType, nullable = false)
+      val rows = cat.tags(table).toSeq.sortBy(_._1).map { case (t, v) =>
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), v)): InternalRow
+      }
+      local(s"$table.tags", schema, rows)
     case other =>
       throw new IllegalArgumentException(s"unknown metadata table: $other")
   }

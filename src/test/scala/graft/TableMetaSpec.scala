@@ -215,6 +215,10 @@ class TableMetaSpec extends graft.SparkSpec {
       spark.sql("CALL gtag.system.tag_snapshot('default.tagged', 'head2', 2)")
       assert(spark.sql("SELECT count(*) c FROM gtag.default.tagged VERSION AS OF 'head2'")
         .head().getLong(0) == 2L)
+      // the .tags metadata table lists the refs
+      assert(spark.sql("SELECT tag, version FROM gtag.default.tagged.tags ORDER BY tag")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq ==
+        Seq("head2" -> 2, "train-run-47" -> 1))
 
       // GC: tagged manifests are never expired, their files never orphaned
       assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq.empty) // v1, v2 both tagged
