@@ -10,10 +10,14 @@ import org.apache.spark.sql.sources._
 
 import scala.jdk.CollectionConverters._
 
-/** Driver-side parquet footer statistics, used to scope copy-on-write
-  * row-level operations to the files a predicate can possibly touch
-  * (the poor man's Iceberg manifest stats: same decision, read from
-  * the footers at plan time instead of a stats table).
+/** Driver-side per-file column statistics, used to scope copy-on-write
+  * row-level operations and plan-time file skipping to the files a
+  * predicate can possibly touch (Iceberg's manifest-stats decision).
+  * Stats are PERSISTED INTO THE MANIFEST at commit time
+  * (`TableIO.commitStats` -> `encodeEntries`) and primed into the
+  * cache when a table is loaded, so planning is O(manifest); the
+  * parquet footer read below is the fallback for pre-stats manifests
+  * and skipped column types.
   *
   * Everything here is CONSERVATIVE: any column, type, filter shape, or
   * unreadable footer we don't understand yields "might match", which
@@ -29,17 +33,77 @@ object FileStats {
     */
   final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long)
 
-  /** Footer stats memoized per absolute path — data files are
-    * immutable once committed (overwrites write NEW files), so the
-    * cache never staleses within a JVM. At real scale this cache is
-    * the stand-in for stats persisted into the manifest at commit
-    * time; rewriting it as a commit-time sidecar changes only where
-    * `read` runs, not any decision made here.
+  /** Stats memoized per absolute path — data files are immutable once
+    * committed (overwrites write NEW files), so the cache never
+    * staleses within a JVM. Populated from manifest-persisted stats
+    * (`prime`) when tables load, or lazily from footers for files
+    * committed before stats existed.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStats]]()
 
   def cached(file: String, conf: Configuration): Map[String, ColStats] =
     cache.computeIfAbsent(file, f => read(f, conf))
+
+  /** Seed the cache with stats PERSISTED IN A MANIFEST at commit time
+    * (see TableCatalog.manifestStats) so plan-time pruning never opens
+    * a footer — Iceberg's manifest-stats behavior. Sound because data
+    * files are immutable once committed; `putIfAbsent` keeps whichever
+    * source got there first (they agree by construction).
+    */
+  def prime(stats: Map[String, Map[String, ColStats]]): Unit =
+    stats.foreach { case (f, s) => cache.putIfAbsent(f, s) }
+
+  /** Serialize one file's column stats for embedding in a manifest
+    * commit. One string per column: `idx|kind|nulls|rows|min|max|colB64`
+    * with kind i = integral (decimal), f = fractional (double
+    * round-trip), s = bytes (base64, unsigned order), n = all-null.
+    * Columns whose stat types aren't encodable are SKIPPED — their
+    * absence falls back to a footer read, never a wrong prune.
+    */
+  def encodeEntries(fileIdx: Int, stats: Map[String, ColStats]): Seq[String] = {
+    val b64 = java.util.Base64.getEncoder
+    def enc(v: Any): Option[(String, String)] = v match {
+      case n @ (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short | _: java.lang.Byte) =>
+        Some("i" -> n.toString)
+      case n: java.lang.Float => Some("f" -> n.doubleValue().toString)
+      case n: java.lang.Double => Some("f" -> n.toString)
+      case b: Binary => Some("s" -> b64.encodeToString(b.getBytes))
+      case _ => None
+    }
+    stats.toSeq.sortBy(_._1).flatMap { case (colName, cs) =>
+      val col = b64.encodeToString(colName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (cs.min == null && cs.max == null)
+        Seq(s"$fileIdx|n|${cs.nullCount}|${cs.rowCount}|||$col")
+      else (enc(cs.min), enc(cs.max)) match {
+        case (Some((k1, mn)), Some((k2, mx))) if k1 == k2 =>
+          Seq(s"$fileIdx|$k1|${cs.nullCount}|${cs.rowCount}|$mn|$mx|$col")
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Inverse of `encodeEntries`: entries grouped by file index.
+    * Malformed entries are dropped (conservative absence).
+    */
+  def decodeEntries(entries: Seq[String]): Map[Int, Map[String, ColStats]] = {
+    val b64 = java.util.Base64.getDecoder
+    entries.flatMap { e =>
+      try e.split("\\|", -1) match {
+        case Array(idx, kind, nulls, rows, mn, mx, colB64) =>
+          val col = new String(b64.decode(colB64), java.nio.charset.StandardCharsets.UTF_8)
+          def dec(s: String): Any = kind match {
+            case "i" => java.lang.Long.valueOf(s)
+            case "f" => java.lang.Double.valueOf(s)
+            case "s" => Binary.fromConstantByteArray(b64.decode(s))
+          }
+          val cs =
+            if (kind == "n") ColStats(null, null, nulls.toLong, rows.toLong)
+            else ColStats(dec(mn), dec(mx), nulls.toLong, rows.toLong)
+          Some((idx.toInt, col, cs))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+  }
 
   /** Drop cache entries for files physically deleted by GC
     * (`removeOrphanFiles`) so a long-lived driver doesn't accumulate

@@ -101,6 +101,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   private def loadVersion(ident: Identifier, version: Int): Table = {
     val name = qualified(ident)
     val files = catalog.manifest(name, version)
+    // seed the stats cache from the manifest so plan-time file
+    // skipping (StatsPruningScanBuilder, DML scoping) never opens a
+    // footer — stats were persisted with the commit
+    try FileStats.prime(catalog.manifestStats(name, version))
+    catch { case scala.util.control.NonFatal(_) => () }
     val options = new CaseInsensitiveStringMap(
       Map("basePath" -> catalog.dataPath(name)).asJava)
     // A declared schema (CTAS or ALTER TABLE) wins when present —
@@ -558,8 +563,10 @@ private[io] class GraftRowOpsTable(
                 try {
                   val conf = SparkSession.active.sessionState.newHadoopConf()
                   allFiles.partition { f =>
-                    // footers carry physical names; filters logical
-                    val stats = FileStats.read(f, conf)
+                    // stats carry physical names; filters logical
+                    // (cached = manifest-primed at loadTable, footer
+                    // fallback for pre-stats files)
+                    val stats = FileStats.cached(f, conf)
                       .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
                     !FileStats.mightMatch(stats, filters.toSeq)
                   }
@@ -727,8 +734,14 @@ private[io] class StatsPruningScanBuilder(
           delegate.paths.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
         } catch { case scala.util.control.NonFatal(_) => delegate.paths }
     if (keep.size < delegate.paths.size) {
+      // a fully-pruned scan has no footers left to infer from — carry
+      // the already-inferred schema so it returns zero rows, not an
+      // UNABLE_TO_INFER_SCHEMA error
+      val schemaForSkipped =
+        if (keep.isEmpty) delegate.userSpecifiedSchema.orElse(Some(delegate.schema))
+        else delegate.userSpecifiedSchema
       current = ParquetTable(s"${delegate.name}#skipped", SparkSession.active,
-        delegate.options, keep, delegate.userSpecifiedSchema,
+        delegate.options, keep, schemaForSkipped,
         classOf[ParquetFileFormat]).newScanBuilder(options)
       prunedColumns.foreach(s => current match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(s)

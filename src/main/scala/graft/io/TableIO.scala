@@ -85,8 +85,32 @@ final case class TableCatalog(warehouse: String) {
   }
 
   def commitSnapshot(name: String, files: Seq[String],
-                     props: Map[String, String] = Map.empty): Int =
-    commitSnapshotAt(name, files, currentVersion(name).getOrElse(0) + 1, props)
+                     props: Map[String, String] = Map.empty,
+                     stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int =
+    commitSnapshotAt(name, files, currentVersion(name).getOrElse(0) + 1, props, stats)
+
+  /** Per-file column stats persisted WITH the snapshot at commit time
+    * (Iceberg's manifest stats): keyed by resolved file path. Absent
+    * for pre-stats manifests and for columns whose types the encoder
+    * skips — consumers fall back to a footer read, never a wrong
+    * prune. At 100 TB this is what keeps planning O(manifest), not
+    * O(files) footer fetches.
+    */
+  def manifestStats(name: String, version: Int): Map[String, Map[String, FileStats.ColStats]] = {
+    val f = metaPath(name).resolve(s"v$version.json")
+    val json = Files.readString(f)
+    val entries = TableCatalog.parseStringArrayAt(json, "stats")
+    if (entries.isEmpty) Map.empty
+    else {
+      val base = tableRoot(name)
+      val files = TableCatalog.parseStringArrayAt(json, "files").map { p =>
+        if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+      }
+      FileStats.decodeEntries(entries).collect {
+        case (idx, cols) if idx >= 0 && idx < files.size => files(idx) -> cols
+      }
+    }
+  }
 
   /** Snapshot properties committed WITH the manifest (same atomic
     * hard-link), e.g. the streaming sink's batch-id high-water mark —
@@ -106,7 +130,8 @@ final case class TableCatalog(warehouse: String) {
     * is deterministically testable).
     */
   private[graft] def commitSnapshotAt(name: String, files: Seq[String], v: Int,
-                                      props: Map[String, String] = Map.empty): Int = {
+                                      props: Map[String, String] = Map.empty,
+                                      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int = {
     val meta = metaPath(name)
     Files.createDirectories(meta)
     val base = tableRoot(name)
@@ -121,7 +146,18 @@ final case class TableCatalog(warehouse: String) {
       else props.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(k, v) }
         .map(s => "\"" + TableCatalog.escape(s) + "\"")
         .mkString(", \"props\": [", ", ", "]")
-    val json = s"{$filesJson$propsJson}"
+    // stats are keyed by file INDEX into the files array (paths are
+    // stored relative; the index is stable either way)
+    val normalized = files.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+    val statsEntries = stats.toSeq.flatMap { case (f, cols) =>
+      val idx = normalized.indexOf(Paths.get(f).toAbsolutePath.normalize.toString)
+      if (idx < 0) Nil else FileStats.encodeEntries(idx, cols)
+    }.sorted
+    val statsJson =
+      if (statsEntries.isEmpty) ""
+      else statsEntries.map(s => "\"" + TableCatalog.escape(s) + "\"")
+        .mkString(", \"stats\": [", ", ", "]")
+    val json = s"{$filesJson$propsJson$statsJson}"
     // tmp name must be writer-unique: two racers sharing `.vN.json.tmp`
     // could interleave write/link so the winner links the LOSER's
     // content — the whole point of the exclusive link is defeated
@@ -686,6 +722,29 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     }
   }
 
+  /** Commit-time stats (the manifest-stats half of the file-skip
+    * design): read the JUST-WRITTEN files' footers once — they are hot
+    * in the page cache — and carry surviving files' stats forward from
+    * the previous manifest, so plan-time pruning works from the
+    * manifest alone and never re-opens a footer. A file whose footer
+    * read fails simply ships without stats (consumers fall back to
+    * reading it at plan time — conservative, never wrong).
+    */
+  private def commitStats(name: String, kept: Seq[String], newFiles: Seq[String])
+      : Map[String, Map[String, FileStats.ColStats]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val prev = catalog.currentVersion(name)
+      .map(v => try catalog.manifestStats(name, v)
+                catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
+      .getOrElse(Map.empty)
+    val carried = kept.flatMap(f => prev.get(f).map(f -> _))
+    val fresh = newFiles.flatMap { f =>
+      try Some(f -> FileStats.read(f, conf))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    (carried ++ fresh).toMap
+  }
+
   /** Commit `df`'s rows as the replacement for everything EXCEPT
     * `keepFiles`, which carry into the new manifest verbatim — the
     * commit half of a file-scoped copy-on-write mutation.
@@ -698,7 +757,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     withParts.parquet(catalog.dataPath(name))
     val newFiles = catalog.listDataFiles(name).filterNot(before)
-    catalog.commitSnapshot(name, keepFiles ++ newFiles)
+    catalog.commitSnapshot(name, keepFiles ++ newFiles,
+      stats = commitStats(name, keepFiles, newFiles))
   }
 
   /** Create-if-absent, append data files, commit a new snapshot.
@@ -733,7 +793,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val touched = newFiles.map(partitionKeyOf(name, _)).toSet
     val prev = catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
     val kept = prev.filterNot(f => touched.contains(partitionKeyOf(name, f)))
-    catalog.commitSnapshot(name, kept ++ newFiles)
+    catalog.commitSnapshot(name, kept ++ newFiles,
+      stats = commitStats(name, kept, newFiles))
   }
 
   /** Hive-style partition key of a data file: its `col=value` path
@@ -874,7 +935,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val prev =
       if (append) catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
       else Seq.empty
-    catalog.commitSnapshot(name, prev ++ newFiles, props)
+    catalog.commitSnapshot(name, prev ++ newFiles, props,
+      stats = commitStats(name, prev, newFiles))
   }
 }
 

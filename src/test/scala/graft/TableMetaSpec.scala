@@ -190,6 +190,81 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("commits persist per-file column stats in the manifest; reads prune from them without footers") {
+    val io = freshIO()
+    val t = "default.stats"
+    io.append(Seq((1, 1.5d, "aa"), (2, 2.5d, "bb")).toDF("k", "v", "s").coalesce(1), t)
+    io.append(Seq((100, 9.5d, "zz")).toDF("k", "v", "s").coalesce(1), t)
+
+    // v2 carries stats for BOTH files: the new one read at commit, the
+    // surviving one carried forward from v1 (no footer re-read)
+    val stats = io.catalog.manifestStats(t, 2)
+    val files = io.catalog.manifest(t, 2)
+    assert(stats.keySet == files.toSet, s"stats cover ${stats.keySet}, files $files")
+    val lowFile = files.find(f => stats(f)("k").min.asInstanceOf[Number].longValue == 1L).get
+    assert(stats(lowFile)("k").max.asInstanceOf[Number].longValue == 2L)
+    assert(stats(lowFile)("v").min.asInstanceOf[Number].doubleValue == 1.5d)
+    assert(stats(lowFile)("s").nullCount == 0L)
+
+    // THE point: plan-time pruning consults the MANIFEST, not the
+    // current footer. Swap the low file's bytes for content in a
+    // completely different range; a predicate inside the new range but
+    // outside the manifest-recorded one still prunes the file (footer
+    // never opened — it would contradict the decision).
+    val swap = Files.createTempDirectory("graft_swap_").resolve("out")
+    Seq((150, 0.0d, "xx")).toDF("k", "v", "s").coalesce(1).write.parquet(swap.toString)
+    val replacement = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(swap).iterator()).asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val lowPath = java.nio.file.Paths.get(lowFile)
+    Files.copy(replacement, lowPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the hadoop local FS checksum sidecar belongs to the old bytes
+    Files.deleteIfExists(lowPath.resolveSibling("." + lowPath.getFileName + ".crc"))
+
+    spark.conf.set("spark.sql.catalog.gst", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gst.warehouse", io.catalog.warehouse)
+    try {
+      // k=150 exists ONLY in the swapped bytes; manifest says [1,2] —
+      // the file is pruned, proving stats came from the manifest
+      assert(spark.sql("SELECT * FROM gst.default.stats WHERE k = 150").count() == 0L)
+      // k=100 is in the untouched file's recorded range — still found
+      assert(spark.sql("SELECT s FROM gst.default.stats WHERE k = 100")
+        .as[String].head() == "zz")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gst")
+      spark.conf.unset("spark.sql.catalog.gst.warehouse")
+    }
+  }
+
+  test("pre-stats manifests fall back to footer reads for pruning") {
+    val io = freshIO()
+    val t = "default.nostats"
+    io.append(Seq((1, "a")).toDF("k", "s").coalesce(1), t)
+    io.append(Seq((100, "z")).toDF("k", "s").coalesce(1), t)
+    // strip the stats array from the newest manifest (legacy layout)
+    val meta = io.catalog.metaPath(t)
+    val v = io.versions(t).last
+    val json = Files.readString(meta.resolve(s"v$v.json"))
+    val stripped = json.substring(0, json.indexOf(", \"stats\"")) + "}"
+    Files.writeString(meta.resolve(s"v$v.json"), stripped)
+    assert(io.catalog.manifestStats(t, v).isEmpty)
+
+    spark.conf.set("spark.sql.catalog.gns", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gns.warehouse", io.catalog.warehouse)
+    try {
+      val df = spark.sql("SELECT * FROM gns.default.nostats WHERE k = 100")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val scanned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(fail(s"no file index:\n$p"))
+      assert(scanned == 1, s"footer fallback should still prune: scanned $scanned/2")
+      assert(df.count() == 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gns")
+      spark.conf.unset("spark.sql.catalog.gns.warehouse")
+    }
+  }
+
   test("snapshot tags: named time travel, GC retention, release on removeTag") {
     val io = freshIO()
     val t = "default.tagged"
