@@ -655,7 +655,7 @@ object OracleQueries {
     "q49_multimodal_frames" ->
       """WITH b AS (
         |  SELECT doc_id, text,
-        |    CAST(least(1 + octet_length(encode(text)) // 64, 16) AS INT) AS n_frames
+        |    CAST(least(greatest(1, (octet_length(encode(text)) + 63) // 64), 16) AS INT) AS n_frames
         |  FROM documents),
         |f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS fi FROM b)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,

@@ -445,8 +445,11 @@ object SparkEntry {
     // ---- table-layer semantics as oracle rows (S8 / DML / CDC / streaming) ----
 
     // S8 oracle row: snapshot isolation across a row-level DELETE —
-    // version 1 stays byte-identical while the current version has
-    // lost region 2 (previously pinned only by specs)
+    // version 1 still returns every pre-delete row while the current
+    // version has lost region 2 (previously pinned only by specs).
+    // (Historical snapshots read under the table's CURRENT declared
+    // schema — the documented Iceberg-lite simplification; this table
+    // has no declared schema, so v1 reads its own footers.)
     "q45_time_travel" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_tt_"))
       io.overwrite(Tables.nation(s, dir), "default.nation_tt")
@@ -479,6 +482,7 @@ object SparkEntry {
            |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
            |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_name, balance)
            |  VALUES (s.s_suppkey, s.s_name, s.delta)""".stripMargin)
+      s.catalog.dropTempView(s"merge_src_$cname") // MERGE ran eagerly; result reads the table
       io.read("default.supp_bal")
     }),
 

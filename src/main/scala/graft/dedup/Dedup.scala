@@ -299,7 +299,15 @@ object Dedup {
     //    recompute measured as the dominant cost of the whole job.
     val sc = docs.sparkSession.sparkContext
     val target = parallelism.getOrElse(sc.defaultParallelism)
-    val scattered = if (target > 0) docs.repartition(target) else docs
+    // Scatter only when the scan can't already fill `target` tasks.
+    // inputFiles is driver-side FileIndex metadata (no physical
+    // planning, unlike the old .rdd probe): a many-file corpus keeps
+    // its layout — a full shuffle that SHRINKS a well-split input
+    // costs more than it saves — while the one-giant-file case (few
+    // files, CPU-bound signatures downstream) fans out. Non-file
+    // inputs report no files and scatter conservatively.
+    val nFiles = try docs.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
+    val scattered = if (target > 0 && nFiles < target) docs.repartition(target) else docs
     // sh = sorted distinct n-gram hashes (primitive longs) — the native
     // trio shingle/minhash/jaccard keeps the whole verify path codegen'd
     val base = scattered

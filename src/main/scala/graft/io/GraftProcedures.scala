@@ -105,7 +105,7 @@ private[io] object GraftProcedures {
           val io = new TableIO(SparkSession.active, cat)
           val before = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           io.compactZOrder(t, in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-            in.getInt(3))
+            in.getInt(3), cat.tablePartitionCols(t).getOrElse(Seq.empty))
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
         }))

@@ -147,11 +147,14 @@ final case class TableCatalog(warehouse: String) {
         .map(s => "\"" + TableCatalog.escape(s) + "\"")
         .mkString(", \"props\": [", ", ", "]")
     // stats are keyed by file INDEX into the files array (paths are
-    // stored relative; the index is stable either way)
-    val normalized = files.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+    // stored relative; the index is stable either way); the index map
+    // is built once — an indexOf per entry would be O(files^2) on the
+    // 100k-file manifests this layer targets
+    val indexOfFile = files.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+      .zipWithIndex.toMap
     val statsEntries = stats.toSeq.flatMap { case (f, cols) =>
-      val idx = normalized.indexOf(Paths.get(f).toAbsolutePath.normalize.toString)
-      if (idx < 0) Nil else FileStats.encodeEntries(idx, cols)
+      indexOfFile.get(Paths.get(f).toAbsolutePath.normalize.toString)
+        .map(FileStats.encodeEntries(_, cols)).getOrElse(Nil)
     }.sorted
     val statsJson =
       if (statsEntries.isEmpty) ""
@@ -337,6 +340,11 @@ final case class TableCatalog(warehouse: String) {
   def tagSnapshot(name: String, tag: String, version: Int): Unit = {
     require(versions(name).contains(version),
       s"cannot tag $name@$tag: version $version does not exist")
+    // an all-digit tag would be shadowed by version-number resolution
+    // in SQL `VERSION AS OF '<tag>'` (numbers parse as versions first)
+    // — reject it loudly instead of letting the two surfaces disagree
+    require(tag.nonEmpty && !tag.forall(_.isDigit),
+      s"tag names must not be purely numeric (ambiguous with version numbers): '$tag'")
     writeTags(name, tags(name) + (tag -> version))
   }
 
@@ -861,7 +869,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * between Iceberg's sort and zorder rewrite strategies.
     */
   def compactZOrder(name: String, colA: String, colB: String,
-                    targetFiles: Int = 8): Unit = {
+                    targetFiles: Int = 8,
+                    partitionCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val z = "__graft_z"
     val out = read(name)
@@ -869,7 +878,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       .repartitionByRange(targetFiles, col(z))
       .sortWithinPartitions(col(z))
       .drop(z) // projection after the sort: row order within partitions survives
-    overwrite(out, name)
+    // partitionCols MUST match the table's Hive layout (as in compact/
+    // compactSorted): rewriting a partitioned table flat would leave
+    // files with empty partition keys that a later overwritePartition
+    // cannot replace — duplicated rows
+    overwrite(out, name, partitionCols)
   }
 
   /** Copy-on-write row-level DELETE — the programmatic twin of SQL

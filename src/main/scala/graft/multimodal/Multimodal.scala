@@ -123,8 +123,12 @@ object Multimodal {
     withBlobs
       .select(
         col("doc_id"), col("blob"),
-        least(lit(1L) + expr(s"meta.n_bytes div $stride"), lit(maxFrames.toLong))
-          .cast("int").as("n_frames"))
+        // ceil(n_bytes / stride), floored at 1: an exact-multiple blob
+        // must NOT emit a phantom empty frame past its end (identical
+        // md5("") signatures would cluster unrelated blobs in
+        // frame-level dedup)
+        least(greatest(lit(1L), expr(s"(meta.n_bytes + ${stride - 1}) div $stride")),
+          lit(maxFrames.toLong)).cast("int").as("n_frames"))
       .select(col("doc_id"), col("blob"),
         explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
       .select(
@@ -159,12 +163,12 @@ object Multimodal {
     * meta) rows. `mapPartitions` keeps the decode a single executor
     * pass with per-batch (not per-row) setup cost — the JVM equivalent
     * of an Arrow-batched `mapInPandas` UDF. Blobs are rescattered
-    * before the CPU-bound kernel by default (one giant tar-shard
-    * parquet file must not pin decode to one core; probing the input's
-    * partition count to decide would force full physical planning just
-    * to read a number): `parallelism` = Some(n) picks the fan-out,
-    * None uses every core, Some(0) keeps the input layout (for inputs
-    * already scattered, e.g. a pipeline stage that just shuffled).
+    * before the CPU-bound kernel when the scan has fewer FILES than
+    * the target fan-out (one giant tar-shard parquet file must not pin
+    * decode to one core; a corpus already split across many files
+    * keeps its layout — no shuffle): `parallelism` = Some(n) picks the
+    * fan-out, None uses every core, Some(0) keeps the input layout
+    * unconditionally.
     */
   def decodeFeatures(withBlobs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -172,7 +176,12 @@ object Multimodal {
     val target = parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val src = withBlobs.select(
       col("doc_id"), col("blob"), col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
-    val scattered = if (target > 0) src.repartition(target) else src
+    // scatter only when the scan can't already fill `target` tasks
+    // (inputFiles = driver metadata, no physical planning; a shuffle
+    // that SHRINKS an already well-split blob store wastes more than
+    // it buys) — the single-tar-shard case still fans out
+    val nFiles = try withBlobs.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
+    val scattered = if (target > 0 && nFiles < target) src.repartition(target) else src
     scattered
       .as(Encoders.product[BlobRow])
       .mapPartitions { batch =>

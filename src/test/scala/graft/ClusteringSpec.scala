@@ -111,4 +111,25 @@ class ClusteringSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gcz.warehouse")
     }
   }
+
+  test("clustered rewrites preserve Hive partition layout — overwritePartition still replaces") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_zpart_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val rows = (for (yr <- 2020 to 2021; i <- 0 until 50) yield (i, i % 7, s"r$i", yr)).toVector
+    io.append(rows.toDF("a", "b", "s", "yr").repartition(4), "default.p", Seq("yr"))
+
+    io.compactZOrder("default.p", "a", "b", targetFiles = 4, partitionCols = Seq("yr"))
+    // every rewritten file still lives under a yr=... directory
+    val files = io.catalog.manifest("default.p", io.versions("default.p").last)
+    assert(files.nonEmpty && files.forall(_.contains("yr=")),
+      s"z-order rewrite flattened the partition layout:\n${files.mkString("\n")}")
+
+    // the regression this guards: a later partition-level overwrite
+    // must REPLACE 2020's rows, not duplicate them next to flat files
+    io.overwritePartition(
+      Seq((999, 0, "new", 2020)).toDF("a", "b", "s", "yr"), "default.p", Seq("yr"))
+    val back = io.read("default.p")
+    assert(back.filter(col("yr") === 2020).count() == 1L)
+    assert(back.filter(col("yr") === 2021).count() == 50L)
+  }
 }

@@ -146,6 +146,19 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frameSample: exact-multiple blobs emit no phantom empty frame") {
+    val docs = Seq(
+      (1L, "x" * 64),   // exactly one stride -> exactly one frame
+      (2L, "y" * 65),   // one byte over -> two frames, second 1 byte
+      (3L, "z" * 10)    // under one stride -> one short frame
+    ).toDF("doc_id", "text")
+    val frames = graft.multimodal.Multimodal
+      .frameSample(graft.multimodal.Multimodal.withBlob(docs))
+      .select($"doc_id", $"frame_idx", $"frame_len").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(frames == Set((1L, 0, 16), (2L, 0, 16), (2L, 1, 1), (3L, 0, 10)), frames)
+  }
+
   test("appendStream availableNow drains the source, commits exactly once, then stops") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.tables.Tables.events(spark, sfDir)

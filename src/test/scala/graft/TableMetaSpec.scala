@@ -279,6 +279,9 @@ class TableMetaSpec extends graft.SparkSpec {
       .getMessage.contains("no such tag"))
     // tagging a nonexistent version fails loudly
     intercept[IllegalArgumentException](io.catalog.tagSnapshot(t, "x", 99))
+    // all-digit tags are rejected: SQL VERSION AS OF would resolve
+    // them as version numbers and the two surfaces would disagree
+    intercept[IllegalArgumentException](io.catalog.tagSnapshot(t, "7", 1))
 
     // SQL: VERSION AS OF '<tag>' resolves through the tag map, and the
     // tag procedures drive the lifecycle
