@@ -759,7 +759,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   private[graft] def commitReplacement(df: DataFrame, name: String,
                                        keepFiles: Seq[String],
-                                       partitionCols: Seq[String]): Unit = {
+                                       partitionCols: Seq[String]): Unit =
+    TableIO.writeLock(catalog.pathOf(name)).synchronized {
+      commitReplacementLocked(df, name, keepFiles, partitionCols)
+    }
+
+  private def commitReplacementLocked(df: DataFrame, name: String,
+                                      keepFiles: Seq[String],
+                                      partitionCols: Seq[String]): Unit = {
     val before = catalog.listDataFiles(name).toSet
     val w = toPhysical(df, name).write.mode(SaveMode.Append)
     val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
@@ -792,7 +799,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * unaffected. This is the incremental daily-rebuild primitive:
     * re-running one date partition commits O(that partition).
     */
-  def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
+  def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit =
+    TableIO.writeLock(catalog.pathOf(name)).synchronized {
+      overwritePartitionLocked(df, name, partitionCols)
+    }
+
+  private def overwritePartitionLocked(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
     val before = catalog.listDataFiles(name).toSet
     toPhysical(df, name).write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
@@ -939,21 +951,72 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     }
 
   private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
-                    props: Map[String, String] = Map.empty): Unit = {
+                    props: Map[String, String] = Map.empty): Unit =
+    // Same-JVM writers to one table serialize over the write->commit
+    // section: new files are identified by a directory-listing DIFF,
+    // so two interleaved writers would each claim the other's
+    // in-flight files (rows committed twice). One driver running
+    // parallel ingest threads — the realistic Spark pattern — is made
+    // safe here; cross-PROCESS appends still resolve version races via
+    // the optimistic retry below but must not interleave file writes
+    // (Iceberg avoids this only because its writers report their own
+    // file lists instead of diffing the directory).
+    TableIO.writeLock(catalog.pathOf(name)).synchronized {
+      writeLocked(df, name, append, partitionCols, props)
+    }
+
+  private def writeLocked(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
+                          props: Map[String, String]): Unit = {
     val before = catalog.listDataFiles(name).toSet
     val w = toPhysical(df, name).write.mode(SaveMode.Append) // physical files accumulate; manifests decide visibility
     val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     withParts.parquet(catalog.dataPath(name))
     val newFiles = catalog.listDataFiles(name).filterNot(before)
-    val prev =
-      if (append) catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
-      else Seq.empty
-    catalog.commitSnapshot(name, prev ++ newFiles, props,
-      stats = commitStats(name, prev, newFiles))
+    if (!append) {
+      // overwrite keeps fail-fast single-writer semantics: retrying a
+      // logical replace after a concurrent commit would silently
+      // discard the racer's rows (lost update)
+      catalog.commitSnapshot(name, newFiles, props,
+        stats = commitStats(name, Seq.empty, newFiles))
+    } else {
+      // Optimistic-concurrency APPEND (Iceberg's commit loop): the
+      // data files are already on disk, so losing the version race
+      // costs one manifest re-read, never a data rewrite. The base
+      // file list and the version number come from the SAME read —
+      // re-deriving one of them later would commit a stale file list
+      // over the racer's snapshot and lose its files.
+      val newStats = commitStats(name, Seq.empty, newFiles)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val base = catalog.currentVersion(name).getOrElse(0)
+        val prev = if (base == 0) Seq.empty else catalog.manifest(name, base)
+        val carried = if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
+          else try catalog.manifestStats(name, base)
+               catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] }
+        try {
+          catalog.commitSnapshotAt(name, prev ++ newFiles, base + 1, props,
+            carried.view.filterKeys(prev.toSet).toMap ++ newStats)
+          done = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 20) throw e // livelock guard; caller decides
+        }
+      }
+    }
   }
 }
 
 object TableIO {
   def apply(spark: SparkSession, warehouse: String): TableIO =
     new TableIO(spark, TableCatalog(warehouse))
+
+  /** Per-table (canonical path) write lock shared by every TableIO
+    * instance in the JVM — see `write`.
+    */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[io] def writeLock(tablePath: String): Object =
+    writeLocks.computeIfAbsent(
+      Paths.get(tablePath).toAbsolutePath.normalize.toString, _ => new Object)
 }
