@@ -32,13 +32,15 @@ import scala.util.Using
   * accumulate forever (overwrite never deletes), which at scale kills
   * listing and planning.
   *
-  * Concurrency: single-writer batch, as in the reference pipeline
-  * (SURVEY.md §7 risk 1) — manifest commit is a tmp-file + atomic
-  * hard-link, so readers never observe a torn manifest AND a second
-  * writer racing to the same version number fails loudly with
+  * Concurrency: manifest commit is a tmp-file + atomic hard-link, so
+  * readers never observe a torn manifest AND a second writer racing to
+  * the same version number fails loudly with
   * `ConcurrentCommitException` instead of silently winning last
   * (optimistic concurrency on the version file, as in Iceberg's
-  * HadoopTableOperations).
+  * HadoopTableOperations). On top of that primitive, `TableIO` appends
+  * RETRY the race (re-read base, recommit) and same-JVM writers to one
+  * table serialize over the write->commit section; overwrites stay
+  * fail-fast — see `TableIO.write`.
   */
 final case class TableCatalog(warehouse: String) {
   def pathOf(name: String): String = {
