@@ -743,10 +743,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   private def commitStats(name: String, kept: Seq[String], newFiles: Seq[String])
       : Map[String, Map[String, FileStats.ColStats]] = {
     val conf = spark.sessionState.newHadoopConf()
-    val prev = catalog.currentVersion(name)
-      .map(v => try catalog.manifestStats(name, v)
-                catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
-      .getOrElse(Map.empty)
+    val prev =
+      if (kept.isEmpty) Map.empty[String, Map[String, FileStats.ColStats]]
+      else catalog.currentVersion(name)
+        .map(v => try catalog.manifestStats(name, v)
+                  catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
+        .getOrElse(Map.empty)
     val carried = kept.flatMap(f => prev.get(f).map(f -> _))
     val fresh = newFiles.flatMap { f =>
       try Some(f -> FileStats.read(f, conf))
