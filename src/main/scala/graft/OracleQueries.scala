@@ -398,7 +398,7 @@ object OracleQueries {
     "q23_multimodal_decode" ->
       """SELECT doc_id, format, n_bytes,
         |  CAST(bsum AS DOUBLE) / n_bytes AS mean_byte,
-        |  CAST(least(1 + n_bytes // 64, 16) AS INT) AS frames_sampled
+        |  CAST(least((n_bytes + 63) // 64, 16) AS INT) AS frames_sampled
         |FROM (
         |  SELECT doc_id,
         |    CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

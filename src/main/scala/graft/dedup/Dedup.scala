@@ -280,15 +280,17 @@ object Dedup {
     // shingle per doc) and its expressions are interpreted, not
     // codegen'd — two plan-shape decisions keep it scale-safe:
     // 1. scatter first (a single small parquet file would otherwise
-    //    serialize the whole corpus onto one task). The scatter is
-    //    unconditional by default: probing the input's partition count
-    //    to decide would force full physical planning just to read a
-    //    number, and the one-pass text exchange is cheap against the
-    //    k-hashes-per-shingle stage it balances. `parallelism` =
-    //    Some(n) picks the fan-out, None uses every core, Some(0)
-    //    keeps the input layout (pass it when the input is already
-    //    well-scattered — e.g. a 100 TB corpus whose scan has far more
-    //    splits than cores).
+    //    serialize the whole corpus onto one task). `parallelism` =
+    //    Some(n) ALWAYS repartitions to n (the caller asked for that
+    //    fan-out — e.g. to bound per-task memory); Some(0) keeps the
+    //    input layout unconditionally; None (default) scatters to
+    //    every core UNLESS the scan already has at least that many
+    //    FILES — a heuristic from driver-side FileIndex metadata (no
+    //    physical planning): many files usually means enough splits,
+    //    and a full shuffle that SHRINKS a well-split 100 TB corpus
+    //    costs more than it saves. The heuristic can under-scatter
+    //    when many small files bin-pack into few partitions — pass
+    //    Some(n) to force the fan-out in that case.
     // 2. cache the signature table so every consumer (bucket explode +
     //    both sides of the self-join + the two verification joins)
     //    reads one materialized copy. Without the cache, per-consumer
@@ -298,16 +300,7 @@ object Dedup {
     //    functions re-evaluate it once per band per row — a 32x
     //    recompute measured as the dominant cost of the whole job.
     val sc = docs.sparkSession.sparkContext
-    val target = parallelism.getOrElse(sc.defaultParallelism)
-    // Scatter only when the scan can't already fill `target` tasks.
-    // inputFiles is driver-side FileIndex metadata (no physical
-    // planning, unlike the old .rdd probe): a many-file corpus keeps
-    // its layout — a full shuffle that SHRINKS a well-split input
-    // costs more than it saves — while the one-giant-file case (few
-    // files, CPU-bound signatures downstream) fans out. Non-file
-    // inputs report no files and scatter conservatively.
-    val nFiles = try docs.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
-    val scattered = if (target > 0 && nFiles < target) docs.repartition(target) else docs
+    val scattered = Dedup.scatterForCpuStage(docs, parallelism, sc.defaultParallelism)
     // sh = sorted distinct n-gram hashes (primitive longs) — the native
     // trio shingle/minhash/jaccard keeps the whole verify path codegen'd
     val base = scattered
@@ -465,5 +458,25 @@ object Dedup {
     result.count()
     prevCached.unpersist()
     result
+  }
+
+  /** Pre-scatter for CPU-bound per-row stages (signatures, decode).
+    * Semantics: `Some(n)` ALWAYS repartitions to n (explicit caller
+    * intent — force a fan-out or bound per-task memory); `Some(0)`
+    * keeps the input layout unconditionally; `None` scatters to
+    * `default` cores unless the scan already has >= that many FILES —
+    * a driver-metadata heuristic (inputFiles forces no physical
+    * planning) that avoids shuffling an already well-split corpus but
+    * can under-scatter when many small files bin-pack into few
+    * partitions (pass Some(n) then). Non-file inputs report zero
+    * files and scatter conservatively.
+    */
+  private[graft] def scatterForCpuStage(df: DataFrame, parallelism: Option[Int],
+                                        default: Int): DataFrame = parallelism match {
+    case Some(0) => df
+    case Some(n) => df.repartition(n)
+    case None =>
+      val nFiles = try df.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
+      if (nFiles < default) df.repartition(default) else df
   }
 }

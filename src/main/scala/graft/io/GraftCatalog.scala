@@ -622,7 +622,19 @@ private[io] class GraftRowOpsTable(
                 Seq(cat.dataPath(tableName)),
                 userSpecifiedSchema = Some(physInfo.schema()),
                 fallbackFileFormat = classOf[ParquetFileFormat])
-              val before = cat.listDataFiles(tableName).toSet
+              // The rewrite identifies its replacement files by a
+              // directory-listing DIFF (before at toBatch, after at
+              // commit), so it must hold the same per-table write
+              // mutex TableIO writers use — an append interleaving
+              // with this span would claim the rewrite's in-flight
+              // files as its own (rows committed twice). Held from
+              // here through commit/abort (Semaphore: the callbacks
+              // need not share a thread).
+              val lock = TableIO.writeLock(cat.pathOf(tableName))
+              lock.acquire()
+              val before =
+                try cat.listDataFiles(tableName).toSet
+                catch { case e: Throwable => lock.release(); throw e }
               val dBatch = writeTable.newWriteBuilder(physInfo).build().toBatch
               new BatchWrite {
                 override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
@@ -633,16 +645,18 @@ private[io] class GraftRowOpsTable(
                 override def useCommitCoordinator(): Boolean = dBatch.useCommitCoordinator()
                 override def onDataWriterCommit(m: WriterCommitMessage): Unit =
                   dBatch.onDataWriterCommit(m)
-                override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                  dBatch.commit(messages)
-                  // new table = files the scan proved untouchable
-                  // (carried over verbatim) + this write's replacement
-                  // files; logical overwrite, prior versions untouched
-                  val newFiles = cat.listDataFiles(tableName).filterNot(before)
-                  cat.commitSnapshot(tableName, carriedOver ++ newFiles)
-                }
+                override def commit(messages: Array[WriterCommitMessage]): Unit =
+                  try {
+                    dBatch.commit(messages)
+                    // new table = files the scan proved untouchable
+                    // (carried over verbatim) + this write's replacement
+                    // files; logical overwrite, prior versions untouched
+                    val newFiles = cat.listDataFiles(tableName).filterNot(before)
+                    cat.commitSnapshot(tableName, carriedOver ++ newFiles)
+                  } finally lock.release()
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
-                  dBatch.abort(messages)
+                  try dBatch.abort(messages)
+                  finally lock.release()
               }
             }
           }

@@ -763,10 +763,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   private[graft] def commitReplacement(df: DataFrame, name: String,
                                        keepFiles: Seq[String],
-                                       partitionCols: Seq[String]): Unit =
-    TableIO.writeLock(catalog.pathOf(name)).synchronized {
-      commitReplacementLocked(df, name, keepFiles, partitionCols)
-    }
+                                       partitionCols: Seq[String]): Unit = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try commitReplacementLocked(df, name, keepFiles, partitionCols)
+    finally lock.release()
+  }
 
   private def commitReplacementLocked(df: DataFrame, name: String,
                                       keepFiles: Seq[String],
@@ -803,10 +805,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * unaffected. This is the incremental daily-rebuild primitive:
     * re-running one date partition commits O(that partition).
     */
-  def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit =
-    TableIO.writeLock(catalog.pathOf(name)).synchronized {
-      overwritePartitionLocked(df, name, partitionCols)
-    }
+  def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try overwritePartitionLocked(df, name, partitionCols)
+    finally lock.release()
+  }
 
   private def overwritePartitionLocked(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
@@ -820,6 +824,21 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     catalog.commitSnapshot(name, kept ++ newFiles,
       stats = commitStats(name, kept, newFiles))
   }
+
+  /** Partition columns of the table's CURRENT physical layout, derived
+    * from the manifest's file paths (`col=value` segments) —
+    * authoritative for path-created tables, which carry no declared
+    * pcols metadata. Compaction rewrites use this when the caller
+    * passes no explicit columns, so a partitioned table can never be
+    * silently rewritten flat (flat files have empty partition keys
+    * that a later `overwritePartition` cannot replace — duplicated
+    * rows).
+    */
+  private def layoutPartitionCols(name: String): Seq[String] =
+    catalog.currentVersion(name)
+      .flatMap(v => catalog.manifest(name, v).headOption)
+      .map(f => partitionKeyOf(name, f).map(_.takeWhile(_ != '=')))
+      .getOrElse(Seq.empty)
 
   /** Hive-style partition key of a data file: its `col=value` path
     * segments relative to the table's data dir (empty for
@@ -847,11 +866,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def compact(name: String, partitionCols: Seq[String] = Seq.empty,
               targetFiles: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col
+    val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val df = read(name)
     val out =
-      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
       else df.repartition(targetFiles)
-    overwrite(out, name, partitionCols)
+    overwrite(out, name, pcols)
   }
 
   /** Sort-clustered compaction (Iceberg's sort-order rewrite): rewrite
@@ -870,10 +890,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                     partitionCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.col
     require(sortCols.nonEmpty, "compactSorted requires sort columns")
+    val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val out = read(name)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    overwrite(out, name, partitionCols)
+    overwrite(out, name, pcols)
   }
 
   /** Z-order-clustered compaction: like `compactSorted` but clustered
@@ -888,17 +909,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                     targetFiles: Int = 8,
                     partitionCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.col
+    // default to the table's CURRENT layout (layoutPartitionCols) so a
+    // partitioned table is never silently rewritten flat — whether it
+    // was created by SQL DDL (declared pcols) or by path writes
+    val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val z = "__graft_z"
     val out = read(name)
       .withColumn(z, graft.functions.ZOrder.zvalue(col(colA), col(colB)))
       .repartitionByRange(targetFiles, col(z))
       .sortWithinPartitions(col(z))
       .drop(z) // projection after the sort: row order within partitions survives
-    // partitionCols MUST match the table's Hive layout (as in compact/
-    // compactSorted): rewriting a partitioned table flat would leave
-    // files with empty partition keys that a later overwritePartition
-    // cannot replace — duplicated rows
-    overwrite(out, name, partitionCols)
+    overwrite(out, name, pcols)
   }
 
   /** Copy-on-write row-level DELETE — the programmatic twin of SQL
@@ -965,8 +986,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // the optimistic retry below but must not interleave file writes
     // (Iceberg avoids this only because its writers report their own
     // file lists instead of diffing the directory).
-    TableIO.writeLock(catalog.pathOf(name)).synchronized {
-      writeLocked(df, name, append, partitionCols, props)
+    {
+      val lock = TableIO.writeLock(catalog.pathOf(name))
+      lock.acquire()
+      try writeLocked(df, name, append, partitionCols, props)
+      finally lock.release()
     }
 
   private def writeLocked(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
@@ -990,9 +1014,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // re-deriving one of them later would commit a stale file list
       // over the racer's snapshot and lose its files.
       val newStats = commitStats(name, Seq.empty, newFiles)
+      val streamBatchId = props.get(TableCatalog.StreamBatchProp).flatMap(_.toLongOption)
       var attempt = 0
       var done = false
       while (!done) {
+        // Exactly-once guard INSIDE the loop: a stream-marked append
+        // that loses the version race may have lost it to the SAME
+        // batch committed by a recovered query instance (Structured
+        // Streaming's at-least-once replay). Retrying blindly would
+        // commit the batch twice; if the base manifest chain already
+        // carries a mark at or past this batch, the rows are in — stop
+        // without committing.
+        if (streamBatchId.exists(id => catalog.streamBatchMark(name).exists(_ >= id)))
+          return
         val base = catalog.currentVersion(name).getOrElse(0)
         val prev = if (base == 0) Seq.empty else catalog.manifest(name, base)
         val carried = if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
@@ -1016,11 +1050,17 @@ object TableIO {
   def apply(spark: SparkSession, warehouse: String): TableIO =
     new TableIO(spark, TableCatalog(warehouse))
 
-  /** Per-table (canonical path) write lock shared by every TableIO
-    * instance in the JVM — see `write`.
+  /** Per-table (canonical path) write mutex shared by every TableIO
+    * instance in the JVM — see `write`. A Semaphore, not a monitor:
+    * the SQL row-level-operation write span (GraftRowOpsTable) starts
+    * at `toBatch` (its before-listing) and ends in `commit`/`abort`,
+    * driver callbacks that need not run on one thread, and a monitor
+    * can only be released by its owning thread.
     */
-  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[io] def writeLock(tablePath: String): Object =
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+  private[io] def writeLock(tablePath: String): java.util.concurrent.Semaphore =
     writeLocks.computeIfAbsent(
-      Paths.get(tablePath).toAbsolutePath.normalize.toString, _ => new Object)
+      Paths.get(tablePath).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.Semaphore(1))
 }

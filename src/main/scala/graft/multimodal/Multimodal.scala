@@ -154,34 +154,33 @@ object Multimodal {
       var sum = 0L
       var i = 0
       while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
-      // "frame sampling": one frame per 64-byte window, capped at 16
-      (sum.toDouble / blob.length, math.min(1 + blob.length / 64, 16))
+      // "frame sampling": one frame per 64-byte window (ceil — the
+      // same count frameSample emits; an exact-multiple blob has no
+      // frame past its end), capped at 16
+      (sum.toDouble / blob.length, math.min((blob.length + 63) / 64, 16))
     }
   }
 
   /** Batch decode: per-partition iterator processing over (id, blob,
     * meta) rows. `mapPartitions` keeps the decode a single executor
     * pass with per-batch (not per-row) setup cost — the JVM equivalent
-    * of an Arrow-batched `mapInPandas` UDF. Blobs are rescattered
-    * before the CPU-bound kernel when the scan has fewer FILES than
-    * the target fan-out (one giant tar-shard parquet file must not pin
-    * decode to one core; a corpus already split across many files
-    * keeps its layout — no shuffle): `parallelism` = Some(n) picks the
-    * fan-out, None uses every core, Some(0) keeps the input layout
-    * unconditionally.
+    * of an Arrow-batched `mapInPandas` UDF. Scatter policy
+    * (Dedup.scatterForCpuStage): `parallelism` = Some(n) ALWAYS
+    * repartitions to n, Some(0) keeps the input layout, None fans out
+    * to every core unless the scan already has at least that many
+    * files (one giant tar-shard must not pin decode to one core; an
+    * already well-split blob store keeps its layout, no shuffle).
     */
   def decodeFeatures(withBlobs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     val spark = withBlobs.sparkSession
-    val target = parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val src = withBlobs.select(
       col("doc_id"), col("blob"), col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
-    // scatter only when the scan can't already fill `target` tasks
-    // (inputFiles = driver metadata, no physical planning; a shuffle
-    // that SHRINKS an already well-split blob store wastes more than
-    // it buys) — the single-tar-shard case still fans out
-    val nFiles = try withBlobs.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
-    val scattered = if (target > 0 && nFiles < target) src.repartition(target) else src
+    // shared scatter policy — see Dedup.scatterForCpuStage: Some(n)
+    // always fans out, Some(0) keeps layout, None uses the file-count
+    // heuristic against defaultParallelism
+    val scattered = graft.dedup.Dedup.scatterForCpuStage(
+      src, parallelism, spark.sparkContext.defaultParallelism)
     scattered
       .as(Encoders.product[BlobRow])
       .mapPartitions { batch =>
