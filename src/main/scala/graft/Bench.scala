@@ -6,11 +6,21 @@ object Bench {
     * runs `SPARK_GRAFT_RUNS` times (default 3) and the headline reports
     * the per-query median.
     *
+    * Queries run in SORTED-NAME order (q01..qNN). `SparkEntry.queries`
+    * is a hash map, so iterating it directly would time queries in an
+    * arbitrary order that changes whenever an entry is added — any
+    * cross-query JVM pollution (heap growth, shuffle-file accumulation)
+    * would then land on a different victim each round. Sorted order
+    * makes run-to-run and round-to-round numbers comparable.
+    *
     * Output contract: the harness keeps only the tail of this process's
     * stdout, so the headline JSON must be (a) the LAST line we print and
     * (b) short enough to survive tail-truncation. Timings are rounded to
-    * 4 decimals and the auxiliary min-of-N map goes on its own EARLIER
-    * line ("queries_min" metric) so the headline stays ~1.1 KB.
+    * 4 decimals; auxiliary lines (raw per-run arrays, min-of-N) go on
+    * their own EARLIER lines so the headline stays ~1.1 KB. The
+    * "queries_runs" line carries every raw run (the r8 verdict's top
+    * ask: a query with min 2.6 s / median 10.9 s was undiagnosable from
+    * median+min alone).
     *
     * Failures are tracked out-of-band: a run that throws contributes no
     * timing; a query whose every run fails is excluded from
@@ -41,26 +51,38 @@ object Bench {
       // Operators that persist intermediates (q12/q13/q40) would
       // otherwise accumulate a fresh MEMORY_AND_DISK cache per run in
       // this shared JVM and skew every later query's measurement.
+      // BLOCKING: the default async unpersist lets freed blocks linger
+      // while the NEXT timed run is already allocating — measured as
+      // one-fast-then-slow repeat runs in r8. Catalog.clearCache() has
+      // no blocking flag, so drop to the RDD layer.
+      // (SPARK_GRAFT_ASYNC_CLEAR=1 restores the r8 async behavior for
+      // A/B diagnosis of exactly this class of regression.)
       spark.catalog.clearCache()
+      if (!sys.env.get("SPARK_GRAFT_ASYNC_CLEAR").contains("1"))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       res
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val timings = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> Seq.fill(runs)(timeOnce(fn)).flatten }
-    val ok = timings.filter(_._2.nonEmpty)
-    val failed = timings.collect { case (k, v) if v.isEmpty => k }.toSeq.sorted
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> Seq.fill(runs)(timeOnce(fn)).flatten.map(r4) }
+    val ok = timings.filter(_._2.nonEmpty)
+    val failed = timings.collect { case (k, v) if v.isEmpty => k }.sorted
     val med = ok.map { case (k, v) => k -> r4(median(v)) }
     val mins = ok.map { case (k, v) => k -> r4(v.min) }
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmtRuns(m: Iterable[(String, Seq[Double])]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r4(med.values.sum)
-    // auxiliary line first (may be tail-truncated; that's fine)
+    val total = r4(med.map(_._2).sum)
+    // auxiliary lines first (may be tail-truncated; that's fine):
+    // raw per-run arrays in execution order, then the min-of-N map
+    println(s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"order":"sorted","runs":$runs}""")
     println(s"""{"metric":"queries_min","queries_min":${fmt(mins)},"failed":${fmtList(failed)},"runs":$runs}""")
     // headline LAST and short: this is the line the harness parses
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"runs":$runs,"sf":"$sfDir"}""")

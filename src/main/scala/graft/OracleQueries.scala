@@ -670,6 +670,24 @@ object OracleQueries {
          |  s.s_name, s.s_nationkey
          |FROM clean c JOIN supplier s ON c.l_suppkey = s.s_suppkey""".stripMargin,
 
+    // the partition-pruned read returns exactly the 1997 slice of the
+    // cleaned projection (write path is ours; rows must round-trip)
+    "q52_partition_pruned" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT * FROM clean WHERE ship_year = 1997""".stripMargin,
+
+    // net row-level history: v1 inserted every urgent row, v2's
+    // copy-on-write delete removed the >= 150000 slice; carried-over
+    // rows cancel in the file diff and never appear
+    "q53_changelog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_custkey <= 500 AND o_orderpriority = '1-URGENT')
+        |SELECT *, 'INSERT' AS _change_type, CAST(1 AS INT) AS _change_version FROM base
+        |UNION ALL
+        |SELECT *, 'DELETE' AS _change_type, CAST(2 AS INT) AS _change_version FROM base
+        |WHERE o_totalprice >= 150000""".stripMargin,
+
     // the stream ingested every event exactly once (ids are unique, so
     // the watermark-bounded dedup is a pass-through) -> the rollup over
     // the sink table equals the rollup over the raw events

@@ -520,6 +520,36 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           graft.functions.ExactAgg.dsum(col("value"), 2).as("total_value"))
+    }),
+
+    // S4 completion: partition-pruned read-back as an oracle row — the
+    // reference's core partitioning value (IngestionJob.scala:83,
+    // FactJob.scala:82): a Hive-layout `ship_year` append, then a read
+    // with a partition predicate that must touch ONLY the matching
+    // partition's files (file-skip pinned in PlanQualitySpec; this row
+    // pins the rows that come back).
+    "q52_partition_pruned" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_pp_"))
+      io.append(
+        graft.pipeline.Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+          .drop("ship_ts", "l_tax"), // working columns q01's projection also drops
+        "default.lineitem_py", Seq("ship_year"))
+      io.read("default.lineitem_py").filter(col("ship_year") === 1997)
+    }),
+
+    // Changelog (CDC) read ACROSS a delete — the consumer path
+    // readIncremental (q47) rejects: append (v1), copy-on-write DELETE
+    // (v2), then readChangelog replays the net row-level history as
+    // INSERT/DELETE rows. Rows the v2 rewrite merely carried into new
+    // files cancel out (file-diff + exceptAll), so only the truly
+    // deleted rows surface at v2.
+    "q53_changelog" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_cdc_"))
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.append(ords.filter(col("o_orderpriority") === "1-URGENT"), "default.orders_cdc")
+      io.deleteWhere("default.orders_cdc", col("o_totalprice") >= 150000.0)
+      io.readChangelog("default.orders_cdc")
     })
   )
 

@@ -632,10 +632,16 @@ private[io] class GraftRowOpsTable(
               // need not share a thread).
               val lock = TableIO.writeLock(cat.pathOf(tableName))
               lock.acquire()
-              val before =
-                try cat.listDataFiles(tableName).toSet
-                catch { case e: Throwable => lock.release(); throw e }
-              val dBatch = writeTable.newWriteBuilder(physInfo).build().toBatch
+              // Everything between acquire() and handing the lock to the
+              // BatchWrite's commit/abort callbacks must release on
+              // throw — a leaked Semaphore permit (non-reentrant, no
+              // owner) would block every later write to this table for
+              // the life of the JVM.
+              val (before, dBatch) =
+                try {
+                  val b = cat.listDataFiles(tableName).toSet
+                  (b, writeTable.newWriteBuilder(physInfo).build().toBatch)
+                } catch { case e: Throwable => lock.release(); throw e }
               new BatchWrite {
                 override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
                   // the rewrite plan prepends bookkeeping columns
@@ -652,7 +658,14 @@ private[io] class GraftRowOpsTable(
                     // (carried over verbatim) + this write's replacement
                     // files; logical overwrite, prior versions untouched
                     val newFiles = cat.listDataFiles(tableName).filterNot(before)
-                    cat.commitSnapshot(tableName, carriedOver ++ newFiles)
+                    // stats ride along (carried forward for untouched
+                    // files, footer-read for replacements) so a DML
+                    // commit keeps plan-time pruning O(manifest) —
+                    // without them the next loadTable silently degrades
+                    // to per-file footer reads for the whole table
+                    cat.commitSnapshot(tableName, carriedOver ++ newFiles,
+                      stats = cat.statsForCommit(tableName, carriedOver, newFiles,
+                        SparkSession.active.sessionState.newHadoopConf()))
                   } finally lock.release()
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   try dBatch.abort(messages)

@@ -114,6 +114,32 @@ final case class TableCatalog(warehouse: String) {
     }
   }
 
+  /** Stats map for a commit that keeps `kept` files and adds
+    * `newFiles`: kept files carry their stats forward from the current
+    * manifest (no footer re-read), new files are footer-read once —
+    * they are hot in the page cache right after the write. Any failure
+    * degrades to "no stats for that file" (consumers fall back to a
+    * plan-time footer read — conservative, never wrong). Shared by
+    * TableIO writes and the DSv2 row-level-DML commit so DELETE /
+    * UPDATE / MERGE manifests keep plan-time pruning O(manifest) too.
+    */
+  def statsForCommit(name: String, kept: Seq[String], newFiles: Seq[String],
+                     conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, Map[String, FileStats.ColStats]] = {
+    val prev =
+      if (kept.isEmpty) Map.empty[String, Map[String, FileStats.ColStats]]
+      else currentVersion(name)
+        .map(v => try manifestStats(name, v)
+                  catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
+        .getOrElse(Map.empty)
+    val carried = kept.flatMap(f => prev.get(f).map(f -> _))
+    val fresh = newFiles.flatMap { f =>
+      try Some(f -> FileStats.read(f, conf))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    (carried ++ fresh).toMap
+  }
+
   /** Snapshot properties committed WITH the manifest (same atomic
     * hard-link), e.g. the streaming sink's batch-id high-water mark —
     * a state change that must be indivisible from the snapshot it
@@ -347,12 +373,27 @@ final case class TableCatalog(warehouse: String) {
     // — reject it loudly instead of letting the two surfaces disagree
     require(tag.nonEmpty && !tag.forall(_.isDigit),
       s"tag names must not be purely numeric (ambiguous with version numbers): '$tag'")
-    writeTags(name, tags(name) + (tag -> version))
+    mutateTags(name)(_ + (tag -> version))
   }
 
   /** Remove a tag; the version becomes expirable again. */
   def removeTag(name: String, tag: String): Unit =
-    writeTags(name, tags(name) - tag)
+    mutateTags(name)(_ - tag)
+
+  /** Tag mutations are a read-modify-write of the whole tags.json
+    * document, so same-JVM concurrent taggers (or a tag racing
+    * `expireSnapshots`' tags() read) would silently drop each other's
+    * update last-writer-wins. Serialize them under the same per-table
+    * write mutex the manifest commit uses. Cross-PROCESS tag races
+    * remain last-writer-wins (documented; tags are advisory refs, not
+    * commits — the manifest path is the loud one).
+    */
+  private def mutateTags(name: String)(f: Map[String, Int] => Map[String, Int]): Unit = {
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try writeTags(name, f(tags(name)))
+    finally lock.release()
+  }
 
   private def writeTags(name: String, all: Map[String, Int]): Unit = {
     val dir = metaPath(name)
@@ -665,8 +706,10 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     def manifestOrReject(v: Int): Seq[String] =
       try catalog.manifest(name, v)
       catch {
+        // the range is INCLUSIVE of fromVersion here: its manifest is
+        // the baseline that proves the delta, so it is required too
         case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
-          s"incremental read of $name: snapshot $v in range ($fromVersion, $to] " +
+          s"incremental read of $name: snapshot $v in required range [$fromVersion, $to] " +
             "is expired — append-only history cannot be verified")
       }
     val fromFiles = manifestOrReject(fromVersion)
@@ -685,6 +728,67 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // DataFrame would drop the columns on schema-on-read tables)
     if (added.isEmpty) readVersion(name, to).limit(0)
     else readFiles(name, added)
+  }
+
+  /** Changelog (CDC) read: the NET row-level changes committed by
+    * snapshots in `(fromVersion, toVersion]`, as data rows plus
+    * `_change_type` ("INSERT" / "DELETE", Iceberg's changelog-scan
+    * values) and `_change_version` (the committing snapshot). Where
+    * `readIncremental` rejects any range containing a non-append
+    * commit, this is the consumer path ACROSS deletes, updates, MERGE
+    * and compaction: each commit is diffed at the FILE level (files
+    * added vs files removed by that snapshot), and rows a copy-on-write
+    * rewrite merely carried from a removed file into its replacement
+    * cancel out via `exceptAll` (bag semantics, so duplicate rows keep
+    * their multiplicity). A pure append — files added, none removed —
+    * skips the diff entirely and streams the added files as INSERTs,
+    * and a pure compaction (same rows, new files) nets to zero rows.
+    * Consumer cost scales with the files each commit TOUCHED, not the
+    * table: at 100 TB a file-scoped MERGE yields a changelog job over
+    * just the rewritten files. `fromVersion = 0` replays history from
+    * the table's creation. Every manifest in `[fromVersion, toVersion]`
+    * must still exist (expired history cannot be diffed — same loud
+    * reject as `readIncremental`).
+    */
+  def readChangelog(name: String, fromVersion: Int = 0,
+                    toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.orElse(catalog.currentVersion(name)).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"fromVersion must be in [0, $to], got $fromVersion")
+    def manifestOrReject(v: Int): Seq[String] =
+      if (v == 0) Seq.empty
+      else
+        try catalog.manifest(name, v)
+        catch {
+          case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
+            s"changelog read of $name: snapshot $v in required range [$fromVersion, $to] " +
+              "is expired — its commit can no longer be diffed")
+        }
+    var prev = manifestOrReject(fromVersion).toSet
+    val steps = ((fromVersion + 1) to to).flatMap { v =>
+      val cur = manifestOrReject(v).toSet
+      val added = (cur -- prev).toSeq.sorted
+      val removed = (prev -- cur).toSeq.sorted
+      prev = cur
+      def tag(df: DataFrame, tpe: String): DataFrame =
+        df.withColumn("_change_type", lit(tpe)).withColumn("_change_version", lit(v))
+      (added.nonEmpty, removed.nonEmpty) match {
+        case (false, false) => None
+        case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
+        case (false, true) => Some(tag(readFiles(name, removed), "DELETE"))
+        case (true, true) =>
+          val a = readFiles(name, added)
+          val r = readFiles(name, removed)
+          Some(tag(a.exceptAll(r), "INSERT").unionAll(tag(r.exceptAll(a), "DELETE")))
+      }
+    }
+    if (steps.isEmpty)
+      readVersion(name, to).limit(0)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_change_version", lit(null).cast("int"))
+    else steps.reduce(_ unionAll _)
   }
 
   /** Read an explicit subset of the current snapshot's files (same
@@ -741,21 +845,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * reading it at plan time — conservative, never wrong).
     */
   private def commitStats(name: String, kept: Seq[String], newFiles: Seq[String])
-      : Map[String, Map[String, FileStats.ColStats]] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val prev =
-      if (kept.isEmpty) Map.empty[String, Map[String, FileStats.ColStats]]
-      else catalog.currentVersion(name)
-        .map(v => try catalog.manifestStats(name, v)
-                  catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
-        .getOrElse(Map.empty)
-    val carried = kept.flatMap(f => prev.get(f).map(f -> _))
-    val fresh = newFiles.flatMap { f =>
-      try Some(f -> FileStats.read(f, conf))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }
-    (carried ++ fresh).toMap
-  }
+      : Map[String, Map[String, FileStats.ColStats]] =
+    catalog.statsForCommit(name, kept, newFiles, spark.sessionState.newHadoopConf())
 
   /** Commit `df`'s rows as the replacement for everything EXCEPT
     * `keepFiles`, which carry into the new manifest verbatim — the
@@ -834,11 +925,26 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * that a later `overwritePartition` cannot replace — duplicated
     * rows).
     */
-  private def layoutPartitionCols(name: String): Seq[String] =
-    catalog.currentVersion(name)
-      .flatMap(v => catalog.manifest(name, v).headOption)
-      .map(f => partitionKeyOf(name, f).map(_.takeWhile(_ != '=')))
-      .getOrElse(Seq.empty)
+  private def layoutPartitionCols(name: String): Seq[String] = {
+    // Derive the layout from EVERY file in the current manifest, not
+    // the first: a mixed-layout table (flat legacy append followed by
+    // partitioned appends) must fail loudly here — trusting one file
+    // would let compact/compactSorted/compactZOrder silently rewrite
+    // the table under the wrong layout (flat first file -> flat
+    // rewrite -> the duplicated-rows-after-overwritePartition hazard
+    // this helper exists to prevent).
+    val files = catalog.currentVersion(name)
+      .map(v => catalog.manifest(name, v)).getOrElse(Seq.empty)
+    val layouts = files.map(f => partitionKeyOf(name, f).map(_.takeWhile(_ != '='))).distinct
+    layouts match {
+      case Seq() => Seq.empty
+      case Seq(one) => one
+      case many => throw new IllegalStateException(
+        s"table $name has files under ${many.size} different partition layouts " +
+          s"(${many.map(l => if (l.isEmpty) "<flat>" else l.mkString("/")).mkString(", ")}); " +
+          "pass partitionCols explicitly to choose the rewrite layout")
+    }
+  }
 
   /** Hive-style partition key of a data file: its `col=value` path
     * segments relative to the table's data dir (empty for
