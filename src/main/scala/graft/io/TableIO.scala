@@ -453,9 +453,29 @@ final case class TableCatalog(warehouse: String) {
     * the deleted paths. Safe under the single-writer model: every live
     * snapshot's file list is consulted, so current reads see no change.
     */
-  def removeOrphanFiles(name: String): Seq[String] = {
+  def removeOrphanFiles(name: String,
+                        stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = versions(name).flatMap(manifest(name, _)).toSet
     val orphans = listDataFiles(name).filterNot(live)
+    // Abandoned write-staging dirs (.stage-*, a writer that died before
+    // its move) sit OUTSIDE data/ so readers never see them, but their
+    // bytes still need reclaiming. Age-guarded like Iceberg's
+    // remove_orphan_files `older_than`: an IN-FLIGHT writer's staging
+    // must never be swept from under it.
+    val tableRoot = Paths.get(pathOf(name))
+    if (Files.isDirectory(tableRoot)) {
+      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
+      Using.resource(Files.list(tableRoot)) { s =>
+        s.iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      }.foreach { dir =>
+        Using.resource(Files.walk(dir)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        }
+      }
+    }
     orphans.foreach { f =>
       val p = Paths.get(f)
       Files.delete(p)
@@ -864,11 +884,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   private def commitReplacementLocked(df: DataFrame, name: String,
                                       keepFiles: Seq[String],
                                       partitionCols: Seq[String]): Unit = {
-    val before = catalog.listDataFiles(name).toSet
-    val w = toPhysical(df, name).write.mode(SaveMode.Append)
-    val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
-    withParts.parquet(catalog.dataPath(name))
-    val newFiles = catalog.listDataFiles(name).filterNot(before)
+    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
     catalog.commitSnapshot(name, keepFiles ++ newFiles,
       stats = commitStats(name, keepFiles, newFiles))
   }
@@ -905,10 +921,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
   private def overwritePartitionLocked(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
-    val before = catalog.listDataFiles(name).toSet
-    toPhysical(df, name).write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
-      .parquet(catalog.dataPath(name))
-    val newFiles = catalog.listDataFiles(name).filterNot(before)
+    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
     val touched = newFiles.map(partitionKeyOf(name, _)).toSet
     val prev = catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
     val kept = prev.filterNot(f => touched.contains(partitionKeyOf(name, f)))
@@ -1081,17 +1094,75 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       d.withColumnRenamed(logical, physical)
     }
 
+  /** Write `df` into a PRIVATE per-write staging directory under the
+    * table root, then move the finished parquet files into the data
+    * dir (same filesystem — a cheap atomic rename apiece, partition
+    * subdirs preserved), returning their final absolute paths.
+    *
+    * This is how Iceberg writers work — each writer reports its own
+    * file list — and it buys two things the old write-into-data-dir +
+    * directory-listing-diff approach could not:
+    *   1. CROSS-PROCESS safety: concurrent writers in separate JVMs
+    *      previously shared the parquet committer's `_temporary`
+    *      staging inside the data dir, so one writer's job commit
+    *      deleted the other's in-flight task attempts (proven by
+    *      CrossProcessSpec before this change). Private staging means
+    *      writers never touch each other's files.
+    *   2. O(written files) commits: no before/after walk of the whole
+    *      data dir — at large file counts the listing, not the write,
+    *      dominates commit latency.
+    * Spark part-file names embed the job UUID, so moved-in names never
+    * collide across writers. A failure before the move leaves only a
+    * dot-prefixed staging dir (invisible to readers and to
+    * `listDataFiles`); `removeOrphanFiles` can reclaim it.
+    */
+  private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String]): Seq[String] = {
+    val tableRoot = Paths.get(catalog.pathOf(name))
+    Files.createDirectories(tableRoot)
+    val staging = Files.createTempDirectory(tableRoot, ".stage-")
+    try {
+      val w = df.write.mode(SaveMode.Append)
+      val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+      withParts.parquet(staging.toString)
+      val dataRoot = Paths.get(catalog.dataPath(name))
+      val staged = Using.resource(Files.walk(staging)) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filter { p =>
+            val n = p.getFileName.toString
+            (n.endsWith(".parquet") || n.endsWith(".snappy.parquet")) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }
+          .toSeq
+      }
+      staged.map { p =>
+        val target = dataRoot.resolve(staging.relativize(p))
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        target.toAbsolutePath.normalize.toString
+      }.sorted
+    } finally {
+      // the staging tree holds no data files anymore (moved or failed);
+      // best-effort removal, never masking the write's own outcome
+      try {
+        Using.resource(Files.walk(staging)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
   private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
                     props: Map[String, String] = Map.empty): Unit =
-    // Same-JVM writers to one table serialize over the write->commit
-    // section: new files are identified by a directory-listing DIFF,
-    // so two interleaved writers would each claim the other's
-    // in-flight files (rows committed twice). One driver running
-    // parallel ingest threads — the realistic Spark pattern — is made
-    // safe here; cross-PROCESS appends still resolve version races via
-    // the optimistic retry below but must not interleave file writes
-    // (Iceberg avoids this only because its writers report their own
-    // file lists instead of diffing the directory).
+    // Writers know their own file lists (stageWrite), so appends are
+    // safe across PROCESSES end-to-end: private staging + the
+    // optimistic version-race retry below (proven by CrossProcessSpec).
+    // The same-JVM per-table lock is still held over write->commit:
+    // the SQL row-level-DML rewrite (GraftRowOpsTable) identifies its
+    // replacement files by a directory-listing diff, and an append
+    // interleaving with that span would be claimed as rewrite output
+    // (rows committed twice).
     {
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()
@@ -1101,11 +1172,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
   private def writeLocked(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
                           props: Map[String, String]): Unit = {
-    val before = catalog.listDataFiles(name).toSet
-    val w = toPhysical(df, name).write.mode(SaveMode.Append) // physical files accumulate; manifests decide visibility
-    val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
-    withParts.parquet(catalog.dataPath(name))
-    val newFiles = catalog.listDataFiles(name).filterNot(before)
+    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
     if (!append) {
       // overwrite keeps fail-fast single-writer semantics: retrying a
       // logical replace after a concurrent commit would silently

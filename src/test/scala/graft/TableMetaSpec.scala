@@ -190,6 +190,49 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("readChangelog emits net INSERT/DELETE rows across appends, deletes and updates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val io = freshIO()
+    val t = "default.cdc"
+    io.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t) // v1: insert x3
+    io.deleteWhere(t, col("id") === 2L)                                // v2: delete (2,b)
+    io.updateWhere(t, col("id") === 3L, Map("s" -> lit("C")))          // v3: (3,c) -> (3,C)
+
+    val rows = io.readChangelog(t)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", "INSERT", 1), (2L, "b", "INSERT", 1), (3L, "c", "INSERT", 1),
+      (2L, "b", "DELETE", 2),
+      (3L, "c", "DELETE", 3), (3L, "C", "INSERT", 3)),
+      s"unexpected changelog: $rows")
+
+    // carried-over rows cancel: v2's rewrite re-wrote (1,a)/(3,c) into
+    // new files, yet neither appears at version 2
+    assert(!rows.contains((1L, "a", "DELETE", 2)) && !rows.contains((1L, "a", "INSERT", 2)))
+
+    // bounded range: only v3's net change
+    assert(io.readChangelog(t, fromVersion = 2).as[(Long, String, String, Int)]
+      .collect().toSet == Set((3L, "c", "DELETE", 3), (3L, "C", "INSERT", 3)))
+  }
+
+  test("readChangelog: compaction nets to zero rows; expired history rejects loudly") {
+    import org.apache.spark.sql.functions.col
+    val io = freshIO()
+    val t = "default.cdc2"
+    io.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    io.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    io.compact(t)                                // v3: same rows, new files
+    assert(io.readChangelog(t, fromVersion = 2).count() == 0,
+      "a pure compaction must produce no net changes")
+    // the empty result still carries the changelog schema
+    assert(io.readChangelog(t, fromVersion = 3).schema.fieldNames.toSeq ==
+      Seq("id", "s", "_change_type", "_change_version"))
+
+    io.catalog.expireSnapshots(t, keepLast = 1)
+    val e = intercept[IllegalStateException](io.readChangelog(t).collect())
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("concurrent appends serialize per table and lose no rows or snapshots") {
     val io = freshIO()
     val t = "default.race"
