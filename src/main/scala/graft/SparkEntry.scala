@@ -512,11 +512,18 @@ object SparkEntry {
     "q48_stream_ingest" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_str_"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts arrives as nanos-long
-      // the file stream source wants a DIRECTORY; glob-filter the one table
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val evPath = s"$dir/events.parquet"
+      val schema = s.read.parquet(evPath).schema // ts arrives as nanos-long
+      // the file stream source wants a DIRECTORY: a Spark-written table
+      // IS one (part files inside events.parquet/), stream it directly;
+      // the harness testdata is a single FILE, so stream its parent
+      // glob-filtered to the one table
+      val raw =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
+          s.readStream.schema(schema).parquet(evPath)
+        else
+          s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.TableSink.appendStream(
         graft.streaming.EventsStream.dedupedEvents(stream),
         io, "default.events_ingest", tempDir("graft_ckpt_"), availableNow = true)

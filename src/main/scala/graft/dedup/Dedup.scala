@@ -375,9 +375,11 @@ object Dedup {
     * its predecessor is a fixpoint), halving the driver-visible jobs
     * on long chains without a wasted round on the common path.
     *
-    * The returned frame is fully materialized and cached; every
-    * intermediate (pair set, label rounds) is unpersisted before
-    * return. Callers should `unpersist()` the result when done.
+    * The returned frame is fully materialized and cached; the pair set
+    * is unpersisted before return, and the per-round label checkpoints
+    * (small: one row per clustered doc) are reclaimed by the
+    * ContextCleaner once the call returns. Callers should
+    * `unpersist()` the result when done.
     */
   def nearDupClusters(
       docs: DataFrame,
@@ -387,6 +389,8 @@ object Dedup {
       maxIters: Int = 20
   ): DataFrame = {
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val tStart = System.nanoTime()
     // the eager pair set (the expensive LSH+verify job): materialized
     // once — edges and every propagation round re-read that one copy
     // (the union's two branches would otherwise each recompute it) —
@@ -394,15 +398,34 @@ object Dedup {
     // released by the time it returns
     val matPairs = nearDuplicates(docs, threshold, textCol, idCol,
       releaseOnMaterialize = true)
+    val nPairs = matPairs.count() // already materialized — cache read
+    val tPairs = System.nanoTime()
     val pairs = matPairs.select("id_a", "id_b")
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // seed: label = min(id, min neighbor id) — one aggregate over the
-    // edge set, and the distinct-vertex pass rolled in for free
+    // edge set, and the distinct-vertex pass rolled in for free.
+    //
+    // LINEAGE TRUNCATION (localCheckpoint below, here and per round):
+    // propagate() embeds `cur` twice — via the neighbor-min join and
+    // the outer join folding it back — so under plain persist() the
+    // LOGICAL plan doubles every round, O(2^rounds) nodes. Execution
+    // still reads the caches, but analysis + canonicalization + AQE
+    // re-planning walk the full tree on the driver: measured as 20 s+
+    // driver stalls between sub-second jobs once a graph needs 5+
+    // rounds (SCALE.md). localCheckpoint materializes the round AND
+    // replaces its plan with the materialized leaf — the canonical
+    // Spark treatment for iterative algorithms (cf. GraphX Pregel's
+    // periodic checkpointing). Local (not reliable) checkpoints are
+    // executor-resident; on a cluster where executor loss must be
+    // survivable, swap for setCheckpointDir + checkpoint() at the
+    // same call sites. Blocks are freed by the ContextCleaner once
+    // the round's Dataset goes out of scope (Dataset.unpersist does
+    // not cover checkpoint blocks).
     var labels = edges
       .groupBy(col("id_a").as("id")).agg(min("id_b").as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("label"))
-      .persist(storage)
+      .localCheckpoint(true)
     // one propagation round: per-vertex min of neighbor labels folded
     // into the current label (monotone decreasing); the changed flag
     // rides in the same select — comparing a round to its predecessor
@@ -421,34 +444,34 @@ object Dedup {
     }
     var converged = false
     var it = 0
-    var prevCached = labels
+    val tSeed = System.nanoTime()
     // first convergence check after ONE round (the seed alone converges
     // stars and cliques — the overwhelming case — so the common path is
     // a single verification round); afterwards TWO rounds per count():
     // the intermediate round is persisted but not acted on — its cache
-    // fills while the second round's count evaluates. The count also
-    // fully materializes the new cache (a partial probe like isEmpty
-    // would leave holes whose recompute, after the parent unpersist
-    // below, replays every earlier round).
+    // fills while the second round's checkpoint evaluates. Each kept
+    // round is an EAGER localCheckpoint (materialize + truncate the
+    // plan — see the seed comment), so the convergence count is a
+    // cache read and the next round's plan starts from a leaf.
     var roundsPerCheck = 1
     while (!converged && it < maxIters) {
       val mid =
         if (roundsPerCheck == 2) propagate(labels, withChanged = false).persist(storage)
         else labels
-      val next = propagate(mid, withChanged = true).persist(storage)
+      val next = propagate(mid, withChanged = true).localCheckpoint(true)
       converged = next.filter(col("__changed")).count() == 0
       if (!(mid eq labels)) mid.unpersist()
-      prevCached.unpersist()
-      prevCached = next
       labels = next.drop("__changed")
       it += roundsPerCheck
       roundsPerCheck = 2
     }
+    val tLoop = System.nanoTime()
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      log.warn(
         s"nearDupClusters exited after $it rounds WITHOUT converging " +
           s"(a duplicate chain longer than maxIters=$maxIters); cluster ids are partial")
     matPairs.unpersist()
+    val tUnp = System.nanoTime()
     // every document: clustered ones get their component min, the rest
     // themselves — materialized so every intermediate can be released
     val result = docs.select(col(idCol).as("doc_id"))
@@ -456,7 +479,15 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .persist(storage)
     result.count()
-    prevCached.unpersist()
+    val tCount = System.nanoTime()
+    // phase timings at INFO: at scale the split between pair
+    // generation, label propagation, and the finalize join is the
+    // first thing a regression hunt needs (cf. SCALE.md)
+    def ms(a: Long, b: Long): Long = (b - a) / 1000000L
+    log.info(s"nearDupClusters: pairs=$nPairs rounds=$it " +
+      s"pairGenMs=${ms(tStart, tPairs)} seedMs=${ms(tPairs, tSeed)} " +
+      s"loopMs=${ms(tSeed, tLoop)} unpersistMs=${ms(tLoop, tUnp)} " +
+      s"resultMs=${ms(tUnp, tCount)} tailMs=${ms(tCount, System.nanoTime())}")
     result
   }
 
