@@ -696,7 +696,25 @@ object OracleQueries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the bloom pre-filter is exact by composition (no false negatives;
+    // false positives die in the exact semi-join), so q54's oracle IS
+    // q41's decontamination
+    "q54_decontaminate_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE bucket < 50),
+        |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.bucket >= 50)
+        |SELECT doc_id, lang, source FROM t
+        |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

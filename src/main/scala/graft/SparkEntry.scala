@@ -564,7 +564,17 @@ object SparkEntry {
       io.append(ords.filter(col("o_orderpriority") === "1-URGENT"), "default.orders_cdc")
       io.deleteWhere("default.orders_cdc", col("o_totalprice") >= 150000.0)
       io.readChangelog("default.orders_cdc")
-    })
+    }),
+
+    // q41's decontamination through the bloom pre-filter path: the
+    // benchmark grams ship as a mergeable bloom sketch (~30x smaller
+    // than the string broadcast), the corpus probes it in codegen, and
+    // an exact semi-join on the survivors kills the fpp sliver — same
+    // result bit for bit, same oracle SQL as q41
+    "q54_decontaminate_bloom" -> ((s, dir) =>
+      graft.text.Contamination.decontaminateBloom(
+        Tables.documents(s, dir).select("doc_id", "text", "lang", "source"))
+        .select("doc_id", "lang", "source"))
   )
 
   private def tempDir(prefix: String): String =

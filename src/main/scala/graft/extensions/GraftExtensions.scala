@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -81,6 +81,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, IntegerType) => MinHashFromHashes(children(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhash_hashed k must be an integer literal, got $other")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(bloom, s) - might-contain probe of a serialized bloom filter"),
+      (children: Seq[Expression]) => BloomContains(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(s, expectedItems, fpp) - mergeable bloom-filter sketch of a string column"),
+      (children: Seq[Expression]) => {
+        // SQL numeric literals arrive as int/long/decimal depending on
+        // how they were written — accept any foldable numeric
+        def num(e: Expression, what: String): Double = e match {
+          case l: Literal if l.value != null => l.value match {
+            case n: java.lang.Number => n.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"graft_bloom_agg $what must be numeric, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg $what must be a literal, got $other")
+        }
+        BloomAggregate(children(0),
+          num(children(1), "expectedItems").toLong, num(children(2), "fpp"))
       }
     ))
   }

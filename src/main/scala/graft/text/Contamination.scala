@@ -58,4 +58,47 @@ object Contamination {
       .select(col(idCol)).distinct()
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] with a bloom-filter pre-filter — the 100 TB
+    * variant. The exact path broadcasts every benchmark gram as a
+    * string (~40 B/gram: a multi-GB broadcast for a full eval-suite
+    * union); here the benchmark grams are reduced to a mergeable bloom
+    * sketch (`graft_bloom_agg`, ~1.2 B/gram at fpp=0.01 — a ~30x
+    * smaller ship), the corpus probes it map-side in codegen
+    * (`graft_bloom_contains`), and only the surviving grams — true
+    * matches plus the fpp sliver — proceed to the exact semi-join.
+    * That exact join now SHUFFLES the benchmark grams instead of
+    * broadcasting them, but its probe side is no longer the corpus's
+    * whole gram explosion, just the survivors. Bloom false positives
+    * are eliminated by the exact join; false negatives don't exist —
+    * so the result EQUALS [[decontaminate]] bit for bit (spec-pinned,
+    * and q54's oracle is the same SQL as q41's).
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 5,
+      benchBuckets: Int = 50,
+      buckets: Int = 1000,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val grams = expr(wordGramsSql(textCol, n))
+    val bucket = Sampling.portableBucket(idCol, buckets)
+    val bench = docs.filter(bucket < benchBuckets)
+      .select(explode(grams).as("gram")).distinct()
+    val corpus = docs.filter(bucket >= benchBuckets)
+    // one pass builds the sketch; sizing from a cheap count of the
+    // (distinct) benchmark grams — driver round-trip is one long
+    val nGrams = math.max(bench.count(), 1L)
+    val bloomBytes = bench
+      .select(expr(s"graft_bloom_agg(gram, ${nGrams}L, $fpp)"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = corpus.select(col(idCol), explode(grams).as("gram"))
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("gram")))
+    val dirty = candidates
+      .join(bench, Seq("gram"), "left_semi") // exact: kills the fpp sliver
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
 }

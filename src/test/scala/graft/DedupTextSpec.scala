@@ -254,6 +254,32 @@ class TextAnalysisSpec extends SparkSpec {
     val out = graft.text.Contamination.decontaminate(docs)
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(corpusIds(1), corpusIds(2)), s"got $out")
+
+    // the bloom pre-filter path is exact by composition — identical
+    // result on the same fixture
+    val outBloom = graft.text.Contamination.decontaminateBloom(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outBloom == out, s"bloom path diverged: $outBloom vs $out")
+  }
+
+  test("bloom sketch: no false negatives; fpp holds; merge across partitions is sound") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    val n = 5000
+    // many partitions so the aggregate genuinely exercises merge()
+    val members = spark.range(0, n).repartition(16)
+      .selectExpr("concat('member_', id) AS s")
+    val bloomBytes = members
+      .select(expr(s"graft_bloom_agg(s, ${n}L, 0.01)")).head().getAs[Array[Byte]](0)
+    // every member must probe true — bloom filters cannot false-negative
+    val hits = members
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("s")))
+      .count()
+    assert(hits == n, s"false negatives: only $hits of $n members probed true")
+    // non-members probe true at ~fpp; allow generous slack over 0.01
+    val fp = spark.range(0, n).selectExpr("concat('other_', id) AS s")
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("s")))
+      .count()
+    assert(fp < n * 0.05, s"false-positive rate ${fp.toDouble / n} far above configured 0.01")
   }
 
   test("sequencePack assigns contiguous per-shard offsets that wrap at seqLen") {
