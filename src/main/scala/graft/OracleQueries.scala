@@ -714,7 +714,23 @@ object OracleQueries {
         |bench AS (SELECT DISTINCT gram FROM g WHERE bucket < 50),
         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.bucket >= 50)
         |SELECT doc_id, lang, source FROM t
-        |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
+        |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    // incremental dedup: batch (bucket >= 8 of 10) vs corpus — exact
+    // cross-pair char-5-gram Jaccard (oracle scale; the LSH index path
+    // has recall 1 here, per q13's parity)
+    "q55_incremental_dedup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket,
+         |    $duckShingles AS sh
+         |  FROM documents)
+         |SELECT a.doc_id, b.doc_id AS dup_of,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM g a JOIN g b ON a.bucket >= 8 AND b.bucket < 8
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -574,7 +574,25 @@ object SparkEntry {
     "q54_decontaminate_bloom" -> ((s, dir) =>
       graft.text.Contamination.decontaminateBloom(
         Tables.documents(s, dir).select("doc_id", "text", "lang", "source"))
-        .select("doc_id", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+
+    // Incremental dedup: the corpus's LSH signatures are built ONCE and
+    // PERSISTED through the table layer (an array<bigint> column through
+    // the manifest/commit path); the incoming batch (md5 bucket >= 8 of
+    // 10) computes only its own signatures, joins the stored index, and
+    // re-shingles just the candidate corpus docs. Oracle = exact
+    // cross-pair Jaccard over the same split (LSH recall is 1 on the
+    // fixture, as q13 establishes).
+    "q55_incremental_dedup" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_sigidx_"))
+      val docs = Tables.documents(s, dir)
+      val bucket = graft.sampling.Sampling.portableBucket("doc_id", 10)
+      val corpus = docs.filter(bucket < 8)
+      val batch = docs.filter(bucket >= 8)
+      io.overwrite(Dedup.signatureIndex(corpus), "default.sig_index")
+      Dedup.incrementalNearDups(
+        batch, corpus, io.read("default.sig_index"), threshold = 0.7)
+    })
   )
 
   private def tempDir(prefix: String): String =

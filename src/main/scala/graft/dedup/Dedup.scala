@@ -510,4 +510,107 @@ object Dedup {
       val nFiles = try df.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
       if (nFiles < default) df.repartition(default) else df
   }
+
+  /** Persistable LSH signature index of a corpus: `(idCol, n_sh,
+    * bands)` — the rows an incremental dedup pipeline stores in a
+    * table (band hashes: 8 longs/doc; shingle COUNT for the size-ratio
+    * prune) so that each incoming batch joins against the index
+    * instead of re-reading, re-shingling, and re-hashing the corpus.
+    * Same expression chain as [[nearDuplicates]]' in-query signatures,
+    * so an index built at (shingleN, k, bands) reproduces its candidate
+    * structure exactly.
+    */
+  def signatureIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 32,
+      bands: Int = 8,
+      parallelism: Option[Int] = None
+  ): DataFrame = {
+    val r = k / bands
+    val sc = docs.sparkSession.sparkContext
+    scatterForCpuStage(docs, parallelism, sc.defaultParallelism)
+      .withColumn("sh", expr(s"graft_shingle_hashes($textCol, $shingleN)"))
+      .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
+      .select(
+        col(idCol), size(col("sh")).as("n_sh"),
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
+          .as("bands"))
+  }
+
+  /** Near-duplicates of an incoming batch AGAINST an existing corpus,
+    * via a pre-built [[signatureIndex]] — incremental dedup, the shape
+    * a 100 TB ingest actually runs: the corpus is never re-shingled.
+    * Per batch the work is (1) signatures for the BATCH only, (2) a
+    * band-bucket equi-join batch-sigs x index (maxBucket caps hot
+    * boilerplate buckets on the corpus side, as in [[nearDuplicates]]),
+    * (3) size-ratio prune on the two stored counts — BEFORE any text is
+    * fetched, (4) exact Jaccard verification that re-shingles ONLY the
+    * corpus docs that survived as candidates (a semi-join fetch, cost
+    * proportional to candidates, not corpus). Returns
+    * `(idCol, dup_of, jaccard)`: batch docs with a corpus near-dup at
+    * `threshold`, one row per matching corpus doc.
+    *
+    * `batch` and the index must use the same (shingleN, k, bands);
+    * recall characteristics are exactly [[nearDuplicates]]'.
+    */
+  def incrementalNearDups(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000,
+      parallelism: Option[Int] = None
+  ): DataFrame = {
+    val r = k / bands
+    val sc = batch.sparkSession.sparkContext
+    // batch signatures keep the shingle sets: the batch side of the
+    // verify join is this same frame, so shingle ONCE (cached, released
+    // on return via releaseOnMaterialize-style eager count)
+    val batchBase = scatterForCpuStage(batch, parallelism, sc.defaultParallelism)
+      .withColumn("sh", expr(s"graft_shingle_hashes($textCol, $shingleN)"))
+      .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
+      .select(
+        col(idCol), col("sh"), size(col("sh")).as("n_sh"),
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
+          .as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchBase.count()
+    val newBuckets = batchBase
+      .select(col(idCol).as("new_id"), col("n_sh").as("n_new"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val oldBuckets = index
+      .select(col(idCol).as("old_id"), col("n_sh").as("n_old"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy(col("old_id"))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val cand = newBuckets.join(oldBuckets, Seq("band", "bucket"))
+      .filter(least(col("n_new"), col("n_old")).cast("double")
+        / greatest(col("n_new"), col("n_old")) >= threshold)
+      .select(col("new_id"), col("old_id")).distinct()
+    // fetch + re-shingle ONLY candidate corpus docs
+    val candOld = cand.select(col("old_id").as(idCol)).distinct()
+    val oldSh = corpus.join(candOld, Seq(idCol), "left_semi")
+      .select(col(idCol).as("old_id"),
+        expr(s"graft_shingle_hashes($textCol, $shingleN)").as("sh_b"))
+    val out = cand
+      .join(batchBase.select(col(idCol).as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(oldSh, "old_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol), col("old_id").as("dup_of"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    batchBase.unpersist()
+    out
+  }
 }

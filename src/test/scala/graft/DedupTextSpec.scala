@@ -55,6 +55,33 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0) < 1e-12)
   }
 
+  test("incrementalNearDups: batch vs stored index only — corpus-corpus and batch-batch pairs excluded") {
+    // corpus: docs 1,2 (exact dups of each other) and 4 (unrelated);
+    // batch: 10 (near-dup of the 1/2 family), 11 (exact dup of batch
+    // 10 — must NOT pair, both are batch), 12 (unrelated)
+    val corpus = docs.filter($"doc_id" =!= 3L)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (12L, "another entirely distinct passage regarding distributed consensus protocols")
+    ).toDF("doc_id", "text")
+    // index round-trips through the table layer: array<bigint> column
+    // through the manifest/commit path
+    val wh = java.nio.file.Files.createTempDirectory("graft_sigidx_spec_").toString
+    val io = graft.io.TableIO(spark, wh)
+    io.overwrite(Dedup.signatureIndex(corpus), "default.sig")
+    val out = Dedup.incrementalNearDups(batch, corpus, io.read("default.sig"), threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(out.contains((10L, 1L)) && out.contains((10L, 2L)),
+      s"batch doc 10 must match both stored dups of its family: $out")
+    assert(out.contains((11L, 1L)) && out.contains((11L, 2L)), s"got $out")
+    assert(!out.exists(p => p._1 == 12L), s"unrelated batch doc paired: $out")
+    assert(!out.exists(p => p._2 == 10L || p._2 == 11L),
+      s"batch-batch pair leaked (dup_of must be a corpus doc): $out")
+    assert(!out.exists(p => p._1 == 1L || p._1 == 2L || p._1 == 4L),
+      s"corpus doc appeared on the batch side: $out")
+  }
+
   test("nearDupClusters collapses transitive chains; singletons keep their own id") {
     // 5~1 is a near-dup of the 1/2/3 family worded so it links through
     // the chain even if some direct pair is below threshold — the
