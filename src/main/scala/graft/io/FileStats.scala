@@ -111,6 +111,15 @@ object FileStats {
     */
   def invalidate(files: Iterable[String]): Unit = files.foreach(cache.remove)
 
+  /** Footer-only row count — no column statistics involved, so it
+    * works even for files whose column stats the encoder skips.
+    */
+  def rowCount(file: String, conf: Configuration): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   def read(file: String, conf: Configuration): Map[String, ColStats] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {

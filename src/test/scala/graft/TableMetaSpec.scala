@@ -190,6 +190,24 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("rowCount answers from manifest stats; legacy stats-less manifests fall back to footers") {
+    import org.apache.spark.sql.functions.col
+    val io = freshIO()
+    val t = "default.rc"
+    io.append(spark.range(0, 123).toDF("id"), t)
+    io.append(spark.range(200, 260).toDF("id"), t)
+    assert(io.rowCount(t) == 183L)
+    io.deleteWhere(t, col("id") >= 250L)
+    assert(io.rowCount(t) == io.read(t).count(), "rowCount must track row-level deletes")
+    // legacy manifest: same files committed WITHOUT stats — the footer
+    // fallback must still produce the exact count
+    val files = io.catalog.manifest(t, io.catalog.currentVersion(t).get)
+    io.catalog.commitSnapshot(t, files)
+    assert(io.catalog.manifestStats(t, io.catalog.currentVersion(t).get).isEmpty,
+      "fixture must exercise the stats-less path")
+    assert(io.rowCount(t) == 173L)
+  }
+
   test("readChangelog emits net INSERT/DELETE rows across appends, deletes and updates") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = freshIO()
