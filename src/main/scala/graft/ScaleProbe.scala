@@ -50,7 +50,15 @@ object ScaleProbe {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.INFO)
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/scheduler warmup
-    if (!Files.exists(Paths.get(simDir, "_SIM_DONE"))) buildSim(spark, srcDir, simDir)
+    // the marker records WHICH fixture variant was built — switching
+    // SPARK_GRAFT_SIM_MODE must rebuild, not silently reuse stale data
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SIM_MODE", "cipher")
+    val marker = Paths.get(simDir, "_SIM_DONE")
+    val built = if (Files.exists(marker)) Files.readString(marker).trim else ""
+    if (built != mode) {
+      buildSim(spark, srcDir, simDir, dense = mode == "dense")
+      Files.writeString(marker, mode)
+    }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "sf0.1,sf1sim").split(',').toSet
@@ -80,7 +88,7 @@ object ScaleProbe {
 
   private def shift(c: String, i: Int): Column = col(c) + lit(i.toLong * KeyStride)
 
-  private def buildSim(spark: SparkSession, src: String, dst: String): Unit = {
+  private def buildSim(spark: SparkSession, src: String, dst: String, dense: Boolean): Unit = {
     // events stores INT64 TIMESTAMP(NANOS); read it as a raw long (the
     // sim writes plain INT64 nanos, which Tables.events' `ts div 1000`
     // conversion handles identically)
@@ -109,11 +117,10 @@ object ScaleProbe {
     // as the dense-graph stress datapoint in SCALE.md). Unmapped chars
     // (space/punct) leak only punctuation-run shingles across copies —
     // a handful of shared elements against ~1e3 per doc.
-    // SPARK_GRAFT_SIM_MODE=dense keeps the suffix variant ON PURPOSE as
-    // a dense-graph stress fixture: ~100x the pair volume and multi-round
-    // convergence chains across copies — the regime that exposed the
+    // dense=true keeps the suffix variant ON PURPOSE as a dense-graph
+    // stress fixture: ~100x the pair volume and multi-round convergence
+    // chains across copies — the regime that exposed the
     // exponential-lineage driver stall this round.
-    val dense = sys.env.get("SPARK_GRAFT_SIM_MODE").contains("dense")
     val alpha = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
     write(replicate(raw("documents")) { (d, i) =>
       val remapped =
@@ -127,6 +134,5 @@ object ScaleProbe {
     }, "documents")
     write(replicate(raw("embeddings")) { (d, i) =>
       d.withColumn("vec_id", shift("vec_id", i)) }, "embeddings")
-    Files.createFile(Paths.get(dst, "_SIM_DONE"))
   }
 }

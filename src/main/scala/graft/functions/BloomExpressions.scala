@@ -49,12 +49,26 @@ object BloomContains {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[Array[Byte], BloomFilter]())
 
+  // Per-thread memo of the last (bytes -> filter) resolution: the probe
+  // runs once per row in the hot codegen path, and going through the
+  // synchronized map every row would serialize all executor threads on
+  // one monitor. A task probes one filter, so the memo hit rate is
+  // ~100% and the map is only consulted on first touch per thread.
+  private val lastRef = new ThreadLocal[(Array[Byte], BloomFilter)]
+
   def contains(bloomBytes: Array[Byte], s: UTF8String): Boolean = {
-    var bf = cache.get(bloomBytes)
-    if (bf == null) {
-      bf = BloomFilter.readFrom(bloomBytes)
-      cache.put(bloomBytes, bf)
-    }
+    val memo = lastRef.get()
+    val bf =
+      if (memo != null && (memo._1 eq bloomBytes)) memo._2
+      else {
+        var f = cache.get(bloomBytes)
+        if (f == null) {
+          f = BloomFilter.readFrom(bloomBytes)
+          cache.put(bloomBytes, f)
+        }
+        lastRef.set((bloomBytes, f))
+        f
+      }
     bf.mightContainBinary(s.getBytes)
   }
 

@@ -109,16 +109,31 @@ object FileStats {
     * (`removeOrphanFiles`) so a long-lived driver doesn't accumulate
     * stats for bytes that no longer exist.
     */
-  def invalidate(files: Iterable[String]): Unit = files.foreach(cache.remove)
+  def invalidate(files: Iterable[String]): Unit = files.foreach { f =>
+    cache.remove(f)
+    rowCountCache.remove(f)
+  }
 
   /** Footer-only row count — no column statistics involved, so it
     * works even for files whose column stats the encoder skips.
+    * Memoized: data files are immutable once committed, so repeated
+    * counts over a stats-less legacy manifest pay the footer I/O once
+    * per file per driver, not per call.
     */
   def rowCount(file: String, conf: Configuration): Long = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally reader.close()
+    val hit = rowCountCache.get(file)
+    if (hit != null) hit
+    else {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      val n = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+              finally reader.close()
+      rowCountCache.put(file, n)
+      n
+    }
   }
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def read(file: String, conf: Configuration): Map[String, ColStats] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))

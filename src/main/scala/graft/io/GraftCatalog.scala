@@ -534,6 +534,12 @@ private[io] class GraftRowOpsTable(
         // excluded from the rewrite scan AND carried into the new
         // manifest unchanged (file-scoped copy-on-write)
         @volatile private var carriedOver: Seq[String] = Seq.empty
+        // the snapshot version the rewrite's file partition was computed
+        // against — validated at commit so a commit that landed in
+        // between (same-JVM before the lock, or another process any
+        // time) surfaces as ConcurrentCommitException instead of the
+        // rewrite silently dropping that commit's files (lost update)
+        @volatile private var baseVersion: Option[Int] = None
 
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String = s"graft copy-on-write ${info.command()}"
@@ -551,7 +557,9 @@ private[io] class GraftRowOpsTable(
         // the files that key can live in, not the table.
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
           new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-            private val allFiles = cat.currentVersion(tableName)
+            private val baseV = cat.currentVersion(tableName)
+            locally { baseVersion = baseV } // one read: files + version from the same snapshot
+            private val allFiles = baseV
               .map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
             private var chosen: Seq[String] = allFiles
             private val toLogicalName = renames.map(_.swap)
@@ -653,6 +661,18 @@ private[io] class GraftRowOpsTable(
                   dBatch.onDataWriterCommit(m)
                 override def commit(messages: Array[WriterCommitMessage]): Unit =
                   try {
+                    // Fail fast if ANY commit landed after the rewrite's
+                    // file partition was computed: carriedOver came from
+                    // baseVersion's manifest, so committing over a newer
+                    // snapshot would silently drop that snapshot's files.
+                    // (The lock serializes same-JVM writers from toBatch
+                    // on, but the scan planned BEFORE the lock, and other
+                    // processes are never held by it.)
+                    val cur = cat.currentVersion(tableName)
+                    if (cur != baseVersion)
+                      throw new ConcurrentCommitException(
+                        s"concurrent commit to $tableName during row-level ${info.command()}: " +
+                          s"planned against version $baseVersion but current is $cur; re-run the command")
                     dBatch.commit(messages)
                     // new table = files the scan proved untouchable
                     // (carried over verbatim) + this write's replacement

@@ -55,14 +55,26 @@ private[io] object GraftProcedures {
         }
       })
     case "remove_orphan_files" =>
-      Some(proc("remove_orphan_files",
-        Seq("table" -> StringType),
-        new StructType().add("deleted_file", StringType, nullable = false),
-        (in: InternalRow) => {
-          val t = in.getUTF8String(0).toString
-          cat.removeOrphanFiles(t)
-            .map(f => new GenericInternalRow(Array[Any](UTF8String.fromString(f))))
-        }))
+      // optional older_than_ms (Iceberg's `older_than`): default 24h
+      // protects commit-in-flight writers; pass 0 or negative to
+      // reclaim everything unreferenced right now (test/decommission)
+      Some(new UnboundProcedure {
+        override def name(): String = "remove_orphan_files"
+        override def description(): String = "graft maintenance procedure remove_orphan_files"
+        override def bind(inputType: StructType): BoundProcedure = {
+          val withAge = inputType.size >= 2
+          val params = Seq("table" -> StringType) ++
+            (if (withAge) Seq("older_than_ms" -> LongType) else Nil)
+          bound("remove_orphan_files", params,
+            new StructType().add("deleted_file", StringType, nullable = false),
+            (in: InternalRow) => {
+              val t = in.getUTF8String(0).toString
+              val age = if (withAge && !in.isNullAt(1)) in.getLong(1) else 24L * 3600 * 1000
+              cat.removeOrphanFiles(t, age)
+                .map(f => new GenericInternalRow(Array[Any](UTF8String.fromString(f))))
+            })
+        }
+      })
     case "compact" =>
       Some(proc("compact",
         Seq("table" -> StringType),

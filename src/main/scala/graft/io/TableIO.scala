@@ -157,9 +157,13 @@ final case class TableCatalog(warehouse: String) {
     * `ConcurrentCommitException` (package-visible so the conflict path
     * is deterministically testable).
     */
-  private[graft] def commitSnapshotAt(name: String, files: Seq[String], v: Int,
+  private[graft] def commitSnapshotAt(name: String, filesIn: Seq[String], v: Int,
                                       props: Map[String, String] = Map.empty,
                                       stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int = {
+    // a manifest is a SET: a path listed twice would be scanned twice
+    // (duplicated rows) — possible when an optimistic retry re-bases on
+    // a manifest that already absorbed this writer's files
+    val files = filesIn.distinct
     val meta = metaPath(name)
     Files.createDirectories(meta)
     val base = tableRoot(name)
@@ -435,18 +439,26 @@ final case class TableCatalog(warehouse: String) {
   def expireSnapshots(name: String, keepLast: Int,
                       releaseStreamMark: Boolean = false): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val vs = versions(name) // one listing: newestMarked + expired derive from the same snapshot of the directory
-    val newestMarked =
-      if (releaseStreamMark) None
-      else vs.reverseIterator.find { v =>
-        try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
-        catch { case _: java.nio.file.NoSuchFileException => false }
-      }
-    val tagged = tags(name).values.toSet
-    val expired = vs.dropRight(keepLast)
-      .filterNot(v => newestMarked.contains(v) || tagged(v))
-    expired.foreach(v => Files.deleteIfExists(metaPath(name).resolve(s"v$v.json")))
-    expired
+    // under the per-table write lock: the tags() read below must not
+    // race a concurrent tagSnapshot (mutateTags holds the same lock) —
+    // otherwise a just-written tag's snapshot could be expired from
+    // under it, leaving the tag dangling
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      val vs = versions(name) // one listing: newestMarked + expired derive from the same snapshot of the directory
+      val newestMarked =
+        if (releaseStreamMark) None
+        else vs.reverseIterator.find { v =>
+          try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        }
+      val tagged = tags(name).values.toSet
+      val expired = vs.dropRight(keepLast)
+        .filterNot(v => newestMarked.contains(v) || tagged(v))
+      expired.foreach(v => Files.deleteIfExists(metaPath(name).resolve(s"v$v.json")))
+      expired
+    } finally lock.release()
   }
 
   /** Delete data files referenced by no surviving manifest; returns
@@ -454,50 +466,72 @@ final case class TableCatalog(warehouse: String) {
     * snapshot's file list is consulted, so current reads see no change.
     */
   def removeOrphanFiles(name: String,
-                        stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val live = versions(name).flatMap(manifest(name, _)).toSet
-    val orphans = listDataFiles(name).filterNot(live)
-    // Abandoned write-staging dirs (.stage-*, a writer that died before
-    // its move) sit OUTSIDE data/ so readers never see them, but their
-    // bytes still need reclaiming. Age-guarded like Iceberg's
-    // remove_orphan_files `older_than`: an IN-FLIGHT writer's staging
-    // must never be swept from under it.
-    val tableRoot = Paths.get(pathOf(name))
-    if (Files.isDirectory(tableRoot)) {
-      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
-      Using.resource(Files.list(tableRoot)) { s =>
-        s.iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      }.foreach { dir =>
-        Using.resource(Files.walk(dir)) { s =>
-          s.sorted(java.util.Comparator.reverseOrder[Path]())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+                        olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    // Under the per-table write lock (same-JVM writers can't interleave
+    // their move->commit span with this sweep at all), and EVERY
+    // deletion is age-guarded like Iceberg's remove_orphan_files
+    // `older_than` — which covers writers in OTHER processes: a
+    // cross-process append moves finished files into data/ BEFORE its
+    // manifest commit, so a young unreferenced data file may be a
+    // commit-in-flight, and deleting it would tear that writer's
+    // snapshot into a manifest referencing missing files.
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val live = versions(name).flatMap(manifest(name, _)).toSet
+      val orphans = listDataFiles(name).filterNot(live)
+        .filter(f => Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff)
+      // Abandoned write-staging dirs (.stage-*, a writer that died
+      // before its move) sit OUTSIDE data/ so readers never see them,
+      // but their bytes still need reclaiming. Liveness = the NEWEST
+      // mtime in the staging TREE: a long-running write keeps touching
+      // files under .stage-X/_temporary while the top-level dir's own
+      // mtime stays at job start, so the top-level mtime alone would
+      // sweep any job outliving the cutoff mid-write.
+      val tableRoot = Paths.get(pathOf(name))
+      if (Files.isDirectory(tableRoot)) {
+        Using.resource(Files.list(tableRoot)) { s =>
+          s.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-"))
+            .filter { p =>
+              val newest = Using.resource(Files.walk(p)) { w =>
+                w.iterator().asScala.foldLeft(0L)((m, q) =>
+                  math.max(m, Files.getLastModifiedTime(q).toMillis))
+              }
+              newest < cutoff
+            }
+        }.foreach { dir =>
+          Using.resource(Files.walk(dir)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder[Path]())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          }
         }
       }
-    }
-    orphans.foreach { f =>
-      val p = Paths.get(f)
-      Files.delete(p)
-      // local-FS checksum sidecar (.<name>.crc) goes with its file
-      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
-    }
-    FileStats.invalidate(orphans)
-    // Reclaim partition directories the deletions emptied (deepest
-    // first so nested col=value levels collapse) — leaving them behind
-    // is listing noise that accumulates across overwrite+GC cycles.
-    val dataRoot = Paths.get(dataPath(name))
-    if (Files.isDirectory(dataRoot)) {
-      Using.resource(Files.walk(dataRoot)) { s =>
-        s.iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) && p != dataRoot)
-          .sortBy(-_.getNameCount)
-      }.foreach { d =>
-        val empty = Using.resource(Files.list(d))(es => !es.iterator().hasNext)
-        if (empty) Files.delete(d)
+      orphans.foreach { f =>
+        val p = Paths.get(f)
+        Files.delete(p)
+        // local-FS checksum sidecar (.<name>.crc) goes with its file
+        Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
       }
-    }
-    orphans
+      FileStats.invalidate(orphans)
+      // Reclaim partition directories the deletions emptied (deepest
+      // first so nested col=value levels collapse) — leaving them
+      // behind is listing noise that accumulates across overwrite+GC
+      // cycles.
+      val dataRoot = Paths.get(dataPath(name))
+      if (Files.isDirectory(dataRoot)) {
+        Using.resource(Files.walk(dataRoot)) { s =>
+          s.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) && p != dataRoot)
+            .sortBy(-_.getNameCount)
+        }.foreach { d =>
+          val empty = Using.resource(Files.list(d))(es => !es.iterator().hasNext)
+          if (empty) Files.delete(d)
+        }
+      }
+      orphans
+    } finally lock.release()
   }
 
   /** All parquet data files currently on disk for the table
@@ -1180,8 +1214,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // The same-JVM per-table lock is still held over write->commit:
     // the SQL row-level-DML rewrite (GraftRowOpsTable) identifies its
     // replacement files by a directory-listing diff, and an append
-    // interleaving with that span would be claimed as rewrite output
-    // (rows committed twice).
+    // interleaving with that span would be claimed as rewrite output.
+    // (DML vs writers the lock can't see — other processes, or commits
+    // landing before the rewrite takes the lock — is fail-fast instead:
+    // the rewrite validates its base version at commit and raises
+    // ConcurrentCommitException; manifests dedupe file entries so an
+    // early-claimed append's own commit can never double-list them.)
     {
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()

@@ -85,8 +85,12 @@ object Contamination {
   ): DataFrame = {
     val grams = expr(wordGramsSql(textCol, n))
     val bucket = Sampling.portableBucket(idCol, buckets)
+    // cached: the benchmark gram set is consumed three times (sizing
+    // count, sketch build, exact verify join) and the tokenize+shingle
+    // pass over the benchmark slice must not run per consumer
     val bench = docs.filter(bucket < benchBuckets)
       .select(explode(grams).as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = docs.filter(bucket >= benchBuckets)
     // one pass builds the sketch; sizing from a cheap count of the
     // (distinct) benchmark grams — driver round-trip is one long
@@ -96,9 +100,15 @@ object Contamination {
       .head().getAs[Array[Byte]](0)
     val candidates = corpus.select(col(idCol), explode(grams).as("gram"))
       .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("gram")))
+    // dirty is materialized eagerly so the bench cache can be released
+    // before return — the caller sees ONE cached frame (the small dirty
+    // id set), the releaseOnMaterialize pattern
     val dirty = candidates
       .join(bench, Seq("gram"), "left_semi") // exact: kills the fpp sliver
       .select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dirty.count()
+    bench.unpersist()
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
 }

@@ -384,7 +384,11 @@ class TableIOSpec extends SparkSpec {
     val liveFiles = io.catalog.manifest(t, 3)
 
     assert(io.catalog.expireSnapshots(t, keepLast = 2) == Seq(1))
-    val removed = io.catalog.removeOrphanFiles(t)
+    // young orphans survive the default age guard (commit-in-flight
+    // protection); an explicit past-everything bound reclaims them
+    assert(io.catalog.removeOrphanFiles(t).isEmpty,
+      "default older-than must keep just-written orphans")
+    val removed = io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
     assert(removed.toSet == v1Only.toSet, "exactly the v1-only files are orphans")
     liveFiles.foreach(f => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
     assert(io.versions(t) == Seq(2, 3))
@@ -409,14 +413,14 @@ class TableIOSpec extends SparkSpec {
     assert(io.readVersion(t, 3).count() == 6) // pre-compaction snapshot intact
     // expire + orphan-delete reclaims the small files
     io.catalog.expireSnapshots(t, keepLast = 1)
-    assert(io.catalog.removeOrphanFiles(t).nonEmpty)
+    assert(io.catalog.removeOrphanFiles(t, olderThanMs = -1000).nonEmpty)
     assert(io.read(t).select("id").as[Int].collect().toSet == beforeRows)
 
     // an overwrite that drops yr=2020 entirely + expire + GC must also
     // reclaim the now-empty partition DIRECTORY, not just its files
     io.overwrite(Seq((99, "z", 2021)).toDF("id", "s", "yr"), t, Seq("yr"))
     io.catalog.expireSnapshots(t, keepLast = 1)
-    io.catalog.removeOrphanFiles(t)
+    io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
     val dataRoot = java.nio.file.Paths.get(io.catalog.dataPath(t))
     val emptyDirs = scala.util.Using.resource(java.nio.file.Files.walk(dataRoot)) { s =>
       import scala.jdk.CollectionConverters._

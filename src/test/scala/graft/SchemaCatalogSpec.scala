@@ -470,7 +470,10 @@ class SchemaCatalogSpec extends SparkSpec {
       assert(expired == Seq(1, 2))
       assert(io.versions("default.m") == Seq(3))
 
-      val deleted = spark.sql("CALL gp.system.remove_orphan_files('default.m')")
+      // default age guard keeps just-written orphans (commit-in-flight
+      // protection); older_than_ms=0 reclaims them immediately
+      assert(spark.sql("CALL gp.system.remove_orphan_files('default.m')").collect().isEmpty)
+      val deleted = spark.sql("CALL gp.system.remove_orphan_files('default.m', -1000)")
         .collect().map(_.getString(0))
       assert(deleted.nonEmpty, "files of expired snapshots must be reclaimed")
       assert(io.read("default.m").collect().map(_.getInt(0)).toSeq == Seq(3))

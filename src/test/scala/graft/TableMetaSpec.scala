@@ -190,6 +190,18 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("manifests are sets: a double-listed path commits once and reads once") {
+    val io = freshIO()
+    val t = "default.setsem"
+    io.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val files = io.catalog.manifest(t, 1)
+    // an optimistic retry re-basing on a manifest that already absorbed
+    // this writer's files would otherwise double-list them
+    io.catalog.commitSnapshot(t, files ++ files)
+    assert(io.catalog.manifest(t, 2).size == files.size, "duplicate manifest entries survived")
+    assert(io.read(t).count() == 1L, "double-listed file scanned twice")
+  }
+
   test("rowCount answers from manifest stats; legacy stats-less manifests fall back to footers") {
     import org.apache.spark.sql.functions.col
     val io = freshIO()
@@ -414,7 +426,7 @@ class TableMetaSpec extends graft.SparkSpec {
       assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq.empty) // v1, v2 both tagged
       spark.sql("CALL gtag.system.remove_tag('default.tagged', 'head2')")
       assert(io.catalog.expireSnapshots(t, keepLast = 1) == Seq(2))    // v2 released
-      io.catalog.removeOrphanFiles(t)
+      io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
       // the still-tagged v1 remains fully readable after GC
       assert(io.readTag(t, "train-run-47").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
       assert(io.read(t).count() == 3)
