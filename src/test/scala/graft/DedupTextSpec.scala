@@ -117,6 +117,14 @@ class DedupSpec extends SparkSpec {
     val clusters = Dedup.nearDupClusters(chain, threshold = 0.7)
     val byDoc = clusters.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // regression guard for the lineage-truncation fix: a multi-round
+    // propagation must NOT compound its plan (it used to double per
+    // round — O(2^rounds) analysis/canonicalization on the driver);
+    // with per-round localCheckpoints the result's analyzed plan is a
+    // bounded join over a leaf, not the unrolled loop
+    val planNodes = clusters.queryExecution.analyzed.collect { case n => n }.size
+    assert(planNodes < 60,
+      s"result plan has $planNodes nodes — propagation lineage is compounding again")
     clusters.unpersist()
     assert(byDoc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
