@@ -546,7 +546,13 @@ object SparkEntry {
       val io = TableIO(s, tempDir("graft_pp_"))
       io.append(
         graft.pipeline.Ingestion.cleanLineitem(Tables.lineitem(s, dir))
-          .drop("ship_ts", "l_tax"), // working columns q01's projection also drops
+          .drop("ship_ts", "l_tax") // working columns q01's projection also drops
+          // cluster the write by its partition column (Iceberg's hash
+          // distribution-mode): without this every task writes a sliver
+          // into every partition — tasks x partitions small files, each
+          // paying a commit-time footer-stats read. At scale you'd
+          // repartition(n, col) to also control file SIZE.
+          .repartition(col("ship_year")),
         "default.lineitem_py", Seq("ship_year"))
       io.read("default.lineitem_py").filter(col("ship_year") === 1997)
     }),
