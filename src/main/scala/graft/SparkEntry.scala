@@ -595,7 +595,9 @@ object SparkEntry {
       val bucket = graft.sampling.Sampling.portableBucket("doc_id", 10)
       val corpus = docs.filter(bucket < 8)
       val batch = docs.filter(bucket >= 8)
-      io.overwrite(Dedup.signatureIndex(corpus), "default.sig_index")
+      // signatures compute 32-way (CPU stage) but land in few files:
+      // 4k index rows don't need 32 footer-stats reads per commit
+      io.overwrite(Dedup.signatureIndex(corpus).repartition(4), "default.sig_index")
       Dedup.incrementalNearDups(
         batch, corpus, io.read("default.sig_index"), threshold = 0.7)
     })

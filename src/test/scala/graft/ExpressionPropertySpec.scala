@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based pins for the native expression kernels. Each property
+  * draws a few hundred scalacheck cases under a FIXED seed (a flaky
+  * property test is worse than none), evaluates them through the real
+  * codegen path in ONE Spark job per property, and checks the
+  * invariant in plain Scala on the collected rows.
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.from(0)
+      .map(i => g.apply(params, Seed(seed).reseed(i.toLong)))
+      .flatten.take(n).toSeq
+  }
+
+  private val sortedSet: Gen[Seq[Long]] =
+    Gen.chooseNum(0, 40).flatMap(k => Gen.listOfN(k, Gen.chooseNum(-200L, 200L)))
+      .map(_.distinct.sorted)
+
+  test("property: graft_jaccard_sorted equals set-algebra Jaccard (incl. empties)") {
+    val pairs = samples(Gen.zip(sortedSet, sortedSet), 300, seed = 7L)
+    val got = pairs.toDF("a", "b")
+      .select(expr("graft_jaccard_sorted(a, b)")).as[Double].collect()
+    pairs.zip(got).foreach { case ((a, b), j) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j == expect, s"jaccard($a, $b) = $j, want $expect")
+    }
+  }
+
+  test("property: minhash signature of a union is the elementwise min of the signatures") {
+    // THE defining mergeability of MinHash: sig(A ∪ B) = min(sig A, sig B)
+    // — what lets map-side partials combine without recall loss
+    val k = 16
+    val pairs = samples(Gen.zip(sortedSet, sortedSet), 200, seed = 11L)
+      .filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val rows = pairs.map { case (a, b) => (a, b, (a ++ b).distinct.sorted) }
+    val got = rows.toDF("a", "b", "u")
+      .select(
+        expr(s"graft_minhash_hashed(a, $k)").as("sa"),
+        expr(s"graft_minhash_hashed(b, $k)").as("sb"),
+        expr(s"graft_minhash_hashed(u, $k)").as("su"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+    got.foreach { case (sa, sb, su) =>
+      val merged = sa.zip(sb).map { case (x, y) => math.min(x, y) }
+      assert(su == merged, s"sig(union) != elementwise min: $su vs $merged")
+    }
+  }
+
+  test("property: character-bijection invariance — a substitution cipher preserves pairwise Jaccard") {
+    // the property SCALE.md's 10x fixture rests on: shingles are
+    // character n-grams, so any per-character bijection maps shingle
+    // sets bijectively and pairwise Jaccard is unchanged
+    val alpha = ('a' to 'z').mkString
+    val rot = alpha.drop(13) + alpha.take(13)
+    val text: Gen[String] = Gen.chooseNum(0, 60)
+      .flatMap(k => Gen.listOfN(k, Gen.frequency(9 -> Gen.alphaLowerChar, 1 -> Gen.const(' '))))
+      .map(_.mkString)
+    val pairs = samples(Gen.zip(text, text), 200, seed = 13L)
+    val got = pairs.toDF("a", "b")
+      .select(
+        expr("graft_jaccard_sorted(graft_shingle_hashes(a, 5), graft_shingle_hashes(b, 5))"),
+        expr(s"graft_jaccard_sorted(graft_shingle_hashes(translate(a, '$alpha', '$rot'), 5), " +
+          s"graft_shingle_hashes(translate(b, '$alpha', '$rot'), 5))"))
+      .as[(Double, Double)].collect()
+    got.zip(pairs).foreach { case ((plain, ciphered), (a, b)) =>
+      assert(plain == ciphered, s"cipher changed jaccard for ($a, $b): $plain -> $ciphered")
+    }
+  }
+
+  test("property: bloom aggregate is partition-layout independent (merge is a commutative OR)") {
+    val words = samples(Gen.identifier, 400, seed = 17L).distinct
+    def bloomOf(parts: Int): Array[Byte] =
+      words.toDF("s").repartition(parts)
+        .select(expr(s"graft_bloom_agg(s, ${words.size}L, 0.01)"))
+        .head().getAs[Array[Byte]](0)
+    val one = bloomOf(1)
+    assert(java.util.Arrays.equals(one, bloomOf(7)),
+      "bloom bitset differs across partition layouts — merge is not order-independent")
+    assert(java.util.Arrays.equals(one, bloomOf(32)))
+  }
+
+  test("property: graft_topk equals sort-and-take on random scored rows") {
+    val k = 5
+    val row = Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 30L), Gen.chooseNum(0, 8))
+    val rows = samples(row, 300, seed = 23L)
+    val got = rows.toDF("score", "id1", "id2")
+      .select(expr(s"graft_topk(score, id1, id2, $k)").as("top"))
+      .selectExpr("inline(top)")
+      .as[(Double, Long, Int)].collect().toSeq
+    val expect = rows
+      .sortBy { case (s, a, b) => (-s, a, b) }.take(k)
+      .map { case (s, a, b) => (s, a, b) }
+    assert(got == expect, s"topk mismatch:\n got    $got\n expect $expect")
+  }
+}
