@@ -730,7 +730,24 @@ object OracleQueries {
          |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
          |FROM g a JOIN g b ON a.bucket >= 8 AND b.bucket < 8
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    // incremental embedding dedup: the IVF-index path is exact (angular
+    // triangle inequality never prunes a true pair; final filter is the
+    // exact cosine), so the oracle is the plain cross-pair cosine join
+    // over the same md5-bucket split
+    "q56_incremental_embedding_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id, b.vec_id AS dup_of,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.bucket >= 8 AND b.bucket < 8
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -600,6 +600,25 @@ object SparkEntry {
       io.overwrite(Dedup.signatureIndex(corpus).repartition(4), "default.sig_index")
       Dedup.incrementalNearDups(
         batch, corpus, io.read("default.sig_index"), threshold = 0.7)
+    }),
+
+    // The embedding-modality twin of q55: a persisted IVF index
+    // (centroids + per-cell radius + cell assignments, stored through
+    // the table layer) and an incoming batch matched against it via
+    // the angular triangle inequality + exact cosine — EXACT, so the
+    // oracle is the cross-pair cosine join over the same split. The
+    // corpus is never rescanned at query time.
+    "q56_incremental_embedding_dedup" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_ividx_"))
+      val emb = Tables.embeddings(s, dir)
+      val bucket = graft.sampling.Sampling.portableBucket("vec_id", 10)
+      val (cents, assigned) = graft.similarity.Similarity.embeddingIndex(emb.filter(bucket < 8))
+      io.overwrite(cents, "default.emb_centroids")
+      io.overwrite(assigned.repartition(4), "default.emb_index")
+      graft.similarity.Similarity.incrementalEmbeddingNearDups(
+        emb.filter(bucket >= 8),
+        io.read("default.emb_centroids"), io.read("default.emb_index"),
+        threshold = 0.4)
     })
   )
 

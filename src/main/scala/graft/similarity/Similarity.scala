@@ -368,4 +368,100 @@ object Similarity {
         .dropDuplicates("q_id", "vec_id"),
       k)
   }
+
+  /** Persistable IVF index of an embedding corpus — the two tables an
+    * incremental embedding-dedup pipeline stores:
+    *   - centroids: `(cell, centroid, radius)` where radius is the
+    *     cell's max member-to-centroid ANGLE, computed once here so a
+    *     later batch query derives its candidate cell pairs without
+    *     ever rescanning the corpus;
+    *   - assignments: `(vec_id, v, cell)` — the corpus partitioned by
+    *     cell, ready for the cell-key equi-join.
+    * Same training and assignment as [[embeddingNearDuplicates]]' inline
+    * index (deterministic bootstrap + bounded-sample Lloyd rounds).
+    */
+  def embeddingIndex(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 2
+  ): (DataFrame, DataFrame) = {
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val centroids = trainCentroids(e, nlist, iters)
+    val assigned = withCell(e, centroids)
+      .withColumn("ccos", expr("array_max(__scores)"))
+      .drop("__scores")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val radii = assigned
+      .groupBy("cell")
+      .agg(max(expr("acos(greatest(-1.0D, least(1.0D, ccos)))")).as("radius"))
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cell", "centroid")
+      .join(radii, Seq("cell"), "left_outer")
+      .select(col("cell"), col("centroid"), coalesce(col("radius"), lit(0.0)).as("radius"))
+    (cents, assigned.select(col("vec_id"), col("v"), col("cell")))
+  }
+
+  /** Near-duplicates of an incoming embedding batch AGAINST a persisted
+    * [[embeddingIndex]] — the embedding-modality twin of
+    * `Dedup.incrementalNearDups`, and EXACT like
+    * [[embeddingNearDuplicates]]: the batch is assigned to cells with
+    * the STORED centroids, candidate (batch-cell, index-cell) pairs
+    * come from the angular triangle inequality using the STORED corpus
+    * radii plus batch-side radii computed here, and survivors get the
+    * exact cosine filter. Per batch the corpus contributes one
+    * cell-key equi-join over only the candidate cells — it is never
+    * rescanned for training, radii, or assignment. Returns
+    * `(vec_id, dup_of, cos)`: batch vectors with a corpus neighbor at
+    * `threshold`, one row per matching corpus vector.
+    */
+  def incrementalEmbeddingNearDups(
+      batch: DataFrame,
+      centroidsTable: DataFrame,
+      index: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    // O(nlist x dim) driver rows — the documented bounded collect
+    val cents = centroidsTable.orderBy("cell").collect()
+      .map(r => (r.getAs[Long]("cell"), r.getSeq[Double](1).toSeq, r.getAs[Double]("radius")))
+    val centroids = cents.map(_._2).toSeq
+    val assignedB = withCell(
+      batch.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), centroids)
+      .withColumn("ccos", expr("array_max(__scores)"))
+      .drop("__scores")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rB = assignedB
+      .groupBy("cell")
+      .agg(max(expr("acos(greatest(-1.0D, least(1.0D, ccos)))")).as("r"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Double]("r")).toMap
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def angle(a: Seq[Double], b: Seq[Double]): Double = {
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.acos(math.max(-1.0, math.min(1.0, c)))
+    }
+    val tAngle = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val candidates = for {
+      (bc, r) <- rB.toSeq
+      (ic, cIdx, rIdx) <- cents
+      if angle(centroids(bc.toInt), cIdx) <= r + rIdx + tAngle + 1e-9
+    } yield (bc, ic)
+
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cellPairs = broadcast(candidates.toDF("cell_b", "cell_i"))
+    val out = assignedB
+      .select(col("vec_id").as("idb"), col("v").as("vb"), col("cell").as("cell_b"))
+      .join(cellPairs, "cell_b")
+      .join(index.select(col("vec_id").as("idi"), col("v").as("vi"), col("cell").as("cell_i")),
+        Seq("cell_i"))
+      .withColumn("cos", expr(cosineSql("vb", "vi")))
+      .filter(col("cos") >= threshold)
+      .select(col("idb").as("vec_id"), col("idi").as("dup_of"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assignedB.unpersist()
+    out
+  }
 }

@@ -164,6 +164,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "near-dup join must stay bucketed")
   }
 
+  test("incremental embedding near-dups vs a persisted IVF index equal the exact cross-pair join") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val split = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"), org.apache.spark.sql.functions.lit(5L))
+    val corpus = e.filter(split < 4)
+    val batch = e.filter(split === 4)
+    // index round-trips through the table layer (array<double> columns)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ividx_spec_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val (cents, assigned) = Similarity.embeddingIndex(corpus)
+    io.overwrite(cents, "default.c")
+    io.overwrite(assigned, "default.a")
+    val got = Similarity.incrementalEmbeddingNearDups(
+      batch, io.read("default.c"), io.read("default.a"), threshold = 0.4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("cos"))
+    // exact oracle: all (batch, corpus) pairs at the threshold
+    val bv = batch.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.expr(Similarity.doubleVec("embedding")).as("vb")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
+    val cv = corpus.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.expr(Similarity.doubleVec("embedding")).as("vc")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val expect = (for {
+      (ib, vb) <- bv; (ic, vc) <- cv
+      c = cos(vb, vc) if c >= 0.4
+    } yield (ib, ic)).toSet
+    val gotSet = got.collect().map(key).toSet
+    got.unpersist()
+    assert(gotSet.map(t => (t._1, t._2)) == expect,
+      s"index path diverged from exact cross-pairs: got ${gotSet.size}, want ${expect.size}")
+    assert(expect.nonEmpty, "fixture must produce at least one cross pair")
+  }
+
   test("LSH bucket is identical for identical vectors, differs for opposite") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
