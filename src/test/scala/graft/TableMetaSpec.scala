@@ -190,6 +190,31 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("orphan sweep reclaims aged staging dirs but never one with recent writes inside") {
+    val io = freshIO()
+    val t = "default.stage_gc"
+    io.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val root = java.nio.file.Paths.get(io.catalog.pathOf(t))
+    val old = java.time.Instant.now().minusSeconds(48 * 3600)
+    // a writer that died two days ago: whole tree old -> reclaimed
+    val dead = Files.createDirectory(root.resolve(".stage-dead"))
+    Files.writeString(dead.resolve("part-0.parquet"), "x")
+    Files.walk(dead).forEach(p =>
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.from(old)))
+    // a LONG-RUNNING writer: staging dir itself is old (mtime set at
+    // job start) but a task wrote inside it just now -> must survive
+    val live = Files.createDirectory(root.resolve(".stage-live"))
+    val tmp = Files.createDirectory(live.resolve("_temporary"))
+    Files.writeString(tmp.resolve("attempt-0.parquet"), "y")
+    Files.setLastModifiedTime(live, java.nio.file.attribute.FileTime.from(old))
+    io.catalog.removeOrphanFiles(t)
+    assert(!Files.exists(dead), "aged dead staging dir must be reclaimed")
+    assert(Files.exists(tmp.resolve("attempt-0.parquet")),
+      "staging with recent writes inside was swept mid-write")
+    // the committed table is untouched throughout
+    assert(io.read(t).count() == 1)
+  }
+
   test("manifests are sets: a double-listed path commits once and reads once") {
     val io = freshIO()
     val t = "default.setsem"
