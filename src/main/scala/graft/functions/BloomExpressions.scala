@@ -54,10 +54,16 @@ object BloomContains {
   // synchronized map every row would serialize all executor threads on
   // one monitor. A task probes one filter, so the memo hit rate is
   // ~100% and the map is only consulted on first touch per thread.
-  private val lastRef = new ThreadLocal[(Array[Byte], BloomFilter)]
+  // SOFT reference: executor threads are pooled for the JVM's lifetime,
+  // so a strong memo would pin every thread's last bloom (bytes +
+  // deserialized bitset) long after the query ended — soft refs keep
+  // the fast path until memory pressure, then release, and a cleared
+  // memo just falls back to the map once.
+  private val lastRef = new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], BloomFilter)]]
 
   def contains(bloomBytes: Array[Byte], s: UTF8String): Boolean = {
-    val memo = lastRef.get()
+    val memoRef = lastRef.get()
+    val memo = if (memoRef == null) null else memoRef.get()
     val bf =
       if (memo != null && (memo._1 eq bloomBytes)) memo._2
       else {
@@ -66,7 +72,7 @@ object BloomContains {
           f = BloomFilter.readFrom(bloomBytes)
           cache.put(bloomBytes, f)
         }
-        lastRef.set((bloomBytes, f))
+        lastRef.set(new java.lang.ref.SoftReference((bloomBytes, f)))
         f
       }
     bf.mightContainBinary(s.getBytes)

@@ -644,12 +644,20 @@ private[io] class GraftRowOpsTable(
               // BatchWrite's commit/abort callbacks must release on
               // throw — a leaked Semaphore permit (non-reentrant, no
               // owner) would block every later write to this table for
-              // the life of the JVM.
+              // the life of the JVM. Release must also be IDEMPOTENT:
+              // when commit() throws (e.g. the version-conflict check),
+              // Spark's V2 write exec catches and calls abort(), so both
+              // callbacks' finally blocks run — a second release() on a
+              // Semaphore(1) would mint an extra permit and two writers
+              // could then hold the "mutex" concurrently forever.
+              val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+              def releaseOnce(): Unit =
+                if (released.compareAndSet(false, true)) lock.release()
               val (before, dBatch) =
                 try {
                   val b = cat.listDataFiles(tableName).toSet
                   (b, writeTable.newWriteBuilder(physInfo).build().toBatch)
-                } catch { case e: Throwable => lock.release(); throw e }
+                } catch { case e: Throwable => releaseOnce(); throw e }
               new BatchWrite {
                 override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
                   // the rewrite plan prepends bookkeeping columns
@@ -682,14 +690,22 @@ private[io] class GraftRowOpsTable(
                     // files, footer-read for replacements) so a DML
                     // commit keeps plan-time pruning O(manifest) —
                     // without them the next loadTable silently degrades
-                    // to per-file footer reads for the whole table
-                    cat.commitSnapshot(tableName, carriedOver ++ newFiles,
+                    // to per-file footer reads for the whole table.
+                    // Committing AT baseVersion+1 (not "current+1") makes
+                    // the conflict atomic with version-file creation:
+                    // a cross-process commit sneaking in between the
+                    // check above and here loses the hard-link race and
+                    // surfaces as ConcurrentCommitException instead of
+                    // being silently overwritten.
+                    cat.commitSnapshotAt(tableName, carriedOver ++ newFiles,
+                      baseVersion.getOrElse(0) + 1,
                       stats = cat.statsForCommit(tableName, carriedOver, newFiles,
                         SparkSession.active.sessionState.newHadoopConf()))
-                  } finally lock.release()
+                    ()
+                  } finally releaseOnce()
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   try dBatch.abort(messages)
-                  finally lock.release()
+                  finally releaseOnce()
               }
             }
           }

@@ -479,9 +479,15 @@ final case class TableCatalog(warehouse: String) {
     lock.acquire()
     try {
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // cross-process races (a writer finishing its move, another GC):
+      // any path that vanishes mid-sweep is treated as "recent" — skip
+      // it this round, never abort the sweep
+      def mtimeOr(p: Path, default: Long): Long =
+        try Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => default }
       val live = versions(name).flatMap(manifest(name, _)).toSet
       val orphans = listDataFiles(name).filterNot(live)
-        .filter(f => Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff)
+        .filter(f => mtimeOr(Paths.get(f), Long.MaxValue) < cutoff)
       // Abandoned write-staging dirs (.stage-*, a writer that died
       // before its move) sit OUTSIDE data/ so readers never see them,
       // but their bytes still need reclaiming. Liveness = the NEWEST
@@ -495,10 +501,15 @@ final case class TableCatalog(warehouse: String) {
           s.iterator().asScala.toSeq
             .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-"))
             .filter { p =>
-              val newest = Using.resource(Files.walk(p)) { w =>
-                w.iterator().asScala.foldLeft(0L)((m, q) =>
-                  math.max(m, Files.getLastModifiedTime(q).toMillis))
-              }
+              val newest =
+                try Using.resource(Files.walk(p)) { w =>
+                  w.iterator().asScala.foldLeft(0L)((m, q) =>
+                    math.max(m, mtimeOr(q, Long.MaxValue)))
+                } catch {
+                  // tree vanishing mid-walk = its writer just finished
+                  case _: java.io.IOException => Long.MaxValue
+                  case _: java.io.UncheckedIOException => Long.MaxValue
+                }
               newest < cutoff
             }
         }.foreach { dir =>
@@ -510,7 +521,7 @@ final case class TableCatalog(warehouse: String) {
       }
       orphans.foreach { f =>
         val p = Paths.get(f)
-        Files.delete(p)
+        Files.deleteIfExists(p) // a racing GC may have beaten us to it
         // local-FS checksum sidecar (.<name>.crc) goes with its file
         Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
       }

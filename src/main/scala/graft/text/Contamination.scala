@@ -100,14 +100,16 @@ object Contamination {
       .head().getAs[Array[Byte]](0)
     val candidates = corpus.select(col(idCol), explode(grams).as("gram"))
       .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("gram")))
-    // dirty is materialized eagerly so the bench cache can be released
-    // before return — the caller sees ONE cached frame (the small dirty
-    // id set), the releaseOnMaterialize pattern
+    // dirty is materialized eagerly (localCheckpoint) so the bench
+    // cache can be released before return. A persist() here would leak:
+    // the frame is internal, so the caller could never unpersist it and
+    // one cached entry would pin per call for the session's life. The
+    // checkpoint's blocks instead die with the RETURNED frame — once
+    // the caller drops it, the ContextCleaner reclaims them.
     val dirty = candidates
       .join(bench, Seq("gram"), "left_semi") // exact: kills the fpp sliver
       .select(col(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dirty.count()
+      .localCheckpoint(true)
     bench.unpersist()
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }

@@ -190,6 +190,36 @@ class TableMetaSpec extends graft.SparkSpec {
       s"delta scan touched pre-range files: ${scanned.intersect(v2Files)}")
   }
 
+  test("DML releases the write mutex exactly once on both commit and abort; later writes proceed") {
+    val wh = Files.createTempDirectory("graft_dmlrace_").toString
+    spark.conf.set("spark.sql.catalog.gdr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdr.warehouse", wh)
+    try {
+      val io = TableIO(spark, wh)
+      val t = "default.dmlrace"
+      io.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t) // v1
+      def permits = TableIO.writeLock(io.catalog.pathOf(t)).availablePermits()
+      // successful DML: the commit callback releases the mutex once
+      spark.sql("DELETE FROM gdr.default.dmlrace WHERE id = 2")
+      assert(io.read(t).count() == 1)
+      assert(permits == 1, s"permit count after successful DML: $permits")
+      // failing DML: a per-row runtime error fails the write job, so
+      // Spark runs the ABORT callback — the mutex must come back with
+      // EXACTLY one permit (not zero = deadlock, not two = broken
+      // mutual exclusion; commit-throw + abort both firing is the
+      // double-release hazard releaseOnce guards)
+      intercept[Exception](
+        spark.sql("DELETE FROM gdr.default.dmlrace WHERE raise_error('boom') IS NULL"))
+      assert(io.read(t).count() == 1, "failed DML must not change the table")
+      assert(permits == 1, s"permit count after aborted DML: $permits")
+      io.append(Seq((3L, 30.0)).toDF("id", "v"), t) // must not deadlock
+      assert(io.read(t).count() == 2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdr")
+      spark.conf.unset("spark.sql.catalog.gdr.warehouse")
+    }
+  }
+
   test("orphan sweep reclaims aged staging dirs but never one with recent writes inside") {
     val io = freshIO()
     val t = "default.stage_gc"
