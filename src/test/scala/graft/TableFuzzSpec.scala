@@ -1,0 +1,103 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+/** Model-based fuzz of the table layer: a deterministic random
+  * sequence of append / overwrite / deleteWhere / updateWhere /
+  * compact / expire+GC ops runs against BOTH the real TableIO and a
+  * driver-side model (a plain Map of id -> value). After every op the
+  * table must equal the model exactly; snapshots taken along the way
+  * must stay readable until expired. Catches cross-op interactions no
+  * single-op spec enumerates (e.g. DML after partitioned append after
+  * compaction after GC).
+  */
+class TableFuzzSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("200 random table ops match the driver-side model at every step") {
+    val io = TableIO(spark, Files.createTempDirectory("graft_fuzz_").toString)
+    val t = "default.fuzz"
+    val rnd = new scala.util.Random(20260813L)
+    var model = Map.empty[Long, Double]
+    var nextId = 0L
+    // (version -> expected rows) for time-travel checks; pruned on expiry
+    var snapshots = Map.empty[Int, Map[Long, Double]]
+
+    def freshRows(n: Int): Seq[(Long, Double)] =
+      (0 until n).map { _ =>
+        nextId += 1
+        nextId -> (rnd.nextInt(1000) / 10.0)
+      }
+
+    def check(step: Int, op: String): Unit = {
+      val got = io.read(t).as[(Long, Double)].collect().toMap
+      assert(got == model, s"step $step ($op): table diverged from model " +
+        s"(got ${got.size} rows, want ${model.size})")
+      assert(io.rowCount(t) == model.size.toLong, s"step $step ($op): rowCount diverged")
+    }
+
+    // seed so every op has something to chew on
+    val seed = freshRows(20)
+    io.append(seed.toDF("id", "v"), t)
+    model = seed.toMap
+
+    (1 to 200).foreach { step =>
+      val op = rnd.nextInt(100) match {
+        case r if r < 35 => // append 1-10 fresh rows
+          val rows = freshRows(1 + rnd.nextInt(10))
+          io.append(rows.toDF("id", "v"), t)
+          model = model ++ rows
+          "append"
+        case r if r < 45 => // overwrite with a fresh small table
+          val rows = freshRows(5 + rnd.nextInt(10))
+          io.overwrite(rows.toDF("id", "v"), t)
+          model = rows.toMap
+          "overwrite"
+        case r if r < 60 => // delete a random value band
+          val lo = rnd.nextInt(90)
+          io.deleteWhere(t, col("v") >= lo && col("v") < lo + 15)
+          model = model.filterNot { case (_, v) => v >= lo && v < lo + 15 }
+          "deleteWhere"
+        case r if r < 75 => // update a random value band
+          val lo = rnd.nextInt(90)
+          io.updateWhere(t, col("v") >= lo && col("v") < lo + 10,
+            Map("v" -> (col("v") + org.apache.spark.sql.functions.lit(1000.0))))
+          model = model.map { case (k, v) =>
+            k -> (if (v >= lo && v < lo + 10) v + 1000.0 else v) }
+          "updateWhere"
+        case r if r < 85 =>
+          io.compact(t)
+          "compact"
+        case _ =>
+          val expired = io.catalog.expireSnapshots(t, keepLast = 3)
+          snapshots = snapshots.removedAll(expired)
+          io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
+          "expire+gc"
+      }
+      check(step, op)
+      if (rnd.nextInt(10) == 0)
+        io.catalog.currentVersion(t).foreach(v => snapshots += v -> model)
+      // every remembered, unexpired snapshot stays exactly readable
+      if (step % 25 == 0) snapshots.foreach { case (v, expect) =>
+        if (io.versions(t).contains(v))
+          assert(io.readVersion(t, v).as[(Long, Double)].collect().toMap == expect,
+            s"step $step: snapshot v$v no longer matches its recorded state")
+      }
+    }
+    // final deep check: changelog over the surviving history replays
+    // the oldest readable snapshot to the live state
+    val oldest = io.versions(t).head
+    val base = io.readVersion(t, oldest).as[(Long, Double)].collect().toMap
+    val rows = io.readChangelog(t, fromVersion = oldest)
+      .select("id", "v", "_change_type").as[(Long, Double, String)].collect()
+    val net = rows.foldLeft(base.map { case (k, v) => (k, v) -> 1 }) {
+      case (m, (id, v, ct)) =>
+        m.updated((id, v), m.getOrElse((id, v), 0) + (if (ct == "INSERT") 1 else -1))
+    }.filter(_._2 != 0)
+    assert(net.values.forall(_ == 1), s"changelog net counts out of range: ${net.filter(_._2 != 1)}")
+    assert(net.keySet.map(_._1) == model.keySet,
+      "changelog replay over surviving history does not reproduce the live id set")
+  }
+}
