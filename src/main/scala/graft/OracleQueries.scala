@@ -747,7 +747,55 @@ object OracleQueries {
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |FROM e a JOIN e b ON a.bucket >= 8 AND b.bucket < 8
         |WHERE list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+
+    // incremental curation: q51's stages applied to one batch-vs-corpus
+    // increment — exact dedup (within batch + vs corpus hashes),
+    // quality gate, benchmark decontamination, exact near-dup rejection
+    // vs the corpus (the index path has recall 1 here, per q13)
+    "q57_incremental_curation" ->
+      s"""WITH b AS (
+         |  SELECT * FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 >= 8),
+         |c AS (
+         |  SELECT * FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8),
+         |bd AS (
+         |  SELECT d.* FROM b d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM b GROUP BY md5(text)) k ON d.doc_id = k.doc_id
+         |  WHERE md5(d.text) NOT IN (SELECT md5(text) FROM c)),
+         |kept AS (
+         |  SELECT doc_id, text, $duckLang AS lang_pred, $duckQuality AS quality,
+         |    $duckTok AS n_tokens
+         |  FROM bd WHERE $duckQuality >= 0.5),
+         |t AS (
+         |  SELECT doc_id, text, lang_pred, quality, n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+         |  FROM kept),
+         |allg AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+         |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |          x -> length(x) > 0) AS toks FROM documents)),
+         |bench AS (SELECT DISTINCT gram FROM allg WHERE bucket < 50),
+         |tg AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |          x -> length(x) > 0) AS toks FROM t)),
+         |dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (gram)),
+         |gsh AS (SELECT doc_id, $duckShingles AS sh FROM t),
+         |csh AS (SELECT doc_id, $duckShingles AS sh FROM c),
+         |nd AS (
+         |  SELECT DISTINCT a.doc_id FROM gsh a JOIN csh b2
+         |  ON CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+         |       / len(list_distinct(list_concat(a.sh, b2.sh))) >= 0.7)
+         |SELECT doc_id, lang_pred, quality, n_tokens FROM t
+         |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nd)""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

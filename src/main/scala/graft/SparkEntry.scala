@@ -619,6 +619,44 @@ object SparkEntry {
         emb.filter(bucket >= 8),
         io.read("default.emb_centroids"), io.read("default.emb_index"),
         threshold = 0.4)
+    }),
+
+    // The incremental counterpart of q51's flagship curation: one
+    // ingest INCREMENT curated end-to-end, every stage scaling with
+    // the batch rather than the corpus — exact-dedup within the batch
+    // and against corpus content hashes, quality/langid scoring,
+    // benchmark decontamination, and near-dup rejection against the
+    // corpus's PERSISTED signature index (q55's path). Within-batch
+    // near-dups are deliberately out of scope (that is q13/q40 run on
+    // the batch); this row is the batch-vs-corpus admission decision.
+    "q57_incremental_curation" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_incur_"))
+      val docs = Tables.documents(s, dir)
+      val b10 = graft.sampling.Sampling.portableBucket("doc_id", 10)
+      val corpus = docs.filter(b10 < 8)
+      val batch = docs.filter(b10 >= 8)
+      io.overwrite(Dedup.signatureIndex(corpus).repartition(4), "default.cur_sig")
+      val t = col("text")
+      val dedupB = Dedup.dropExactDuplicates(batch)
+        .join(corpus.select(expr("md5(text)").as("__ch")).distinct(),
+          expr("md5(text)") === col("__ch"), "left_anti")
+      val scored = dedupB
+        .withColumn("quality", TextAnalysis.qualityScore(t))
+        .withColumn("lang_pred", TextAnalysis.langId(t))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+        .filter(col("quality") >= 0.5)
+      val grams = expr(graft.text.Contamination.wordGramsSql("text", 5))
+      val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
+      val bench = docs.filter(b1000 < 50).select(explode(grams).as("gram")).distinct()
+      val cand = scored.filter(b1000 >= 50)
+      val dirty = cand.select(col("doc_id"), explode(grams).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = cand.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      val nd = Dedup.incrementalNearDups(clean.select("doc_id", "text"), corpus,
+        io.read("default.cur_sig"), threshold = 0.7).select("doc_id").distinct()
+      clean.join(broadcast(nd), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
     })
   )
 
