@@ -648,7 +648,10 @@ object SparkEntry {
       val grams = expr(graft.text.Contamination.wordGramsSql("text", 5))
       val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
       val bench = docs.filter(b1000 < 50).select(explode(grams).as("gram")).distinct()
-      val cand = scored.filter(b1000 >= 50)
+      // the dedup+scoring chain has four downstream consumers (dirty,
+      // clean, the near-dup probe, the final projection) — materialize
+      // it once; checkpoint blocks die with the returned frame
+      val cand = scored.filter(b1000 >= 50).localCheckpoint(true)
       val dirty = cand.select(col("doc_id"), explode(grams).as("gram"))
         .join(broadcast(bench), Seq("gram"), "left_semi")
         .select("doc_id").distinct()
