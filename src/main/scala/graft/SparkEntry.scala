@@ -648,14 +648,12 @@ object SparkEntry {
       val grams = expr(graft.text.Contamination.wordGramsSql("text", 5))
       val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
       val bench = docs.filter(b1000 < 50).select(explode(grams).as("gram")).distinct()
-      // the dedup+scoring chain has four downstream consumers (dirty,
-      // clean, the near-dup probe, the final projection) — materialize
-      // it once; checkpoint blocks die with the returned frame
+      // the dedup+scoring chain has several downstream consumers (the
+      // decon join, the near-dup probe, the final projection) —
+      // materialize it once; checkpoint blocks die with the returned
+      // frame
       val cand = scored.filter(b1000 >= 50).localCheckpoint(true)
-      val dirty = cand.select(col("doc_id"), explode(grams).as("gram"))
-        .join(broadcast(bench), Seq("gram"), "left_semi")
-        .select("doc_id").distinct()
-      val clean = cand.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      val clean = graft.text.Contamination.dropContaminated(cand, bench)
       val nd = Dedup.incrementalNearDups(clean.select("doc_id", "text"), corpus,
         io.read("default.cur_sig"), threshold = 0.7).select("doc_id").distinct()
       clean.join(broadcast(nd), Seq("doc_id"), "left_anti")

@@ -602,14 +602,17 @@ object Dedup {
     val oldSh = corpus.join(candOld, Seq(idCol), "left_semi")
       .select(col(idCol).as("old_id"),
         expr(s"graft_shingle_hashes($textCol, $shingleN)").as("sh_b"))
+    // eager localCheckpoint, not persist: the result is often reduced
+    // and dropped by the caller (q57 keeps only the id set), and a
+    // persist they never saw would pin a CacheManager entry for the
+    // session's life — checkpoint blocks die with the returned frame
     val out = cand
       .join(batchBase.select(col(idCol).as("new_id"), col("sh").as("sh_a")), "new_id")
       .join(oldSh, "old_id")
       .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id").as(idCol), col("old_id").as("dup_of"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     batchBase.unpersist()
     out
   }

@@ -485,7 +485,14 @@ final case class TableCatalog(warehouse: String) {
       def mtimeOr(p: Path, default: Long): Long =
         try Files.getLastModifiedTime(p).toMillis
         catch { case _: java.io.IOException => default }
-      val live = versions(name).flatMap(manifest(name, _)).toSet
+      // a manifest vanishing between the version listing and its read
+      // was expired by a concurrent (cross-process) GC — its files are
+      // live only if a surviving manifest also lists them, which this
+      // union naturally captures; never abort the sweep over it
+      val live = versions(name).flatMap { v =>
+        try manifest(name, v)
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      }.toSet
       val orphans = listDataFiles(name).filterNot(live)
         .filter(f => mtimeOr(Paths.get(f), Long.MaxValue) < cutoff)
       // Abandoned write-staging dirs (.stage-*, a writer that died
@@ -513,9 +520,13 @@ final case class TableCatalog(warehouse: String) {
               newest < cutoff
             }
         }.foreach { dir =>
-          Using.resource(Files.walk(dir)) { s =>
+          // a concurrent GC may delete the same aged dir mid-walk:
+          // skip, the other sweep is doing the work
+          try Using.resource(Files.walk(dir)) { s =>
             s.sorted(java.util.Comparator.reverseOrder[Path]())
               .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
           }
         }
       }

@@ -451,6 +451,9 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val cellPairs = broadcast(candidates.toDF("cell_b", "cell_i"))
+    // eager localCheckpoint, not persist (see incrementalNearDups):
+    // checkpoint blocks die with the returned frame, so a caller that
+    // reduces and drops the result cannot leak a session cache entry
     val out = assignedB
       .select(col("vec_id").as("idb"), col("v").as("vb"), col("cell").as("cell_b"))
       .join(cellPairs, "cell_b")
@@ -459,8 +462,7 @@ object Similarity {
       .withColumn("cos", expr(cosineSql("vb", "vi")))
       .filter(col("cos") >= threshold)
       .select(col("idb").as("vec_id"), col("idi").as("dup_of"), col("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     assignedB.unpersist()
     out
   }

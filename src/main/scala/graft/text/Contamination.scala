@@ -52,11 +52,26 @@ object Contamination {
     val bucket = Sampling.portableBucket(idCol, buckets)
     val bench = docs.filter(bucket < benchBuckets)
       .select(explode(grams).as("gram")).distinct()
-    val corpus = docs.filter(bucket >= benchBuckets)
-    val dirty = corpus.select(col(idCol), explode(grams).as("gram"))
+    dropContaminated(docs.filter(bucket >= benchBuckets), bench, textCol, idCol, n)
+  }
+
+  /** The decontamination join itself: drop every `frame` row sharing a
+    * word `n`-gram with the (single-column `gram`) benchmark set — the
+    * primitive [[decontaminate]] and the incremental-curation pipeline
+    * (q57) share, so the join strategy lives in ONE place.
+    */
+  def dropContaminated(
+      frame: DataFrame,
+      bench: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 5
+  ): DataFrame = {
+    val grams = expr(wordGramsSql(textCol, n))
+    val dirty = frame.select(col(idCol), explode(grams).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+    frame.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
 
   /** [[decontaminate]] with a bloom-filter pre-filter — the 100 TB
