@@ -113,4 +113,66 @@ class CrossProcessSpec extends graft.SparkSpec {
     assert(claimed.map(_.size).sum == manifests.last.size,
       "a data file was committed as new by more than one snapshot")
   }
+
+  test("row-level DML racing a second JVM's appends: fail-fast or consistent, never corrupt") {
+    val wh = Files.createTempDirectory("graft_xdml_").toString
+    val t = "default.dmlxjvm"
+    val io = graft.io.TableIO(spark, wh)
+    io.append(Seq((1L, "seed-0")).toDF("id", "s"), t)
+    spark.conf.set("spark.sql.catalog.gx", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gx.warehouse", wh)
+    try {
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val log = Files.createTempFile("graft_xdml_w", ".log").toFile
+      val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessAppendWorker",
+        wh, t, "7", "6")).asJava
+      val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+        .redirectOutput(log).start()
+      // fire DMLs from THIS JVM while the worker appends from its own:
+      // each either commits atomically at its base version or loses the
+      // race loudly — count both outcomes, never accept corruption
+      var conflicts = 0
+      var applied = 0
+      (1 to 10).foreach { k =>
+        try {
+          spark.sql(s"UPDATE gx.default.dmlxjvm SET s = concat(s, '!') WHERE id % 17 = $k")
+          applied += 1
+        } catch {
+          case e: Throwable =>
+            def chain(t: Throwable): Seq[Throwable] =
+              if (t == null) Nil else t +: chain(t.getCause)
+            assert(chain(e).exists(_.isInstanceOf[graft.io.ConcurrentCommitException]),
+              s"DML $k failed with something other than a commit conflict: $e")
+            conflicts += 1
+        }
+        Thread.sleep(150)
+      }
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+      assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+        Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+
+      // corruption invariants, independent of who won which race:
+      val vs = io.versions(t)
+      assert(vs == (vs.head to vs.last), s"version history has holes: $vs")
+      // every surviving manifest's files exist and every version reads
+      vs.foreach { v =>
+        io.catalog.manifest(t, v).foreach(f =>
+          assert(Files.exists(Paths.get(f)), s"v$v references missing file $f"))
+        io.readVersion(t, v).count()
+      }
+      val rows = io.read(t).as[(Long, String)].collect()
+      assert(rows.map(_._1).distinct.length == rows.length, "duplicate ids after the race")
+      // all 6 worker appends + the seed survived every DML rewrite
+      assert(rows.length == 7, s"expected 7 rows, got ${rows.length}: ${rows.toSeq.sortBy(_._1)}")
+      // and the write mutex is intact for later writers
+      io.append(Seq((99L, "post")).toDF("id", "s"), t)
+      assert(io.read(t).count() == 8)
+      assert(conflicts + applied == 10)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gx")
+      spark.conf.unset("spark.sql.catalog.gx.warehouse")
+    }
+  }
 }
