@@ -119,8 +119,8 @@ class CrossProcessSpec extends graft.SparkSpec {
     val t = "default.dmlxjvm"
     val io = graft.io.TableIO(spark, wh)
     io.append(Seq((1L, "seed-0")).toDF("id", "s"), t)
-    spark.conf.set("spark.sql.catalog.gx", classOf[graft.io.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gx.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gxp", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxp.warehouse", wh)
     try {
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val log = Files.createTempFile("graft_xdml_w", ".log").toFile
@@ -137,7 +137,7 @@ class CrossProcessSpec extends graft.SparkSpec {
       var applied = 0
       (1 to 10).foreach { k =>
         try {
-          spark.sql(s"UPDATE gx.default.dmlxjvm SET s = concat(s, '!') WHERE id % 17 = $k")
+          spark.sql(s"UPDATE gxp.default.dmlxjvm SET s = concat(s, '!') WHERE id % 17 = $k")
           applied += 1
         } catch {
           case e: Throwable =>
@@ -171,8 +171,8 @@ class CrossProcessSpec extends graft.SparkSpec {
       assert(io.read(t).count() == 8)
       assert(conflicts + applied == 10)
     } finally {
-      spark.conf.unset("spark.sql.catalog.gx")
-      spark.conf.unset("spark.sql.catalog.gx.warehouse")
+      spark.conf.unset("spark.sql.catalog.gxp")
+      spark.conf.unset("spark.sql.catalog.gxp.warehouse")
     }
   }
 }
