@@ -645,9 +645,8 @@ object SparkEntry {
         .withColumn("lang_pred", TextAnalysis.langId(t))
         .withColumn("n_tokens", TextAnalysis.tokenCount(t))
         .filter(col("quality") >= 0.5)
-      val grams = expr(graft.text.Contamination.wordGramsSql("text", 5))
       val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
-      val bench = docs.filter(b1000 < 50).select(explode(grams).as("gram")).distinct()
+      val bench = graft.text.Contamination.benchGrams(docs)
       // the dedup+scoring chain has several downstream consumers (the
       // decon join, the near-dup probe, the final projection) —
       // materialize it once; checkpoint blocks die with the returned

@@ -605,7 +605,11 @@ object Dedup {
     // eager localCheckpoint, not persist: the result is often reduced
     // and dropped by the caller (q57 keeps only the id set), and a
     // persist they never saw would pin a CacheManager entry for the
-    // session's life — checkpoint blocks die with the returned frame
+    // session's life — checkpoint blocks die with the returned frame.
+    // (Local checkpoints are executor-resident: on a cluster where
+    // executor loss must be survivable — dynamic allocation, spot
+    // nodes — set a checkpoint dir and swap for reliable checkpoint()
+    // at this call site, as with the CC loop's round checkpoints.)
     val out = cand
       .join(batchBase.select(col(idCol).as("new_id"), col("sh").as("sh_a")), "new_id")
       .join(oldSh, "old_id")

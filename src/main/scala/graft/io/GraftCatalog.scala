@@ -621,23 +621,34 @@ private[io] class GraftRowOpsTable(
                 override def metadataSchema(): java.util.Optional[StructType] =
                   java.util.Optional.empty()
               }
-              java.nio.file.Files.createDirectories(
-                java.nio.file.Paths.get(cat.dataPath(tableName)))
+              // The rewrite writes into a PRIVATE per-write staging dir
+              // (same protocol as TableIO.stageWrite) and claims exactly
+              // the files it moves — never a directory-listing diff. A
+              // diff would claim a concurrent cross-process append's
+              // moved-but-uncommitted files: a multi-file batch could be
+              // captured HALF-moved, permanently recording a torn append
+              // in this snapshot (or phantom rows, if that writer then
+              // crashed before committing).
+              val tableRoot = java.nio.file.Paths.get(cat.pathOf(tableName))
+              java.nio.file.Files.createDirectories(tableRoot)
+              val staging = java.nio.file.Files.createTempDirectory(tableRoot, ".stage-")
               val writeTable = ParquetTable(
                 s"${delegate.name}#rewrite",
                 SparkSession.active,
                 winfo.options(),
-                Seq(cat.dataPath(tableName)),
+                Seq(staging.toString),
                 userSpecifiedSchema = Some(physInfo.schema()),
                 fallbackFileFormat = classOf[ParquetFileFormat])
-              // The rewrite identifies its replacement files by a
-              // directory-listing DIFF (before at toBatch, after at
-              // commit), so it must hold the same per-table write
-              // mutex TableIO writers use — an append interleaving
-              // with this span would claim the rewrite's in-flight
-              // files as its own (rows committed twice). Held from
-              // here through commit/abort (Semaphore: the callbacks
-              // need not share a thread).
+              def sweepStaging(): Unit =
+                try {
+                  val s = java.nio.file.Files.walk(staging)
+                  try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                    .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+                  finally s.close()
+                } catch { case scala.util.control.NonFatal(_) => () }
+              // The per-table mutex serializes same-JVM writers over the
+              // write->commit span (held from here through commit/abort;
+              // Semaphore: the callbacks need not share a thread).
               val lock = TableIO.writeLock(cat.pathOf(tableName))
               lock.acquire()
               // Everything between acquire() and handing the lock to the
@@ -653,11 +664,9 @@ private[io] class GraftRowOpsTable(
               val released = new java.util.concurrent.atomic.AtomicBoolean(false)
               def releaseOnce(): Unit =
                 if (released.compareAndSet(false, true)) lock.release()
-              val (before, dBatch) =
-                try {
-                  val b = cat.listDataFiles(tableName).toSet
-                  (b, writeTable.newWriteBuilder(physInfo).build().toBatch)
-                } catch { case e: Throwable => releaseOnce(); throw e }
+              val dBatch =
+                try writeTable.newWriteBuilder(physInfo).build().toBatch
+                catch { case e: Throwable => releaseOnce(); sweepStaging(); throw e }
               new BatchWrite {
                 override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
                   // the rewrite plan prepends bookkeeping columns
@@ -684,8 +693,27 @@ private[io] class GraftRowOpsTable(
                     dBatch.commit(messages)
                     // new table = files the scan proved untouchable
                     // (carried over verbatim) + this write's replacement
-                    // files; logical overwrite, prior versions untouched
-                    val newFiles = cat.listDataFiles(tableName).filterNot(before)
+                    // files, moved in from the private staging (cheap
+                    // same-filesystem atomic renames); logical
+                    // overwrite, prior versions untouched
+                    val dataRoot = java.nio.file.Paths.get(cat.dataPath(tableName))
+                    java.nio.file.Files.createDirectories(dataRoot)
+                    val stagedWalk = java.nio.file.Files.walk(staging)
+                    val stagedFiles =
+                      try stagedWalk.iterator().asScala
+                        .filter(p => java.nio.file.Files.isRegularFile(p))
+                        .filter { p =>
+                          val n = p.getFileName.toString
+                          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+                        }.toSeq
+                      finally stagedWalk.close()
+                    val newFiles = stagedFiles.map { p =>
+                      val target = dataRoot.resolve(staging.relativize(p))
+                      java.nio.file.Files.createDirectories(target.getParent)
+                      java.nio.file.Files.move(p, target,
+                        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                      target.toAbsolutePath.normalize.toString
+                    }.sorted
                     // stats ride along (carried forward for untouched
                     // files, footer-read for replacements) so a DML
                     // commit keeps plan-time pruning O(manifest) —
@@ -702,10 +730,10 @@ private[io] class GraftRowOpsTable(
                       stats = cat.statsForCommit(tableName, carriedOver, newFiles,
                         SparkSession.active.sessionState.newHadoopConf()))
                     ()
-                  } finally releaseOnce()
+                  } finally { releaseOnce(); sweepStaging() }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =
                   try dBatch.abort(messages)
-                  finally releaseOnce()
+                  finally { releaseOnce(); sweepStaging() }
               }
             }
           }

@@ -540,16 +540,28 @@ final case class TableCatalog(warehouse: String) {
       // Reclaim partition directories the deletions emptied (deepest
       // first so nested col=value levels collapse) — leaving them
       // behind is listing noise that accumulates across overwrite+GC
-      // cycles.
+      // cycles. Age-guarded like every other deletion here: a FRESH
+      // empty dir may be a cross-process writer's just-created move
+      // target (stageWrite does createDirectories then move), and each
+      // delete tolerates losing its race to a concurrent GC or to a
+      // file landing in the dir after the emptiness check.
       val dataRoot = Paths.get(dataPath(name))
       if (Files.isDirectory(dataRoot)) {
-        Using.resource(Files.walk(dataRoot)) { s =>
-          s.iterator().asScala.toSeq
-            .filter(p => Files.isDirectory(p) && p != dataRoot)
-            .sortBy(-_.getNameCount)
-        }.foreach { d =>
-          val empty = Using.resource(Files.list(d))(es => !es.iterator().hasNext)
-          if (empty) Files.delete(d)
+        val dirs =
+          try Using.resource(Files.walk(dataRoot)) { s =>
+            s.iterator().asScala.toSeq
+              .filter(p => Files.isDirectory(p) && p != dataRoot)
+              .sortBy(-_.getNameCount)
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => Seq.empty[Path]
+          }
+        dirs.foreach { d =>
+          try {
+            val empty = Using.resource(Files.list(d))(es => !es.iterator().hasNext)
+            if (empty && mtimeOr(d, Long.MaxValue) < cutoff) Files.delete(d)
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+          }
         }
       }
       orphans
@@ -1230,18 +1242,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
   private def write(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
                     props: Map[String, String] = Map.empty): Unit =
-    // Writers know their own file lists (stageWrite), so appends are
-    // safe across PROCESSES end-to-end: private staging + the
-    // optimistic version-race retry below (proven by CrossProcessSpec).
-    // The same-JVM per-table lock is still held over write->commit:
-    // the SQL row-level-DML rewrite (GraftRowOpsTable) identifies its
-    // replacement files by a directory-listing diff, and an append
-    // interleaving with that span would be claimed as rewrite output.
-    // (DML vs writers the lock can't see — other processes, or commits
-    // landing before the rewrite takes the lock — is fail-fast instead:
-    // the rewrite validates its base version at commit and raises
-    // ConcurrentCommitException; manifests dedupe file entries so an
-    // early-claimed append's own commit can never double-list them.)
+    // EVERY writer — appends here, and the SQL row-level-DML rewrite
+    // (GraftRowOpsTable) — stages privately and claims exactly the
+    // files it moved, so no writer can ever capture another's in-flight
+    // files. Appends are safe across PROCESSES end-to-end (private
+    // staging + the optimistic version-race retry below, proven by
+    // CrossProcessSpec); DML is fail-fast instead: it validates its
+    // base version and commits AT base+1 through the hard-link-
+    // exclusive manifest create, so any racing commit surfaces as
+    // ConcurrentCommitException. The same-JVM per-table lock remains
+    // as a serialization optimization (saves wasted optimistic
+    // retries), not a correctness requirement.
     {
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()

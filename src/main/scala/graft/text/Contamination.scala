@@ -48,12 +48,26 @@ object Contamination {
       benchBuckets: Int = 50,
       buckets: Int = 1000
   ): DataFrame = {
-    val grams = expr(wordGramsSql(textCol, n))
     val bucket = Sampling.portableBucket(idCol, buckets)
-    val bench = docs.filter(bucket < benchBuckets)
-      .select(explode(grams).as("gram")).distinct()
+    val bench = benchGrams(docs, textCol, idCol, n, benchBuckets, buckets)
     dropContaminated(docs.filter(bucket >= benchBuckets), bench, textCol, idCol, n)
   }
+
+  /** The benchmark gram set: distinct word `n`-grams of the docs whose
+    * id-hash bucket falls in the benchmark range — shared by both
+    * decontamination variants and the incremental-curation pipeline so
+    * the (n, bucket-split) constants live in ONE place.
+    */
+  def benchGrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 5,
+      benchBuckets: Int = 50,
+      buckets: Int = 1000
+  ): DataFrame =
+    docs.filter(Sampling.portableBucket(idCol, buckets) < benchBuckets)
+      .select(explode(expr(wordGramsSql(textCol, n))).as("gram")).distinct()
 
   /** The decontamination join itself: drop every `frame` row sharing a
     * word `n`-gram with the (single-column `gram`) benchmark set — the
@@ -103,8 +117,7 @@ object Contamination {
     // cached: the benchmark gram set is consumed three times (sizing
     // count, sketch build, exact verify join) and the tokenize+shingle
     // pass over the benchmark slice must not run per consumer
-    val bench = docs.filter(bucket < benchBuckets)
-      .select(explode(grams).as("gram")).distinct()
+    val bench = benchGrams(docs, textCol, idCol, n, benchBuckets, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = docs.filter(bucket >= benchBuckets)
     // one pass builds the sketch; sizing from a cheap count of the
