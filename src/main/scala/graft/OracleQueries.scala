@@ -795,7 +795,66 @@ object OracleQueries {
          |       / len(list_distinct(list_concat(a.sh, b2.sh))) >= 0.7)
          |SELECT doc_id, lang_pred, quality, n_tokens FROM t
          |WHERE bucket >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)
-         |  AND doc_id NOT IN (SELECT doc_id FROM nd)""".stripMargin
+         |  AND doc_id NOT IN (SELECT doc_id FROM nd)""".stripMargin,
+
+    // fuzzy-dedup corpus: q40's connected components reduced to the
+    // min-id representative per cluster (doc_id == cluster_id)
+    "q58_fuzzy_dedup_corpus" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS d
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         |e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+         |r(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+         |c AS (
+         |  SELECT doc.doc_id,
+         |    CAST(least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS BIGINT) AS cluster_id
+         |  FROM documents doc LEFT JOIN r ON r.s = doc.doc_id
+         |  GROUP BY doc.doc_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id = c.cluster_id""".stripMargin,
+
+    // PII redaction: identical derived PII-bearing prefix, identical
+    // pattern set (graft.text.Redaction constants are RE2-compatible
+    // by construction), redact order email -> ip -> phone
+    "q59_pii_redact" ->
+      s"""SELECT doc_id, source,
+         |  CAST(len(regexp_extract_all(raw, '${graft.text.Redaction.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '${graft.text.Redaction.Ipv4Re}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(raw, '${graft.text.Redaction.PhoneRe}')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '${graft.text.Redaction.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.text.Redaction.Ipv4Re}', '<IP>', 'g'),
+         |    '${graft.text.Redaction.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM (
+         |  SELECT doc_id, source,
+         |    'user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com ' ||
+         |    CASE WHEN doc_id % 3 > 0
+         |      THEN 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |           || CAST((doc_id * 7) % 256 AS VARCHAR) || ' '
+         |      ELSE '' END ||
+         |    text AS raw
+         |  FROM documents) t""".stripMargin,
+
+    // schema evolution: rows written before ADD COLUMN read back
+    // null-filled; RENAME COLUMN is metadata-only aliasing
+    "q60_schema_evolution" ->
+      """SELECT n_nationkey, n_name AS nation_name, CAST(NULL AS VARCHAR) AS region_name
+        |FROM nation WHERE n_nationkey < 13
+        |UNION ALL
+        |SELECT n.n_nationkey, n.n_name AS nation_name, r.r_name AS region_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE n.n_nationkey >= 13""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Copies = 10
   private val KeyStride = 100000000L
+  private val FixtureRev = 2 // r10: embeddings get a per-copy signed rotation
 
   private val ProbeQueries = Seq(
     "q07_top_pairs", "q12_dedup_minhash", "q13_dedup_neardup",
@@ -52,14 +53,17 @@ object ScaleProbe {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.INFO)
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/scheduler warmup
-    // the marker records WHICH fixture variant was built — switching
-    // SPARK_GRAFT_SIM_MODE must rebuild, not silently reuse stale data
+    // the marker records WHICH fixture variant (and generator revision)
+    // was built — switching SPARK_GRAFT_SIM_MODE or changing buildSim
+    // must rebuild, not silently reuse stale data. Bump FixtureRev on
+    // any buildSim change.
     val mode = sys.env.getOrElse("SPARK_GRAFT_SIM_MODE", "cipher")
+    val stamp = s"$mode-$FixtureRev"
     val marker = Paths.get(simDir, "_SIM_DONE")
     val built = if (Files.exists(marker)) Files.readString(marker).trim else ""
-    if (built != mode) {
+    if (built != stamp) {
       buildSim(spark, srcDir, simDir, dense = mode == "dense")
-      Files.writeString(marker, mode)
+      Files.writeString(marker, stamp)
     }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
@@ -134,7 +138,25 @@ object ScaleProbe {
           translate(col("text"), alpha, alpha.drop(i * 7 % alpha.length) + alpha.take(i * 7 % alpha.length)))
       remapped.withColumn("doc_id", shift("doc_id", i))
     }, "documents")
+    // Per-copy SIGNED COORDINATE ROTATION (an orthogonal map): rotate
+    // coordinates by 13*i and flip the sign of blocks of i+1 — exact
+    // preservation of every within-copy inner product and norm, while
+    // cross-copy cosine decorrelates. Verbatim replication instead
+    // gave every vector ~(Copies-1) exact cross-copy twins (cos=1.0),
+    // so q56/q26 candidate volume at sf1sim grew superlinearly by
+    // fixture construction — the same artifact the documents character
+    // cipher above avoids. Block sign patterns (length i+1) rather
+    // than alternating: two alternating patterns multiply to a
+    // CONSTANT sign, which would leave cross-copy cosine at the
+    // (possibly large) circular autocorrelation of the vector.
     write(replicate(raw("embeddings")) { (d, i) =>
-      d.withColumn("vec_id", shift("vec_id", i)) }, "embeddings")
+      val rotated =
+        if (i == 0) d
+        else d.withColumn("embedding", expr(
+          s"""transform(sequence(0, size(embedding) - 1),
+             |  j -> CAST(CASE WHEN pmod(CAST(floor(j / ${i + 1}) AS INT), 2) = 0
+             |            THEN -1.0 ELSE 1.0 END AS FLOAT)
+             |       * element_at(embedding, pmod(j + ${i * 13}, size(embedding)) + 1))""".stripMargin))
+      rotated.withColumn("vec_id", shift("vec_id", i)) }, "embeddings")
   }
 }

@@ -657,6 +657,74 @@ object SparkEntry {
         io.read("default.cur_sig"), threshold = 0.7).select("doc_id").distinct()
       clean.join(broadcast(nd), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang_pred", "quality", "n_tokens")
+    }),
+
+    // The fuzzy twin of q29's exact-dedup corpus: keep ONE doc per
+    // near-dup cluster (the min-id representative q40 computes), drop
+    // the rest — the standard MinHash-dedup output shape. Keep set is
+    // O(docs), so it shuffles into a semi-join, never broadcasts.
+    "q58_fuzzy_dedup_corpus" -> ((s, dir) =>
+      Dedup.fuzzyDedupCorpus(Tables.documents(s, dir), threshold = 0.7)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // PII redaction battery: emails / IPv4s / phone fragments replaced
+    // by typed placeholders + per-category counts, one codegen'd
+    // projection, no shuffle. The synthetic corpus carries no PII, so
+    // a deterministic PII-bearing prefix is derived from (doc_id,
+    // source) IDENTICALLY on the oracle side — what's under test is
+    // the redaction kernel, not the fixture. Categories appear or not
+    // per doc (doc_id mod), so the counts take every value in range.
+    "q59_pii_redact" -> ((s, dir) => {
+      val R = graft.text.Redaction
+      def str(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast("string")
+      val raw = concat(
+        lit("user"), str(col("doc_id")), lit("@"), col("source"), lit(".example.com "),
+        when(pmod(col("doc_id"), lit(3)) > 0,
+          concat(lit("call 555-"), lpad(str(pmod(col("doc_id"), lit(10000))), 4, "0"), lit(" ")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("from 10.0."), str(pmod(col("doc_id"), lit(256))), lit("."),
+            str(pmod(col("doc_id") * 7, lit(256))), lit(" ")))
+          .otherwise(lit("")),
+        col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), raw.as("__raw"))
+        .select(col("doc_id"), col("source"),
+          R.emailCount(col("__raw")).as("n_emails"),
+          R.ipv4Count(col("__raw")).as("n_ips"),
+          R.phoneCount(col("__raw")).as("n_phones"),
+          R.redactPii(col("__raw")).as("redacted"))
+    }),
+
+    // Schema evolution through the DSv2 catalog as an oracle row:
+    // ADD COLUMN surfaces null-filled over files written before the
+    // column existed, and RENAME COLUMN is metadata-only (no file is
+    // rewritten — old files keep the physical name, the read aliases
+    // it back). Same one-catalog-name-per-session discipline as q46.
+    "q60_schema_evolution" -> ((s, dir) => {
+      val cname = "gevo"
+      val whKey = s"spark.sql.catalog.$cname.warehouse"
+      if (!s.conf.getOption(whKey).isDefined) {
+        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+        s.conf.set(whKey, tempDir("graft_evo_"))
+      }
+      val io = TableIO(s, s.conf.get(whKey))
+      // repeat runs: drop + recreate so the DDL below is idempotent
+      // (GraftCatalog.loadTable reads from disk per resolution — no
+      // table-instance cache to invalidate)
+      if (io.catalog.tableExists("default.nation_evo"))
+        io.catalog.dropTable("default.nation_evo")
+      val nat = Tables.nation(s, dir)
+      io.overwrite(nat.filter(col("n_nationkey") < 13).select("n_nationkey", "n_name"),
+        "default.nation_evo")
+      s.sql(s"ALTER TABLE $cname.default.nation_evo ADD COLUMN region_name STRING")
+      io.append(
+        nat.filter(col("n_nationkey") >= 13)
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name")),
+        "default.nation_evo")
+      s.sql(s"ALTER TABLE $cname.default.nation_evo RENAME COLUMN n_name TO nation_name")
+      io.read("default.nation_evo")
     })
   )
 

@@ -36,6 +36,35 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The FUZZY-deduplicated corpus: near-dup clusters (connected
+    * components over the LSH-verified pair graph, [[nearDupClusters]])
+    * reduced to one representative per cluster — the min-id member,
+    * which IS the cluster_id by construction of the min-label
+    * propagation. The fuzzy twin of [[dropExactDuplicates]] and the
+    * standard "MinHash dedup" output shape (keep one doc per near-dup
+    * cluster, drop the rest).
+    *
+    * Scale shape: the keep set is O(distinct clusters) ≈ O(docs), so
+    * it is NOT broadcast — the final semi-join shuffles on the id,
+    * one exchange. The cluster frame nearDupClusters persists is
+    * released here after the keep set is materialized (eager
+    * localCheckpoint truncates the dependency, so the unpersist
+    * cannot force a recompute downstream).
+    */
+  def fuzzyDedupCorpus(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val clusters = nearDupClusters(docs, threshold, textCol, idCol)
+    val keep = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+      .localCheckpoint(true)
+    clusters.unpersist()
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Distinct character n-gram shingles as an array column (no explode). */
   def shingleSql(textCol: String, n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n)))"

@@ -859,7 +859,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def readChangelog(name: String, fromVersion: Int = 0,
                     toVersion: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val to = toVersion.orElse(catalog.currentVersion(name)).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     require(fromVersion >= 0 && fromVersion <= to,
@@ -873,6 +873,20 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             s"changelog read of $name: snapshot $v in required range [$fromVersion, $to] " +
               "is expired — its commit can no longer be diffed")
         }
+    // Schema-on-read tables (no declared schema) can drift columns
+    // between versions, so per-step frames may disagree in column
+    // set/order: exceptAll pairs are aligned to their shared name
+    // union (missing columns null-filled) and the cross-step union is
+    // by NAME — a positional unionAll would silently misalign columns.
+    def align(x: DataFrame, y: DataFrame): (DataFrame, DataFrame) = {
+      val names = x.columns ++ y.columns.filterNot(x.columns.contains)
+      def conform(df: DataFrame, other: DataFrame): DataFrame =
+        df.select(names.map { c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(other.schema(c).dataType).as(c)
+        }: _*)
+      (conform(x, y), conform(y, x))
+    }
     var prev = manifestOrReject(fromVersion).toSet
     val steps = ((fromVersion + 1) to to).flatMap { v =>
       val cur = manifestOrReject(v).toSet
@@ -886,16 +900,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
         case (false, true) => Some(tag(readFiles(name, removed), "DELETE"))
         case (true, true) =>
-          val a = readFiles(name, added)
-          val r = readFiles(name, removed)
-          Some(tag(a.exceptAll(r), "INSERT").unionAll(tag(r.exceptAll(a), "DELETE")))
+          val (a, r) = align(readFiles(name, added), readFiles(name, removed))
+          Some(tag(a.exceptAll(r), "INSERT").unionByName(tag(r.exceptAll(a), "DELETE")))
       }
     }
     if (steps.isEmpty)
       readVersion(name, to).limit(0)
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_change_version", lit(null).cast("int"))
-    else steps.reduce(_ unionAll _)
+    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read an explicit subset of the current snapshot's files (same
@@ -1319,6 +1332,15 @@ object TableIO {
     * at `toBatch` (its before-listing) and ends in `commit`/`abort`,
     * driver callbacks that need not run on one thread, and a monitor
     * can only be released by its owning thread.
+    *
+    * NOT REENTRANT — and because release may come from another
+    * thread, ownership cannot be tracked to make it so. Every current
+    * holder (write/overwritePartition/commitReplacement/expireSnapshots/
+    * removeOrphanFiles/mutateTags and the DML write span) acquires at
+    * its public entry and calls only non-locking internals underneath.
+    * Keep it that way: invoking any of those public entries while the
+    * calling thread already holds this table's permit (e.g. maintenance
+    * from inside a commit hook) self-deadlocks with no diagnostic.
     */
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()

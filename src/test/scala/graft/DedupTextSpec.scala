@@ -129,6 +129,20 @@ class DedupSpec extends SparkSpec {
     assert(byDoc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("fuzzyDedupCorpus keeps exactly the min-id representative per near-dup cluster") {
+    val five = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank tonite")
+    ).toDF("doc_id", "text")
+    val cm = spark.sharedState.cacheManager
+    spark.catalog.clearCache()
+    val kept = Dedup.fuzzyDedupCorpus(docs.unionAll(five), threshold = 0.7)
+    // {1,2,3,5} collapse to cluster 1 (transitively); 4 is a singleton
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "corpus keeps the input schema")
+    // the cluster frame nearDupClusters persists must not outlive the call
+    assert(cm.isEmpty, "fuzzyDedupCorpus left a cache entry behind")
+  }
+
   test("releaseOnMaterialize leaves no hidden cache entries; results match the lazy variant") {
     val cm = spark.sharedState.cacheManager
     spark.catalog.clearCache()

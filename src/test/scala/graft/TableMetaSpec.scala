@@ -300,6 +300,34 @@ class TableMetaSpec extends graft.SparkSpec {
       .collect().toSet == Set((3L, "c", "DELETE", 3), (3L, "C", "INSERT", 3)))
   }
 
+  test("readChangelog aligns drifted schema-on-read columns by NAME across versions") {
+    import org.apache.spark.sql.functions.col
+    val io = freshIO()
+    val t = "default.cdc_drift"
+    // schema-on-read table whose file schemas drift between versions:
+    // v1 files carry (id, s), v2 files carry (id, s, extra) — a
+    // positional union of the per-step frames would misalign (or
+    // throw); the step union must match columns by name, null-filling
+    // the column v1 never had
+    io.append(Seq((1L, "a")).toDF("id", "s"), t)                  // v1
+    io.append(Seq((2L, "b", 20)).toDF("id", "s", "extra"), t)     // v2 drifted
+    val rows = io.readChangelog(t)
+      .select("id", "s", "extra", "_change_type", "_change_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2).asInstanceOf[Any], r.getString(3), r.getInt(4))).toSet
+    assert(rows == Set(
+      (1L, "a", null, "INSERT", 1),
+      (2L, "b", 20, "INSERT", 2)),
+      s"unexpected drifted changelog: $rows")
+    // a rewrite step (added AND removed files in one version) on the
+    // same drifted table: exceptAll pairs must align by name too
+    io.deleteWhere(t, col("id") === 1L)                           // v3 rewrite
+    val step3 = io.readChangelog(t, fromVersion = 2)
+      .select("id", "_change_type", "_change_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(step3 == Set((1L, "DELETE", 3)), s"unexpected v3 step: $step3")
+  }
+
   test("readChangelog: compaction nets to zero rows; expired history rejects loudly") {
     import org.apache.spark.sql.functions.col
     val io = freshIO()
