@@ -846,6 +846,14 @@ object OracleQueries {
          |    text AS raw
          |  FROM documents) t""".stripMargin,
 
+    // streaming windowed aggregation (complete mode): the finite
+    // stream's final state equals the batch hourly rollup
+    "q61_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // schema evolution: rows written before ADD COLUMN read back
     // null-filled; RENAME COLUMN is metadata-only aliasing
     "q60_schema_evolution" ->

@@ -725,6 +725,31 @@ object SparkEntry {
         "default.nation_evo")
       s.sql(s"ALTER TABLE $cname.default.nation_evo RENAME COLUMN n_name TO nation_name")
       io.read("default.nation_evo")
+    }),
+
+    // Second streaming oracle row (§2.10): WINDOWED STATEFUL
+    // AGGREGATION end-to-end — file stream -> 1-hour tumbling windows
+    // (watermarked state) -> complete-mode snapshot sink (per-batch
+    // atomic overwrite; the materialized-view shape, vs q48's
+    // append/ledger shape). Oracle = the same hourly rollup over raw
+    // events. total_value uses the decimal-exact sum so the streamed
+    // aggregate is cross-engine comparable.
+    "q61_stream_hourly" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_swin_"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evPath = s"$dir/events.parquet"
+      val schema = s.read.parquet(evPath).schema
+      val raw =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
+          s.readStream.schema(schema).parquet(evPath)
+        else
+          s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.TableSink.completeStream(
+        graft.streaming.EventsStream.hourlyCounts(stream, exactValue = true),
+        io, "default.events_hourly_s", tempDir("graft_ckpt_w_"), availableNow = true)
+        .awaitTermination()
+      io.read("default.events_hourly_s")
     })
   )
 

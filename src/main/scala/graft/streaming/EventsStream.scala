@@ -25,13 +25,18 @@ object EventsStream {
     * watermark for late data (reference pipeline is batch-only —
     * SURVEY.md §2.10 — so this is capability extension, not parity).
     */
-  def hourlyCounts(events: DataFrame): DataFrame =
+  def hourlyCounts(events: DataFrame, exactValue: Boolean = false): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value")
+        // exactValue: decimal-sum variant (graft.functions.ExactAgg) —
+        // order-independent, so the result is cross-engine
+        // oracle-comparable; the decimal sum is just as mergeable as
+        // the double sum, streaming state-wise
+        (if (exactValue) graft.functions.ExactAgg.dsum(col("value"), 2)
+         else sum(col("value"))).as("total_value")
       )
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
 

@@ -55,4 +55,30 @@ object TableSink {
     (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
       .start()
   }
+
+  /** Complete-mode sink for streaming AGGREGATIONS: every micro-batch
+    * carries the full up-to-date result, so the sink OVERWRITES the
+    * table per batch (snapshot-atomic — readers always see one whole
+    * result, never a mix). Overwrite is naturally idempotent under
+    * replay, so no batch-id mark is needed. This is the
+    * materialized-view shape: the table always holds the complete
+    * aggregate of everything the stream has seen; the append sink
+    * above is the ingest/ledger shape.
+    *
+    * Scale note: complete mode re-emits the whole aggregate per batch,
+    * so it fits results bounded by GROUP-BY cardinality (a windowed
+    * rollup — windows × types), not per-event output; for those, use
+    * the append sink with a watermark.
+    */
+  def completeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                     availableNow: Boolean = false): StreamingQuery = {
+    val w = stream.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        io.overwrite(batch, table); ()
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
 }

@@ -146,6 +146,40 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("completeStream overwrites per batch: table always holds the full aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_cs_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.cs_agg"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ckpt_").toString
+    val q = graft.streaming.TableSink.completeStream(
+      EventsStream.hourlyCounts(
+        input.toDF().toDF("ts", "event_type", "value"), exactValue = true),
+      io, t, ckpt)
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:40:00"), "a", 2.0))
+      q.processAllAvailable()
+      val after1 = io.read(t).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_ts"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(after1 == Set((ts("2024-01-01 10:00:00"), "a", 2L, 3.0)), after1)
+      // a later batch RESTATES the whole result (old window updated,
+      // new window added) — one atomic overwrite, not an append
+      input.addData((ts("2024-01-01 10:55:00"), "a", 4.0), (ts("2024-01-01 11:10:00"), "b", 8.0))
+      q.processAllAvailable()
+      val after2 = io.read(t).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_ts"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(after2 == Set(
+        (ts("2024-01-01 10:00:00"), "a", 3L, 7.0),
+        (ts("2024-01-01 11:00:00"), "b", 1L, 8.0)), after2)
+      // one snapshot per batch, each a full overwrite
+      assert(io.versions(t).size == 2)
+    } finally q.stop()
+  }
+
   test("frameSample: exact-multiple blobs emit no phantom empty frame") {
     val docs = Seq(
       (1L, "x" * 64),   // exactly one stride -> exactly one frame
