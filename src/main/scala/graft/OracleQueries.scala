@@ -622,6 +622,13 @@ object OracleQueries {
         |FROM orders
         |WHERE o_custkey <= 500 AND o_orderpriority = '2-HIGH'""".stripMargin,
 
+    // rollback restores the good (first-append) snapshot's rows as
+    // the new current version; the bad append is gone from reads
+    "q62_rollback" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey <= 500 AND o_orderpriority = '1-URGENT'""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

@@ -750,6 +750,30 @@ object SparkEntry {
         io, "default.events_hourly_s", tempDir("graft_ckpt_w_"), availableNow = true)
         .awaitTermination()
       io.read("default.events_hourly_s")
+    }),
+
+    // Snapshot rollback through the SQL procedure (Iceberg's
+    // rollback_to_snapshot): a bad append is undone by RESTORING the
+    // good snapshot's state as a new current version — metadata-only
+    // (no file rewritten), history stays readable for audit. The
+    // result is the table AFTER rollback = the good rows only.
+    "q62_rollback" -> ((s, dir) => {
+      val cname = "grb"
+      val whKey = s"spark.sql.catalog.$cname.warehouse"
+      if (!s.conf.getOption(whKey).isDefined) {
+        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+        s.conf.set(whKey, tempDir("graft_rb_"))
+      }
+      val io = TableIO(s, s.conf.get(whKey))
+      val t = "default.orders_rb"
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      // overwrite (not append) so repeat runs are idempotent
+      io.overwrite(ords.filter(col("o_orderpriority") === "1-URGENT"), t) // good
+      val good = io.catalog.currentVersion(t).get
+      io.append(ords.filter(col("o_orderpriority") === "2-HIGH"), t)      // the bad commit
+      s.sql(s"CALL $cname.system.rollback_to_snapshot('$t', $good)").collect()
+      io.read(t)
     })
   )
 

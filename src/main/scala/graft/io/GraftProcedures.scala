@@ -29,7 +29,7 @@ private[io] object GraftProcedures {
 
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
-      "compact_zorder", "tag_snapshot", "remove_tag")
+      "compact_zorder", "tag_snapshot", "remove_tag", "rollback_to_snapshot")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -130,6 +130,20 @@ private[io] object GraftProcedures {
           val (t, tag, v) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString, in.getInt(2))
           cat.tagSnapshot(t, tag, v)
           Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(tag), v)))
+        }))
+    case "rollback_to_snapshot" =>
+      // Iceberg parity: restore an earlier snapshot's state as a NEW
+      // current version (history is audit-readable, never rewritten)
+      Some(proc("rollback_to_snapshot",
+        Seq("table" -> StringType, "version" -> IntegerType),
+        new StructType().add("previous_version", IntegerType, nullable = false)
+          .add("current_version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val (t, v) = (in.getUTF8String(0).toString, in.getInt(1))
+          val prev = cat.currentVersion(t).getOrElse(
+            throw new IllegalArgumentException(s"table not found: $t"))
+          val cur = cat.rollbackTo(t, v)
+          Seq(new GenericInternalRow(Array[Any](prev, cur)))
         }))
     case "remove_tag" =>
       Some(proc("remove_tag",

@@ -461,6 +461,36 @@ final case class TableCatalog(warehouse: String) {
     } finally lock.release()
   }
 
+  /** Roll the table back (or forward) to `version`'s state as a NEW
+    * snapshot — Iceberg's `rollback_to_snapshot` semantics: history is
+    * never rewritten, the bad snapshots stay readable for audit and
+    * expire normally, and readers flip atomically to the restored file
+    * list at the new current version. Metadata-only — no data file is
+    * moved or rewritten; the restored manifest carries the target's
+    * file list AND its stats (no footer re-reads).
+    *
+    * Under the per-table write lock so the target manifest cannot be
+    * expired between the read and the commit (expireSnapshots holds
+    * the same lock). The new manifest carries no stream mark — the
+    * replay guard keeps walking back to the newest marked snapshot,
+    * which rollback leaves in place.
+    */
+  def rollbackTo(name: String, version: Int): Int = {
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      require(versions(name).contains(version),
+        s"rollback of $name: snapshot $version does not exist " +
+          s"(live versions: ${versions(name).mkString(", ")})")
+      val files = manifest(name, version)
+      val stats =
+        try manifestStats(name, version)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      commitSnapshot(name, files, stats = stats)
+    } finally lock.release()
+  }
+
   /** Delete data files referenced by no surviving manifest; returns
     * the deleted paths. Safe under the single-writer model: every live
     * snapshot's file list is consulted, so current reads see no change.

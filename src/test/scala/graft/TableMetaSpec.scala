@@ -472,6 +472,29 @@ class TableMetaSpec extends graft.SparkSpec {
     }
   }
 
+  test("rollbackTo restores an earlier snapshot as a NEW version; history intact") {
+    import org.apache.spark.sql.functions.col
+    val io = freshIO()
+    val t = "default.rb"
+    io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1 good
+    io.append(Seq((3L, "c")).toDF("id", "s"), t)            // v2 bad
+    val cur = io.catalog.rollbackTo(t, 1)
+    assert(cur == 3, "rollback commits a NEW version, never rewrites history")
+    assert(io.read(t).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the bad snapshot is still audit-readable
+    assert(io.readVersion(t, 2).count() == 3)
+    // metadata-only: the restored manifest lists v1's files verbatim
+    assert(io.catalog.manifest(t, 3).toSet == io.catalog.manifest(t, 1).toSet)
+    // stats carried forward (no footer re-read needed for pruning)
+    assert(io.catalog.manifestStats(t, 3).nonEmpty)
+    // roll FORWARD again to the pre-rollback state
+    io.catalog.rollbackTo(t, 2)
+    assert(io.read(t).count() == 3)
+    // unknown / expired target rejects loudly
+    val e = intercept[IllegalArgumentException](io.catalog.rollbackTo(t, 99))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("snapshot tags: named time travel, GC retention, release on removeTag") {
     val io = freshIO()
     val t = "default.tagged"
