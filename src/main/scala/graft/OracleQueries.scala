@@ -629,6 +629,30 @@ object OracleQueries {
         |FROM orders
         |WHERE o_custkey <= 500 AND o_orderpriority = '1-URGENT'""".stripMargin,
 
+    // compaction preserves content exactly: rows equal the two commits'
+    // union regardless of file layout
+    "q63_compact" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier""".stripMargin,
+
+    // full-clause MERGE: matched+negative-delta deleted, matched
+    // updated, unmatched source inserted, not-matched-by-source zeroed
+    "q64_merge_full" ->
+      """WITH t AS (
+        |  SELECT s_suppkey, s_name, s_acctbal AS balance
+        |  FROM supplier WHERE s_suppkey <= 60),
+        |s AS (
+        |  SELECT s_suppkey, s_name, s_acctbal * 0.5 AS delta
+        |  FROM supplier WHERE s_suppkey > 30 AND s_suppkey <= 90)
+        |SELECT t.s_suppkey, t.s_name,
+        |  CASE WHEN s.s_suppkey IS NULL THEN 0.0
+        |       ELSE t.balance + s.delta END AS balance
+        |FROM t LEFT JOIN s ON t.s_suppkey = s.s_suppkey
+        |WHERE s.s_suppkey IS NULL OR s.delta >= 0
+        |UNION ALL
+        |SELECT s.s_suppkey, s.s_name, s.delta AS balance
+        |FROM s LEFT JOIN t ON s.s_suppkey = t.s_suppkey
+        |WHERE t.s_suppkey IS NULL""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

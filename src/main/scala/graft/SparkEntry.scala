@@ -774,6 +774,61 @@ object SparkEntry {
       io.append(ords.filter(col("o_orderpriority") === "2-HIGH"), t)      // the bad commit
       s.sql(s"CALL $cname.system.rollback_to_snapshot('$t', $good)").collect()
       io.read(t)
+    }),
+
+    // Compaction as an oracle row: many small files in, same ROWS out
+    // (bit-for-bit — the rewrite changes layout, never content), via
+    // the SQL procedure. The file-count collapse itself is pinned by
+    // ClusteringSpec; this row pins content preservation.
+    "q63_compact" -> ((s, dir) => {
+      val cname = "gcm"
+      val whKey = s"spark.sql.catalog.$cname.warehouse"
+      if (!s.conf.getOption(whKey).isDefined) {
+        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+        s.conf.set(whKey, tempDir("graft_cmp_"))
+      }
+      val io = TableIO(s, s.conf.get(whKey))
+      val t = "default.supp_cmp"
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      // two deliberately fragmented commits: 16 small files pre-compact
+      io.overwrite(sup.filter(col("s_suppkey") % 2 === 0).repartition(8), t)
+      io.append(sup.filter(col("s_suppkey") % 2 === 1).repartition(8), t)
+      s.sql(s"CALL $cname.system.compact('$t')").collect()
+      io.read(t)
+    }),
+
+    // MERGE with ALL clause families through the DSv2 row-level path —
+    // beyond q46's matched/insert: a conditional MATCHED DELETE, a
+    // MATCHED UPDATE, NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
+    // UPDATE (rows the source no longer mentions get zeroed) in one
+    // statement.
+    "q64_merge_full" -> ((s, dir) => {
+      val cname = "gmf"
+      val whKey = s"spark.sql.catalog.$cname.warehouse"
+      if (!s.conf.getOption(whKey).isDefined) {
+        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+        s.conf.set(whKey, tempDir("graft_mf_"))
+      }
+      val io = TableIO(s, s.conf.get(whKey))
+      val t = "default.supp_mrg"
+      io.overwrite(
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 60)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("balance")), t)
+      Tables.supplier(s, dir)
+        .filter(col("s_suppkey") > 30 && col("s_suppkey") <= 90)
+        .select(col("s_suppkey"), col("s_name"), (col("s_acctbal") * 0.5).as("delta"))
+        .createOrReplaceTempView(s"merge_src_$cname")
+      s.sql(
+        s"""MERGE INTO $cname.default.supp_mrg t USING merge_src_$cname s
+           |ON t.s_suppkey = s.s_suppkey
+           |WHEN MATCHED AND s.delta < 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_name, balance)
+           |  VALUES (s.s_suppkey, s.s_name, s.delta)
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET balance = 0.0""".stripMargin)
+      s.catalog.dropTempView(s"merge_src_$cname")
+      io.read(t)
     })
   )
 
