@@ -653,6 +653,13 @@ object OracleQueries {
         |FROM s LEFT JOIN t ON s.s_suppkey = t.s_suppkey
         |WHERE t.s_suppkey IS NULL""".stripMargin,
 
+    // WAP lifecycle result: the published table is base ∪ staged batch
+    "q65_wap" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey <= 500
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

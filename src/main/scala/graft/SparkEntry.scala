@@ -829,6 +829,26 @@ object SparkEntry {
            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET balance = 0.0""".stripMargin)
       s.catalog.dropTempView(s"merge_src_$cname")
       io.read(t)
+    }),
+
+    // Write-audit-publish (Iceberg's WAP): the ingest batch is STAGED
+    // (data written once, invisible to readers), audited via the
+    // staged view, then PUBLISHED as a metadata-only commit. The row
+    // checks the full lifecycle: the public read must NOT see staged
+    // rows pre-publish, and the result is the published union.
+    "q65_wap" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_wap_"))
+      val t = "default.orders_wap"
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.overwrite(ords.filter(col("o_orderpriority") === "1-URGENT"), t)
+      val sid = io.appendStaged(ords.filter(col("o_orderpriority") === "2-HIGH"), t)
+      val publicRows = io.read(t).count()
+      val auditRows = io.readStaged(t, sid).count() // the audit pass
+      require(publicRows < auditRows,
+        s"staged rows leaked into the public read ($publicRows vs audit $auditRows)")
+      io.publishStaged(t, sid)
+      io.read(t)
     })
   )
 

@@ -157,15 +157,13 @@ final case class TableCatalog(warehouse: String) {
     * `ConcurrentCommitException` (package-visible so the conflict path
     * is deterministically testable).
     */
-  private[graft] def commitSnapshotAt(name: String, filesIn: Seq[String], v: Int,
-                                      props: Map[String, String] = Map.empty,
-                                      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int = {
-    // a manifest is a SET: a path listed twice would be scanned twice
-    // (duplicated rows) — possible when an optimistic retry re-bases on
-    // a manifest that already absorbed this writer's files
-    val files = filesIn.distinct
-    val meta = metaPath(name)
-    Files.createDirectories(meta)
+  /** Manifest document for a (deduped) file list + props + stats —
+    * shared by version commits and STAGED (write-audit-publish)
+    * manifests, so both speak the identical format.
+    */
+  private def manifestJson(name: String, files: Seq[String],
+                           props: Map[String, String],
+                           stats: Map[String, Map[String, FileStats.ColStats]]): String = {
     val base = tableRoot(name)
     val stored = files.map { f =>
       val p = Paths.get(f).toAbsolutePath.normalize
@@ -192,7 +190,19 @@ final case class TableCatalog(warehouse: String) {
       if (statsEntries.isEmpty) ""
       else statsEntries.map(s => "\"" + TableCatalog.escape(s) + "\"")
         .mkString(", \"stats\": [", ", ", "]")
-    val json = s"{$filesJson$propsJson$statsJson}"
+    s"{$filesJson$propsJson$statsJson}"
+  }
+
+  private[graft] def commitSnapshotAt(name: String, filesIn: Seq[String], v: Int,
+                                      props: Map[String, String] = Map.empty,
+                                      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int = {
+    // a manifest is a SET: a path listed twice would be scanned twice
+    // (duplicated rows) — possible when an optimistic retry re-bases on
+    // a manifest that already absorbed this writer's files
+    val files = filesIn.distinct
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    val json = manifestJson(name, files, props, stats)
     // tmp name must be writer-unique: two racers sharing `.vN.json.tmp`
     // could interleave write/link so the winner links the LOSER's
     // content — the whole point of the exclusive link is defeated
@@ -491,6 +501,72 @@ final case class TableCatalog(warehouse: String) {
     } finally lock.release()
   }
 
+  // ---- Write-audit-publish: STAGED snapshots (Iceberg's WAP).
+  // A staged manifest records a finished append's files WITHOUT making
+  // them current: readers never see them, audit reads them explicitly,
+  // publish folds them into a real version, discard abandons them (GC
+  // then reclaims the bytes, age-guarded). Same document format as
+  // version manifests; lives beside them as `staged-<id>.json`.
+
+  private[io] def stagedFile(name: String, id: String): Path =
+    metaPath(name).resolve(s"staged-$id.json")
+
+  /** Record `files` as a staged (non-current) snapshot; returns the
+    * stage id. No version race: ids are writer-unique, and the write
+    * is atomic (tmp + move) so a concurrent publish/GC never reads a
+    * torn document.
+    */
+  def writeStaged(name: String, files: Seq[String],
+                  stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): String = {
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    val tmp = meta.resolve(s".staged-$id.json.tmp")
+    Files.writeString(tmp, manifestJson(name, files.distinct, Map.empty, stats))
+    Files.move(tmp, stagedFile(name, id), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  def listStaged(name: String): Seq[String] = {
+    val meta = metaPath(name)
+    if (!Files.isDirectory(meta)) Seq.empty
+    else
+      Using.resource(Files.list(meta)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(f => f.startsWith("staged-") && f.endsWith(".json"))
+          .map(f => f.stripPrefix("staged-").stripSuffix(".json"))
+          .toSeq
+      }.sorted
+  }
+
+  def stagedManifest(name: String, id: String): Seq[String] = {
+    val base = tableRoot(name)
+    TableCatalog.parseStringArrayAt(Files.readString(stagedFile(name, id)), "files").map { p =>
+      if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+    }
+  }
+
+  def stagedStats(name: String, id: String): Map[String, Map[String, FileStats.ColStats]] = {
+    val json = Files.readString(stagedFile(name, id))
+    val entries = TableCatalog.parseStringArrayAt(json, "stats")
+    if (entries.isEmpty) Map.empty
+    else {
+      val base = tableRoot(name)
+      val files = TableCatalog.parseStringArrayAt(json, "files").map { p =>
+        if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+      }
+      FileStats.decodeEntries(entries).collect {
+        case (idx, cols) if idx >= 0 && idx < files.size => files(idx) -> cols
+      }
+    }
+  }
+
+  /** Drop a staged snapshot's manifest (its data files become orphans
+    * for the age-guarded GC). Returns whether it existed.
+    */
+  def deleteStaged(name: String, id: String): Boolean =
+    Files.deleteIfExists(stagedFile(name, id))
+
   /** Delete data files referenced by no surviving manifest; returns
     * the deleted paths. Safe under the single-writer model: every live
     * snapshot's file list is consulted, so current reads see no change.
@@ -518,11 +594,17 @@ final case class TableCatalog(warehouse: String) {
       // a manifest vanishing between the version listing and its read
       // was expired by a concurrent (cross-process) GC — its files are
       // live only if a surviving manifest also lists them, which this
-      // union naturally captures; never abort the sweep over it
-      val live = versions(name).flatMap { v =>
+      // union naturally captures; never abort the sweep over it.
+      // STAGED manifests are live too: an audit in flight must not
+      // lose its files (discard deletes the staged manifest, and only
+      // then does GC reclaim the bytes).
+      val live = (versions(name).flatMap { v =>
         try manifest(name, v)
         catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
-      }.toSet
+      } ++ listStaged(name).flatMap { id =>
+        try stagedManifest(name, id)
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      }).toSet
       val orphans = listDataFiles(name).filterNot(live)
         .filter(f => mtimeOr(Paths.get(f), Long.MaxValue) < cutoff)
       // Abandoned write-staging dirs (.stage-*, a writer that died
@@ -1032,6 +1114,79 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def overwrite(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): Unit =
     write(df, name, append = false, partitionCols)
+
+  // ---- Write-audit-publish (Iceberg's WAP pattern). An ingest job
+  // appendStage()s its output, an audit job readStaged()s the
+  // would-be table (current ∪ staged) and runs its checks, then the
+  // batch is publishStaged()ed into a real snapshot — or
+  // discardStaged()ed, with GC reclaiming the bytes. Readers NEVER
+  // see unaudited rows; the data is written exactly once (publish is
+  // a metadata-only commit of the already-staged files).
+
+  /** Stage an append without publishing it: data files land in the
+    * table's data dir, the staged manifest records them (with stats),
+    * and reads of the table are unaffected. Returns the stage id.
+    */
+  def appendStaged(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): String = {
+    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+    catalog.writeStaged(name, newFiles, commitStats(name, Seq.empty, newFiles))
+  }
+
+  /** The audit view: the table as it WOULD read after publishing the
+    * staged snapshot (current files ∪ staged files).
+    */
+  def readStaged(name: String, id: String): DataFrame = {
+    val cur = catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
+    readFiles(name, (cur ++ catalog.stagedManifest(name, id)).distinct)
+  }
+
+  /** Publish a staged snapshot: fold its files into a new current
+    * version (optimistic append loop — concurrent appends are retried
+    * over, same as `write`), then drop the staged manifest. Metadata
+    * only: no data file is moved or rewritten. Rejects loudly if the
+    * stage id is unknown (already published or discarded).
+    */
+  def publishStaged(name: String, id: String): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val staged =
+        try catalog.stagedManifest(name, id)
+        catch {
+          case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
+            s"publish of $name: staged snapshot $id does not exist (already published or discarded?)")
+        }
+      val stagedStats =
+        try catalog.stagedStats(name, id)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      var attempt = 0
+      var published = -1
+      while (published < 0) {
+        val base = catalog.currentVersion(name).getOrElse(0)
+        val prev = if (base == 0) Seq.empty else catalog.manifest(name, base)
+        val carried = if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
+          else try catalog.manifestStats(name, base)
+               catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] }
+        try {
+          published = catalog.commitSnapshotAt(name, prev ++ staged, base + 1,
+            stats = carried.view.filterKeys(prev.toSet).toMap ++ stagedStats)
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 20) throw e // livelock guard; caller decides
+        }
+      }
+      catalog.deleteStaged(name, id)
+      published
+    } finally lock.release()
+  }
+
+  /** Abandon a staged snapshot: the manifest goes now, the bytes go
+    * with the next (age-guarded) GC sweep. Returns whether it existed.
+    */
+  def discardStaged(name: String, id: String): Boolean =
+    catalog.deleteStaged(name, id)
 
   /** Dynamic partition-level overwrite — the reference's
     * `overwritePartition` (DimensionJob.scala:58,90;

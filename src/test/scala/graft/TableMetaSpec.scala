@@ -495,6 +495,40 @@ class TableMetaSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("does not exist"), e.getMessage)
   }
 
+  test("write-audit-publish: staged rows invisible until publish; discard + GC reclaims") {
+    import org.apache.spark.sql.functions.col
+    val io = freshIO()
+    val t = "default.wap"
+    io.overwrite(Seq((1L, "a")).toDF("id", "s"), t) // v1 published base
+    val sid = io.appendStaged(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), t)
+    // invisible to the public read; complete in the audit view
+    assert(io.read(t).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(io.readStaged(t, sid).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(io.catalog.currentVersion(t).contains(1), "staging must not advance the version")
+    // staged bytes survive GC while the staged manifest exists
+    assert(io.catalog.removeOrphanFiles(t, olderThanMs = 0).isEmpty,
+      "GC reclaimed staged (pre-publish) files")
+    // a concurrent append between stage and publish is not lost
+    io.append(Seq((9L, "z")).toDF("id", "s"), t) // v2
+    val v = io.publishStaged(t, sid)
+    assert(v == 3)
+    assert(io.read(t).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    // publish carried the staged files' stats into the manifest
+    assert(io.catalog.manifestStats(t, v).nonEmpty)
+    // the staged manifest is consumed: double publish rejects loudly
+    val e = intercept[IllegalArgumentException](io.publishStaged(t, sid))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+
+    // discard path: bytes reclaimed only after the manifest drops
+    val sid2 = io.appendStaged(Seq((4L, "d")).toDF("id", "s"), t)
+    val nFiles = io.catalog.listDataFiles(t).size
+    assert(io.discardStaged(t, sid2))
+    val reclaimed = io.catalog.removeOrphanFiles(t, olderThanMs = 0)
+    assert(reclaimed.nonEmpty, "discarded staged files must be GC-reclaimable")
+    assert(io.catalog.listDataFiles(t).size == nFiles - reclaimed.size)
+    assert(io.read(t).count() == 4, "discard+GC must not touch published rows")
+  }
+
   test("snapshot tags: named time travel, GC retention, release on removeTag") {
     val io = freshIO()
     val t = "default.tagged"
