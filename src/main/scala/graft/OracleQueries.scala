@@ -660,6 +660,14 @@ object OracleQueries {
         |WHERE o_custkey <= 500
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
 
+    // TIMESTAMP AS OF: the v1 instant reads pre-append state; head
+    // reads everything
+    "q66_time_travel_ts" ->
+      """SELECT n_nationkey, n_name, 'asof' AS snap
+        |FROM nation WHERE n_nationkey < 13
+        |UNION ALL
+        |SELECT n_nationkey, n_name, 'head' AS snap FROM nation""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

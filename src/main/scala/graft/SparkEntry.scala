@@ -849,6 +849,27 @@ object SparkEntry {
         s"staged rows leaked into the public read ($publicRows vs audit $auditRows)")
       io.publishStaged(t, sid)
       io.read(t)
+    }),
+
+    // TIMESTAMP AS OF time travel: the commit instant is the manifest
+    // mtime (hard-linked into place fully formed), resolution =
+    // newest snapshot at or before the instant. The row reads the
+    // v1 instant back ALONGSIDE the current head — same shape as
+    // q45's version-based row.
+    "q66_time_travel_ts" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_tts_"))
+      val t = "default.nation_ts"
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      io.overwrite(nat.filter(col("n_nationkey") < 13), t)
+      val v1 = io.catalog.currentVersion(t).get
+      val ts = java.nio.file.Files.getLastModifiedTime(
+        io.catalog.metaPath(t).resolve(s"v$v1.json")).toMillis
+      // determinism guard: the next commit must land in a LATER
+      // millisecond than ts, or the as-of read would see it
+      while (System.currentTimeMillis() <= ts + 1) Thread.sleep(1)
+      io.append(nat.filter(col("n_nationkey") >= 13), t)
+      io.readAsOf(t, ts).withColumn("snap", lit("asof"))
+        .unionAll(io.read(t).withColumn("snap", lit("head")))
     })
   )
 

@@ -98,6 +98,18 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     loadVersion(ident, v)
   }
 
+  /** SQL `TIMESTAMP AS OF <ts>` lands here (Spark passes MICROseconds
+    * since epoch): newest snapshot committed at or before the instant
+    * — commit time is the manifest's mtime (hard-linked into place
+    * fully formed, so mtime == commit instant).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val name = qualified(ident)
+    val v = catalog.versionAsOf(name, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    loadVersion(ident, v)
+  }
+
   private def loadVersion(ident: Identifier, version: Int): Table = {
     val name = qualified(ident)
     val files = catalog.manifest(name, version)

@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   */
 private[io] object MetadataTables {
 
-  val Names: Set[String] = Set("snapshots", "files", "history", "tags")
+  val Names: Set[String] = Set("snapshots", "files", "history", "tags", "staged")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -50,6 +50,22 @@ private[io] object MetadataTables {
         .map(f => new GenericInternalRow(Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(f), sizeOf(f))): InternalRow)
       local(s"$table.files", schema, rows)
+    case "staged" =>
+      // write-audit-publish introspection: one row per staged
+      // (unpublished) snapshot awaiting its audit verdict
+      val schema = new StructType()
+        .add("stage_id", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("staged_at", TimestampType, nullable = false)
+        .add("n_files", IntegerType, nullable = false)
+        .add("total_bytes", LongType, nullable = false)
+      val rows = cat.listStaged(table).map { id =>
+        val files = cat.stagedManifest(table, id)
+        val mtimeMicros = Files.getLastModifiedTime(cat.stagedFile(table, id)).toMillis * 1000L
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(id),
+          mtimeMicros, files.size, files.map(sizeOf).sum)): InternalRow
+      }
+      local(s"$table.staged", schema, rows)
     case "tags" =>
       val schema = new StructType()
         .add("tag", org.apache.spark.sql.types.StringType, nullable = false)

@@ -567,6 +567,18 @@ final case class TableCatalog(warehouse: String) {
   def deleteStaged(name: String, id: String): Boolean =
     Files.deleteIfExists(stagedFile(name, id))
 
+  /** Newest version committed at or before `tsMs` (epoch millis) —
+    * the `TIMESTAMP AS OF` resolution rule. The commit instant is the
+    * manifest file's mtime (it is hard-linked into place fully formed,
+    * so mtime == commit time); a manifest expired mid-scan simply
+    * drops out. None when the table has no snapshot that old.
+    */
+  def versionAsOf(name: String, tsMs: Long): Option[Int] =
+    versions(name).filter { v =>
+      try Files.getLastModifiedTime(metaPath(name).resolve(s"v$v.json")).toMillis <= tsMs
+      catch { case _: java.io.IOException => false }
+    }.maxOption
+
   /** Delete data files referenced by no surviving manifest; returns
     * the deleted paths. Safe under the single-writer model: every live
     * snapshot's file list is consulted, so current reads see no change.
@@ -900,6 +912,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def readVersion(name: String, version: Int): DataFrame =
     readFiles(name, catalog.manifest(name, version))
+
+  /** Time travel by commit instant — `TIMESTAMP AS OF` resolution
+    * (newest snapshot at or before `tsMs`); rejects loudly when the
+    * table has no snapshot that old.
+    */
+  def readAsOf(name: String, tsMs: Long): DataFrame =
+    readVersion(name, catalog.versionAsOf(name, tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name has no snapshot at or before epoch-ms $tsMs")))
 
   /** Incremental scan: the rows ADDED by snapshots in
     * `(fromVersion, toVersion]` — the "what changed since I last

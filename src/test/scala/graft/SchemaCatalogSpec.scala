@@ -83,6 +83,47 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves by commit instant; .staged metadata table lists WAP stages") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tsx_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.ts_t"
+    io.append(Seq((1, "a")).toDF("id", "s"), t) // v1
+    val ts1 = java.nio.file.Files.getLastModifiedTime(
+      io.catalog.metaPath(t).resolve("v1.json")).toMillis
+    while (System.currentTimeMillis() <= ts1 + 1) Thread.sleep(1)
+    io.append(Seq((2, "b")).toDF("id", "s"), t) // v2, strictly later ms
+
+    // programmatic surface
+    assert(io.catalog.versionAsOf(t, ts1).contains(1))
+    assert(io.readAsOf(t, ts1).count() == 1)
+    assert(io.readAsOf(t, System.currentTimeMillis()).count() == 2)
+    val e = intercept[IllegalArgumentException](io.readAsOf(t, ts1 - 100000))
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+
+    val sid = io.appendStaged(Seq((3, "c")).toDF("id", "s"), t)
+    spark.conf.set("spark.sql.catalog.gts", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.warehouse", wh)
+    try {
+      // SQL TIMESTAMP AS OF (session tz is UTC; format the v1 instant)
+      val lit = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.sql(s"SELECT count(*) c FROM gts.default.ts_t TIMESTAMP AS OF '$lit'")
+        .head().getLong(0) == 1L)
+      // .staged metadata table: one row per unpublished stage
+      val staged = spark.sql("SELECT stage_id, n_files FROM gts.default.ts_t.staged").collect()
+      assert(staged.map(_.getString(0)).toSeq == Seq(sid))
+      assert(staged.head.getInt(1) >= 1)
+      // the staged rows are still invisible to the plain SQL read
+      assert(spark.sql("SELECT count(*) c FROM gts.default.ts_t").head().getLong(0) == 2L)
+      io.publishStaged(t, sid)
+      assert(spark.sql("SELECT count(*) c FROM gts.default.ts_t.staged").head().getLong(0) == 0L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gts")
+      spark.conf.unset("spark.sql.catalog.gts.warehouse")
+    }
+  }
+
   test("renameTable keeps every snapshot readable (manifest paths are relative)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ren_").toString
     val io = TableIO(spark, wh)
