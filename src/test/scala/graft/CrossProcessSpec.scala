@@ -114,6 +114,48 @@ class CrossProcessSpec extends graft.SparkSpec {
       "a data file was committed as new by more than one snapshot")
   }
 
+  test("WAP publish racing a second JVM's appends: staged rows land exactly once, nothing lost") {
+    val wh = Files.createTempDirectory("graft_xwap_").toString
+    val t = "default.wapxjvm"
+    val io = TableIO(spark, wh)
+    io.append(Seq((1L, "seed-0")).toDF("id", "s"), t)
+    val sid = io.appendStaged(Seq((500L, "staged-0"), (501L, "staged-1")).toDF("id", "s"), t)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val log = Files.createTempFile("graft_xwap_w", ".log").toFile
+    val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessAppendWorker",
+      wh, t, "3", "6")).asJava
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+      .redirectOutput(log).start()
+    // publish mid-flight: the optimistic loop must retry over whatever
+    // versions the worker lands between the base read and the commit
+    Thread.sleep(300)
+    val published = io.publishStaged(t, sid)
+    assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+    assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+      Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+
+    // every commit landed: seed + 6 worker appends + the publish
+    val vs = io.versions(t)
+    assert(vs == (1 to 8), s"expected versions 1..8, got $vs")
+    assert(vs.contains(published))
+    // the staged rows are in EXACTLY once, alongside every worker row
+    val rows = io.read(t).as[(Long, String)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate ids after the race")
+    val expect = Set(1L, 500L, 501L) ++ (0 until 6).map(k => 3000L + k)
+    assert(rows.map(_._1).toSet == expect, s"row set wrong: ${rows.toSeq.sortBy(_._1)}")
+    // the staged manifest was consumed; every version still reads
+    assert(io.catalog.listStaged(t).isEmpty)
+    vs.foreach(v => io.readVersion(t, v).count())
+    // later manifests strictly extend earlier ones (nothing dropped)
+    val manifests = vs.map(v => io.catalog.manifest(t, v).toSet)
+    manifests.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "a later manifest dropped an earlier commit's files")
+    }
+  }
+
   test("row-level DML racing a second JVM's appends: fail-fast or consistent, never corrupt") {
     val wh = Files.createTempDirectory("graft_xdml_").toString
     val t = "default.dmlxjvm"
