@@ -668,6 +668,18 @@ object OracleQueries {
         |UNION ALL
         |SELECT n_nationkey, n_name, 'head' AS snap FROM nation""".stripMargin,
 
+    // mixture balancing: per-language integer threshold over the
+    // portable bucket space, derived from the rarest language's count
+    "q67_mixture_balance" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |  < (m.mc * 1000000) // c.c""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

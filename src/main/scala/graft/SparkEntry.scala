@@ -870,7 +870,18 @@ object SparkEntry {
       io.append(nat.filter(col("n_nationkey") >= 13), t)
       io.readAsOf(t, ts).withColumn("snap", lit("asof"))
         .unionAll(io.read(t).withColumn("snap", lit("head")))
-    })
+    }),
+
+    // Mixture balancing: every language deterministically downsampled
+    // to the rarest language's volume (quantized by the bucket space)
+    // — the proportioning pass that keeps a dominant slice from
+    // drowning rare ones (lang is the skewed column in this corpus:
+    // en is ~3x fr). One O(strata) aggregate + broadcast threshold
+    // join; the membership test stays a scalar scan predicate.
+    "q67_mixture_balance" -> ((s, dir) =>
+      graft.sampling.Sampling.mixtureBalance(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"), "lang")
+        .select("doc_id", "lang", "source"))
   )
 
   private def tempDir(prefix: String): String =

@@ -42,6 +42,34 @@ object Sampling {
     df.filter(portableBucket(idCol, buckets) < lit(math.round(fraction * buckets)))
   }
 
+  /** Balance the corpus to equal per-stratum volume: every stratum is
+    * deterministically downsampled to (approximately — quantized by
+    * the bucket space) the RAREST stratum's count. This is the
+    * mixture-proportioning pass of a training-data pipeline ("don't
+    * let the dominant source drown the rare ones"); for explicit
+    * target weights use [[stratifiedSample]] with per-stratum
+    * fractions.
+    *
+    * Scale shape: per-stratum counts are one partial-aggregated
+    * shuffle over O(strata) keys; the min is an O(strata) driver
+    * round-trip (same precedent as the date-dim bounds); thresholds
+    * join back as a BROADCAST, and membership stays a scalar
+    * predicate over the portable bucket — no second pass over the
+    * corpus, no RNG, bit-reproducible cross-engine. The threshold is
+    * computed in integer arithmetic ((min * buckets) div count) so
+    * both engines derive the identical cut.
+    */
+  def mixtureBalance(df: DataFrame, strataCol: String, idCol: String = "doc_id",
+                     buckets: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val minC = counts.agg(min(col("__c"))).head().getLong(0)
+    val thr = counts.select(col(strataCol),
+      expr(s"(${minC}L * $buckets) div __c").as("__thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(portableBucket(idCol, buckets) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Stratified sample: per-stratum keep rates (fraction by value of
     * `strataCol`, `defaultFraction` otherwise) — the "downsample the
     * dominant language / upweight the rare one" rebalancing pass.

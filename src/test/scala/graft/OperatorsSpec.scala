@@ -128,6 +128,29 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "hash sample must not shuffle")
   }
+
+  test("mixtureBalance downsamples every stratum toward the rarest one's count") {
+    // skewed mixture: 4000 'web', 1000 'book', 200 'wiki'
+    val docs = spark.range(0, 5200)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id < 4000 THEN 'web' WHEN id < 5000 THEN 'book' ELSE 'wiki' END AS source")
+    val out = graft.sampling.Sampling.mixtureBalance(docs, "source")
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest stratum survives whole; the rest land near 200,
+    // within hash-quantization noise of the 200/c_s rate
+    assert(counts("wiki") == 200L, s"rarest stratum must keep everything, got $counts")
+    assert(counts("web") > 150 && counts("web") < 250, s"web ${counts("web")}")
+    assert(counts("book") > 150 && counts("book") < 250, s"book ${counts("book")}")
+    // deterministic: same corpus, same members
+    val again = graft.sampling.Sampling.mixtureBalance(docs, "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // the threshold side is broadcast — the corpus itself must not
+    // hash-exchange for the join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
+  }
 }
 
 class TopKAggregateSpec extends SparkSpec {
