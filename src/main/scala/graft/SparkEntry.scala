@@ -461,21 +461,10 @@ object SparkEntry {
     // SQL MERGE INTO through the DSv2 catalog (file-scoped
     // copy-on-write): matched rows get balance += delta, unmatched
     // source rows insert — the post-merge table is the query result.
-    // ONE catalog name per session: Spark caches catalog instances by
-    // name forever, so a per-invocation name would leak a conf pair
-    // AND a cached instance every run (3 runs x N bench rounds). The
-    // warehouse is pinned on first use (the cached instance keeps its
-    // first warehouse regardless of later conf edits) and each run
-    // starts with an overwrite, so repeat runs are idempotent.
+    // Catalog registration discipline lives in `catalogIO`.
     "q46_merge_dml" -> ((s, dir) => {
       val cname = "gq"
-      val whKey = s"spark.sql.catalog.$cname.warehouse"
-      if (!s.conf.getOption(whKey).isDefined) {
-        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
-        s.conf.set(whKey, tempDir("graft_mrg_"))
-      }
-      val wh = s.conf.get(whKey)
-      val io = TableIO(s, wh)
+      val io = catalogIO(s, cname, "graft_mrg_")
       io.overwrite(
         Tables.supplier(s, dir).filter(col("s_suppkey") <= 80)
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("balance")),
@@ -511,21 +500,8 @@ object SparkEntry {
     // stream wrote. Oracle = the same rollup over the raw events.
     "q48_stream_ingest" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_str_"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val evPath = s"$dir/events.parquet"
-      val schema = s.read.parquet(evPath).schema // ts arrives as nanos-long
-      // the file stream source wants a DIRECTORY: a Spark-written table
-      // IS one (part files inside events.parquet/), stream it directly;
-      // the harness testdata is a single FILE, so stream its parent
-      // glob-filtered to the one table
-      val raw =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
-          s.readStream.schema(schema).parquet(evPath)
-        else
-          s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.TableSink.appendStream(
-        graft.streaming.EventsStream.dedupedEvents(stream),
+        graft.streaming.EventsStream.dedupedEvents(eventsFileStream(s, dir)),
         io, "default.events_ingest", tempDir("graft_ckpt_"), availableNow = true)
         .awaitTermination()
       io.read("default.events_ingest")
@@ -703,12 +679,7 @@ object SparkEntry {
     // it back). Same one-catalog-name-per-session discipline as q46.
     "q60_schema_evolution" -> ((s, dir) => {
       val cname = "gevo"
-      val whKey = s"spark.sql.catalog.$cname.warehouse"
-      if (!s.conf.getOption(whKey).isDefined) {
-        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
-        s.conf.set(whKey, tempDir("graft_evo_"))
-      }
-      val io = TableIO(s, s.conf.get(whKey))
+      val io = catalogIO(s, cname, "graft_evo_")
       // repeat runs: drop + recreate so the DDL below is idempotent
       // (GraftCatalog.loadTable reads from disk per resolution — no
       // table-instance cache to invalidate)
@@ -736,17 +707,8 @@ object SparkEntry {
     // aggregate is cross-engine comparable.
     "q61_stream_hourly" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_swin_"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val evPath = s"$dir/events.parquet"
-      val schema = s.read.parquet(evPath).schema
-      val raw =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
-          s.readStream.schema(schema).parquet(evPath)
-        else
-          s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.TableSink.completeStream(
-        graft.streaming.EventsStream.hourlyCounts(stream, exactValue = true),
+        graft.streaming.EventsStream.hourlyCounts(eventsFileStream(s, dir), exactValue = true),
         io, "default.events_hourly_s", tempDir("graft_ckpt_w_"), availableNow = true)
         .awaitTermination()
       io.read("default.events_hourly_s")
@@ -759,12 +721,7 @@ object SparkEntry {
     // result is the table AFTER rollback = the good rows only.
     "q62_rollback" -> ((s, dir) => {
       val cname = "grb"
-      val whKey = s"spark.sql.catalog.$cname.warehouse"
-      if (!s.conf.getOption(whKey).isDefined) {
-        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
-        s.conf.set(whKey, tempDir("graft_rb_"))
-      }
-      val io = TableIO(s, s.conf.get(whKey))
+      val io = catalogIO(s, cname, "graft_rb_")
       val t = "default.orders_rb"
       val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
@@ -782,12 +739,7 @@ object SparkEntry {
     // ClusteringSpec; this row pins content preservation.
     "q63_compact" -> ((s, dir) => {
       val cname = "gcm"
-      val whKey = s"spark.sql.catalog.$cname.warehouse"
-      if (!s.conf.getOption(whKey).isDefined) {
-        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
-        s.conf.set(whKey, tempDir("graft_cmp_"))
-      }
-      val io = TableIO(s, s.conf.get(whKey))
+      val io = catalogIO(s, cname, "graft_cmp_")
       val t = "default.supp_cmp"
       val sup = Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
@@ -805,12 +757,7 @@ object SparkEntry {
     // statement.
     "q64_merge_full" -> ((s, dir) => {
       val cname = "gmf"
-      val whKey = s"spark.sql.catalog.$cname.warehouse"
-      if (!s.conf.getOption(whKey).isDefined) {
-        s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
-        s.conf.set(whKey, tempDir("graft_mf_"))
-      }
-      val io = TableIO(s, s.conf.get(whKey))
+      val io = catalogIO(s, cname, "graft_mf_")
       val t = "default.supp_mrg"
       io.overwrite(
         Tables.supplier(s, dir).filter(col("s_suppkey") <= 60)
@@ -886,6 +833,42 @@ object SparkEntry {
 
   private def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Register (once) a session-lifetime graft catalog named `cname`
+    * over a fresh temp warehouse and return a TableIO on it. ONE
+    * catalog name per session: Spark caches catalog instances by name
+    * forever, and the cached instance keeps its FIRST warehouse
+    * regardless of later conf edits — so the warehouse conf is pinned
+    * on first use and every caller runs idempotent setup (overwrite /
+    * drop-and-recreate) on its own tables.
+    */
+  private def catalogIO(s: SparkSession, cname: String, prefix: String): TableIO = {
+    val whKey = s"spark.sql.catalog.$cname.warehouse"
+    if (!s.conf.getOption(whKey).isDefined) {
+      s.conf.set(s"spark.sql.catalog.$cname", classOf[graft.io.GraftCatalog].getName)
+      s.conf.set(whKey, tempDir(prefix))
+    }
+    TableIO(s, s.conf.get(whKey))
+  }
+
+  /** The events table as a file STREAM with `ts` converted from the
+    * on-disk nanos-long to a timestamp — shared source setup of the
+    * streaming rows (q48 ingest, q61 windows). The file stream source
+    * wants a DIRECTORY: a Spark-written table IS one (part files
+    * inside events.parquet/); the harness testdata is a single FILE,
+    * so stream its parent glob-filtered to the one table.
+    */
+  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evPath = s"$dir/events.parquet"
+    val schema = s.read.parquet(evPath).schema // ts arrives as nanos-long
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
+        s.readStream.schema(schema).parquet(evPath)
+      else
+        s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** DuckDB-equivalent SQL per query (same column names/types). */
   def oracleSql: Map[String, String] = OracleQueries.all

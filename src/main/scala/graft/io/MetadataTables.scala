@@ -58,12 +58,17 @@ private[io] object MetadataTables {
         .add("staged_at", TimestampType, nullable = false)
         .add("n_files", IntegerType, nullable = false)
         .add("total_bytes", LongType, nullable = false)
-      val rows = cat.listStaged(table).map { id =>
-        val files = cat.stagedManifest(table, id)
-        val mtimeMicros = Files.getLastModifiedTime(cat.stagedFile(table, id)).toMillis * 1000L
-        new GenericInternalRow(Array[Any](
-          org.apache.spark.unsafe.types.UTF8String.fromString(id),
-          mtimeMicros, files.size, files.map(sizeOf).sum)): InternalRow
+      // a stage published/discarded between the listing and the per-id
+      // reads is the NORMAL lifecycle (not an expiry corner case):
+      // skip the vanished row, never fail the metadata query
+      val rows = cat.listStaged(table).flatMap { id =>
+        try {
+          val files = cat.stagedManifest(table, id)
+          val mtimeMicros = Files.getLastModifiedTime(cat.stagedFile(table, id)).toMillis * 1000L
+          Some(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(id),
+            mtimeMicros, files.size, files.map(sizeOf).sum)): InternalRow)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
       }
       local(s"$table.staged", schema, rows)
     case "tags" =>

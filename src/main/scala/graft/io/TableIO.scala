@@ -78,8 +78,13 @@ final case class TableCatalog(warehouse: String) {
     * restore — never invalidates a snapshot. Absolute entries (written
     * by pre-rename-fix manifests) still resolve as-is.
     */
-  def manifest(name: String, version: Int): Seq[String] = {
-    val f = metaPath(name).resolve(s"v$version.json")
+  def manifest(name: String, version: Int): Seq[String] =
+    filesAt(name, metaPath(name).resolve(s"v$version.json"))
+
+  /** File list of any manifest document (version or staged) — paths
+    * resolve against the table root (stored relative).
+    */
+  private def filesAt(name: String, f: Path): Seq[String] = {
     val base = tableRoot(name)
     TableCatalog.parseStringArrayAt(Files.readString(f), "files").map { p =>
       if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
@@ -98,8 +103,14 @@ final case class TableCatalog(warehouse: String) {
     * prune. At 100 TB this is what keeps planning O(manifest), not
     * O(files) footer fetches.
     */
-  def manifestStats(name: String, version: Int): Map[String, Map[String, FileStats.ColStats]] = {
-    val f = metaPath(name).resolve(s"v$version.json")
+  def manifestStats(name: String, version: Int): Map[String, Map[String, FileStats.ColStats]] =
+    statsAt(name, metaPath(name).resolve(s"v$version.json"))
+
+  /** Per-file stats of any manifest document (version or staged) —
+    * keyed by resolved file path; entries index into the document's
+    * own files array.
+    */
+  private def statsAt(name: String, f: Path): Map[String, Map[String, FileStats.ColStats]] = {
     val json = Files.readString(f)
     val entries = TableCatalog.parseStringArrayAt(json, "stats")
     if (entries.isEmpty) Map.empty
@@ -539,27 +550,11 @@ final case class TableCatalog(warehouse: String) {
       }.sorted
   }
 
-  def stagedManifest(name: String, id: String): Seq[String] = {
-    val base = tableRoot(name)
-    TableCatalog.parseStringArrayAt(Files.readString(stagedFile(name, id)), "files").map { p =>
-      if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
-    }
-  }
+  def stagedManifest(name: String, id: String): Seq[String] =
+    filesAt(name, stagedFile(name, id))
 
-  def stagedStats(name: String, id: String): Map[String, Map[String, FileStats.ColStats]] = {
-    val json = Files.readString(stagedFile(name, id))
-    val entries = TableCatalog.parseStringArrayAt(json, "stats")
-    if (entries.isEmpty) Map.empty
-    else {
-      val base = tableRoot(name)
-      val files = TableCatalog.parseStringArrayAt(json, "files").map { p =>
-        if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
-      }
-      FileStats.decodeEntries(entries).collect {
-        case (idx, cols) if idx >= 0 && idx < files.size => files(idx) -> cols
-      }
-    }
-  }
+  def stagedStats(name: String, id: String): Map[String, Map[String, FileStats.ColStats]] =
+    statsAt(name, stagedFile(name, id))
 
   /** Drop a staged snapshot's manifest (its data files become orphans
     * for the age-guarded GC). Returns whether it existed.
@@ -609,12 +604,19 @@ final case class TableCatalog(warehouse: String) {
       // union naturally captures; never abort the sweep over it.
       // STAGED manifests are live too: an audit in flight must not
       // lose its files (discard deletes the staged manifest, and only
-      // then does GC reclaim the bytes).
-      val live = (versions(name).flatMap { v =>
-        try manifest(name, v)
-        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
-      } ++ listStaged(name).flatMap { id =>
+      // then does GC reclaim the bytes). ORDER MATTERS: staged
+      // manifests are read BEFORE version manifests — publishStaged
+      // commits the new version FIRST and deletes the staged manifest
+      // second, so a stage that vanishes mid-sweep is always covered
+      // by the subsequent version listing. Read the other way around,
+      // a cross-process publish landing between the two listings would
+      // leave its (old, past the age cutoff) files in neither set —
+      // deleting files the CURRENT snapshot references.
+      val live = (listStaged(name).flatMap { id =>
         try stagedManifest(name, id)
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      } ++ versions(name).flatMap { v =>
+        try manifest(name, v)
         catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }).toSet
       val orphans = listDataFiles(name).filterNot(live)
@@ -1147,10 +1149,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   /** Stage an append without publishing it: data files land in the
     * table's data dir, the staged manifest records them (with stats),
     * and reads of the table are unaffected. Returns the stage id.
+    *
+    * Under the per-table write lock for the move -> staged-manifest
+    * span, same as `write`: a same-JVM GC sweep must never interleave
+    * with the window where moved files are referenced by no manifest
+    * yet (the age guard only protects against OTHER processes).
     */
   def appendStaged(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): String = {
-    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
-    catalog.writeStaged(name, newFiles, commitStats(name, Seq.empty, newFiles))
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.writeStaged(name, newFiles, commitStats(name, Seq.empty, newFiles))
+    } finally lock.release()
   }
 
   /** The audit view: the table as it WOULD read after publishing the

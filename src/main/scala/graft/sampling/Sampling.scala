@@ -62,7 +62,11 @@ object Sampling {
   def mixtureBalance(df: DataFrame, strataCol: String, idCol: String = "doc_id",
                      buckets: Int = 1000000): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
-    val minC = counts.agg(min(col("__c"))).head().getLong(0)
+    val minRow = counts.agg(min(col("__c"))).head()
+    // empty input: min over zero strata is null — the balanced corpus
+    // is the (empty) input, not a driver NPE
+    if (minRow.isNullAt(0)) return df
+    val minC = minRow.getLong(0)
     val thr = counts.select(col(strataCol),
       expr(s"(${minC}L * $buckets) div __c").as("__thr"))
     df.join(broadcast(thr), Seq(strataCol))
