@@ -43,37 +43,73 @@ class TableFuzzSpec extends graft.SparkSpec {
     io.append(seed.toDF("id", "v"), t)
     model = seed.toMap
 
+    // pending write-audit-publish stages: id -> the rows they carry
+    // (never in `model` until published; dropped whole on discard)
+    var pending = Map.empty[String, Map[Long, Double]]
+
     (1 to 200).foreach { step =>
       val op = rnd.nextInt(100) match {
-        case r if r < 35 => // append 1-10 fresh rows
+        case r if r < 28 => // append 1-10 fresh rows
           val rows = freshRows(1 + rnd.nextInt(10))
           io.append(rows.toDF("id", "v"), t)
           model = model ++ rows
           "append"
-        case r if r < 45 => // overwrite with a fresh small table
+        case r if r < 36 => // overwrite with a fresh small table
           val rows = freshRows(5 + rnd.nextInt(10))
           io.overwrite(rows.toDF("id", "v"), t)
           model = rows.toMap
           "overwrite"
-        case r if r < 60 => // delete a random value band
+        case r if r < 49 => // delete a random value band
           val lo = rnd.nextInt(90)
           io.deleteWhere(t, col("v") >= lo && col("v") < lo + 15)
           model = model.filterNot { case (_, v) => v >= lo && v < lo + 15 }
           "deleteWhere"
-        case r if r < 75 => // update a random value band
+        case r if r < 62 => // update a random value band
           val lo = rnd.nextInt(90)
           io.updateWhere(t, col("v") >= lo && col("v") < lo + 10,
             Map("v" -> (col("v") + org.apache.spark.sql.functions.lit(1000.0))))
           model = model.map { case (k, v) =>
             k -> (if (v >= lo && v < lo + 10) v + 1000.0 else v) }
           "updateWhere"
-        case r if r < 85 =>
+        case r if r < 70 =>
           io.compact(t)
           "compact"
+        case r if r < 78 => // stage an append: public read must NOT move
+          val rows = freshRows(1 + rnd.nextInt(5))
+          val sid = io.appendStaged(rows.toDF("id", "v"), t)
+          pending += sid -> rows.toMap
+          // the audit view is current ∪ this stage, exactly
+          assert(io.readStaged(t, sid).as[(Long, Double)].collect().toMap ==
+            model ++ rows.toMap, s"step $step: staged audit view wrong")
+          "stageAppend"
+        case r if r < 84 && pending.nonEmpty => // publish a random stage
+          val (sid, rows) = pending.toSeq(rnd.nextInt(pending.size))
+          io.publishStaged(t, sid)
+          pending -= sid
+          model = model ++ rows
+          "publish"
+        case r if r < 88 && pending.nonEmpty => // discard a random stage
+          val sid = pending.keys.toSeq(rnd.nextInt(pending.size))
+          io.discardStaged(t, sid)
+          pending -= sid
+          "discard"
+        case r if r < 93 && snapshots.keys.exists(io.versions(t).contains) =>
+          // roll back to a remembered live snapshot: the table becomes
+          // exactly that recorded state, as a NEW version
+          val live = snapshots.keys.toSeq.filter(io.versions(t).contains).sorted
+          val v = live(rnd.nextInt(live.size))
+          io.catalog.rollbackTo(t, v)
+          model = snapshots(v)
+          "rollback"
         case _ =>
           val expired = io.catalog.expireSnapshots(t, keepLast = 3)
           snapshots = snapshots.removedAll(expired)
           io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
+          // pending stages must survive GC bit-for-bit
+          pending.foreach { case (sid, rows) =>
+            assert(io.readStaged(t, sid).as[(Long, Double)].collect().toMap == model ++ rows,
+              s"step $step: GC damaged pending stage $sid")
+          }
           "expire+gc"
       }
       check(step, op)
