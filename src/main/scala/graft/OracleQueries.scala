@@ -680,6 +680,23 @@ object OracleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
         |  < (m.mc * 1000000) // c.c""".stripMargin,
 
+    // per-label centroids: element values quantized to a 1e-8 long
+    // grid before the (exact integer) sum — identical double-promoted
+    // multiply + ties-away rounding in both engines; flattened to
+    // (label, pos, mean) rows (pos aligned to Spark's 0-base)
+    "q68_embedding_centroids" ->
+      """WITH u AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings)
+        |SELECT label,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(pos - 1 AS INT) AS pos,
+        |  (CAST(sum(CAST(round(CAST(val AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |     / 100000000.0) / count(*) AS mean
+        |FROM u GROUP BY label, pos""".stripMargin,
+
     // the curation composition: q29's dedup, q15's quality/langid
     // scoring (identical IEEE term order, so the 0.5 threshold cuts the
     // same rows), q41's 5-gram decontamination over the kept set

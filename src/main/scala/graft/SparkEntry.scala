@@ -828,7 +828,18 @@ object SparkEntry {
     "q67_mixture_balance" -> ((s, dir) =>
       graft.sampling.Sampling.mixtureBalance(
         Tables.documents(s, dir).select("doc_id", "lang", "source"), "lang")
-        .select("doc_id", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+
+    // Per-label embedding centroids: mean-pool each label's vectors —
+    // the cluster-prototype aggregation. Decimal-exact element sums so
+    // the means hash-match the oracle; shuffle is labels x dim after
+    // the map-side combine, never rows x dim. The centroid ARRAY is
+    // flattened back to (label, pos, mean) rows for the compare — the
+    // harness hashes scalar cells, not arrays.
+    "q68_embedding_centroids" -> ((s, dir) =>
+      graft.similarity.Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "mean"))))
   )
 
   private def tempDir(prefix: String): String =

@@ -134,6 +134,44 @@ object Similarity {
     * Table t's planes are seeded `seed + t`, so tables are
     * independent draws.
     */
+  /** Per-group mean embedding (centroid) + group size — the
+    * cluster-prototype / per-source-embedding-profile aggregation of
+    * an embedding analytics pipeline.
+    *
+    * Scale shape: posexplode multiplies rows by the dimension, but the
+    * per-(group, position) aggregate combines MAP-SIDE, so the shuffle
+    * carries only groups x dim rows — never rows x dim.
+    *
+    * Exactness: each element is quantized to a 1e-8 grid as a LONG
+    * before summing (double-promoted multiply, then round — both the
+    * product and the ties-away-from-zero rounding are engine-
+    * identical), so the sum is exact integer arithmetic and the mean
+    * is order-independent and cross-engine reproducible. Decimal
+    * accumulation (ExactAgg's rule) is NOT usable here: engines
+    * disagree in the last digit of their float->decimal casts
+    * (shortest-repr vs exact-binary rounding), measured as 1e-10-level
+    * oracle mismatches. 1e-8 matches float's own precision for unit-
+    * normalized embeddings; the long sum bounds group size at ~9e9
+    * vectors per group at |v|<=1.
+    */
+  def labelCentroids(
+      embeddings: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(
+        ((sum(round(col("__val") * lit(1e8)).cast("long")).cast("double") / lit(1e8))
+          / count(lit(1))).as("__mean"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n_vectors"),
+        expr("transform(array_sort(collect_list(struct(__pos, __mean))), s -> s.__mean)")
+          .as("centroid"))
+
   def withLshBucketTables(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     val p = typedlit((0 until nTables).map(t => planes(nPlanes, dim, seed + t)))

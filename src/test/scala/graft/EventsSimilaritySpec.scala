@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.5f, 0.5f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("labelCentroids mean-pools per group, in position order, quantized at 1e-8") {
+    val emb = Seq(
+      (0L, 0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, 0L, Array(0.0f, 1.0f, 0.5f)),
+      (2L, 1L, Array(0.25f, 0.25f, 0.25f))
+    ).toDF("vec_id", "label", "embedding")
+    val byLabel = graft.similarity.Similarity.labelCentroids(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2).toList)).toMap
+    assert(byLabel(0L) == ((2L, List(0.5, 0.5, 0.5))), s"label 0: ${byLabel(0L)}")
+    assert(byLabel(1L) == ((1L, List(0.25, 0.25, 0.25))), s"label 1: ${byLabel(1L)}")
+    // the exploded aggregate must partial-combine map-side: the final
+    // shuffle carries (groups x dim), so exactly two exchanges total
+    // (one per aggregation level), never a rows x dim reshuffle extra
+    val plan = graft.similarity.Similarity.labelCentroids(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 4).collect()
       .map(r => r.getAs[Int]("rn") -> r.getAs[Long]("neighbor_id")).toMap
