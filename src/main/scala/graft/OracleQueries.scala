@@ -691,7 +691,7 @@ object OracleQueries {
         |    unnest(embedding) AS val
         |  FROM embeddings)
         |SELECT label,
-        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(max(count(*)) OVER (PARTITION BY label) AS BIGINT) AS n_vectors,
         |  CAST(pos - 1 AS INT) AS pos,
         |  (CAST(sum(CAST(round(CAST(val AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE)
         |     / 100000000.0) / count(*) AS mean

@@ -127,13 +127,6 @@ object Similarity {
     centroids
   }
 
-  /** Multi-table hyperplane LSH buckets: an array of `nTables`
-    * sign-bucket longs computed in ONE projection (all
-    * nTables*nPlanes plane dots evaluated in a single pass over the
-    * vector — the table count adds compute, never another scan).
-    * Table t's planes are seeded `seed + t`, so tables are
-    * independent draws.
-    */
   /** Per-group mean embedding (centroid) + group size — the
     * cluster-prototype / per-source-embedding-profile aggregation of
     * an embedding analytics pipeline.
@@ -141,6 +134,11 @@ object Similarity {
     * Scale shape: posexplode multiplies rows by the dimension, but the
     * per-(group, position) aggregate combines MAP-SIDE, so the shuffle
     * carries only groups x dim rows — never rows x dim.
+    *
+    * Assumes UNIFORM dimension within each group (the embedding-table
+    * invariant); ragged inputs average each position over the vectors
+    * long enough to have it, and `n_vectors` reports the group's max
+    * per-position count.
     *
     * Exactness: each element is quantized to a 1e-8 grid as a LONG
     * before summing (double-promoted multiply, then round — both the
@@ -172,6 +170,13 @@ object Similarity {
         expr("transform(array_sort(collect_list(struct(__pos, __mean))), s -> s.__mean)")
           .as("centroid"))
 
+  /** Multi-table hyperplane LSH buckets: an array of `nTables`
+    * sign-bucket longs computed in ONE projection (all
+    * nTables*nPlanes plane dots evaluated in a single pass over the
+    * vector — the table count adds compute, never another scan).
+    * Table t's planes are seeded `seed + t`, so tables are
+    * independent draws.
+    */
   def withLshBucketTables(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     val p = typedlit((0 until nTables).map(t => planes(nPlanes, dim, seed + t)))

@@ -71,7 +71,8 @@ class SimilaritySpec extends SparkSpec {
     // shuffle carries (groups x dim), so exactly two exchanges total
     // (one per aggregation level), never a rows x dim reshuffle extra
     val plan = graft.similarity.Similarity.labelCentroids(emb).queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate"), plan)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nExchanges == 2, s"expected exactly 2 exchanges, got $nExchanges in:\n$plan")
   }
 
   test("bruteForceTopK ranks by cosine, excludes self") {

@@ -83,13 +83,16 @@ class TableFuzzSpec extends graft.SparkSpec {
             model ++ rows.toMap, s"step $step: staged audit view wrong")
           "stageAppend"
         case r if r < 84 && pending.nonEmpty => // publish a random stage
-          val (sid, rows) = pending.toSeq(rnd.nextInt(pending.size))
+          // sorted keys: UUID map order would make the fixed seed
+          // non-reproducing
+          val sid = pending.keys.toSeq.sorted.apply(rnd.nextInt(pending.size))
+          val rows = pending(sid)
           io.publishStaged(t, sid)
           pending -= sid
           model = model ++ rows
           "publish"
         case r if r < 88 && pending.nonEmpty => // discard a random stage
-          val sid = pending.keys.toSeq(rnd.nextInt(pending.size))
+          val sid = pending.keys.toSeq.sorted.apply(rnd.nextInt(pending.size))
           io.discardStaged(t, sid)
           pending -= sid
           "discard"
