@@ -210,6 +210,31 @@ class PlanQualitySpec extends SparkSpec {
         s"(of ${all.size} total) should be touched")
   }
 
+  test("PII redaction (q59) is one shuffle-free codegen projection over a pruned scan") {
+    val p = plan(SparkEntry.queries("q59_pii_redact")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"redaction must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:"), p)
+    assert(!p.contains("n_chars"), "unused columns must not be read")
+  }
+
+  test("mixture balance (q67) broadcasts the threshold side; the corpus never hash-exchanges") {
+    val p = plan(SparkEntry.queries("q67_mixture_balance")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus must not shuffle into the join:\n$p")
+  }
+
+  test("embedding centroids (q68) partial-combine: exactly two hash exchanges, no join") {
+    val p = plan(SparkEntry.queries("q68_embedding_centroids")(spark, sfDir))
+    assert(!p.contains("Join"), s"centroids must not join:\n$p")
+    // AQE's toString prints the final AND the initial plan — count the
+    // final section only
+    val finalPlan = p.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(n == 2, s"expected 2 exchanges (one per agg level), got $n:\n$finalPlan")
+  }
+
   test("q46 repeat runs reuse one catalog — session confs stay stable") {
     SparkEntry.queries("q46_merge_dml")(spark, sfDir).collect()
     val afterFirst = spark.conf.getAll.keys.count(_.startsWith("spark.sql.catalog."))
