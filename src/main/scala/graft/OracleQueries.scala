@@ -17,6 +17,13 @@ package graft
   * - ORDER BY on nullable keys states nulls placement explicitly
   *   (DuckDB ASC defaults NULLS LAST; Spark asc() defaults nulls
   *   first).
+  * - FLOAT columns must NOT go through the decimal-accumulation rule
+  *   directly: engines disagree in the last digit of their
+  *   float->decimal casts (shortest-repr vs exact-binary rounding;
+  *   measured as 1e-10-level q68 mismatches). Quantize to an integer
+  *   grid instead — CAST the float to DOUBLE (exact), multiply by the
+  *   grid (both engines produce the identical IEEE product), round
+  *   (ties away from zero in both), sum the resulting longs exactly.
   */
 object OracleQueries {
 
