@@ -49,4 +49,33 @@ class RedactionSpec extends SparkSpec {
   test("counts match redaction opportunities per category") {
     assert(counts("a@b.co 1.2.3.4 555-0000 and c@d.io") == (2, 1, 1))
   }
+
+  test("planted-PII property: 200 random documents, counts equal plants, clean text survives") {
+    val rnd = new scala.util.Random(20260813L)
+    def word(): String = Array.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString
+    def email(): String = s"${word()}.${word()}@${word()}.${word()}.com"
+    def ip(): String = Seq.fill(4)(rnd.nextInt(256)).mkString(".")
+    def phone(): String = f"${100 + rnd.nextInt(900)}%d-${rnd.nextInt(10000)}%04d"
+    val cases = (1 to 200).map { i =>
+      val nE = rnd.nextInt(4); val nI = rnd.nextInt(4); val nP = rnd.nextInt(4)
+      val pieces = scala.util.Random.javaRandomToRandom(new java.util.Random(i))
+        .shuffle(Seq.fill(nE)(email()) ++ Seq.fill(nI)(ip()) ++ Seq.fill(nP)(phone()) ++
+          Seq.fill(5 + rnd.nextInt(10))(word()))
+      (i.toLong, pieces.mkString(" "), nE, nI, nP)
+    }
+    val got = cases.map { case (id, t, _, _, _) => (id, t) }
+      .toDF("id", "t")
+      .select($"id",
+        Redaction.emailCount($"t"), Redaction.ipv4Count($"t"), Redaction.phoneCount($"t"),
+        Redaction.redactPii($"t"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    cases.foreach { case (id, _, nE, nI, nP) =>
+      val (gE, gI, gP, red) = got(id)
+      assert((gE, gI, gP) == ((nE, nI, nP)),
+        s"case $id: planted ($nE,$nI,$nP) counted ($gE,$gI,$gP)")
+      assert(!red.contains("@") && !"\\b[0-9]{1,3}\\.[0-9]".r.findFirstIn(red).isDefined,
+        s"case $id: PII survived redaction: $red")
+    }
+  }
 }
