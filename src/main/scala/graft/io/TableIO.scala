@@ -495,6 +495,13 @@ final case class TableCatalog(warehouse: String) {
     * the same lock). The new manifest carries no stream mark — the
     * replay guard keeps walking back to the newest marked snapshot,
     * which rollback leaves in place.
+    *
+    * FAIL-FAST under cross-process races (like overwrite, unlike
+    * append): a concurrent writer in another process landing a commit
+    * mid-rollback surfaces as ConcurrentCommitException — retrying
+    * would re-point the table at `version`'s files and silently
+    * DISCARD the racer's commit (a lost update). The caller decides
+    * whether rolling back over the new commit is really intended.
     */
   def rollbackTo(name: String, version: Int): Int = {
     val lock = TableIO.writeLock(pathOf(name))
