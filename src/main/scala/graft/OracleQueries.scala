@@ -936,6 +936,64 @@ object OracleQueries {
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // bucketed co-located join: bucketing changes layout, never rows —
+    // the oracle is the plain join+aggregate on the raw tables
+    "q69_bucketed_join" ->
+      """SELECT o.o_orderpriority, l.l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // doc keywords: integer-only ranking keys (tf DESC, df ASC, token)
+    // make the top-3 reproducible bit-for-bit across engines
+    "q70_doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE length(token) >= 3
+        |  GROUP BY doc_id, token),
+        |wd AS (
+        |  SELECT doc_id, token, tf,
+        |    CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+        |  FROM tf)
+        |SELECT doc_id, token, tf, df, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, token ASC) AS rank FROM wd) x
+        |WHERE rank <= 3""".stripMargin,
+
+    // quantized ANN: floor(x*256) is exact (power-of-two grid), the
+    // dot is pure integer arithmetic — no cross-engine float noise
+    "q71_ann_quantized" ->
+      """WITH q8 AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    GREATEST(-128, LEAST(127, CAST(FLOOR(CAST(x AS DOUBLE) * 256.0) AS BIGINT)))) AS v8
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, v8 AS q8v FROM q8 WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qs.q_id, e.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.v8)),
+        |      i -> qs.q8v[i] * e.v8[i])) AS BIGINT) AS int_dot
+        |  FROM q8 e CROSS JOIN qs WHERE e.vec_id <> qs.q_id)
+        |SELECT q_id, vec_id AS neighbor_id, int_dot, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY int_dot DESC, vec_id ASC) AS rn FROM scored) x
+        |WHERE rn <= 10""".stripMargin,
+
+    // stream-stream join: finite-drain inner join equals the batch
+    // join; timestamps compared at Spark's microsecond precision
+    "q72_stream_stream_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |  CAST(v.ts AS TIMESTAMP) AS view_ts, CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events v JOIN events c
+        |ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |  AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR""".stripMargin,
+
     // schema evolution: rows written before ADD COLUMN read back
     // null-filled; RENAME COLUMN is metadata-only aliasing
     "q60_schema_evolution" ->

@@ -839,7 +839,65 @@ object SparkEntry {
     "q68_embedding_centroids" -> ((s, dir) =>
       graft.similarity.Similarity.labelCentroids(Tables.embeddings(s, dir))
         .select(col("label"), col("n_vectors"),
-          posexplode(col("centroid")).as(Seq("pos", "mean"))))
+          posexplode(col("centroid")).as(Seq("pos", "mean")))),
+
+    // Bucketed co-located fact-x-fact join: both sides written
+    // hash-clustered 8 ways on the join key, so the sort-merge join
+    // runs with ZERO query-time Exchange on either side (pinned by
+    // BucketingSpec + PLANS.md) — the write-once/join-many layout
+    // strategy for the 100 TB repeated-join workload. The aggregate
+    // after the join re-keys on (priority, flag), so that single
+    // post-join exchange is the whole shuffle cost of the query.
+    "q69_bucketed_join" -> ((s, dir) => {
+      val loc = tempDir("graft_bkt_")
+      graft.operators.Bucketing.writeBucketed(s,
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag")),
+        "graft_li_bkt", "l_orderkey", 8, s"$loc/li")
+      graft.operators.Bucketing.writeBucketed(s,
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_ord_bkt", "o_orderkey", 8, s"$loc/ord")
+      graft.operators.Bucketing.bucketedJoin(s,
+          "graft_li_bkt", "graft_ord_bkt", "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.functions.ExactAgg.dsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // Per-document keyword extraction (TF-IDF shape, integer-exact
+    // ranking): explode -> (doc, token) tf agg -> corpus df -> top-3
+    // per doc. The idf signal is the df ASC tie-break — rarer corpus
+    // terms win — with no float score to drift across engines.
+    "q70_doc_keywords" -> ((s, dir) =>
+      TextAnalysis.docKeywords(Tables.documents(s, dir), k = 3)),
+
+    // Quantized ANN: int8-style fixed-point vectors (floor(x*256),
+    // exact in IEEE because the grid is a power of two) scored by
+    // INTEGER dot product — the 4x-smaller-corpus scale path, and the
+    // one ANN variant that hash-matches a SQL oracle exactly (q19 is
+    // float-exact-but-ulp-fragile; q20/q28 are probabilistic).
+    "q71_ann_quantized" -> ((s, dir) =>
+      graft.similarity.Similarity.quantizedTopK(
+        Tables.embeddings(s, dir), nQueries = 10, k = 10)),
+
+    // Stream-stream watermarked inner join (§2.10 completion): views
+    // joined to same-user clicks within a 6-hour horizon, both sides
+    // state-bounded by watermark + time-range predicate, drained via
+    // AvailableNow into the exactly-once table sink. On a finite
+    // drain the inner join equals the batch join — the oracle row.
+    "q72_stream_stream_join" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_ssj_"))
+      graft.streaming.TableSink.appendStream(
+        graft.streaming.EventsStream.viewClickJoin(
+          eventsFileStream(s, dir), eventsFileStream(s, dir)),
+        io, "default.view_clicks", tempDir("graft_ckpt_j_"), availableNow = true)
+        .awaitTermination()
+      io.read("default.view_clicks")
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          col("view_ts"), col("click_ts"))
+    })
   )
 
   private def tempDir(prefix: String): String =

@@ -65,6 +65,48 @@ object Similarity {
       k)
   }
 
+  /** Fixed-point int8-style quantization of a float embedding:
+    * `clamp(floor(x * grid), -128, 127)` per coordinate, as BIGINTs.
+    * `grid` must be a power of two: a float widened to double is
+    * exact, and multiplying by 2^n only shifts the exponent — the
+    * product is exact in IEEE — so `floor` sees the same double in
+    * every engine and the quantized grid point is reproducible
+    * bit-for-bit (a per-vector `max(abs)/127` scale would divide,
+    * and cross-engine division-last-ulp noise could flip a floor).
+    */
+  def quantizeSql(c: String, grid: Int): String = {
+    require(grid > 0 && (grid & (grid - 1)) == 0, s"grid must be a power of two, got $grid")
+    s"transform($c, x -> greatest(-128L, least(127L, CAST(floor(CAST(x AS DOUBLE) * $grid.0D) AS BIGINT))))"
+  }
+
+  /** Top-k neighbors by INTEGER dot product over quantized vectors —
+    * the memory-bandwidth scale path: an int8 corpus is 4x smaller
+    * than float32 (32x smaller than the doubled working set), so at
+    * 100 TB the scan reads a quarter of the bytes and the score loop
+    * is integer multiply-accumulate. Exact-arithmetic scoring on the
+    * quantized grid means this variant — unlike LSH/IVF, whose
+    * candidate sets are probabilistic — hash-matches a SQL oracle
+    * (integer dots have no summation-order noise). Ordering is
+    * (int_dot DESC, vec_id ASC); ties ARE common on an integer grid,
+    * so the deterministic id tie-break is load-bearing.
+    */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int, k: Int, grid: Int = 256): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(quantizeSql("embedding", grid)).as("v8"))
+    val q = broadcast(
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v8").as("q8")))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      // double holds integers exactly to 2^53; dim*127^2 is ~2^21
+      .withColumn("dot", expr(
+        "CAST(aggregate(zip_with(q8, v8, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS DOUBLE)"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(dot, vec_id, 0, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id1").as("neighbor_id"),
+        col("e.score").cast("bigint").as("int_dot"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -106,4 +106,35 @@ object EventsStream {
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream INNER join: attribute each `click` to every `view`
+    * by the same user in the preceding `horizonHours` — the funnel /
+    * attribution primitive, and the remaining §2.10 feature family
+    * (stateful two-input joins).
+    *
+    * State-bound mechanics at scale: both inputs carry a watermark and
+    * the join predicate carries BOTH a key equality (`user_id` — the
+    * state is hash-partitioned by it) and a time-range bound, so each
+    * side buffers only `watermark + horizon` worth of rows per key
+    * instead of the whole stream. On a finite drain (`availableNow`)
+    * the inner-join output equals the batch join exactly — watermarks
+    * only bound state/lateness, they never drop on-time matches —
+    * which is what the oracle row checks.
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    horizonHours: Int = 6, delay: String = "2 hours"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonHours HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

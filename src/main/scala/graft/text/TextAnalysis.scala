@@ -191,4 +191,42 @@ object TextAnalysis {
         col("s.type_token_ratio").as("type_token_ratio"),
         col("s.dup_trigram_ratio").as("dup_trigram_ratio"),
         col("s.top_token_ratio").as("top_token_ratio"))
+
+  /** Per-document keyword extraction: the TF-IDF shape with a
+    * DETERMINISTIC integer ordering — rank tokens by term frequency
+    * descending, then document frequency ascending (rarer-in-corpus
+    * wins the tie — exactly what idf weighting expresses), then token
+    * — and keep the top `k` per document. Pure-integer ranking keys
+    * make the result reproducible bit-for-bit across engines, where a
+    * float `tf*log(N/df)` score can swap ranks in the last ulp.
+    *
+    * Plan shape at scale: one explode + two hash aggregations. The
+    * (doc, token) tf aggregate partials map-side (the explode output
+    * never shuttles raw — only distinct (doc, token) pairs shuffle),
+    * df comes from a window over the SAME (token)-clustered shuffle
+    * the second agg would need anyway, and the final per-doc top-k is
+    * a rank-filter window partitioned by doc — O(corpus tokens) total,
+    * no cross-doc data movement beyond the two key-hash exchanges.
+    * Tokens shorter than `minLen` are dropped before the first
+    * aggregation (volume cut at the source).
+    */
+  def docKeywords(docs: org.apache.spark.sql.DataFrame,
+                  k: Int = 3,
+                  minLen: Int = 3,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(length(col("token")) >= minLen)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    withDf
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(idCol)
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank").cast("int").as("rank"))
+  }
 }

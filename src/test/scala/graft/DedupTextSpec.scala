@@ -269,6 +269,25 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
 
+  test("docKeywords ranks tf DESC, then rarer-in-corpus (df ASC), then token") {
+    val docs = Seq(
+      (1L, "Apple apple banana kiwi the of to"), // of/to under minLen
+      (2L, "banana banana banana the the cat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.docKeywords(docs, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    // doc 1: apple tf=2 wins; tf=1 tie -> kiwi (df 1) beats banana/the
+    // (df 2); banana/the tie -> token ASC
+    assert(out((1L, 1)) == (("apple", 2L, 1L)), s"${out((1L, 1))}")
+    assert(out((1L, 2)) == (("kiwi", 1L, 1L)), s"${out((1L, 2))}")
+    assert(out((1L, 3)) == (("banana", 1L, 2L)), s"${out((1L, 3))}")
+    assert(out((2L, 1)) == (("banana", 3L, 2L)))
+    assert(out((2L, 2)) == (("the", 2L, 2L)))
+    assert(out((2L, 3)) == (("cat", 1L, 1L)))
+    assert(out.size == 6)
+  }
+
   test("repetitionStats matches hand-computed signals") {
     val docs = Seq(
       (1L, "a a a b"),     // 4 toks, 2 types, trigrams {a a a, a a b} all distinct

@@ -84,6 +84,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4) == 3L) // cos -1
   }
 
+  test("quantizedTopK: power-of-two grid clamps exactly; integer ties break by id") {
+    // floor(x*256) with clamp: 1.0 -> 127, -1.0 -> -128, 0.9f -> 127
+    // (230 pre-clamp), 0.5 -> 127 (128 pre-clamp), 0.1f -> 25
+    val q8 = vecs.selectExpr("vec_id",
+        graft.similarity.Similarity.quantizeSql("embedding", 256) + " AS v8")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(q8(0L) == List(127L, 0L, 0L, 0L))
+    assert(q8(3L) == List(-128L, 0L, 0L, 0L))
+    assert(q8(2L) == List(127L, 25L, 0L, 0L))
+    assert(q8(4L) == List(127L, 127L, 0L, 0L))
+    // query v0: v2 and v4 tie at dot 127*127 — id ASC breaks the tie
+    val out = Similarity.quantizedTopK(vecs, nQueries = 1, k = 4).collect()
+      .map(r => r.getAs[Int]("rn") -> (r.getAs[Long]("neighbor_id"), r.getAs[Long]("int_dot")))
+      .toMap
+    assert(out(1) == ((2L, 16129L)), s"rank 1: ${out(1)}")
+    assert(out(2) == ((4L, 16129L)), s"tie must break to larger id second: ${out(2)}")
+    assert(out(3) == ((1L, 0L)))
+    assert(out(4) == ((3L, -16256L)))
+  }
+
   test("IVF with full probes equals brute force; partial probes return valid rankings") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val bf = Similarity.bruteForceTopK(e, nQueries = 4, k = 3)

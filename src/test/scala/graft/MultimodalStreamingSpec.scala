@@ -102,6 +102,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream view->click join: same-user within-horizon pairs only, equals batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, String, java.sql.Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventsStream.viewClickJoin(df(views), df(clicks), horizonHours = 6)
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      views.addData(
+        (1L, 1L, "view", t("2024-01-01 10:00:00")),
+        (5L, 1L, "view", t("2024-01-01 10:20:00")),
+        (6L, 2L, "click", t("2024-01-01 10:05:00"))) // wrong type on this side
+      clicks.addData(
+        (2L, 1L, "click", t("2024-01-01 10:30:00")), // inside both horizons
+        (3L, 1L, "click", t("2024-01-01 17:00:00")), // > 6h after both views
+        (4L, 2L, "click", t("2024-01-01 10:15:00"))) // no view for user 2
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_test").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+      assert(pairs == Set((1L, 2L), (5L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("TableSink commits one snapshot per micro-batch and skips replayed batch ids") {
     val wh = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     val io = graft.io.TableIO(spark, wh)
