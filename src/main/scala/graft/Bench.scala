@@ -41,11 +41,47 @@ object Bench {
     // warm the JVM/scheduler so the first timed query doesn't absorb
     // first-job overhead (codegen compiler init, scheduler spin-up)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Box-health canaries: a fixed CPU loop and a fixed small parquet
+    // write+read, timed and emitted in the headline. Turns "was the
+    // bench box contended?" from cross-round inference (r11: identical
+    // code swung 20x both directions) into a per-artifact measurement —
+    // canary times are code-independent, so any swing there is the box.
+    def cpuCanary(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 200000000L) { acc ^= i * 0x9e3779b97f4a7c15L; i += 1 }
+      if (acc == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioCanary(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-canary").toFile.getAbsolutePath
+      val t0 = System.nanoTime()
+      spark.range(2000000).selectExpr("id", "id * 7 as v", "cast(id % 97 as string) as s")
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/c.parquet")
+      spark.read.parquet(s"$dir/c.parquet").selectExpr("sum(v)").collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      dt
+    }
+    val canaryCpu = cpuCanary()
+    val canaryIo = ioCanary()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // Per-run write audit (files/bytes staged into tables) rides along
+    // with the timing — write-heavy queries (q52's partitioned append)
+    // are storage-sensitive, and the r11 verdict requires their write
+    // volume in the artifact so driver-box inflation is attributable.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long, Long)] = {
+      val f0 = graft.io.TableIO.filesWritten.get()
+      val b0 = graft.io.TableIO.bytesWritten.get()
       val t0 = System.nanoTime()
       val res =
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9,
+            graft.io.TableIO.filesWritten.get() - f0,
+            graft.io.TableIO.bytesWritten.get() - b0))
+        }
         catch { case _: Throwable => None }
       // Cold-cache policy: every run starts with an empty cache.
       // Operators that persist intermediates (q12/q13/q40) would
@@ -67,9 +103,14 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> Seq.fill(runs)(timeOnce(fn)).flatten.map(r4) }
+      .map { case (name, fn) => name -> Seq.fill(runs)(timeOnce(fn)).flatten }
+    val timings = sampled.map { case (name, rs) => name -> rs.map(t => r4(t._1)) }
+    // files/bytes are deterministic per query; keep the max across runs
+    val writes = sampled
+      .map { case (name, rs) => name -> (if (rs.isEmpty) (0L, 0L) else (rs.map(_._2).max, rs.map(_._3).max)) }
+      .filter { case (_, (f, _)) => f > 0L }
     val ok = timings.filter(_._2.nonEmpty)
     val failed = timings.collect { case (k, v) if v.isEmpty => k }.sorted
     val med = ok.map { case (k, v) => k -> r4(median(v)) }
@@ -80,12 +121,27 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r4(med.map(_._2).sum)
-    // auxiliary lines first (may be tail-truncated; that's fine):
-    // raw per-run arrays in execution order, then the min-of-N map
-    println(s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"order":"sorted","runs":$runs}""")
-    println(s"""{"metric":"queries_min","queries_min":${fmt(mins)},"failed":${fmtList(failed)},"runs":$runs}""")
+    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)}}"""
+    val writesLine = writes
+      .map { case (k, (f, b)) => s"\"" + k + "\":{\"files\":" + f + ",\"bytes\":" + b + "}" }
+      .mkString("""{"metric":"queries_writes","queries_writes":{""", ",", "}}")
+    val minLine = s"""{"metric":"queries_min","queries_min":${fmt(mins)},"failed":${fmtList(failed)},"runs":$runs}"""
+    // The harness keeps only the tail of stdout, so the per-run arrays
+    // the r8/r11 verdicts asked for never survived as an artifact.
+    // Persist them to a file (committed by the builder) as well as
+    // printing them.
+    val runsFile = sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "BENCH_RUNS.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(runsFile),
+        s"$runsLine\n$writesLine\n$minLine\n".getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench output must not die on an unwritable cwd
+    // auxiliary lines first (may be tail-truncated; that's fine)
+    println(runsLine)
+    println(writesLine)
+    println(minLine)
     // headline LAST and short: this is the line the harness parses
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)}}""")
     spark.stop()
   }
 }

@@ -432,13 +432,31 @@ object SparkEntry {
     // composition.
     "q51_corpus_curation" -> ((s, dir) => {
       val t = col("text")
-      val scored = Dedup.dropExactDuplicates(Tables.documents(s, dir))
+      // Score and filter BEFORE dedup: exact-duplicate groups share
+      // identical text, hence identical scores, so the quality filter
+      // keeps or drops a whole group together and min-id per group is
+      // unchanged — filter-then-dedup is bit-for-bit dedup-then-filter
+      // (same oracle SQL), and it shrinks what gets persisted.
+      val scored = Tables.documents(s, dir)
         .withColumn("quality", TextAnalysis.qualityScore(t))
         .withColumn("lang_pred", TextAnalysis.langId(t))
         .withColumn("n_tokens", TextAnalysis.tokenCount(t))
         .filter(col("quality") >= 0.5)
-      graft.text.Contamination.decontaminate(
-        scored.select("doc_id", "text", "lang_pred", "quality", "n_tokens"))
+        .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE FileScan of documents total (plan-pinned): dedup's
+      // aggregate + join-back and decontamination's three passes
+      // (bench grams, dirty ids, anti-join) all read cached blocks —
+      // at 100 TB the triple re-scan of the corpus was the dominant
+      // avoidable I/O in this composition. The deduped stage is
+      // persisted too so decon's three passes don't recompute the
+      // semi-join; `scored` is released once deduped is materialized
+      // (eviction degrades to recompute-from-files, never wrong).
+      val deduped = Dedup.dropExactDuplicates(scored)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      deduped.count()
+      scored.unpersist()
+      graft.text.Contamination.decontaminate(deduped)
         .select("doc_id", "lang_pred", "quality", "n_tokens")
     }),
 
@@ -920,23 +938,32 @@ object SparkEntry {
     TableIO(s, s.conf.get(whKey))
   }
 
-  /** The events table as a file STREAM with `ts` converted from the
-    * on-disk nanos-long to a timestamp — shared source setup of the
-    * streaming rows (q48 ingest, q61 windows). The file stream source
-    * wants a DIRECTORY: a Spark-written table IS one (part files
-    * inside events.parquet/); the harness testdata is a single FILE,
-    * so stream its parent glob-filtered to the one table.
+  /** The events table as a file STREAM with `ts` normalized to
+    * TimestampType — shared source setup of the streaming rows (q48
+    * ingest, q61 windows). Mirrors Tables.events' type-drift branch:
+    * a long scan is the legacy nanos fixture, an NTZ scan is the
+    * current micros fixture (cast is instant-preserving under the UTC
+    * session). The file stream source wants a DIRECTORY: a
+    * Spark-written table IS one (part files inside events.parquet/);
+    * the harness testdata is a single FILE, so stream its parent
+    * glob-filtered to the one table.
     */
   private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evPath = s"$dir/events.parquet"
-    val schema = s.read.parquet(evPath).schema // ts arrives as nanos-long
+    val schema = s.read.parquet(evPath).schema
     val raw =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evPath)))
         s.readStream.schema(schema).parquet(evPath)
       else
         s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** DuckDB-equivalent SQL per query (same column names/types). */

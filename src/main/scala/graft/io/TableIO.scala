@@ -1462,6 +1462,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       staged.map { p =>
         val target = dataRoot.resolve(staging.relativize(p))
         Files.createDirectories(target.getParent)
+        TableIO.filesWritten.incrementAndGet()
+        TableIO.bytesWritten.addAndGet(try Files.size(p) catch { case _: java.io.IOException => 0L })
         Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         target.toAbsolutePath.normalize.toString
       }.sorted
@@ -1549,6 +1551,16 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 object TableIO {
   def apply(spark: SparkSession, warehouse: String): TableIO =
     new TableIO(spark, TableCatalog(warehouse))
+
+  /** Process-wide write audit: data files (and their bytes) moved into
+    * tables by `stageWrite` since JVM start. Bench snapshots the
+    * counters around each query to attribute bench-time variance to
+    * write volume (the r11 verdict's q52 ask: files/bytes written must
+    * reach the bench artifact so many-small-file sensitivity on slow
+    * storage is measurable, not inferred).
+    */
+  val filesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-table (canonical path) write mutex shared by every TableIO
     * instance in the JVM — see `write`. A Semaphore, not a monitor:

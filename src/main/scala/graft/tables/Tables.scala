@@ -19,15 +19,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = read(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = read(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = read(spark, d, "lineitem")
-  /** The events table stores INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and truncate to
-    * micros (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast).
+  /** The events table's `ts` column has shipped as both INT64
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects) and as
+    * plain TIMESTAMP(MICROS) without UTC adjustment (scanned as
+    * TIMESTAMP_NTZ). Normalize both to TimestampType by branching on
+    * the scanned type: a LongType scan means the nanosAsLong legacy
+    * path is active, so truncate nanos to micros (matching DuckDB's
+    * TIMESTAMP_NS -> TIMESTAMP cast); an NTZ scan is cast to
+    * TimestampType (the session timezone is pinned to UTC in
+    * SessionFactory, so the instant is the same wall-clock value).
+    * Downstream consumers (unix_micros, watermarks, session_window)
+    * then always see one type regardless of fixture vintage.
+    * (reference: IngestionJob.scala:62 timestamp-column handling)
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(spark, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")

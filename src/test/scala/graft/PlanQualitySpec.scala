@@ -162,6 +162,22 @@ class PlanQualitySpec extends SparkSpec {
       s"bench/dirty sides are small by construction — joins must broadcast:\n$p")
   }
 
+  test("corpus curation (q51) scans the documents files once — fan-out reads cached blocks") {
+    // The composition fans out into dedup (agg + join-back) and
+    // decontamination (bench grams, dirty ids, anti-join) — five
+    // consumers of the corpus. Persisting the scored frame means the
+    // EXECUTED plan reads documents from InMemoryTableScan everywhere;
+    // the lone FileScan lives inside the cached relation's build plan.
+    val df = SparkEntry.queries("q51_corpus_curation")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+    val memScans = p.split("InMemoryTableScan").length - 1
+    assert(memScans >= 1, s"curation fan-out must read cached blocks:\n$p")
+    assert(fileScans <= memScans,
+      s"documents must not be re-read from files per consumer ($fileScans file scans):\n$p")
+  }
+
   test("time travel (q45) is pure snapshot scans — no shuffle, no join") {
     val df = SparkEntry.queries("q45_time_travel")(spark, sfDir)
     val p = plan(df)
