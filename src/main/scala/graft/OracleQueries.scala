@@ -1002,7 +1002,61 @@ object OracleQueries {
         |UNION ALL
         |SELECT n.n_nationkey, n.n_name AS nation_name, r.r_name AS region_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |WHERE n.n_nationkey >= 13""".stripMargin
+        |WHERE n.n_nationkey >= 13""".stripMargin,
+
+    // winnowing (SWA rolling-hash) fingerprint selection: word
+    // trigrams hashed with the portable 60-bit md5 prefix, window w=4
+    // minima, sorted distinct per doc, exploded. Mirrors
+    // TextAnalysis.winnowSelectSql stage for stage; DuckDB
+    // generate_series(1, n<1) is empty so the gram CASE is only needed
+    // for the empty-hash window stage (list_min of an empty slice
+    // would inject NULL).
+    "q73_winnow_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWordToks AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |    i -> array_to_string(ts[i:i+2], ' ')) AS grams
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, list_transform(grams,
+         |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN hs
+         |    ELSE list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - 3, 1)),
+         |      i -> list_min(hs[i:i+3])))) END AS fp
+         |  FROM h)
+         |SELECT doc_id, unnest(fp) AS fp_hash FROM sel""".stripMargin,
+
+    // shared-winnow-hash candidate pairs with the deterministic
+    // df <= 50 boilerplate mask
+    "q74_winnow_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWordToks AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |    i -> array_to_string(ts[i:i+2], ' ')) AS grams
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, list_transform(grams,
+         |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+         |  FROM g),
+         |fp AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(hs) = 0 THEN hs
+         |    ELSE list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - 3, 1)),
+         |      i -> list_min(hs[i:i+3])))) END) AS fp_hash
+         |  FROM h),
+         |rare AS (
+         |  SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) <= 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a
+         |JOIN rare r ON a.fp_hash = r.fp_hash
+         |JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */
@@ -1018,6 +1072,10 @@ object OracleQueries {
 
   private def duckShingles: String =
     "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"
+
+  /** The shared word tokenizer (TextAnalysis.wordTokensSql parity). */
+  private def duckWordToks: String =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
 
   private def duckTok: String =
     """len(regexp_extract_all(text, '\S+'))"""

@@ -915,7 +915,20 @@ object SparkEntry {
       io.read("default.view_clicks")
         .select(col("view_id"), col("click_id"), col("user_id"),
           col("view_ts"), col("click_ts"))
-    })
+    }),
+
+    // Winnowing (rolling-hash) document fingerprints — the MOSS
+    // selection scheme as one codegen'd projection; deterministic
+    // substring-match detection, the complement of MinHash's
+    // probabilistic whole-doc similarity (q12/q13).
+    "q73_winnow_fingerprint" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+
+    // Clone/boilerplate candidate pairs by shared winnow hashes, with
+    // the deterministic df<=maxDf boilerplate mask bounding every
+    // join bucket.
+    "q74_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir)))
   )
 
   private def tempDir(prefix: String): String =

@@ -95,6 +95,87 @@ object TextAnalysis {
   def fingerprint(t: Column): Column =
     md5(lower(regexp_replace(t, "[^a-zA-Z0-9 ]", "")))
 
+  /** Winnowing fingerprint (the Schleimer–Wilkerson–Aiken rolling-hash
+    * scheme, the MOSS document-fingerprinting algorithm): hash every
+    * word `k`-gram, slide a window of `w` consecutive gram hashes, and
+    * select each window's minimum — the sorted distinct selected
+    * hashes are the document's fingerprint. The winnowing guarantee:
+    * two documents sharing any token run of length >= w + k - 1 share
+    * at least one selected hash, so fingerprint overlap is a
+    * DETERMINISTIC substring-match detector (vs MinHash/LSH's
+    * probabilistic whole-document similarity) — the standard tool for
+    * clone/boilerplate detection in a training corpus.
+    *
+    * Portability: the gram hash is the first 60 bits of md5, the same
+    * engine-portable construction as PortableMinHash, so a DuckDB
+    * oracle reproduces the selection bit for bit. Density: ~2/(w+1)
+    * of grams are selected, so the fingerprint is ~3x smaller than
+    * the gram set at the defaults.
+    *
+    * Plan shape: one shuffle-free codegen'd projection — the
+    * tokenizer, gram builder, and hash/window/min passes are nested
+    * `transform(array(x), v -> ...)` let-bindings (the repetitionStats
+    * idiom) so each stage is computed once per row. Note Spark's
+    * `sequence(1, n)` DESCENDS when n < 1, so both short-circuit CASEs
+    * are required, not defensive.
+    */
+  def winnowSelectSql(textCol: String, k: Int = 3, w: Int = 4): String =
+    s"""transform(array(${wordTokensSql(textCol)}), ts ->
+       |  transform(array(CASE WHEN size(ts) >= $k
+       |      THEN transform(sequence(1, size(ts) - ${k - 1}),
+       |             i -> concat_ws(' ', slice(ts, i, $k)))
+       |      ELSE slice(ts, 1, 0) END), g ->
+       |    transform(array(transform(g, x ->
+       |        CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))), hs ->
+       |      CASE WHEN size(hs) = 0 THEN hs
+       |      ELSE array_sort(array_distinct(transform(
+       |        sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+       |        i -> array_min(slice(hs, i, $w))))) END)[0])[0])[0]""".stripMargin
+
+  /** Per-document winnowing fingerprints, exploded to (id, fp_hash)
+    * rows — the join-ready shape (documents with fewer than `k` tokens
+    * have no grams, hence no rows, matching the oracle's unnest).
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+                         k: Int = 3, w: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(expr(winnowSelectSql(textCol, k, w))).as("fp_hash"))
+
+  /** Candidate near-dup/clone pairs by shared winnowing fingerprints:
+    * pairs of documents sharing >= 1 selected hash, with the shared
+    * count as the match-strength signal. Hashes whose document
+    * frequency exceeds `maxDf` are dropped first — corpus-wide
+    * boilerplate (license headers, navigation chrome) would otherwise
+    * pair every document carrying it, the classic O(bucket^2) blow-up.
+    * The cap is a DETERMINISTIC df threshold (not a sampling cap), so
+    * an exact SQL oracle reproduces it; it is also the principled
+    * choice — a gram shared by hundreds of documents identifies
+    * boilerplate, not provenance.
+    *
+    * Scale shape: fingerprints are ~2/(w+1) of grams per doc; the df
+    * aggregate map-side combines on fp_hash; the self-join shuffles
+    * both sides on fp_hash with every bucket bounded by maxDf, so
+    * worst-case pair fan-out per hash is maxDf^2/2 — linear overall,
+    * no all-pairs anywhere.
+    */
+  def winnowCandidatePairs(docs: org.apache.spark.sql.DataFrame,
+                           k: Int = 3, w: Int = 4, maxDf: Int = 50,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val fp = winnowFingerprints(docs, k, w, textCol, idCol)
+    val rare = fp.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp_hash")
+    val kept = fp.join(rare, Seq("fp_hash"), "left_semi")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Corpus vocabulary: top-k lowercased word tokens by total
     * frequency, with document frequency.
     *

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Winnowing fingerprints (q73/q74): the SWA selection guarantee, edge
+  * cases, and the scale-critical plan shapes.
+  */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+  private val w = 4
+
+  private def fingerprints(docs: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.winnowFingerprints(docs, k, w)
+
+  test("winnowing guarantee: docs sharing a token run of length >= w+k-1 share a hash") {
+    // shared run of exactly w+k-1 = 6 words, embedded in different contexts
+    val shared = "quick brown foxes jump over rivers"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four five $shared six seven")
+    ).toDF("doc_id", "text")
+    val fp = fingerprints(docs)
+    val common = fp.filter($"doc_id" === 1L).select("fp_hash")
+      .intersect(fp.filter($"doc_id" === 2L).select("fp_hash"))
+    assert(common.count() >= 1, "w+k-1 shared tokens must yield a shared selected hash")
+  }
+
+  test("identical docs produce identical fingerprint sets; disjoint docs share nothing") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door today"),
+      (2L, "the cat sat on the mat near the door today"),
+      (3L, "completely different words everywhere nothing matches here at all")
+    ).toDF("doc_id", "text")
+    val fp = fingerprints(docs)
+    val s1 = fp.filter($"doc_id" === 1L).select("fp_hash").as[Long].collect().sorted.toSeq
+    val s2 = fp.filter($"doc_id" === 2L).select("fp_hash").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    val s3 = fp.filter($"doc_id" === 3L).select("fp_hash").as[Long].collect().toSet
+    assert(s1.toSet.intersect(s3).isEmpty)
+  }
+
+  test("docs with fewer than k tokens produce no fingerprint rows") {
+    val docs = Seq((1L, "only two"), (2L, ""), (3L, "   "), (4L, "one two three")).toDF("doc_id", "text")
+    val got = fingerprints(docs).select("doc_id").distinct().as[Long].collect().toSet
+    assert(got == Set(4L), s"only the k-token doc fingerprints: $got")
+  }
+
+  test("density: selection keeps a strict subset of gram hashes for long docs") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val nSel = fingerprints(docs).count()
+    val nGrams = 200 - k + 1
+    assert(nSel < nGrams, s"winnowing must thin the gram set ($nSel vs $nGrams)")
+    // expected density ~ 2/(w+1); allow generous slack for distinct-collapse
+    assert(nSel <= nGrams * 2 / (w + 1) + w, s"density way off: $nSel of $nGrams")
+  }
+
+  test("candidate pairs: shared-run docs pair up; the df mask prunes boilerplate pairing") {
+    val boiler = "copyright license terms apply to this whole document entirely always"
+    // 8 docs all carrying the same boilerplate, otherwise disjoint
+    val boilerDocs = (1L to 8L).map(i => (i, s"unique$i words$i here$i $boiler"))
+    val twins = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+                    (101L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"))
+    val docs = (boilerDocs ++ twins).toDF("doc_id", "text")
+    def pairsAt(maxDf: Int): Set[(Long, Long)] =
+      TextAnalysis.winnowCandidatePairs(docs, k, w, maxDf)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val unmasked = pairsAt(1000)
+    val masked = pairsAt(4)
+    assert(masked.contains((100L, 101L)), s"twins must pair: $masked")
+    // unmasked: every boilerplate doc pairs with every other (28 pairs)
+    assert(unmasked.count { case (a, b) => a <= 8L && b <= 8L } == 28, s"$unmasked")
+    // the df<=4 mask kills every hash selected in all 8 docs; only
+    // boundary-context selections (a boilerplate gram selected in <=4
+    // docs because each doc's unique prefix shifts its window minima)
+    // can still pair — correct SWA behavior, and necessarily far
+    // sparser than all-pairs
+    val residue = masked.count { case (a, b) => a <= 8L && b <= 8L }
+    assert(residue < 28 / 2, s"df mask must prune most boilerplate pairs, got $residue: $masked")
+    assert(masked.subsetOf(unmasked), "mask must only remove pairs")
+  }
+
+  test("q73 plan: one shuffle-free codegen projection") {
+    val df = SparkEntry.queries("q73_winnow_fingerprint")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"fingerprinting must not shuffle:\n$p")
+  }
+
+  test("q74 plan: no cartesian/all-pairs node; join stays equi-join on fp_hash") {
+    val df = SparkEntry.queries("q74_winnow_pairs")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"pair generation must not go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"pair join must stay equi-join:\n$p")
+  }
+}
