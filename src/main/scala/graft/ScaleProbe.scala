@@ -32,7 +32,8 @@ object ScaleProbe {
     "q07_top_pairs", "q12_dedup_minhash", "q13_dedup_neardup",
     "q40_dedup_clusters", "q48_stream_ingest", "q51_corpus_curation",
     "q54_decontaminate_bloom", "q55_incremental_dedup", "q56_incremental_embedding_dedup",
-    "q57_incremental_curation", "q58_fuzzy_dedup_corpus")
+    "q57_incremental_curation", "q58_fuzzy_dedup_corpus",
+    "q73_winnow_fingerprint", "q74_winnow_pairs", "q75_winnow_clusters")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -928,7 +928,13 @@ object SparkEntry {
     // the deterministic df<=maxDf boilerplate mask bounding every
     // join bucket.
     "q74_winnow_pairs" -> ((s, dir) =>
-      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir)))
+      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir))),
+
+    // Deterministic clone clusters: q74's pair graph at >=2 shared
+    // hashes collapsed by the shared min-label CC engine (q40's loop,
+    // extracted) — every document labeled with its component min.
+    "q75_winnow_clusters" -> ((s, dir) =>
+      Dedup.winnowClusters(Tables.documents(s, dir)))
   )
 
   private def tempDir(prefix: String): String =

@@ -417,7 +417,6 @@ object Dedup {
       idCol: String = "doc_id",
       maxIters: Int = 20
   ): DataFrame = {
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tStart = System.nanoTime()
     // the eager pair set (the expensive LSH+verify job): materialized
@@ -428,8 +427,87 @@ object Dedup {
     val matPairs = nearDuplicates(docs, threshold, textCol, idCol,
       releaseOnMaterialize = true)
     val nPairs = matPairs.count() // already materialized — cache read
+    log.info(s"nearDupClusters: pairs=$nPairs pairGenMs=${(System.nanoTime() - tStart) / 1000000L}")
+    val out = clusterFromPairs(docs, matPairs.select(col("id_a"), col("id_b")),
+      idCol, maxIters, "nearDupClusters")
+    matPairs.unpersist()
+    out
+  }
+
+  /** Min-label-propagation connected components over an explicit
+    * (id_a, id_b) pair frame — the CC engine behind [[nearDupClusters]]
+    * (MinHash pairs) and [[winnowClusters]] (rolling-hash fingerprint
+    * pairs). `pairs` should be cheap to re-read (materialized or a
+    * cache-backed frame): the edge set is consumed by the seed
+    * aggregate and every propagation round. All the loop mechanics
+    * documented on [[nearDupClusters]] — seed convergence, 2-rounds-
+    * per-check, eager localCheckpoint lineage truncation — live here.
+    */
+  /** Pair-count ceiling for the driver union-find fast path: 2M pairs
+    * collect as ~32 MB of longs — the same bounded-driver-round-trip
+    * class as trainCentroids' nlist x dim collect. Above it, the
+    * distributed loop runs.
+    */
+  private[graft] val MaxDriverPairs = 2000000L
+
+  private[graft] def clusterFromPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIters: Int,
+      logLabel: String,
+      driverPairLimit: Long = MaxDriverPairs // tests pass 0 to force the distributed loop
+  ): DataFrame = {
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tPairs = System.nanoTime()
-    val pairs = matPairs.select("id_a", "id_b")
+    // SCALE-ADAPTIVE STRATEGY (the AQE idea applied to CC): the pair
+    // set is already materialized in both callers, so its count is a
+    // cache read — when it is driver-bounded AND the id is integral,
+    // a union-find with path compression labels the whole graph in
+    // O(pairs a(pairs)) on the driver, replacing an O(diameter)-round
+    // distributed loop whose per-round cost is 3 shuffles + an eager
+    // checkpoint (measured: q75's 11-round chain graph spent 10 s in
+    // the loop at sf0.1 for 8k pairs). The distributed loop remains
+    // the 100 TB path: a pair graph can exceed any driver bound
+    // (union-by-min keeps root = component min, so both paths produce
+    // IDENTICAL labels — oracle-pinned either way).
+    val longId = docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (longId && pairs.count() <= driverPairLimit) {
+      val edgeRows = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.getOrDefault(x, x)
+          parent.put(x, parent.getOrDefault(p, p)) // path halving
+          x = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edgeRows.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val labelRows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      edgeRows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        labelRows += ((a, find(a))); labelRows += ((b, find(b)))
+      }
+      val labelsLocal = labelRows.distinct
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val labels = labelsLocal.toSeq.toDF("doc_id", "label")
+      val result = docs.select(col(idCol).as("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .persist(storage)
+      result.count()
+      log.info(s"$logLabel: driver union-find pairs=${edgeRows.length} " +
+        s"labeled=${labelsLocal.size} ms=${(System.nanoTime() - tPairs) / 1000000L}")
+      return result
+    }
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // seed: label = min(id, min neighbor id) — one aggregate over the
@@ -456,20 +534,34 @@ object Dedup {
       .select(col("id"), least(col("id"), col("__nbr")).as("label"))
       .localCheckpoint(true)
     // one propagation round: per-vertex min of neighbor labels folded
-    // into the current label (monotone decreasing); the changed flag
-    // rides in the same select — comparing a round to its predecessor
-    // costs no extra join
+    // into the current label, then POINTER-HALVING — fold in the
+    // label's own label (label(v) is in v's component, so
+    // label(label(v)) is too: still a reachable min, monotone
+    // decreasing, correctness unchanged). Plain neighbor-min needs
+    // O(diameter) rounds, which truncates at maxIters on long
+    // duplicate CHAINS (the winnowing pair graph's natural shape —
+    // q75 measured 11 rounds on the sf0.1 fixture); halving doubles
+    // the hop distance folded per round, O(log diameter) — the
+    // classic shortcutting step of distributed CC (cf. the
+    // large-star/small-star algorithm). Cost: one extra equi-join of
+    // the label frame against itself (one row per vertex — small next
+    // to the edge join). The changed flag rides in the final select.
     def propagate(cur: DataFrame, withChanged: Boolean): DataFrame = {
       val nbrMin = edges
         .join(cur, edges("id_a") === cur("id"))
         .groupBy(col("id_b").as("id")).agg(min("label").as("nbr"))
-      val base = cur.withColumnRenamed("label", "old")
+      val folded = cur.withColumnRenamed("label", "old")
         .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("mid"))
+      val lut = folded.select(col("id").as("mid"), col("mid").as("__mid2"))
+      val halved = folded.join(lut, Seq("mid"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("mid"), coalesce(col("__mid2"), col("mid"))).as("label"))
       val sel =
-        Seq(col("id"), least(col("old"), coalesce(col("nbr"), col("old"))).as("label")) ++
-          (if (withChanged) Seq((coalesce(col("nbr"), col("old")) < col("old")).as("__changed"))
-           else Nil)
-      base.select(sel: _*)
+        Seq(col("id"), col("label")) ++
+          (if (withChanged) Seq((col("label") < col("old")).as("__changed")) else Nil)
+      halved.select(sel: _*)
     }
     var converged = false
     var it = 0
@@ -497,10 +589,8 @@ object Dedup {
     val tLoop = System.nanoTime()
     if (!converged)
       log.warn(
-        s"nearDupClusters exited after $it rounds WITHOUT converging " +
+        s"$logLabel exited after $it rounds WITHOUT converging " +
           s"(a duplicate chain longer than maxIters=$maxIters); cluster ids are partial")
-    matPairs.unpersist()
-    val tUnp = System.nanoTime()
     // every document: clustered ones get their component min, the rest
     // themselves — materialized so every intermediate can be released
     val result = docs.select(col(idCol).as("doc_id"))
@@ -513,11 +603,39 @@ object Dedup {
     // generation, label propagation, and the finalize join is the
     // first thing a regression hunt needs (cf. SCALE.md)
     def ms(a: Long, b: Long): Long = (b - a) / 1000000L
-    log.info(s"nearDupClusters: pairs=$nPairs rounds=$it " +
-      s"pairGenMs=${ms(tStart, tPairs)} seedMs=${ms(tPairs, tSeed)} " +
-      s"loopMs=${ms(tSeed, tLoop)} unpersistMs=${ms(tLoop, tUnp)} " +
-      s"resultMs=${ms(tUnp, tCount)} tailMs=${ms(tCount, System.nanoTime())}")
+    log.info(s"$logLabel: rounds=$it " +
+      s"seedMs=${ms(tPairs, tSeed)} loopMs=${ms(tSeed, tLoop)} " +
+      s"resultMs=${ms(tLoop, tCount)} tailMs=${ms(tCount, System.nanoTime())}")
     result
+  }
+
+  /** Deterministic clone clusters over the winnowing-fingerprint pair
+    * graph: [[graft.text.TextAnalysis.winnowCandidatePairs]] at
+    * `minShared` match strength, collapsed by the same min-label CC
+    * engine as the MinHash path. Where q40's clusters are
+    * "probably-similar whole documents", these are "provably share a
+    * token run of >= w+k-1 words, >= minShared times" — the shape that
+    * catches templated/boilerplate families and partial clones.
+    * Returns (doc_id, cluster_id) for EVERY document.
+    */
+  def winnowClusters(
+      docs: DataFrame,
+      minShared: Int = 2,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val matPairs = graft.text.TextAnalysis
+      .winnowCandidatePairs(docs, k, w, maxDf, textCol, idCol, releaseOnMaterialize = true)
+    val pairs = matPairs
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val out = clusterFromPairs(docs, pairs, idCol, maxIters, "winnowClusters")
+    matPairs.unpersist()
+    out
   }
 
   /** Pre-scatter for CPU-bound per-row stages (signatures, decode).

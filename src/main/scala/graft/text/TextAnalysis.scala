@@ -162,18 +162,40 @@ object TextAnalysis {
   def winnowCandidatePairs(docs: org.apache.spark.sql.DataFrame,
                            k: Int = 3, w: Int = 4, maxDf: Int = 50,
                            textCol: String = "text",
-                           idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val fp = winnowFingerprints(docs, k, w, textCol, idCol)
+                           idCol: String = "doc_id",
+                           releaseOnMaterialize: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The fingerprint projection is the expensive stage (higher-order
+    // functions are CodegenFallback — interpreted per row) and it has
+    // FOUR consumers here: the df aggregate, the mask semi-join, and
+    // both self-join sides. Persist it once — measured 4x on q74/q75
+    // wall time at sf0.1 (~5 s/recompute on 5k docs). The cached rows
+    // are (id, hash): ~2/(w+1) of the gram count, a tiny fraction of
+    // the corpus text — cacheable at 100 TB where the text is not.
+    val fp = winnowFingerprints(docs, k, w, textCol, idCol).persist(storage)
     val rare = fp.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp_hash")
     val kept = fp.join(rare, Seq("fp_hash"), "left_semi")
-    kept.as("a")
+    val out = kept.as("a")
       .join(kept.as("b"),
         col("a.fp_hash") === col("b.fp_hash") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // nearDuplicates' cache discipline (Dedup.scala): by default the
+    // signature cache stays registered for the session (clearCache or
+    // unpersist between calls in a long-lived driver); with
+    // releaseOnMaterialize the pair set is computed eagerly, the
+    // signature cache released, and the MATERIALIZED pairs returned —
+    // unpersist() on them leaves the session cache-clean.
+    if (!releaseOnMaterialize) out
+    else {
+      val mat = out.persist(storage)
+      mat.count()
+      fp.unpersist()
+      mat
+    }
   }
 
   /** Corpus vocabulary: top-k lowercased word tokens by total

@@ -84,6 +84,41 @@ class WinnowSpec extends SparkSpec {
     assert(masked.subsetOf(unmasked), "mask must only remove pairs")
   }
 
+  test("winnowClusters: transitive closure over the pair graph; singletons self-label") {
+    // A and C share nothing directly, but both share a long run with B
+    val runAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val runBC = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"start $runAB finish unrelated words here"),
+      (2L, s"$runAB middle $runBC"),
+      (3L, s"other prefix $runBC trailing bits"),
+      (9L, "completely standalone document with unique content only")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.winnowClusters(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"A~B~C must collapse to the component min: $got")
+    assert(got(9L) == 9L, s"singleton labels itself: $got")
+  }
+
+  test("CC driver union-find and distributed loop label identically (chains + clique + singleton)") {
+    // a 6-chain (diameter stresses the loop), a 3-clique, and isolates
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (20L, 22L), (21L, 22L)
+    ).toDF("id_a", "id_b")
+    val docs = ((10L to 15L) ++ (20L to 22L) ++ Seq(99L)).toDF("doc_id")
+    def run(limit: Long) = graft.dedup.Dedup
+      .clusterFromPairs(docs, pairs, "doc_id", maxIters = 20, "spec", driverPairLimit = limit)
+      .as[(Long, Long)].collect().toMap
+    val driver = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(driver == distributed, s"paths disagree:\n$driver\nvs\n$distributed")
+    assert((10L to 15L).forall(driver(_) == 10L), s"chain collapses to min: $driver")
+    assert((20L to 22L).forall(driver(_) == 20L), s"clique collapses to min: $driver")
+    assert(driver(99L) == 99L)
+  }
+
   test("q73 plan: one shuffle-free codegen projection") {
     val df = SparkEntry.queries("q73_winnow_fingerprint")(spark, "/root/testdata/sf0.001")
     df.collect()
