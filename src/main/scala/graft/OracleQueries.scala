@@ -1094,7 +1094,48 @@ object OracleQueries {
          |SELECT doc.doc_id,
          |  CAST(least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS BIGINT) AS cluster_id
          |FROM documents doc LEFT JOIN r ON r.s = doc.doc_id
-         |GROUP BY doc.doc_id""".stripMargin
+         |GROUP BY doc.doc_id""".stripMargin,
+
+    // winnow-dedup corpus: q75's clusters reduced to the min-id
+    // representative (a doc survives iff its component min is itself)
+    "q76_winnow_dedup_corpus" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $duckWordToks AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |    i -> array_to_string(ts[i:i+2], ' ')) AS grams
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, list_transform(grams,
+         |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+         |  FROM g),
+         |fp AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(hs) = 0 THEN hs
+         |    ELSE list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - 3, 1)),
+         |      i -> list_min(hs[i:i+3])))) END) AS fp_hash
+         |  FROM h),
+         |rare AS (
+         |  SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) <= 50),
+         |p AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS d
+         |  FROM fp a
+         |  JOIN rare rr ON a.fp_hash = rr.fp_hash
+         |  JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+         |r(s, d) AS (
+         |  SELECT s, d FROM e
+         |  UNION
+         |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+         |lab AS (
+         |  SELECT doc.doc_id,
+         |    least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS cluster_id
+         |  FROM documents doc LEFT JOIN r ON r.s = doc.doc_id
+         |  GROUP BY doc.doc_id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+         |WHERE lab.doc_id = lab.cluster_id""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -934,7 +934,13 @@ object SparkEntry {
     // hashes collapsed by the shared min-label CC engine (q40's loop,
     // extracted) — every document labeled with its component min.
     "q75_winnow_clusters" -> ((s, dir) =>
-      Dedup.winnowClusters(Tables.documents(s, dir)))
+      Dedup.winnowClusters(Tables.documents(s, dir))),
+
+    // The winnow-deduplicated corpus: min-id representative per clone
+    // cluster, keep-set semi-join (the rolling-hash twin of q58).
+    "q76_winnow_dedup_corpus" -> ((s, dir) =>
+      Dedup.winnowDedupCorpus(Tables.documents(s, dir))
+        .select("doc_id", "lang", "source"))
   )
 
   private def tempDir(prefix: String): String =

@@ -638,6 +638,28 @@ object Dedup {
     out
   }
 
+  /** The winnow-deduplicated corpus: one representative (the min-id
+    * member == cluster_id by construction) per clone cluster — the
+    * rolling-hash twin of [[fuzzyDedupCorpus]], same keep-set
+    * semi-join shape.
+    */
+  def winnowDedupCorpus(
+      docs: DataFrame,
+      minShared: Int = 2,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val clusters = winnowClusters(docs, minShared, k, w, maxDf, textCol, idCol)
+    val keep = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+      .localCheckpoint(true)
+    clusters.unpersist()
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Pre-scatter for CPU-bound per-row stages (signatures, decode).
     * Semantics: `Some(n)` ALWAYS repartitions to n (explicit caller
     * intent — force a fan-out or bound per-task memory); `Some(0)`

@@ -101,6 +101,18 @@ class WinnowSpec extends SparkSpec {
     assert(got(9L) == 9L, s"singleton labels itself: $got")
   }
 
+  test("winnowDedupCorpus keeps exactly the min-id member of each clone cluster") {
+    val runAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (5L, s"first variant $runAB with trailing content"),
+      (2L, s"second variant $runAB and different trailing words"),
+      (9L, "completely standalone document with unique content only today")
+    ).toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup.winnowDedupCorpus(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L), s"min-id per cluster plus singletons: $kept")
+  }
+
   test("CC driver union-find and distributed loop label identically (chains + clique + singleton)") {
     // a 6-chain (diameter stresses the loop), a 3-clique, and isolates
     val pairs = Seq(
