@@ -1135,7 +1135,26 @@ object OracleQueries {
          |  GROUP BY doc.doc_id)
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN lab ON d.doc_id = lab.doc_id
-         |WHERE lab.doc_id = lab.cluster_id""".stripMargin
+         |WHERE lab.doc_id = lab.cluster_id""".stripMargin,
+
+    // catalog introspection reduced to deterministic values: a fresh
+    // drop+overwrite leaves exactly one snapshot, files exist, row and
+    // declared-column counts match the source projections
+    "q77_catalog_introspection" ->
+      """SELECT 'nation' AS table_name, CAST(1 AS BIGINT) AS n_snapshots,
+        |  TRUE AS has_files, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(3 AS BIGINT) AS n_cols
+        |FROM nation
+        |UNION ALL
+        |SELECT 'region', CAST(1 AS BIGINT), TRUE, CAST(count(*) AS BIGINT),
+        |  CAST(2 AS BIGINT)
+        |FROM region""".stripMargin,
+
+    // existence guard before/after a create + count() actions
+    "q78_existence_counts" ->
+      """SELECT FALSE AS before_exists, TRUE AS after_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nation_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS region_rows""".stripMargin
   )
 
   /** DuckDB fragments shared by the document-corpus oracles. */

@@ -940,7 +940,48 @@ object SparkEntry {
     // cluster, keep-set semi-join (the rolling-hash twin of q58).
     "q76_winnow_dedup_corpus" -> ((s, dir) =>
       Dedup.winnowDedupCorpus(Tables.documents(s, dir))
-        .select("doc_id", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+
+    // S7 as an ORACLE ROW (was spec-only): the catalog introspection
+    // surface — SHOW TABLES through the DSv2 catalog, the .snapshots /
+    // .files metadata tables, declared-schema width — reduced to
+    // deterministic values. Tables are dropped and recreated so the
+    // row is stable under repeat runs in one session.
+    "q77_catalog_introspection" -> ((s, dir) => {
+      val cname = "gmq"
+      val io = catalogIO(s, cname, "graft_introspect_")
+      Seq("nation_meta", "region_meta").foreach(t => io.catalog.dropTable(s"default.$t"))
+      io.overwrite(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")), "default.nation_meta")
+      io.overwrite(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name")), "default.region_meta")
+      val shown = s.sql(s"SHOW TABLES IN $cname.default").collect()
+        .map(_.getString(1)).filter(_.endsWith("_meta")).sorted
+      import s.implicits._
+      shown.toSeq.map { t =>
+        val snaps = s.sql(s"SELECT count(*) FROM $cname.default.`$t`.snapshots").head().getLong(0)
+        val files = s.sql(s"SELECT count(*) FROM $cname.default.`$t`.files").head().getLong(0)
+        val nRows = io.read(s"default.$t").count()
+        (t.stripSuffix("_meta"), snaps, files > 0L, nRows,
+          io.read(s"default.$t").schema.size.toLong)
+      }.toDF("table_name", "n_snapshots", "has_files", "n_rows", "n_cols")
+    }),
+
+    // S6 + A5 as an ORACLE ROW (were spec-only): the existence guard
+    // observed before/after a create, plus count() actions on two
+    // scans, folded into one deterministic row.
+    "q78_existence_counts" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_exist_"))
+      io.catalog.dropTable("default.guard_probe")
+      val before = io.tableExists("default.guard_probe")
+      io.append(Tables.region(s, dir).select(col("r_regionkey")), "default.guard_probe")
+      val after = io.tableExists("default.guard_probe")
+      val nNation = Tables.nation(s, dir).count()
+      val nRegion = Tables.region(s, dir).count()
+      import s.implicits._
+      Seq((before, after, nNation, nRegion))
+        .toDF("before_exists", "after_exists", "nation_rows", "region_rows")
+    })
   )
 
   private def tempDir(prefix: String): String =
