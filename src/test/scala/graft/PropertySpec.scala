@@ -120,4 +120,35 @@ class PropertySpec extends SparkSpec {
     assert(est(sigs(1L), sigs(2L)) == 1.0)
     assert(est(sigs(1L), sigs(3L)) < 0.2)
   }
+
+  test("winnow selection ⊆ gram hashes, and shared w+k-1 runs collide, for random docs") {
+    // driver-side reference of the portable gram hash (first 60 bits
+    // of md5 — the exact construction winnowSelectSql evaluates)
+    def gramHashes(ts: Seq[String]): Set[Long] =
+      if (ts.size < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }.toSet
+    val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st", "uv", "wx")
+    val docGen = Gen.listOfN(30, word)
+    forAllSampled(Gen.zip(docGen, docGen, Gen.listOfN(6, word))) { case (da, db, run) =>
+      // a shared run of exactly w + k - 1 = 6 tokens, spliced into
+      // different positions of two otherwise-random docs
+      val ta = da.take(12) ++ run ++ da.drop(12)
+      val tb = db.take(7) ++ run ++ db.drop(7)
+      val docs = Seq((1L, ta.mkString(" ")), (2L, tb.mkString(" "))).toDF("doc_id", "text")
+      val fp = graft.text.TextAnalysis.winnowFingerprints(docs)
+        .as[(Long, Long)].collect()
+      val fa = fp.collect { case (1L, h) => h }.toSet
+      val fb = fp.collect { case (2L, h) => h }.toSet
+      // soundness: every selected hash IS a gram hash of its document
+      assert(fa.subsetOf(gramHashes(ta)), "selection must be a subset of doc 1's gram hashes")
+      assert(fb.subsetOf(gramHashes(tb)), "selection must be a subset of doc 2's gram hashes")
+      // the winnowing guarantee: the shared run spans one full window
+      // (4 consecutive grams) in BOTH docs, whose min is selected in both
+      assert(fa.intersect(fb).nonEmpty, s"shared 6-token run must collide: run=$run")
+    }
+  }
 }
