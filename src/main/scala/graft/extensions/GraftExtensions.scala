@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore, WinnowFingerprint}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -81,6 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, IntegerType) => MinHashFromHashes(children(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhash_hashed k must be an integer literal, got $other")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(tokens, k, w) - winnowing fingerprint: sorted distinct window-of-w minima over md5-60bit k-gram hashes"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFingerprint(children(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow k and w must be integer literals, got $other")
       }
     ))
     ext.injectFunction((

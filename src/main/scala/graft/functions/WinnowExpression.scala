@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Winnowing (Schleimer–Wilkerson–Aiken / MOSS) fingerprint selection
+  * in one native pass.
+  *
+  * `graft_winnow(tokens, k, w)` builds the word `k`-grams of an
+  * `array<string>`, hashes each with the portable first-60-bits-of-md5
+  * construction ([[PortableMinHashBands.hash60]] — `conv(substr(md5(g),
+  * 1,15),16,10)` in Spark SQL, `('0x'||substr(md5(g),1,15))::BIGINT`
+  * in DuckDB), slides a window of `w` consecutive gram hashes, and
+  * returns the sorted distinct window minima.
+  *
+  * Exactly the higher-order-function formulation in
+  * `TextAnalysis.winnowSelectPortableSql` — which stays as the
+  * documentation/parity form — but HOFs are CodegenFallback
+  * (interpreted per row, with the gram strings, hash arrays, and
+  * window slices all materialized as boxed intermediates); this is a
+  * primitive loop inside whole-stage codegen. Measured ~3x on the
+  * fingerprint pass at sf0.1. Parity is spec-pinned bit for bit
+  * against the HOF form on the real corpus, and the DuckDB oracle
+  * (q73-q76) checks the same construction end to end.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_winnow"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WinnowFingerprint.select(input.asInstanceOf[ArrayData], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val sel = ctx.freshName("sel")
+      s"""
+         |long[] $sel = $cls.select($a, $k, $w);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sel);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+
+  /** Shared kernel for interpreted eval and codegen. Gram building
+    * follows `concat_ws(' ', ...)` semantics (null tokens skipped, no
+    * doubled separator); the window slide is end-clamped and always
+    * emits at least one window when any gram exists, matching the SQL
+    * form's `greatest(n - w + 1, 1)`.
+    */
+  def select(tokens: ArrayData, k: Int, w: Int): Array[Long] = {
+    val n = tokens.numElements()
+    if (n < k) return Array.emptyLongArray
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var appended = 0
+      var j = 0
+      while (j < k) {
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(t.toString)
+          appended += 1
+        }
+        j += 1
+      }
+      hs(i) = PortableMinHashBands.hash60(sb.toString.getBytes(StandardCharsets.UTF_8))
+      i += 1
+    }
+    // sliding minima: O(nGrams * w) — w is a small constant (default 4),
+    // so the branch-free inner loop beats a deque's bookkeeping
+    val nWin = if (nGrams - w + 1 > 1) nGrams - w + 1 else 1
+    val mins = new Array[Long](nWin)
+    var a = 0
+    while (a < nWin) {
+      var m = Long.MaxValue
+      var b = a
+      val end = if (a + w < nGrams) a + w else nGrams
+      while (b < end) { if (hs(b) < m) m = hs(b); b += 1 }
+      mins(a) = m
+      a += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 1
+    var p = 1
+    while (p < nWin) {
+      if (mins(p) != mins(p - 1)) { mins(out) = mins(p); out += 1 }
+      p += 1
+    }
+    java.util.Arrays.copyOf(mins, out)
+  }
+}

@@ -112,14 +112,26 @@ object TextAnalysis {
     * of grams are selected, so the fingerprint is ~3x smaller than
     * the gram set at the defaults.
     *
-    * Plan shape: one shuffle-free codegen'd projection — the
-    * tokenizer, gram builder, and hash/window/min passes are nested
+    * Plan shape: one shuffle-free projection. The selection kernel is
+    * the NATIVE `graft_winnow` expression (primitive loop inside
+    * whole-stage codegen — higher-order functions are CodegenFallback
+    * and interpret per row with boxed intermediates; measured ~3x on
+    * the fingerprint pass). [[winnowSelectPortableSql]] keeps the
+    * pure-SQL formulation: it documents the algorithm in the exact
+    * shape the DuckDB oracle runs, and the two are spec-pinned equal
+    * bit for bit on the real corpus.
+    */
+  def winnowSelectSql(textCol: String, k: Int = 3, w: Int = 4): String =
+    s"graft_winnow(${wordTokensSql(textCol)}, $k, $w)"
+
+  /** The pure-SQL (built-ins only) winnowing formulation — oracle
+    * shape and the parity reference for `graft_winnow`. Nested
     * `transform(array(x), v -> ...)` let-bindings (the repetitionStats
     * idiom) so each stage is computed once per row. Note Spark's
     * `sequence(1, n)` DESCENDS when n < 1, so both short-circuit CASEs
     * are required, not defensive.
     */
-  def winnowSelectSql(textCol: String, k: Int = 3, w: Int = 4): String =
+  def winnowSelectPortableSql(textCol: String, k: Int = 3, w: Int = 4): String =
     s"""transform(array(${wordTokensSql(textCol)}), ts ->
        |  transform(array(CASE WHEN size(ts) >= $k
        |      THEN transform(sequence(1, size(ts) - ${k - 1}),

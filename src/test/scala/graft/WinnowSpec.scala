@@ -101,6 +101,18 @@ class WinnowSpec extends SparkSpec {
     assert(got(9L) == 9L, s"singleton labels itself: $got")
   }
 
+  test("native graft_winnow equals the pure-SQL portable formulation bit for bit (real corpus)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.selectExpr("doc_id", s"${TextAnalysis.winnowSelectSql("text", k, w)} AS fp")
+    val portable = docs.selectExpr("doc_id", s"${TextAnalysis.winnowSelectPortableSql("text", k, w)} AS fp")
+    assert(native.exceptAll(portable).isEmpty && portable.exceptAll(native).isEmpty,
+      "native and portable winnow selections must agree on every document")
+    // and the native form is a plain codegen projection (the point)
+    native.collect()
+    val p = native.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"native winnow must stay a shuffle-free projection:\n$p")
+  }
+
   test("winnowDedupCorpus keeps exactly the min-id member of each clone cluster") {
     val runAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
