@@ -55,30 +55,43 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprint {
 
-  /** Shared kernel for interpreted eval and codegen. Gram building
-    * follows `concat_ws(' ', ...)` semantics (null tokens skipped, no
-    * doubled separator); the window slide is end-clamped and always
-    * emits at least one window when any gram exists, matching the SQL
-    * form's `greatest(n - w + 1, 1)`.
+  /** Shared kernel for interpreted eval and codegen.
+    *
+    * Null/EMPTY tokens are dropped in-kernel before gram building:
+    * the SQL tokenizer is `filter(split(lower(t), '[^a-z0-9]+'),
+    * x -> length(x) > 0)`, but `filter` is a higher-order function —
+    * CodegenFallback — and ANY fallback expression in a projection
+    * ejects the whole projection from whole-stage codegen. Accepting
+    * the raw `split()` output (codegen'd) and compacting here keeps
+    * the entire stage fused. The compacted sequence is exactly the
+    * filtered token sequence, so results are identical (spec-pinned
+    * against the pure-SQL form).
+    *
+    * The window slide is end-clamped and always emits at least one
+    * window when any gram exists, matching the SQL form's
+    * `greatest(n - w + 1, 1)`.
     */
   def select(tokens: ArrayData, k: Int, w: Int): Array[Long] = {
-    val n = tokens.numElements()
-    if (n < k) return Array.emptyLongArray
-    val nGrams = n - k + 1
+    val nRaw = tokens.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](nRaw)
+    var m = 0
+    var r = 0
+    while (r < nRaw) {
+      val t = tokens.getUTF8String(r)
+      if (t != null && t.numBytes > 0) { toks(m) = t; m += 1 }
+      r += 1
+    }
+    if (m < k) return Array.emptyLongArray
+    val nGrams = m - k + 1
     val hs = new Array[Long](nGrams)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < nGrams) {
       sb.setLength(0)
-      var appended = 0
       var j = 0
       while (j < k) {
-        val t = tokens.getUTF8String(i + j)
-        if (t != null) {
-          if (appended > 0) sb.append(' ')
-          sb.append(t.toString)
-          appended += 1
-        }
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j).toString)
         j += 1
       }
       hs(i) = PortableMinHashBands.hash60(sb.toString.getBytes(StandardCharsets.UTF_8))

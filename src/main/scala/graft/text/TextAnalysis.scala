@@ -122,7 +122,11 @@ object TextAnalysis {
     * bit for bit on the real corpus.
     */
   def winnowSelectSql(textCol: String, k: Int = 3, w: Int = 4): String =
-    s"graft_winnow(${wordTokensSql(textCol)}, $k, $w)"
+    // raw split(), NOT wordTokensSql: the filter() HOF there is
+    // CodegenFallback and would eject the whole projection from
+    // whole-stage codegen — graft_winnow drops empty tokens in-kernel
+    // instead (identical token sequence, spec-pinned)
+    s"graft_winnow(split(lower($textCol), '[^a-z0-9]+'), $k, $w)"
 
   /** The pure-SQL (built-ins only) winnowing formulation — oracle
     * shape and the parity reference for `graft_winnow`. Nested

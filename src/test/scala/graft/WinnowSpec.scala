@@ -107,10 +107,14 @@ class WinnowSpec extends SparkSpec {
     val portable = docs.selectExpr("doc_id", s"${TextAnalysis.winnowSelectPortableSql("text", k, w)} AS fp")
     assert(native.exceptAll(portable).isEmpty && portable.exceptAll(native).isEmpty,
       "native and portable winnow selections must agree on every document")
-    // and the native form is a plain codegen projection (the point)
+    // and the native form stays INSIDE whole-stage codegen (the point:
+    // the HOF form is CodegenFallback; feeding graft_winnow the raw
+    // split() keeps the projection fused)
     native.collect()
     val p = native.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"native winnow must stay a shuffle-free projection:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("graft_winnow") && l.trim.startsWith("*")),
+      s"graft_winnow projection must be whole-stage-codegen fused:\n$p")
   }
 
   test("winnowDedupCorpus keeps exactly the min-id member of each clone cluster") {
