@@ -177,9 +177,14 @@ object OracleQueries {
          |WHERE rn <= 3""".stripMargin,
 
     // ---- training-data pipeline extensions ----
-    // (q28 is centroid-defined and intentionally has no oracle entry
-    //  -> driver records the weaker rows-only check; it is pinned by
-    //  quantitative specs instead.)
+
+    // approximate-ANN oracles: the LSH planes (q20) and IVF training
+    // (q28) are built from portable md5 hashes and exact-integer
+    // means, so the full candidate generation replays in SQL and the
+    // ranking hash-matches (the recall specs in EventsSimilaritySpec
+    // stay as the quality gate).
+    "q20_ann_lsh" -> q20AnnLshSql,
+    "q28_ann_ivf" -> q28AnnIvfSql,
 
     // portable minhash: first-60-bits-of-md5 shingle hash ('0x'-cast
     // here, conv(,16,10) on the Spark side), double-hashed mod 2^31-1
@@ -1156,6 +1161,109 @@ object OracleQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nation_rows,
         |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS region_rows""".stripMargin
   )
+
+  /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot
+    * products, sqrt-product denominator (q19/q27-proven parity).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Full SQL replay of Similarity.lshTopK at the q20 call site
+    * (nQueries=16, k=5, nPlanes=8, probeRadius=2, nTables=4, dim=64,
+    * seed=42). The plane coefficients are the portable md5
+    * construction of Similarity.planes (bit-identical doubles), the
+    * buckets the same sign-bit longs, the probes the same XOR masks;
+    * candidates dedupe then rank by exact cosine with the
+    * (cos DESC, vec_id ASC) tie-break.
+    */
+  private def q20AnnLshSql: String = {
+    val masks = (0L until 256L).filter(m => java.lang.Long.bitCount(m) <= 2)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT t, i, list(c ORDER BY d) AS p FROM (
+       |    SELECT t.t, i.i, d.d,
+       |      CAST(CAST(('0x' || substr(md5('plane:' || CAST(42 + t.t AS VARCHAR) || ':'
+       |          || CAST(i.i AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+       |        / 1152921504606846976.0 - 0.5 AS c
+       |    FROM range(4) t(t), range(8) i(i), range(64) d(d))
+       |  GROUP BY t, i),
+       |b AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_dot_product(pl.p, e.v) > 0
+       |      THEN (CAST(1 AS BIGINT) << pl.i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |pr AS (
+       |  SELECT b.vec_id AS q_id, b.t, xor(b.bucket, m.m) AS bucket
+       |  FROM b CROSS JOIN (SELECT CAST(unnest([${masks.mkString(", ")}]) AS BIGINT) AS m) m
+       |  WHERE b.vec_id < 16),
+       |cand AS (
+       |  SELECT DISTINCT pr.q_id, c.vec_id
+       |  FROM pr JOIN b c ON c.t = pr.t AND c.bucket = pr.bucket
+       |  WHERE c.vec_id <> pr.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id, ${duckCos("q.v", "c.v")} AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.vec_id)
+       |SELECT q_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+       |FROM scored
+       |QUALIFY rn <= 5""".stripMargin
+  }
+
+  /** Full SQL replay of Similarity.ivfTopK at the q28 call site
+    * (nQueries=16, k=5, nlist=16, nprobe=6, iters=2, sample cap 4096
+    * which exceeds the sf corpora, 1e-8 mean grid). Bootstrap = the 16
+    * lowest vec_ids; two unrolled Lloyd rounds with exact integer-grid
+    * means (the q68 parity rule); assignment/probing by exact cosine
+    * with (cos DESC, cell ASC) tie-breaks, matching withCell's
+    * array_position-of-max and ivfTopK's probe comparator.
+    */
+  private def q28AnnIvfSql: String = {
+    def assign(src: String, cents: String, rnCond: String): String =
+      s"""SELECT vec_id, v, cell FROM (
+         |    SELECT s.vec_id, s.v, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE $rnCond""".stripMargin
+    def lloyd(assigned: String, prev: String): String =
+      s"""SELECT p.cell, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         |      SELECT a.cell, r.pos,
+         |        (CAST(sum(CAST(round(a.v[r.pos + 1] * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |          / 100000000.0) / count(*) AS m
+         |      FROM $assigned a CROSS JOIN range(64) r(pos)
+         |      GROUP BY a.cell, r.pos) GROUP BY cell) m ON p.cell = m.cell""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |samp AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+       |  LIMIT 4096),
+       |a1 AS (${assign("samp", "c0", "rn = 1")}),
+       |c1 AS (${lloyd("a1", "c0")}),
+       |a2 AS (${assign("samp", "c1", "rn = 1")}),
+       |c2 AS (${lloyd("a2", "c1")}),
+       |corpus AS (${assign("e", "c2", "rn = 1")}),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, cell FROM (
+       |    SELECT s.vec_id, s.v, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 16) s CROSS JOIN c2 c) WHERE rn <= 6),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id, ${duckCos("p.qv", "c.v")} AS cos
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.q_id)
+       |SELECT q_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+       |FROM scored
+       |QUALIFY rn <= 5""".stripMargin
+  }
 
   /** DuckDB fragments shared by the document-corpus oracles. */
 

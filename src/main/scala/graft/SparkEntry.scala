@@ -310,7 +310,9 @@ object SparkEntry {
     "q19_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
         .select(col("q_id"), col("neighbor_id"), col("rn"))),
-    // LSH-bucketed approximate ANN (plane-seed-defined; rows-only check)
+    // LSH-bucketed approximate ANN — portable md5 planes, so the full
+    // bucket/probe/rank pipeline replays in the SQL oracle; recall
+    // floors stay pinned in EventsSimilaritySpec
     "q20_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
         .select(col("q_id"), col("neighbor_id"), col("rn"))),
@@ -383,7 +385,9 @@ object SparkEntry {
     "q30_vocab_topk" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), k = 100)),
 
-    // IVF-bucketed ANN (centroid-defined; rows-only check)
+    // IVF-bucketed ANN — portable md5 sample order + exact-grid Lloyd
+    // means, so training and probing replay in the SQL oracle; recall
+    // floors stay pinned in EventsSimilaritySpec
     "q28_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
         .select(col("q_id"), col("neighbor_id"), col("rn"))),

@@ -107,10 +107,27 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  /** Deterministic PORTABLE pseudo-random hyperplanes. Coefficient
+    * (plane i, dim d) = u - 0.5 with u = first-60-bits-of-
+    * md5("plane:<seed>:<i>:<d>") / 2^60 — the identical value DuckDB
+    * computes as `CAST(('0x'||substr(md5(...),1,15)) AS BIGINT)`
+    * (q12's portable-hash rule), so a SQL oracle rebuilds the planes
+    * bit-for-bit: int64->double conversion, the power-of-two divide
+    * and the subtraction are all exactly-specified IEEE ops. Symmetric
+    * iid uniform directions are a valid sign-LSH family (recall floors
+    * re-pinned in EventsSimilaritySpec after the switch from
+    * Gaussian).
+    */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    Seq.tabulate(nPlanes, dim) { (i, d) =>
+      h60(s"plane:$seed:$i:$d").toDouble / 1152921504606846976.0 - 0.5
+    }
   }
 
   /** Cell assignment against a fixed centroid list: `cell` = argmax
@@ -127,12 +144,21 @@ object Similarity {
   /** k-means-style centroids: deterministic bootstrap (the `nlist`
     * lowest vec_ids) refined by `iters` Lloyd rounds over a bounded,
     * deterministic pseudo-random sample (`nlist * samplePerCell`
-    * vectors picked by lowest xxhash64(vec_id) — a TakeOrdered, one
-    * O(corpus) scan, no full sort). Per-round recompute posexplodes
-    * only the sample and round-trips nlist x dim doubles through the
-    * driver — the same tiny collect-and-reenter idiom as the date
-    * dimension's min/max (`Dimensions.dateDim`). Training therefore
-    * costs O(sample) per round, independent of corpus size.
+    * vectors picked by lowest portable 60-bit md5 of vec_id — a
+    * TakeOrdered, one O(corpus) scan, no full sort). Per-round
+    * recompute posexplodes only the sample and round-trips nlist x dim
+    * doubles through the driver — the same tiny collect-and-reenter
+    * idiom as the date dimension's min/max (`Dimensions.dateDim`).
+    * Training therefore costs O(sample) per round, independent of
+    * corpus size.
+    *
+    * Every step is engine-portable, so a SQL oracle can replay
+    * training exactly (q28's oracle does): the sample order is the
+    * md5 hash DuckDB computes identically, and the per-cell mean is
+    * an exact integer sum on a 1e-8 grid (the q68/labelCentroids
+    * parity rule) rather than an order-sensitive double avg — which
+    * also makes training deterministic under Spark's own partition-
+    * order variation.
     */
   private[similarity] def trainCentroids(
       e: DataFrame,
@@ -144,17 +170,22 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     if (iters > 0) {
       val sample = e
-        .withColumn("__h", expr("xxhash64(vec_id)"))
-        .orderBy("__h").limit(nlist * samplePerCell)
+        .withColumn("__h",
+          expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
         .drop("__h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // Lloyd refinement: assign -> element-wise mean per cell (via
-        // posexplode so the mean is a plain hash aggregate) -> re-enter
+        // posexplode so the mean is a plain hash aggregate) -> re-enter.
+        // Mean = exact long sum on a 1e-8 grid / count: order-free and
+        // engine-portable (see scaladoc).
         (1 to iters).foreach { _ =>
           val dims = withCell(sample, centroids)
             .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-            .groupBy("cell", "pos").agg(avg("x").as("m"))
+            .groupBy("cell", "pos")
+            .agg(((sum(round(col("x") * lit(1e8)).cast("long")).cast("double") / lit(1e8))
+              / count(lit(1))).as("m"))
             .collect()
           val byCell = dims.groupBy(_.getAs[Long]("cell"))
           centroids = centroids.indices.map { c =>
