@@ -205,6 +205,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected distinct-expansion + group-key exchanges only:\n$p")
   }
 
+  test("events hourly (q17) is the canonical distinct-agg shape — one scan, JSON extraction map-side") {
+    val df = SparkEntry.queries("q17_events_hourly")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"hourly rollup must not join:\n$p")
+    val fin = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).length == 1, s"one events scan only:\n$p")
+    // count(DISTINCT user_id) needs the two-phase distinct expansion;
+    // anything beyond those two exchanges is a regression
+    assert("ShuffleQueryStage".r.findAllIn(p).length == 2,
+      s"expected distinct-expansion + group-key exchanges only:\n$p")
+    // get_json_object must be evaluated once, in the partial (map-side)
+    // aggregate before the first exchange — not re-parsed post-shuffle
+    // (merge_sum carries the name in its argument, so pin the partial)
+    assert(fin.contains("partial_sum(CASE WHEN (cast(get_json_object"),
+      s"JSON property extraction must fold into the map-side partial aggregate:\n$p")
+  }
+
   test("partition predicate prunes the scan to the matching partition's files (q52 / S4)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_pp_spec_").toString
     val io = graft.io.TableIO(spark, wh)
