@@ -13,14 +13,29 @@ object Bench {
     * would then land on a different victim each round. Sorted order
     * makes run-to-run and round-to-round numbers comparable.
     *
-    * Output contract: the harness keeps only the tail of this process's
-    * stdout, so the headline JSON must be (a) the LAST line we print and
-    * (b) short enough to survive tail-truncation. Timings are rounded to
-    * 4 decimals; auxiliary lines (raw per-run arrays, min-of-N) go on
-    * their own EARLIER lines so the headline stays ~1.1 KB. The
-    * "queries_runs" line carries every raw run (the r8 verdict's top
-    * ask: a query with min 2.6 s / median 10.9 s was undiagnosable from
-    * median+min alone).
+    * Box-health canaries (r11/r12 lesson: the driver box is shared and
+    * bursty — identical code swung 20x both directions):
+    *  - a full-size CPU canary + an IO canary at pass start, and a
+    *    CPU canary again at pass end, all in the headline — the
+    *    round-over-round comparable numbers;
+    *  - a SHORT CPU canary before EVERY timed run (~17 ms — the box
+    *    probe must not dominate the pass), persisted per query in the
+    *    runs file. r12's burst landed mid-pass on 3 queries while the
+    *    pass-start canaries read idle, so the headline looked clean;
+    *    per-run canaries make each timing individually attributable.
+    *  - queries whose runs were majority-contended (median per-run
+    *    canary > 2x the pass-best canary) are named in the headline's
+    *    "contended" list: medians are either clean or flagged.
+    *
+    * Output contract: the harness keeps only the tail (~1.9 KB) of this
+    * process's stdout, so the headline JSON must be (a) the LAST line
+    * printed and (b) short enough to survive tail-truncation — r12's
+    * full-name queries map alone overflowed the budget and cut the
+    * total. The headline therefore keys queries by their qNN prefix
+    * (~1.4 KB for 78 queries) and puts total/canaries at the END of the
+    * line (tails truncate the front); full-name medians, mins, raw
+    * per-run arrays and per-run canaries go on earlier lines and into
+    * `SPARK_GRAFT_RUNS_FILE` (committed by the builder).
     *
     * Failures are tracked out-of-band: a run that throws contributes no
     * timing; a query whose every run fails is excluded from
@@ -41,19 +56,16 @@ object Bench {
     // warm the JVM/scheduler so the first timed query doesn't absorb
     // first-job overhead (codegen compiler init, scheduler spin-up)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // Box-health canaries: a fixed CPU loop and a fixed small parquet
-    // write+read, timed and emitted in the headline. Turns "was the
-    // bench box contended?" from cross-round inference (r11: identical
-    // code swung 20x both directions) into a per-artifact measurement —
-    // canary times are code-independent, so any swing there is the box.
-    def cpuCanary(): Double = {
+    def cpuCanary(iters: Long): Double = {
       val t0 = System.nanoTime()
       var acc = 0L
       var i = 0L
-      while (i < 200000000L) { acc ^= i * 0x9e3779b97f4a7c15L; i += 1 }
+      while (i < iters) { acc ^= i * 0x9e3779b97f4a7c15L; i += 1 }
       if (acc == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    val FullCanaryIters = 200000000L // ~0.13 s idle — r10..r12 comparable
+    val RunCanaryIters = 25000000L // ~17 ms — cheap enough for every run
     def ioCanary(): Double = {
       val dir = java.nio.file.Files.createTempDirectory("graft-canary").toFile.getAbsolutePath
       val t0 = System.nanoTime()
@@ -64,7 +76,8 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       dt
     }
-    val canaryCpu = cpuCanary()
+    cpuCanary(RunCanaryIters); cpuCanary(RunCanaryIters) // JIT-warm the loop
+    val canaryCpu = cpuCanary(FullCanaryIters)
     val canaryIo = ioCanary()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // Per-run write audit (files/bytes staged into tables) rides along
@@ -103,28 +116,47 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    // Each element: (name, per-run (canary, timing-or-failure) pairs)
     val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> Seq.fill(runs)(timeOnce(fn)).flatten }
-    val timings = sampled.map { case (name, rs) => name -> rs.map(t => r4(t._1)) }
+      .map { case (name, fn) =>
+        name -> Seq.fill(runs)((cpuCanary(RunCanaryIters), timeOnce(fn)))
+      }
+    val canaryCpuEnd = cpuCanary(FullCanaryIters)
+    val timings = sampled.map { case (name, rs) =>
+      name -> rs.collect { case (_, Some(t)) => r4(t._1) }
+    }
+    val canaries = sampled.map { case (name, rs) => name -> rs.map(r => r4(r._1)) }
     // files/bytes are deterministic per query; keep the max across runs
     val writes = sampled
-      .map { case (name, rs) => name -> (if (rs.isEmpty) (0L, 0L) else (rs.map(_._2).max, rs.map(_._3).max)) }
+      .map { case (name, rs) =>
+        val oks = rs.flatMap(_._2)
+        name -> (if (oks.isEmpty) (0L, 0L) else (oks.map(_._2).max, oks.map(_._3).max))
+      }
       .filter { case (_, (f, _)) => f > 0L }
     val ok = timings.filter(_._2.nonEmpty)
     val failed = timings.collect { case (k, v) if v.isEmpty => k }.sorted
     val med = ok.map { case (k, v) => k -> r4(median(v)) }
     val mins = ok.map { case (k, v) => k -> r4(v.min) }
+    // A run is box-suspect when its canary is >2x the pass-best; a
+    // query's median is flagged when at least half its runs were
+    // suspect (median of canaries > 2x best).
+    val canaryBase = canaries.flatMap(_._2).min
+    val contended = canaries.collect {
+      case (k, cs) if median(cs) > 2.0 * canaryBase => k
+    }.sorted
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmtRuns(m: Iterable[(String, Seq[Double])]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def short(name: String): String = name.split('_').head
     val total = r4(med.map(_._2).sum)
-    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)}}"""
+    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)}}"""
     val writesLine = writes
       .map { case (k, (f, b)) => s"\"" + k + "\":{\"files\":" + f + ",\"bytes\":" + b + "}" }
       .mkString("""{"metric":"queries_writes","queries_writes":{""", ",", "}}")
+    val medLine = s"""{"metric":"queries_median","queries_median":${fmt(med)},"runs":$runs}"""
     val minLine = s"""{"metric":"queries_min","queries_min":${fmt(mins)},"failed":${fmtList(failed)},"runs":$runs}"""
     // The harness keeps only the tail of stdout, so the per-run arrays
     // the r8/r11 verdicts asked for never survived as an artifact.
@@ -134,14 +166,21 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(runsFile),
-        s"$runsLine\n$writesLine\n$minLine\n".getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // bench output must not die on an unwritable cwd
+        s"$runsLine\n$writesLine\n$medLine\n$minLine\n".getBytes("UTF-8"))
+    } catch {
+      // bench output must not die on an unwritable cwd, but a missing
+      // artifact has to be explained, not silent (r12 advice)
+      case e: Throwable => System.err.println(s"[bench] runs file write failed: $e")
+    }
     // auxiliary lines first (may be tail-truncated; that's fine)
     println(runsLine)
     println(writesLine)
+    println(medLine)
     println(minLine)
-    // headline LAST and short: this is the line the harness parses
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)}}""")
+    // Headline LAST: qNN-prefix keys keep it inside the tail budget,
+    // and total/canaries sit at line END so front-truncation can't eat
+    // them (full names: queries_median line + the runs file).
+    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"unit":"sec","value":$total}""")
     spark.stop()
   }
 }
