@@ -33,7 +33,10 @@ object ScaleProbe {
     "q40_dedup_clusters", "q48_stream_ingest", "q51_corpus_curation",
     "q54_decontaminate_bloom", "q55_incremental_dedup", "q56_incremental_embedding_dedup",
     "q57_incremental_curation", "q58_fuzzy_dedup_corpus",
-    "q73_winnow_fingerprint", "q74_winnow_pairs", "q75_winnow_clusters")
+    "q73_winnow_fingerprint", "q74_winnow_pairs", "q75_winnow_clusters",
+    // text-stats / tokenizer projections (r13: codegen-fusion audit)
+    "q15_text_stats", "q16_text_lang_summary", "q30_vocab_topk",
+    "q42_repetition_stats", "q70_doc_keywords")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

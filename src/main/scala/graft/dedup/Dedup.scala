@@ -443,12 +443,24 @@ object Dedup {
     * documented on [[nearDupClusters]] — seed convergence, 2-rounds-
     * per-check, eager localCheckpoint lineage truncation — live here.
     */
-  /** Pair-count ceiling for the driver union-find fast path: 2M pairs
-    * collect as ~32 MB of longs — the same bounded-driver-round-trip
-    * class as trainCentroids' nlist x dim collect. Above it, the
-    * distributed loop runs.
+  /** Pair-count ceiling for the driver union-find fast path — the same
+    * bounded-driver-round-trip class as trainCentroids' nlist x dim
+    * collect. Honest footprint at the cap: edges ship as primitive
+    * long arrays (2M pairs = 32 MB on the wire and on the driver — NOT
+    * boxed Rows), the label map is a java HashMap of <= 2 x 2M
+    * entries (~100-200 MB transient with Long boxing), and the label
+    * relation is only broadcast when small enough to be safe (below).
+    * Above the cap, the distributed loop runs.
     */
   private[graft] val MaxDriverPairs = 2000000L
+
+  /** Label-count ceiling for broadcasting the driver-computed label
+    * relation: 1.5M (id, label) rows ~= 24 MB as a local relation —
+    * an explicit broadcast() bypasses autoBroadcastJoinThreshold, so
+    * bound it here; larger label sets take whatever join strategy
+    * Catalyst picks (one shuffle of the slim id column).
+    */
+  private[graft] val MaxBroadcastLabels = 1500000
 
   private[graft] def clusterFromPairs(
       docs: DataFrame,
@@ -474,8 +486,16 @@ object Dedup {
     // IDENTICAL labels — oracle-pinned either way).
     val longId = docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
     if (longId && pairs.count() <= driverPairLimit) {
-      val edgeRows = pairs
-        .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+      // Ship edges as PRIMITIVE long arrays (one flat [a0,b0,a1,b1,..]
+      // per partition): 2M pairs = 32 MB, vs collect()'s boxed
+      // GenericRows at ~10x that (r12 advice).
+      val edgeChunks: Array[Array[Long]] = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .rdd.mapPartitions { it =>
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+          Iterator.single(buf.result())
+        }.collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -486,26 +506,43 @@ object Dedup {
         }
         x
       }
-      edgeRows.foreach { r =>
-        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      var nEdges = 0L
+      edgeChunks.foreach { chunk =>
+        var i = 0
+        while (i < chunk.length) {
+          val ra = find(chunk(i)); val rb = find(chunk(i + 1))
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+          i += 2; nEdges += 1
+        }
       }
-      val labelRows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-      edgeRows.foreach { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        labelRows += ((a, find(a))); labelRows += ((b, find(b)))
+      // One label per DISTINCT endpoint, deduped in the map itself —
+      // no boxed tuple buffer + .distinct copy (r12 advice).
+      val label = new java.util.HashMap[Long, Long]()
+      edgeChunks.foreach { chunk =>
+        var i = 0
+        while (i < chunk.length) {
+          val x = chunk(i)
+          if (!label.containsKey(x)) label.put(x, find(x))
+          i += 1
+        }
       }
-      val labelsLocal = labelRows.distinct
       val spark = docs.sparkSession
       import spark.implicits._
-      val labels = labelsLocal.toSeq.toDF("doc_id", "label")
+      val labelsLocal = new scala.collection.mutable.ArrayBuffer[(Long, Long)](label.size)
+      label.forEach((k, v) => labelsLocal += ((k, v)))
+      val labelsDf = labelsLocal.toSeq.toDF("doc_id", "label")
+      // Explicit broadcast() bypasses autoBroadcastJoinThreshold, so
+      // only force it under the documented bound; otherwise let
+      // Catalyst pick the strategy for the slim (id, label) relation.
+      val labels =
+        if (label.size <= MaxBroadcastLabels) broadcast(labelsDf) else labelsDf
       val result = docs.select(col(idCol).as("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left_outer")
+        .join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .persist(storage)
       result.count()
-      log.info(s"$logLabel: driver union-find pairs=${edgeRows.length} " +
-        s"labeled=${labelsLocal.size} ms=${(System.nanoTime() - tPairs) / 1000000L}")
+      log.info(s"$logLabel: driver union-find pairs=$nEdges " +
+        s"labeled=${label.size} ms=${(System.nanoTime() - tPairs) / 1000000L}")
       return result
     }
     val edges = pairs

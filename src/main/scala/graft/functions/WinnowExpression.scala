@@ -103,11 +103,11 @@ object WinnowFingerprint {
     val mins = new Array[Long](nWin)
     var a = 0
     while (a < nWin) {
-      var m = Long.MaxValue
+      var winMin = Long.MaxValue
       var b = a
       val end = if (a + w < nGrams) a + w else nGrams
-      while (b < end) { if (hs(b) < m) m = hs(b); b += 1 }
-      mins(a) = m
+      while (b < end) { if (hs(b) < winMin) winMin = hs(b); b += 1 }
+      mins(a) = winMin
       a += 1
     }
     java.util.Arrays.sort(mins)

@@ -181,11 +181,11 @@ object TextAnalysis {
                            idCol: String = "doc_id",
                            releaseOnMaterialize: Boolean = false): org.apache.spark.sql.DataFrame = {
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The fingerprint projection is the expensive stage (higher-order
-    // functions are CodegenFallback — interpreted per row) and it has
-    // FOUR consumers here: the df aggregate, the mask semi-join, and
-    // both self-join sides. Persist it once — measured 4x on q74/q75
-    // wall time at sf0.1 (~5 s/recompute on 5k docs). The cached rows
+    // The fingerprint projection has FOUR consumers here: the df
+    // aggregate, the mask semi-join, and both self-join sides —
+    // persist it once so the corpus is scanned and fingerprinted a
+    // single time (still material after the native graft_winnow kernel
+    // moved the projection into whole-stage codegen). The cached rows
     // are (id, hash): ~2/(w+1) of the gram count, a tiny fraction of
     // the corpus text — cacheable at 100 TB where the text is not.
     val fp = winnowFingerprints(docs, k, w, textCol, idCol).persist(storage)
