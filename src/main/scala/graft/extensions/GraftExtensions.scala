@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, ShingleHashes, TopKByScore, WinnowFingerprint}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TopKByScore, WinnowFingerprint}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -92,6 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_winnow k and w must be integer literals, got $other")
       }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repstats"),
+      info("graft_repstats", "graft_repstats(tokens) - repetition signals struct: n_tokens, n_types, type_token_ratio, dup_trigram_ratio, top_token_ratio"),
+      (children: Seq[Expression]) => RepetitionStats(children(0))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),

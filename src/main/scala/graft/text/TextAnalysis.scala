@@ -265,18 +265,17 @@ object TextAnalysis {
     * mark boilerplate and degenerate generations for removal before
     * training.
     *
-    * Plan shape: ONE projection over the scan, no shuffle — all
-    * signals are array expressions over the token vector. The
-    * `transform(array(tokens), ts -> ...)[0]` wrapper is a
-    * let-binding: it stops the optimizer from inlining the tokenizer
-    * into each consuming lambda, where interpreted higher-order
-    * functions would re-split the text once per signal. Top-token
-    * counting sorts the token vector once and takes the longest
-    * equal-adjacent run — O(n log n) per document (an earlier
-    * count-each-distinct-type formulation was O(types x tokens),
-    * quadratic on repetitive documents, the exact corpus shape this
-    * filter exists to catch). The max run count and size(ts) are the
-    * same exact integers either way, so the ratio is bit-identical.
+    * Plan shape: ONE projection over the scan, no shuffle. The
+    * signals come from the NATIVE `graft_repstats` kernel
+    * ([[graft.functions.RepetitionStats]]): one interning pass per
+    * document inside whole-stage codegen, trigram dedup over packed
+    * int-id triples with no per-trigram strings. The pure-HOF
+    * formulation it replaced ([[repetitionStatsPortableSql]]) is
+    * CodegenFallback — interpreted per row with every intermediate
+    * boxed — and is kept as the documentation/parity form,
+    * spec-pinned bit-identical on the real corpus. The kernel takes
+    * the raw `split()` output (codegen'd) and drops empty tokens
+    * itself, the same fusion trick as `graft_winnow`.
     */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame,
                       textCol: String = "text",
@@ -284,32 +283,47 @@ object TextAnalysis {
     docs
       .select(
         col(idCol),
-        expr(
-          s"""transform(array(${wordTokensSql(textCol)}), ts -> named_struct(
-             |  'n_tokens', CAST(size(ts) AS BIGINT),
-             |  'n_types', CAST(size(array_distinct(ts)) AS BIGINT),
-             |  'type_token_ratio',
-             |    CAST(size(array_distinct(ts)) AS DOUBLE) / greatest(size(ts), 1),
-             |  'dup_trigram_ratio', CASE WHEN size(ts) >= 3 THEN
-             |      1.0D - CAST(size(array_distinct(transform(sequence(1, size(ts) - 2),
-             |               i -> concat_ws(' ', slice(ts, i, 3))))) AS DOUBLE)
-             |           / (size(ts) - 2)
-             |    ELSE 0.0D END,
-             |  'top_token_ratio', CASE WHEN size(ts) > 0 THEN
-             |      CAST(aggregate(array_sort(ts),
-             |             named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-             |             (a, t) -> named_struct(
-             |               'prev', t,
-             |               'run',  IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L),
-             |               'best', greatest(a.best,
-             |                 IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L))),
-             |             a -> a.best) AS DOUBLE) / size(ts)
-             |    ELSE 0.0D END
-             |))[0]""".stripMargin).as("s"))
+        expr(s"graft_repstats(split(lower($textCol), '[^a-z0-9]+'))").as("s"))
       .select(col(idCol), col("s.n_tokens").as("n_tokens"), col("s.n_types").as("n_types"),
         col("s.type_token_ratio").as("type_token_ratio"),
         col("s.dup_trigram_ratio").as("dup_trigram_ratio"),
         col("s.top_token_ratio").as("top_token_ratio"))
+
+  /** The pure-SQL (built-ins only) repetition-signal formulation —
+    * parity reference for `graft_repstats`, in the exact shape the
+    * DuckDB oracle mirrors. The `transform(array(tokens), ts ->
+    * ...)[0]` wrapper is a let-binding: it stops the optimizer from
+    * inlining the tokenizer into each consuming lambda, where
+    * interpreted higher-order functions would re-split the text once
+    * per signal. Top-token counting sorts the token vector once and
+    * takes the longest equal-adjacent run — O(n log n) per document
+    * (a count-each-distinct-type formulation is O(types x tokens),
+    * quadratic on repetitive documents, the exact corpus shape this
+    * filter exists to catch). The max run count equals the native
+    * kernel's max interned frequency, so the ratio is bit-identical.
+    */
+  def repetitionStatsPortableSql(textCol: String): String =
+    s"""transform(array(${wordTokensSql(textCol)}), ts -> named_struct(
+       |  'n_tokens', CAST(size(ts) AS BIGINT),
+       |  'n_types', CAST(size(array_distinct(ts)) AS BIGINT),
+       |  'type_token_ratio',
+       |    CAST(size(array_distinct(ts)) AS DOUBLE) / greatest(size(ts), 1),
+       |  'dup_trigram_ratio', CASE WHEN size(ts) >= 3 THEN
+       |      1.0D - CAST(size(array_distinct(transform(sequence(1, size(ts) - 2),
+       |               i -> concat_ws(' ', slice(ts, i, 3))))) AS DOUBLE)
+       |           / (size(ts) - 2)
+       |    ELSE 0.0D END,
+       |  'top_token_ratio', CASE WHEN size(ts) > 0 THEN
+       |      CAST(aggregate(array_sort(ts),
+       |             named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |             (a, t) -> named_struct(
+       |               'prev', t,
+       |               'run',  IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L),
+       |               'best', greatest(a.best,
+       |                 IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L))),
+       |             a -> a.best) AS DOUBLE) / size(ts)
+       |    ELSE 0.0D END
+       |))[0]""".stripMargin
 
   /** Per-document keyword extraction: the TF-IDF shape with a
     * DETERMINISTIC integer ordering — rank tokens by term frequency

@@ -304,6 +304,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) == ((2L, 2L, 1.0, 0.0, 0.5)))
   }
 
+  test("native graft_repstats equals the pure-SQL portable formulation bit for bit (real corpus)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = TextAnalysis.repetitionStats(docs)
+    val portable = docs
+      .selectExpr("doc_id", s"${TextAnalysis.repetitionStatsPortableSql("text")} AS s")
+      .selectExpr("doc_id", "s.n_tokens AS n_tokens", "s.n_types AS n_types",
+        "s.type_token_ratio AS type_token_ratio",
+        "s.dup_trigram_ratio AS dup_trigram_ratio",
+        "s.top_token_ratio AS top_token_ratio")
+    assert(native.exceptAll(portable).isEmpty && portable.exceptAll(native).isEmpty,
+      "native and portable repetition signals must agree on every document")
+    // empty document edge: no tokens -> all-zero counts, 0.0 ratios
+    val empty = Seq((1L, ""), (2L, "   .,; ")).toDF("doc_id", "text")
+    val e = TextAnalysis.repetitionStats(empty).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    assert(e.forall(_ == ((0L, 0L, 0.0, 0.0, 0.0))), e.mkString(","))
+    // and the native form stays INSIDE whole-stage codegen, shuffle-free
+    native.collect()
+    val p = native.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repstats must stay a shuffle-free projection:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("graft_repstats") && l.contains("*(")),
+      s"graft_repstats projection must be whole-stage-codegen fused:\n$p")
+  }
+
   test("decontaminate drops exactly the corpus docs sharing a word 5-gram with the bench set") {
     // bucket membership is hash-defined — discover a bench id and
     // corpus ids empirically with the same portable bucket
