@@ -166,44 +166,45 @@ object SparkEntry {
     // Overlapping char-window chunking (RAG-style), 200 chars / 150 stride
     "q44_chunking" -> ((s, dir) =>
       graft.text.Packing.chunk(Tables.documents(s, dir))),
-    // Per-document text analysis: tokens, quality, language-ID, fingerprint
+    // Per-document text analysis: tokens, quality, language-ID,
+    // fingerprint. All counters come from ONE `graft_textcounts` scan
+    // (the composed regex form ran nine regex passes per document —
+    // kept in TextAnalysis as the parity reference); ratios and the
+    // argmax consume the struct fields with the same IEEE op order, so
+    // results are bit-identical. CollapseProject keeps the struct
+    // hoisted: it is non-cheap and referenced by every output column.
     "q15_text_stats" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.regexTokenCount(t).as("n_tokens_re"),
-        TextAnalysis.punctCount(t).as("n_punct"),
-        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-        TextAnalysis.avgTokenLen(t).as("avg_token_len"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.langId(t).as("lang_pred"),
-        TextAnalysis.fingerprint(t).as("fingerprint")
-      )
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t,
+          expr("graft_textcounts(text)").as("tc"), length(t).as("len"))
+        .select(
+          col("doc_id"),
+          col("tc.n_tok").as("n_tokens"),
+          col("tc.n_retok").as("n_tokens_re"),
+          col("tc.n_punct").as("n_punct"),
+          (col("tc.n_stop").cast("double") / col("tc.n_tok")).as("stopword_ratio"),
+          (col("tc.n_nonws").cast("double") / col("tc.n_tok")).as("avg_token_len"),
+          TextAnalysis.qualityFromCounts(
+            col("tc.n_tok"), col("tc.n_punct"), col("tc.n_stop"), col("len")).as("quality"),
+          TextAnalysis.langIdFromCounts(langs.map(l => l -> col(s"tc.c_$l"))).as("lang_pred"),
+          TextAnalysis.fingerprint(t).as("fingerprint")
+        )
     }),
     // Corpus rollup by predicted language (exact int sums, min/max
-    // quality). Marker/token/punct/stopword counts are materialized in
-    // one projection — each is referenced several times by the argmax
-    // chain and the quality formula, and inlined regex counts get
-    // re-evaluated per reference (measured 20x slower).
+    // quality). Same one-pass counter struct as q15 feeding the argmax
+    // chain and the quality formula.
     "q16_text_lang_summary" -> ((s, dir) => {
       val t = col("text")
       val langs = TextAnalysis.LangMarkers.map(_._1)
       Tables.documents(s, dir)
+        .select(expr("graft_textcounts(text)").as("tc"), length(t).as("len"))
         .select(
-          Seq(
-            TextAnalysis.tokenCount(t).as("n_tokens"),
-            TextAnalysis.punctCount(t).as("n_punct"),
-            TextAnalysis.stopwordCount(t).as("n_stop"),
-            length(t).as("len")
-          ) ++ TextAnalysis.LangMarkers.map { case (lang, p) =>
-            TextAnalysis.markerCount(t, p).as(s"c_$lang")
-          }: _*
-        )
-        .select(
-          TextAnalysis.langIdFromCounts(langs.map(l => l -> col(s"c_$l"))).as("lang_pred"),
-          col("n_tokens"),
-          TextAnalysis.qualityFromCounts(col("n_tokens"), col("n_punct"), col("n_stop"), col("len")).as("quality")
+          TextAnalysis.langIdFromCounts(langs.map(l => l -> col(s"tc.c_$l"))).as("lang_pred"),
+          col("tc.n_tok").as("n_tokens"),
+          TextAnalysis.qualityFromCounts(
+            col("tc.n_tok"), col("tc.n_punct"), col("tc.n_stop"), col("len")).as("quality")
         )
         .groupBy(col("lang_pred"))
         .agg(

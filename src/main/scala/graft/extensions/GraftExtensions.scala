@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TopKByScore, WinnowFingerprint}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_repstats"),
       info("graft_repstats", "graft_repstats(tokens) - repetition signals struct: n_tokens, n_types, type_token_ratio, dup_trigram_ratio, top_token_ratio"),
       (children: Seq[Expression]) => RepetitionStats(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_textcounts"),
+      info("graft_textcounts", "graft_textcounts(text) - one-pass token/punct/stopword/language-marker counters struct"),
+      (children: Seq[Expression]) => TextCounts(children(0))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),

@@ -328,6 +328,53 @@ class TextAnalysisSpec extends SparkSpec {
       s"graft_repstats projection must be whole-stage-codegen fused:\n$p")
   }
 
+  test("native graft_textcounts equals the nine-regex-pass formulation bit for bit") {
+    // real corpus plus adversarial edges: empty text, whitespace-only,
+    // punct-only, marker words at string edges, case sensitivity (\b
+    // patterns are case-sensitive: "The" != "the"), digits/underscore
+    // gluing (\b word chars: "the1"/"the_x" must NOT match), >4-char
+    // words sharing a marker prefix, CJK zh markers with no \b, and
+    // every \s class member as a separator
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val edges = Seq(
+      (9000001L, ""), (9000002L, " \t\n\f\r "), (9000003L, ".,;:!?"),
+      (9000004L, "the"), (9000005L, "the end of the line the"),
+      (9000006L, "The THE tHe the1 the_x _the x_the"),
+      (9000007L, "theory of and andes to toto und under"),
+      (9000008L, "el la de que der die und das le les et une"),
+      (9000009L, "的是了 mixed 的the是 ascii"),
+      (9000010L, "a1b2 12ab _a_ 9_9 a,b;c:d.e!f?g"),
+      (9000011L, "tab\tsep\nnewlinevt\fff\rcr end")
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionAll(edges)
+    val t = col("text")
+    val native = docs.select(col("doc_id"), expr("graft_textcounts(text)").as("tc"))
+      .select(col("doc_id"), col("tc.n_tok"), col("tc.n_retok"), col("tc.n_punct"),
+        col("tc.n_stop"), col("tc.n_nonws"), col("tc.c_en"), col("tc.c_es"),
+        col("tc.c_de"), col("tc.c_fr"), col("tc.c_zh"))
+    val regex = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tok"),
+      TextAnalysis.regexTokenCount(t).as("n_retok"),
+      TextAnalysis.punctCount(t).as("n_punct"),
+      TextAnalysis.stopwordCount(t).as("n_stop"),
+      length(regexp_replace(t, "\\s+", "")).as("n_nonws"),
+      TextAnalysis.markerCount(t, TextAnalysis.LangMarkers(0)._2).as("c_en"),
+      TextAnalysis.markerCount(t, TextAnalysis.LangMarkers(1)._2).as("c_es"),
+      TextAnalysis.markerCount(t, TextAnalysis.LangMarkers(2)._2).as("c_de"),
+      TextAnalysis.markerCount(t, TextAnalysis.LangMarkers(3)._2).as("c_fr"),
+      TextAnalysis.markerCount(t, TextAnalysis.LangMarkers(4)._2).as("c_zh"))
+    assert(native.exceptAll(regex).isEmpty && regex.exceptAll(native).isEmpty,
+      "one-pass counters must agree with the regex formulation on every document")
+    // and the kernel stays INSIDE whole-stage codegen, shuffle-free
+    native.collect()
+    val p = native.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"textcounts must stay a shuffle-free projection:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("graft_textcounts") && l.contains("*(")),
+      s"graft_textcounts projection must be whole-stage-codegen fused:\n$p")
+  }
+
   test("decontaminate drops exactly the corpus docs sharing a word 5-gram with the bench set") {
     // bucket membership is hash-defined — discover a bench id and
     // corpus ids empirically with the same portable bucket
