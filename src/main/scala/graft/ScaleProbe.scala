@@ -66,7 +66,7 @@ object ScaleProbe {
     val marker = Paths.get(simDir, "_SIM_DONE")
     val built = if (Files.exists(marker)) Files.readString(marker).trim else ""
     if (built != stamp) {
-      buildSim(spark, srcDir, simDir, dense = mode == "dense")
+      buildSim(spark, srcDir, simDir, mode)
       Files.writeString(marker, stamp)
     }
 
@@ -98,7 +98,8 @@ object ScaleProbe {
 
   private def shift(c: String, i: Int): Column = col(c) + lit(i.toLong * KeyStride)
 
-  private def buildSim(spark: SparkSession, src: String, dst: String, dense: Boolean): Unit = {
+  private def buildSim(spark: SparkSession, src: String, dst: String, mode: String): Unit = {
+    val dense = mode == "dense"
     // events stores INT64 TIMESTAMP(NANOS); read it as a raw long (the
     // sim writes plain INT64 nanos, which Tables.events' `ts div 1000`
     // conversion handles identically)
@@ -132,15 +133,33 @@ object ScaleProbe {
     // chains across copies — the regime that exposed the
     // exponential-lineage driver stall this round.
     val alpha = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
+    // mode=boiler (r13, VERDICT item 8): every document of EVERY copy
+    // gets the SAME un-ciphered boilerplate paragraph appended — the
+    // shared-license-header / navigation-chrome corpus shape. Its word
+    // k-grams appear in all Copies x nDocs documents, so WITHOUT the
+    // df <= maxDf mask the winnow self-join would put the whole corpus
+    // in one bucket (~50k^2/2 pairs at 10x); with it, every
+    // boilerplate gram is dropped by a deterministic corpus-wide
+    // threshold and pair volume must stay at the clean fixture's.
+    // (MinHash near-dup sees the same stress through its char-shingle
+    // buckets and the maxBucket cap.)
+    val boilerplate = " copyright 2024 the example corpus project all rights " +
+      "reserved redistribution and use in source and binary forms with or " +
+      "without modification are permitted provided that the following " +
+      "conditions are met see the license file for the full terms of use"
     write(replicate(raw("documents")) { (d, i) =>
       val remapped =
-        if (i == 0) d
-        else if (dense) d.withColumn("text",
+        if (dense && i > 0) d.withColumn("text",
           array_join(transform(split(col("text"), " "), t => concat(t, lit(s"_c$i"))), " "))
-          .withColumn("n_chars", length(col("text")).cast("long"))
+        else if (i == 0) d
         else d.withColumn("text",
           translate(col("text"), alpha, alpha.drop(i * 7 % alpha.length) + alpha.take(i * 7 % alpha.length)))
-      remapped.withColumn("doc_id", shift("doc_id", i))
+      val boiled =
+        if (mode == "boiler") remapped.withColumn("text", concat(col("text"), lit(boilerplate)))
+        else remapped
+      boiled
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("doc_id", shift("doc_id", i))
     }, "documents")
     // Per-copy SIGNED COORDINATE ROTATION (an orthogonal map): rotate
     // coordinates by 13*i and flip the sign of blocks of i+1 — exact
