@@ -436,16 +436,12 @@ object SparkEntry {
     // individually oracle-checked (q29/q15/q41), this row pins the
     // composition.
     "q51_corpus_curation" -> ((s, dir) => {
-      val t = col("text")
       // Score and filter BEFORE dedup: exact-duplicate groups share
       // identical text, hence identical scores, so the quality filter
       // keeps or drops a whole group together and min-id per group is
       // unchanged — filter-then-dedup is bit-for-bit dedup-then-filter
       // (same oracle SQL), and it shrinks what gets persisted.
-      val scored = Tables.documents(s, dir)
-        .withColumn("quality", TextAnalysis.qualityScore(t))
-        .withColumn("lang_pred", TextAnalysis.langId(t))
-        .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+      val scored = TextAnalysis.scoreDocuments(Tables.documents(s, dir))
         .filter(col("quality") >= 0.5)
         .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -635,14 +631,10 @@ object SparkEntry {
       val corpus = docs.filter(b10 < 8)
       val batch = docs.filter(b10 >= 8)
       io.overwrite(Dedup.signatureIndex(corpus).repartition(4), "default.cur_sig")
-      val t = col("text")
       val dedupB = Dedup.dropExactDuplicates(batch)
         .join(corpus.select(expr("md5(text)").as("__ch")).distinct(),
           expr("md5(text)") === col("__ch"), "left_anti")
-      val scored = dedupB
-        .withColumn("quality", TextAnalysis.qualityScore(t))
-        .withColumn("lang_pred", TextAnalysis.langId(t))
-        .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+      val scored = TextAnalysis.scoreDocuments(dedupB)
         .filter(col("quality") >= 0.5)
       val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
       val bench = graft.text.Contamination.benchGrams(docs)

@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column functions for large-scale document corpora:
   * token counting, quality scoring, language ID, fingerprinting.
   *
-  * Everything here is composed from built-in `functions._` (no UDFs),
-  * so the whole stage stays codegen'd and columnar — on a 100 TB
-  * corpus these run as a single projection over the scan with no
-  * shuffle and no JVM<->interpreter boundary.
+  * Zero UDFs anywhere. The composed forms here use built-in
+  * `functions._`; the HOT paths run on native one-pass kernels —
+  * [[graft.functions.TextCounts]] (`graft_textcounts`: all counters
+  * in one code-point scan, vs nine regex passes) and
+  * [[graft.functions.RepetitionStats]] (`graft_repstats`) — with the
+  * composed forms kept as spec-pinned parity references. Either way
+  * the whole stage stays codegen'd and columnar: on a 100 TB corpus
+  * these run as a single projection over the scan with no shuffle and
+  * no JVM<->interpreter boundary.
   */
 object TextAnalysis {
 
@@ -94,6 +99,27 @@ object TextAnalysis {
   /** Normalized content fingerprint (case/punctuation-insensitive). */
   def fingerprint(t: Column): Column =
     md5(lower(regexp_replace(t, "[^a-zA-Z0-9 ]", "")))
+
+  /** Adds `quality`, `lang_pred`, `n_tokens` to a document frame from
+    * ONE `graft_textcounts` scan — the shared scoring stage of the
+    * curation compositions (q51/q57). Bit-identical to the composed
+    * regex formulation ([[qualityScore]]/[[langId]]/[[tokenCount]],
+    * kept above as the parity reference): the counters are spec-pinned
+    * equal and the ratio/argmax formulas are the same Column
+    * expressions over them. CollapseProject keeps the struct hoisted
+    * (non-cheap, multiply referenced), so the kernel runs once per row.
+    */
+  def scoreDocuments(docs: org.apache.spark.sql.DataFrame,
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val langs = LangMarkers.map(_._1)
+    docs
+      .withColumn("__tc", expr(s"graft_textcounts($textCol)"))
+      .withColumn("quality", qualityFromCounts(
+        col("__tc.n_tok"), col("__tc.n_punct"), col("__tc.n_stop"), length(col(textCol))))
+      .withColumn("lang_pred", langIdFromCounts(langs.map(l => l -> col(s"__tc.c_$l"))))
+      .withColumn("n_tokens", col("__tc.n_tok"))
+      .drop("__tc")
+  }
 
   /** Winnowing fingerprint (the Schleimer–Wilkerson–Aiken rolling-hash
     * scheme, the MOSS document-fingerprinting algorithm): hash every
