@@ -102,4 +102,69 @@ class ExpressionPropertySpec extends SparkSpec {
       .map { case (s, a, b) => (s, a, b) }
     assert(got == expect, s"topk mismatch:\n got    $got\n expect $expect")
   }
+
+  test("property: graft_textcounts equals java.util.regex on random unicode-spiked text") {
+    // the kernel's parity claim is "bit-exact with the regex
+    // formulation BY CONSTRUCTION" — fuzz it with text drawn from the
+    // hostile alphabet: marker words, near-marker words, word chars
+    // glued to markers, every \s class member, ASCII punct, CJK
+    // markers, other multi-byte letters (é/ß/日), and digits
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+        "el", "la", "de", "que", "der", "die", "und", "das", "le", "les", "et", "une"),
+      Gen.oneOf("The", "THE", "thee", "anden", "off", "t0", "the1", "the_", "_the"),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  "),
+      Gen.oneOf(".", "!", "?", ",", ";", ":", "...", "?!"),
+      Gen.oneOf("的", "是", "了", "的是了", "的the", "是a了"),
+      Gen.oneOf("é", "ß", "日本", "naïve", "straße"),
+      Gen.oneOf("42", "3x", "x_9", "0", "a1b2c3"))
+    val text: Gen[String] =
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString)
+    val docs = samples(text, 400, seed = 31L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t = col("text")
+    val native = docs.select(col("doc_id"), expr("graft_textcounts(text)").as("tc"))
+      .select(col("doc_id"), col("tc.n_tok"), col("tc.n_retok"), col("tc.n_punct"),
+        col("tc.n_stop"), col("tc.n_nonws"), col("tc.c_en"), col("tc.c_es"),
+        col("tc.c_de"), col("tc.c_fr"), col("tc.c_zh"))
+    val regex = docs.select(
+      col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(t).as("n_tok"),
+      graft.text.TextAnalysis.regexTokenCount(t).as("n_retok"),
+      graft.text.TextAnalysis.punctCount(t).as("n_punct"),
+      graft.text.TextAnalysis.stopwordCount(t).as("n_stop"),
+      length(regexp_replace(t, "\\s+", "")).as("n_nonws"),
+      graft.text.TextAnalysis.markerCount(t, graft.text.TextAnalysis.LangMarkers(0)._2).as("c_en"),
+      graft.text.TextAnalysis.markerCount(t, graft.text.TextAnalysis.LangMarkers(1)._2).as("c_es"),
+      graft.text.TextAnalysis.markerCount(t, graft.text.TextAnalysis.LangMarkers(2)._2).as("c_de"),
+      graft.text.TextAnalysis.markerCount(t, graft.text.TextAnalysis.LangMarkers(3)._2).as("c_fr"),
+      graft.text.TextAnalysis.markerCount(t, graft.text.TextAnalysis.LangMarkers(4)._2).as("c_zh"))
+    val n = native.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val r = regex.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val diffs = n.keys.filter(k => n(k) != r(k)).toSeq.sorted
+    assert(diffs.isEmpty, diffs.take(3).map(k =>
+      s"doc $k: native=${n(k)} regex=${r(k)} text=${docs.filter(col("doc_id") === k).collect()(0).getString(1)}").mkString("\n"))
+  }
+
+  test("property: graft_repstats equals the HOF formulation on random token vectors") {
+    // degenerate shapes on purpose: empty docs, all-one-token docs
+    // (max repetition), high-dup vocabularies (small alphabet => many
+    // duplicate trigrams), singleton tokens
+    val token: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "ba", "x1", "zz", "q")
+    val doc: Gen[String] = Gen.frequency(
+      1 -> Gen.const(""),
+      1 -> Gen.chooseNum(1, 40).map(n => Seq.fill(n)("rep").mkString(" ")),
+      8 -> Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" ")))
+    val docs = samples(doc, 300, seed = 97L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = graft.text.TextAnalysis.repetitionStats(docs)
+    val hof = docs
+      .selectExpr("doc_id", s"${graft.text.TextAnalysis.repetitionStatsPortableSql("text")} AS s")
+      .selectExpr("doc_id", "s.n_tokens AS n_tokens", "s.n_types AS n_types",
+        "s.type_token_ratio AS type_token_ratio",
+        "s.dup_trigram_ratio AS dup_trigram_ratio",
+        "s.top_token_ratio AS top_token_ratio")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native and HOF repetition signals must agree on every random document")
+  }
 }
