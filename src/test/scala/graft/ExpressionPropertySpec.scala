@@ -117,6 +117,10 @@ class ExpressionPropertySpec extends SparkSpec {
       Gen.oneOf(".", "!", "?", ",", ";", ":", "...", "?!"),
       Gen.oneOf("的", "是", "了", "的是了", "的the", "是a了"),
       Gen.oneOf("é", "ß", "日本", "naïve", "straße"),
+      // supplementary plane (4-byte UTF-8, surrogate pairs in UTF-16):
+      // an emoji (non-letter -> word-run breaker, counts 1 in n_retok)
+      // and a math-alphanumeric letter (isLetterOrDigit -> word char)
+      Gen.oneOf("😀", "𝕏", "a😀b", "the𝕏"),
       Gen.oneOf("42", "3x", "x_9", "0", "a1b2c3"))
     val text: Gen[String] =
       Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString)
