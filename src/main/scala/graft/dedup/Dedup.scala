@@ -82,10 +82,7 @@ object Dedup {
     * b=4, r=4).
     */
   def withLshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    sigs.withColumn(
-      "bands",
-      expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))")
-    )
+    sigs.withColumn("bands", expr(s"graft_lsh_bands(minhash, $rowsPerBand)"))
 
   /** Candidate pairs from shared LSH buckets, with the MinHash-estimated
     * Jaccard. `maxBucket` bounds the per-bucket pair blowup (skew guard):
@@ -335,10 +332,10 @@ object Dedup {
     val base = scattered
       .withColumn("sh", expr(s"graft_shingle_hashes($textCol, $shingleN)"))
       .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
-      .withColumn(
-        "bands",
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
-      )
+      // native band kernel (bit-identical keys to the xxhash64 HOF
+      // form): transform() is CodegenFallback and would eject this
+      // whole CPU-heavy projection from whole-stage codegen
+      .withColumn("bands", expr(s"graft_lsh_bands(mh, $r)"))
       .select(col(idCol), col("sh"), size(col("sh")).as("n_sh"), col("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = base
@@ -742,8 +739,7 @@ object Dedup {
       .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
       .select(
         col(idCol), size(col("sh")).as("n_sh"),
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
-          .as("bands"))
+        expr(s"graft_lsh_bands(mh, $r)").as("bands"))
   }
 
   /** Near-duplicates of an incoming batch AGAINST an existing corpus,
@@ -785,8 +781,7 @@ object Dedup {
       .withColumn("mh", expr(s"graft_minhash_hashed(sh, $k)"))
       .select(
         col(idCol), col("sh"), size(col("sh")).as("n_sh"),
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))")
-          .as("bands"))
+        expr(s"graft_lsh_bands(mh, $r)").as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batchBase.count()
     val newBuckets = batchBase

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, LshBands, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_repstats"),
       info("graft_repstats", "graft_repstats(tokens) - repetition signals struct: n_tokens, n_types, type_token_ratio, dup_trigram_ratio, top_token_ratio"),
       (children: Seq[Expression]) => RepetitionStats(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bands"),
+      info("graft_lsh_bands", "graft_lsh_bands(sig, r) - LSH band keys: xxhash64-compatible hash of each r-wide signature slice"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(r: Int, IntegerType) => LshBands(children(0), r)
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_bands r must be an integer literal, got $other")
+      }
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_textcounts"),

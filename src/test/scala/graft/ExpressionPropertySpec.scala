@@ -103,6 +103,23 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(got == expect, s"topk mismatch:\n got    $got\n expect $expect")
   }
 
+  test("property: graft_lsh_bands equals the xxhash64 HOF formulation on random signatures") {
+    // band keys must be BIT-identical to transform(sequence(0, b-1),
+    // b -> xxhash64(b, slice(sig, b*r+1, r))) — the signature index
+    // persists bucket values, so a changed hash would orphan an
+    // existing index
+    val r = 4
+    val sig: Gen[Seq[Long]] =
+      Gen.oneOf(8, 16, 32).flatMap(k => Gen.listOfN(k, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    val sigs = samples(sig, 200, seed = 13L).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sig")
+    val native = sigs.selectExpr("id", s"graft_lsh_bands(sig, $r) AS b")
+    val hof = sigs.selectExpr("id",
+      s"transform(sequence(0, CAST(size(sig) / $r AS INT) - 1), b -> xxhash64(b, slice(sig, b * $r + 1, $r))) AS b")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native band keys must equal the xxhash64 HOF form")
+  }
+
   test("property: graft_textcounts equals java.util.regex on random unicode-spiked text") {
     // the kernel's parity claim is "bit-exact with the regex
     // formulation BY CONSTRUCTION" — fuzz it with text drawn from the
