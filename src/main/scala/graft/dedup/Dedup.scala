@@ -194,59 +194,61 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit weight sums then
-    * sign-pack. Pure array expressions — one projection, no shuffle.
-    * Near-dups are pairs with small hamming distance:
-    * `bit_count(a ^ b)`.
+    * sign-pack, via the native `graft_simhash` kernel
+    * ([[graft.functions.SimHash]]) — one codegen'd projection, no
+    * shuffle. Near-dups are pairs with small hamming distance:
+    * `bit_count(a ^ b)`. The pure-HOF formulation it replaced is
+    * [[simhashPortableSql]] with xxhash64 features; parity is
+    * spec-pinned.
     */
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("tokens_", expr(s"split($textCol, '\\\\s+')"))
+    docs.withColumn("simhash",
+      expr(s"graft_simhash(split($textCol, '\\\\s+'), 64, false)"))
+
+  /** The pure-HOF (built-ins only) SimHash formulation — parity
+    * reference for `graft_simhash` and the shape the DuckDB oracle
+    * mirrors for the md5 variant. Adds `simhash` from a
+    * `hashesCol`-named array of PRE-HASHED feature longs: `aggregate`
+    * folding a `zip_with` of per-bit contributions, then a sign-pack
+    * — per feature the interpreted form allocates two `bits`-element
+    * boxed arrays and evaluates 3x`bits` lambdas; the native kernel
+    * is why it's no longer the production path.
+    */
+  def simhashHofReference(df: DataFrame, hashesCol: String, bits: Int): DataFrame =
+    df
       .withColumn(
         "bitsums_",
-        expr("""aggregate(tokens_, array_repeat(0L, 64),
-               |  (acc, t) -> zip_with(acc,
-               |    transform(sequence(0, 63),
-               |      b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END),
-               |    (x, y) -> x + y))""".stripMargin)
+        expr(s"""aggregate($hashesCol, array_repeat(0L, $bits),
+                |  (acc, h) -> zip_with(acc,
+                |    transform(sequence(0, ${bits - 1}),
+                |      b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END),
+                |    (x, y) -> x + y))""".stripMargin)
       )
       .withColumn(
         "simhash",
-        expr("""aggregate(transform(sequence(0, 63),
-               |  b -> CASE WHEN element_at(bitsums_, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END),
-               |  0L, (acc, v) -> acc + v)""".stripMargin)
+        expr(s"""aggregate(transform(sequence(0, ${bits - 1}),
+                |  b -> CASE WHEN element_at(bitsums_, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+                |  0L, (acc, v) -> acc + v)""".stripMargin)
       )
-      .drop("tokens_", "bitsums_")
+      .drop("bitsums_")
 
   /** Oracle-portable 60-bit SimHash over the same 5-gram shingle
     * features as the portable MinHash path: feature hash = first 60
     * bits of md5 (`conv(substr(md5(s),1,15),16,10)` — the identical
     * value DuckDB computes as `CAST('0x'||substr(md5(s),1,15) AS
-    * BIGINT)`, parity proven by q12), per-bit weight sums, sign-pack.
-    * Same single-projection / no-shuffle shape as `withSimhash`; that
-    * xxhash64 token variant stays the production path (one fewer md5
-    * per feature) and is pinned by its independent-model spec.
+    * BIGINT)`, parity proven by q12), per-bit weight sums, sign-pack
+    * — all in the native `graft_simhash` kernel (md5 mode). Same
+    * single-projection / no-shuffle shape as `withSimhash` (the
+    * xxhash64 token variant — one fewer md5 per feature); both modes
+    * are spec-pinned against [[simhashHofReference]].
     */
   def portableSimhash(docs: DataFrame, textCol: String = "text", shingleN: Int = 5): DataFrame =
-    docs
-      .withColumn(
-        "hs_",
-        expr(s"""transform(${shingleSql(textCol, shingleN)},
-                |  s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
-      .withColumn(
-        "bitsums_",
-        expr("""aggregate(hs_, array_repeat(0L, 60),
-               |  (acc, h) -> zip_with(acc,
-               |    transform(sequence(0, 59),
-               |      b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END),
-               |    (x, y) -> x + y))""".stripMargin)
-      )
-      .withColumn(
-        "simhash",
-        expr("""aggregate(transform(sequence(0, 59),
-               |  b -> CASE WHEN element_at(bitsums_, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END),
-               |  0L, (acc, v) -> acc + v)""".stripMargin)
-      )
-      .drop("hs_", "bitsums_")
+    // shingled-text kernel, NOT graft_simhash(shingleSql(...), ...):
+    // the shingle expression is itself a CodegenFallback HOF and would
+    // leave the projection interpreted (the graft_winnow raw-split
+    // lesson, one level deeper)
+    docs.withColumn("simhash",
+      expr(s"graft_simhash_shingled($textCol, $shingleN, 60)"))
 
   /** Exact character-n-gram Jaccard between two text columns (the
     * verification step after candidate generation).

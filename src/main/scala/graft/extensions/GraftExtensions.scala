@@ -99,6 +99,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => RepetitionStats(children(0))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(features, bits, useMd5) - SimHash sign-pack; md5-60bit portable or xxhash64 feature hashes"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (Literal(bits: Int, IntegerType), Literal(md5: Boolean, org.apache.spark.sql.types.BooleanType)) =>
+          graft.functions.SimHash(children(0), bits, md5)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash bits and useMd5 must be literals, got $other")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_shingled"),
+      info("graft_simhash_shingled", "graft_simhash_shingled(text, n, bits) - portable SimHash from text: distinct char n-grams, md5-60bit hashes, sign-pack"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (Literal(n: Int, IntegerType), Literal(bits: Int, IntegerType)) =>
+          graft.functions.SimHashShingled(children(0), n, bits)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash_shingled n and bits must be integer literals, got $other")
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bands"),
       info("graft_lsh_bands", "graft_lsh_bands(sig, r) - LSH band keys: xxhash64-compatible hash of each r-wide signature slice"),
       (children: Seq[Expression]) => children(1) match {

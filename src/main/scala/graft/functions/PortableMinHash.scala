@@ -65,10 +65,14 @@ object PortableMinHashBands {
   /** First 60 bits of md5(s): bytes 0..7 big-endian, unsigned-shifted
     * right by 4 == the first 15 hex chars parsed base 16.
     */
-  def hash60(bytes: Array[Byte]): Long = {
+  def hash60(bytes: Array[Byte]): Long = hash60(bytes, 0, bytes.length)
+
+  /** Slice variant: md5 over `bytes[off, off+len)` without copying. */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md5.get()
     d.reset()
-    val h = d.digest(bytes)
+    d.update(bytes, off, len)
+    val h = d.digest()
     val top =
       ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
         ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |

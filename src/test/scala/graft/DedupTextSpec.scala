@@ -328,6 +328,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"graft_repstats projection must be whole-stage-codegen fused:\n$p")
   }
 
+  test("native graft_simhash equals the HOF formulation in both modes (real corpus)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // md5 mode (q14's portable construction, 60 bits): the shingled
+    // one-kernel form, the features-array form, and the HOF reference
+    // must agree three ways
+    val nativeMd5 = Dedup.portableSimhash(docs).select("doc_id", "simhash")
+    val arrayMd5 = docs.selectExpr("doc_id",
+      s"graft_simhash(${Dedup.shingleSql("text", 5)}, 60, true) AS simhash")
+    val hofMd5 = Dedup.simhashHofReference(
+      docs.withColumn("hs_", expr(
+        s"""transform(${Dedup.shingleSql("text", 5)},
+           |  s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))""".stripMargin)),
+      "hs_", 60).select("doc_id", "simhash")
+    assert(nativeMd5.exceptAll(hofMd5).isEmpty && hofMd5.exceptAll(nativeMd5).isEmpty,
+      "shingled-kernel simhash must equal the HOF reference on every document")
+    assert(nativeMd5.exceptAll(arrayMd5).isEmpty && arrayMd5.exceptAll(nativeMd5).isEmpty,
+      "shingled-kernel simhash must equal the features-array kernel")
+    // xxh mode (whitespace tokens, 64 bits)
+    val nativeXxh = Dedup.withSimhash(docs).select("doc_id", "simhash")
+    val hofXxh = Dedup.simhashHofReference(
+      docs.withColumn("hs_", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))")),
+      "hs_", 64).select("doc_id", "simhash")
+    assert(nativeXxh.exceptAll(hofXxh).isEmpty && hofXxh.exceptAll(nativeXxh).isEmpty,
+      "xxh-mode simhash must equal the HOF reference on every document")
+    // and the native form stays INSIDE whole-stage codegen, shuffle-free
+    nativeMd5.collect()
+    val p = nativeMd5.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"simhash must stay a shuffle-free projection:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("graft_simhash") && l.contains("*(")),
+      s"graft_simhash projection must be whole-stage-codegen fused:\n$p")
+  }
+
   test("native graft_textcounts equals the nine-regex-pass formulation bit for bit") {
     // real corpus plus adversarial edges: empty text, whitespace-only,
     // punct-only, marker words at string edges, case sensitivity (\b
