@@ -1159,7 +1159,35 @@ object OracleQueries {
     "q78_existence_counts" ->
       """SELECT FALSE AS before_exists, TRUE AS after_exists,
         |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nation_rows,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS region_rows""".stripMargin
+        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS region_rows""".stripMargin,
+
+    // exact word-trigram Jaccard pairs, brute force (the Spark side's
+    // prefix filtering is a provably lossless candidate generator, so
+    // the answers coincide exactly); trigram construction as in q42,
+    // tokenizer parity proven at q30
+    "q79_jaccard_join" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        |  FROM t),
+        |ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6""".stripMargin,
+
+    // Z-order compaction is exactly row-preserving: the clustered
+    // table's 2-D range slice equals the same filter on raw lineitem
+    "q80_zorder_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot

@@ -34,6 +34,7 @@ object ScaleProbe {
     "q54_decontaminate_bloom", "q55_incremental_dedup", "q56_incremental_embedding_dedup",
     "q57_incremental_curation", "q58_fuzzy_dedup_corpus",
     "q73_winnow_fingerprint", "q74_winnow_pairs", "q75_winnow_clusters",
+    "q79_jaccard_join",
     // text-stats / tokenizer projections (r13: codegen-fusion audit)
     "q15_text_stats", "q16_text_lang_summary", "q30_vocab_topk",
     "q42_repetition_stats", "q70_doc_keywords")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SetSimilarity}
 import graft.events.Events
 import graft.io.TableIO
 import graft.pipeline.{Aggregations, Dimensions, Fact, Ingestion, Quality}
@@ -978,6 +978,37 @@ object SparkEntry {
       import s.implicits._
       Seq((before, after, nNation, nRegion))
         .toDF("before_exists", "after_exists", "nation_rows", "region_rows")
+    }),
+
+    // Exact n-gram Jaccard self-join (AllPairs/PPJoin prefix
+    // filtering): ALL pairs above the threshold, recall 1 by
+    // construction — the deterministic complement of q13's
+    // LSH-then-verify (which trades recall for candidate volume).
+    // Verified on gram STRINGS end to end, so the brute-force DuckDB
+    // oracle recomputes the identical answer.
+    "q79_jaccard_join" -> ((s, dir) =>
+      SetSimilarity.jaccardJoin(Tables.documents(s, dir), thresholdPct = 60)),
+
+    // Multi-dimensional Z-order clustering as an oracle row: write a
+    // fragmented copy of cleaned lineitem, CALL compact_zorder on two
+    // independent key dimensions, read back a 2-D range slice. The
+    // rewrite must be exactly row-preserving (the oracle filters the
+    // raw parquet) while making BOTH range predicates file-skippable
+    // (pinned in ClusteringSpec; a lexicographic sort only skips on
+    // the leading column).
+    "q80_zorder_pruned" -> ((s, dir) => {
+      val cname = "gzo"
+      val io = catalogIO(s, cname, "graft_zorder_")
+      val t = "default.lineitem_z"
+      io.overwrite(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))
+          .repartition(16), // deliberately fragmented pre-compact
+        t)
+      s.sql(s"CALL $cname.system.compact_zorder('$t', 'l_partkey', 'l_suppkey', 8)").collect()
+      io.read(t).filter(
+        col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 30))
     })
   )
 

@@ -113,6 +113,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"gram join must stay an equi-join:\n$p")
   }
 
+  test("exact jaccard join (q79) never goes all-pairs: every join is an equi-join") {
+    val p = plan(SparkEntry.queries("q79_jaccard_join")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"prefix filtering must not plan a cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"prefix/verify joins must stay equi-joins:\n$p")
+    spark.catalog.clearCache() // q79 persists its gram projection
+  }
+
   test("repetition stats (q42) is one shuffle-free projection over the scan") {
     val p = plan(SparkEntry.queries("q42_repetition_stats")(spark, sfDir))
     assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
