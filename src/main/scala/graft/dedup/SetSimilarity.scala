@@ -54,10 +54,11 @@ object SetSimilarity {
 
   /** All pairs `(id_a, id_b, jaccard)` with word-`gramN`-gram Jaccard
     * >= thresholdPct/100, id_a < id_b. Exact — recall 1 by
-    * construction, verified per pair on the gram string sets (no
-    * hashing anywhere, so a collision can never manufacture or drop a
-    * pair, and the DuckDB oracle recomputes the identical answer
-    * brute-force).
+    * construction (candidate generation is a provably lossless
+    * superset even under hash collisions; see the body comment), and
+    * every surviving pair is verified on the gram STRING sets, so a
+    * collision can never manufacture or drop an output pair — the
+    * DuckDB oracle recomputes the identical answer brute-force.
     */
   def jaccardJoin(
       docs: DataFrame,
@@ -74,24 +75,38 @@ object SetSimilarity {
       .select(col(idCol), expr(Contamination.wordGramsSql(textCol, gramN)).as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("n", size(col("grams")))
+      // sorted hashed gram ids, computed once: the candidate stage and
+      // the hashed pre-verify both run on these 8-byte longs
+      .withColumn("hs", expr("sort_array(array_distinct(transform(grams, g -> xxhash64(g))))"))
+      .withColumn("n_h", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val g = grams.select(col(idCol), col("n"), explode(col("grams")).as("gram"))
-    // Corpus-wide document frequency per gram — map-side combinable.
-    val dfTab = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    // Candidate generation and pre-verification run in HASHED-ID
+    // space: every shuffle in the df aggregate, the rank window, the
+    // prefix self-join, and the first verify pass carries 8-byte longs
+    // instead of gram strings. This stays provably lossless: a
+    // collision can only MERGE set elements, which never shrinks an
+    // intersection and never grows a union, so id-level Jaccard >=
+    // gram-level Jaccard — every pair qualifying on gram strings also
+    // qualifies in id space, where the prefix construction below is
+    // the standard exact one. False positives (from merged ids) fall
+    // to the string-set verify at the end.
+    val g = grams.select(col(idCol), col("n_h").as("n"), explode(col("hs")).as("h"))
+    // Corpus-wide document frequency per gram id — map-side combinable.
+    val dfTab = g.groupBy("h").agg(count(lit(1)).as("df"))
     // Rarest-first total order; prefix length n - ceil(t*n) + 1 in
     // integer arithmetic: ceil(pct*n/100) = (pct*n + 99) DIV 100.
-    val prefix = g.join(dfTab, "gram")
-      .withColumn("pos", row_number().over(Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))))
+    val prefix = g.join(dfTab, "h")
+      .withColumn("pos", row_number().over(Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))))
       .filter(col("pos") <= expr(s"n - ($thresholdPct * n + 99) DIV 100 + 1"))
-      .select(col(idCol), col("gram"), col("n"), col("pos"))
+      .select(col(idCol), col("h"), col("n"), col("pos"))
 
-    val a = prefix.select(col(idCol).as("id_a"), col("gram"), col("n").as("n_a"), col("pos").as("pos_a"))
-    val b = prefix.select(col(idCol).as("id_b"), col("gram").as("gram_b"), col("n").as("n_b"), col("pos").as("pos_b"))
+    val a = prefix.select(col(idCol).as("id_a"), col("h"), col("n").as("n_a"), col("pos").as("pos_a"))
+    val b = prefix.select(col(idCol).as("id_b"), col("h").as("h_b"), col("n").as("n_b"), col("pos").as("pos_b"))
     val candidates = a
       .join(
         b,
-        col("gram") === col("gram_b") && col("id_a") < col("id_b") &&
+        col("h") === col("h_b") && col("id_a") < col("id_b") &&
           // length filter: J >= t forces min(n_a,n_b) >= t * max(n_a,n_b)
           col("n_a") * 100 >= col("n_b") * thresholdPct &&
           col("n_b") * 100 >= col("n_a") * thresholdPct &&
@@ -102,8 +117,24 @@ object SetSimilarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+    // Two-pass verify. Pass 1 kills ~all false positives in id space
+    // with the codegen'd sorted-merge kernel on the long arrays (the
+    // candidate:true-pair ratio is routinely 100:1+, and the string-set
+    // intersect is the expensive interpreted op). Lossless for the
+    // same merge argument as above, plus monotonicity of IEEE division:
+    // id-Jaccard >= gram-Jaccard as rationals, and fl() preserves >=,
+    // so any pair passing the final gram-level threshold also passes
+    // the id-level one. Pass 2 computes the REPORTED jaccard on the
+    // gram strings for the few survivors — the output value is defined
+    // by gram sets alone, bit-identical to the brute-force oracle.
+    val hashSides = grams.select(col(idCol), col("hs"))
+    val preVerified = candidates
+      .join(hashSides.select(col(idCol).as("id_a"), col("hs").as("h_a")), "id_a")
+      .join(hashSides.select(col(idCol).as("id_b"), col("hs").as("h_b")), "id_b")
+      .filter(expr("graft_jaccard_sorted(h_a, h_b)") >= lit(thresholdPct / 100.0))
+      .select(col("id_a"), col("id_b"))
     val sides = grams.select(col(idCol), col("grams"))
-    candidates
+    preVerified
       .join(sides.select(col(idCol).as("id_a"), col("grams").as("g_a")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("grams").as("g_b")), "id_b")
       .withColumn(
