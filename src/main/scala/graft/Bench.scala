@@ -76,9 +76,32 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       dt
     }
+    // Sync-latency canary: p50 of small create+fsync ops. The CPU and
+    // buffered-IO canaries are blind to durable-write contention, but
+    // the streaming rows are fsync-BOUND (per-micro-batch WAL commits +
+    // state-store delta syncs) — measured as a stable 3-5x inflation of
+    // ONLY the streaming queries while every batch query and both other
+    // canaries read idle. ~1 ms p50 is a quiet local disk; multi-ms
+    // means shared-storage sync contention and streaming medians should
+    // be read accordingly.
+    def fsyncCanary(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-fsync").toFile
+      val lat = (0 until 30).map { i =>
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(
+          new java.io.File(dir, s"f$i").toPath,
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        ch.write(java.nio.ByteBuffer.wrap(new Array[Byte](4096)))
+        ch.force(true); ch.close()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      lat(lat.size / 2)
+    }
     cpuCanary(RunCanaryIters); cpuCanary(RunCanaryIters) // JIT-warm the loop
     val canaryCpu = cpuCanary(FullCanaryIters)
     val canaryIo = ioCanary()
+    val canaryFsync = fsyncCanary()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // Per-run write audit (files/bytes staged into tables) rides along
     // with the timing — write-heavy queries (q52's partitioned append)
@@ -123,6 +146,7 @@ object Bench {
         name -> Seq.fill(runs)((cpuCanary(RunCanaryIters), timeOnce(fn)))
       }
     val canaryCpuEnd = cpuCanary(FullCanaryIters)
+    val canaryFsyncEnd = fsyncCanary()
     val timings = sampled.map { case (name, rs) =>
       name -> rs.collect { case (_, Some(t)) => r4(t._1) }
     }
@@ -152,7 +176,7 @@ object Bench {
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def short(name: String): String = name.split('_').head
     val total = r4(med.map(_._2).sum)
-    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)}}"""
+    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)}}"""
     val writesLine = writes
       .map { case (k, (f, b)) => s"\"" + k + "\":{\"files\":" + f + ",\"bytes\":" + b + "}" }
       .mkString("""{"metric":"queries_writes","queries_writes":{""", ",", "}}")
@@ -180,7 +204,7 @@ object Bench {
     // Headline LAST: qNN-prefix keys keep it inside the tail budget,
     // and total/canaries sit at line END so front-truncation can't eat
     // them (full names: queries_median line + the runs file).
-    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"unit":"sec","value":$total}""")
+    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -519,10 +519,12 @@ object SparkEntry {
     // stream wrote. Oracle = the same rollup over the raw events.
     "q48_stream_ingest" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_str_"))
-      graft.streaming.TableSink.appendStream(
-        graft.streaming.EventsStream.dedupedEvents(eventsFileStream(s, dir)),
-        io, "default.events_ingest", tempDir("graft_ckpt_"), availableNow = true)
-        .awaitTermination()
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.appendStream(
+          graft.streaming.EventsStream.dedupedEvents(eventsFileStream(s, dir)),
+          io, "default.events_ingest", tempDir("graft_ckpt_"), availableNow = true)
+          .awaitTermination()
+      }
       io.read("default.events_ingest")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(
@@ -722,10 +724,12 @@ object SparkEntry {
     // aggregate is cross-engine comparable.
     "q61_stream_hourly" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_swin_"))
-      graft.streaming.TableSink.completeStream(
-        graft.streaming.EventsStream.hourlyCounts(eventsFileStream(s, dir), exactValue = true),
-        io, "default.events_hourly_s", tempDir("graft_ckpt_w_"), availableNow = true)
-        .awaitTermination()
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.completeStream(
+          graft.streaming.EventsStream.hourlyCounts(eventsFileStream(s, dir), exactValue = true),
+          io, "default.events_hourly_s", tempDir("graft_ckpt_w_"), availableNow = true)
+          .awaitTermination()
+      }
       io.read("default.events_hourly_s")
     }),
 
@@ -904,11 +908,13 @@ object SparkEntry {
     // drain the inner join equals the batch join — the oracle row.
     "q72_stream_stream_join" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_ssj_"))
-      graft.streaming.TableSink.appendStream(
-        graft.streaming.EventsStream.viewClickJoin(
-          eventsFileStream(s, dir), eventsFileStream(s, dir)),
-        io, "default.view_clicks", tempDir("graft_ckpt_j_"), availableNow = true)
-        .awaitTermination()
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.appendStream(
+          graft.streaming.EventsStream.viewClickJoin(
+            eventsFileStream(s, dir), eventsFileStream(s, dir)),
+          io, "default.view_clicks", tempDir("graft_ckpt_j_"), availableNow = true)
+          .awaitTermination()
+      }
       io.read("default.view_clicks")
         .select(col("view_id"), col("click_id"), col("user_id"),
           col("view_ts"), col("click_ts"))
@@ -1014,6 +1020,25 @@ object SparkEntry {
 
   private def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run a streaming drain with the shuffle-partition count sized to
+    * STATE volume instead of the session's CPU-sized default. The
+    * stateful operators create (partitions x stores) state-store
+    * instances, and every micro-batch pays per-instance commit I/O
+    * (delta file + rename + sync) — at these fixtures' state sizes
+    * (<=100k keys) 32 partitions are pure fixed overhead, and the
+    * per-batch sync fan-out is what an fsync-latency burst on a shared
+    * box amplifies (measured: an empty watermark-eviction batch cost
+    * 3.6 s at 32 partitions under sync contention). A 100 TB
+    * deployment raises the count with state size — the knob is the
+    * conf, which streaming bakes into the checkpoint at first start.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(k)
+    s.conf.set(k, n.toString)
+    try body finally s.conf.set(k, prev)
+  }
 
   /** Register (once) a session-lifetime graft catalog named `cname`
     * over a fresh temp warehouse and return a TableIO on it. ONE
