@@ -1187,7 +1187,27 @@ object OracleQueries {
     "q80_zorder_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin,
+
+    // exact corr/covar/stddev: component sums are exact decimal sums
+    // (2-decimal inputs, decimal products), combined once per group in
+    // double with the identical expression tree as the Spark side —
+    // bit-reproducible, unlike double-accumulating builtins
+    "q81_exact_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_rows,
+        |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_xy,
+        |  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_y
+        |FROM s""".stripMargin
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot

@@ -1015,7 +1015,16 @@ object SparkEntry {
       s.sql(s"CALL $cname.system.compact_zorder('$t', 'l_partkey', 'l_suppkey', 8)").collect()
       io.read(t).filter(
         col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 30))
-    })
+    }),
+
+    // Exact second-moment statistics (corr/covar/stddev) from
+    // order-independent decimal component sums — the built-ins
+    // accumulate doubles in partition order and drift in the last
+    // ulps; this shape is deterministic at any partition count and
+    // hash-matches the oracle bit for bit.
+    "q81_exact_corr" -> ((s, dir) =>
+      Aggregations.exactCorrelation(
+        Tables.lineitem(s, dir), "l_returnflag", "l_quantity", "l_extendedprice"))
   )
 
   private def tempDir(prefix: String): String =

@@ -90,4 +90,43 @@ object Aggregations {
       )
       .orderBy(desc("trip_count"), asc_nulls_last("cust_nation"), asc_nulls_last("supp_nation"))
       .limit(k)
+
+  /** Exact second-moment statistics per group: correlation, sample
+    * covariance, and sample stddev from ORDER-INDEPENDENT component
+    * sums. The built-in corr/covar_samp/stddev_samp accumulate doubles
+    * in partition order, so their last ulps drift with partition count
+    * and run-to-run scheduling — unacceptable where results are
+    * compared across engines or reruns (and the reason q05/q07 sums go
+    * through ExactAgg). Here the five component sums (Sx, Sy, Sxx,
+    * Syy, Sxy) are EXACT decimal sums (2-decimal inputs cast to
+    * decimal, products formed in decimal — lossless), and the textbook
+    * combines run once per group in double with a fixed expression
+    * tree: every engine computing the same formula over the same exact
+    * sums produces bit-identical doubles.
+    *
+    * Scale shape: one partial+final hash aggregate (map-side combine
+    * on all five sums), no extra pass vs a single built-in corr.
+    */
+  def exactCorrelation(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val dt = org.apache.spark.sql.types.DecimalType(18, 2)
+    val x = col(xCol).cast(dt)
+    val y = col(yCol).cast(dt)
+    val n = col("cnt").cast("double")
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(
+        col(keyCol),
+        col("cnt").as("n_rows"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt((n * col("sxx") - col("sx") * col("sx")) * (n * col("syy") - col("sy") * col("sy"))))
+          .as("corr_xy"),
+        ((col("sxy") - col("sx") * col("sy") / n) / (n - 1)).as("covar_xy"),
+        sqrt((col("syy") - col("sy") * col("sy") / n) / (n - 1)).as("stddev_y"))
+  }
 }

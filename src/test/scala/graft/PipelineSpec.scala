@@ -143,6 +143,33 @@ class AggregationsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("trip_count") == 2L)
   }
 
+  test("exactCorrelation matches the builtin statistics and is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val x = (rnd.nextInt(5000) + 1) / 100.0           // 2-decimal
+      (if (i % 2 == 0) "a" else "b", x, math.rint((x * 3 + rnd.nextGaussian() * 5) * 100) / 100.0)
+    }
+    val df = rows.toDF("k", "x", "y")
+    val got = Aggregations.exactCorrelation(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ref = df.groupBy($"k").agg(
+      corr($"x", $"y").as("c"), covar_samp($"x", $"y").as("cv"), stddev_samp($"y").as("sd"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("a", "b")) {
+      assert(math.abs(got(k).getAs[Double]("corr_xy") - ref(k).getAs[Double]("c")) < 1e-9)
+      assert(math.abs(got(k).getAs[Double]("covar_xy") - ref(k).getAs[Double]("cv")) < 1e-9)
+      assert(math.abs(got(k).getAs[Double]("stddev_y") - ref(k).getAs[Double]("sd")) < 1e-9)
+    }
+    // exact sums => BIT-identical results at any partition count (the
+    // builtins only promise the 1e-9 neighborhood above)
+    val one = Aggregations.exactCorrelation(df.repartition(1), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("corr_xy")).toMap
+    val many = Aggregations.exactCorrelation(df.repartition(29), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("corr_xy")).toMap
+    for (k <- Seq("a", "b"))
+      assert(java.lang.Double.doubleToLongBits(one(k)) == java.lang.Double.doubleToLongBits(many(k)))
+  }
+
   test("approx sketches land within documented error of exact answers") {
     val orders = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
     val r = Aggregations.approxStats(orders, "o_custkey", "o_totalprice").head()
