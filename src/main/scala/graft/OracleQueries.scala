@@ -1207,7 +1207,34 @@ object OracleQueries {
         |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
         |  (sxy - sx * sy / n) / (n - 1) AS covar_xy,
         |  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_y
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // conversion funnel: stage mins + horizon-bounded joins; delay
+    // averages are exact microsecond sums over one IEEE division
+    "q82_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts, min(v.view_ts) AS view_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |    AND e.ts <= v.view_ts + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts, min(c.click_ts) AS click_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |    AND e.ts <= c.click_ts + INTERVAL 24 HOUR
+        |  GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clickers,
+        |  (SELECT CAST(sum(epoch_us(click_ts) - epoch_us(view_ts)) AS DOUBLE)
+        |     / count(*) / 1000000.0 FROM c) AS avg_view_to_click_sec,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchasers,
+        |  (SELECT CAST(sum(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
+        |     / count(*) / 1000000.0 FROM p) AS avg_click_to_purchase_sec""".stripMargin
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot

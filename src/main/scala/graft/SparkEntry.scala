@@ -1024,7 +1024,14 @@ object SparkEntry {
     // hash-matches the oracle bit for bit.
     "q81_exact_corr" -> ((s, dir) =>
       Aggregations.exactCorrelation(
-        Tables.lineitem(s, dir), "l_returnflag", "l_quantity", "l_extendedprice"))
+        Tables.lineitem(s, dir), "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // Conversion funnel over the event stream: first view -> first
+    // click within 24h -> first purchase within 24h, as user-keyed
+    // min-aggregates + equi-joins (never a per-user event sort), with
+    // exact microsecond-sum conversion delays.
+    "q82_event_funnel" -> ((s, dir) =>
+      Events.conversionFunnel(Tables.events(s, dir)))
   )
 
   private def tempDir(prefix: String): String =

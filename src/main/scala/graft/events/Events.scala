@@ -81,4 +81,41 @@ object Events {
         max(col("n_events")).as("max_session_events"),
         dsum(col("session_value"), 2).as("total_value")
       )
+
+  /** Conversion funnel: per user, the FIRST view, the first click
+    * within `horizonHours` after that view, and the first purchase
+    * within `horizonHours` after that click — reduced to one summary
+    * row (stage reach counts + exact average conversion delays).
+    *
+    * Scale shape: each stage is a user-keyed min-aggregate (map-side
+    * combinable, shuffle carries one row per user) followed by an
+    * equi-join on user_id with the time bound as a join-residual
+    * predicate — never a per-user full sort the way a window over the
+    * raw event sequence would be, and no stage ever shuffles raw
+    * events twice. Delay averages are exact: microsecond longs summed
+    * as BIGINT (order-independent), one IEEE division at the end.
+    */
+  def conversionFunnel(events: DataFrame, horizonHours: Int = 24): DataFrame = {
+    val horizon = expr(s"INTERVAL $horizonHours HOURS")
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val firstClick = events.filter(col("event_type") === "click")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") > col("view_ts") && col("ts") <= col("view_ts") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"), min(col("view_ts")).as("view_ts"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .join(firstClick.select(col("user_id"), col("click_ts")), Seq("user_id"))
+      .filter(col("ts") > col("click_ts") && col("ts") <= col("click_ts") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"), min(col("click_ts")).as("click_ts"))
+    val viewers = firstView.agg(count(lit(1)).as("n_viewers"))
+    val clickers = firstClick.agg(
+      count(lit(1)).as("n_clickers"),
+      (sum(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).cast("double")
+        / count(lit(1)) / 1000000.0).as("avg_view_to_click_sec"))
+    val purchasers = firstPurchase.agg(
+      count(lit(1)).as("n_purchasers"),
+      (sum(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).cast("double")
+        / count(lit(1)) / 1000000.0).as("avg_click_to_purchase_sec"))
+    viewers.crossJoin(clickers).crossJoin(purchasers)
+  }
 }

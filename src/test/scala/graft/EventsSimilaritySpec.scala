@@ -27,6 +27,28 @@ class EventsSpec extends SparkSpec {
     assert(out(("2024-01-01 23:00:00.0", "error")) == (1L, 0L))
   }
 
+  test("conversion funnel: stage gating, horizon bound, exact delays") {
+    // u1: view 10:00 -> click 10:30 (in horizon) -> purchase 11:00.
+    // u2: view 09:00, click 25h later (OUT of horizon) -> not a clicker.
+    // u3: click with NO view -> not in the funnel at all.
+    // u4: view 08:00 -> click 08:10; purchase BEFORE the click -> not a purchaser.
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"), (2L, 1L, "2024-01-01 10:30:00", "click"),
+      (3L, 1L, "2024-01-01 11:00:00", "purchase"),
+      (4L, 2L, "2024-01-01 09:00:00", "view"), (5L, 2L, "2024-01-02 10:01:00", "click"),
+      (6L, 3L, "2024-01-01 12:00:00", "click"),
+      (7L, 4L, "2024-01-01 08:00:00", "view"), (8L, 4L, "2024-01-01 08:10:00", "click"),
+      (9L, 4L, "2024-01-01 08:05:00", "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val r = Events.conversionFunnel(ev).head()
+    assert(r.getAs[Long]("n_viewers") == 3L)    // u1, u2, u4
+    assert(r.getAs[Long]("n_clickers") == 2L)   // u1 (30 min), u4 (10 min)
+    assert(r.getAs[Long]("n_purchasers") == 1L) // u1 only
+    assert(math.abs(r.getAs[Double]("avg_view_to_click_sec") - (1800.0 + 600.0) / 2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("avg_click_to_purchase_sec") - 1800.0) < 1e-9)
+  }
+
   test("sessionize splits on gaps > 30 min") {
     val s = Events.sessionize(events).select("event_id", "session_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
