@@ -68,16 +68,14 @@ object SetSimilarity {
       gramN: Int = 3
   ): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100, s"thresholdPct in (0,100]: $thresholdPct")
-    // Gram sets once per doc (distinct word n-grams, same tokenizer as
-    // q30/q41 — parity with the oracle proven there). Persisted: three
-    // consumers (the explode pipeline and both verify sides).
+    // Sorted distinct hashed gram ids per doc, in ONE codegen'd byte
+    // pass (graft_wordgram_hashes over lower(text) — bit-equal to
+    // hashing the string grams of the q30/q41 tokenizer, spec-pinned).
+    // The corpus-wide path never builds a gram STRING at all; the
+    // persisted frame holds only primitive long arrays.
     val grams = docs
-      .select(col(idCol), expr(Contamination.wordGramsSql(textCol, gramN)).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("n", size(col("grams")))
-      // sorted hashed gram ids, computed once: the candidate stage and
-      // the hashed pre-verify both run on these 8-byte longs
-      .withColumn("hs", expr("sort_array(array_distinct(transform(grams, g -> xxhash64(g))))"))
+      .select(col(idCol), expr(s"graft_wordgram_hashes(lower($textCol), $gramN)").as("hs"))
+      .filter(size(col("hs")) > 0)
       .withColumn("n_h", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -128,12 +126,26 @@ object SetSimilarity {
     // gram strings for the few survivors — the output value is defined
     // by gram sets alone, bit-identical to the brute-force oracle.
     val hashSides = grams.select(col(idCol), col("hs"))
+    // Materialized eagerly: the survivor pair set has THREE consumers
+    // (both `needed` branches and the final verify join) and sits on
+    // top of the whole candidate pipeline — without the checkpoint
+    // that pipeline would re-execute per consumer.
     val preVerified = candidates
       .join(hashSides.select(col(idCol).as("id_a"), col("hs").as("h_a")), "id_a")
       .join(hashSides.select(col(idCol).as("id_b"), col("hs").as("h_b")), "id_b")
       .filter(expr("graft_jaccard_sorted(h_a, h_b)") >= lit(thresholdPct / 100.0))
       .select(col("id_a"), col("id_b"))
-    val sides = grams.select(col(idCol), col("grams"))
+      .localCheckpoint(true)
+    // String grams are built ONLY for the survivors: semi-join the doc
+    // table down to the (few) ids still in play, THEN project the gram
+    // arrays — the interpreted HOF gram builder runs on thousands of
+    // rows, not the corpus.
+    val needed = preVerified.select(col("id_a").as(idCol))
+      .union(preVerified.select(col("id_b").as(idCol)))
+      .distinct()
+    val sides = docs.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), expr(Contamination.wordGramsSql(textCol, gramN)).as("grams"))
+      .localCheckpoint(true) // tiny; consumed by both join sides below
     preVerified
       .join(sides.select(col(idCol).as("id_a"), col("grams").as("g_a")), "id_a")
       .join(sides.select(col(idCol).as("id_b"), col("grams").as("g_b")), "id_b")

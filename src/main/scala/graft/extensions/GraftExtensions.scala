@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, LshBands, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, LshBands, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint, WordGramHashes}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(text, n) - sorted distinct xxhash64 of every n-gram"),
       (children: Seq[Expression]) => ShingleHashes(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wordgram_hashes"),
+      info("graft_wordgram_hashes", "graft_wordgram_hashes(loweredText, n) - sorted distinct xxhash64 of every word n-gram"),
+      (children: Seq[Expression]) => WordGramHashes(children(0), children(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard_sorted"),

@@ -120,6 +120,34 @@ class ExpressionPropertySpec extends SparkSpec {
       "native band keys must equal the xxhash64 HOF form")
   }
 
+  test("property: graft_wordgram_hashes equals hashing the HOF word grams, unicode-spiked") {
+    // parity claim: graft_wordgram_hashes(lower(text), n) ==
+    // sort_array(array_distinct(transform(wordGramsSql, xxhash64))).
+    // Hostile alphabet: words glued to punct, every whitespace class,
+    // multi-byte letters that LOWERCASE INTO the token class (Kelvin
+    // sign -> k, fullwidth forms do not), combining-dot lowercasing
+    // (Turkish I-dot), supplementary-plane chars, digits.
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("the", "quick", "brown", "fox", "data", "spark", "a1b2", "0", "42"),
+      Gen.oneOf(" ", "\t", "\n", "", "  ", ".", ",", "?!", "_", "-"),
+      Gen.oneOf("The", "QUICK", "BrOwN", "\u212aelvin", "\u0130stanbul"),
+      Gen.oneOf("\u00e9", "stra\u00dfe", "\u65e5\u672c", "na\u00efve"),
+      Gen.oneOf("\ud83d\ude00", "\ud835\udd4f", "a\ud83d\ude00b"))
+    val text: Gen[String] =
+      Gen.chooseNum(0, 25).flatMap(k => Gen.listOfN(k, frag)).map(_.mkString(" "))
+    val docs = samples(text, 400, seed = 47L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = docs.select(col("doc_id"),
+        expr(s"graft_wordgram_hashes(lower(text), $n)").as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = docs.select(col("doc_id"),
+        expr(s"sort_array(array_distinct(transform(${graft.text.Contamination.wordGramsSql("text", n)}, g -> xxhash64(g))))").as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == hof, s"n=$n mismatch")
+    }
+  }
+
   test("property: graft_textcounts equals java.util.regex on random unicode-spiked text") {
     // the kernel's parity claim is "bit-exact with the regex
     // formulation BY CONSTRUCTION" — fuzz it with text drawn from the
