@@ -1234,7 +1234,33 @@ object OracleQueries {
         |     / count(*) / 1000000.0 FROM c) AS avg_view_to_click_sec,
         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchasers,
         |  (SELECT CAST(sum(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
-        |     / count(*) / 1000000.0 FROM p) AS avg_click_to_purchase_sec""".stripMargin
+        |     / count(*) / 1000000.0 FROM p) AS avg_click_to_purchase_sec""".stripMargin,
+
+    // weekly cohort retention; both week columns are Monday-truncated
+    // dates so the day diff is an exact multiple of 7
+    "q83_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // exact interpolated percentiles (index p*(n-1), linear
+    // interpolation — Spark percentile() and DuckDB quantile_cont
+    // share the definition; inputs are ints so the arithmetic is the
+    // same two IEEE ops on both engines)
+    "q84_length_percentiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars,
+        |  quantile_cont(n_chars, 0.99) AS p99_chars
+        |FROM documents GROUP BY 1""".stripMargin
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot

@@ -1031,7 +1031,24 @@ object SparkEntry {
     // min-aggregates + equi-joins (never a per-user event sort), with
     // exact microsecond-sum conversion delays.
     "q82_event_funnel" -> ((s, dir) =>
-      Events.conversionFunnel(Tables.events(s, dir)))
+      Events.conversionFunnel(Tables.events(s, dir))),
+
+    // Weekly cohort retention: first-event week x active-week offset.
+    "q83_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(Tables.events(s, dir))),
+
+    // Exact interpolated percentiles of document length per language —
+    // the sort-based exact aggregate (percentile()); at 100 TB the
+    // same query ships as approx_percentile (q09's sketch family),
+    // trading the per-group sort for a mergeable KLL-style summary.
+    "q84_length_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+          expr("percentile(n_chars, 0.9D)").as("p90_chars"),
+          expr("percentile(n_chars, 0.99D)").as("p99_chars")))
   )
 
   private def tempDir(prefix: String): String =

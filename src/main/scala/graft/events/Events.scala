@@ -118,4 +118,27 @@ object Events {
         / count(lit(1)) / 1000000.0).as("avg_click_to_purchase_sec"))
     viewers.crossJoin(clickers).crossJoin(purchasers)
   }
+
+  /** Weekly cohort retention: users grouped by their FIRST event's
+    * ISO week, counted per week offset they were active in again.
+    * Output `(cohort_week, week_offset, n_users)`.
+    *
+    * Scale shape: one user-keyed min-aggregate (cohort assignment),
+    * one distinct over (user, week) — both map-side combinable — and
+    * an equi-join on user_id; activity weeks are truncated BEFORE the
+    * distinct so the join carries one row per user-week, not per
+    * event. Week arithmetic is exact: both sides are week-truncated
+    * dates, so the day difference is always a multiple of 7.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .distinct()
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset", expr("CAST(datediff(act_week, cohort_week) DIV 7 AS INT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, act_week) distinct => count = distinct users
+  }
 }

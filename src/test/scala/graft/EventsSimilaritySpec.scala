@@ -49,6 +49,21 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_click_to_purchase_sec") - 1800.0) < 1e-9)
   }
 
+  test("cohort retention: first-event week cohorts x active-week offsets") {
+    // 2024-01-01 is a Monday. u1: weeks 0 and 2; u2: week 1 only.
+    val ev = Seq(
+      (1L, 1L, "2024-01-03 10:00:00"), (2L, 1L, "2024-01-04 11:00:00"), // week of Jan 1
+      (3L, 1L, "2024-01-16 09:00:00"),                                   // week of Jan 15 (+2)
+      (4L, 2L, "2024-01-10 12:00:00")                                    // week of Jan 8
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.cohortRetention(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString, r.getAs[Int]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L, ("2024-01-08", 0) -> 1L))
+  }
+
   test("sessionize splits on gaps > 30 min") {
     val s = Events.sessionize(events).select("event_id", "session_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
