@@ -75,6 +75,28 @@ class SetSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("unicode corpus: kernel candidates and HOF string verify agree (equals brute force)") {
+    // The candidate stage runs on graft_wordgram_hashes over
+    // lower(text) while the verify runs on the HOF string grams — any
+    // tokenizer disagreement between the two (Unicode lowercasing,
+    // multi-byte boundaries) would silently break recall. Exercise the
+    // hostile cases inside real near-dup structure.
+    val decor = Vector("Kelvin", "İstanbul", "straße", "naïve",
+      "日本語", "😀", "café", "...", "x_9")
+    val rnd = new scala.util.Random(99)
+    val base = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (0 until 60).map { i =>
+      val words = Vector.fill(10)(base(rnd.nextInt(base.size))) ++
+        Vector.fill(3)(decor(rnd.nextInt(decor.size)))
+      (i.toLong, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (pct <- Seq(50, 70)) {
+      val got = run(docs, pct)
+      val want = bruteForce(docs, pct)
+      assert(got == want, s"unicode corpus, threshold $pct%: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("boilerplate-heavy corpus: shared suffix grams stay out of prefixes") {
     // Every doc shares the same long boilerplate tail (max df), with a
     // tiny distinct head. The df-ordered prefix must consist of the
