@@ -67,6 +67,49 @@ object SetSimilarity {
       idCol: String = "doc_id",
       gramN: Int = 3
   ): DataFrame = {
+    val (pairs, grams) = preVerifiedPairs(docs, thresholdPct, textCol, idCol, gramN)
+    // Materialized eagerly: the survivor pair set has THREE consumers
+    // (both `needed` branches and the final verify join) and sits on
+    // top of the whole candidate pipeline — without the checkpoint
+    // that pipeline would re-execute per consumer. Every consumer of
+    // the cached gram frame is upstream of this point, so it is
+    // released immediately (a long-lived session must not accumulate
+    // one corpus-sized cache per call).
+    val preVerified = pairs.localCheckpoint(true)
+    grams.unpersist()
+    // String grams are built ONLY for the survivors: semi-join the doc
+    // table down to the (few) ids still in play, THEN project the gram
+    // arrays — the interpreted HOF gram builder runs on thousands of
+    // rows, not the corpus.
+    val needed = preVerified.select(col("id_a").as(idCol))
+      .union(preVerified.select(col("id_b").as(idCol)))
+      .distinct()
+    val sides = docs.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), expr(Contamination.wordGramsSql(textCol, gramN)).as("grams"))
+      .localCheckpoint(true) // tiny; consumed by both join sides below
+    preVerified
+      .join(sides.select(col(idCol).as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        expr("CAST(size(array_intersect(g_a, g_b)) AS DOUBLE) / size(array_union(g_a, g_b))"))
+      .filter(col("jaccard") >= lit(thresholdPct / 100.0))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The candidate + pre-verify pipeline BEFORE any checkpoint, plus
+    * the cached gram frame backing it. Package-private so the plan
+    * suite can pin the actual prefix-join plan — `jaccardJoin`'s
+    * returned frame sits on checkpointed RDDs and would show none of
+    * it. Callers own the returned gram frame's `unpersist()`.
+    */
+  private[graft] def preVerifiedPairs(
+      docs: DataFrame,
+      thresholdPct: Int,
+      textCol: String,
+      idCol: String,
+      gramN: Int
+  ): (DataFrame, DataFrame) = {
     require(thresholdPct > 0 && thresholdPct <= 100, s"thresholdPct in (0,100]: $thresholdPct")
     // Sorted distinct hashed gram ids per doc, in ONE codegen'd byte
     // pass (graft_wordgram_hashes over lower(text) — bit-equal to
@@ -94,9 +137,13 @@ object SetSimilarity {
     val dfTab = g.groupBy("h").agg(count(lit(1)).as("df"))
     // Rarest-first total order; prefix length n - ceil(t*n) + 1 in
     // integer arithmetic: ceil(pct*n/100) = (pct*n + 99) DIV 100.
+    // All size arithmetic runs in BIGINT: n is an Int column, and an
+    // Int*Int product wraps silently under the non-ANSI default — a
+    // >21M-gram document (~130 MB of text, real at 100 TB) would
+    // otherwise flip a filter and silently DROP qualifying pairs.
     val prefix = g.join(dfTab, "h")
       .withColumn("pos", row_number().over(Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))))
-      .filter(col("pos") <= expr(s"n - ($thresholdPct * n + 99) DIV 100 + 1"))
+      .filter(col("pos") <= expr(s"n - (CAST(n AS BIGINT) * $thresholdPct + 99) DIV 100 + 1"))
       .select(col(idCol), col("h"), col("n"), col("pos"))
 
     val a = prefix.select(col(idCol).as("id_a"), col("h"), col("n").as("n_a"), col("pos").as("pos_a"))
@@ -106,11 +153,11 @@ object SetSimilarity {
         b,
         col("h") === col("h_b") && col("id_a") < col("id_b") &&
           // length filter: J >= t forces min(n_a,n_b) >= t * max(n_a,n_b)
-          col("n_a") * 100 >= col("n_b") * thresholdPct &&
-          col("n_b") * 100 >= col("n_a") * thresholdPct &&
+          col("n_a").cast("long") * 100 >= col("n_b").cast("long") * thresholdPct &&
+          col("n_b").cast("long") * 100 >= col("n_a").cast("long") * thresholdPct &&
           // positional filter: overlap achievable from these positions on
           // must reach ceil(t/(1+t) * (n_a+n_b))
-          expr(s"1 + least(n_a - pos_a, n_b - pos_b) >= ($thresholdPct * (n_a + n_b) + ${100 + thresholdPct} - 1) DIV ${100 + thresholdPct}")
+          expr(s"1 + least(n_a - pos_a, n_b - pos_b) >= ((CAST(n_a AS BIGINT) + n_b) * $thresholdPct + ${100 + thresholdPct} - 1) DIV ${100 + thresholdPct}")
       )
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -126,33 +173,11 @@ object SetSimilarity {
     // gram strings for the few survivors — the output value is defined
     // by gram sets alone, bit-identical to the brute-force oracle.
     val hashSides = grams.select(col(idCol), col("hs"))
-    // Materialized eagerly: the survivor pair set has THREE consumers
-    // (both `needed` branches and the final verify join) and sits on
-    // top of the whole candidate pipeline — without the checkpoint
-    // that pipeline would re-execute per consumer.
-    val preVerified = candidates
+    val pairs = candidates
       .join(hashSides.select(col(idCol).as("id_a"), col("hs").as("h_a")), "id_a")
       .join(hashSides.select(col(idCol).as("id_b"), col("hs").as("h_b")), "id_b")
       .filter(expr("graft_jaccard_sorted(h_a, h_b)") >= lit(thresholdPct / 100.0))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    // String grams are built ONLY for the survivors: semi-join the doc
-    // table down to the (few) ids still in play, THEN project the gram
-    // arrays — the interpreted HOF gram builder runs on thousands of
-    // rows, not the corpus.
-    val needed = preVerified.select(col("id_a").as(idCol))
-      .union(preVerified.select(col("id_b").as(idCol)))
-      .distinct()
-    val sides = docs.join(needed, Seq(idCol), "left_semi")
-      .select(col(idCol), expr(Contamination.wordGramsSql(textCol, gramN)).as("grams"))
-      .localCheckpoint(true) // tiny; consumed by both join sides below
-    preVerified
-      .join(sides.select(col(idCol).as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(sides.select(col(idCol).as("id_b"), col("grams").as("g_b")), "id_b")
-      .withColumn(
-        "jaccard",
-        expr("CAST(size(array_intersect(g_a, g_b)) AS DOUBLE) / size(array_union(g_a, g_b))"))
-      .filter(col("jaccard") >= lit(thresholdPct / 100.0))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, grams)
   }
 }

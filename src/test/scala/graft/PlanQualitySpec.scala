@@ -114,10 +114,18 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("exact jaccard join (q79) never goes all-pairs: every join is an equi-join") {
-    val p = plan(SparkEntry.queries("q79_jaccard_join")(spark, sfDir))
-    assert(!p.contains("CartesianProduct"), s"prefix filtering must not plan a cross join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"prefix/verify joins must stay equi-joins:\n$p")
-    spark.catalog.clearCache() // q79 persists its gram projection
+    // Pin the PRE-checkpoint candidate pipeline: jaccardJoin's returned
+    // frame sits on eagerly checkpointed RDDs, so its executedPlan
+    // shows only the final verify joins — asserting on it would let a
+    // candidate-stage regression to a cross join pass unseen.
+    val (pairs, grams) = graft.dedup.SetSimilarity.preVerifiedPairs(
+      Tables.documents(spark, sfDir), 60, "text", "doc_id", 3)
+    try {
+      val p = plan(pairs)
+      assert(p.contains("row_number"), s"expected the prefix rank window in the candidate plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"prefix filtering must not plan a cross join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"prefix/verify joins must stay equi-joins:\n$p")
+    } finally grams.unpersist()
   }
 
   test("repetition stats (q42) is one shuffle-free projection over the scan") {
