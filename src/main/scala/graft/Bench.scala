@@ -165,7 +165,10 @@ object Bench {
     // A run is box-suspect when its canary is >2x the pass-best; a
     // query's median is flagged when at least half its runs were
     // suspect (median of canaries > 2x best).
-    val canaryBase = canaries.flatMap(_._2).min
+    // guard the empty case (SPARK_GRAFT_ONLY matching nothing): the
+    // bench must still emit a parseable headline, not die on empty.min
+    val allCanaries = canaries.flatMap(_._2)
+    val canaryBase = if (allCanaries.isEmpty) 1.0 else allCanaries.min
     val contended = canaries.collect {
       case (k, cs) if median(cs) > 2.0 * canaryBase => k
     }.sorted

@@ -67,28 +67,39 @@ object StreamScaleProbe {
     */
   private def buildReplay(spark: SparkSession, dir: String, replayDir: String): Unit = {
     val done = Paths.get(replayDir, "_REPLAY_DONE")
-    if (Files.exists(done)) return
+    // Stamp with the SOURCE fixture's identity (its _SIM_DONE content
+    // when it is a built sim, else the dir): a rebuilt sim fixture
+    // (mode switch / FixtureRev bump) must rebuild the replay too, not
+    // silently reuse the previous fixture's chunks.
+    val srcMark = Paths.get(dir, "_SIM_DONE")
+    val stamp = s"$dir:${if (Files.exists(srcMark)) Files.readString(srcMark).trim else "static"}"
+    if (Files.exists(done) && Files.readString(done).trim == stamp) return
     val ev = graft.tables.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val n = ev.count()
     val per = (n + Chunks - 1) / Chunks
     // one global sort, then chunk by row rank: each chunk is a
     // contiguous time slice, the shape of a day's worth of arriving
-    // files on a real ingest bus
+    // files on a real ingest bus. Persisted: the single-partition
+    // global sort would otherwise re-execute once PER CHUNK (16
+    // sequential one-task sorts of the whole fixture).
     val ranked = ev.withColumn("_rk", row_number().over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Files.createDirectories(Paths.get(replayDir))
     (0 until Chunks).foreach { i =>
       val tmp = s"$replayDir/_build_$i"
       ranked.filter(col("_rk") > i * per && col("_rk") <= (i + 1) * per).drop("_rk")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val ls = Files.list(Paths.get(tmp))
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get() finally ls.close()
       val dst = Paths.get(replayDir, f"chunk_$i%02d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
-    Files.writeString(done, "ok")
+    ranked.unpersist()
+    Files.writeString(done, stamp)
   }
 
   private def fileStream(spark: SparkSession, replayDir: String): DataFrame = {

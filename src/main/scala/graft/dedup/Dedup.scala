@@ -80,9 +80,21 @@ object Dedup {
     * Docs sharing any band key are candidate pairs; with b bands of r
     * rows the match probability is 1-(1-j^r)^b (threshold ~0.5 for
     * b=4, r=4).
+    *
+    * The native kernel derives its band count from the signature
+    * length (len/r), so a signature longer than bands*rowsPerBand
+    * would silently produce MORE bands than requested (the replaced
+    * HOF emitted exactly `bands`, ignoring the tail) — and a
+    * signature index persisted under one derivation stops matching a
+    * batch banded under another. Slice the signature to exactly
+    * bands*rowsPerBand values first, restoring the requested banding
+    * for every (k, bands, r).
     */
-  def withLshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    sigs.withColumn("bands", expr(s"graft_lsh_bands(minhash, $rowsPerBand)"))
+  def withLshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+    sigs.withColumn("bands",
+      expr(s"graft_lsh_bands(slice(minhash, 1, ${bands * rowsPerBand}), $rowsPerBand)"))
+  }
 
   /** Candidate pairs from shared LSH buckets, with the MinHash-estimated
     * Jaccard. `maxBucket` bounds the per-bucket pair blowup (skew guard):
@@ -303,6 +315,8 @@ object Dedup {
       parallelism: Option[Int] = None,
       releaseOnMaterialize: Boolean = false
   ): DataFrame = {
+    require(k % bands == 0,
+      s"k must be divisible by bands (k=$k, bands=$bands): the native band kernel derives its band count as k/r")
     val r = k / bands
     // Signature computation is the CPU-heavy stage (k hashes per
     // shingle per doc) and its expressions are interpreted, not
@@ -734,6 +748,8 @@ object Dedup {
       bands: Int = 8,
       parallelism: Option[Int] = None
   ): DataFrame = {
+    require(k % bands == 0,
+      s"k must be divisible by bands (k=$k, bands=$bands): the native band kernel derives its band count as k/r")
     val r = k / bands
     val sc = docs.sparkSession.sparkContext
     scatterForCpuStage(docs, parallelism, sc.defaultParallelism)
@@ -773,6 +789,8 @@ object Dedup {
       maxBucket: Int = 1000,
       parallelism: Option[Int] = None
   ): DataFrame = {
+    require(k % bands == 0,
+      s"k must be divisible by bands (k=$k, bands=$bands): the native band kernel derives its band count as k/r")
     val r = k / bands
     val sc = batch.sparkSession.sparkContext
     // batch signatures keep the shingle sets: the batch side of the

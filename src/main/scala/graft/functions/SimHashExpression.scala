@@ -140,12 +140,12 @@ object SimHash {
     while (i < n) {
       val f = features.getUTF8String(i)
       if (f != null) {
+        // f.getBytes IS the UTF-8 encoding (UTF8String stores UTF-8) —
+        // no toString round-trip through UTF-16 in the per-feature loop
+        val fb = f.getBytes
         val h =
-          if (md5Mode) PortableMinHashBands.hash60(f.toString.getBytes(StandardCharsets.UTF_8))
-          else {
-            val b = f.getBytes
-            XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-          }
+          if (md5Mode) PortableMinHashBands.hash60(fb)
+          else XXH64.hashUnsafeBytes(fb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, fb.length, 42L)
         var b = 0
         while (b < bits) {
           if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1

@@ -119,12 +119,11 @@ object Similarity {
     * Gaussian).
     */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
+    // ONE implementation of the portable first-60-bits-of-md5 hash:
+    // the oracle replays this construction in SQL, so a second local
+    // copy risks silent divergence — delegate to the kernel's helper.
+    def h60(s: String): Long = graft.functions.PortableMinHashBands.hash60(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Seq.tabulate(nPlanes, dim) { (i, d) =>
       h60(s"plane:$seed:$i:$d").toDouble / 1152921504606846976.0 - 0.5
     }
