@@ -67,6 +67,7 @@ object FileStats {
         Some("i" -> n.toString)
       case n: java.lang.Float => Some("f" -> n.doubleValue().toString)
       case n: java.lang.Double => Some("f" -> n.toString)
+      case d: java.math.BigDecimal => Some("D" -> d.toPlainString)
       case b: Binary => Some("s" -> b64.encodeToString(b.getBytes))
       case _ => None
     }
@@ -94,6 +95,7 @@ object FileStats {
           def dec(s: String): Any = kind match {
             case "i" => java.lang.Long.valueOf(s)
             case "f" => java.lang.Double.valueOf(s)
+            case "D" => new java.math.BigDecimal(s)
             case "s" => Binary.fromConstantByteArray(b64.decode(s))
           }
           val cs =
@@ -145,6 +147,25 @@ object FileStats {
         .groupBy(_.getPath.toDotString)
         .flatMap { case (name, chunks) =>
           val stats = chunks.map(_.getStatistics)
+          // DECIMAL columns ship footer min/max as UNSCALED int32/int64
+          // (or two's-complement binary) — comparing those raw against
+          // the SCALED BigDecimal filter literal would prune wrongly
+          // (123 vs 1.23). Rescale into java.math.BigDecimal here, at
+          // the only place the parquet logical type (the scale) is in
+          // hand.
+          val decScale: Option[Int] =
+            chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
+              case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(d.getScale)
+              case _ => None
+            }
+          def conv(v: Any): Any = (decScale, v) match {
+            case (Some(s), n: java.lang.Integer) => java.math.BigDecimal.valueOf(n.longValue(), s)
+            case (Some(s), n: java.lang.Long) => java.math.BigDecimal.valueOf(n.longValue(), s)
+            case (Some(s), b: Binary) =>
+              new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), s)
+            case (_, other) => other
+          }
           if (stats.exists(s => s == null || !s.isNumNullsSet ||
               (!s.hasNonNullValue && s.getNumNulls == 0L))) None
           else {
@@ -152,8 +173,8 @@ object FileStats {
             val withValues = stats.filter(_.hasNonNullValue)
             if (withValues.isEmpty) Some(name -> ColStats(null, null, nulls, rowCount))
             else Some(name -> ColStats(
-              withValues.map(s => s.genericGetMin: Any).reduce(minOf),
-              withValues.map(s => s.genericGetMax: Any).reduce(maxOf),
+              withValues.map(s => conv(s.genericGetMin): Any).reduce(minOf),
+              withValues.map(s => conv(s.genericGetMax): Any).reduce(maxOf),
               nulls, rowCount))
           }
         }
@@ -167,6 +188,16 @@ object FileStats {
     * domain; None when the pair isn't comparable (-> conservative).
     */
   private def cmp(statVal: Any, litVal: Any): Option[Int] = (statVal, litVal) match {
+    // decimals compare EXACTLY in the decimal domain. An integral
+    // partner converts losslessly; a float/double partner does not
+    // (its decimal rendering is not its binary value) -> conservative
+    // None rather than a boundary-wrong prune.
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
+    case (a: java.math.BigDecimal, b: java.lang.Number) if isIntegral(b) =>
+      Some(a.compareTo(java.math.BigDecimal.valueOf(b.longValue())))
+    case (a: java.lang.Number, b: java.math.BigDecimal) if isIntegral(a) =>
+      Some(java.math.BigDecimal.valueOf(a.longValue()).compareTo(b))
+    case (_: java.math.BigDecimal, _) | (_, _: java.math.BigDecimal) => None
     case (a: java.lang.Number, b: java.lang.Number)
         if isIntegral(a) && isIntegral(b) =>
       Some(java.lang.Long.compare(a.longValue(), b.longValue()))

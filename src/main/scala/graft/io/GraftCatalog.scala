@@ -118,8 +118,6 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     // footer — stats were persisted with the commit
     try FileStats.prime(catalog.manifestStats(name, version))
     catch { case scala.util.control.NonFatal(_) => () }
-    val options = new CaseInsensitiveStringMap(
-      Map("basePath" -> catalog.dataPath(name)).asJava)
     // A declared schema (CTAS or ALTER TABLE) wins when present —
     // that's what lets ADD COLUMN surface a column the existing data
     // files don't carry yet (parquet null-fills missing columns).
@@ -138,6 +136,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     val physicalSchema = declared.map { s =>
       StructType(s.fields.map(f => renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
     }
+    // Schema-on-read tables (no schema.json) must merge footers: the
+    // TableIO read surface passes mergeSchema=true, and without it the
+    // SQL surface would infer from one sampled footer and silently
+    // drop columns appended by schema drift — two read paths of the
+    // same snapshot disagreeing on the schema.
+    val options = new CaseInsensitiveStringMap(
+      (Map("basePath" -> catalog.dataPath(name)) ++
+        (if (declared.isEmpty) Map("mergeSchema" -> "true") else Map.empty)).asJava)
     val delegate = ParquetTable(
       s"$catalogName.$name@v$version",
       SparkSession.active,
@@ -161,13 +167,25 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
 
   /** Hive-style partition columns inferred from a manifest's file
     * paths (tables written via TableIO carry no declared meta).
+    * Derived from EVERY file, mirroring TableIO.layoutPartitionCols: a
+    * mixed-layout table must fail loudly here — trusting the first
+    * file could classify a partitioned table as flat, hand it the
+    * row-ops rewrite path, and flatten its layout on the next UPDATE.
     */
   private def partitionColsFromPaths(name: String, files: Seq[String]): Seq[String] = {
     val data = java.nio.file.Paths.get(catalog.dataPath(name)).toAbsolutePath.normalize
-    files.headOption.toSeq.flatMap { f =>
+    def layoutOf(f: String): Seq[String] = {
       val rel = data.relativize(java.nio.file.Paths.get(f).toAbsolutePath.normalize)
       (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
         .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    }
+    files.map(layoutOf).distinct match {
+      case Seq() => Seq.empty
+      case Seq(one) => one
+      case many => throw new IllegalStateException(
+        s"table $name has files under ${many.size} different partition layouts " +
+          s"(${many.map(l => if (l.isEmpty) "<flat>" else l.mkString("/")).mkString(", ")}); " +
+          "declare the schema/partitioning (CREATE TABLE) to disambiguate")
     }
   }
 
@@ -193,7 +211,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       schemaJson = Some(schema.json), partitionCols = Some(pcols)))
     // the file index resolves basePath eagerly even for an empty table
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(catalog.dataPath(name)))
-    catalog.commitSnapshot(name, Seq.empty)
+    // pinned at v1: the tableExists check above is check-then-act, and
+    // two concurrent CREATEs both passing it must resolve to ONE
+    // winner — the loser's v1 link fails (ConcurrentCommitException ->
+    // surfaced as the standard already-exists error), instead of
+    // silently landing v2 over the winner's schema
+    try catalog.commitSnapshotAt(name, Seq.empty, 1)
+    catch { case _: ConcurrentCommitException =>
+      throw new TableAlreadyExistsException(ident) }
     loadTable(ident)
   }
 
@@ -212,14 +237,32 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       if (newIdent.namespace().length > 1 && newIdent.namespace().head == catalogName)
         Identifier.of(newIdent.namespace().tail, newIdent.name())
       else newIdent
-    if (!catalog.tableExists(qualified(oldIdent))) throw new NoSuchTableException(oldIdent)
-    if (catalog.tableExists(qualified(target))) throw new TableAlreadyExistsException(target)
-    val dst = java.nio.file.Paths.get(catalog.pathOf(qualified(target)))
-    java.nio.file.Files.createDirectories(dst.getParent)
-    // manifests store table-relative paths, so the directory move IS
-    // the whole rename — every snapshot stays readable at the new name
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(catalog.pathOf(qualified(oldIdent))), dst)
+    // serialize against same-process writers on BOTH paths: a rename
+    // racing an in-flight write would otherwise move the directory out
+    // from under the writer's staged files, and the writer's commit
+    // would then resurrect the old path as a ghost one-snapshot table.
+    // (Cross-process, the move itself is atomic; a racer's commit then
+    // fails on the vanished path rather than ghost-writing.)
+    // lock in path order so two opposite-direction renames cannot
+    // deadlock on each other's held lock
+    val srcPath = catalog.pathOf(qualified(oldIdent))
+    val dstPath = catalog.pathOf(qualified(target))
+    // self-rename would self-deadlock on the shared per-path lock
+    if (srcPath == dstPath) throw new TableAlreadyExistsException(target)
+    val Seq(first, second) = Seq(srcPath, dstPath).sorted.map(TableIO.writeLock)
+    first.acquire()
+    try {
+      second.acquire()
+      try {
+        if (!catalog.tableExists(qualified(oldIdent))) throw new NoSuchTableException(oldIdent)
+        if (catalog.tableExists(qualified(target))) throw new TableAlreadyExistsException(target)
+        val dst = java.nio.file.Paths.get(catalog.pathOf(qualified(target)))
+        java.nio.file.Files.createDirectories(dst.getParent)
+        // manifests store table-relative paths, so the directory move IS
+        // the whole rename — every snapshot stays readable at the new name
+        java.nio.file.Files.move(java.nio.file.Paths.get(srcPath), dst)
+      } finally second.release()
+    } finally first.release()
   }
 
   /** Schema evolution DDL — the slice that is safe without Iceberg
@@ -480,7 +523,8 @@ private[io] class GraftTable(
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val io = new TableIO(spark, cat)
-    val all = cat.currentVersion(tableName).map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+    val baseVersion = cat.currentVersion(tableName)
+    val all = baseVersion.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
     val toLogicalName = renames.map(_.swap)
     val (kept, candidates) =
       try {
@@ -496,7 +540,8 @@ private[io] class GraftTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     val remaining = io.readFiles(tableName, candidates)
       .filter(not(coalesce(cond, lit(false))))
-    io.commitReplacement(remaining, tableName, kept, partitionCols)
+    io.commitReplacement(remaining, tableName, kept, partitionCols,
+      baseVersion = baseVersion.getOrElse(0))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -710,22 +755,7 @@ private[io] class GraftRowOpsTable(
                     // overwrite, prior versions untouched
                     val dataRoot = java.nio.file.Paths.get(cat.dataPath(tableName))
                     java.nio.file.Files.createDirectories(dataRoot)
-                    val stagedWalk = java.nio.file.Files.walk(staging)
-                    val stagedFiles =
-                      try stagedWalk.iterator().asScala
-                        .filter(p => java.nio.file.Files.isRegularFile(p))
-                        .filter { p =>
-                          val n = p.getFileName.toString
-                          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-                        }.toSeq
-                      finally stagedWalk.close()
-                    val newFiles = stagedFiles.map { p =>
-                      val target = dataRoot.resolve(staging.relativize(p))
-                      java.nio.file.Files.createDirectories(target.getParent)
-                      java.nio.file.Files.move(p, target,
-                        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                      target.toAbsolutePath.normalize.toString
-                    }.sorted
+                    val newFiles = TableIO.moveStagedFiles(staging, dataRoot)
                     // stats ride along (carried forward for untouched
                     // files, footer-read for replacements) so a DML
                     // commit keeps plan-time pruning O(manifest) —

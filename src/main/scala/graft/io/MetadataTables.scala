@@ -33,12 +33,21 @@ private[io] object MetadataTables {
         .add("committed_at", TimestampType, nullable = false)
         .add("n_files", IntegerType, nullable = false)
         .add("total_bytes", LongType, nullable = false)
-      val rows = cat.versions(table).map { v =>
-        val files = cat.manifest(table, v)
-        val bytes = files.map(f => sizeOf(f)).sum
-        val mtimeMicros = Files.getLastModifiedTime(
-          cat.metaPath(table).resolve(s"v$v.json")).toMillis * 1000L
-        new GenericInternalRow(Array[Any](v, mtimeMicros, files.size, bytes)): InternalRow
+      // data files are immutable once committed and versions mostly
+      // share them — stat each distinct path once, not once per
+      // version that references it (O(versions x files) otherwise)
+      val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+      // a version expired (CALL expire_snapshots in another process)
+      // between the listing and its read is normal lifecycle, like the
+      // `staged` branch below: skip the vanished row, don't fail the query
+      val rows = cat.versions(table).flatMap { v =>
+        try {
+          val files = cat.manifest(table, v)
+          val bytes = files.map(f => sizeCache.getOrElseUpdate(f, sizeOf(f))).sum
+          val mtimeMicros = Files.getLastModifiedTime(
+            cat.metaPath(table).resolve(s"v$v.json")).toMillis * 1000L
+          Some(new GenericInternalRow(Array[Any](v, mtimeMicros, files.size, bytes)): InternalRow)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
       }
       local(s"$table.$meta", schema, rows)
     case "files" =>

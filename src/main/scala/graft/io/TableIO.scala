@@ -507,15 +507,20 @@ final case class TableCatalog(warehouse: String) {
     val lock = TableIO.writeLock(pathOf(name))
     lock.acquire()
     try {
-      require(versions(name).contains(version),
+      val live = versions(name)
+      require(live.contains(version),
         s"rollback of $name: snapshot $version does not exist " +
-          s"(live versions: ${versions(name).mkString(", ")})")
+          s"(live versions: ${live.mkString(", ")})")
       val files = manifest(name, version)
       val stats =
         try manifestStats(name, version)
         catch { case scala.util.control.NonFatal(_) =>
           Map.empty[String, Map[String, FileStats.ColStats]] }
-      commitSnapshot(name, files, stats = stats)
+      // pinned at the version observed above: a CROSS-PROCESS commit
+      // landing after the read must fail this commit fast (the JVM
+      // lock only serializes same-process writers), not be silently
+      // superseded by a rollback that never saw it
+      commitSnapshotAt(name, files, live.max + 1, stats = stats)
     } finally lock.release()
   }
 
@@ -1114,21 +1119,25 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * `keepFiles`, which carry into the new manifest verbatim — the
     * commit half of a file-scoped copy-on-write mutation.
     */
+  /** Commit a copy-on-write replacement derived from `baseVersion`'s
+    * file list. The commit is PINNED at baseVersion+1: a concurrent
+    * writer landing in between surfaces as ConcurrentCommitException
+    * instead of having its files silently dropped from the kept list
+    * (the lost-update the row-ops DML path already guards against —
+    * this is the SupportsDelete path's identical guard).
+    */
   private[graft] def commitReplacement(df: DataFrame, name: String,
                                        keepFiles: Seq[String],
-                                       partitionCols: Seq[String]): Unit = {
+                                       partitionCols: Seq[String],
+                                       baseVersion: Int): Unit = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
-    try commitReplacementLocked(df, name, keepFiles, partitionCols)
-    finally lock.release()
-  }
-
-  private def commitReplacementLocked(df: DataFrame, name: String,
-                                      keepFiles: Seq[String],
-                                      partitionCols: Seq[String]): Unit = {
-    val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
-    catalog.commitSnapshot(name, keepFiles ++ newFiles,
-      stats = commitStats(name, keepFiles, newFiles))
+    try {
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.commitSnapshotAt(name, keepFiles ++ newFiles, baseVersion + 1,
+        stats = commitStats(name, keepFiles, newFiles))
+      ()
+    } finally lock.release()
   }
 
   /** Create-if-absent, append data files, commit a new snapshot.
@@ -1247,10 +1256,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
     val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
     val touched = newFiles.map(partitionKeyOf(name, _)).toSet
-    val prev = catalog.currentVersion(name).map(catalog.manifest(name, _)).getOrElse(Seq.empty)
+    val base = catalog.currentVersion(name)
+    val prev = base.map(catalog.manifest(name, _)).getOrElse(Seq.empty)
     val kept = prev.filterNot(f => touched.contains(partitionKeyOf(name, f)))
-    catalog.commitSnapshot(name, kept ++ newFiles,
+    // pinned at the version whose file list was read: a cross-process
+    // append landing in between must fail fast, not have its files
+    // dropped from the kept list (the JVM lock only covers this process)
+    catalog.commitSnapshotAt(name, kept ++ newFiles, base.getOrElse(0) + 1,
       stats = commitStats(name, kept, newFiles))
+    ()
   }
 
   /** Partition columns of the table's CURRENT physical layout, derived
@@ -1449,24 +1463,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
       withParts.parquet(staging.toString)
       val dataRoot = Paths.get(catalog.dataPath(name))
-      val staged = Using.resource(Files.walk(staging)) { s =>
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .filter { p =>
-            val n = p.getFileName.toString
-            (n.endsWith(".parquet") || n.endsWith(".snappy.parquet")) &&
-              !n.startsWith("_") && !n.startsWith(".")
-          }
-          .toSeq
-      }
-      staged.map { p =>
-        val target = dataRoot.resolve(staging.relativize(p))
-        Files.createDirectories(target.getParent)
-        TableIO.filesWritten.incrementAndGet()
-        TableIO.bytesWritten.addAndGet(try Files.size(p) catch { case _: java.io.IOException => 0L })
-        Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        target.toAbsolutePath.normalize.toString
-      }.sorted
+      TableIO.moveStagedFiles(staging, dataRoot)
     } finally {
       // the staging tree holds no data files anymore (moved or failed);
       // best-effort removal, never masking the write's own outcome
@@ -1561,6 +1558,35 @@ object TableIO {
     */
   val filesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
   val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Move a staged write's parquet files into the table's data root
+    * (cheap same-filesystem atomic renames), preserving the staged
+    * directory layout and updating the write-audit counters. The ONE
+    * implementation of the staged-file walk — shared by
+    * `TableIO.stageWrite` and the DML replacement commit
+    * (GraftRowOpsTable), which previously duplicated it with drifting
+    * details (the DML copy skipped the audit counters, making DML
+    * rewrites invisible to the bench write audit).
+    */
+  private[io] def moveStagedFiles(staging: Path, dataRoot: Path): Seq[String] = {
+    val staged = Using.resource(Files.walk(staging)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toSeq
+    }
+    staged.map { p =>
+      val target = dataRoot.resolve(staging.relativize(p))
+      Files.createDirectories(target.getParent)
+      filesWritten.incrementAndGet()
+      bytesWritten.addAndGet(try Files.size(p) catch { case _: java.io.IOException => 0L })
+      Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      target.toAbsolutePath.normalize.toString
+    }.sorted
+  }
 
   /** Per-table (canonical path) write mutex shared by every TableIO
     * instance in the JVM — see `write`. A Semaphore, not a monitor:

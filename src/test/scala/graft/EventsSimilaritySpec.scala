@@ -293,6 +293,35 @@ class TableIOSpec extends SparkSpec {
   import spark.implicits._
   import graft.io.TableIO
 
+  test("FileStats compares DECIMAL stats in the decimal domain (scaled, not unscaled)") {
+    import org.apache.spark.sql.sources._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fdec_").toString
+    // DECIMAL(9,2) writes as physical INT32 with UNSCALED min/max in
+    // the footer — a raw comparison against the scaled literal would
+    // wrongly prove 1.23 outside [100, 500] (unscaled for 1.00..5.00)
+    Seq("1.00", "1.23", "5.00").toDF("s")
+      .selectExpr("CAST(s AS DECIMAL(9,2)) AS price")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val f = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).filter(p => java.nio.file.Files.isRegularFile(p))
+      .findFirst().get().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val st = graft.io.FileStats.read(f, conf)
+    val lit123 = new java.math.BigDecimal("1.23")
+    assert(graft.io.FileStats.mightMatch(st, Seq(EqualTo("price", lit123))),
+      "file containing 1.23 must not be pruned")
+    assert(graft.io.FileStats.mightMatch(st, Seq(GreaterThan("price", new java.math.BigDecimal("4.99")))))
+    assert(!graft.io.FileStats.mightMatch(st, Seq(GreaterThan("price", new java.math.BigDecimal("5.00")))),
+      "max is exactly 5.00 — strictly-greater is provably empty")
+    assert(!graft.io.FileStats.mightMatch(st, Seq(EqualTo("price", new java.math.BigDecimal("0.50")))))
+    // manifest round-trip preserves the decimal domain (kind D)
+    val enc = graft.io.FileStats.encodeEntries(0, st)
+    assert(enc.exists(_.split("\\|")(1) == "D"), s"decimal stats must persist: $enc")
+    val dec = graft.io.FileStats.decodeEntries(enc)(0)
+    assert(graft.io.FileStats.mightMatch(dec, Seq(EqualTo("price", lit123))))
+    assert(!graft.io.FileStats.mightMatch(dec, Seq(EqualTo("price", new java.math.BigDecimal("0.50")))))
+  }
+
   test("FileStats pruning is conservative: never prunes a file containing a matching row") {
     import org.apache.spark.sql.sources._
     import scala.jdk.CollectionConverters._
