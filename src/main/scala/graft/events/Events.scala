@@ -35,9 +35,13 @@ object Events {
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapMinutes`. Window
     * functions partition by user — one shuffle on user_id; at scale
-    * the per-user event lists are small so no skew concern beyond
-    * bot-like hot users (which AQE skew-split handles since the
-    * partition key is the user hash).
+    * the per-user event lists are small. NOTE the skew caveat: AQE's
+    * skewed-partition splitting applies to joins, NOT to window
+    * shuffles (every row of a key must stay on one task for the
+    * window), so a bot-grade hot user serializes onto a single task —
+    * the mitigations are upstream rate caps or splitting hot users by
+    * a coarse time bucket before sessionizing (accepting split
+    * sessions at the bucket seams for those users).
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

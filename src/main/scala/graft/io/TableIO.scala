@@ -360,17 +360,24 @@ final case class TableCatalog(warehouse: String) {
     * commit). Tables last written by the pre-manifest-props layout
     * fall back to their `stream_batch.txt` sidecar.
     */
-  def streamBatchMark(name: String): Option[Long] =
+  /** Newest batch-id mark under `propKey` — the default key for
+    * legacy single-query tables, or a per-sink key
+    * (`TableCatalog.streamBatchProp(sinkId)`): marks from a PREVIOUS
+    * query incarnation (fresh checkpoint => batch ids restart at 0)
+    * must not silently swallow the new query's batches.
+    */
+  def streamBatchMark(name: String, propKey: String = TableCatalog.StreamBatchProp): Option[Long] =
     versions(name).reverseIterator
       .flatMap { v =>
-        try manifestProps(name, v).get(TableCatalog.StreamBatchProp)
+        try manifestProps(name, v).get(propKey)
         catch { case _: java.nio.file.NoSuchFileException => None }
       }
       .flatMap(_.toLongOption)
       .nextOption()
       .orElse {
         val legacy = metaPath(name).resolve("stream_batch.txt")
-        if (Files.isRegularFile(legacy)) Files.readString(legacy).trim.toLongOption
+        if (propKey == TableCatalog.StreamBatchProp && Files.isRegularFile(legacy))
+          Files.readString(legacy).trim.toLongOption
         else None
       }
 
@@ -471,7 +478,7 @@ final case class TableCatalog(warehouse: String) {
       val newestMarked =
         if (releaseStreamMark) None
         else vs.reverseIterator.find { v =>
-          try manifestProps(name, v).contains(TableCatalog.StreamBatchProp)
+          try manifestProps(name, v).keys.exists(_.startsWith(TableCatalog.StreamBatchProp))
           catch { case _: java.nio.file.NoSuchFileException => false }
         }
       val tagged = tags(name).values.toSet
@@ -758,6 +765,12 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 object TableCatalog {
   /** Manifest property carrying the streaming sink's micro-batch id. */
   val StreamBatchProp = "streamBatchId"
+
+  /** Manifest prop key for a sink's batch mark: the bare legacy key
+    * when no sink identity is given, else `streamBatchId:<sinkId>`.
+    */
+  def streamBatchProp(sinkId: Option[String]): String =
+    sinkId.fold(StreamBatchProp)(sid => s"$StreamBatchProp:$sid")
 
   /** JSON string escape: backslash, quote, and all control chars. */
   private[io] def escape(s: String): String = s.flatMap {
@@ -1513,7 +1526,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // re-deriving one of them later would commit a stale file list
       // over the racer's snapshot and lose its files.
       val newStats = commitStats(name, Seq.empty, newFiles)
-      val streamBatchId = props.get(TableCatalog.StreamBatchProp).flatMap(_.toLongOption)
+      // the mark may ride under the bare legacy key or a per-sink key —
+      // re-guard against whichever key THIS append carries
+      val streamMark = props.collectFirst {
+        case (k, v) if k.startsWith(TableCatalog.StreamBatchProp) => (k, v)
+      }
+      val streamBatchId = streamMark.flatMap(_._2.toLongOption)
+      val streamPropKey = streamMark.map(_._1).getOrElse(TableCatalog.StreamBatchProp)
       var attempt = 0
       var done = false
       while (!done) {
@@ -1524,7 +1543,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         // commit the batch twice; if the base manifest chain already
         // carries a mark at or past this batch, the rows are in — stop
         // without committing.
-        if (streamBatchId.exists(id => catalog.streamBatchMark(name).exists(_ >= id)))
+        if (streamBatchId.exists(id => catalog.streamBatchMark(name, streamPropKey).exists(_ >= id)))
           return
         val base = catalog.currentVersion(name).getOrElse(0)
         val prev = if (base == 0) Seq.empty else catalog.manifest(name, base)

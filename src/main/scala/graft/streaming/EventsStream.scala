@@ -41,8 +41,24 @@ object EventsStream {
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  // start/lastSeen in MICROseconds (batch parity — the batch sessionize
+  // compares unix_micros; ms truncation would merge events exactly at
+  // the gap boundary that the batch splits); totalCents is the exact
+  // 2-decimal sum (the batch side emits ExactAgg.dsum(value, 2) — an
+  // arrival-order IEEE double accumulator would diverge from it)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, totalCents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def microsOf(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  private def centsOf(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState:
     * one state row per user holding the open session; a batch closes
@@ -51,36 +67,54 @@ object EventsStream {
     * when the state times out after inactivity. Pass NoTimeout for
     * deterministic finite-input runs (a processing-time timeout makes
     * the engine schedule continuous empty micro-batches to fire it).
+    *
+    * Late (out-of-order across micro-batches) events: there is no
+    * watermark here, so an event older than the open session's
+    * lastSeen can arrive. It merges into the open session with
+    * monotone bounds (start = min, lastSeen = max) — bounds never
+    * regress, so session_end >= session_start always holds and a late
+    * straggler can never falsely close a session by dragging lastSeen
+    * backwards. (An event predating start by more than the gap
+    * ideally belongs to an earlier, already-emitted session; without
+    * a watermark that session cannot be reopened — merging is the
+    * bounded-error choice, the same one session_window makes.)
     */
   def sessionize(
       events: Dataset[Ev],
       gapMinutes: Int = 30,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()
   ): Dataset[SessionOut] = {
+    require(timeout == GroupStateTimeout.NoTimeout() || timeout == GroupStateTimeout.ProcessingTimeTimeout(),
+      "sessionize supports NoTimeout or ProcessingTimeTimeout; EventTimeTimeout would need " +
+        "setTimeoutTimestamp plus a watermark and is not implemented")
     val gapMs = gapMinutes.toLong * 60000L
+    val gapUs = gapMinutes.toLong * 60000000L
     val withTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), timeout
       ) { (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+        def emit(s: SessionState): SessionOut =
+          SessionOut(userId, tsOf(s.start), tsOf(s.lastSeen), s.n, s.totalCents / 100.0)
         val out = Seq.newBuilder[SessionOut]
         var cur = state.getOption
         if (state.hasTimedOut) {
-          cur.foreach(s => out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.n, s.total))
+          cur.foreach(s => out += emit(s))
           state.remove()
           cur = None
         }
-        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
+        batch.toSeq.sortBy(e => microsOf(e.ts)).foreach { e =>
+          val t = microsOf(e.ts)
           cur match {
-            case Some(s) if t - s.lastSeen <= gapMs =>
-              cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+            case Some(s) if t - s.lastSeen <= gapUs => // covers late t: negative diff merges
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+                s.n + 1, s.totalCents + centsOf(e.value)))
             case Some(s) =>
-              out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.n, s.total)
-              cur = Some(SessionState(t, t, 1L, e.value))
+              out += emit(s)
+              cur = Some(SessionState(t, t, 1L, centsOf(e.value)))
             case None =>
-              cur = Some(SessionState(t, t, 1L, e.value))
+              cur = Some(SessionState(t, t, 1L, centsOf(e.value)))
           }
         }
         cur.foreach { s =>

@@ -18,8 +18,10 @@ import graft.io.{TableCatalog, TableIO}
   * diverge: a crash before the manifest commit leaves only orphaned
   * data files — invisible to readers, reclaimed by GC — and the
   * replay re-commits; a crash after it leaves the mark in place and
-  * the replay is a no-op. (The mark is per-table; one streaming query
-  * per table, consistent with the single-writer commit model.)
+  * the replay is a no-op. The mark is keyed by the query's checkpoint
+  * lineage (`sinkId`), so a restart with a FRESH checkpoint — whose
+  * batch ids restart at 0 — starts a fresh mark instead of silently
+  * skipping everything below the previous incarnation's high water.
   */
 object TableSink {
 
@@ -28,15 +30,36 @@ object TableSink {
     * mark. Returns whether a snapshot was committed — factored out of
     * the stream wiring so the replay guard is directly testable.
     */
+  /** `sinkId` scopes the mark to one query lineage (appendStream
+    * derives it from the checkpoint path): batch ids restart at 0
+    * when a query runs with a FRESH checkpoint, and comparing those
+    * against another incarnation's high-water mark would silently
+    * drop every replayed-looking batch — data loss, not dedup. The
+    * None default keys the bare legacy per-table mark (one query per
+    * table, as the direct-call tests use).
+    */
   def commitStreamBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
-                        partitionCols: Seq[String] = Seq.empty): Boolean = {
-    val mark = io.catalog.streamBatchMark(table)
+                        partitionCols: Seq[String] = Seq.empty,
+                        sinkId: Option[String] = None): Boolean = {
+    val propKey = TableCatalog.streamBatchProp(sinkId)
+    val mark = io.catalog.streamBatchMark(table, propKey)
     if (mark.exists(_ >= batchId)) false
     else {
       io.append(batch, table, partitionCols,
-        props = Map(TableCatalog.StreamBatchProp -> batchId.toString))
+        props = Map(propKey -> batchId.toString))
       true
     }
+  }
+
+  /** Stable sink identity from the checkpoint location — the same
+    * checkpoint IS the same query lineage (batch ids continue), a new
+    * checkpoint is a new lineage (batch ids restart).
+    */
+  private def sinkIdOf(checkpoint: String): String = {
+    val canon = java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
   }
 
   /** Wire a streaming DataFrame into a table: every micro-batch is one
@@ -47,10 +70,11 @@ object TableSink {
   def appendStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                    partitionCols: Seq[String] = Seq.empty,
                    availableNow: Boolean = false): StreamingQuery = {
+    val sid = Some(sinkIdOf(checkpoint))
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitStreamBatch(io, table, id, batch, partitionCols); ()
+        commitStreamBatch(io, table, id, batch, partitionCols, sid); ()
       }
     (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
       .start()

@@ -326,6 +326,77 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamRows.size >= batchRows.size / 2, "most windows should have closed")
   }
 
+  test("restart with a FRESH checkpoint commits its batches (marks are per query lineage)") {
+    // A previous incarnation ran this table to batch id 5. A new query
+    // with a NEW checkpoint restarts batch ids at 0 — comparing them
+    // against the old lineage's high-water mark would silently drop
+    // every batch (data loss, not dedup).
+    val wh = java.nio.file.Files.createTempDirectory("graft_sinkid_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.relineage_t"
+    // old lineage: batch id 5 under its own sink id
+    assert(graft.streaming.TableSink.commitStreamBatch(
+      io, t, 5L, Seq((1L, "old")).toDF("id", "s"), sinkId = Some("lineageA")))
+    // new lineage starts at 0: must COMMIT, not be swallowed by the old mark
+    assert(graft.streaming.TableSink.commitStreamBatch(
+      io, t, 0L, Seq((2L, "new")).toDF("id", "s"), sinkId = Some("lineageB")))
+    assert(io.read(t).count() == 2)
+    // each lineage's replay still dedups against its OWN mark
+    assert(!graft.streaming.TableSink.commitStreamBatch(
+      io, t, 5L, Seq((1L, "old")).toDF("id", "s"), sinkId = Some("lineageA")))
+    assert(!graft.streaming.TableSink.commitStreamBatch(
+      io, t, 0L, Seq((2L, "new")).toDF("id", "s"), sinkId = Some("lineageB")))
+    assert(io.read(t).count() == 2)
+    // end-to-end: same stream, two different checkpoints => both drain
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((10L, "x"))
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_ck1_").toString
+    val q1 = graft.streaming.TableSink.appendStream(
+      input.toDF().toDF("id", "s"), io, "default.relineage_e2e", ck1, availableNow = true)
+    q1.awaitTermination()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_ck2_").toString
+    val q2 = graft.streaming.TableSink.appendStream(
+      input.toDF().toDF("id", "s"), io, "default.relineage_e2e", ck2, availableNow = true)
+    q2.awaitTermination()
+    // fresh checkpoint re-reads the source from scratch: its batch 0
+    // must land even though the first lineage also committed a batch 0
+    assert(io.read("default.relineage_e2e").count() == 2)
+  }
+
+  test("streaming sessionization merges late events with monotone bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Ev]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).writeStream
+      .format("memory").queryName("sessions_late_test").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(EventsStream.Ev(1L, t("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // LATE event (previous micro-batch's past): merges without
+      // dragging lastSeen backwards...
+      input.addData(EventsStream.Ev(1L, t("2024-01-01 09:45:00"), 2.0))
+      q.processAllAvailable()
+      // ...so this on-time event 20min after the true lastSeen must
+      // NOT close the session (a regressed lastSeen=09:45 would see
+      // a 35min false gap)
+      input.addData(EventsStream.Ev(1L, t("2024-01-01 10:20:00"), 4.0))
+      q.processAllAvailable()
+      // close by real gap; the emitted session must span min..max ts
+      input.addData(EventsStream.Ev(1L, t("2024-01-01 12:00:00"), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late_test").as[EventsStream.SessionOut].collect()
+      assert(rows.length == 1, s"expected one closed session, got ${rows.toSeq}")
+      val s = rows.head
+      assert(s.n_events == 3L)
+      assert(s.session_start.toString == "2024-01-01 09:45:00.0")
+      assert(s.session_end.toString == "2024-01-01 10:20:00.0")
+      assert(s.total_value == 7.0)
+      assert(!s.session_end.before(s.session_start))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Ev]
