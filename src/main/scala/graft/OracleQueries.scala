@@ -1260,7 +1260,110 @@ object OracleQueries {
         |  quantile_cont(n_chars, 0.5) AS p50_chars,
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  quantile_cont(n_chars, 0.99) AS p99_chars
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // the maintained rollup must equal the direct aggregate over the
+    // table's FINAL state (base minus the delete predicate): the IVM
+    // merge is exact decimal arithmetic, so the hash check proves
+    // incremental == recomputed
+    "q85_ivm_rollup" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey <= 1000 AND o_totalprice < 200000
+        |GROUP BY 1""".stripMargin,
+
+    // all six constraints hold on the fixture, so every violation
+    // count is 0 — the oracle still pins the check NAMES and the
+    // zero-not-null/zero-not-missing shape ("check" quoted: reserved)
+    "q86_integrity_audit" ->
+      """SELECT 'lineitem_orphan_orderkey' AS "check", CAST(count(*) AS BIGINT) AS violations
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |  OR NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_custkey IS NULL
+        |  OR NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'customer_orphan_nationkey', CAST(count(*) AS BIGINT)
+        |FROM customer WHERE c_nationkey IS NULL
+        |  OR NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |UNION ALL
+        |SELECT 'supplier_orphan_nationkey', CAST(count(*) AS BIGINT)
+        |FROM supplier WHERE s_nationkey IS NULL
+        |  OR NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+        |UNION ALL
+        |SELECT 'orders_dup_orderkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+        |UNION ALL
+        |SELECT 'customer_dup_custkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey) WHERE n > 1""".stripMargin,
+
+    // NTILE is SQL-standard in both engines (first n%10 buckets get the
+    // extra row); the window order tie-breaks on c_custkey and revenue
+    // is an exact decimal sum cast to double, so bucket assignment is
+    // deterministic and identical
+    "q87_segment_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |pc AS (
+        |  SELECT c_custkey, c_mktsegment, coalesce(rev.revenue, 0.0) AS revenue
+        |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey),
+        |t AS (
+        |  SELECT c_mktsegment, revenue,
+        |    ntile(10) OVER (PARTITION BY c_mktsegment
+        |                    ORDER BY revenue DESC, c_custkey ASC) AS decile
+        |  FROM pc)
+        |SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(revenue AS DECIMAL(30,2))) AS DOUBLE) AS total_revenue,
+        |  min(revenue) AS min_revenue, max(revenue) AS max_revenue
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // the oracle is the NAIVE inequality join (exactly what
+    // intervalJoin refuses to plan); sessionization replays q18's
+    // lag/cumsum construction over the power-user slice
+    "q88_interval_join" ->
+      """WITH pu AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |  FROM events WHERE user_id % 20 = 0),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM pu
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |iv AS (
+        |  SELECT user_id AS s_user, session_id,
+        |    min(ts) AS s_start, max(ts) AS s_end
+        |  FROM t GROUP BY 1, 2)
+        |SELECT iv.s_user, iv.session_id, iv.s_start,
+        |  CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM iv JOIN events e
+        |  ON CAST(e.ts AS TIMESTAMP) >= iv.s_start AND CAST(e.ts AS TIMESTAMP) <= iv.s_end
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // GROUPING() bit convention matches (first listed column = MSB in
+    // Spark's grouping_id; per-column grouping() used here so the
+    // convention question never arises); rolled-up keys surface as
+    // NULL in both engines
+    "q89_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot

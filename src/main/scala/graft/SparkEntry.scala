@@ -1048,7 +1048,81 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           expr("percentile(n_chars, 0.5D)").as("p50_chars"),
           expr("percentile(n_chars, 0.9D)").as("p90_chars"),
-          expr("percentile(n_chars, 0.99D)").as("p99_chars")))
+          expr("percentile(n_chars, 0.99D)").as("p99_chars"))),
+
+    // Incremental view maintenance: a per-priority count/sum rollup is
+    // materialized at table version 1, the table then takes an append
+    // (v2) and a predicate delete (v3), and the rollup is rolled
+    // FORWARD from the v1..v3 changelog alone — never re-scanning the
+    // base table. Oracle = the direct aggregate over the final state,
+    // so the hash check proves maintained == recomputed bit for bit
+    // (exact-decimal merge arithmetic; see ViewMaintenance).
+    "q85_ivm_rollup" -> ((s, dir) => {
+      import graft.operators.ViewMaintenance
+      val io = TableIO(s, tempDir("graft_ivm_"))
+      val base = Tables.orders(s, dir).filter(col("o_custkey") <= 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.append(base.filter(col("o_orderpriority") =!= "1-URGENT"), "default.orders_ivm") // v1
+      val keys = Seq("o_orderpriority")
+      val measures = Seq(ViewMaintenance.Measure("o_totalprice", "total_price", 2))
+      // summary pinned to v1 via time travel: io.read here would lazily
+      // re-resolve to the post-delete snapshot at action time
+      val v1 = ViewMaintenance.summarize(
+        io.readVersion("default.orders_ivm", 1), keys, "n_orders", measures)
+      io.append(base.filter(col("o_orderpriority") === "1-URGENT"), "default.orders_ivm") // v2
+      io.deleteWhere("default.orders_ivm", col("o_totalprice") >= 200000.0)               // v3
+      val delta = io.readChangelog("default.orders_ivm", fromVersion = 1)
+      ViewMaintenance.applyDelta(v1, delta, keys, "n_orders", measures)
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("total_price").cast("double").as("total_price"))
+    }),
+
+    // Referential-integrity audit over the star schema: orphaned FKs
+    // (rows counted, but shuffled pre-aggregated) + PK uniqueness, one
+    // (check, violations) row each. All six are 0 on the fixture — the
+    // planted-corruption detection path is pinned in QualitySpec.
+    "q86_integrity_audit" -> ((s, dir) =>
+      Quality.referentialAudit(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+
+    // Customer-revenue deciles within market segment: pre-aggregated
+    // join + segment-partitioned NTILE window (never a global
+    // single-partition sort) + exact-decimal revenue stats.
+    "q87_segment_deciles" -> ((s, dir) =>
+      Aggregations.segmentDeciles(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // Interval-containment join without the nested-loop plan: power
+    // users' sessions (the intervals) x ALL events (the points) as a
+    // bucketized equi-join (Joins.intervalJoin; no-BNLJ plan-pinned in
+    // OperatorsSpec) — the "who else was active during this session"
+    // co-activity query.
+    "q88_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = Events.sessionize(ev.filter(col("user_id") % 20 === 0))
+        .groupBy(col("user_id").as("s_user"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val points = ev.select(col("event_id").as("p_event"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+      graft.operators.Joins.intervalJoin(points, sessions, "p_ts", "s_start", "s_end")
+        .groupBy(col("s_user"), col("session_id"), col("s_start"))
+        .agg(count(lit(1)).as("n_overlap"),
+          countDistinct(col("p_user")).as("n_users"))
+    }),
+
+    // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
+    // status), (flag), ()) with grouping indicators — one scan + one
+    // expanded aggregate vs three separate scans-and-unions.
+    "q89_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("rev", col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n_rows"),
+          graft.functions.ExactAgg.dsum(col("rev"), 4).as("revenue")))
   )
 
   private def tempDir(prefix: String): String =

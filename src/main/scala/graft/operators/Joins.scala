@@ -108,4 +108,48 @@ object Joins {
       .filter(col("__side") === 1)
       .select(lCols.map(col) ++ rightPayload.map(p => col(s"__r.$p").as(p)): _*)
   }
+
+  /** Interval-containment join at scale: every `points` row whose
+    * `tsCol` falls inside a `intervals` row's CLOSED
+    * [`startCol`, `endCol`] window, as an inner join — WITHOUT the
+    * nested-loop plan Catalyst picks for a bare inequality join
+    * (BroadcastNestedLoop / cartesian: O(|P|x|I|), a scale-killer).
+    *
+    * The bucketization trick: intervals explode over the time buckets
+    * they cover (`sequence(date_trunc(g, start), date_trunc(g, end))`),
+    * points map to their single containing bucket, and the join
+    * becomes an EQUI-join on the bucket with the true containment
+    * predicate as a pushed join residual. Each point's bucket is
+    * unique, so a (point, interval) match appears exactly once — no
+    * post-join dedup.
+    *
+    * Cost model: interval replication = duration/granularity + 1, so
+    * pick `granularity` near the TYPICAL interval length; parallelism
+    * is the distinct-bucket count, so a corpus spanning years at
+    * 'hour' granularity shuffles into tens of thousands of buckets.
+    * Within one bucket the work is events-in-bucket x
+    * intervals-touching-bucket — inherent to the join's selectivity;
+    * an hour with pathological traffic is exactly what AQE's skew
+    * split (on in SessionFactory) subdivides, since this IS a plain
+    * shuffle equi-join.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      granularity: String = "hour"
+  ): DataFrame = {
+    require(Set("minute", "hour", "day").contains(granularity),
+      s"granularity must be minute|hour|day, got $granularity")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty, s"point/interval column names must be disjoint, both have: ${clash.mkString(",")}")
+    val b = "__graft_bucket"
+    val ip = intervals.withColumn(b, explode(expr(
+      s"sequence(date_trunc('$granularity', $startCol), date_trunc('$granularity', $endCol), interval 1 $granularity)")))
+    val pp = points.withColumn(b, date_trunc(granularity, col(tsCol)))
+    pp.join(ip, pp(b) === ip(b) && col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop(b)
+  }
 }

@@ -129,4 +129,43 @@ object Aggregations {
         ((col("sxy") - col("sx") * col("sy") / n) / (n - 1)).as("covar_xy"),
         sqrt((col("syy") - col("sy") * col("sy") / n) / (n - 1)).as("stddev_y"))
   }
+
+  /** Customer-revenue decile profile per market segment: every
+    * customer (order-less ones at revenue 0) is ranked into NTILE(10)
+    * within their segment, then each (segment, decile) reports its
+    * population and revenue stats — the "what does my top 10% look
+    * like" query.
+    *
+    * Scale shape: orders pre-aggregate to (custkey, revenue) BEFORE
+    * joining customers, so the join shuffle carries one row per
+    * customer, not one per order. The NTILE window partitions by
+    * segment — the sort is distributed across segments, never a
+    * single-partition global sort (the trap a bare
+    * `ntile().over(orderBy(...))` with no partitionBy falls into; at
+    * 100 TB a global exact decile would instead compute boundary
+    * ranks from a mergeable quantile sketch, the approxStats family).
+    * Determinism: per-customer revenue is an exact decimal sum, the
+    * window order tie-breaks on custkey, and decile revenue sums
+    * re-enter decimal — bit-identical across engines and partition
+    * counts.
+    */
+  def segmentDeciles(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"))
+    val perCustomer = customer
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("revenue"), lit(0.0d)).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+    perCustomer
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("revenue"), 2).as("total_revenue"),
+        min(col("revenue")).as("min_revenue"),
+        max(col("revenue")).as("max_revenue"))
+  }
 }

@@ -29,6 +29,54 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter($"k" === 42 && $"name".isNull).count() == 1)
   }
+
+  test("intervalJoin equals the naive inequality join, incl. bucket-spanning and boundary cases") {
+    val points = Seq(
+      (1L, "2024-01-01 09:59:59"), // just before any interval
+      (2L, "2024-01-01 10:00:00"), // == start of A (closed)
+      (3L, "2024-01-01 11:30:00"), // inside A, second covered hour
+      (4L, "2024-01-01 12:15:00"), // == end of A (closed), inside B
+      (5L, "2024-01-01 23:30:00"), // inside C, before midnight
+      (6L, "2024-01-02 00:10:00")  // inside C, after midnight (bucket-spanning)
+    ).toDF("p_id", "p_ts").select($"p_id", $"p_ts".cast("timestamp").as("p_ts"))
+    val intervals = Seq(
+      ("A", "2024-01-01 10:00:00", "2024-01-01 12:15:00"),
+      ("B", "2024-01-01 12:00:00", "2024-01-01 12:59:00"),
+      ("C", "2024-01-01 22:00:00", "2024-01-02 01:00:00") // spans midnight
+    ).toDF("iv", "s", "e")
+      .select($"iv", $"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+
+    val bucketed = Joins.intervalJoin(points, intervals, "p_ts", "s", "e")
+      .select("p_id", "iv").as[(Long, String)].collect().toSet
+    val naive = points.join(intervals, $"p_ts" >= $"s" && $"p_ts" <= $"e")
+      .select("p_id", "iv").as[(Long, String)].collect().toSet
+    assert(bucketed === naive)
+    assert(bucketed === Set((2L, "A"), (3L, "A"), (4L, "A"), (4L, "B"), (5L, "C"), (6L, "C")))
+  }
+
+  test("intervalJoin plans an equi-join: no nested-loop, no cartesian") {
+    val points = Seq((1L, "2024-01-01 10:30:00")).toDF("p_id", "p_ts")
+      .select($"p_id", $"p_ts".cast("timestamp").as("p_ts"))
+    val intervals = Seq(("A", "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("iv", "s", "e")
+      .select($"iv", $"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+    val p = Joins.intervalJoin(points, intervals, "p_ts", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"intervalJoin must stay an equi-join:\n$p")
+  }
+
+  test("intervalJoin rejects clashing column names and bad granularity") {
+    val df = Seq((1L, "2024-01-01 10:00:00")).toDF("id", "ts")
+      .select($"id", $"ts".cast("timestamp").as("ts"))
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(df, df, "ts", "ts", "ts")
+    }
+    val iv = df.select($"id".as("iid"), $"ts".as("s"), $"ts".as("e"))
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(df, iv, "ts", "s", "e", granularity = "fortnight")
+    }
+  }
 }
 
 class AsOfJoinSpec extends SparkSpec {
