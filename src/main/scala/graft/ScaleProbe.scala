@@ -37,7 +37,11 @@ object ScaleProbe {
     "q79_jaccard_join",
     // text-stats / tokenizer projections (r13: codegen-fusion audit)
     "q15_text_stats", "q16_text_lang_summary", "q30_vocab_topk",
-    "q42_repetition_stats", "q70_doc_keywords")
+    "q42_repetition_stats", "q70_doc_keywords",
+    // r13 late additions: IVM (cost ∝ changelog), FK audit (pre-agg
+    // anti-joins), interval join (co-activity output grows ~100x at
+    // 10x users BY SEMANTICS — probe separates join cost from output)
+    "q85_ivm_rollup", "q86_integrity_audit", "q88_interval_join")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -306,4 +306,38 @@ class PlanQualitySpec extends SparkSpec {
     val cosLine = p.linesIterator.find(_.contains("graft_cosine")).getOrElse("")
     assert(cosLine.trim.startsWith("*("), s"graft_cosine not codegen'd:\n$p")
   }
+
+  test("segment deciles (q87) window is PARTITIONED — never a global single-partition sort") {
+    val p = plan(Aggregations.segmentDeciles(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
+    assert(p.contains("ntile"), p)
+    // the window spec must carry the segment as partition key; an empty
+    // partitionBy would render windowspecdefinition(revenue... directly
+    assert(p.contains("windowspecdefinition(c_mktsegment"),
+      s"NTILE window lost its partition key (global sort at scale):\n$p")
+  }
+
+  test("interval join query (q88) plans equi-joins only") {
+    val p = plan(SparkEntry.queries("q88_interval_join")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q88 must not fall back to a nested-loop range join:\n$p")
+  }
+
+  test("IVM delta (q85 shape) aggregates the changelog with map-side combine and joins on group keys") {
+    import graft.operators.ViewMaintenance
+    import graft.operators.ViewMaintenance.Measure
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val summary = ViewMaintenance.summarize(base, Seq("o_orderpriority"), "n",
+      Seq(Measure("o_totalprice", "tp", 2)))
+    val changelog = base.withColumn("_change_type", lit("INSERT"))
+      .withColumn("_change_version", lit(2))
+    val out = ViewMaintenance.applyDelta(summary, changelog, Seq("o_orderpriority"), "n",
+      Seq(Measure("o_totalprice", "tp", 2)))
+    val p = plan(out)
+    // partial_sum in the pre-shuffle HashAggregate = the delta shuffle
+    // carries one row per (group, partition), not per change row
+    assert(p.contains("partial_sum"), s"changelog aggregate lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
