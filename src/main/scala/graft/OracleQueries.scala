@@ -1356,6 +1356,57 @@ object OracleQueries {
     // Spark's grouping_id; per-column grouping() used here so the
     // convention question never arises); rolled-up keys surface as
     // NULL in both engines
+    // DuckDB's native ASOF JOIN replays the union+window as-of (q38's
+    // proven pairing); delays sum as exact BIGINT micros
+    "q93_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM c0 WHERE rn = 1),
+        |j AS (
+        |  SELECT p.p_ts, p.value, c.click_id, c.ts AS click_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.p_ts >= c.ts)
+        |SELECT CAST(p_ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL
+        |           THEN epoch_us(p_ts) - epoch_us(click_ts) END) AS BIGINT) AS total_delay_us,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL
+        |           THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE) AS attributed_value
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // the .partitions metadata table answers from manifest stats; the
+    // oracle recomputes the same per-partition row counts from data
+    "q92_partitions_meta" ->
+      s"""WITH clean AS ($cleanLineitemSql)
+         |SELECT 'ship_year=' || CAST(ship_year AS VARCHAR) AS "partition",
+         |  CAST(count(*) AS BIGINT) AS row_count
+         |FROM clean GROUP BY 1""".stripMargin,
+
+    // single availableNow batch (one source file) -> the upserted
+    // state table is the per-user argmax over the whole stream under
+    // the (ts, event_id) total order
+    "q91_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // the bloom index changes WHICH FILES are scanned, never the rows:
+    // the oracle is the plain point lookup
+    "q90_bloom_pointlookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (7, 33, 129, 1024, 5000, 10000000)""".stripMargin,
+
     "q89_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

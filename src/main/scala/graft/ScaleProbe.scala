@@ -95,6 +95,31 @@ object ScaleProbe {
     }
     probe(srcDir, "sf0.1")
     probe(simDir, "sf1sim")
+    // Upsert-scoping probe (not a harness query): a FIXED 100-key CDC
+    // batch against the orders table at 1x vs 10x. With a sorted file
+    // layout the batch's key range maps to ~1 tile at either scale, so
+    // the upsert cost should track the BATCH, not the table — the
+    // claim that makes TableIO.upsert a CDC-apply primitive at 100 TB.
+    def upsertProbe(dir: String, scale: String): Unit = {
+      if (!scales.contains(scale)) return
+      if (!only.forall(_.contains("upsert_fixed_batch"))) return
+      val io = graft.io.TableIO(spark,
+        java.nio.file.Files.createTempDirectory("graft_upsp_").toString)
+      val orders = graft.tables.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      io.append(orders, "default.ups")
+      io.compactSorted("default.ups", Seq("o_orderkey"), targetFiles = 32)
+      val batch = orders.filter(col("o_orderkey") < 100)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        io.upsert("default.ups", batch, Seq("o_orderkey"))
+        r4((System.nanoTime() - t0) / 1e9)
+      }
+      println(s"""{"probe":"upsert_fixed_batch","scale":"$scale","runs":${times.mkString("[", ",", "]")}}""")
+    }
+    upsertProbe(srcDir, "sf0.1")
+    upsertProbe(simDir, "sf1sim")
     spark.stop()
   }
 

@@ -1109,6 +1109,99 @@ object SparkEntry {
           countDistinct(col("p_user")).as("n_users"))
     }),
 
+    // Per-file bloom index through the table layer: orders written
+    // key-scattered (every file spans the whole o_orderkey domain, so
+    // min/max stats cannot prune a point lookup), then
+    // CALL system.add_bloom_index commits a metadata-only snapshot
+    // whose per-file blooms let the catalog scan skip to the ~1 file
+    // per key (file-skip pinned in BloomIndexSpec; the oracle checks
+    // the lookup's exactness — bloom false positives cost scans, never
+    // rows).
+    "q90_bloom_pointlookup" -> ((s, dir) => {
+      val cname = "gbl"
+      val io = catalogIO(s, cname, "graft_bloomq_")
+      val t = "default.orders_bloom"
+      io.overwrite(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartition(16),
+        t)
+      s.sql(s"CALL $cname.system.add_bloom_index('$t', 'o_orderkey')").collect()
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority " +
+        s"FROM $cname.$t WHERE o_orderkey IN (7, 33, 129, 1024, 5000, 10000000)")
+    }),
+
+    // Streaming CDC-apply: the event stream upserts into a
+    // latest-state-per-user table (key user_id, order ts+event_id),
+    // each micro-batch a stats/bloom-scoped key replacement with the
+    // exactly-once batch mark riding the commit. The harness fixture
+    // drains as ONE availableNow batch, so the table equals the
+    // per-user argmax over the whole stream — which is the oracle;
+    // multi-batch replay/ordering semantics are pinned in
+    // UpsertStreamSpec instead.
+    "q91_stream_upsert" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_ups_"))
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.upsertStream(
+          eventsFileStream(s, dir), io, "default.user_state",
+          tempDir("graft_ckpt_"), keyCols = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"), availableNow = true)
+          .awaitTermination()
+      }
+      io.read("default.user_state")
+    }),
+
+    // Partition-health introspection: the `.partitions` metadata table
+    // profiles the current snapshot per Hive partition from the
+    // manifest + persisted stats — an O(manifest) metadata read (no
+    // data scan; the row counts come from commit-time footer stats).
+    // Oracle = the same per-partition counts computed from the data.
+    "q92_partitions_meta" -> ((s, dir) => {
+      val cname = "gpm"
+      val io = catalogIO(s, cname, "graft_pmeta_")
+      val t = "default.lineitem_pm"
+      io.append(
+        graft.pipeline.Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+          .drop("ship_ts", "l_tax").repartition(col("ship_year")),
+        t, Seq("ship_year"))
+      s.sql(s"SELECT `partition`, row_count FROM $cname.$t.partitions")
+    }),
+
+    // Last-touch attribution: every purchase attributes to the user's
+    // LATEST click at or before it — the as-of join (q38's
+    // union+window formulation, no join node, one shuffle) applied to
+    // the marketing question it exists for; exact microsecond delay
+    // sums, daily rollup.
+    "q93_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      // right side unique per (key, time): latest event_id wins
+      val wDedup = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.operators.Joins.asOfJoin(
+        purchases, clicks,
+        leftKey = "p_user", rightKey = "user_id",
+        leftTime = "p_ts", rightTime = "ts",
+        rightPayload = Seq("click_id", "click_ts"))
+        .groupBy(to_date(col("p_ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("click_id").isNotNull,
+            unix_micros(col("p_ts")) - unix_micros(col("click_ts")))).as("total_delay_us"),
+          sum(when(col("click_id").isNotNull,
+            col("p_value").cast(org.apache.spark.sql.types.DecimalType(30, 2))))
+            .cast("double").as("attributed_value"))
+    }),
+
     // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
     // status), (flag), ()) with grouping indicators — one scan + one
     // expanded aggregate vs three separate scans-and-unions.

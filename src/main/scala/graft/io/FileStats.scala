@@ -30,8 +30,19 @@ object FileStats {
 
   /** Per-column (min, max, nullCount, hasValues) aggregated over the
     * file's row groups; None for columns whose stats are absent.
+    *
+    * `bloom` is an OPTIONAL per-file membership sketch over the
+    * column's values (a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` built by `TableIO.addBloomIndex` over
+    * `CAST(col AS STRING)`): it prunes equality/IN lookups that the
+    * min/max range cannot — scattered keys give every file the full
+    * [min, max] domain, so range stats keep ALL files while the bloom
+    * keeps ~1. False positives only cost an unnecessary scan; false
+    * negatives cannot occur, so pruning on it is sound. Footer-derived
+    * stats never carry one; it rides the manifest.
     */
-  final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long)
+  final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long,
+                            bloom: Option[Array[Byte]] = None)
 
   /** Stats memoized per absolute path — data files are immutable once
     * committed (overwrites write NEW files), so the cache never
@@ -51,7 +62,16 @@ object FileStats {
     * source got there first (they agree by construction).
     */
   def prime(stats: Map[String, Map[String, ColStats]]): Unit =
-    stats.foreach { case (f, s) => cache.putIfAbsent(f, s) }
+    stats.foreach { case (f, s) =>
+      // putIfAbsent is correct for min/max (footer and manifest agree
+      // by construction), but a manifest entry that carries BLOOMS
+      // supersedes a bloom-less cache entry: addBloomIndex commits a
+      // metadata-only snapshot whose whole point is the richer stats,
+      // and the cached pre-index entry would pin "no bloom" forever.
+      cache.merge(f, s, (old, neu) =>
+        if (neu.exists(_._2.bloom.isDefined) && !old.exists(_._2.bloom.isDefined)) neu
+        else old)
+    }
 
   /** Serialize one file's column stats for embedding in a manifest
     * commit. One string per column: `idx|kind|nulls|rows|min|max|colB64`
@@ -73,12 +93,17 @@ object FileStats {
     }
     stats.toSeq.sortBy(_._1).flatMap { case (colName, cs) =>
       val col = b64.encodeToString(colName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // bloom rides as its OWN "b" entry next to the base stat entry:
+      // pre-bloom decoders drop unknown kinds (conservative), and the
+      // base entry stays bit-identical with or without an index
+      val bloomEntry = cs.bloom.toSeq.map(b =>
+        s"$fileIdx|b|0|${cs.rowCount}|${b64.encodeToString(b)}||$col")
       if (cs.min == null && cs.max == null)
-        Seq(s"$fileIdx|n|${cs.nullCount}|${cs.rowCount}|||$col")
+        s"$fileIdx|n|${cs.nullCount}|${cs.rowCount}|||$col" +: bloomEntry
       else (enc(cs.min), enc(cs.max)) match {
         case (Some((k1, mn)), Some((k2, mx))) if k1 == k2 =>
-          Seq(s"$fileIdx|$k1|${cs.nullCount}|${cs.rowCount}|$mn|$mx|$col")
-        case _ => Nil
+          s"$fileIdx|$k1|${cs.nullCount}|${cs.rowCount}|$mn|$mx|$col" +: bloomEntry
+        case _ => Nil // no base stats entry -> bloom dropped too (see decode)
       }
     }
   }
@@ -88,7 +113,7 @@ object FileStats {
     */
   def decodeEntries(entries: Seq[String]): Map[Int, Map[String, ColStats]] = {
     val b64 = java.util.Base64.getDecoder
-    entries.flatMap { e =>
+    val parsed = entries.flatMap { e =>
       try e.split("\\|", -1) match {
         case Array(idx, kind, nulls, rows, mn, mx, colB64) =>
           val col = new String(b64.decode(colB64), java.nio.charset.StandardCharsets.UTF_8)
@@ -98,13 +123,27 @@ object FileStats {
             case "D" => new java.math.BigDecimal(s)
             case "s" => Binary.fromConstantByteArray(b64.decode(s))
           }
-          val cs =
-            if (kind == "n") ColStats(null, null, nulls.toLong, rows.toLong)
-            else ColStats(dec(mn), dec(mx), nulls.toLong, rows.toLong)
-          Some((idx.toInt, col, cs))
+          val cs = kind match {
+            case "n" => ColStats(null, null, nulls.toLong, rows.toLong)
+            case "b" => // bloom-only marker; merged into the base entry below
+              ColStats(null, null, 0L, rows.toLong, Some(b64.decode(mn)))
+            case _ => ColStats(dec(mn), dec(mx), nulls.toLong, rows.toLong)
+          }
+          Some((idx.toInt, col, kind == "b", cs))
         case _ => None
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    }
+    val base = parsed.filterNot(_._3)
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._4).toMap).toMap
+    // a bloom without a base stats entry is DROPPED: mightMatch's range
+    // step reads min/max, and a synthesized all-null base would prune
+    // files wrongly. encodeEntries only emits blooms beside a base.
+    parsed.filter(_._3).foldLeft(base) { case (acc, (idx, col, _, bcs)) =>
+      acc.get(idx).flatMap(_.get(col)) match {
+        case Some(cs) => acc.updated(idx, acc(idx).updated(col, cs.copy(bloom = bcs.bloom)))
+        case None => acc
+      }
+    }
   }
 
   /** Drop cache entries for files physically deleted by GC
@@ -229,8 +268,11 @@ object FileStats {
     filters.forall(f => mightMatchOne(stats, f))
 
   private def mightMatchOne(stats: Map[String, ColStats], f: Filter): Boolean = f match {
-    case EqualTo(a, v) => rangeMayContain(stats.get(a), v)
-    case In(a, vs) => vs.isEmpty || vs.exists(v => rangeMayContain(stats.get(a), v))
+    case EqualTo(a, v) =>
+      rangeMayContain(stats.get(a), v) && bloomMayContain(stats.get(a), v)
+    case In(a, vs) =>
+      vs.isEmpty || vs.exists(v =>
+        rangeMayContain(stats.get(a), v) && bloomMayContain(stats.get(a), v))
     case GreaterThan(a, v) =>
       stats.get(a).forall(s => s.max == null || cmp(s.max, v).forall(_ > 0))
     case GreaterThanOrEqual(a, v) =>
@@ -249,5 +291,37 @@ object FileStats {
   private def rangeMayContain(s: Option[ColStats], v: Any): Boolean = s.forall { cs =>
     if (cs.min == null || cs.max == null) cs.nullCount > 0 || cs.min != null
     else cmp(cs.min, v).forall(_ <= 0) && cmp(cs.max, v).forall(_ >= 0)
+  }
+
+  /** Bloom probe for equality/IN pruning. The index is built over
+    * `CAST(col AS STRING)` (TableIO.addBloomIndex), so the probe
+    * canonicalizes the filter literal the same way Spark's cast does;
+    * types whose cast rendering is non-trivial (floating point,
+    * date/time, decimal) are never probed — `true`, never a wrong
+    * prune. Deserialization goes through BloomContains' weak identity
+    * cache (the byte array lives in the stats cache, so its identity
+    * is stable across calls).
+    */
+  private def bloomMayContain(s: Option[ColStats], v: Any): Boolean = s.forall { cs =>
+    cs.bloom match {
+      case None => true
+      case Some(bytes) => canonicalKey(v) match {
+        case None => true
+        case Some(k) =>
+          try graft.functions.BloomContains.contains(
+            bytes, org.apache.spark.unsafe.types.UTF8String.fromString(k))
+          catch { case scala.util.control.NonFatal(_) => true }
+      }
+    }
+  }
+
+  private def canonicalKey(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None // double/decimal/date/timestamp: cast rendering differs
   }
 }

@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.compact('default.t')
   *   CALL graft.system.compact_sorted('default.t', 'k1,k2', 8)
   *   CALL graft.system.compact_zorder('default.t', 'a', 'b', 8)
+  *   CALL graft.system.add_bloom_index('default.t', 'k')
   *
   * Each runs the corresponding TableIO/TableCatalog maintenance
   * primitive and returns its outcome as rows (expired versions,
@@ -29,7 +30,8 @@ private[io] object GraftProcedures {
 
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
-      "compact_zorder", "tag_snapshot", "remove_tag", "rollback_to_snapshot")
+      "compact_zorder", "add_bloom_index", "tag_snapshot", "remove_tag",
+      "rollback_to_snapshot")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -120,6 +122,18 @@ private[io] object GraftProcedures {
             in.getInt(3), cat.tablePartitionCols(t).getOrElse(Seq.empty))
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "add_bloom_index" =>
+      // per-file bloom membership index over one column (metadata-only
+      // commit; see TableIO.addBloomIndex). Incremental: re-running
+      // indexes only files added since the last call.
+      Some(proc("add_bloom_index",
+        Seq("table" -> StringType, "column" -> StringType),
+        new StructType().add("files_indexed", LongType, nullable = false),
+        (in: InternalRow) => {
+          val io = new TableIO(SparkSession.active, cat)
+          val n = io.addBloomIndex(in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+          Seq(new GenericInternalRow(Array[Any](n.toLong)))
         }))
     case "tag_snapshot" =>
       Some(proc("tag_snapshot",

@@ -16,6 +16,7 @@ import scala.jdk.CollectionConverters._
   *   SELECT * FROM <cat>.<ns>.<table>.snapshots   -- one row per version
   *   SELECT * FROM <cat>.<ns>.<table>.files       -- current snapshot's data files
   *   SELECT * FROM <cat>.<ns>.<table>.history     -- alias of snapshots (commit order)
+  *   SELECT * FROM <cat>.<ns>.<table>.partitions  -- per-partition files/bytes/rows profile
   *
   * All state lives in the manifests + filesystem, so the rows are
   * assembled driver-side and served through a LocalScan — metadata
@@ -24,7 +25,7 @@ import scala.jdk.CollectionConverters._
   */
 private[io] object MetadataTables {
 
-  val Names: Set[String] = Set("snapshots", "files", "history", "tags", "staged")
+  val Names: Set[String] = Set("snapshots", "files", "history", "tags", "staged", "partitions")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -59,6 +60,48 @@ private[io] object MetadataTables {
         .map(f => new GenericInternalRow(Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(f), sizeOf(f))): InternalRow)
       local(s"$table.files", schema, rows)
+    case "partitions" =>
+      // per-partition profile of the CURRENT snapshot, assembled from
+      // the manifest + persisted stats: the "is my partitioning
+      // healthy" query (skewed partitions, small-file buildup) as an
+      // O(manifest) metadata read, never a data scan. Partition values
+      // are inferred from the files' Hive-style path segments
+      // (`k=v/...`); unpartitioned files group under ''. Row counts
+      // come from manifest stats when present, else one footer read
+      // per stats-less file (legacy manifests only).
+      val schema = new StructType()
+        .add("partition", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("n_files", IntegerType, nullable = false)
+        .add("total_bytes", LongType, nullable = false)
+        .add("row_count", LongType, nullable = false)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val stats = cat.currentVersion(table)
+        .map(v => try cat.manifestStats(table, v)
+                  catch { case scala.util.control.NonFatal(_) =>
+                    Map.empty[String, Map[String, FileStats.ColStats]] })
+        .getOrElse(Map.empty)
+      def partitionOf(f: String): String = {
+        val dataRoot = Paths.get(cat.dataPath(table)).toAbsolutePath.normalize
+        val p = Paths.get(f).toAbsolutePath.normalize
+        if (!p.startsWith(dataRoot)) ""
+        else dataRoot.relativize(p).iterator().asScala.map(_.toString)
+          .filter(_.contains('=')).mkString("/")
+      }
+      def rowsOf(f: String): Long =
+        stats.get(f).flatMap(_.values.headOption.map(_.rowCount)).getOrElse {
+          try FileStats.rowCount(f, conf)
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        }
+      val rows = cat.currentVersion(table).toSeq
+        .flatMap(v => cat.manifest(table, v))
+        .groupBy(partitionOf)
+        .toSeq.sortBy(_._1)
+        .map { case (part, fs) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(part),
+            fs.size, fs.map(sizeOf).sum, fs.map(rowsOf).sum)): InternalRow
+        }
+      local(s"$table.partitions", schema, rows)
     case "staged" =>
       // write-audit-publish introspection: one row per staged
       // (unpublished) snapshot awaiting its audit verdict

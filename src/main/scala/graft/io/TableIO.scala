@@ -1142,15 +1142,77 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   private[graft] def commitReplacement(df: DataFrame, name: String,
                                        keepFiles: Seq[String],
                                        partitionCols: Seq[String],
-                                       baseVersion: Int): Unit = {
+                                       baseVersion: Int,
+                                       props: Map[String, String] = Map.empty): Unit = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
-      catalog.commitSnapshotAt(name, keepFiles ++ newFiles, baseVersion + 1,
+      catalog.commitSnapshotAt(name, keepFiles ++ newFiles, baseVersion + 1, props,
         stats = commitStats(name, keepFiles, newFiles))
       ()
     } finally lock.release()
+  }
+
+  /** Row-level UPSERT (last-write-wins by key): every key present in
+    * `rows` is replaced by its `rows` row(s); all other rows are
+    * untouched. The CDC-apply primitive the streaming upsert sink
+    * (`TableSink.upsertStream`) commits per micro-batch.
+    *
+    * Scale shape — this is where the stats/bloom layer pays off for
+    * writes: the batch's key set becomes an IN filter evaluated
+    * against each file's manifest stats (`FileStats.mightMatch`,
+    * min/max AND the optional per-file bloom from [[addBloomIndex]]),
+    * so only files that can possibly hold an affected key are read and
+    * rewritten — a 1000-key batch against a 100k-file table rewrites
+    * a handful of files, not the table. Conservative everywhere: key
+    * sets above `maxScopedKeys` (driver-collect bound) or stats-less
+    * files degrade to rewriting more files, never to wrong rows.
+    *
+    * `rows` is taken as the authoritative new value set: callers apply
+    * their own within-batch last-write-wins reduction first (the
+    * streaming sink does), and duplicate keys in `rows` land as
+    * duplicate rows.
+    */
+  def upsert(name: String, rows: DataFrame, keyCols: Seq[String],
+             partitionCols: Seq[String] = Seq.empty,
+             props: Map[String, String] = Map.empty,
+             maxScopedKeys: Int = 100000): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val base = catalog.currentVersion(name)
+    if (base.isEmpty) { append(rows, name, partitionCols, props); return }
+    val v = base.get
+    val files = catalog.manifest(name, v)
+    val conf = spark.sessionState.newHadoopConf()
+    try FileStats.prime(catalog.manifestStats(name, v))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // the batch has three consumers (key collect, anti-join key set,
+    // the union into the rewrite) — pin it so a non-trivial upstream
+    // (a streaming micro-batch's window reduction) runs once
+    val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // scope by the FIRST key column's value set (sound for compound
+      // keys: a file with no first-key match holds no affected row)
+      val keyVals: Option[Array[Any]] =
+        try {
+          val ks = pinned.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
+          if (ks.length > maxScopedKeys) None else Some(ks.map(_.get(0)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val (kept, candidates) = keyVals match {
+        case None => (Seq.empty[String], files) // unscoped: rewrite-all fallback
+        case Some(vals) =>
+          val filter = Seq(org.apache.spark.sql.sources.In(keyCols.head, vals))
+          try files.partition(f => !FileStats.mightMatch(FileStats.cached(f, conf), filter))
+          catch { case scala.util.control.NonFatal(_) => (Seq.empty[String], files) }
+      }
+      val survivors =
+        if (candidates.isEmpty) pinned
+        else readFiles(name, candidates)
+          .join(pinned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(pinned)
+      commitReplacement(survivors, name, kept, partitionCols, v, props)
+    } finally { pinned.unpersist(); () }
   }
 
   /** Create-if-absent, append data files, commit a new snapshot.
@@ -1333,6 +1395,88 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * `spark.sql.files.maxRecordsPerFile` so a hot partition still
     * splits into bounded files.)
     */
+  /** Build a per-file BLOOM membership index over `column` and commit
+    * it as a METADATA-ONLY snapshot (same data files, stats augmented)
+    * — the secondary-index layer Iceberg ships as Puffin blobs. Range
+    * (min/max) stats cannot prune a point lookup when keys are
+    * scattered: every file spans the whole domain, so `WHERE k = v`
+    * scans the table. The bloom answers "is v possibly in THIS file"
+    * per file at planning time; `FileStats.mightMatch` consults it for
+    * Equal/In filters, so catalog scans and copy-on-write DML scoping
+    * both skip — false positives cost one extra file scan, false
+    * negatives cannot happen.
+    *
+    * Scale shape: blooms build DISTRIBUTED (one scan of just the key
+    * column, grouped by `input_file_name`) and only the serialized
+    * bitsets come to the driver — `fpp`=1% costs ~1.2 MB per million
+    * rows per file, the documented driver/manifest bound (index a key
+    * column per partition of files, not a 100k-file table in one call
+    * — the call is INCREMENTAL: files already carrying a bloom for
+    * `column` are skipped, so re-running after appends only indexes
+    * the new files).
+    *
+    * The index is built over `CAST(column AS STRING)` so build and
+    * plan-time probe share one canonical form (see
+    * `FileStats.canonicalKey`). Returns the number of files indexed
+    * (0 = index already complete).
+    */
+  def addBloomIndex(name: String, column: String, fpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val files = catalog.manifest(name, v)
+    val conf = spark.sessionState.newHadoopConf()
+    val prev = try catalog.manifestStats(name, v)
+               catch { case scala.util.control.NonFatal(_) =>
+                 Map.empty[String, Map[String, FileStats.ColStats]] }
+    // stats base per file: manifest-carried, else one footer read —
+    // a bloom only attaches NEXT TO a base entry (decode contract)
+    def baseStats(f: String): Map[String, FileStats.ColStats] =
+      prev.getOrElse(f,
+        try FileStats.read(f, conf)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, FileStats.ColStats] })
+    val statsByFile = files.map(f => f -> baseStats(f)).toMap
+    val missing = files.filter(f =>
+      statsByFile(f).get(column).exists(_.bloom.isEmpty))
+    if (missing.isEmpty) return 0
+    // one sizing for every per-file sketch (merge requires it): the
+    // largest file's row count, so smaller files over-deliver on fpp
+    val maxRows = missing.map(f =>
+      statsByFile(f).get(column).map(_.rowCount)
+        .getOrElse(FileStats.rowCount(f, conf))).max.max(1L)
+    // graft_bloom_agg is session-registered by GraftExtensions; going
+    // through the SQL name keeps this free of catalyst internals
+    val agg = org.apache.spark.sql.functions.expr(
+      s"graft_bloom_agg(_graft_key, ${maxRows}L, $fpp)")
+    def normalize(p: String): String =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme == null) Paths.get(p).toAbsolutePath.normalize.toString
+        else Paths.get(u.getPath).toAbsolutePath.normalize.toString
+      } catch { case scala.util.control.NonFatal(_) => p }
+    val built = spark.read.parquet(missing: _*)
+      .select(input_file_name().as("_graft_file"),
+        col(column).cast("string").as("_graft_key"))
+      .groupBy("_graft_file").agg(agg.as("_graft_bloom"))
+      .collect()
+      .map(r => normalize(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+    val augmented = files.map { f =>
+      val cols = statsByFile(f)
+      val withBloom = built.get(normalize(f)) match {
+        case Some(b) if cols.contains(column) =>
+          cols.updated(column, cols(column).copy(bloom = Some(b)))
+        case _ => cols
+      }
+      f -> withBloom
+    }.toMap
+    val props = catalog.manifestProps(name, v) +
+      (s"graft.bloom.$column.fpp" -> fpp.toString)
+    catalog.commitSnapshot(name, files, props, augmented)
+    FileStats.prime(augmented) // same-JVM readers see the index immediately
+    missing.size
+  }
+
   def compact(name: String, partitionCols: Seq[String] = Seq.empty,
               targetFiles: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col

@@ -94,6 +94,56 @@ object TableSink {
     * rollup — windows × types), not per-event output; for those, use
     * the append sink with a watermark.
     */
+  /** Commit one micro-batch as an UPSERT: the batch reduces to its
+    * last-write-wins winner per key (greatest `orderCols` tuple;
+    * callers pass a TOTAL order — e.g. ts + a unique id — or the
+    * winner under ties is undefined), and `TableIO.upsert` replaces
+    * exactly those keys' rows, scoped to the files that can hold them
+    * by the manifest stats/bloom layer. The batch-id mark rides the
+    * SAME snapshot commit, so replays are no-ops exactly like the
+    * append sink's.
+    */
+  def commitUpsertBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
+                        keyCols: Seq[String], orderCols: Seq[String],
+                        partitionCols: Seq[String] = Seq.empty,
+                        sinkId: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val propKey = TableCatalog.streamBatchProp(sinkId)
+    val mark = io.catalog.streamBatchMark(table, propKey)
+    if (mark.exists(_ >= batchId)) false
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col(_).desc): _*)
+      val winners = batch.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      io.upsert(table, winners, keyCols, partitionCols,
+        props = Map(propKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming CDC-apply: every micro-batch upserts (key-replaces)
+    * into the table — the "table mirrors the latest state per key"
+    * shape, vs appendStream's ledger shape. Cross-batch semantics are
+    * CDC source order: a later batch's row replaces an earlier
+    * batch's for the same key unconditionally (within a batch, the
+    * greatest `orderCols` wins).
+    */
+  def upsertStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                   keyCols: Seq[String], orderCols: Seq[String],
+                   partitionCols: Seq[String] = Seq.empty,
+                   availableNow: Boolean = false): StreamingQuery = {
+    val sid = Some(sinkIdOf(checkpoint))
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitUpsertBatch(io, table, id, batch, keyCols, orderCols, partitionCols, sid); ()
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+
   def completeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                      availableNow: Boolean = false): StreamingQuery = {
     val w = stream.writeStream

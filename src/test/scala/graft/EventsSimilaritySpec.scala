@@ -322,6 +322,30 @@ class TableIOSpec extends SparkSpec {
     assert(!graft.io.FileStats.mightMatch(dec, Seq(EqualTo("price", new java.math.BigDecimal("0.50")))))
   }
 
+  test("FileStats bloom entries round-trip the manifest codec; orphan blooms are dropped") {
+    import org.apache.spark.sql.sources._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.0001)
+    (0 until 50).foreach(i => bf.putString(i.toString)) // build-side canonical form
+    val bytes = graft.functions.BloomContains.serialize(bf)
+    val st = Map("k" -> graft.io.FileStats.ColStats(
+      java.lang.Long.valueOf(0L), java.lang.Long.valueOf(99L), 0L, 50L, Some(bytes)))
+    val enc = graft.io.FileStats.encodeEntries(0, st)
+    assert(enc.exists(_.split("\\|")(1) == "b"), s"bloom entry must persist: $enc")
+    val dec = graft.io.FileStats.decodeEntries(enc)(0)
+    assert(dec("k").bloom.isDefined)
+    // pruning semantics survive the round-trip: 7 present; 63 in the
+    // [0, 99] range (so min/max keeps it) but NOT in the bloom
+    assert(graft.io.FileStats.mightMatch(dec, Seq(EqualTo("k", 7L))))
+    assert(!graft.io.FileStats.mightMatch(dec, Seq(EqualTo("k", 63L))),
+      "range can't prune 63 — only the bloom can")
+    // a non-canonical literal type is never bloom-pruned (conservative)
+    assert(graft.io.FileStats.mightMatch(dec, Seq(EqualTo("k", 63.0d))))
+    // a bloom entry without its base stats entry must be dropped, not
+    // synthesized into a prunable all-null ColStats
+    val orphan = enc.filter(_.split("\\|")(1) == "b")
+    assert(graft.io.FileStats.decodeEntries(orphan).getOrElse(0, Map.empty).isEmpty)
+  }
+
   test("FileStats pruning is conservative: never prunes a file containing a matching row") {
     import org.apache.spark.sql.sources._
     import scala.jdk.CollectionConverters._

@@ -600,4 +600,31 @@ class TableMetaSpec extends graft.SparkSpec {
     val e2 = intercept[IllegalStateException](io.readIncremental(t, 3))
     assert(e2.getMessage.contains("expired"), e2.getMessage)
   }
+
+  test(".partitions profiles the snapshot per Hive partition from manifest stats") {
+    val io = freshIO()
+    val t = "default.pmeta"
+    val df = (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "bucket")
+    io.append(df.repartition(org.apache.spark.sql.functions.col("bucket")), t, Seq("bucket"))
+    val cat = io.catalog
+    def partRows(c: TableCatalog, name: String) =
+      MetadataTables.load(c, name, "partitions")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .build().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows()
+    val rows = partRows(cat, t)
+    val byPart = rows.map(r => (r.getUTF8String(0).toString,
+      (r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byPart.keySet == Set("bucket=0", "bucket=1", "bucket=2"))
+    byPart.values.foreach { case (nFiles, bytes, rowCount) =>
+      assert(nFiles >= 1 && bytes > 0L && rowCount == 100L)
+    }
+    // unpartitioned files group under the empty partition
+    val io2 = freshIO()
+    io2.append(df, "default.flat")
+    val flat = partRows(io2.catalog, "default.flat")
+    assert(flat.length == 1 && flat(0).getUTF8String(0).toString == "")
+    assert(flat(0).getLong(3) == 300L)
+  }
 }

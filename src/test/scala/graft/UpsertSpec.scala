@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+import graft.streaming.TableSink
+
+/** `TableIO.upsert` (stats/bloom-scoped key replacement) and the
+  * streaming upsert sink's exactly-once + last-write-wins semantics.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert replaces exactly the affected keys and rewrites only the files that can hold them") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ups_").toString
+    val io = TableIO(spark, wh)
+    io.append((0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"), "default.t")
+    io.compactSorted("default.t", Seq("k"), targetFiles = 4) // range-tiled files
+    val before = io.catalog.manifest("default.t", io.versions("default.t").last)
+    assert(before.size >= 4)
+
+    io.upsert("default.t", Seq((7L, "NEW7"), (9L, "NEW9")).toDF("k", "s"), Seq("k"))
+
+    val after = io.catalog.manifest("default.t", io.versions("default.t").last)
+    // keys 7 and 9 live in ONE range tile: every other file carries over
+    assert(before.toSet.intersect(after.toSet).size == before.size - 1,
+      s"expected 1 rewritten file, before=${before.size} carried=${before.toSet.intersect(after.toSet).size}")
+    val got = io.read("default.t").as[(Long, String)].collect().toMap
+    assert(got.size == 400 && got(7L) == "NEW7" && got(9L) == "NEW9" && got(8L) == "v8")
+  }
+
+  test("upsert inserts unseen keys and creates the table when absent") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upsi_").toString
+    val io = TableIO(spark, wh)
+    io.upsert("default.n", Seq((1L, "a")).toDF("k", "s"), Seq("k")) // create
+    io.upsert("default.n", Seq((2L, "b")).toDF("k", "s"), Seq("k")) // pure insert
+    io.upsert("default.n", Seq((1L, "A2"), (3L, "c")).toDF("k", "s"), Seq("k")) // mixed
+    assert(io.read("default.n").as[(Long, String)].collect().toMap ==
+      Map(1L -> "A2", 2L -> "b", 3L -> "c"))
+  }
+
+  test("commitUpsertBatch: within-batch last-write-wins and replayed batch ids are no-ops") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upsb_").toString
+    val io = TableIO(spark, wh)
+    val t = "default.state"
+    val b0 = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "two"))
+      .toDF("k", "ord", "s")
+    assert(TableSink.commitUpsertBatch(io, t, 0L, b0, Seq("k"), Seq("ord")))
+    assert(io.read(t).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 20L, "new"), (2L, 5L, "two")))
+    // replay of batch 0 (same sink lineage) must not double-apply
+    val replay = Seq((1L, 99L, "ghost")).toDF("k", "ord", "s")
+    assert(!TableSink.commitUpsertBatch(io, t, 0L, replay, Seq("k"), Seq("ord")))
+    assert(io.read(t).filter($"s" === "ghost").isEmpty)
+    val versions = io.versions(t).size
+    // batch 1 applies; CROSS-batch semantics are CDC order: the later
+    // batch replaces key 1 even though its ord is LOWER
+    assert(TableSink.commitUpsertBatch(io, t, 1L, Seq((1L, 1L, "later")).toDF("k", "ord", "s"),
+      Seq("k"), Seq("ord")))
+    assert(io.read(t).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 1L, "later"), (2L, 5L, "two")))
+    assert(io.versions(t).size == versions + 1)
+  }
+
+  test("upsertStream over a file source drains availableNow into latest-state-per-key") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upst_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_upsrc_").toString
+    val io = TableIO(spark, wh)
+    Seq((1L, 100L, "a"), (2L, 100L, "b"), (1L, 200L, "a2"))
+      .toDF("k", "ord", "s").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = TableSink.upsertStream(
+      spark.readStream.schema(schema).parquet(src), io, "default.st",
+      java.nio.file.Files.createTempDirectory("graft_upck_").toString,
+      keyCols = Seq("k"), orderCols = Seq("ord", "s"), availableNow = true)
+    q.awaitTermination()
+    assert(io.read("default.st").as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 200L, "a2"), (2L, 100L, "b")))
+  }
+}
