@@ -1356,6 +1356,30 @@ object OracleQueries {
     // Spark's grouping_id; per-column grouping() used here so the
     // convention question never arises); rolled-up keys surface as
     // NULL in both engines
+    // RANGE frame over integer epoch-micros: identical inclusion
+    // semantics in both engines (peers at equal micros are in-frame)
+    "q95_rolling_rate" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // corpus (bucket < 8) minus every vector with cosine >= 0.4 to ANY
+    // benchmark vector (bucket >= 8); same portable md5 bucket and
+    // duckCos parity as q39/q27
+    "q94_embedding_decontaminate" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, v FROM e WHERE bucket < 8),
+         |b AS (SELECT vec_id, v FROM e WHERE bucket >= 8)
+         |SELECT c.vec_id FROM c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM b WHERE ${duckCos("c.v", "b.v")} >= 0.4)""".stripMargin,
+
     // DuckDB's native ASOF JOIN replays the union+window as-of (q38's
     // proven pairing); delays sum as exact BIGINT micros
     "q93_attribution" ->

@@ -1202,6 +1202,38 @@ object SparkEntry {
             .cast("double").as("attributed_value"))
     }),
 
+    // Embedding-space decontamination: the semantic sibling of q41/q54
+    // (n-gram decon catches verbatim leakage; cosine >= t catches
+    // paraphrase-level eval contamination). Exact through the
+    // cell-bucketed cross-set triangle-inequality plan — no corpus
+    // broadcast, no nested loop. Benchmark = portable id-bucket >= 8.
+    "q94_embedding_decontaminate" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bucket = graft.sampling.Sampling.portableBucket("vec_id", 10)
+      Similarity.embeddingDecontaminate(
+        e.filter(bucket < 8), e.filter(bucket >= 8), threshold = 0.4)
+        .select(col("vec_id"))
+    }),
+
+    // RANGE-framed sliding window over EVENT TIME: per event, the same
+    // user's activity in the preceding hour (count + exact value sum)
+    // — the burst/rate feature a rows-frame (q35) cannot express when
+    // events are irregularly spaced. Ordering by integer micros makes
+    // the frame exact and tie-safe in both engines (peers at the same
+    // timestamp are all in-frame regardless of sort order).
+    "q95_rolling_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+            .over(w).cast("double").as("value_1h"))
+    }),
+
     // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
     // status), (flag), ()) with grouping indicators — one scan + one
     // expanded aggregate vs three separate scans-and-unions.

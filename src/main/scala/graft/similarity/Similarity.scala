@@ -374,6 +374,71 @@ object Similarity {
         col("cos"))
   }
 
+  /** Embedding-space decontamination: drop every `corpus` vector whose
+    * cosine to ANY `bench` vector is >= `threshold` — the semantic
+    * sibling of the n-gram decontamination family (q41/q54 catch
+    * verbatim leakage; this catches paraphrased/near-verbatim eval
+    * items an n-gram overlap misses).
+    *
+    * EXACT through the same cell-bucketed plan as
+    * [[embeddingNearDuplicates]], generalized cross-set: shared
+    * centroids trained on the union, per-SET per-cell angular radii,
+    * and the triangle-inequality bound enumerates which (corpus cell,
+    * bench cell) pairs can possibly hold a crossing pair — only those
+    * join (cell-pair equi-join, no corpus broadcast, no nested loop).
+    * The contaminated id set then removes itself by LeftAnti. On a
+    * clustered corpus most cell pairs prune; unclustered degrades to
+    * the blockwise exact join.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      threshold: Double,
+      nlist: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val c = corpus.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val b = bench.select(col("vec_id").as("bid"), expr(doubleVec("embedding")).as("vb"))
+    val centroids = trainCentroids(
+      c.unionByName(b.select(col("bid").as("vec_id"), col("vb").as("v"))), nlist, iters)
+
+    def assignedOf(df: DataFrame): DataFrame = withCell(df, centroids)
+      .withColumn("ccos", expr("array_max(__scores)")).drop("__scores")
+    def radiiOf(assigned: DataFrame): Map[Long, Double] = assigned
+      .groupBy("cell")
+      .agg(max(expr("acos(greatest(-1.0D, least(1.0D, ccos)))")).as("r"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Double]("r")).toMap
+
+    val caAll = assignedOf(c)
+    val baAll = assignedOf(b.select(col("bid").as("vec_id"), col("vb").as("v")))
+    val ca = caAll.select(col("vec_id"), col("v"), col("cell").as("cell_c"))
+    val ba = baAll.select(col("vec_id").as("bid"), col("v").as("vb"), col("cell").as("cell_b"))
+    val (rc, rb) = (radiiOf(caAll), radiiOf(baAll))
+
+    def dotL(a: Seq[Double], y: Seq[Double]): Double =
+      a.iterator.zip(y.iterator).map { case (x1, y1) => x1 * y1 }.sum
+    def angleL(a: Seq[Double], y: Seq[Double]): Double = {
+      val cs = dotL(a, y) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(y, y)))
+      math.acos(math.max(-1.0, math.min(1.0, cs)))
+    }
+    val tAngle = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val candidates = for {
+      c1 <- 0 until nlist
+      c2 <- 0 until nlist
+      bound = rc.getOrElse(c1.toLong, 0.0) + rb.getOrElse(c2.toLong, 0.0) + tAngle + 1e-9
+      if angleL(centroids(c1), centroids(c2)) <= bound
+    } yield (c1.toLong, c2.toLong)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cellPairs = broadcast(candidates.toDF("cell_c", "cell_b"))
+
+    val contaminated = ca.join(cellPairs, "cell_c")
+      .join(ba, "cell_b")
+      .filter(expr(cosineSql("v", "vb")) >= threshold)
+      .select(col("vec_id")).distinct()
+    corpus.join(contaminated, Seq("vec_id"), "left_anti")
+  }
+
   /** IVF (inverted-file) ANN: k-means-style centroids partition the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells, so the scorer touches ~nprobe/nlist of the corpus instead

@@ -112,6 +112,27 @@ class SimilaritySpec extends SparkSpec {
     assert(nExchanges == 2, s"expected exactly 2 exchanges, got $nExchanges in:\n$plan")
   }
 
+  test("embeddingDecontaminate equals the brute-force cross-set filter on the real corpus") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bucket = graft.sampling.Sampling.portableBucket("vec_id", 10)
+    val (corpus, bench) = (e.filter(bucket < 8), e.filter(bucket >= 8))
+    val got = Similarity.embeddingDecontaminate(corpus, bench, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    // brute force: corpus ids minus any with a >= t bench neighbor
+    val cv = corpus.select($"vec_id", org.apache.spark.sql.functions.expr(
+      Similarity.doubleVec("embedding")).as("v")).as[(Long, Seq[Double])].collect()
+    val bv = bench.select(org.apache.spark.sql.functions.expr(
+      Similarity.doubleVec("embedding")).as("v")).as[Seq[Double]].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = cv.filter { case (_, v) => !bv.exists(b => cos(v, b) >= 0.4) }.map(_._1).toSet
+    assert(got == expect, s"sizes got=${got.size} expect=${expect.size}")
+    assert(expect.size < cv.length, "fixture should contain at least one contaminated vector")
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 4).collect()
       .map(r => r.getAs[Int]("rn") -> r.getAs[Long]("neighbor_id")).toMap

@@ -59,6 +59,33 @@ class MaintenanceAuditSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("IVM underflow")))
   }
 
+  test("IVM fuzz: 30 random changelog steps always equal a full recompute") {
+    val rnd = new scala.util.Random(1234)
+    val groups = Vector("a", "b", "c", "d", "e")
+    // model state: multiset of (grp, amount)
+    var state = Vector.tabulate(40)(i => (groups(rnd.nextInt(groups.size)),
+      (rnd.nextInt(100000) + 1) / 100.0))
+    var summary = ViewMaintenance.summarize(state.toDF("grp", "amount"), keys, "n", measures)
+    for (step <- 1 to 30) {
+      // random inserts, and deletes of rows that EXIST in the state
+      val inserts = Vector.fill(rnd.nextInt(4))((groups(rnd.nextInt(groups.size)),
+        (rnd.nextInt(100000) + 1) / 100.0))
+      val nDel = rnd.nextInt(math.min(4, state.size) + 1)
+      val delIdx = rnd.shuffle(state.indices.toVector).take(nDel)
+      val deletes = delIdx.map(state)
+      state = state.indices.filterNot(delIdx.contains).map(state).toVector ++ inserts
+      val changelog =
+        (inserts.map { case (g, a) => (g, a, "INSERT", step) } ++
+          deletes.map { case (g, a) => (g, a, "DELETE", step) })
+          .toDF("grp", "amount", "_change_type", "_change_version")
+      summary = ViewMaintenance.applyDelta(summary, changelog, keys, "n", measures)
+      // materialize so decimal accumulation chains don't build a giant lazy plan
+      summary = summary.localCheckpoint(true)
+      val expect = ViewMaintenance.summarize(state.toDF("grp", "amount"), keys, "n", measures)
+      assert(sorted(summary) === sorted(expect), s"diverged at step $step")
+    }
+  }
+
   test("referentialAudit is all-zero on a consistent star and counts planted corruption") {
     val nation = Seq((0L, "A", 0L), (1L, "B", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
     val customer = Seq((1L, "c1", 0L), (2L, "c2", 1L), (3L, "c3", 1L))

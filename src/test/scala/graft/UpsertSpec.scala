@@ -62,6 +62,29 @@ class UpsertSpec extends SparkSpec {
     assert(io.versions(t).size == versions + 1)
   }
 
+  test("upsert fuzz: 15 random CDC batches always equal the model map") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upsf_").toString
+    val io = TableIO(spark, wh)
+    val rnd = new scala.util.Random(77)
+    var model = Map.empty[Long, String]
+    for (step <- 1 to 15) {
+      val batch = (0 until (rnd.nextInt(6) + 1)).map { _ =>
+        val k = rnd.nextInt(30).toLong // small key space forces overlap
+        (k, s"v${step}_$k")
+      }.distinct
+      // last occurrence per key wins within the batch by contract;
+      // .distinct + unique values per step make batches key-unique here
+      val byKey = batch.groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }.toSeq
+      io.upsert("default.f", byKey.toDF("k", "s"), Seq("k"))
+      model = model ++ byKey
+      val got = io.read("default.f").as[(Long, String)].collect().toMap
+      assert(got == model, s"diverged at step $step: got=${got.size} model=${model.size}")
+    }
+    // history stayed navigable: every snapshot is still readable
+    assert(io.versions("default.f").size == 15)
+    assert(io.readVersion("default.f", 1).count() >= 1)
+  }
+
   test("upsertStream over a file source drains availableNow into latest-state-per-key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_upst_").toString
     val src = java.nio.file.Files.createTempDirectory("graft_upsrc_").toString
