@@ -63,14 +63,20 @@ object FileStats {
     */
   def prime(stats: Map[String, Map[String, ColStats]]): Unit =
     stats.foreach { case (f, s) =>
-      // putIfAbsent is correct for min/max (footer and manifest agree
-      // by construction), but a manifest entry that carries BLOOMS
-      // supersedes a bloom-less cache entry: addBloomIndex commits a
-      // metadata-only snapshot whose whole point is the richer stats,
-      // and the cached pre-index entry would pin "no bloom" forever.
+      // Merge PER COLUMN, preferring whichever entry carries a bloom:
+      // min/max agree between footer and manifest by construction, but
+      // addBloomIndex commits richer stats, and an entry-level "first
+      // writer wins" would pin a later-indexed column's bloom out of
+      // the cache for the JVM's lifetime (e.g. index column A, then
+      // column B: B's bloom must still land).
       cache.merge(f, s, (old, neu) =>
-        if (neu.exists(_._2.bloom.isDefined) && !old.exists(_._2.bloom.isDefined)) neu
-        else old)
+        (old.keySet ++ neu.keySet).iterator.map { c =>
+          c -> ((old.get(c), neu.get(c)) match {
+            case (Some(o), Some(n)) => if (n.bloom.isDefined && o.bloom.isEmpty) n else o
+            case (Some(o), None) => o
+            case (None, n) => n.get
+          })
+        }.toMap)
     }
 
   /** Serialize one file's column stats for embedding in a manifest

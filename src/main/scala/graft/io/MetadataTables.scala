@@ -80,8 +80,8 @@ private[io] object MetadataTables {
                   catch { case scala.util.control.NonFatal(_) =>
                     Map.empty[String, Map[String, FileStats.ColStats]] })
         .getOrElse(Map.empty)
+      val dataRoot = Paths.get(cat.dataPath(table)).toAbsolutePath.normalize
       def partitionOf(f: String): String = {
-        val dataRoot = Paths.get(cat.dataPath(table)).toAbsolutePath.normalize
         val p = Paths.get(f).toAbsolutePath.normalize
         if (!p.startsWith(dataRoot)) ""
         else dataRoot.relativize(p).iterator().asScala.map(_.toString)

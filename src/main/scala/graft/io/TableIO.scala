@@ -1180,7 +1180,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
              maxScopedKeys: Int = 100000): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val base = catalog.currentVersion(name)
-    if (base.isEmpty) { append(rows, name, partitionCols, props); return }
+    if (base.isEmpty) {
+      require(rows.filter(keyCols.map(k =>
+          org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)).isEmpty,
+        s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      append(rows, name, partitionCols, props); return
+    }
     val v = base.get
     val files = catalog.manifest(name, v)
     val conf = spark.sessionState.newHadoopConf()
@@ -1191,6 +1196,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // (a streaming micro-batch's window reduction) runs once
     val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // NULL keys cannot upsert: the anti-join's equality never
+      // matches NULL, so a NULL-key row would DUPLICATE on every
+      // batch instead of replacing — reject loudly up front
+      require(pinned.filter(keyCols.map(k =>
+          org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)).isEmpty,
+        s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
       // scope by the FIRST key column's value set (sound for compound
       // keys: a file with no first-key match holds no affected row)
       val keyVals: Option[Array[Any]] =
@@ -1200,6 +1211,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         } catch { case scala.util.control.NonFatal(_) => None }
       val (kept, candidates) = keyVals match {
         case None => (Seq.empty[String], files) // unscoped: rewrite-all fallback
+        // an EMPTY batch touches nothing: In(key, []) reads as
+        // "might match anything" to the stats layer, which would turn
+        // a routine empty micro-batch into a full-table rewrite; keep
+        // every file and commit only the (possibly mark-carrying)
+        // empty snapshot delta
+        case Some(vals) if vals.isEmpty => (files, Seq.empty[String])
         case Some(vals) =>
           val filter = Seq(org.apache.spark.sql.sources.In(keyCols.head, vals))
           try files.partition(f => !FileStats.mightMatch(FileStats.cached(f, conf), filter))
@@ -1422,59 +1439,76 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def addBloomIndex(name: String, column: String, fpp: Double = 0.01): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val v = catalog.currentVersion(name).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $name"))
-    val files = catalog.manifest(name, v)
-    val conf = spark.sessionState.newHadoopConf()
-    val prev = try catalog.manifestStats(name, v)
-               catch { case scala.util.control.NonFatal(_) =>
-                 Map.empty[String, Map[String, FileStats.ColStats]] }
-    // stats base per file: manifest-carried, else one footer read —
-    // a bloom only attaches NEXT TO a base entry (decode contract)
-    def baseStats(f: String): Map[String, FileStats.ColStats] =
-      prev.getOrElse(f,
-        try FileStats.read(f, conf)
-        catch { case scala.util.control.NonFatal(_) =>
-          Map.empty[String, FileStats.ColStats] })
-    val statsByFile = files.map(f => f -> baseStats(f)).toMap
-    val missing = files.filter(f =>
-      statsByFile(f).get(column).exists(_.bloom.isEmpty))
-    if (missing.isEmpty) return 0
-    // one sizing for every per-file sketch (merge requires it): the
-    // largest file's row count, so smaller files over-deliver on fpp
-    val maxRows = missing.map(f =>
-      statsByFile(f).get(column).map(_.rowCount)
-        .getOrElse(FileStats.rowCount(f, conf))).max.max(1L)
-    // graft_bloom_agg is session-registered by GraftExtensions; going
-    // through the SQL name keeps this free of catalyst internals
-    val agg = org.apache.spark.sql.functions.expr(
-      s"graft_bloom_agg(_graft_key, ${maxRows}L, $fpp)")
-    def normalize(p: String): String =
-      try {
-        val u = new java.net.URI(p)
-        if (u.getScheme == null) Paths.get(p).toAbsolutePath.normalize.toString
-        else Paths.get(u.getPath).toAbsolutePath.normalize.toString
-      } catch { case scala.util.control.NonFatal(_) => p }
-    val built = spark.read.parquet(missing: _*)
-      .select(input_file_name().as("_graft_file"),
-        col(column).cast("string").as("_graft_key"))
-      .groupBy("_graft_file").agg(agg.as("_graft_bloom"))
-      .collect()
-      .map(r => normalize(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
-    val augmented = files.map { f =>
-      val cols = statsByFile(f)
-      val withBloom = built.get(normalize(f)) match {
-        case Some(b) if cols.contains(column) =>
-          cols.updated(column, cols(column).copy(bloom = Some(b)))
-        case _ => cols
-      }
-      f -> withBloom
-    }.toMap
-    val props = catalog.manifestProps(name, v) +
-      (s"graft.bloom.$column.fpp" -> fpp.toString)
-    catalog.commitSnapshot(name, files, props, augmented)
-    FileStats.prime(augmented) // same-JVM readers see the index immediately
-    missing.size
+    // logical -> physical: data files (and their stats) carry at-birth
+    // column names under renames; validate against the LOGICAL schema
+    // so a typo'd column fails loudly instead of reading as "index
+    // already complete" (files_indexed = 0)
+    val phys = catalog.renames(name).getOrElse(column, column)
+    require(read(name).columns.contains(column),
+      s"no such column in $name: $column")
+    // The build reads a stale snapshot if a writer commits mid-build,
+    // so: same-JVM writers serialize on the per-table write lock, and
+    // the commit pins the version read at the start — a CROSS-process
+    // writer racing the build makes this throw ConcurrentCommitException
+    // (retry the call) instead of silently committing a file list that
+    // drops the concurrent writer's files.
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val v = catalog.currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val files = catalog.manifest(name, v)
+      val conf = spark.sessionState.newHadoopConf()
+      val prev = try catalog.manifestStats(name, v)
+                 catch { case scala.util.control.NonFatal(_) =>
+                   Map.empty[String, Map[String, FileStats.ColStats]] }
+      // stats base per file: manifest-carried, else one footer read —
+      // a bloom only attaches NEXT TO a base entry (decode contract)
+      def baseStats(f: String): Map[String, FileStats.ColStats] =
+        prev.getOrElse(f,
+          try FileStats.read(f, conf)
+          catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[String, FileStats.ColStats] })
+      val statsByFile = files.map(f => f -> baseStats(f)).toMap
+      val missing = files.filter(f =>
+        statsByFile(f).get(phys).exists(_.bloom.isEmpty))
+      if (missing.isEmpty) return 0
+      // one sizing for every per-file sketch (merge requires it): the
+      // largest file's row count, so smaller files over-deliver on fpp
+      val maxRows = missing.map(f =>
+        statsByFile(f).get(phys).map(_.rowCount)
+          .getOrElse(FileStats.rowCount(f, conf))).max.max(1L)
+      // graft_bloom_agg is session-registered by GraftExtensions; going
+      // through the SQL name keeps this free of catalyst internals
+      val agg = org.apache.spark.sql.functions.expr(
+        s"graft_bloom_agg(_graft_key, ${maxRows}L, $fpp)")
+      def normalize(p: String): String =
+        try {
+          val u = new java.net.URI(p)
+          if (u.getScheme == null) Paths.get(p).toAbsolutePath.normalize.toString
+          else Paths.get(u.getPath).toAbsolutePath.normalize.toString
+        } catch { case scala.util.control.NonFatal(_) => p }
+      val built = spark.read.parquet(missing: _*)
+        .select(input_file_name().as("_graft_file"),
+          col(phys).cast("string").as("_graft_key"))
+        .groupBy("_graft_file").agg(agg.as("_graft_bloom"))
+        .collect()
+        .map(r => normalize(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+      val augmented = files.map { f =>
+        val cols = statsByFile(f)
+        val withBloom = built.get(normalize(f)) match {
+          case Some(b) if cols.contains(phys) =>
+            cols.updated(phys, cols(phys).copy(bloom = Some(b)))
+          case _ => cols
+        }
+        f -> withBloom
+      }.toMap
+      val props = catalog.manifestProps(name, v) +
+        (s"graft.bloom.$phys.fpp" -> fpp.toString)
+      catalog.commitSnapshotAt(name, files, v + 1, props, augmented)
+      FileStats.prime(augmented) // same-JVM readers see the index immediately
+      missing.size
+    } finally lock.release()
   }
 
   def compact(name: String, partitionCols: Seq[String] = Seq.empty,

@@ -63,24 +63,40 @@ object ViewMaintenance {
     */
   def applyDelta(summary: DataFrame, changelog: DataFrame, keys: Seq[String],
                  countAlias: String, measures: Seq[Measure]): DataFrame = {
+    // unknown change types must be LOUD: a sign of NULL would make
+    // sum() silently skip the row and publish a wrong rollup (e.g. a
+    // CDC source emitting UPDATE_AFTER rows this maintainer doesn't
+    // understand)
     val sign = when(col("_change_type") === "INSERT", 1L)
       .when(col("_change_type") === "DELETE", -1L)
+      .otherwise(raise_error(concat(
+        lit("IVM: unknown _change_type '"), col("_change_type").cast("string"),
+        lit("' (expected INSERT or DELETE)"))))
     val dCount = s"_d_$countAlias"
+    val dKeys = keys.map(k => s"_d_$k")
     val dAggs = sum(sign).as(dCount) +:
       measures.map(m => sum(sign.cast(decType(m)) * col(m.column).cast(decType(m))).as(s"_d_${m.alias}"))
     val delta = changelog.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+      .select(keys.zip(dKeys).map { case (k, dk) => col(k).as(dk) } ++
+        (dCount +: measures.map(m => s"_d_${m.alias}")).map(col): _*)
 
-    val merged = summary.join(delta, keys, "full_outer")
+    // NULL-SAFE key equality: a plain equi-join would never merge a
+    // NULL group's base and delta rows (NULL != NULL), splitting the
+    // group in two and defeating the underflow guard
+    val cond = keys.zip(dKeys).map { case (k, dk) => summary(k) <=> col(dk) }.reduce(_ && _)
+    val merged = summary.join(delta, cond, "full_outer")
     val newCount = coalesce(col(countAlias), lit(0L)) + coalesce(col(dCount), lit(0L))
     def newMeasure(m: Measure): Column =
       (coalesce(col(m.alias), lit(0).cast(decType(m))) +
         coalesce(col(s"_d_${m.alias}"), lit(0).cast(decType(m)))).cast(decType(m))
+    val outKeys = keys.zip(dKeys).map { case (k, dk) => coalesce(summary(k), col(dk)).as(k) }
     val guarded = when(newCount < 0L,
       raise_error(concat(lit("IVM underflow: changelog deletes more rows than the summary holds for key ("),
-        concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")"))))
+        concat_ws(",", keys.zip(dKeys).map { case (k, dk) =>
+          coalesce(summary(k), col(dk)).cast("string") }: _*), lit(")"))))
       .otherwise(newCount)
     merged
-      .select((keys.map(col) :+ guarded.as(countAlias)) ++ measures.map(m => newMeasure(m).as(m.alias)): _*)
+      .select((outKeys :+ guarded.as(countAlias)) ++ measures.map(m => newMeasure(m).as(m.alias)): _*)
       .filter(col(countAlias) > 0L)
   }
 }

@@ -129,6 +129,18 @@ object Similarity {
     }
   }
 
+  /** Driver-side angular distance between two centroid vectors —
+    * ONE implementation for every triangle-inequality candidate bound
+    * (embeddingNearDuplicates, embeddingDecontaminate): a fix to the
+    * clamp/epsilon here reaches every caller.
+    */
+  private def driverAngle(a: Seq[Double], b: Seq[Double]): Double = {
+    def dot(x: Seq[Double], y: Seq[Double]): Double =
+      x.iterator.zip(y.iterator).map { case (x1, y1) => x1 * y1 }.sum
+    val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    math.acos(math.max(-1.0, math.min(1.0, c)))
+  }
+
   /** Cell assignment against a fixed centroid list: `cell` = argmax
     * cosine (ties to the lowest index via array_position), plus the
     * raw `__scores` array for callers that need probe lists or the
@@ -338,21 +350,18 @@ object Similarity {
       .map(r => r.getAs[Long]("cell") -> r.getAs[Double]("r"))
       .toMap
 
-    // Candidate cell pairs by the angular triangle inequality. The
-    // 1e-9 pad guards executor-vs-driver float rounding in the bound
-    // (never in the final exact cosine filter).
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
-    def angle(a: Seq[Double], b: Seq[Double]): Double = {
-      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-      math.acos(math.max(-1.0, math.min(1.0, c)))
-    }
+    // Candidate cell pairs by the angular triangle inequality (shared
+    // driverAngle helper; 1e-9 pad in the BOUND only, never the final
+    // exact cosine filter). Iterate the centroids actually trained —
+    // a corpus smaller than nlist yields fewer (trainCentroids
+    // bootstraps from the lowest vec_ids).
     val tAngle = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val n = centroids.size
     val candidates = for {
-      c1 <- 0 until nlist
-      c2 <- c1 until nlist
+      c1 <- 0 until n
+      c2 <- c1 until n
       bound = radii.getOrElse(c1.toLong, 0.0) + radii.getOrElse(c2.toLong, 0.0) + tAngle + 1e-9
-      if angle(centroids(c1), centroids(c2)) <= bound
+      if driverAngle(centroids(c1), centroids(c2)) <= bound
     } yield (c1.toLong, c2.toLong)
 
     val spark = embeddings.sparkSession
@@ -415,18 +424,15 @@ object Similarity {
     val ba = baAll.select(col("vec_id").as("bid"), col("v").as("vb"), col("cell").as("cell_b"))
     val (rc, rb) = (radiiOf(caAll), radiiOf(baAll))
 
-    def dotL(a: Seq[Double], y: Seq[Double]): Double =
-      a.iterator.zip(y.iterator).map { case (x1, y1) => x1 * y1 }.sum
-    def angleL(a: Seq[Double], y: Seq[Double]): Double = {
-      val cs = dotL(a, y) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(y, y)))
-      math.acos(math.max(-1.0, math.min(1.0, cs)))
-    }
+    // cross-set candidate pairs over the centroids ACTUALLY trained
+    // (a tiny corpus+bench can yield fewer than nlist)
     val tAngle = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val n = centroids.size
     val candidates = for {
-      c1 <- 0 until nlist
-      c2 <- 0 until nlist
+      c1 <- 0 until n
+      c2 <- 0 until n
       bound = rc.getOrElse(c1.toLong, 0.0) + rb.getOrElse(c2.toLong, 0.0) + tAngle + 1e-9
-      if angleL(centroids(c1), centroids(c2)) <= bound
+      if driverAngle(centroids(c1), centroids(c2)) <= bound
     } yield (c1.toLong, c2.toLong)
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -102,6 +102,29 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("a second column's index reaches same-JVM readers; unknown columns fail loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bloom2_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val rnd = new scala.util.Random(5)
+    val rows = rnd.shuffle((0 until 1600).map(_ * 2).toVector).map(k => (k.toLong, s"n$k"))
+    io.append(rows.toDF("k", "s").repartition(8), "default.two")
+    withCatalog("gcb3", wh) {
+      io.addBloomIndex("default.two", "k")
+      // warm the cache through a read, THEN index the second column —
+      // the per-column prime merge must let s's bloom land
+      assert(pathsIn("SELECT * FROM gcb3.default.two WHERE k = 275") <= 1)
+      io.addBloomIndex("default.two", "s")
+      val sMiss = pathsIn("SELECT * FROM gcb3.default.two WHERE s = 'n275'")
+      assert(sMiss <= 1, s"second column's bloom must prune too, scanned $sMiss")
+      val kStill = pathsIn("SELECT * FROM gcb3.default.two WHERE k = 275")
+      assert(kStill <= 1, "first column's bloom must survive the second index")
+    }
+    val e = intercept[IllegalArgumentException] {
+      io.addBloomIndex("default.two", "no_such_col")
+    }
+    assert(e.getMessage.contains("no such column"))
+  }
+
   test("bloom survives manifest round-trip and unrelated commits carry it forward") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bloomc_").toString
     val io = graft.io.TableIO(spark, wh)

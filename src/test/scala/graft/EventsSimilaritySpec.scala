@@ -133,6 +133,21 @@ class SimilaritySpec extends SparkSpec {
     assert(expect.size < cv.length, "fixture should contain at least one contaminated vector")
   }
 
+  test("embeddingDecontaminate works when corpus+bench are smaller than nlist") {
+    // 5 vectors total, default nlist = 16: trainCentroids yields 5
+    // centroids; the candidate loop must iterate what was trained
+    val corpus = vecs.filter($"vec_id" <= 2)
+    val bench = vecs.filter($"vec_id" > 2)
+    val out = Similarity.embeddingDecontaminate(corpus, bench, threshold = 0.6)
+      .select("vec_id").as[Long].collect().toSet
+    // bench = {3: -e1, 4: (.5,.5)}; cos(0,4)=.707>=0.6 contaminated;
+    // cos(2,4)~.79 contaminated; cos(1,4)=.707 contaminated -> empty
+    assert(out == Set.empty[Long])
+    val out2 = Similarity.embeddingDecontaminate(corpus, vecs.filter($"vec_id" === 3), 0.6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out2 == Set(0L, 1L, 2L)) // -e1 is far from all of them
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 4).collect()
       .map(r => r.getAs[Int]("rn") -> r.getAs[Long]("neighbor_id")).toMap

@@ -47,6 +47,33 @@ class MaintenanceAuditSpec extends SparkSpec {
     assert(sorted(ViewMaintenance.applyDelta(v1, empty, keys, "n", measures)) === sorted(v1))
   }
 
+  test("applyDelta merges NULL group keys null-safely and equals a recompute") {
+    val base = Seq((Some("a"), 1.00), (None, 2.00), (None, 3.00)).toDF("grp", "amount")
+    val v1 = ViewMaintenance.summarize(base, keys, "n", measures)
+    val changelog = Seq(
+      (None: Option[String], 4.00, "INSERT", 2),
+      (None: Option[String], 2.00, "DELETE", 2)
+    ).toDF("grp", "amount", "_change_type", "_change_version")
+    val maintained = ViewMaintenance.applyDelta(v1, changelog, keys, "n", measures)
+    val finalState = Seq((Some("a"), 1.00), (None, 3.00), (None, 4.00)).toDF("grp", "amount")
+    val recomputed = ViewMaintenance.summarize(finalState, keys, "n", measures)
+    assert(sorted(maintained) === sorted(recomputed))
+    // exactly ONE null-key row (the naive equi-join would split it in two)
+    assert(maintained.filter($"grp".isNull).count() === 1L)
+  }
+
+  test("applyDelta rejects unknown change types loudly") {
+    val base = Seq(("a", 1.00)).toDF("grp", "amount")
+    val v1 = ViewMaintenance.summarize(base, keys, "n", measures)
+    val weird = Seq(("a", 1.00, "UPDATE_AFTER", 2)).toDF("grp", "amount", "_change_type", "_change_version")
+    val e = intercept[Exception] {
+      ViewMaintenance.applyDelta(v1, weird, keys, "n", measures).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown _change_type")), msgs(e).mkString(" | "))
+  }
+
   test("applyDelta fails loudly when the changelog underflows a group") {
     val base = Seq(("a", 1.00)).toDF("grp", "amount")
     val v1 = ViewMaintenance.summarize(base, keys, "n", measures)

@@ -62,6 +62,27 @@ class UpsertSpec extends SparkSpec {
     assert(io.versions(t).size == versions + 1)
   }
 
+  test("empty batch touches no files; NULL keys are rejected loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upse_").toString
+    val io = TableIO(spark, wh)
+    io.append((0L until 100L).map(k => (k, s"v$k")).toDF("k", "s").repartition(4), "default.e")
+    val before = io.catalog.manifest("default.e", io.versions("default.e").last)
+    // empty batch: In(key, []) must NOT read as match-everything
+    io.upsert("default.e", Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"),
+      props = Map("mark" -> "1"))
+    val after = io.catalog.manifest("default.e", io.versions("default.e").last)
+    assert(before.toSet.subsetOf(after.toSet),
+      s"empty batch must carry every file over, rewrote ${before.size - before.toSet.intersect(after.toSet).size}")
+    assert(io.read("default.e").count() == 100L)
+    // the mark still rode the commit
+    assert(io.catalog.manifestProps("default.e", io.versions("default.e").last)("mark") == "1")
+    // NULL keys duplicate-instead-of-replace under anti-join equality -> reject
+    val e = intercept[IllegalArgumentException] {
+      io.upsert("default.e", Seq[(java.lang.Long, String)]((null, "x")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("upsert fuzz: 15 random CDC batches always equal the model map") {
     val wh = java.nio.file.Files.createTempDirectory("graft_upsf_").toString
     val io = TableIO(spark, wh)
