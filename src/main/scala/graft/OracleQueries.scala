@@ -1356,6 +1356,32 @@ object OracleQueries {
     // Spark's grouping_id; per-column grouping() used here so the
     // convention question never arises); rolled-up keys surface as
     // NULL in both engines
+    // .column_stats answers from manifest metadata; the oracle
+    // recomputes the identical profile from the data (string columns
+    // carry NULL min/max — the metadata table only numerics them)
+    "q96_column_stats_meta" ->
+      """SELECT 'l_extendedprice' AS col_name,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS value_min,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS value_max,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+        |  CAST(count(*) AS BIGINT) AS row_count
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey', CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem""".stripMargin,
+
     // RANGE frame over integer epoch-micros: identical inclusion
     // semantics in both engines (peers at equal micros are in-frame)
     "q95_rolling_rate" ->

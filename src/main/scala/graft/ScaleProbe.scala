@@ -41,7 +41,10 @@ object ScaleProbe {
     // r13 late additions: IVM (cost ∝ changelog), FK audit (pre-agg
     // anti-joins), interval join (co-activity output grows ~100x at
     // 10x users BY SEMANTICS — probe separates join cost from output)
-    "q85_ivm_rollup", "q86_integrity_audit", "q88_interval_join")
+    "q85_ivm_rollup", "q86_integrity_audit", "q88_interval_join",
+    // cross-set cell-bucketed exact cosine join (triangle-inequality
+    // cell-pair pruning; near-random fixture = worst case, all pairs)
+    "q94_embedding_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1234,6 +1234,26 @@ object SparkEntry {
             .over(w).cast("double").as("value_1h"))
     }),
 
+    // Column profiling from METADATA: the `.column_stats` table rolls
+    // the manifest's per-file stats into table-level min/max (numeric,
+    // as double), null and row counts — O(manifest), zero data reads.
+    // The oracle recomputes the same profile from the data itself, so
+    // the hash check proves the commit-time stats pipeline (footer
+    // read -> manifest encode -> decode -> rollup) end to end.
+    "q96_column_stats_meta" -> ((s, dir) => {
+      val cname = "gcs2"
+      val io = catalogIO(s, cname, "graft_cstats_")
+      val t = "default.lineitem_cs"
+      io.append(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"))
+          .repartition(8),
+        t)
+      s.sql(s"SELECT col_name, value_min, value_max, null_count, row_count " +
+        s"FROM $cname.$t.column_stats")
+    }),
+
     // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
     // status), (flag), ()) with grouping indicators — one scan + one
     // expanded aggregate vs three separate scans-and-unions.

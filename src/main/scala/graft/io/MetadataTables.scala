@@ -17,6 +17,7 @@ import scala.jdk.CollectionConverters._
   *   SELECT * FROM <cat>.<ns>.<table>.files       -- current snapshot's data files
   *   SELECT * FROM <cat>.<ns>.<table>.history     -- alias of snapshots (commit order)
   *   SELECT * FROM <cat>.<ns>.<table>.partitions  -- per-partition files/bytes/rows profile
+  *   SELECT * FROM <cat>.<ns>.<table>.column_stats -- per-column min/max/nulls profile
   *
   * All state lives in the manifests + filesystem, so the rows are
   * assembled driver-side and served through a LocalScan — metadata
@@ -25,7 +26,8 @@ import scala.jdk.CollectionConverters._
   */
 private[io] object MetadataTables {
 
-  val Names: Set[String] = Set("snapshots", "files", "history", "tags", "staged", "partitions")
+  val Names: Set[String] =
+    Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -102,6 +104,52 @@ private[io] object MetadataTables {
             fs.size, fs.map(sizeOf).sum, fs.map(rowsOf).sum)): InternalRow
         }
       local(s"$table.partitions", schema, rows)
+    case "column_stats" =>
+      // Table-level column profile rolled up from the manifest's
+      // per-file stats: min/max (numerics, as double), null count,
+      // row count, bloom-index coverage — the "what's in this column"
+      // profiling query as an O(manifest) metadata read. A column
+      // appears ONLY if every current-snapshot file carries stats for
+      // it (partial coverage would silently under-count nulls/rows);
+      // `n_files` says how many files back the row.
+      val cschema = new StructType()
+        .add("col_name", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("value_min", org.apache.spark.sql.types.DoubleType, nullable = true)
+        .add("value_max", org.apache.spark.sql.types.DoubleType, nullable = true)
+        .add("null_count", LongType, nullable = false)
+        .add("row_count", LongType, nullable = false)
+        .add("n_files", IntegerType, nullable = false)
+        .add("bloom_indexed", org.apache.spark.sql.types.BooleanType, nullable = false)
+      val curFiles = cat.currentVersion(table).toSeq.flatMap(v => cat.manifest(table, v))
+      val allStats = cat.currentVersion(table)
+        .map(v => try cat.manifestStats(table, v)
+                  catch { case scala.util.control.NonFatal(_) =>
+                    Map.empty[String, Map[String, FileStats.ColStats]] })
+        .getOrElse(Map.empty)
+      def numeric(v: Any): Option[Double] = v match {
+        case null => None
+        // manifest decode yields Long/Double/BigDecimal; the extra
+        // integral/float cases are defensive for future stat sources
+        case n: java.lang.Number => Some(n.doubleValue())
+        case _ => None
+      }
+      val covered =
+        if (curFiles.isEmpty || !curFiles.forall(allStats.contains)) Seq.empty
+        else {
+          val perFile = curFiles.map(allStats)
+          perFile.map(_.keySet).reduce(_ intersect _).toSeq.sorted.map { c =>
+            val cs = perFile.map(_(c))
+            val mins = cs.flatMap(s => numeric(s.min))
+            val maxs = cs.flatMap(s => numeric(s.max))
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(c),
+              if (mins.size == cs.size) mins.min else null,
+              if (maxs.size == cs.size) maxs.max else null,
+              cs.map(_.nullCount).sum, cs.map(_.rowCount).sum,
+              cs.size, cs.forall(_.bloom.isDefined))): InternalRow
+          }
+        }
+      local(s"$table.column_stats", cschema, covered)
     case "staged" =>
       // write-audit-publish introspection: one row per staged
       // (unpublished) snapshot awaiting its audit verdict

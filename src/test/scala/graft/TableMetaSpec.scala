@@ -627,4 +627,31 @@ class TableMetaSpec extends graft.SparkSpec {
     assert(flat.length == 1 && flat(0).getUTF8String(0).toString == "")
     assert(flat(0).getLong(3) == 300L)
   }
+
+  test(".column_stats profiles columns from manifest stats; bloom coverage and partial-stats drop") {
+    val io = freshIO()
+    val t = "default.cstats"
+    io.append(Seq((1L, 2.5, "a"), (2L, 3.5, "b"), (3L, 0.5, null.asInstanceOf[String]))
+      .toDF("k", "v", "s"), t)
+    def rows(name: String) = MetadataTables.load(io.catalog, name, "column_stats")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows()
+    val byCol = rows(t).map(r => r.getUTF8String(0).toString ->
+      (Option(r.get(1, org.apache.spark.sql.types.DoubleType)).map(_.asInstanceOf[Double]),
+       r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    assert(byCol("k") == ((Some(1.0), 0L, 3L, false)))
+    assert(byCol("v")._1 == Some(0.5) && byCol("v")._2 == 0L)
+    assert(byCol("s")._1.isEmpty && byCol("s")._2 == 1L, "string null count from footer stats")
+    // bloom coverage flips after indexing
+    io.addBloomIndex(t, "k")
+    assert(rows(t).find(_.getUTF8String(0).toString == "k").get.getBoolean(6))
+    // a file without manifest stats suppresses the whole profile
+    // (partial coverage would silently under-count)
+    val v = io.versions(t).last
+    val files = io.catalog.manifest(t, v)
+    io.catalog.commitSnapshot(t, files, Map.empty, Map.empty) // stats-less manifest
+    assert(rows(t).isEmpty)
+  }
 }
