@@ -106,6 +106,39 @@ class UpsertSpec extends SparkSpec {
     assert(io.readVersion("default.f", 1).count() >= 1)
   }
 
+  test("upsertStream restart: same checkpoint continues incrementally, fresh checkpoint re-applies") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_upsr_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_upsrc2_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upck2_").toString
+    val io = TableIO(spark, wh)
+    def drain(checkpoint: String): Unit = {
+      val schema = spark.read.parquet(src).schema
+      TableSink.upsertStream(
+        spark.readStream.schema(schema).parquet(src), io, "default.rs", checkpoint,
+        keyCols = Seq("k"), orderCols = Seq("ord"), availableNow = true).awaitTermination()
+    }
+    Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ord", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt)
+    assert(io.read("default.rs").count() == 2L)
+    val versionsAfterFirst = io.versions("default.rs").size
+    // same checkpoint, nothing new: the drain commits no snapshot
+    drain(ckpt)
+    assert(io.versions("default.rs").size == versionsAfterFirst,
+      "an empty catch-up drain must not commit")
+    // new source file: only it is processed, replacing key 1
+    Seq((1L, 20L, "a2")).toDF("k", "ord", "s").coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt)
+    assert(io.read("default.rs").as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 20L, "a2"), (2L, 10L, "b")))
+    // FRESH checkpoint: batch ids restart at 0 — the lineage-keyed
+    // mark must let the re-drain APPLY (re-upserting the same rows is
+    // idempotent on the keys), not silently skip everything
+    drain(java.nio.file.Files.createTempDirectory("graft_upck3_").toString)
+    assert(io.read("default.rs").as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 20L, "a2"), (2L, 10L, "b")))
+  }
+
   test("upsertStream over a file source drains availableNow into latest-state-per-key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_upst_").toString
     val src = java.nio.file.Files.createTempDirectory("graft_upsrc_").toString
