@@ -1356,6 +1356,26 @@ object OracleQueries {
     // Spark's grouping_id; per-column grouping() used here so the
     // convention question never arises); rolled-up keys surface as
     // NULL in both engines
+    // SCD2 replay: untouched keys keep their open row; bucket-3 keys
+    // get a closed original + an opened adjusted version (double add
+    // of 100.0 is a single IEEE op — same in both engines)
+    "q97_scd2_dimension" ->
+      """WITH upd AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 3)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |  TRUE AS is_current
+        |FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  DATE '1990-01-01', DATE '1995-06-01', FALSE
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+        |  DATE '1995-06-01', CAST(NULL AS DATE), TRUE
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)""".stripMargin,
+
     // .column_stats answers from manifest metadata; the oracle
     // recomputes the identical profile from the data (string columns
     // carry NULL min/max — the metadata table only numerics them)

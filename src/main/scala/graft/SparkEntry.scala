@@ -1254,6 +1254,37 @@ object SparkEntry {
         s"FROM $cname.$t.column_stats")
     }),
 
+    // SCD TYPE 2 dimension maintenance: an update batch against the
+    // customer dimension closes the affected keys' current rows
+    // (valid_to = effective date, is_current = false) and opens new
+    // versions, leaving history queryable by date range — the
+    // warehouse pattern the reference's overwrite-only dimensions
+    // (DimensionJob) cannot express. Pure key-equi-joins: changed
+    // rows via inner join, untouched via left_anti, one union.
+    "q97_scd2_dimension" -> ((s, dir) => {
+      val eff = lit("1995-06-01").cast("date")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+      // the update batch: bucket-3 customers get a balance adjustment
+      val bucket = graft.sampling.Sampling.portableBucket("c_custkey", 10)
+      val updates = Tables.customer(s, dir).filter(bucket === 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + lit(100.0d)).as("c_acctbal"), col("c_mktsegment"))
+      val updateKeys = updates.select("c_custkey")
+      val closed = dim.join(updateKeys, Seq("c_custkey"), "left_semi")
+        .withColumn("valid_to", eff).withColumn("is_current", lit(false))
+      val opened = updates
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val untouched = dim.join(updateKeys, Seq("c_custkey"), "left_anti")
+      untouched.unionByName(closed).unionByName(opened)
+    }),
+
     // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
     // status), (flag), ()) with grouping indicators — one scan + one
     // expanded aggregate vs three separate scans-and-unions.
