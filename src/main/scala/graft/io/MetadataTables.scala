@@ -77,7 +77,11 @@ private[io] object MetadataTables {
         .add("total_bytes", LongType, nullable = false)
         .add("row_count", LongType, nullable = false)
       val conf = new org.apache.hadoop.conf.Configuration()
-      val stats = cat.currentVersion(table)
+      // ONE version read: files and stats must come from the SAME
+      // snapshot (a concurrent commit between two currentVersion
+      // calls would pair one snapshot's files with another's stats)
+      val ver = cat.currentVersion(table)
+      val stats = ver
         .map(v => try cat.manifestStats(table, v)
                   catch { case scala.util.control.NonFatal(_) =>
                     Map.empty[String, Map[String, FileStats.ColStats]] })
@@ -94,7 +98,7 @@ private[io] object MetadataTables {
           try FileStats.rowCount(f, conf)
           catch { case scala.util.control.NonFatal(_) => 0L }
         }
-      val rows = cat.currentVersion(table).toSeq
+      val rows = ver.toSeq
         .flatMap(v => cat.manifest(table, v))
         .groupBy(partitionOf)
         .toSeq.sortBy(_._1)
@@ -120,8 +124,11 @@ private[io] object MetadataTables {
         .add("row_count", LongType, nullable = false)
         .add("n_files", IntegerType, nullable = false)
         .add("bloom_indexed", org.apache.spark.sql.types.BooleanType, nullable = false)
-      val curFiles = cat.currentVersion(table).toSeq.flatMap(v => cat.manifest(table, v))
-      val allStats = cat.currentVersion(table)
+      // ONE version read (see the partitions branch): files and stats
+      // from the same snapshot
+      val cver = cat.currentVersion(table)
+      val curFiles = cver.toSeq.flatMap(v => cat.manifest(table, v))
+      val allStats = cver
         .map(v => try cat.manifestStats(table, v)
                   catch { case scala.util.control.NonFatal(_) =>
                     Map.empty[String, Map[String, FileStats.ColStats]] })
@@ -139,12 +146,18 @@ private[io] object MetadataTables {
           val perFile = curFiles.map(allStats)
           perFile.map(_.keySet).reduce(_ intersect _).toSeq.sorted.map { c =>
             val cs = perFile.map(_(c))
+            // min/max over the files that HAVE a numeric min/max: an
+            // all-NULL (or zero-row) file legitimately carries null
+            // stats and must not null out the table-wide answer —
+            // SQL's min/max ignore NULLs, and the q96 oracle computes
+            // exactly that. Non-numeric (string) columns contribute
+            // no numeric bounds at all -> NULL min/max.
             val mins = cs.flatMap(s => numeric(s.min))
             val maxs = cs.flatMap(s => numeric(s.max))
             new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(c),
-              if (mins.size == cs.size) mins.min else null,
-              if (maxs.size == cs.size) maxs.max else null,
+              if (mins.nonEmpty) mins.min else null,
+              if (maxs.nonEmpty) maxs.max else null,
               cs.map(_.nullCount).sum, cs.map(_.rowCount).sum,
               cs.size, cs.forall(_.bloom.isDefined))): InternalRow
           }

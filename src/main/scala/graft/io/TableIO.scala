@@ -1179,21 +1179,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
              props: Map[String, String] = Map.empty,
              maxScopedKeys: Int = 100000): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val base = catalog.currentVersion(name)
-    if (base.isEmpty) {
-      require(rows.filter(keyCols.map(k =>
-          org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)).isEmpty,
-        s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
-      append(rows, name, partitionCols, props); return
-    }
-    val v = base.get
-    val files = catalog.manifest(name, v)
-    val conf = spark.sessionState.newHadoopConf()
-    try FileStats.prime(catalog.manifestStats(name, v))
-    catch { case scala.util.control.NonFatal(_) => () }
-    // the batch has three consumers (key collect, anti-join key set,
-    // the union into the rewrite) — pin it so a non-trivial upstream
-    // (a streaming micro-batch's window reduction) runs once
+    // the batch has up to four consumers (null-key guard, key collect,
+    // anti-join key set, the union into the rewrite) — pin it FIRST so
+    // a non-trivial upstream (a streaming micro-batch's window
+    // reduction) runs once, and so the rows the guard validated are
+    // the rows that commit (a nondeterministic source recomputed after
+    // the check could smuggle NULL keys past it)
     val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // NULL keys cannot upsert: the anti-join's equality never
@@ -1202,6 +1193,16 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       require(pinned.filter(keyCols.map(k =>
           org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)).isEmpty,
         s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      val base = catalog.currentVersion(name)
+      if (base.isEmpty) { append(pinned, name, partitionCols, props); return }
+      val v = base.get
+      val files = catalog.manifest(name, v)
+      val conf = spark.sessionState.newHadoopConf()
+      val manifestStats =
+        try catalog.manifestStats(name, v)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      FileStats.prime(manifestStats)
       // scope by the FIRST key column's value set (sound for compound
       // keys: a file with no first-key match holds no affected row)
       val keyVals: Option[Array[Any]] =
@@ -1209,14 +1210,23 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           val ks = pinned.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
           if (ks.length > maxScopedKeys) None else Some(ks.map(_.get(0)))
         } catch { case scala.util.control.NonFatal(_) => None }
+      // an EMPTY batch touches nothing: In(key, []) reads as "might
+      // match anything" to the stats layer, which would turn a routine
+      // empty micro-batch into a full-table rewrite. No data moves at
+      // all: a metadata-only commit carries the file list forward with
+      // the (mark-bearing) props — writing an empty parquet file per
+      // idle micro-batch would otherwise grow the manifest forever.
+      if (keyVals.exists(_.isEmpty)) {
+        if (props.nonEmpty) {
+          val lock = TableIO.writeLock(catalog.pathOf(name))
+          lock.acquire()
+          try catalog.commitSnapshotAt(name, files, v + 1, props, manifestStats)
+          finally lock.release()
+        }
+        return
+      }
       val (kept, candidates) = keyVals match {
         case None => (Seq.empty[String], files) // unscoped: rewrite-all fallback
-        // an EMPTY batch touches nothing: In(key, []) reads as
-        // "might match anything" to the stats layer, which would turn
-        // a routine empty micro-batch into a full-table rewrite; keep
-        // every file and commit only the (possibly mark-carrying)
-        // empty snapshot delta
-        case Some(vals) if vals.isEmpty => (files, Seq.empty[String])
         case Some(vals) =>
           val filter = Seq(org.apache.spark.sql.sources.In(keyCols.head, vals))
           try files.partition(f => !FileStats.mightMatch(FileStats.cached(f, conf), filter))

@@ -71,11 +71,16 @@ class UpsertSpec extends SparkSpec {
     io.upsert("default.e", Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"),
       props = Map("mark" -> "1"))
     val after = io.catalog.manifest("default.e", io.versions("default.e").last)
-    assert(before.toSet.subsetOf(after.toSet),
-      s"empty batch must carry every file over, rewrote ${before.size - before.toSet.intersect(after.toSet).size}")
+    assert(after.toSet == before.toSet,
+      s"empty batch must be METADATA-ONLY (no junk empty data file per idle micro-batch), " +
+        s"files ${before.size} -> ${after.size}")
     assert(io.read("default.e").count() == 100L)
     // the mark still rode the commit
     assert(io.catalog.manifestProps("default.e", io.versions("default.e").last)("mark") == "1")
+    // an empty batch with NO props is a pure no-op: no snapshot at all
+    val vNow = io.versions("default.e").size
+    io.upsert("default.e", Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"))
+    assert(io.versions("default.e").size == vNow, "markless empty batch must not commit")
     // NULL keys duplicate-instead-of-replace under anti-join equality -> reject
     val e = intercept[IllegalArgumentException] {
       io.upsert("default.e", Seq[(java.lang.Long, String)]((null, "x")).toDF("k", "s"), Seq("k"))
