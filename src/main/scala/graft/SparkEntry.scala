@@ -1302,7 +1302,34 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
           grouping(col("l_linestatus")).cast("int").as("g_status"),
           count(lit(1)).as("n_rows"),
-          graft.functions.ExactAgg.dsum(col("rev"), 4).as("revenue")))
+          graft.functions.ExactAgg.dsum(col("rev"), 4).as("revenue"))),
+
+    // Duplicated-substring spans (Lee et al. span-level dedup): maximal
+    // regions of each document covered by word 5-grams that occur >= 2
+    // times corpus-wide. No pair enumeration anywhere — boilerplate
+    // costs O(occurrences), not O(pairs). Portable md5 gram hashes so
+    // the duplicated-set decision is engine-identical by construction.
+    "q98_dup_spans" -> ((s, dir) =>
+      graft.text.SpanDedup.duplicatedSpans(Tables.documents(s, dir))),
+
+    // The span-CUT corpus built on q98's spans: every duplicated span
+    // removed, tokens re-joined, emptied documents dropped.
+    "q99_span_dedup_corpus" -> ((s, dir) =>
+      graft.text.SpanDedup.spanDedupCorpus(Tables.documents(s, dir))),
+
+    // Portable HyperLogLog (1024 registers) next to the exact count:
+    // the shuffle carries <= 1024 register partials per group instead
+    // of every distinct value — the 100 TB replacement for
+    // count(DISTINCT). Every step integer-exact or fixed-shape double,
+    // so the DuckDB replay hash-matches the estimate bit for bit.
+    "q100_hll_distinct" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val est = graft.functions.HyperLogLog.estimate(
+        li, "CAST(l_orderkey AS STRING)", Seq("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      est.join(exact, Seq("l_returnflag"))
+    })
   )
 
   private def tempDir(prefix: String): String =

@@ -20,8 +20,11 @@ class ContractSpec extends SparkSpec {
 
   test("query names are well-formed and qNN prefixes are unique") {
     val names = SparkEntry.queries.keySet.toSeq
-    names.foreach(n => assert(n.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $n"))
-    val prefixes = names.map(_.take(3))
+    names.foreach(n => assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $n"))
+    // the bench headline keys queries by name.split('_').head — the
+    // uniqueness check must mirror that exact rule (q10 vs q100 are
+    // distinct keys; a duplicate FULL prefix would collide)
+    val prefixes = names.map(_.split('_').head)
     val dupes = prefixes.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate qNN prefixes (bench headline would collide): $dupes")
   }

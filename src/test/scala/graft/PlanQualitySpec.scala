@@ -340,4 +340,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"changelog aggregate lost its map-side combine:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("span dedup (q98) is pair-free and reuses the doc partitioning for the span aggregate") {
+    val df = graft.text.SpanDedup.duplicatedSpans(
+      Tables.documents(spark, sfDir), cache = false)
+    val p = plan(df)
+    // never enumerates document pairs: no self-join blow-up possible
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-keyed:\n$p")
+    // occurrence count map-side combines on the 8-byte gram hash
+    assert(p.contains("partial_count"), s"gram occurrence count lost its map-side combine:\n$p")
+    // at most 3 shuffles: occ-count by hash, semi-join probe side by
+    // hash (AQE broadcasts the small dup side here), island window by
+    // doc id — the final (doc, island) span aggregate must REUSE the
+    // window's doc-id partitioning (subset clustering), not add one
+    val finalPlan = p.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(n <= 3, s"expected <= 3 hash exchanges (span agg must reuse doc partitioning), got $n:\n$finalPlan")
+  }
 }
