@@ -44,7 +44,11 @@ object ScaleProbe {
     "q85_ivm_rollup", "q86_integrity_audit", "q88_interval_join",
     // cross-set cell-bucketed exact cosine join (triangle-inequality
     // cell-pair pruning; near-random fixture = worst case, all pairs)
-    "q94_embedding_decontaminate")
+    "q94_embedding_decontaminate",
+    // span dedup is pair-free by construction — the boiler stress that
+    // blows q13 up 72x should cost span dedup only the extra linear
+    // duplicated positions; HLL shuffles register partials, not values
+    "q98_dup_spans", "q99_span_dedup_corpus", "q100_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
