@@ -1564,6 +1564,27 @@ object OracleQueries {
         |  CAST(any_value(n_tokens) - count(*) AS INTEGER) AS cut_tokens
         |FROM keptTok GROUP BY doc_id""".stripMargin,
 
+    // branch lifecycle replay: main_before = the base append only
+    // (branch commits invisible); branch_head and main_after = base +
+    // both branch appends (fast-forward integrates exactly the branch
+    // head's files)
+    "q101_branch_lifecycle" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_custkey <= 500),
+        |full_set AS (
+        |  SELECT * FROM o
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  'main_before' AS stage
+        |FROM o WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  'branch_head' AS stage FROM full_set
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  'main_after' AS stage FROM full_set""".stripMargin,
+
     // portable HLL replay: same 60-bit md5 hash, same generated
     // integer-comparison rho CASE (shared generator — the SQL text is
     // engine-identical), exact long harmonic sum, one fixed-shape

@@ -1317,6 +1317,28 @@ object SparkEntry {
     "q99_span_dedup_corpus" -> ((s, dir) =>
       graft.text.SpanDedup.spanDedupCorpus(Tables.documents(s, dir))),
 
+    // Branch lifecycle as an oracle row: main holds the URGENT orders;
+    // a branch takes TWO experimental appends (HIGH, then MEDIUM) that
+    // main must never see; fast-forward integrates them metadata-only.
+    // Result = three labeled reads — branch head pre-integration, main
+    // before (still URGENT-only), main after (all three priorities) —
+    // the isolation/integration contract in one relational answer.
+    "q101_branch_lifecycle" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_br_"))
+      val t = "default.orders_br"
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.append(ords.filter(col("o_orderpriority") === "1-URGENT"), t)
+      io.createBranch(t, "exp")
+      io.appendToBranch(ords.filter(col("o_orderpriority") === "2-HIGH"), t, "exp")
+      val mainBefore = io.read(t).withColumn("stage", lit("main_before"))
+      io.appendToBranch(ords.filter(col("o_orderpriority") === "3-MEDIUM"), t, "exp")
+      val branchHead = io.readBranch(t, "exp").withColumn("stage", lit("branch_head"))
+      io.fastForward(t, "exp")
+      val mainAfter = io.read(t).withColumn("stage", lit("main_after"))
+      mainBefore.unionAll(branchHead).unionAll(mainAfter)
+    }),
+
     // Portable HyperLogLog (1024 registers) next to the exact count:
     // the shuffle carries <= 1024 register partials per group instead
     // of every distinct value — the 100 TB replacement for

@@ -156,11 +156,13 @@ final case class TableCatalog(warehouse: String) {
     * a state change that must be indivisible from the snapshot it
     * describes rides inside the manifest, never in a second file.
     */
-  def manifestProps(name: String, version: Int): Map[String, String] = {
-    val f = metaPath(name).resolve(s"v$version.json")
+  def manifestProps(name: String, version: Int): Map[String, String] =
+    propsAt(metaPath(name).resolve(s"v$version.json"))
+
+  /** Props of any manifest document (version, staged, or branch). */
+  private def propsAt(f: Path): Map[String, String] =
     TableCatalog.parseStringArrayAt(Files.readString(f), "props")
       .grouped(2).collect { case Seq(k, v) => k -> v }.toMap
-  }
 
   /** Commit at a WRITER-COMPUTED version — the optimistic-concurrency
     * primitive: two writers that both read version N race to create
@@ -440,6 +442,111 @@ final case class TableCatalog(warehouse: String) {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ---- Branches (Iceberg-style writable refs). A branch is its own
+  // manifest CHAIN (`branch-<name>-v<k>.json`) sharing the table's
+  // data directory: branch commits reference files main never lists,
+  // main stays byte-identical until an explicit fast-forward. Unlike
+  // a tag (one immutable pointer) or a staged snapshot (one
+  // publish-or-discard manifest), a branch takes MANY commits before
+  // integration — the audit-over-several-batches / experiment-corpus
+  // workflow. Branch manifests use the same exclusive hard-link
+  // commit as versions, and GC (`removeOrphanFiles`) counts every
+  // branch manifest's files as live.
+
+  private[io] def branchFile(name: String, branch: String, v: Int): Path =
+    metaPath(name).resolve(s"branch-$branch-v$v.json")
+
+  /** Filename-safe, non-numeric (same SQL-surface rule as tags). */
+  private[io] def validateBranchName(branch: String): Unit = {
+    require(branch.nonEmpty && branch.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"branch names must be filename-safe ([A-Za-z0-9_.-]): '$branch'")
+    require(!branch.forall(_.isDigit),
+      s"branch names must not be purely numeric (ambiguous with version numbers): '$branch'")
+  }
+
+  /** Branch file pattern: the name is everything between `branch-`
+    * and the LAST `-v<digits>.json` — greedy, so branch names may
+    * themselves contain `-v2`-like substrings.
+    */
+  private val BranchFileRe = "branch-(.+)-v(\\d+)\\.json".r
+
+  def listBranches(name: String): Seq[String] = {
+    val meta = metaPath(name)
+    if (!Files.isDirectory(meta)) Seq.empty
+    else
+      Using.resource(Files.list(meta)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case BranchFileRe(b, _) => b }
+          .toSeq
+      }.distinct.sorted
+  }
+
+  def branchVersions(name: String, branch: String): Seq[Int] = {
+    val meta = metaPath(name)
+    if (!Files.isDirectory(meta)) Seq.empty
+    else
+      Using.resource(Files.list(meta)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case BranchFileRe(b, v) if b == branch => v.toInt }
+          .toSeq
+      }.sorted
+  }
+
+  def branchHead(name: String, branch: String): Option[Int] =
+    branchVersions(name, branch).lastOption
+
+  def branchManifest(name: String, branch: String, v: Int): Seq[String] =
+    filesAt(name, branchFile(name, branch, v))
+
+  def branchStats(name: String, branch: String, v: Int)
+      : Map[String, Map[String, FileStats.ColStats]] =
+    statsAt(name, branchFile(name, branch, v))
+
+  def branchProps(name: String, branch: String, v: Int): Map[String, String] =
+    propsAt(branchFile(name, branch, v))
+
+  /** Exclusive branch commit — the identical tmp-write + hard-link
+    * mechanism as [[commitSnapshotAt]], so two racers to the same
+    * branch version fail loudly instead of clobbering.
+    */
+  private[io] def commitBranchSnapshot(name: String, branch: String, filesIn: Seq[String], v: Int,
+                                       props: Map[String, String] = Map.empty,
+                                       stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty): Int = {
+    validateBranchName(branch)
+    val files = filesIn.distinct
+    val meta = metaPath(name)
+    Files.createDirectories(meta)
+    val json = manifestJson(name, files, props, stats)
+    val tmp = meta.resolve(s".branch-$branch-v$v-${java.util.UUID.randomUUID()}.json.tmp")
+    Files.writeString(tmp, json)
+    val target = branchFile(name, branch, v)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"concurrent commit to $name branch $branch: version $v already exists (another writer won)")
+      case _: UnsupportedOperationException =>
+        if (Files.exists(target)) {
+          Files.deleteIfExists(tmp)
+          throw new ConcurrentCommitException(
+            s"concurrent commit to $name branch $branch: version $v already exists (another writer won)")
+        }
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** Delete every manifest of `branch`; its unshared files become
+    * orphans for the age-guarded GC. Returns whether it existed.
+    */
+  def deleteBranch(name: String, branch: String): Boolean = {
+    val vs = branchVersions(name, branch)
+    vs.foreach(v => Files.deleteIfExists(branchFile(name, branch, v)))
+    vs.nonEmpty
+  }
+
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. The newest manifest carrying a
     * `streamBatchId` mark is always retained even when older than the
@@ -631,9 +738,20 @@ final case class TableCatalog(warehouse: String) {
       // a cross-process publish landing between the two listings would
       // leave its (old, past the age cutoff) files in neither set —
       // deleting files the CURRENT snapshot references.
+      // BRANCH manifests are live like staged ones, and for the same
+      // ordering reason read BEFORE the version listing: fastForward
+      // commits the main version FIRST and a later deleteBranch drops
+      // the branch chain second, so a branch manifest vanishing
+      // mid-sweep always has its (integrated) files covered by the
+      // subsequent version scan.
       val live = (listStaged(name).flatMap { id =>
         try stagedManifest(name, id)
         catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      } ++ listBranches(name).flatMap { b =>
+        branchVersions(name, b).flatMap { v =>
+          try branchManifest(name, b, v)
+          catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+        }
       } ++ versions(name).flatMap { v =>
         try manifest(name, v)
         catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
@@ -765,6 +883,10 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 object TableCatalog {
   /** Manifest property carrying the streaming sink's micro-batch id. */
   val StreamBatchProp = "streamBatchId"
+  /** Manifest prop on every branch snapshot: the MAIN version the
+    * branch forked from — fastForward's divergence check.
+    */
+  val BranchBaseProp = "branchBaseVersion"
 
   /** Manifest prop key for a sink's batch mark: the bare legacy key
     * when no sink identity is given, else `streamBatchId:<sinkId>`.
@@ -1337,6 +1459,115 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def discardStaged(name: String, id: String): Boolean =
     catalog.deleteStaged(name, id)
+
+  // ---- Branches: multi-commit writable refs (Iceberg branch
+  // semantics — `CREATE BRANCH` / write-to-branch / `fast_forward`).
+  // WAP covers one staged batch; a branch accumulates SEVERAL commits
+  // (a week of experimental ingests, a multi-batch audit) before main
+  // integrates them in one metadata-only fast-forward — or drops them
+  // wholesale. Data files are shared with the table's data dir; main
+  // is byte-identical until fast-forward; GC counts branch manifests
+  // as live (see removeOrphanFiles).
+
+  /** Create `branch` at the table's current snapshot. Metadata-only:
+    * branch v1 re-references the current file list (stats carried).
+    * The forked-from MAIN version rides in the branch manifest props —
+    * [[fastForward]]'s divergence check reads it back.
+    */
+  def createBranch(name: String, branch: String): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      require(catalog.branchHead(name, branch).isEmpty,
+        s"branch $branch already exists on $name")
+      val base = catalog.currentVersion(name).getOrElse(0)
+      val files = if (base == 0) Seq.empty else catalog.manifest(name, base)
+      val stats =
+        if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
+        else try catalog.manifestStats(name, base)
+             catch { case scala.util.control.NonFatal(_) =>
+               Map.empty[String, Map[String, FileStats.ColStats]] }
+      catalog.commitBranchSnapshot(name, branch, files, 1,
+        Map(TableCatalog.BranchBaseProp -> base.toString), stats)
+    } finally lock.release()
+  }
+
+  /** Append `df` to `branch`: data files land in the shared data dir,
+    * the new branch manifest (head+1) references prior branch files
+    * plus the new ones. Main reads are unaffected. Returns the new
+    * branch version.
+    */
+  def appendToBranch(df: DataFrame, name: String, branch: String,
+                     partitionCols: Seq[String] = Seq.empty): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val head = catalog.branchHead(name, branch).getOrElse(
+        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+      val prev = catalog.branchManifest(name, branch, head)
+      val carried =
+        try catalog.branchStats(name, branch, head).view.filterKeys(prev.toSet).toMap
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      val baseProp =
+        try catalog.branchProps(name, branch, head)
+          .getOrElse(TableCatalog.BranchBaseProp, "0")
+        catch { case scala.util.control.NonFatal(_) => "0" }
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.commitBranchSnapshot(name, branch, prev ++ newFiles, head + 1,
+        Map(TableCatalog.BranchBaseProp -> baseProp),
+        carried ++ commitStats(name, Seq.empty, newFiles))
+    } finally lock.release()
+  }
+
+  /** The branch as a DataFrame (its head manifest's files). */
+  def readBranch(name: String, branch: String): DataFrame = {
+    val head = catalog.branchHead(name, branch).getOrElse(
+      throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+    readFiles(name, catalog.branchManifest(name, branch, head))
+  }
+
+  /** Fast-forward MAIN to the branch head (Iceberg's
+    * `fast_forward('main', ...)`): a new main version referencing
+    * exactly the branch head's files — metadata-only, no data moves.
+    * REFUSED when main advanced past the branch's fork point: fast-
+    * forwarding a diverged main would silently drop the rows main
+    * gained since the fork (the lost-update this table layer refuses
+    * everywhere else). The branch chain stays readable afterwards —
+    * `dropBranch` is its explicit release.
+    */
+  def fastForward(name: String, branch: String): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val head = catalog.branchHead(name, branch).getOrElse(
+        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+      val files = catalog.branchManifest(name, branch, head)
+      val stats =
+        try catalog.branchStats(name, branch, head)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      val base =
+        try catalog.branchProps(name, branch, head)
+          .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption)
+        catch { case scala.util.control.NonFatal(_) => None }
+      val cur = catalog.currentVersion(name).getOrElse(0)
+      require(base.contains(cur),
+        s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
+          s"branch forked at v${base.getOrElse(-1)} — diverged; rebase the branch " +
+          "or integrate manually")
+      catalog.commitSnapshot(name, files,
+        Map("fastForwardFrom" -> branch), stats)
+    } finally lock.release()
+  }
+
+  /** Drop the branch chain; unshared files become GC orphans. */
+  def dropBranch(name: String, branch: String): Boolean = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try catalog.deleteBranch(name, branch)
+    finally lock.release()
+  }
 
   /** Dynamic partition-level overwrite — the reference's
     * `overwritePartition` (DimensionJob.scala:58,90;

@@ -1,0 +1,114 @@
+package graft.io
+
+import java.nio.file.Files
+
+/** Branch refs (Iceberg branch semantics): isolation from main,
+  * metadata-only fast-forward, divergence refusal, and GC liveness of
+  * branch-only files.
+  */
+class BranchSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def freshIO(): TableIO =
+    TableIO(spark, Files.createTempDirectory("graft_branch_spec_").toString)
+
+  private def rows(from: Int, until: Int) =
+    (from until until).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+
+  test("branch commits stay invisible to main; fast-forward integrates them metadata-only") {
+    val io = freshIO()
+    val t = "default.br"
+    io.append(rows(0, 100), t)
+    val v1 = io.catalog.currentVersion(t).get
+
+    assert(io.createBranch(t, "audit") === 1)
+    io.appendToBranch(rows(100, 130), t, "audit")
+    io.appendToBranch(rows(130, 150), t, "audit")
+
+    // main untouched by two branch commits
+    assert(io.read(t).count() === 100)
+    assert(io.catalog.currentVersion(t).get === v1)
+    assert(io.readBranch(t, "audit").count() === 150)
+    assert(io.catalog.branchHead(t, "audit") === Some(3))
+
+    val before = io.catalog.listDataFiles(t).size
+    val ff = io.fastForward(t, "audit")
+    // metadata-only: no data file moved or rewritten
+    assert(io.catalog.listDataFiles(t).size === before)
+    assert(io.read(t).count() === 150)
+    assert(io.read(t).select("id").as[Long].collect().sorted === (0L until 150L).toArray)
+    // history preserved: the pre-ff snapshot still reads
+    assert(io.readVersion(t, v1).count() === 100)
+    assert(io.catalog.manifestProps(t, ff).get("fastForwardFrom") === Some("audit"))
+  }
+
+  test("fast-forward refuses a main that advanced past the fork point") {
+    val io = freshIO()
+    val t = "default.div"
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "exp")
+    io.appendToBranch(rows(10, 20), t, "exp")
+    io.append(rows(20, 30), t) // main advances -> diverged
+    val e = intercept[IllegalArgumentException](io.fastForward(t, "exp"))
+    assert(e.getMessage.contains("diverged"))
+    // both sides still readable, nothing lost
+    assert(io.read(t).count() === 20)
+    assert(io.readBranch(t, "exp").count() === 20)
+  }
+
+  test("duplicate create and unknown-branch ops fail loudly; names are validated") {
+    val io = freshIO()
+    val t = "default.names"
+    io.append(rows(0, 5), t)
+    io.createBranch(t, "b1")
+    intercept[IllegalArgumentException](io.createBranch(t, "b1"))
+    intercept[IllegalArgumentException](io.readBranch(t, "nope"))
+    intercept[IllegalArgumentException](io.appendToBranch(rows(5, 6), t, "nope"))
+    intercept[IllegalArgumentException](io.fastForward(t, "nope"))
+    intercept[IllegalArgumentException](io.createBranch(t, "12345")) // numeric-ambiguous
+    intercept[IllegalArgumentException](io.createBranch(t, "a/b"))   // not filename-safe
+    assert(io.catalog.listBranches(t) === Seq("b1"))
+  }
+
+  test("branch names containing -v<digits> parse back correctly") {
+    val io = freshIO()
+    val t = "default.tricky"
+    io.append(rows(0, 5), t)
+    io.createBranch(t, "exp-v2")
+    io.appendToBranch(rows(5, 8), t, "exp-v2")
+    assert(io.catalog.listBranches(t) === Seq("exp-v2"))
+    assert(io.catalog.branchHead(t, "exp-v2") === Some(2))
+    assert(io.readBranch(t, "exp-v2").count() === 8)
+  }
+
+  test("GC keeps branch-only files live; dropBranch releases them") {
+    val io = freshIO()
+    val t = "default.gc"
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "tmp")
+    io.appendToBranch(rows(10, 25), t, "tmp")
+    // age guard 0: everything unreferenced is deletable NOW — branch
+    // files must survive because the branch manifest holds them live
+    assert(io.catalog.removeOrphanFiles(t, olderThanMs = 0) === Seq.empty)
+    assert(io.readBranch(t, "tmp").count() === 25)
+
+    assert(io.dropBranch(t, "tmp"))
+    assert(!io.dropBranch(t, "tmp"))
+    val deleted = io.catalog.removeOrphanFiles(t, olderThanMs = 0)
+    assert(deleted.nonEmpty) // the branch-only files are reclaimed
+    assert(io.read(t).count() === 10) // main untouched by the sweep
+  }
+
+  test("fast-forwarded content is GC-safe after the branch is dropped") {
+    val io = freshIO()
+    val t = "default.ffgc"
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "b")
+    io.appendToBranch(rows(10, 30), t, "b")
+    io.fastForward(t, "b")
+    io.dropBranch(t, "b")
+    // integrated files are referenced by the new main manifest
+    assert(io.catalog.removeOrphanFiles(t, olderThanMs = 0) === Seq.empty)
+    assert(io.read(t).count() === 30)
+  }
+}
