@@ -31,7 +31,7 @@ private[io] object GraftProcedures {
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
       "compact_zorder", "add_bloom_index", "tag_snapshot", "remove_tag",
-      "rollback_to_snapshot")
+      "rollback_to_snapshot", "create_branch", "fast_forward", "drop_branch")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -134,6 +134,42 @@ private[io] object GraftProcedures {
           val io = new TableIO(SparkSession.active, cat)
           val n = io.addBloomIndex(in.getUTF8String(0).toString, in.getUTF8String(1).toString)
           Seq(new GenericInternalRow(Array[Any](n.toLong)))
+        }))
+    case "create_branch" =>
+      // Iceberg branch parity: fork a writable ref at the current
+      // snapshot; returns the branch's v1 + the fork point
+      Some(proc("create_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("branch", StringType, nullable = false)
+          .add("branch_version", IntegerType, nullable = false)
+          .add("forked_at_version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val (t, b) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+          val fork = cat.currentVersion(t).getOrElse(0)
+          val bv = cat.createBranch(t, b)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(b), bv, fork)))
+        }))
+    case "fast_forward" =>
+      // metadata-only integration of the branch head into main;
+      // refuses a diverged main (see TableCatalog.fastForward)
+      Some(proc("fast_forward",
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("branch", StringType, nullable = false)
+          .add("current_version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val (t, b) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+          val v = cat.fastForward(t, b)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(b), v)))
+        }))
+    case "drop_branch" =>
+      Some(proc("drop_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("branch", StringType, nullable = false)
+          .add("existed", BooleanType, nullable = false),
+        (in: InternalRow) => {
+          val (t, b) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+          val existed = cat.dropBranch(t, b)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(b), existed)))
         }))
     case "tag_snapshot" =>
       Some(proc("tag_snapshot",

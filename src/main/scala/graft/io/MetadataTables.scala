@@ -27,7 +27,8 @@ import scala.jdk.CollectionConverters._
 private[io] object MetadataTables {
 
   val Names: Set[String] =
-    Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats")
+    Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats",
+      "branches")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -193,6 +194,33 @@ private[io] object MetadataTables {
           org.apache.spark.unsafe.types.UTF8String.fromString(t), v)): InternalRow
       }
       local(s"$table.tags", schema, rows)
+    case "branches" =>
+      // branch-ref introspection: head/fork versions + head size. A
+      // branch dropped between the listing and its reads is normal
+      // lifecycle (same as staged) — skip, never fail
+      val schema = new StructType()
+        .add("branch", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("head_version", IntegerType, nullable = false)
+        .add("forked_at_version", IntegerType, nullable = true)
+        .add("committed_at", TimestampType, nullable = false)
+        .add("n_files", IntegerType, nullable = false)
+        .add("total_bytes", LongType, nullable = false)
+      val rows = cat.listBranches(table).flatMap { b =>
+        try {
+          cat.branchHead(table, b).map { head =>
+            val files = cat.branchManifest(table, b, head)
+            val fork = cat.branchProps(table, b, head)
+              .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption)
+            val mtimeMicros = Files.getLastModifiedTime(
+              cat.branchFile(table, b, head)).toMillis * 1000L
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(b),
+              head, fork.map(Int.box).orNull, mtimeMicros,
+              files.size, files.map(sizeOf).sum)): InternalRow
+          }
+        } catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      local(s"$table.branches", schema, rows)
     case other =>
       throw new IllegalArgumentException(s"unknown metadata table: $other")
   }

@@ -547,6 +547,70 @@ final case class TableCatalog(warehouse: String) {
     vs.nonEmpty
   }
 
+  /** Create `branch` at the table's current snapshot. Metadata-only:
+    * branch v1 re-references the current file list (stats carried).
+    * The forked-from MAIN version rides in the branch manifest props —
+    * [[fastForward]]'s divergence check reads it back.
+    */
+  def createBranch(name: String, branch: String): Int = {
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      require(branchHead(name, branch).isEmpty,
+        s"branch $branch already exists on $name")
+      val base = currentVersion(name).getOrElse(0)
+      val files = if (base == 0) Seq.empty else manifest(name, base)
+      val stats =
+        if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
+        else try manifestStats(name, base)
+             catch { case scala.util.control.NonFatal(_) =>
+               Map.empty[String, Map[String, FileStats.ColStats]] }
+      commitBranchSnapshot(name, branch, files, 1,
+        Map(TableCatalog.BranchBaseProp -> base.toString), stats)
+    } finally lock.release()
+  }
+
+  /** Fast-forward MAIN to the branch head (Iceberg's
+    * `fast_forward('main', ...)`): a new main version referencing
+    * exactly the branch head's files — metadata-only, no data moves.
+    * REFUSED when main advanced past the branch's fork point: fast-
+    * forwarding a diverged main would silently drop the rows main
+    * gained since the fork (the lost-update this table layer refuses
+    * everywhere else). The branch chain stays readable afterwards —
+    * [[dropBranch]] is its explicit release.
+    */
+  def fastForward(name: String, branch: String): Int = {
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      val head = branchHead(name, branch).getOrElse(
+        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+      val files = branchManifest(name, branch, head)
+      val stats =
+        try branchStats(name, branch, head)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      val base =
+        try branchProps(name, branch, head)
+          .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption)
+        catch { case scala.util.control.NonFatal(_) => None }
+      val cur = currentVersion(name).getOrElse(0)
+      require(base.contains(cur),
+        s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
+          s"branch forked at v${base.getOrElse(-1)} — diverged; rebase the branch " +
+          "or integrate manually")
+      commitSnapshot(name, files, Map("fastForwardFrom" -> branch), stats)
+    } finally lock.release()
+  }
+
+  /** Drop the branch chain; unshared files become GC orphans. */
+  def dropBranch(name: String, branch: String): Boolean = {
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try deleteBranch(name, branch)
+    finally lock.release()
+  }
+
   /** Drop manifests older than the newest `keepLast`; returns the
     * expired version numbers. The newest manifest carrying a
     * `streamBatchId` mark is always retained even when older than the
@@ -1469,28 +1533,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   // is byte-identical until fast-forward; GC counts branch manifests
   // as live (see removeOrphanFiles).
 
-  /** Create `branch` at the table's current snapshot. Metadata-only:
-    * branch v1 re-references the current file list (stats carried).
-    * The forked-from MAIN version rides in the branch manifest props —
-    * [[fastForward]]'s divergence check reads it back.
+  /** Create `branch` at the table's current snapshot — see
+    * [[TableCatalog.createBranch]] (metadata-only).
     */
-  def createBranch(name: String, branch: String): Int = {
-    val lock = TableIO.writeLock(catalog.pathOf(name))
-    lock.acquire()
-    try {
-      require(catalog.branchHead(name, branch).isEmpty,
-        s"branch $branch already exists on $name")
-      val base = catalog.currentVersion(name).getOrElse(0)
-      val files = if (base == 0) Seq.empty else catalog.manifest(name, base)
-      val stats =
-        if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
-        else try catalog.manifestStats(name, base)
-             catch { case scala.util.control.NonFatal(_) =>
-               Map.empty[String, Map[String, FileStats.ColStats]] }
-      catalog.commitBranchSnapshot(name, branch, files, 1,
-        Map(TableCatalog.BranchBaseProp -> base.toString), stats)
-    } finally lock.release()
-  }
+  def createBranch(name: String, branch: String): Int =
+    catalog.createBranch(name, branch)
 
   /** Append `df` to `branch`: data files land in the shared data dir,
     * the new branch manifest (head+1) references prior branch files
@@ -1527,47 +1574,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     readFiles(name, catalog.branchManifest(name, branch, head))
   }
 
-  /** Fast-forward MAIN to the branch head (Iceberg's
-    * `fast_forward('main', ...)`): a new main version referencing
-    * exactly the branch head's files — metadata-only, no data moves.
-    * REFUSED when main advanced past the branch's fork point: fast-
-    * forwarding a diverged main would silently drop the rows main
-    * gained since the fork (the lost-update this table layer refuses
-    * everywhere else). The branch chain stays readable afterwards —
-    * `dropBranch` is its explicit release.
+  /** Fast-forward MAIN to the branch head — see
+    * [[TableCatalog.fastForward]] (metadata-only; refuses divergence).
     */
-  def fastForward(name: String, branch: String): Int = {
-    val lock = TableIO.writeLock(catalog.pathOf(name))
-    lock.acquire()
-    try {
-      val head = catalog.branchHead(name, branch).getOrElse(
-        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
-      val files = catalog.branchManifest(name, branch, head)
-      val stats =
-        try catalog.branchStats(name, branch, head)
-        catch { case scala.util.control.NonFatal(_) =>
-          Map.empty[String, Map[String, FileStats.ColStats]] }
-      val base =
-        try catalog.branchProps(name, branch, head)
-          .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption)
-        catch { case scala.util.control.NonFatal(_) => None }
-      val cur = catalog.currentVersion(name).getOrElse(0)
-      require(base.contains(cur),
-        s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
-          s"branch forked at v${base.getOrElse(-1)} — diverged; rebase the branch " +
-          "or integrate manually")
-      catalog.commitSnapshot(name, files,
-        Map("fastForwardFrom" -> branch), stats)
-    } finally lock.release()
-  }
+  def fastForward(name: String, branch: String): Int =
+    catalog.fastForward(name, branch)
 
   /** Drop the branch chain; unshared files become GC orphans. */
-  def dropBranch(name: String, branch: String): Boolean = {
-    val lock = TableIO.writeLock(catalog.pathOf(name))
-    lock.acquire()
-    try catalog.deleteBranch(name, branch)
-    finally lock.release()
-  }
+  def dropBranch(name: String, branch: String): Boolean =
+    catalog.dropBranch(name, branch)
 
   /** Dynamic partition-level overwrite — the reference's
     * `overwritePartition` (DimensionJob.scala:58,90;

@@ -99,6 +99,37 @@ class BranchSpec extends graft.SparkSpec {
     assert(io.read(t).count() === 10) // main untouched by the sweep
   }
 
+  test("SQL surface: CALL create_branch/fast_forward/drop_branch and the .branches metadata table") {
+    val wh = Files.createTempDirectory("graft_brsql_").toString
+    spark.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    try {
+      val io = TableIO(spark, wh)
+      io.append(rows(0, 10), "default.t")
+      val created = spark.sql("CALL gbr.system.create_branch('default.t', 'exp')").head()
+      assert(created.getString(0) === "exp" && created.getInt(1) === 1 && created.getInt(2) === 1)
+      io.appendToBranch(rows(10, 20), "default.t", "exp")
+
+      val meta = spark.sql("SELECT branch, head_version, forked_at_version, n_files " +
+        "FROM gbr.default.t.branches").head()
+      assert(meta.getString(0) === "exp")
+      assert(meta.getInt(1) === 2)
+      assert(meta.getInt(2) === 1)
+      assert(meta.getInt(3) > 0)
+
+      val ff = spark.sql("CALL gbr.system.fast_forward('default.t', 'exp')").head()
+      assert(ff.getInt(1) === 2) // new main version
+      assert(io.read("default.t").count() === 20)
+
+      val dropped = spark.sql("CALL gbr.system.drop_branch('default.t', 'exp')").head()
+      assert(dropped.getBoolean(1))
+      assert(spark.sql("SELECT * FROM gbr.default.t.branches").collect().isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gbr")
+      spark.conf.unset("spark.sql.catalog.gbr.warehouse")
+    }
+  }
+
   test("fast-forwarded content is GC-safe after the branch is dropped") {
     val io = freshIO()
     val t = "default.ffgc"
