@@ -1585,6 +1585,30 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // incremental-HLL replay: the oracle recomputes the sketch over
+    // ALL of lineitem in one pass — the split-persist-merge pipeline
+    // must land on the identical registers (max is associative/
+    // commutative/idempotent), hence the identical estimate
+    "q102_hll_incremental" -> {
+      import graft.functions.HyperLogLog.{rhoCaseSql, estimateSql, WindowBits, WindowMask}
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, h >> $WindowBits AS reg,
+         |    ${rhoCaseSql(s"(h & $WindowMask)")} AS rho
+         |  FROM h),
+         |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+         |s AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS used_registers,
+         |    CAST(sum(CAST(1 AS BIGINT) << (${WindowBits + 1} - mx)) AS BIGINT) AS s_hit
+         |  FROM m GROUP BY 1)
+         |SELECT l_returnflag, used_registers,
+         |  ${estimateSql("s_hit", "used_registers")} AS hll_estimate
+         |FROM s""".stripMargin
+    },
+
     // portable HLL replay: same 60-bit md5 hash, same generated
     // integer-comparison rho CASE (shared generator — the SQL text is
     // engine-identical), exact long harmonic sum, one fixed-shape

@@ -1339,6 +1339,30 @@ object SparkEntry {
       mainBefore.unionAll(branchHead).unionAll(mainAfter)
     }),
 
+    // The sketch as PERSISTED STATE: batch 1's register frame lands in
+    // a table, batch 2's registers max-merge into it, and the estimate
+    // read off the persisted state is — by HLL mergeability — the
+    // EXACT same value a full recompute gives (the oracle recomputes
+    // over all of lineitem and hash-matches). This is incremental
+    // distinct-counting at 100 TB: each new batch costs its own scan
+    // plus a <=(groups x 1024)-row merge, never a re-scan of history.
+    "q102_hll_incremental" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_hlli_"))
+      val t = "default.hll_regs"
+      val hll = graft.functions.HyperLogLog
+      val li = Tables.lineitem(s, dir)
+      val cut = lit("1995-01-01").cast("date")
+      io.overwrite(hll.registers(
+        li.filter(col("l_shipdate") < cut), "CAST(l_orderkey AS STRING)", Seq("l_returnflag")), t)
+      val merged = io.read(t)
+        .unionByName(hll.registers(
+          li.filter(col("l_shipdate") >= cut), "CAST(l_orderkey AS STRING)", Seq("l_returnflag")))
+        .groupBy(col("l_returnflag"), col("reg"))
+        .agg(max(col("m")).as("m"))
+      io.overwrite(merged, t)
+      hll.estimateFromRegisters(io.read(t), Seq("l_returnflag"))
+    }),
+
     // Portable HyperLogLog (1024 registers) next to the exact count:
     // the shuffle carries <= 1024 register partials per group instead
     // of every distinct value — the 100 TB replacement for

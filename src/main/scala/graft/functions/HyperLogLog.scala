@@ -96,10 +96,13 @@ object HyperLogLog {
       .agg(max(col("rho")).as("m"))
   }
 
-  /** Per-group estimate: `(groupCols..., used_registers, hll_estimate)`. */
-  def estimate(df: DataFrame, valueSql: String, groupCols: Seq[String]): DataFrame = {
+  /** Per-group estimate from a register frame (the output shape of
+    * [[registers]], or a PERSISTED/merged register table — the
+    * incremental path): `(groupCols..., used_registers, hll_estimate)`.
+    */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    registers(df, valueSql, groupCols)
+    regs
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("used_registers"),
@@ -108,4 +111,8 @@ object HyperLogLog {
         col("used_registers"),
         expr(estimateSql("s_hit", "used_registers")).as("hll_estimate")): _*)
   }
+
+  /** Per-group estimate: `(groupCols..., used_registers, hll_estimate)`. */
+  def estimate(df: DataFrame, valueSql: String, groupCols: Seq[String]): DataFrame =
+    estimateFromRegisters(registers(df, valueSql, groupCols), groupCols)
 }
