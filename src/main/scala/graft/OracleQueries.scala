@@ -1488,81 +1488,39 @@ object OracleQueries {
 
     // span dedup: same tokenizer as q41, same 60-bit md5 gram hash as
     // q12/q73 (identical hash input -> identical duplicated-set
-    // decision by construction); DuckDB generate_series(1, len-4) is
-    // empty when len < 5, matching the Spark CASE short-circuit.
-    // Nested window functions are disallowed, hence the brk/island
-    // two-step; NULL lag -> CASE falls to ELSE 0, same as otherwise(0)
+    // decision by construction); the t/g/d/p/b/isl pipeline is the
+    // SHARED spanIslandCtes builder (n encoded once for q98 AND q99).
     "q98_dup_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-        |    i -> {'pos': CAST(i - 1 AS INTEGER),
-        |          'h': CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)}),
-        |    recursive := true)
-        |  FROM t),
-        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
-        |b AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM p),
-        |i AS (
-        |  SELECT doc_id, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM b)
-        |SELECT doc_id,
-        |  CAST(min(pos) AS INTEGER) AS span_start,
-        |  CAST(max(pos) + 4 AS INTEGER) AS span_end,
-        |  CAST(max(pos) + 4 - min(pos) + 1 AS INTEGER) AS span_tokens
-        |FROM i GROUP BY doc_id, island""".stripMargin,
+      s"""WITH ${spanIslandCtes(SpanN)}
+         |SELECT doc_id,
+         |  CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
+         |  CAST(max(pos) + ${SpanN - 1} - min(pos) + 1 AS INTEGER) AS span_tokens
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // the span-CUT corpus: q98's spans applied back to the token
     // stream — token kept iff no span covers its position; emptied
     // documents dropped
     "q99_span_dedup_corpus" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-        |    i -> {'pos': CAST(i - 1 AS INTEGER),
-        |          'h': CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)}),
-        |    recursive := true)
-        |  FROM t),
-        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
-        |b AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM p),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM b),
-        |sp AS (
-        |  SELECT doc_id, min(pos) AS s0, max(pos) + 4 AS s1
-        |  FROM isl GROUP BY doc_id, island),
-        |tok AS (
-        |  SELECT doc_id, len(toks) AS n_tokens,
-        |    unnest(list_transform(range(1, len(toks) + 1),
-        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': toks[i]}), recursive := true)
-        |  FROM t),
-        |keptTok AS (
-        |  SELECT tk.doc_id, tk.pos, tk.tok, tk.n_tokens
-        |  FROM tok tk
-        |  WHERE NOT EXISTS (SELECT 1 FROM sp
-        |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s0 AND tk.pos <= sp.s1))
-        |SELECT doc_id,
-        |  string_agg(tok, ' ' ORDER BY pos) AS kept_text,
-        |  CAST(count(*) AS INTEGER) AS kept_tokens,
-        |  CAST(any_value(n_tokens) - count(*) AS INTEGER) AS cut_tokens
-        |FROM keptTok GROUP BY doc_id""".stripMargin,
+      s"""WITH ${spanIslandCtes(SpanN)},
+         |sp AS (
+         |  SELECT doc_id, min(pos) AS s0, max(pos) + ${SpanN - 1} AS s1
+         |  FROM isl GROUP BY doc_id, island),
+         |tok AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    unnest(list_transform(range(1, len(toks) + 1),
+         |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': toks[i]}), recursive := true)
+         |  FROM t),
+         |keptTok AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok, tk.n_tokens
+         |  FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s0 AND tk.pos <= sp.s1))
+         |SELECT doc_id,
+         |  string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+         |  CAST(count(*) AS INTEGER) AS kept_tokens,
+         |  CAST(any_value(n_tokens) - count(*) AS INTEGER) AS cut_tokens
+         |FROM keptTok GROUP BY doc_id""".stripMargin,
 
     // branch lifecycle replay: main_before = the base append only
     // (branch commits invisible); branch_head and main_after = base +
@@ -1589,54 +1547,26 @@ object OracleQueries {
     // ALL of lineitem in one pass — the split-persist-merge pipeline
     // must land on the identical registers (max is associative/
     // commutative/idempotent), hence the identical estimate
-    "q102_hll_incremental" -> {
-      import graft.functions.HyperLogLog.{rhoCaseSql, estimateSql, WindowBits, WindowMask}
-      s"""WITH h AS (
-         |  SELECT l_returnflag,
-         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT l_returnflag, h >> $WindowBits AS reg,
-         |    ${rhoCaseSql(s"(h & $WindowMask)")} AS rho
-         |  FROM h),
-         |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
-         |s AS (
-         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS used_registers,
-         |    CAST(sum(CAST(1 AS BIGINT) << (${WindowBits + 1} - mx)) AS BIGINT) AS s_hit
-         |  FROM m GROUP BY 1)
+    "q102_hll_incremental" ->
+      s"""WITH $hllRegisterCtes
          |SELECT l_returnflag, used_registers,
-         |  ${estimateSql("s_hit", "used_registers")} AS hll_estimate
-         |FROM s""".stripMargin
-    },
+         |  ${graft.functions.HyperLogLog.estimateSql("s_hit", "used_registers")} AS hll_estimate
+         |FROM s""".stripMargin,
 
     // portable HLL replay: same 60-bit md5 hash, same generated
     // integer-comparison rho CASE (shared generator — the SQL text is
     // engine-identical), exact long harmonic sum, one fixed-shape
     // double expression at the end. sum(BIGINT) is HUGEINT in DuckDB
     // -> cast back before the estimate arithmetic.
-    "q100_hll_distinct" -> {
-      import graft.functions.HyperLogLog.{rhoCaseSql, estimateSql, WindowBits, WindowMask}
-      s"""WITH h AS (
-         |  SELECT l_returnflag,
-         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT l_returnflag, h >> $WindowBits AS reg,
-         |    ${rhoCaseSql(s"(h & $WindowMask)")} AS rho
-         |  FROM h),
-         |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
-         |s AS (
-         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS used_registers,
-         |    CAST(sum(CAST(1 AS BIGINT) << (${WindowBits + 1} - mx)) AS BIGINT) AS s_hit
-         |  FROM m GROUP BY 1),
+    "q100_hll_distinct" ->
+      s"""WITH $hllRegisterCtes,
          |e AS (
          |  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
          |  FROM lineitem GROUP BY 1)
          |SELECT s.l_returnflag, s.used_registers,
-         |  ${estimateSql("s_hit", "used_registers")} AS hll_estimate,
+         |  ${graft.functions.HyperLogLog.estimateSql("s_hit", "used_registers")} AS hll_estimate,
          |  e.exact_distinct
          |FROM s JOIN e USING (l_returnflag)""".stripMargin
-    }
   )
 
   /** DuckDB cosine that bit-matches graft_cosine: sequential-order dot
@@ -1773,6 +1703,68 @@ object OracleQueries {
        |     - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
        | + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
        |     CAST(4.0 AS DOUBLE) * (CAST($duckStop AS DOUBLE) / $duckTok))""".stripMargin.replace("\n", " ")
+
+  /** q98/q99's gram width — one constant so the Spark side's n = 5
+    * default and every oracle literal derive from a single place.
+    * MUST stay `final` with no type ascription: that makes it a
+    * compile-time constant, immune to the object-initialization-order
+    * trap (the oracle map val above runs first and would read a
+    * plain val as 0).
+    */
+  private final val SpanN = 5
+
+  /** Shared q98/q99 CTE pipeline: tokenize -> positional word n-gram
+    * 60-bit md5 hashes -> duplicated positions (corpus occurrence
+    * >= 2) -> gaps-and-islands (break when the previous duplicated
+    * position is more than n back). DuckDB `range(1, len - (n-2))` is
+    * empty when len < n, matching the Spark CASE short-circuit; nested
+    * window functions are disallowed, hence the brk/island two-step;
+    * NULL lag -> CASE falls to ELSE 0, same as Spark's otherwise(0).
+    */
+  private def spanIslandCtes(n: Int): String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> {'pos': CAST(i - 1 AS INTEGER),
+       |          'h': CAST(('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT)}),
+       |    recursive := true)
+       |  FROM t),
+       |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM p),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM b)""".stripMargin
+
+  /** Shared q100/q102 register-pipeline CTEs: 60-bit md5 value hash ->
+    * (register, rho) -> per-register max -> per-group exact harmonic
+    * sum. `sum(BIGINT)` is HUGEINT in DuckDB -> cast back before the
+    * estimate arithmetic.
+    */
+  private def hllRegisterCtes: String = {
+    import graft.functions.HyperLogLog.{rhoCaseSql, WindowBits, WindowMask}
+    s"""h AS (
+       |  SELECT l_returnflag,
+       |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h >> $WindowBits AS reg,
+       |    ${rhoCaseSql(s"(h & $WindowMask)")} AS rho
+       |  FROM h),
+       |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS used_registers,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${WindowBits + 1} - mx)) AS BIGINT) AS s_hit
+       |  FROM m GROUP BY 1)""".stripMargin
+  }
 
   /** Mirrors TextAnalysis.langId: first language whose marker count >= all later ones. */
   private def duckLang: String = {

@@ -47,8 +47,11 @@ object ScaleProbe {
     "q94_embedding_decontaminate",
     // span dedup is pair-free by construction — the boiler stress that
     // blows q13 up 72x should cost span dedup only the extra linear
-    // duplicated positions; HLL shuffles register partials, not values
-    "q98_dup_spans", "q99_span_dedup_corpus", "q100_hll_distinct")
+    // duplicated positions. (The HLL claim is probed by the dedicated
+    // hll_estimate_only block below, NOT q100: q100's exact
+    // count(DISTINCT) side shuffles every distinct value and would
+    // mask a register-path regression.)
+    "q98_dup_spans", "q99_span_dedup_corpus")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +130,26 @@ object ScaleProbe {
     }
     upsertProbe(srcDir, "sf0.1")
     upsertProbe(simDir, "sf1sim")
+    // Pure-estimate HLL probe (not a harness query): q100 pairs the
+    // sketch with an exact count(DISTINCT) whose value shuffle would
+    // mask a register-path regression. This times ONLY the
+    // registers -> estimate pipeline, whose post-scan shuffle is
+    // bounded at groups x 1024 rows at any input size — the probe
+    // should scale with the SCAN, nothing else.
+    def hllProbe(dir: String, scale: String): Unit = {
+      if (!scales.contains(scale)) return
+      if (!only.forall(_.contains("hll_estimate_only"))) return
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        graft.functions.HyperLogLog.estimate(
+          graft.tables.Tables.lineitem(spark, dir),
+          "CAST(l_orderkey AS STRING)", Seq("l_returnflag")).count()
+        r4((System.nanoTime() - t0) / 1e9)
+      }
+      println(s"""{"probe":"hll_estimate_only","scale":"$scale","runs":${times.mkString("[", ",", "]")}}""")
+    }
+    hllProbe(srcDir, "sf0.1")
+    hllProbe(simDir, "sf1sim")
     spark.stop()
   }
 

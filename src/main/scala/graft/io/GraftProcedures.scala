@@ -145,8 +145,12 @@ private[io] object GraftProcedures {
           .add("forked_at_version", IntegerType, nullable = false),
         (in: InternalRow) => {
           val (t, b) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
-          val fork = cat.currentVersion(t).getOrElse(0)
           val bv = cat.createBranch(t, b)
+          // the fork point is whatever createBranch RECORDED under its
+          // lock — re-deriving currentVersion here could disagree with
+          // the manifest prop if an append landed in between
+          val fork = cat.branchProps(t, b, bv)
+            .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(b), bv, fork)))
         }))
     case "fast_forward" =>

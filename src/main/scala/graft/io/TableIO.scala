@@ -599,7 +599,14 @@ final case class TableCatalog(warehouse: String) {
         s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
           s"branch forked at v${base.getOrElse(-1)} — diverged; rebase the branch " +
           "or integrate manually")
-      commitSnapshot(name, files, Map("fastForwardFrom" -> branch), stats)
+      // PINNED at cur+1, not re-derived: the same-JVM lock does not
+      // span processes, and an unpinned commit would re-read
+      // currentVersion AFTER a cross-process append slipped past the
+      // divergence check above — silently dropping the racer's rows.
+      // Pinning makes the race surface as ConcurrentCommitException
+      // (commitReplacement's identical guard).
+      commitSnapshotAt(name, files, cur + 1,
+        Map("fastForwardFrom" -> branch), stats)
     } finally lock.release()
   }
 
@@ -1571,7 +1578,18 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def readBranch(name: String, branch: String): DataFrame = {
     val head = catalog.branchHead(name, branch).getOrElse(
       throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
-    readFiles(name, catalog.branchManifest(name, branch, head))
+    // a concurrent dropBranch between the head listing and the
+    // manifest read surfaces as the same "does not exist" contract,
+    // not a raw filesystem error (the .branches metadata table skips
+    // this race; a direct read reports it loudly but uniformly)
+    val files =
+      try catalog.branchManifest(name, branch, head)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalArgumentException(
+            s"branch $branch does not exist on $name (dropped concurrently)")
+      }
+    readFiles(name, files)
   }
 
   /** Fast-forward MAIN to the branch head — see

@@ -74,6 +74,15 @@ object SpanDedup {
     * 0-based token offsets `(idCol, span_start, span_end, span_tokens)`
     * with `span_end` inclusive. Documents with no duplicated gram
     * produce no rows.
+    *
+    * Cache discipline (nearDuplicates'): `cache = true` persists the
+    * wide gram frame for its two consumers, then MATERIALIZES the
+    * (small) span result and releases the gram cache before returning —
+    * the caller sees exactly one registered cache entry (the returned
+    * frame) and owns its `unpersist()`. `cache = false` registers
+    * nothing: the corpus is scanned and hashed twice (once per gram
+    * consumer) — the right trade at full corpus scale, where the gram
+    * frame (~20 bytes/gram) outweighs the text.
     */
   def duplicatedSpans(
       docs: DataFrame,
@@ -104,7 +113,7 @@ object SpanDedup {
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1).otherwise(0))
       .withColumn("island",
         sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy(col(idCol), col("island"))
+    val spans = islands.groupBy(col(idCol), col("island"))
       .agg(
         min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(n - 1)).as("span_end"))
@@ -113,6 +122,13 @@ object SpanDedup {
         col("span_start"),
         col("span_end"),
         (col("span_end") - col("span_start") + lit(1)).as("span_tokens"))
+    if (!cache) spans
+    else {
+      val mat = spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.count()
+      grams.unpersist()
+      mat
+    }
   }
 
   /** The span-deduplicated corpus: each document's text with every
