@@ -1543,6 +1543,24 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // token-budget mix replay: same tokenizer, same (md5, id) total
+    // order, same admitted-iff-budget-not-yet-exhausted rule; window
+    // sums are exact BIGINTs so the cut is engine-identical
+    "q103_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 20000""".stripMargin,
+
     // incremental-HLL replay: the oracle recomputes the sketch over
     // ALL of lineitem in one pass — the split-persist-merge pipeline
     // must land on the identical registers (max is associative/

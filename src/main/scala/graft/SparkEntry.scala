@@ -1339,6 +1339,14 @@ object SparkEntry {
       mainBefore.unionAll(branchHead).unionAll(mainAfter)
     }),
 
+    // Token-budget data mixing: each source contributes documents in
+    // deterministic hash order until its 20k-token budget fills —
+    // whole documents, boundary doc overshoots. The set is exactly
+    // reproducible cross-engine (no RNG anywhere).
+    "q103_token_budget_mix" -> ((s, dir) =>
+      graft.sampling.Sampling.tokenBudgetSample(
+        Tables.documents(s, dir), "source", budget = 20000L)),
+
     // The sketch as PERSISTED STATE: batch 1's register frame lands in
     // a table, batch 2's registers max-merge into it, and the estimate
     // read off the persisted state is — by HLL mergeability — the

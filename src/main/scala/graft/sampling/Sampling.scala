@@ -91,4 +91,44 @@ object Sampling {
     }
     df.filter(portableBucket(idCol, buckets) < cut)
   }
+
+  /** Token-budget mixture sampling: admit documents per stratum, in
+    * deterministic portable-hash order, until each stratum's TOKEN
+    * budget fills — the production data-mixing contract ("this run
+    * gets 20k tokens of each source"), where [[mixtureBalance]] and
+    * [[stratifiedSample]] speak document fractions. A document is
+    * admitted iff the budget was not yet exhausted BEFORE it (the
+    * boundary document overshoots rather than truncates — sampling
+    * keeps whole documents; trimming is `Packing.chunk`'s job).
+    *
+    * Determinism: admission order is (60-bit md5 of id, id) — a total
+    * order both engines compute identically, making the selected SET
+    * exactly reproducible (and oracle-checkable) with no RNG.
+    *
+    * Scale shape: ONE projection computes the token count (shared
+    * tokenizer) and the hash; one shuffle partitions by stratum for
+    * the running-sum window; the admission test is a scalar predicate
+    * on the window output. Skew note: a single giant stratum
+    * serializes its window on one task — at 100 TB pre-filter with
+    * [[hashSample]] to a generous superset first (the admission
+    * prefix only needs the documents whose hash rank can possibly fit
+    * the budget).
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, budget: Long,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val order = expr(
+      s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(order.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(
+        col(strataCol), col(idCol),
+        expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)")
+          .as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
+  }
 }

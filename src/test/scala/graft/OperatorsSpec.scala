@@ -177,6 +177,34 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "hash sample must not shuffle")
   }
 
+  test("tokenBudgetSample admits whole docs per stratum until the budget fills") {
+    // every doc is exactly 3 tokens; budget 7 admits exactly the first
+    // 3 docs of each stratum in hash order (cum 3, 6, 9: 9-3=6 < 7;
+    // the 4th has 12-3=9 >= 7), independent of which ids hash first
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "web" else "book", "tok aaa bbb"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.sampling.Sampling.tokenBudgetSample(docs, "source", budget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._1 == "web") === 3)
+    assert(out.count(_._1 == "book") === 3)
+    // boundary doc overshoots: max cum per stratum is 9 (> budget)
+    assert(out.filter(_._1 == "web").map(_._4).max === 9L)
+    // zero-token docs cost nothing and are admitted while the budget
+    // is open; a stratum below budget keeps everything
+    val mixed = Seq((1L, "s", "one two"), (2L, "s", ""), (3L, "s", "three"))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.sampling.Sampling.tokenBudgetSample(mixed, "source", budget = 100L)
+    assert(kept.count() === 3)
+    // deterministic: repeated run selects the identical set
+    val big = spark.range(0, 2000).selectExpr("id AS doc_id", "'w' AS source",
+      "repeat('tok ', CAST(id % 7 + 1 AS INT)) AS text")
+    def sel() = graft.sampling.Sampling.tokenBudgetSample(big, "source", budget = 500L)
+      .select("doc_id").as[Long].collect().toSet
+    val first = sel()
+    assert(first === sel() && first.nonEmpty)
+  }
+
   test("mixtureBalance downsamples every stratum toward the rarest one's count") {
     // skewed mixture: 4000 'web', 1000 'book', 200 'wiki'
     val docs = spark.range(0, 5200)
