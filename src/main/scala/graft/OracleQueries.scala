@@ -1543,6 +1543,36 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // Count-Min replay: row-d bucket = md5('d:' || token) % 1024 —
+    // string concat + md5 + integer mod, engine-identical; cell counts
+    // and the min-over-rows estimate are pure integers. range(4) with
+    // a CONSTANT bound is a legal DuckDB table function (the lateral
+    // restriction only bites column-dependent bounds)
+    "q104_cms_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM tok GROUP BY 1
+        |  ORDER BY exact_cnt DESC, token LIMIT 20),
+        |cells AS (
+        |  SELECT r.d,
+        |    CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok, range(4) AS r(d) GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT t.token, r.d,
+        |    CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM top t, range(4) AS r(d)),
+        |est AS (
+        |  SELECT p.token, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+        |  FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+        |  GROUP BY 1)
+        |SELECT t.token, t.exact_cnt, e.cms_estimate
+        |FROM top t JOIN est e USING (token)""".stripMargin,
+
     // token-budget mix replay: same tokenizer, same (md5, id) total
     // order, same admitted-iff-budget-not-yet-exhausted rule; window
     // sums are exact BIGINTs so the cut is engine-identical

@@ -1339,6 +1339,21 @@ object SparkEntry {
       mainBefore.unionAll(branchHead).unionAll(mainAfter)
     }),
 
+    // Count-Min heavy hitters: the frequency sketch (4 x 1024, all
+    // integer arithmetic — zero cross-engine parity caveats) probed at
+    // the exact top-20 tokens. cms_estimate >= exact_cnt always (CM
+    // error is one-sided); the sketch shuffle carries <= 4096 cells
+    // per partition whatever the corpus size.
+    "q104_cms_heavyhitters" -> ((s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(explode(expr(TextAnalysis.wordTokensSql("text"))).as("token"))
+      val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("token")).limit(20)
+      val sk = graft.functions.CountMin.sketch(tokens, "token")
+      graft.functions.CountMin.estimate(sk, top, "token")
+        .join(top, Seq("token"))
+    }),
+
     // Token-budget data mixing: each source contributes documents in
     // deterministic hash order until its 20k-token budget fills —
     // whole documents, boundary doc overshoots. The set is exactly
