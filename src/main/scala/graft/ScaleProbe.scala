@@ -51,7 +51,10 @@ object ScaleProbe {
     // hll_estimate_only block below, NOT q100: q100's exact
     // count(DISTINCT) side shuffles every distinct value and would
     // mask a register-path regression.)
-    "q98_dup_spans", "q99_span_dedup_corpus")
+    "q98_dup_spans", "q99_span_dedup_corpus",
+    // token-budget mix: per-stratum window over (hash, id) order; CMS:
+    // sketch shuffle bounded at 4096 cells + broadcast probe join
+    "q103_token_budget_mix", "q104_cms_heavyhitters")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
