@@ -1549,10 +1549,9 @@ object OracleQueries {
     // a CONSTANT bound is a legal DuckDB table function (the lateral
     // restriction only bites column-dependent bounds)
     "q104_cms_heavyhitters" ->
-      """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |    x -> length(x) > 0)) AS token
-        |  FROM documents),
+      s"""WITH tok AS (
+         |  SELECT unnest($duckWordToks) AS token
+         |  FROM documents),
         |top AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
         |  FROM tok GROUP BY 1
@@ -1577,19 +1576,18 @@ object OracleQueries {
     // order, same admitted-iff-budget-not-yet-exhausted rule; window
     // sums are exact BIGINTs so the cut is engine-identical
     "q103_token_budget_mix" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        |  FROM t)
-        |SELECT source, doc_id, n_tokens, cum_tokens
-        |FROM c WHERE cum_tokens - n_tokens < 20000""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    CAST(len($duckWordToks) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, lang, source, n_chars, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, text, lang, source, n_chars, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 20000""".stripMargin,
 
     // incremental-HLL replay: the oracle recomputes the sketch over
     // ALL of lineitem in one pass — the split-persist-merge pipeline

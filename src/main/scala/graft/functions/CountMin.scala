@@ -55,14 +55,21 @@ object CountMin {
     * sketch: min over the Depth row counts — the classic CM estimate,
     * >= the true count always. `queries` should be small (the probe
     * set); the join broadcasts the 4096-row sketch side.
+    *
+    * LEFT join + coalesce(0), not inner: the sketch relation only
+    * materializes cells with cnt > 0, so a probe key absent from the
+    * sketched corpus has empty cells — the empty cell must WIN the min
+    * (estimate 0), not be dropped (which would inflate the min over
+    * the occupied cells, or silently omit the key when all four cells
+    * are empty). Every probe key gets exactly one output row.
     */
   def estimate(sk: DataFrame, queries: DataFrame, keyCol: String): DataFrame = {
     val probes = queries.select(col(keyCol))
       .distinct()
       .select(col(keyCol), posexplode(array((0 until Depth).map(d =>
         expr(bucketSql(keyCol, d))): _*)).as(Seq("row", "bucket")))
-    probes.join(broadcast(sk), Seq("row", "bucket"))
+    probes.join(broadcast(sk), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("cms_estimate"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 }

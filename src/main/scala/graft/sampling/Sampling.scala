@@ -27,10 +27,14 @@ object Sampling {
   val DefaultBuckets = 10000
 
   /** Portable deterministic bucket in [0, buckets). */
+  /** Raw 60-bit portable id hash — the ONE construction every sampler
+    * (and the DuckDB oracles) derive from; change it here or nowhere.
+    */
+  def portableHash(idCol: String): Column =
+    expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+
   def portableBucket(idCol: String, buckets: Int = DefaultBuckets): Column =
-    pmod(
-      expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
-      lit(buckets.toLong))
+    pmod(portableHash(idCol), lit(buckets.toLong))
 
   /** Uniform sample: keep ids whose bucket falls below
     * round(fraction * buckets). The realized rate is exact over the
@@ -118,16 +122,16 @@ object Sampling {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val order = expr(
-      s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(order.asc, col(idCol).asc)
+      .partitionBy(col(strataCol)).orderBy(portableHash(idCol).asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(
-        col(strataCol), col(idCol),
-        expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)")
-          .as("n_tokens"))
+    // every input column survives (the family contract — hashSample/
+    // mixtureBalance/stratifiedSample all return filtered input rows);
+    // n_tokens and cum_tokens append so the consumer sees what each
+    // admitted document cost against the budget
+    df.withColumn("n_tokens",
+        expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
   }

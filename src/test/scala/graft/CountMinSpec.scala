@@ -24,6 +24,22 @@ class CountMinSpec extends SparkSpec {
     assert(exactHits > 250, s"only $exactHits/300 exact at this load factor")
   }
 
+  test("absent probe keys estimate 0 and are never dropped") {
+    val sk = CountMin.sketch(corpus, "k")
+    val probes = Seq("k1", "never-seen-a", "never-seen-b").toDF("k")
+    val est = CountMin.estimate(sk, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every probe key yields exactly one row
+    assert(est.keySet === Set("k1", "never-seen-a", "never-seen-b"))
+    // an empty cell wins the min: absent keys estimate 0 (unless all 4
+    // of their cells collide with occupied ones — impossible here at
+    // 300 keys over 4096 cells for BOTH planted strangers to lose all
+    // four, so assert at least the exact-0 behavior holds for them)
+    assert(est("never-seen-a") === 0L)
+    assert(est("never-seen-b") === 0L)
+    assert(est("k1") >= 1L)
+  }
+
   test("sketches merge by adding cell counts") {
     val rows = corpus.withColumn("half", (substring(col("k"), 2, 10).cast("int") % 2))
     def cells(df: org.apache.spark.sql.DataFrame) =

@@ -185,9 +185,12 @@ class SamplingSpec extends SparkSpec {
       (i.toLong, if (i % 2 == 0) "web" else "book", "tok aaa bbb"))
       .toDF("doc_id", "source", "text")
     val out = graft.sampling.Sampling.tokenBudgetSample(docs, "source", budget = 7L)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[Long]("cum_tokens")))
     assert(out.count(_._1 == "web") === 3)
     assert(out.count(_._1 == "book") === 3)
+    // input columns survive (family contract): text rides through
+    assert(out.forall(_._3 == "tok aaa bbb"))
     // boundary doc overshoots: max cum per stratum is 9 (> budget)
     assert(out.filter(_._1 == "web").map(_._4).max === 9L)
     // zero-token docs cost nothing and are admitted while the budget
