@@ -130,6 +130,22 @@ class BranchSpec extends graft.SparkSpec {
     }
   }
 
+  test("branch commits are exclusive: a second writer to the same branch version fails loudly") {
+    val io = freshIO()
+    val t = "default.race"
+    io.append(rows(0, 5), t)
+    io.createBranch(t, "b")
+    val head = io.catalog.branchHead(t, "b").get
+    val files = io.catalog.branchManifest(t, "b", head)
+    // two racers computing the same next version: exactly one wins the
+    // hard-link-exclusive create, the other gets the typed conflict
+    io.catalog.commitBranchSnapshot(t, "b", files, head + 1)
+    val e = intercept[ConcurrentCommitException](
+      io.catalog.commitBranchSnapshot(t, "b", files, head + 1))
+    assert(e.getMessage.contains("branch b"))
+    assert(io.catalog.branchHead(t, "b") === Some(head + 1))
+  }
+
   test("fast-forwarded content is GC-safe after the branch is dropped") {
     val io = freshIO()
     val t = "default.ffgc"
