@@ -85,17 +85,33 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     }
   }
 
-  /** SQL `VERSION AS OF <n>` / `VERSION AS OF '<tag>'` lands here:
-    * a non-numeric version string resolves through the table's
-    * snapshot tags (Iceberg refs).
+  /** SQL `VERSION AS OF <n>` / `VERSION AS OF '<ref>'` lands here: a
+    * non-numeric version string resolves through the table's snapshot
+    * tags first, then its BRANCH heads (Iceberg refs — both kinds are
+    * addressable; a tag shadowing a same-named branch is resolved as
+    * the tag, documented precedence).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val name = qualified(ident)
-    val v = version.toIntOption
-      .orElse(catalog.tags(name).get(version))
-      .getOrElse(throw new NoSuchTableException(ident))
-    if (!catalog.versions(name).contains(v)) throw new NoSuchTableException(ident)
-    loadVersion(ident, v)
+    version.toIntOption.orElse(catalog.tags(name).get(version)) match {
+      case Some(v) =>
+        if (!catalog.versions(name).contains(v)) throw new NoSuchTableException(ident)
+        loadVersion(ident, v)
+      case None =>
+        catalog.branchHead(name, version) match {
+          case Some(head) =>
+            // a branch dropped between the head listing and the
+            // manifest read reports not-found, same as readBranch
+            try loadSnapshot(ident, s"branch-$version@v$head",
+              catalog.branchManifest(name, version, head),
+              try catalog.branchStats(name, version, head)
+              catch { case scala.util.control.NonFatal(_) =>
+                Map.empty[String, Map[String, FileStats.ColStats]] })
+            catch { case _: java.nio.file.NoSuchFileException =>
+              throw new NoSuchTableException(ident) }
+          case None => throw new NoSuchTableException(ident)
+        }
+    }
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` lands here (Spark passes MICROseconds
@@ -112,11 +128,23 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
 
   private def loadVersion(ident: Identifier, version: Int): Table = {
     val name = qualified(ident)
-    val files = catalog.manifest(name, version)
+    loadSnapshot(ident, s"v$version", catalog.manifest(name, version),
+      try catalog.manifestStats(name, version)
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, FileStats.ColStats]] })
+  }
+
+  /** Materialize ANY manifest's file list (a main version or a branch
+    * head) as a readable table — the shared back half of version, tag,
+    * and branch resolution.
+    */
+  private def loadSnapshot(ident: Identifier, label: String, files: Seq[String],
+                           stats: Map[String, Map[String, FileStats.ColStats]]): Table = {
+    val name = qualified(ident)
     // seed the stats cache from the manifest so plan-time file
     // skipping (StatsPruningScanBuilder, DML scoping) never opens a
     // footer — stats were persisted with the commit
-    try FileStats.prime(catalog.manifestStats(name, version))
+    try FileStats.prime(stats)
     catch { case scala.util.control.NonFatal(_) => () }
     // A declared schema (CTAS or ALTER TABLE) wins when present —
     // that's what lets ADD COLUMN surface a column the existing data
@@ -145,7 +173,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       (Map("basePath" -> catalog.dataPath(name)) ++
         (if (declared.isEmpty) Map("mergeSchema" -> "true") else Map.empty)).asJava)
     val delegate = ParquetTable(
-      s"$catalogName.$name@v$version",
+      s"$catalogName.$name@$label",
       SparkSession.active,
       options,
       files,

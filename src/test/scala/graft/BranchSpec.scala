@@ -124,6 +124,19 @@ class BranchSpec extends graft.SparkSpec {
       val dropped = spark.sql("CALL gbr.system.drop_branch('default.t', 'exp')").head()
       assert(dropped.getBoolean(1))
       assert(spark.sql("SELECT * FROM gbr.default.t.branches").collect().isEmpty)
+
+      // VERSION AS OF resolves branch names (Iceberg ref addressing):
+      // read the branch head by name BEFORE integration
+      io.append(rows(100, 110), "default.t2")
+      io.createBranch("default.t2", "exp2")
+      io.appendToBranch(rows(110, 140), "default.t2", "exp2")
+      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 40)
+      assert(spark.sql("SELECT * FROM gbr.default.t2").count() === 10) // main untouched
+      // a tag shadowing a branch name wins (documented precedence)
+      io.catalog.tagSnapshot("default.t2", "exp2-tag", 1)
+      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2-tag'").count() === 10)
+      // unknown refs report not-found, not a filesystem error
+      intercept[Exception](spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'nope'").collect())
     } finally {
       spark.conf.unset("spark.sql.catalog.gbr")
       spark.conf.unset("spark.sql.catalog.gbr.warehouse")
