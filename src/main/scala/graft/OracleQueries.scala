@@ -1543,6 +1543,16 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // streaming-HLL replay: the maintained register table must equal
+    // the one-pass sketch over all events (max-merge associativity);
+    // same parameterized CTE pipeline as q100/q102
+    "q105_stream_hll" -> {
+      s"""WITH ${hllRegisterCtes("events", "event_type", "user_id")}
+         |SELECT event_type, used_registers,
+         |  ${graft.functions.HyperLogLog.estimateSql("s_hit", "used_registers")} AS hll_estimate
+         |FROM s""".stripMargin
+    },
+
     // Count-Min replay: row-d bucket = md5('d:' || token) % 1024 —
     // string concat + md5 + integer mod, engine-identical; cell counts
     // and the min-over-rows estimate are pure integers. range(4) with
@@ -1594,7 +1604,7 @@ object OracleQueries {
     // must land on the identical registers (max is associative/
     // commutative/idempotent), hence the identical estimate
     "q102_hll_incremental" ->
-      s"""WITH $hllRegisterCtes
+      s"""WITH ${hllRegisterCtes()}
          |SELECT l_returnflag, used_registers,
          |  ${graft.functions.HyperLogLog.estimateSql("s_hit", "used_registers")} AS hll_estimate
          |FROM s""".stripMargin,
@@ -1605,7 +1615,7 @@ object OracleQueries {
     // double expression at the end. sum(BIGINT) is HUGEINT in DuckDB
     // -> cast back before the estimate arithmetic.
     "q100_hll_distinct" ->
-      s"""WITH $hllRegisterCtes,
+      s"""WITH ${hllRegisterCtes()},
          |e AS (
          |  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
          |  FROM lineitem GROUP BY 1)
@@ -1790,24 +1800,28 @@ object OracleQueries {
        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
        |  FROM b)""".stripMargin
 
-  /** Shared q100/q102 register-pipeline CTEs: 60-bit md5 value hash ->
-    * (register, rho) -> per-register max -> per-group exact harmonic
-    * sum. `sum(BIGINT)` is HUGEINT in DuckDB -> cast back before the
-    * estimate arithmetic.
+  /** Shared q100/q102/q105 register-pipeline CTEs: 60-bit md5 value
+    * hash -> (register, rho) -> per-register max -> per-group exact
+    * harmonic sum, parameterized by (table, group, value). NULL values
+    * are filtered (count(DISTINCT) semantics, matching the Spark
+    * registers() filter). `sum(BIGINT)` is HUGEINT in DuckDB -> cast
+    * back before the estimate arithmetic.
     */
-  private def hllRegisterCtes: String = {
+  private def hllRegisterCtes(table: String = "lineitem",
+                              group: String = "l_returnflag",
+                              value: String = "l_orderkey"): String = {
     import graft.functions.HyperLogLog.{rhoCaseSql, WindowBits, WindowMask}
     s"""h AS (
-       |  SELECT l_returnflag,
-       |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-       |  FROM lineitem),
+       |  SELECT $group,
+       |    CAST(('0x' || substr(md5(CAST($value AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM $table WHERE $value IS NOT NULL),
        |r AS (
-       |  SELECT l_returnflag, h >> $WindowBits AS reg,
+       |  SELECT $group, h >> $WindowBits AS reg,
        |    ${rhoCaseSql(s"(h & $WindowMask)")} AS rho
        |  FROM h),
-       |m AS (SELECT l_returnflag, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+       |m AS (SELECT $group, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
        |s AS (
-       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS used_registers,
+       |  SELECT $group, CAST(count(*) AS BIGINT) AS used_registers,
        |    CAST(sum(CAST(1 AS BIGINT) << (${WindowBits + 1} - mx)) AS BIGINT) AS s_hit
        |  FROM m GROUP BY 1)""".stripMargin
   }

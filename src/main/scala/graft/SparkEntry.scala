@@ -1339,6 +1339,27 @@ object SparkEntry {
       mainBefore.unionAll(branchHead).unionAll(mainAfter)
     }),
 
+    // STREAMING distinct-count maintenance: the HLL register table
+    // max-merged per micro-batch (TableSink.sketchMergeStream) over
+    // the events file stream — replays are no-ops because max-merge is
+    // idempotent (the one sink where at-least-once IS exactly-once,
+    // no batch mark needed). The estimate read off the maintained
+    // state hash-matches the oracle's single-pass recompute over all
+    // events, by mergeability.
+    "q105_stream_hll" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_shll_"))
+      val t = "default.hll_stream_regs"
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.sketchMergeStream(
+          eventsFileStream(s, dir), io, t, tempDir("graft_ckpt_"),
+          batch => graft.functions.HyperLogLog.registers(
+            batch, "CAST(user_id AS STRING)", Seq("event_type")),
+          Seq("event_type", "reg"), availableNow = true)
+          .awaitTermination()
+      }
+      graft.functions.HyperLogLog.estimateFromRegisters(io.read(t), Seq("event_type"))
+    }),
+
     // Count-Min heavy hitters: the frequency sketch (4 x 1024, all
     // integer arithmetic — zero cross-engine parity caveats) probed at
     // the exact top-20 tokens. cms_estimate >= exact_cnt always (CM

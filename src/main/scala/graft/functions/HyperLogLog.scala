@@ -88,7 +88,10 @@ object HyperLogLog {
     */
   def registers(df: DataFrame, valueSql: String, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    df.select(g :+ expr(hash60Sql(valueSql)).as("h"): _*)
+    // NULL values contribute nothing (count(DISTINCT) semantics — a
+    // null would otherwise pollute one register via the CASE fallback)
+    df.filter(expr(s"($valueSql) IS NOT NULL"))
+      .select(g :+ expr(hash60Sql(valueSql)).as("h"): _*)
       .select(g ++ Seq(
         shiftright(col("h"), WindowBits).as("reg"),
         expr(rhoCaseSql(s"(h & $WindowMask)")).as("rho")): _*)

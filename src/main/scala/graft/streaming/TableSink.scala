@@ -144,6 +144,44 @@ object TableSink {
       .start()
   }
 
+  /** Merge-mode sink for IDEMPOTENT sketch states: each micro-batch is
+    * reduced to its sketch relation by `toSketch` (e.g.
+    * [[graft.functions.HyperLogLog.registers]]) and MAX-merged into
+    * the table on `keyCols` — the streaming form of q102's
+    * split-persist-merge, maintaining a distinct-count (or any
+    * max-monoid) state table over an unbounded stream at
+    * O(keys x registers) table size.
+    *
+    * Exactly-once needs NO batch mark here, unlike the append/upsert
+    * sinks: max-merge is idempotent, so a replayed micro-batch
+    * re-merges the same registers into the same state — the one sink
+    * where at-least-once IS exactly-once. Additive sketch states
+    * (Count-Min cell counts) are NOT idempotent and must not use this
+    * sink without a mark. The per-batch read-merge-overwrite pair is
+    * safe because snapshots are immutable: the read pins the old
+    * manifest's files, which the overwrite never touches.
+    */
+  def sketchMergeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                        toSketch: DataFrame => DataFrame,
+                        keyCols: Seq[String], stateCol: String = "m",
+                        availableNow: Boolean = false): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, max}
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = toSketch(batch)
+        val merged =
+          if (io.catalog.tableExists(table))
+            io.read(table).unionByName(sk)
+              .groupBy(keyCols.map(col): _*)
+              .agg(max(col(stateCol)).as(stateCol))
+          else sk
+        io.overwrite(merged, table); ()
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+
   def completeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                      availableNow: Boolean = false): StreamingQuery = {
     val w = stream.writeStream

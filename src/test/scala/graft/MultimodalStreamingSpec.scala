@@ -420,3 +420,57 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** sketchMergeStream: streaming HLL register maintenance — replay
+  * idempotence (the no-batch-mark exactly-once claim) and
+  * mergeability against the one-pass batch sketch.
+  */
+class SketchMergeStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.HyperLogLog
+  import graft.io.TableIO
+  import graft.streaming.TableSink
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("streamed register state equals the batch sketch, and a full replay is a no-op") {
+    val src = tmp("graft_skms_src_")
+    val rows = (1 to 3000).map(i => (s"u${i % 700}", if (i % 2 == 0) "click" else "view"))
+      .toDF("user_id", "event_type")
+    // several files -> several micro-batches (maxFilesPerTrigger=1)
+    rows.repartition(4).write.parquet(s"$src/ev")
+    val io = TableIO(spark, tmp("graft_skms_wh_"))
+    val t = "default.regs"
+    def drain(ckpt: String): Unit =
+      TableSink.sketchMergeStream(
+        spark.readStream.schema(rows.schema).option("maxFilesPerTrigger", "1").parquet(s"$src/ev"),
+        io, t, ckpt,
+        b => HyperLogLog.registers(b, "user_id", Seq("event_type")),
+        Seq("event_type", "reg"), availableNow = true)
+        .awaitTermination()
+
+    drain(tmp("graft_skms_ck1_"))
+    val streamed = io.read(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = HyperLogLog.registers(rows, "user_id", Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch, "micro-batch max-merge must equal the one-pass sketch")
+
+    // FRESH checkpoint = full at-least-once replay of every file; the
+    // state must be bit-identical afterwards (max-merge idempotence —
+    // the reason this sink needs no batch mark)
+    val vBefore = io.catalog.currentVersion(t).get
+    drain(tmp("graft_skms_ck2_"))
+    val replayed = io.read(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(replayed === batch, "full replay must not move the state")
+    assert(io.catalog.currentVersion(t).get > vBefore, "replay batches still commit (harmlessly)")
+
+    // and the estimates read off the maintained state match the direct path
+    val a = HyperLogLog.estimateFromRegisters(io.read(t), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val b = HyperLogLog.estimate(rows, "user_id", Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+}
