@@ -1543,6 +1543,33 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // streaming-CMS replay: the maintained cell table must equal the
+    // one-pass sketch over all events (sum associativity + the batch
+    // mark); LEFT join + coalesce(0) mirrors CountMin.estimate
+    "q106_stream_cms" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |top AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM e GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        |cells AS (
+        |  SELECT r.d,
+        |    CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || user_id), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e, range(4) AS r(d) GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT t.user_id, r.d,
+        |    CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || t.user_id), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM top t, range(4) AS r(d)),
+        |est AS (
+        |  SELECT p.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+        |  FROM probe p LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.exact_cnt, e2.cms_estimate
+        |FROM top t JOIN est e2 USING (user_id)""".stripMargin,
+
     // streaming-HLL replay: the maintained register table must equal
     // the one-pass sketch over all events (max-merge associativity);
     // same parameterized CTE pipeline as q100/q102

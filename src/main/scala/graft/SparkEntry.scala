@@ -1360,6 +1360,31 @@ object SparkEntry {
       graft.functions.HyperLogLog.estimateFromRegisters(io.read(t), Seq("event_type"))
     }),
 
+    // STREAMING frequency maintenance: the additive counterpart of
+    // q105 — Count-Min cells SUM-merged per micro-batch, with the
+    // batch-id mark riding the overwrite commit (addition is not
+    // idempotent, so this sink NEEDS the mark where q105's max-merge
+    // does not). State probed at the exact top-20 heavy users; the
+    // maintained cells equal the one-pass sketch by sum associativity.
+    "q106_stream_cms" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_scms_"))
+      val t = "default.cms_stream_cells"
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.additiveSketchMergeStream(
+          eventsFileStream(s, dir), io, t, tempDir("graft_ckpt_"),
+          batch => graft.functions.CountMin.sketch(batch, "CAST(user_id AS STRING)"),
+          Seq("row", "bucket"), "cnt", availableNow = true)
+          .awaitTermination()
+      }
+      val top = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").cast("string").as("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("user_id")).limit(20)
+      graft.functions.CountMin.estimate(io.read(t), top, "user_id")
+        .join(top, Seq("user_id"))
+    }),
+
     // Count-Min heavy hitters: the frequency sketch (4 x 1024, all
     // integer arithmetic — zero cross-engine parity caveats) probed at
     // the exact top-20 tokens. cms_estimate >= exact_cnt always (CM

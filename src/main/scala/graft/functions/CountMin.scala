@@ -46,7 +46,10 @@ object CountMin {
     * Depth x Width rows come out regardless of input size.
     */
   def sketch(df: DataFrame, keySql: String): DataFrame =
-    df.select(posexplode(array((0 until Depth).map(d =>
+    // NULL keys contribute nothing (a null would otherwise produce
+    // four null-bucket cells — not a countable key in any engine)
+    df.filter(expr(s"($keySql) IS NOT NULL"))
+      .select(posexplode(array((0 until Depth).map(d =>
         expr(bucketSql(keySql, d))): _*)).as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))

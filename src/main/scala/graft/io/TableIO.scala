@@ -1444,10 +1444,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     write(df, name, append = true, partitionCols, props)
 
   /** Logical full-table replace: new files, new manifest referencing
-    * only them; prior snapshots stay readable.
+    * only them; prior snapshots stay readable. `props` ride the
+    * manifest commit atomically (e.g. a streaming batch mark — the
+    * additive sketch sink's exactly-once guard).
     */
-  def overwrite(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty): Unit =
-    write(df, name, append = false, partitionCols)
+  def overwrite(df: DataFrame, name: String, partitionCols: Seq[String] = Seq.empty,
+                props: Map[String, String] = Map.empty): Unit =
+    write(df, name, append = false, partitionCols, props)
 
   // ---- Write-audit-publish (Iceberg's WAP pattern). An ingest job
   // appendStage()s its output, an audit job readStaged()s the

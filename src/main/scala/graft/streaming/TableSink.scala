@@ -182,6 +182,52 @@ object TableSink {
       .start()
   }
 
+  /** Merge-mode sink for ADDITIVE sketch states (Count-Min cell
+    * counts): each micro-batch's sketch relation SUM-merges into the
+    * table on `keyCols`. Addition is NOT idempotent, so unlike
+    * [[sketchMergeStream]] this sink carries the batch-id mark on the
+    * overwrite commit — a replayed batch that already merged is a
+    * no-op instead of double-counting, the same guard as the
+    * append/upsert sinks.
+    */
+  /** One additive micro-batch commit: sum-merge the batch's sketch
+    * into the table unless the mark says this batch already merged.
+    * Returns whether a merge happened — the directly-testable guard,
+    * like [[commitUpsertBatch]].
+    */
+  def commitAdditiveSketchBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
+                                toSketch: DataFrame => DataFrame,
+                                keyCols: Seq[String], stateCol: String,
+                                propKey: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (io.catalog.streamBatchMark(table, propKey).exists(_ >= batchId)) false
+    else {
+      val sk = toSketch(batch)
+      val merged =
+        if (io.catalog.tableExists(table))
+          io.read(table).unionByName(sk)
+            .groupBy(keyCols.map(col): _*)
+            .agg(sum(col(stateCol)).as(stateCol))
+        else sk
+      io.overwrite(merged, table, props = Map(propKey -> batchId.toString))
+      true
+    }
+  }
+
+  def additiveSketchMergeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                                toSketch: DataFrame => DataFrame,
+                                keyCols: Seq[String], stateCol: String = "cnt",
+                                availableNow: Boolean = false): StreamingQuery = {
+    val propKey = TableCatalog.streamBatchProp(Some(sinkIdOf(checkpoint)))
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitAdditiveSketchBatch(io, table, id, batch, toSketch, keyCols, stateCol, propKey); ()
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+
   def completeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                      availableNow: Boolean = false): StreamingQuery = {
     val w = stream.writeStream

@@ -473,4 +473,29 @@ class SketchMergeStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(a === b)
   }
+
+  test("additive (Count-Min) merge needs the batch mark: a replayed batch is a no-op") {
+    import graft.functions.CountMin
+    val io = TableIO(spark, tmp("graft_cmsm_wh_"))
+    val t = "default.cells"
+    val propKey = graft.io.TableCatalog.streamBatchProp(Some("cms-test"))
+    val b0 = (1 to 500).map(i => s"u${i % 50}").toDF("k")
+    val b1 = (1 to 300).map(i => s"u${i % 30}").toDF("k")
+    def commit(id: Long, b: org.apache.spark.sql.DataFrame) =
+      TableSink.commitAdditiveSketchBatch(io, t, id, b,
+        d => CountMin.sketch(d, "k"), Seq("row", "bucket"), "cnt", propKey)
+
+    assert(commit(0L, b0))
+    assert(commit(1L, b1))
+    val after = io.read(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // a crash-replay of batch 1 must NOT double-count
+    assert(!commit(1L, b1), "replayed batch must be refused by the mark")
+    assert(io.read(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet === after)
+    // and the maintained state equals the one-pass sketch of all rows
+    val whole = CountMin.sketch(b0.unionAll(b1), "k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === whole)
+  }
 }
