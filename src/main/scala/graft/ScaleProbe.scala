@@ -54,7 +54,11 @@ object ScaleProbe {
     "q98_dup_spans", "q99_span_dedup_corpus",
     // token-budget mix: per-stratum window over (hash, id) order; CMS:
     // sketch shuffle bounded at 4096 cells + broadcast probe join
-    "q103_token_budget_mix", "q104_cms_heavyhitters")
+    "q103_token_budget_mix", "q104_cms_heavyhitters",
+    // streaming sketch maintenance: state lives in the TABLE (bounded
+    // at keys x registers / 4096 cells), so 10x events cost more
+    // micro-batch input, never more state
+    "q105_stream_hll", "q106_stream_cms")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
