@@ -1543,6 +1543,29 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // WAP-branch streaming replay: main_before = even-id events only
+    // (the branch is invisible); main_after = every event exactly once
+    // (fast-forward integrates the branch head). Decimal-exact value
+    // sums per the ExactAgg parity rule.
+    "q107_stream_branch_ingest" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, user_id, value FROM events),
+        |roll AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+        |    'main_after' AS stage
+        |  FROM r GROUP BY 1),
+        |seed AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+        |    'main_before' AS stage
+        |  FROM r WHERE event_id % 2 = 0 GROUP BY 1)
+        |SELECT * FROM seed UNION ALL SELECT * FROM roll""".stripMargin,
+
     // streaming-CMS replay: the maintained cell table must equal the
     // one-pass sketch over all events (sum associativity + the batch
     // mark); LEFT join + coalesce(0) mirrors CountMin.estimate

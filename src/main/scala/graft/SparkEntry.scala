@@ -1360,6 +1360,35 @@ object SparkEntry {
       graft.functions.HyperLogLog.estimateFromRegisters(io.read(t), Seq("event_type"))
     }),
 
+    // Streaming ingest ONTO A BRANCH (the WAP-branch pattern): main
+    // seeds with the even-id events; the odd-id events stream onto the
+    // 'ingest' branch (exactly-once via branch-manifest marks), main
+    // stays seed-only until fastForward integrates the run metadata-
+    // only. Result: the main_before rollup (even ids) unioned with the
+    // main_after rollup (all events, each exactly once).
+    "q107_stream_branch_ingest" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_sbr_"))
+      val t = "default.events_br"
+      def rollup(df: DataFrame, stage: String) =
+        df.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            graft.functions.ExactAgg.dsum(col("value"), 2).as("total_value"))
+          .withColumn("stage", lit(stage))
+      io.append(Tables.events(s, dir).filter(col("event_id") % 2 === 0), t)
+      io.createBranch(t, "ingest")
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.branchAppendStream(
+          eventsFileStream(s, dir).filter(col("event_id") % 2 === 1),
+          io, t, "ingest", tempDir("graft_ckpt_"), availableNow = true)
+          .awaitTermination()
+      }
+      val before = rollup(io.read(t), "main_before")
+      io.fastForward(t, "ingest")
+      before.unionByName(rollup(io.read(t), "main_after"))
+    }),
+
     // STREAMING frequency maintenance: the additive counterpart of
     // q105 — Count-Min cells SUM-merged per micro-batch, with the
     // batch-id mark riding the overwrite commit (addition is not

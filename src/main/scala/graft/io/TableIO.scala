@@ -538,6 +538,21 @@ final case class TableCatalog(warehouse: String) {
     v
   }
 
+  /** Newest batch-id mark on the BRANCH chain under `propKey` — the
+    * branch-scoped twin of [[streamBatchMark]] (which scans main
+    * versions): a streaming sink appending to a branch needs its
+    * replay guard to ride the BRANCH commits, since fast-forward may
+    * not have integrated them into main yet.
+    */
+  def branchStreamBatchMark(name: String, branch: String, propKey: String): Option[Long] =
+    branchVersions(name, branch).reverseIterator
+      .flatMap { v =>
+        try branchProps(name, branch, v).get(propKey)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      .flatMap(_.toLongOption)
+      .nextOption()
+
   /** Delete every manifest of `branch`; its unshared files become
     * orphans for the age-guarded GC. Returns whether it existed.
     */
@@ -1555,7 +1570,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * branch version.
     */
   def appendToBranch(df: DataFrame, name: String, branch: String,
-                     partitionCols: Seq[String] = Seq.empty): Int = {
+                     partitionCols: Seq[String] = Seq.empty,
+                     props: Map[String, String] = Map.empty): Int = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
@@ -1572,7 +1588,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         catch { case scala.util.control.NonFatal(_) => "0" }
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
       catalog.commitBranchSnapshot(name, branch, prev ++ newFiles, head + 1,
-        Map(TableCatalog.BranchBaseProp -> baseProp),
+        props + (TableCatalog.BranchBaseProp -> baseProp),
         carried ++ commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }

@@ -190,6 +190,43 @@ object TableSink {
     * no-op instead of double-counting, the same guard as the
     * append/upsert sinks.
     */
+  /** One branch-append micro-batch commit: append the batch to the
+    * BRANCH chain unless its mark says this batch already landed —
+    * the branch-scoped twin of the main-chain append guard (the mark
+    * rides the branch manifest, since main may not have fast-forwarded
+    * yet when a replay arrives).
+    */
+  def commitBranchAppendBatch(io: TableIO, table: String, branch: String,
+                              batchId: Long, batch: DataFrame,
+                              propKey: String): Boolean = {
+    if (io.catalog.branchStreamBatchMark(table, branch, propKey).exists(_ >= batchId)) false
+    else {
+      io.appendToBranch(batch, table, branch, props = Map(propKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming ingest ONTO A BRANCH — the WAP-branch pattern for
+    * streams: micro-batches land on the branch chain (exactly-once via
+    * the branch-manifest mark), main stays byte-identical until an
+    * audit passes and `fastForward` integrates the whole run in one
+    * metadata-only commit. Where `appendStream` publishes every batch
+    * immediately and WAP stages ONE batch, this stages an unbounded
+    * stream behind a named ref.
+    */
+  def branchAppendStream(stream: DataFrame, io: TableIO, table: String, branch: String,
+                         checkpoint: String,
+                         availableNow: Boolean = false): StreamingQuery = {
+    val propKey = TableCatalog.streamBatchProp(Some(sinkIdOf(checkpoint)))
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBranchAppendBatch(io, table, branch, id, batch, propKey); ()
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+
   /** One additive micro-batch commit: sum-merge the batch's sketch
     * into the table unless the mark says this batch already merged.
     * Returns whether a merge happened — the directly-testable guard,
