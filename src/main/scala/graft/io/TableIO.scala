@@ -610,10 +610,22 @@ final case class TableCatalog(warehouse: String) {
           .get(TableCatalog.BranchBaseProp).flatMap(_.toIntOption)
         catch { case scala.util.control.NonFatal(_) => None }
       val cur = currentVersion(name).getOrElse(0)
-      require(base.contains(cur),
+      // No-lost-update condition, two ways to satisfy it: (a) main is
+      // still at the fork point; or (b) main's current FILE SET is a
+      // subset of the branch head's — which holds exactly when every
+      // main advance since the fork came from fast-forwarding THIS
+      // branch (repeated audit+integrate cycles on a long-lived ingest
+      // branch, the branchAppendStream lifecycle). Anything else
+      // (an independent append, a compaction) is a genuine divergence
+      // and is refused — integrating would drop main's rows/files.
+      val curFiles =
+        if (cur == 0) Set.empty[String]
+        else try manifest(name, cur).toSet
+             catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+      require(base.contains(cur) || (cur > 0 && curFiles.subsetOf(files.toSet)),
         s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
-          s"branch forked at v${base.getOrElse(-1)} — diverged; rebase the branch " +
-          "or integrate manually")
+          s"branch forked at v${base.getOrElse(-1)} and main holds files the " +
+          "branch lacks — diverged; rebase the branch or integrate manually")
       // PINNED at cur+1, not re-derived: the same-JVM lock does not
       // span processes, and an unpinned commit would re-read
       // currentVersion AFTER a cross-process append slipped past the

@@ -62,6 +62,42 @@ object TableSink {
       .take(6).map(b => f"$b%02x").mkString
   }
 
+  /** The ONE writeStream wiring every sink shares: checkpoint +
+    * foreachBatch + optional AvailableNow trigger + optional output
+    * mode. A trigger/option change lands here once, not per sink.
+    */
+  private def startForeachBatch(stream: DataFrame, checkpoint: String,
+                                availableNow: Boolean,
+                                outputMode: Option[String] = None)(
+      fn: (DataFrame, Long) => Unit): StreamingQuery = {
+    val base = stream.writeStream.option("checkpointLocation", checkpoint)
+    val modal = outputMode.fold(base)(base.outputMode)
+    val w = modal.foreachBatch { (batch: DataFrame, id: Long) => fn(batch, id) }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+
+  /** The shared sketch-merge core: union the batch sketch with the
+    * current state (if any), re-aggregate per key with `agg`
+    * (max-monoid or additive), overwrite with `props` riding the
+    * commit. The read-merge-overwrite pair is safe because snapshots
+    * are immutable: the read pins the old manifest's files, which the
+    * overwrite never touches.
+    */
+  private def mergeSketch(io: TableIO, table: String, sk: DataFrame,
+                          keyCols: Seq[String], stateCol: String,
+                          agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          props: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val merged =
+      if (io.catalog.tableExists(table))
+        io.read(table).unionByName(sk)
+          .groupBy(keyCols.map(col): _*)
+          .agg(agg(col(stateCol)).as(stateCol))
+      else sk
+    io.overwrite(merged, table, props = props)
+  }
+
   /** Wire a streaming DataFrame into a table: every micro-batch is one
     * snapshot commit, replays are no-ops. `availableNow = true` runs
     * the bounded catch-up variant (process everything currently
@@ -71,13 +107,9 @@ object TableSink {
                    partitionCols: Seq[String] = Seq.empty,
                    availableNow: Boolean = false): StreamingQuery = {
     val sid = Some(sinkIdOf(checkpoint))
-    val w = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitStreamBatch(io, table, id, batch, partitionCols, sid); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitStreamBatch(io, table, id, batch, partitionCols, sid); ()
+    }
   }
 
   /** Complete-mode sink for streaming AGGREGATIONS: every micro-batch
@@ -135,13 +167,9 @@ object TableSink {
                    partitionCols: Seq[String] = Seq.empty,
                    availableNow: Boolean = false): StreamingQuery = {
     val sid = Some(sinkIdOf(checkpoint))
-    val w = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitUpsertBatch(io, table, id, batch, keyCols, orderCols, partitionCols, sid); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitUpsertBatch(io, table, id, batch, keyCols, orderCols, partitionCols, sid); ()
+    }
   }
 
   /** Merge-mode sink for IDEMPOTENT sketch states: each micro-batch is
@@ -157,39 +185,17 @@ object TableSink {
     * re-merges the same registers into the same state — the one sink
     * where at-least-once IS exactly-once. Additive sketch states
     * (Count-Min cell counts) are NOT idempotent and must not use this
-    * sink without a mark. The per-batch read-merge-overwrite pair is
-    * safe because snapshots are immutable: the read pins the old
-    * manifest's files, which the overwrite never touches.
+    * sink without a mark (see [[additiveSketchMergeStream]]).
     */
   def sketchMergeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                         toSketch: DataFrame => DataFrame,
                         keyCols: Seq[String], stateCol: String = "m",
-                        availableNow: Boolean = false): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, max}
-    val w = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sk = toSketch(batch)
-        val merged =
-          if (io.catalog.tableExists(table))
-            io.read(table).unionByName(sk)
-              .groupBy(keyCols.map(col): _*)
-              .agg(max(col(stateCol)).as(stateCol))
-          else sk
-        io.overwrite(merged, table); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
-  }
+                        availableNow: Boolean = false): StreamingQuery =
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, _) =>
+      mergeSketch(io, table, toSketch(batch), keyCols, stateCol,
+        org.apache.spark.sql.functions.max, Map.empty)
+    }
 
-  /** Merge-mode sink for ADDITIVE sketch states (Count-Min cell
-    * counts): each micro-batch's sketch relation SUM-merges into the
-    * table on `keyCols`. Addition is NOT idempotent, so unlike
-    * [[sketchMergeStream]] this sink carries the batch-id mark on the
-    * overwrite commit — a replayed batch that already merged is a
-    * no-op instead of double-counting, the same guard as the
-    * append/upsert sinks.
-    */
   /** One branch-append micro-batch commit: append the batch to the
     * BRANCH chain unless its mark says this batch already landed —
     * the branch-scoped twin of the main-chain append guard (the mark
@@ -218,13 +224,9 @@ object TableSink {
                          checkpoint: String,
                          availableNow: Boolean = false): StreamingQuery = {
     val propKey = TableCatalog.streamBatchProp(Some(sinkIdOf(checkpoint)))
-    val w = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitBranchAppendBatch(io, table, branch, id, batch, propKey); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitBranchAppendBatch(io, table, branch, id, batch, propKey); ()
+    }
   }
 
   /** One additive micro-batch commit: sum-merge the batch's sketch
@@ -236,44 +238,38 @@ object TableSink {
                                 toSketch: DataFrame => DataFrame,
                                 keyCols: Seq[String], stateCol: String,
                                 propKey: String): Boolean = {
-    import org.apache.spark.sql.functions.{col, sum}
     if (io.catalog.streamBatchMark(table, propKey).exists(_ >= batchId)) false
     else {
-      val sk = toSketch(batch)
-      val merged =
-        if (io.catalog.tableExists(table))
-          io.read(table).unionByName(sk)
-            .groupBy(keyCols.map(col): _*)
-            .agg(sum(col(stateCol)).as(stateCol))
-        else sk
-      io.overwrite(merged, table, props = Map(propKey -> batchId.toString))
+      mergeSketch(io, table, toSketch(batch), keyCols, stateCol,
+        org.apache.spark.sql.functions.sum, Map(propKey -> batchId.toString))
       true
     }
   }
 
+  /** Merge-mode sink for ADDITIVE sketch states (Count-Min cell
+    * counts): each micro-batch's sketch relation SUM-merges into the
+    * table on `keyCols`. Addition is NOT idempotent, so unlike
+    * [[sketchMergeStream]] this sink carries the batch-id mark on the
+    * overwrite commit — a replayed batch that already merged is a
+    * no-op instead of double-counting, the same guard as the
+    * append/upsert sinks. (That mark is checkpoint-lineage-keyed: a
+    * restart with a FRESH checkpoint replays into the same state table
+    * under a new key and would double-count — start a fresh state
+    * table with a fresh lineage.)
+    */
   def additiveSketchMergeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                                 toSketch: DataFrame => DataFrame,
                                 keyCols: Seq[String], stateCol: String = "cnt",
                                 availableNow: Boolean = false): StreamingQuery = {
     val propKey = TableCatalog.streamBatchProp(Some(sinkIdOf(checkpoint)))
-    val w = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitAdditiveSketchBatch(io, table, id, batch, toSketch, keyCols, stateCol, propKey); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitAdditiveSketchBatch(io, table, id, batch, toSketch, keyCols, stateCol, propKey); ()
+    }
   }
 
   def completeStream(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
-                     availableNow: Boolean = false): StreamingQuery = {
-    val w = stream.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        io.overwrite(batch, table); ()
-      }
-    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
-      .start()
-  }
+                     availableNow: Boolean = false): StreamingQuery =
+    startForeachBatch(stream, checkpoint, availableNow, outputMode = Some("complete")) {
+      (batch, _) => io.overwrite(batch, table)
+    }
 }

@@ -132,15 +132,41 @@ class BranchSpec extends graft.SparkSpec {
       io.appendToBranch(rows(110, 140), "default.t2", "exp2")
       assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 40)
       assert(spark.sql("SELECT * FROM gbr.default.t2").count() === 10) // main untouched
-      // a tag shadowing a branch name wins (documented precedence)
-      io.catalog.tagSnapshot("default.t2", "exp2-tag", 1)
-      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2-tag'").count() === 10)
+      // a tag shadowing the SAME name as the branch wins (documented
+      // precedence): 'exp2' now names both a tag (-> v1, 10 rows) and
+      // a branch head (40 rows); resolution must pick the tag
+      io.catalog.tagSnapshot("default.t2", "exp2", 1)
+      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 10)
+      io.catalog.removeTag("default.t2", "exp2")
+      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 40)
       // unknown refs report not-found, not a filesystem error
       intercept[Exception](spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'nope'").collect())
     } finally {
       spark.conf.unset("spark.sql.catalog.gbr")
       spark.conf.unset("spark.sql.catalog.gbr.warehouse")
     }
+  }
+
+  test("repeated audit+integrate cycles: fast-forward works again after main's only advance was this branch") {
+    val io = freshIO()
+    val t = "default.cycle"
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "ingest")
+    io.appendToBranch(rows(10, 20), t, "ingest")
+    io.fastForward(t, "ingest")
+    assert(io.read(t).count() === 20)
+    // the long-lived ingest branch keeps taking batches...
+    io.appendToBranch(rows(20, 30), t, "ingest")
+    // ...and the SECOND integration must succeed: main advanced, but
+    // only via fast-forwarding this very branch (its files are a
+    // subset of the branch head's — the no-lost-update condition)
+    io.fastForward(t, "ingest")
+    assert(io.read(t).select("id").as[Long].collect().sorted === (0L until 30L).toArray)
+    // a genuinely diverging main append still refuses
+    io.append(rows(100, 105), t)
+    io.appendToBranch(rows(30, 35), t, "ingest")
+    val e = intercept[IllegalArgumentException](io.fastForward(t, "ingest"))
+    assert(e.getMessage.contains("diverged"))
   }
 
   test("branch commits are exclusive: a second writer to the same branch version fails loudly") {
