@@ -1543,6 +1543,15 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // branch compaction is exactly row-preserving across two
+    // integration cycles: the final table holds seed + both branch
+    // batches, nothing else, each once
+    "q108_branch_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey <= 300
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')""".stripMargin,
+
     // WAP-branch streaming replay: main_before = even-id events only
     // (the branch is invisible); main_after = every event exactly once
     // (fast-forward integrates the branch head). Decimal-exact value

@@ -1389,6 +1389,27 @@ object SparkEntry {
       before.unionByName(rollup(io.read(t), "main_after"))
     }),
 
+    // Branch maintenance in the q107 lifecycle: the ingest branch's
+    // per-batch small files compact into one rewritten file BETWEEN
+    // integration cycles (fastForward's rebase record resets the fork
+    // point, so the post-compaction integration still passes).
+    // Content-preservation is the oracle claim: seed + both batches,
+    // each row exactly once, through compact + a second fast-forward.
+    "q108_branch_compact" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_brc_"))
+      val t = "default.orders_brc"
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      io.append(ords.filter(col("o_orderpriority") === "1-URGENT"), t)
+      io.createBranch(t, "maint")
+      io.appendToBranch(ords.filter(col("o_orderpriority") === "2-HIGH"), t, "maint")
+      io.fastForward(t, "maint") // first cycle integrates HIGH
+      io.appendToBranch(ords.filter(col("o_orderpriority") === "3-MEDIUM"), t, "maint")
+      io.compactBranch(t, "maint", targetFiles = 1)
+      io.fastForward(t, "maint") // second cycle: compacted files integrate
+      io.read(t)
+    }),
+
     // STREAMING frequency maintenance: the additive counterpart of
     // q105 — Count-Min cells SUM-merged per micro-batch, with the
     // batch-id mark riding the overwrite commit (addition is not

@@ -632,8 +632,22 @@ final case class TableCatalog(warehouse: String) {
       // divergence check above — silently dropping the racer's rows.
       // Pinning makes the race surface as ConcurrentCommitException
       // (commitReplacement's identical guard).
-      commitSnapshotAt(name, files, cur + 1,
+      val newV = commitSnapshotAt(name, files, cur + 1,
         Map("fastForwardFrom" -> branch), stats)
+      // REBASE RECORD: commit a branch snapshot (same files) whose
+      // base prop is the just-created main version, so the NEXT cycle
+      // of the long-lived branch passes the fork-point check directly —
+      // including after a branch compaction rewrote the files (the
+      // subset condition alone couldn't cover that). Ordering matters
+      // for GC: the main commit above lands first, so these files are
+      // referenced by a version manifest before any branch-chain
+      // mutation. Best-effort: a crash between the two commits leaves
+      // the old base prop, and the subset condition still covers the
+      // un-compacted repeated-cycle case.
+      try commitBranchSnapshot(name, branch, files, head + 1,
+        Map(TableCatalog.BranchBaseProp -> newV.toString), stats)
+      catch { case scala.util.control.NonFatal(_) => () }
+      newV
     } finally lock.release()
   }
 
@@ -1632,6 +1646,36 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   /** Drop the branch chain; unshared files become GC orphans. */
   def dropBranch(name: String, branch: String): Boolean =
     catalog.dropBranch(name, branch)
+
+  /** Compact the BRANCH head: rewrite its file list into
+    * `targetFiles` files as a new branch version referencing only the
+    * rewritten output — the maintenance a long-lived streaming-ingest
+    * branch needs ([[graft.streaming.TableSink.branchAppendStream]]
+    * lands one small file set per micro-batch). Logical like every
+    * commit: prior branch versions and main keep reading the original
+    * files until expire + GC; the fork-base prop carries unchanged.
+    * Run it between integration cycles — fastForward's rebase record
+    * resets the fork point, so a post-integration compaction never
+    * trips the divergence check.
+    */
+  def compactBranch(name: String, branch: String, targetFiles: Int = 1): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val head = catalog.branchHead(name, branch).getOrElse(
+        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+      val baseProp =
+        try catalog.branchProps(name, branch, head)
+          .getOrElse(TableCatalog.BranchBaseProp, "0")
+        catch { case scala.util.control.NonFatal(_) => "0" }
+      val rewritten = readFiles(name, catalog.branchManifest(name, branch, head))
+        .repartition(targetFiles)
+      val newFiles = stageWrite(toPhysical(rewritten, name), name, Seq.empty)
+      catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
+        Map(TableCatalog.BranchBaseProp -> baseProp),
+        commitStats(name, Seq.empty, newFiles))
+    } finally lock.release()
+  }
 
   /** Dynamic partition-level overwrite — the reference's
     * `overwritePartition` (DimensionJob.scala:58,90;

@@ -169,6 +169,32 @@ class BranchSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("diverged"))
   }
 
+  test("compactBranch shrinks the branch file count, preserves rows, and survives the next integration") {
+    val io = freshIO()
+    val t = "default.brcompact"
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "m")
+    // several small appends -> several file sets on the branch
+    (1 to 4).foreach(i => io.appendToBranch(rows(i * 10, i * 10 + 10), t, "m"))
+    val before = io.catalog.branchManifest(t, "m", io.catalog.branchHead(t, "m").get).size
+    io.compactBranch(t, "m", targetFiles = 1)
+    val headAfter = io.catalog.branchHead(t, "m").get
+    val after = io.catalog.branchManifest(t, "m", headAfter).size
+    assert(after === 1 && after < before, s"expected 1 file after compaction, had $before -> $after")
+    assert(io.readBranch(t, "m").select("id").as[Long].collect().sorted === (0L until 50L).toArray)
+    // integration of the compacted branch works, and the rows survive
+    io.fastForward(t, "m")
+    assert(io.read(t).select("id").as[Long].collect().sorted === (0L until 50L).toArray)
+    // second cycle: append + compact AFTER an integration — the rebase
+    // record makes the fork check pass even though files were rewritten
+    io.appendToBranch(rows(50, 60), t, "m")
+    io.compactBranch(t, "m", targetFiles = 1)
+    io.fastForward(t, "m")
+    assert(io.read(t).select("id").as[Long].collect().sorted === (0L until 60L).toArray)
+    // prior main versions still read their original (uncompacted) files
+    assert(io.readVersion(t, 1).count() === 10)
+  }
+
   test("branch commits are exclusive: a second writer to the same branch version fails loudly") {
     val io = freshIO()
     val t = "default.race"
