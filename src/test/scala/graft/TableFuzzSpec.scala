@@ -139,4 +139,85 @@ class TableFuzzSpec extends graft.SparkSpec {
     assert(net.keySet.map(_._1) == model.keySet,
       "changelog replay over surviving history does not reproduce the live id set")
   }
+
+  test("80 random branch ops keep main and every live branch true to the model") {
+    val io = TableIO(spark, Files.createTempDirectory("graft_brfuzz_").toString)
+    val t = "default.brfuzz"
+    val rnd = new scala.util.Random(20260814L)
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, Double)] =
+      (0 until n).map { _ => nextId += 1; nextId -> (rnd.nextInt(1000) / 10.0) }
+
+    var mainModel: Map[Long, Double] = {
+      val seed = freshRows(20)
+      io.append(seed.toDF("id", "v"), t)
+      seed.toMap
+    }
+    // per-branch model: expected rows + whether fast-forward is legal
+    // (main advanced only via THIS branch since its fork/last rebase)
+    final case class Br(var rows: Map[Long, Double], var canFF: Boolean)
+    var branches = Map.empty[String, Br]
+    var brSeq = 0
+
+    def check(step: Int, op: String): Unit = {
+      assert(io.read(t).as[(Long, Double)].collect().toMap == mainModel,
+        s"step $step ($op): MAIN diverged from model")
+      branches.foreach { case (b, m) =>
+        assert(io.readBranch(t, b).as[(Long, Double)].collect().toMap == m.rows,
+          s"step $step ($op): branch $b diverged from model")
+      }
+    }
+
+    (1 to 80).foreach { step =>
+      val op = rnd.nextInt(100) match {
+        case r if r < 20 => // independent main append: diverges EVERY branch
+          val rows = freshRows(1 + rnd.nextInt(6))
+          io.append(rows.toDF("id", "v"), t)
+          mainModel ++= rows
+          branches.values.foreach(_.canFF = false)
+          "append-main"
+        case r if r < 32 && branches.size < 4 =>
+          brSeq += 1
+          val b = s"b$brSeq"
+          io.createBranch(t, b)
+          branches += b -> Br(mainModel, canFF = true)
+          "createBranch"
+        case r if r < 54 && branches.nonEmpty =>
+          val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
+          val rows = freshRows(1 + rnd.nextInt(6))
+          io.appendToBranch(rows.toDF("id", "v"), t, b)
+          branches(b).rows ++= rows
+          "appendToBranch"
+        case r if r < 64 && branches.nonEmpty => // row-preserving rewrite
+          val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
+          io.compactBranch(t, b, targetFiles = 1)
+          "compactBranch"
+        case r if r < 78 && branches.nonEmpty =>
+          val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
+          val m = branches(b)
+          if (m.canFF) {
+            io.fastForward(t, b)
+            mainModel = m.rows
+            // main advanced via THIS branch: its rebase record keeps it
+            // integrable; every OTHER branch is now diverged
+            branches.foreach { case (ob, om) => if (ob != b) om.canFF = false }
+            "fastForward"
+          } else {
+            // a diverged integration must refuse AND change nothing
+            intercept[IllegalArgumentException](io.fastForward(t, b))
+            "fastForward-refused"
+          }
+        case r if r < 86 && branches.nonEmpty =>
+          val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
+          assert(io.dropBranch(t, b))
+          branches -= b
+          "dropBranch"
+        case _ =>
+          io.catalog.expireSnapshots(t, keepLast = 3)
+          io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
+          "expire+gc" // branch reads in check() prove GC kept them whole
+      }
+      check(step, op)
+    }
+  }
 }
