@@ -31,7 +31,8 @@ private[io] object GraftProcedures {
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
       "compact_zorder", "add_bloom_index", "tag_snapshot", "remove_tag",
-      "rollback_to_snapshot", "create_branch", "fast_forward", "drop_branch")
+      "rollback_to_snapshot", "create_branch", "fast_forward", "drop_branch",
+      "expire_branch_snapshots")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -164,6 +165,18 @@ private[io] object GraftProcedures {
           val (t, b) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
           val v = cat.fastForward(t, b)
           Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(b), v)))
+        }))
+    case "expire_branch_snapshots" =>
+      // branch-chain twin of expire_snapshots: prune old branch
+      // manifests, always retaining the head and the newest
+      // stream-marked manifest (the replay guard)
+      Some(proc("expire_branch_snapshots",
+        Seq("table" -> StringType, "branch" -> StringType, "keep_last" -> IntegerType),
+        new StructType().add("expired_version", IntegerType, nullable = false),
+        (in: InternalRow) => {
+          val (t, b, k) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString, in.getInt(2))
+          cat.expireBranchSnapshots(t, b, k)
+            .map(v => new GenericInternalRow(Array[Any](v)))
         }))
     case "drop_branch" =>
       Some(proc("drop_branch",

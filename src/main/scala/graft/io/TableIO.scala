@@ -553,6 +553,33 @@ final case class TableCatalog(warehouse: String) {
       .flatMap(_.toLongOption)
       .nextOption()
 
+  /** Drop branch manifests older than the newest `keepLast` — the
+    * branch-chain twin of [[expireSnapshots]], needed because a
+    * long-lived streaming-ingest branch commits one manifest per
+    * micro-batch (plus a rebase record per integration) and the chain
+    * would otherwise grow without bound. Same retention rules as main:
+    * the newest manifest carrying ANY stream-batch mark is always
+    * kept (it is the replay guard — expiring it would let a crash
+    * replay re-append its batch), and the head is always kept. Data
+    * files are untouched; run `removeOrphanFiles` to reclaim bytes no
+    * surviving manifest (main, staged, or branch) references.
+    */
+  def expireBranchSnapshots(name: String, branch: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val lock = TableIO.writeLock(pathOf(name))
+    lock.acquire()
+    try {
+      val vs = branchVersions(name, branch)
+      val newestMarked = vs.reverseIterator.find { v =>
+        try branchProps(name, branch, v).keys.exists(_.startsWith(TableCatalog.StreamBatchProp))
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+      val expired = vs.dropRight(keepLast).filterNot(newestMarked.contains)
+      expired.foreach(v => Files.deleteIfExists(branchFile(name, branch, v)))
+      expired
+    } finally lock.release()
+  }
+
   /** Delete every manifest of `branch`; its unshared files become
     * orphans for the age-guarded GC. Returns whether it existed.
     */

@@ -141,6 +141,14 @@ class BranchSpec extends graft.SparkSpec {
       assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 40)
       // unknown refs report not-found, not a filesystem error
       intercept[Exception](spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'nope'").collect())
+
+      // branch-chain expiry through SQL: head retained, old pruned
+      io.appendToBranch(rows(140, 150), "default.t2", "exp2")
+      val bexp = spark.sql("CALL gbr.system.expire_branch_snapshots('default.t2', 'exp2', 1)")
+        .collect().map(_.getInt(0)).toSeq
+      assert(bexp.nonEmpty)
+      assert(io.catalog.branchVersions("default.t2", "exp2").size === 1)
+      assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 50)
     } finally {
       spark.conf.unset("spark.sql.catalog.gbr")
       spark.conf.unset("spark.sql.catalog.gbr.warehouse")
@@ -167,6 +175,34 @@ class BranchSpec extends graft.SparkSpec {
     io.appendToBranch(rows(30, 35), t, "ingest")
     val e = intercept[IllegalArgumentException](io.fastForward(t, "ingest"))
     assert(e.getMessage.contains("diverged"))
+  }
+
+  test("expireBranchSnapshots prunes the chain, retains the newest marked manifest, and GC respects survivors") {
+    val io = freshIO()
+    val t = "default.brexp"
+    val propKey = TableCatalog.streamBatchProp(Some("exp-test"))
+    io.append(rows(0, 10), t)
+    io.createBranch(t, "ingest")
+    // batch-marked appends (the branchAppendStream shape), then
+    // unmarked maintenance commits on top
+    io.appendToBranch(rows(10, 20), t, "ingest", props = Map(propKey -> "0"))
+    io.appendToBranch(rows(20, 30), t, "ingest", props = Map(propKey -> "1"))
+    io.compactBranch(t, "ingest", targetFiles = 1)
+    io.compactBranch(t, "ingest", targetFiles = 1)
+    assert(io.catalog.branchVersions(t, "ingest") === Seq(1, 2, 3, 4, 5))
+
+    val expired = io.catalog.expireBranchSnapshots(t, "ingest", keepLast = 1)
+    // v3 carries mark batchId=1 (the newest marked) -> retained even
+    // though older than the keep window; v1, v2, v4 go
+    assert(expired === Seq(1, 2, 4))
+    assert(io.catalog.branchVersions(t, "ingest") === Seq(3, 5))
+    assert(io.catalog.branchStreamBatchMark(t, "ingest", propKey) === Some(1L),
+      "the replay guard must survive expiry")
+    // the head still reads whole after GC reclaims the expired bytes
+    io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
+    assert(io.readBranch(t, "ingest").select("id").as[Long].collect().sorted ===
+      (0L until 30L).toArray)
+    assert(io.read(t).count() === 10) // main untouched throughout
   }
 
   test("compactBranch shrinks the branch file count, preserves rows, and survives the next integration") {
