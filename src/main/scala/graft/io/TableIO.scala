@@ -570,11 +570,22 @@ final case class TableCatalog(warehouse: String) {
     lock.acquire()
     try {
       val vs = branchVersions(name, branch)
-      val newestMarked = vs.reverseIterator.find { v =>
-        try branchProps(name, branch, v).keys.exists(_.startsWith(TableCatalog.StreamBatchProp))
-        catch { case _: java.nio.file.NoSuchFileException => false }
+      require(vs.nonEmpty, s"branch $branch does not exist on $name")
+      // marks are PER-SINK keys (streamBatchId:<sinkId> — several
+      // streaming queries may feed one ingest branch), so the newest
+      // marked manifest must be retained PER KEY: dropping another
+      // sink's newest mark would forfeit that sink's exactly-once
+      // guard on its next crash replay
+      val newestPerKey = scala.collection.mutable.Map.empty[String, Int]
+      vs.foreach { v =>
+        val keys =
+          try branchProps(name, branch, v).keys
+            .filter(_.startsWith(TableCatalog.StreamBatchProp))
+          catch { case _: java.nio.file.NoSuchFileException => Iterable.empty[String] }
+        keys.foreach(k => newestPerKey(k) = v) // ascending scan: last write wins
       }
-      val expired = vs.dropRight(keepLast).filterNot(newestMarked.contains)
+      val pinned = newestPerKey.values.toSet
+      val expired = vs.dropRight(keepLast).filterNot(pinned)
       expired.foreach(v => Files.deleteIfExists(branchFile(name, branch, v)))
       expired
     } finally lock.release()
@@ -638,21 +649,28 @@ final case class TableCatalog(warehouse: String) {
         catch { case scala.util.control.NonFatal(_) => None }
       val cur = currentVersion(name).getOrElse(0)
       // No-lost-update condition, two ways to satisfy it: (a) main is
-      // still at the fork point; or (b) main's current FILE SET is a
-      // subset of the branch head's — which holds exactly when every
-      // main advance since the fork came from fast-forwarding THIS
-      // branch (repeated audit+integrate cycles on a long-lived ingest
-      // branch, the branchAppendStream lifecycle). Anything else
-      // (an independent append, a compaction) is a genuine divergence
-      // and is refused — integrating would drop main's rows/files.
-      val curFiles =
-        if (cur == 0) Set.empty[String]
-        else try manifest(name, cur).toSet
-             catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
-      require(base.contains(cur) || (cur > 0 && curFiles.subsetOf(files.toSet)),
+      // still at the recorded fork point (the normal case — fast-
+      // forward leaves a rebase record below, so repeated cycles land
+      // here); or (b) main's HEAD was itself produced by fast-
+      // forwarding THIS branch AND its files are a subset of the
+      // branch head's — the crash-recovery case where the main commit
+      // landed but the rebase record below was lost. The subset test
+      // alone is NOT sufficient (an unrelated shrink of main — a
+      // rollbackTo, a DELETE dropping whole files — also yields a
+      // subset, and integrating over it would resurrect the removed
+      // rows), hence the fastForwardFrom check gating it.
+      val curFf =
+        if (cur == 0) None
+        else try manifestProps(name, cur).get("fastForwardFrom")
+             catch { case scala.util.control.NonFatal(_) => None }
+      lazy val curFiles =
+        try manifest(name, cur).toSet
+        catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+      require(base.contains(cur) ||
+          (curFf.contains(branch) && curFiles.subsetOf(files.toSet)),
         s"cannot fast-forward $name to branch $branch: main is at v$cur but the " +
-          s"branch forked at v${base.getOrElse(-1)} and main holds files the " +
-          "branch lacks — diverged; rebase the branch or integrate manually")
+          s"branch forked at v${base.getOrElse(-1)} and main advanced " +
+          "independently — diverged; rebase the branch or integrate manually")
       // PINNED at cur+1, not re-derived: the same-JVM lock does not
       // span processes, and an unpinned commit would re-read
       // currentVersion AFTER a cross-process append slipped past the
@@ -1635,16 +1653,21 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         try catalog.branchStats(name, branch, head).view.filterKeys(prev.toSet).toMap
         catch { case scala.util.control.NonFatal(_) =>
           Map.empty[String, Map[String, FileStats.ColStats]] }
-      val baseProp =
-        try catalog.branchProps(name, branch, head)
-          .getOrElse(TableCatalog.BranchBaseProp, "0")
-        catch { case scala.util.control.NonFatal(_) => "0" }
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
       catalog.commitBranchSnapshot(name, branch, prev ++ newFiles, head + 1,
-        props + (TableCatalog.BranchBaseProp -> baseProp),
+        props + (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
         carried ++ commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }
+
+  /** The fork-base prop carried forward on every branch commit —
+    * retention-critical and shared by append/compact so the two can
+    * never disagree about the fork point.
+    */
+  private def branchBaseOf(name: String, branch: String, head: Int): String =
+    try catalog.branchProps(name, branch, head)
+      .getOrElse(TableCatalog.BranchBaseProp, "0")
+    catch { case scala.util.control.NonFatal(_) => "0" }
 
   /** The branch as a DataFrame (its head manifest's files). */
   def readBranch(name: String, branch: String): DataFrame = {
@@ -1686,20 +1709,24 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * trips the divergence check.
     */
   def compactBranch(name: String, branch: String, targetFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.col
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
       val head = catalog.branchHead(name, branch).getOrElse(
         throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
-      val baseProp =
-        try catalog.branchProps(name, branch, head)
-          .getOrElse(TableCatalog.BranchBaseProp, "0")
-        catch { case scala.util.control.NonFatal(_) => "0" }
-      val rewritten = readFiles(name, catalog.branchManifest(name, branch, head))
-        .repartition(targetFiles)
-      val newFiles = stageWrite(toPhysical(rewritten, name), name, Seq.empty)
+      val files = catalog.branchManifest(name, branch, head)
+      // layout-aware like main-side compact: rewriting a partitioned
+      // branch flat would create the mixed-layout state
+      // layoutPartitionColsOf exists to prevent
+      val pcols = layoutPartitionColsOf(name, files)
+      val df = readFiles(name, files)
+      val rewritten =
+        if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
+        else df.repartition(targetFiles)
+      val newFiles = stageWrite(toPhysical(rewritten, name), name, pcols)
       catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
-        Map(TableCatalog.BranchBaseProp -> baseProp),
+        Map(TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
         commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }
@@ -1744,16 +1771,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * that a later `overwritePartition` cannot replace — duplicated
     * rows).
     */
-  private def layoutPartitionCols(name: String): Seq[String] = {
-    // Derive the layout from EVERY file in the current manifest, not
-    // the first: a mixed-layout table (flat legacy append followed by
-    // partitioned appends) must fail loudly here — trusting one file
-    // would let compact/compactSorted/compactZOrder silently rewrite
-    // the table under the wrong layout (flat first file -> flat
-    // rewrite -> the duplicated-rows-after-overwritePartition hazard
-    // this helper exists to prevent).
-    val files = catalog.currentVersion(name)
-      .map(v => catalog.manifest(name, v)).getOrElse(Seq.empty)
+  private def layoutPartitionCols(name: String): Seq[String] =
+    layoutPartitionColsOf(name,
+      catalog.currentVersion(name).map(v => catalog.manifest(name, v)).getOrElse(Seq.empty))
+
+  /** Derive the layout from EVERY file in `files`, not the first: a
+    * mixed-layout file set (flat legacy append followed by partitioned
+    * appends) must fail loudly here — trusting one file would let
+    * compact/compactSorted/compactZOrder/compactBranch silently
+    * rewrite under the wrong layout (flat first file -> flat rewrite
+    * -> the duplicated-rows-after-overwritePartition hazard this
+    * helper exists to prevent).
+    */
+  private def layoutPartitionColsOf(name: String, files: Seq[String]): Seq[String] = {
     val layouts = files.map(f => partitionKeyOf(name, f).map(_.takeWhile(_ != '='))).distinct
     layouts match {
       case Seq() => Seq.empty

@@ -205,6 +205,64 @@ class BranchSpec extends graft.SparkSpec {
     assert(io.read(t).count() === 10) // main untouched throughout
   }
 
+  test("branch expiry retains the newest marked manifest PER SINK key") {
+    val io = freshIO()
+    val t = "default.brexp2"
+    val keyA = TableCatalog.streamBatchProp(Some("sinkA"))
+    val keyB = TableCatalog.streamBatchProp(Some("sinkB"))
+    io.append(rows(0, 5), t)
+    io.createBranch(t, "b")
+    io.appendToBranch(rows(5, 10), t, "b", props = Map(keyA -> "5"))  // v2: sink A's newest
+    io.appendToBranch(rows(10, 15), t, "b", props = Map(keyB -> "2")) // v3: sink B's newest
+    io.compactBranch(t, "b")                                          // v4
+    io.compactBranch(t, "b")                                          // v5 (head)
+    val expired = io.catalog.expireBranchSnapshots(t, "b", keepLast = 1)
+    // v2 AND v3 are pinned (each the newest mark of its sink); only v1
+    // and v4 may go
+    assert(expired === Seq(1, 4))
+    assert(io.catalog.branchStreamBatchMark(t, "b", keyA) === Some(5L))
+    assert(io.catalog.branchStreamBatchMark(t, "b", keyB) === Some(2L))
+  }
+
+  test("fast-forward refuses after a main rollback even though the file set shrank") {
+    val io = freshIO()
+    val t = "default.rbff"
+    io.append(rows(0, 10), t)  // v1
+    io.append(rows(10, 20), t) // v2
+    io.createBranch(t, "b")    // forked at v2
+    io.appendToBranch(rows(20, 30), t, "b")
+    // operator purges v2's rows: main v3 = v1's files — a SUBSET of
+    // the branch head's files, but NOT a fast-forward of this branch;
+    // integrating would resurrect the purged rows
+    io.catalog.rollbackTo(t, 1)
+    val e = intercept[IllegalArgumentException](io.fastForward(t, "b"))
+    assert(e.getMessage.contains("diverged"))
+    assert(io.read(t).count() === 10, "rolled-back main must stay purged")
+  }
+
+  test("compactBranch preserves a Hive-partitioned branch layout") {
+    val io = freshIO()
+    val t = "default.brpart"
+    def part(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"r$i", i % 3)).toDF("id", "v", "p")
+    io.append(part(0, 12), t, Seq("p"))
+    io.createBranch(t, "m")
+    io.appendToBranch(part(12, 24), t, "m", partitionCols = Seq("p"))
+    io.appendToBranch(part(24, 36), t, "m", partitionCols = Seq("p"))
+    io.compactBranch(t, "m")
+    // rewritten files keep the p=... layout: every file sits under a
+    // partition dir, and the partition column reads back intact
+    val head = io.catalog.branchHead(t, "m").get
+    val files = io.catalog.branchManifest(t, "m", head)
+    assert(files.forall(_.contains("p=")), s"compacted files lost the layout: $files")
+    assert(io.readBranch(t, "m").groupBy("p").count().count() === 3)
+    io.fastForward(t, "m")
+    assert(io.read(t).select("id").as[Long].collect().sorted === (0L until 36L).toArray)
+    // and main-side compact still sees ONE layout (no mixed-state)
+    io.compact(t)
+    assert(io.read(t).count() === 36)
+  }
+
   test("compactBranch shrinks the branch file count, preserves rows, and survives the next integration") {
     val io = freshIO()
     val t = "default.brcompact"
