@@ -158,6 +158,8 @@ class TableFuzzSpec extends graft.SparkSpec {
     final case class Br(var rows: Map[Long, Double], var canFF: Boolean)
     var branches = Map.empty[String, Br]
     var brSeq = 0
+    // remembered main snapshots for rollback targets
+    var snapshots = Map.empty[Int, Map[Long, Double]]
 
     def check(step: Int, op: String): Unit = {
       assert(io.read(t).as[(Long, Double)].collect().toMap == mainModel,
@@ -207,17 +209,33 @@ class TableFuzzSpec extends graft.SparkSpec {
             intercept[IllegalArgumentException](io.fastForward(t, b))
             "fastForward-refused"
           }
-        case r if r < 86 && branches.nonEmpty =>
+        case r if r < 84 && branches.nonEmpty =>
           val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
           assert(io.dropBranch(t, b))
           branches -= b
           "dropBranch"
+        case r if r < 88 && branches.nonEmpty => // branch-chain expiry
+          val b = branches.keys.toSeq.sorted.apply(rnd.nextInt(branches.size))
+          io.catalog.expireBranchSnapshots(t, b, keepLast = 1)
+          "expireBranch" // rows unchanged; check() proves the head reads
+        case r if r < 93 && snapshots.keys.exists(io.versions(t).contains) =>
+          // rollback SHRINKS main to a remembered state: every branch
+          // becomes non-integrable (the rollback-resurrection guard)
+          val live = snapshots.keys.toSeq.filter(io.versions(t).contains).sorted
+          val v = live(rnd.nextInt(live.size))
+          io.catalog.rollbackTo(t, v)
+          mainModel = snapshots(v)
+          branches.values.foreach(_.canFF = false)
+          "rollback"
         case _ =>
-          io.catalog.expireSnapshots(t, keepLast = 3)
+          val expired = io.catalog.expireSnapshots(t, keepLast = 3)
+          snapshots = snapshots.removedAll(expired)
           io.catalog.removeOrphanFiles(t, olderThanMs = -1000)
           "expire+gc" // branch reads in check() prove GC kept them whole
       }
       check(step, op)
+      if (rnd.nextInt(8) == 0)
+        io.catalog.currentVersion(t).foreach(v => snapshots += v -> mainModel)
     }
   }
 }
