@@ -1543,6 +1543,13 @@ object OracleQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
         |  'main_after' AS stage FROM full_set""".stripMargin,
 
+    // .refs is fully scripted: one tag at v1, branch 'exp' head at its
+    // v2 (create + one append), branch 'idle' head at its v1
+    "q109_refs_meta" ->
+      """SELECT 'audited' AS ref_name, 'tag' AS ref_type, 1 AS version
+        |UNION ALL SELECT 'exp', 'branch', 2
+        |UNION ALL SELECT 'idle', 'branch', 1""".stripMargin,
+
     // branch compaction is exactly row-preserving across two
     // integration cycles: the final table holds seed + both branch
     // batches, nothing else, each once

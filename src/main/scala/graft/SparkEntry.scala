@@ -1389,6 +1389,27 @@ object SparkEntry {
       before.unionByName(rollup(io.read(t), "main_after"))
     }),
 
+    // The unified .refs view (Iceberg refs): every named pointer into
+    // the snapshot space — a retention tag and two branches at
+    // different lifecycle stages — as one introspection row set, read
+    // through SQL. The row contents are fully determined by the
+    // scripted op sequence, so a literal oracle pins them.
+    "q109_refs_meta" -> ((s, dir) => {
+      val cname = "gref"
+      val io = catalogIO(s, cname, "graft_refs_")
+      val t = "default.orders_refs"
+      io.catalog.dropTable(t)
+      io.append(Tables.orders(s, dir).filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey"), col("o_totalprice")), t) // v1
+      io.catalog.tagSnapshot(t, "audited", 1)
+      io.createBranch(t, "exp") // branch v1 at fork v1
+      io.appendToBranch(Tables.orders(s, dir)
+        .filter(col("o_custkey") > 100 && col("o_custkey") <= 120)
+        .select(col("o_orderkey"), col("o_totalprice")), t, "exp") // branch v2
+      io.createBranch(t, "idle") // branch v1
+      s.sql(s"SELECT ref_name, ref_type, version FROM $cname.$t.refs")
+    }),
+
     // Branch maintenance in the q107 lifecycle: the ingest branch's
     // per-batch small files compact into one rewritten file BETWEEN
     // integration cycles (fastForward's rebase record resets the fork

@@ -28,7 +28,7 @@ private[io] object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats",
-      "branches")
+      "branches", "refs")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -194,6 +194,24 @@ private[io] object MetadataTables {
           org.apache.spark.unsafe.types.UTF8String.fromString(t), v)): InternalRow
       }
       local(s"$table.tags", schema, rows)
+    case "refs" =>
+      // Iceberg's unified refs view: every named pointer into the
+      // snapshot space — tags (immutable) and branches (writable, the
+      // version is the branch HEAD's manifest) — one row each, the
+      // "what can I address by name on this table" answer
+      val schema = new StructType()
+        .add("ref_name", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("ref_type", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("version", IntegerType, nullable = false)
+      def str(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val tagRows = cat.tags(table).toSeq.sortBy(_._1).map { case (tg, v) =>
+        new GenericInternalRow(Array[Any](str(tg), str("tag"), v)): InternalRow
+      }
+      val branchRows = cat.listBranches(table).flatMap { b =>
+        cat.branchHead(table, b).map(h =>
+          new GenericInternalRow(Array[Any](str(b), str("branch"), h)): InternalRow)
+      }
+      local(s"$table.refs", schema, tagRows ++ branchRows)
     case "branches" =>
       // branch-ref introspection: head/fork versions + head size. A
       // branch dropped between the listing and its reads is normal
