@@ -1550,6 +1550,22 @@ object OracleQueries {
         |UNION ALL SELECT 'exp', 'branch', 2
         |UNION ALL SELECT 'idle', 'branch', 1""".stripMargin,
 
+    // bottom-k-by-hash replays exactly: rank by the same 52-bit md5
+    // prefix (13 hex chars — exact in Spark's Double score), id ASC
+    // tiebreak, keep rank <= k per stratum
+    "q110_exact_k_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS h52
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h52 ASC, doc_id ASC) AS INT)
+        |      AS sample_rank
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+
     // branch compaction is exactly row-preserving across two
     // integration cycles: the final table holds seed + both branch
     // batches, nothing else, each once

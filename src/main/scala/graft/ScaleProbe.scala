@@ -58,7 +58,10 @@ object ScaleProbe {
     // streaming sketch maintenance: state lives in the TABLE (bounded
     // at keys x registers / 4096 cells), so 10x events cost more
     // micro-batch input, never more state
-    "q105_stream_hll", "q106_stream_cms")
+    "q105_stream_hll", "q106_stream_cms",
+    // exact-k sample: bounded topk aggregate — cost should track the
+    // scan, state stays strata x k regardless of corpus size
+    "q110_exact_k_sample")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

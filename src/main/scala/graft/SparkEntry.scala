@@ -1410,6 +1410,18 @@ object SparkEntry {
       s.sql(s"SELECT ref_name, ref_type, version FROM $cname.$t.refs")
     }),
 
+    // Exactly-k-per-stratum deterministic sample (bottom-k by portable
+    // 52-bit hash): the fixed-SIZE member of the sampling family —
+    // q39/q67 fix rates, q103 fixes a token budget, this fixes a row
+    // count ("exactly 20 eval docs per language"). Bounded graft_topk
+    // aggregate map-side, broadcast membership join back — the corpus
+    // never shuffles (pinned in PlanQualitySpec).
+    "q110_exact_k_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.exactKPerStratum(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        strataCol = "lang", k = 20)
+        .select("doc_id", "lang", "source", "sample_rank")),
+
     // Branch maintenance in the q107 lifecycle: the ingest branch's
     // per-batch small files compact into one rewritten file BETWEEN
     // integration cycles (fastForward's rebase record resets the fork

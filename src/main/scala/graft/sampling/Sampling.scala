@@ -118,6 +118,54 @@ object Sampling {
     * prefix only needs the documents whose hash rank can possibly fit
     * the budget).
     */
+  /** 52-bit portable id hash: the first 13 hex chars of md5. Two
+    * properties make this the ranking key for [[exactKPerStratum]]:
+    * it is bit-identical cross-engine (same md5-prefix trick as
+    * [[portableHash]]), and — unlike the 60-bit flavor — every value
+    * is below 2^53, so `CAST(... AS DOUBLE)` is EXACT and a
+    * Double-scored aggregate ranks by the identical total order a
+    * BIGINT-ordered SQL oracle computes. Collisions in a 2^52 space
+    * are vanishingly rare and harmless regardless: ties break by id,
+    * deterministically, in both engines.
+    */
+  def portableHash52Sql(idCol: String): String =
+    s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+
+  /** Exactly-k-per-stratum sample: the k documents with the SMALLEST
+    * portable hash in each stratum (classic bottom-k), with their
+    * 1-based `sample_rank` appended — "cut me exactly 1000 eval docs
+    * per language, reproducibly". Complements the fraction samplers:
+    * [[hashSample]]/[[stratifiedSample]] fix the RATE (membership is
+    * append-stable, size drifts with the corpus); bottom-k fixes the
+    * SIZE (k exactly, but appends may evict the largest-hash member —
+    * that instability is inherent to any fixed-size sample).
+    *
+    * Scale shape — this is deliberately NOT
+    * `row_number().over(partitionBy(stratum))`: with a handful of
+    * strata the window shuffles the ENTIRE corpus into |strata| tasks
+    * and sorts it there, no matter how big the cluster. The bounded
+    * graft_topk aggregate (q10's kernel, score = -hash so "top"
+    * means smallest) reduces every input partition to <= k rows per
+    * stratum map-side, the exchange carries <= strata x partitions x k
+    * heap entries, and the final merge is O(k) per stratum. The keep
+    * set (strata x k ids) is tiny by construction, so membership
+    * rejoins the corpus as a BROADCAST hash join — the corpus itself
+    * never shuffles at all.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keep = df
+      .groupBy(col(strataCol))
+      .agg(expr(s"graft_topk(-CAST(${portableHash52Sql(idCol)} AS DOUBLE), " +
+          s"CAST($idCol AS BIGINT), 0, $k)").as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__e.id1").as("__kid"),
+        (col("__pos") + 1).cast("int").as("sample_rank"))
+    df.join(broadcast(keep), col(idCol).cast("long") === col("__kid"))
+      .drop("__kid")
+  }
+
   def tokenBudgetSample(df: DataFrame, strataCol: String, budget: Long,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {

@@ -208,6 +208,40 @@ class SamplingSpec extends SparkSpec {
     assert(first === sel() && first.nonEmpty)
   }
 
+  test("exactKPerStratum keeps exactly min(k, |stratum|) rows with dense 1..k ranks") {
+    val docs = spark.range(0, 900)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'zh' ELSE 'de' END AS lang",
+        "'w' AS source")
+    val out = graft.sampling.Sampling.exactKPerStratum(docs, "lang", 25)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 25L, "zh" -> 25L, "de" -> 25L), counts.toString)
+    // ranks dense 1..k per stratum; input columns survive (family contract)
+    val ranks = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.collect_set(col("sample_rank")).as("rs"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("rs").toSet)
+    assert(ranks.forall(_ == (1 to 25).toSet))
+    assert(out.columns.toSet == Set("doc_id", "lang", "source", "sample_rank"))
+    // cross-check the bounded-aggregate path against the independent
+    // row_number-window formulation of the same total order
+    val h52 = graft.sampling.Sampling.portableHash52Sql("doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(expr(h52).asc, col("doc_id").asc)
+    val ref = docs.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 25)
+      .select(col("doc_id"), col("rn").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val got = out.select(col("doc_id"), col("sample_rank")).as[(Long, Int)].collect().toSet
+    assert(got === ref, "aggregate path must equal the window formulation")
+    // k above the stratum size keeps the whole stratum
+    assert(graft.sampling.Sampling.exactKPerStratum(docs, "lang", 1000).count() === 900)
+    // partition-order independence: same members from a reshuffled input
+    val again = graft.sampling.Sampling.exactKPerStratum(docs.repartition(7), "lang", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.map(_._1))
+  }
+
   test("mixtureBalance downsamples every stratum toward the rarest one's count") {
     // skewed mixture: 4000 'web', 1000 'book', 200 'wiki'
     val docs = spark.range(0, 5200)

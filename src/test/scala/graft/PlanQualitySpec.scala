@@ -72,6 +72,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2, p)
   }
 
+  test("exact-k sample (q110): bounded aggregate + broadcast membership join, no window sort") {
+    val df = graft.sampling.Sampling.exactKPerStratum(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "source"), "lang", 20)
+    val p = plan(df)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), s"fixed-size sample must not plan a per-stratum window sort:\n$p")
+    // the strata x k keep set broadcasts; the corpus side never exchanges
+    assert(p.contains("BroadcastHashJoin"), s"membership must rejoin as a broadcast:\n$p")
+  }
+
   test("vocab top-k aggregates on token alone (map-side combine) and takes ordered top-k") {
     val p = plan(graft.text.TextAnalysis.topTokens(Tables.documents(spark, sfDir), k = 10))
     assert(p.contains("TakeOrderedAndProject"), s"vocab top-k must not materialize a full sort:\n$p")
