@@ -155,6 +155,17 @@ object Sampling {
   def exactKPerStratum(df: DataFrame, strataCol: String, k: Int,
                        idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // graft_topk carries the id as a BIGINT: a non-integral id would
+    // CAST to null and be SILENTLY skipped by the aggregate — refuse
+    // loudly instead (hash/assign numeric ids upstream). Ids must also
+    // be unique: a duplicated kept id would fan out in the membership
+    // join (the sampling family's standing doc_id assumption).
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(df.schema(idCol).dataType)
+    }, s"exactKPerStratum needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
     val keep = df
       .groupBy(col(strataCol))
       .agg(expr(s"graft_topk(-CAST(${portableHash52Sql(idCol)} AS DOUBLE), " +

@@ -240,6 +240,13 @@ class SamplingSpec extends SparkSpec {
     val again = graft.sampling.Sampling.exactKPerStratum(docs.repartition(7), "lang", 25)
       .select("doc_id").as[Long].collect().toSet
     assert(again === got.map(_._1))
+    // a non-integral id would null out inside the aggregate and rows
+    // would silently vanish — the operator must refuse it up front
+    val strDocs = docs.selectExpr("CAST(doc_id AS STRING) AS doc_id", "lang", "source")
+    val e = intercept[IllegalArgumentException] {
+      graft.sampling.Sampling.exactKPerStratum(strDocs, "lang", 5)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
   test("mixtureBalance downsamples every stratum toward the rarest one's count") {
