@@ -1345,7 +1345,8 @@ object OracleQueries {
         |  SELECT user_id AS s_user, session_id,
         |    min(ts) AS s_start, max(ts) AS s_end
         |  FROM t GROUP BY 1, 2)
-        |SELECT iv.s_user, iv.session_id, iv.s_start,
+        |SELECT iv.s_user, CAST(iv.session_id AS BIGINT) AS session_id,
+        |  epoch_us(iv.s_start) AS s_start_us,
         |  CAST(count(*) AS BIGINT) AS n_overlap,
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM iv JOIN events e
@@ -1552,12 +1553,13 @@ object OracleQueries {
 
     // bottom-k-by-hash replays exactly: rank by the same 52-bit md5
     // prefix (13 hex chars — exact in Spark's Double score), id ASC
-    // tiebreak, keep rank <= k per stratum
+    // tiebreak, keep rank <= k per stratum; NULL ids are excluded by
+    // contract (exactKPerStratum filters them on the Spark side)
     "q110_exact_k_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, source,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS h52
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), r AS (
         |  SELECT doc_id, lang, source,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h52 ASC, doc_id ASC) AS INT)
@@ -1658,8 +1660,13 @@ object OracleQueries {
         |    CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 1024 AS bucket
         |  FROM top t, range(4) AS r(d)),
         |est AS (
-        |  SELECT p.token, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
-        |  FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+        |  -- LEFT join + coalesce(0), NOT inner: an absent cell means
+        |  -- "never incremented" and must win the min as 0 — the same
+        |  -- absent-cell semantics as CountMin.estimate and the q106
+        |  -- oracle (top-20 probe keys happen to occupy all cells, but
+        |  -- the oracle must encode the engine's rule, not the data's)
+        |  SELECT p.token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+        |  FROM probe p LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
         |  GROUP BY 1)
         |SELECT t.token, t.exact_cnt, e.cms_estimate
         |FROM top t JOIN est e USING (token)""".stripMargin,

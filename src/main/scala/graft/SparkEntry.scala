@@ -1104,7 +1104,11 @@ object SparkEntry {
       val points = ev.select(col("event_id").as("p_event"), col("ts").as("p_ts"),
         col("user_id").as("p_user"))
       graft.operators.Joins.intervalJoin(points, sessions, "p_ts", "s_start", "s_end")
-        .groupBy(col("s_user"), col("session_id"), col("s_start"))
+        .groupBy(col("s_user"), col("session_id"),
+          // all-integer output per the exactness recipe: epoch micros
+          // (< 2^53) instead of a raw timestamp removes every
+          // cross-engine timestamp-canonicalization variable
+          unix_micros(col("s_start")).as("s_start_us"))
         .agg(count(lit(1)).as("n_overlap"),
           countDistinct(col("p_user")).as("n_users"))
     }),

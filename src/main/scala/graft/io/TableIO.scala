@@ -1538,6 +1538,30 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                 props: Map[String, String] = Map.empty): Unit =
     write(df, name, append = false, partitionCols, props)
 
+  /** Version-PINNED overwrite for read-merge-overwrite cycles (the
+    * sketch sinks): commits at exactly `expectedVersion` via the
+    * exclusive manifest create, so a writer that read state at
+    * version `expectedVersion - 1` and lost the race to another
+    * merger surfaces as [[ConcurrentCommitException]] instead of
+    * silently dropping the racer's merge (lost update — the repo's
+    * "pin version-checked commits" rule; the same-JVM lock alone is
+    * not cross-process). Caller retries the WHOLE read-merge-commit.
+    * Staged files of a losing attempt are unreferenced and reclaimed
+    * by the next orphan sweep, same as any failed write.
+    */
+  private[graft] def overwriteAt(df: DataFrame, name: String, expectedVersion: Int,
+                                 partitionCols: Seq[String] = Seq.empty,
+                                 props: Map[String, String] = Map.empty): Unit = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.commitSnapshotAt(name, newFiles, expectedVersion, props,
+        stats = commitStats(name, Seq.empty, newFiles))
+      ()
+    } finally lock.release()
+  }
+
   // ---- Write-audit-publish (Iceberg's WAP pattern). An ingest job
   // appendStage()s its output, an audit job readStaged()s the
   // would-be table (current ∪ staged) and runs its checks, then the

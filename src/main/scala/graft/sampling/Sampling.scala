@@ -166,14 +166,23 @@ object Sampling {
         .contains(df.schema(idCol).dataType)
     }, s"exactKPerStratum needs an integral id column, got " +
         s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
-    val keep = df
+    // NULL ids are EXCLUDED, explicitly: a null id hashes to null
+    // (skipped by graft_topk) and can never match the membership
+    // equi-join anyway — the filter makes that semantics declared
+    // rather than incidental, so the SQL-oracle form is simply
+    // `WHERE id IS NOT NULL` instead of engine-specific null-rank
+    // conventions. (A validating `require` here would cost a full
+    // corpus action per call; the sampling family's doc_id contract
+    // already promises unique non-null ids.)
+    val nn = df.filter(col(idCol).isNotNull)
+    val keep = nn
       .groupBy(col(strataCol))
       .agg(expr(s"graft_topk(-CAST(${portableHash52Sql(idCol)} AS DOUBLE), " +
           s"CAST($idCol AS BIGINT), 0, $k)").as("__top"))
       .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
       .select(col("__e.id1").as("__kid"),
         (col("__pos") + 1).cast("int").as("sample_rank"))
-    df.join(broadcast(keep), col(idCol).cast("long") === col("__kid"))
+    nn.join(broadcast(keep), col(idCol).cast("long") === col("__kid"))
       .drop("__kid")
   }
 

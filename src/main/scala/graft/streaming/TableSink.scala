@@ -80,22 +80,47 @@ object TableSink {
   /** The shared sketch-merge core: union the batch sketch with the
     * current state (if any), re-aggregate per key with `agg`
     * (max-monoid or additive), overwrite with `props` riding the
-    * commit. The read-merge-overwrite pair is safe because snapshots
-    * are immutable: the read pins the old manifest's files, which the
-    * overwrite never touches.
+    * commit. The read-merge-overwrite pair is torn-read safe because
+    * snapshots are immutable (the read pins the old manifest's files,
+    * which the overwrite never touches) — but NOT lost-update safe on
+    * its own: two mergers reading the same state version would each
+    * overwrite with only their own batch folded in, silently losing
+    * one side's registers/counts. So the commit is PINNED at the
+    * version observed by the state read (+1); a racer surfaces as
+    * ConcurrentCommitException and the whole read-merge-commit is
+    * retried against the racer's output (bounded optimistic loop, the
+    * table-layer rule for version-checked commits).
     */
   private def mergeSketch(io: TableIO, table: String, sk: DataFrame,
                           keyCols: Seq[String], stateCol: String,
                           agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                          props: Map[String, String]): Unit = {
+                          props: Map[String, String],
+                          alreadyMerged: () => Boolean = () => false): Unit = {
     import org.apache.spark.sql.functions.col
-    val merged =
-      if (io.catalog.tableExists(table))
-        io.read(table).unionByName(sk)
-          .groupBy(keyCols.map(col): _*)
-          .agg(agg(col(stateCol)).as(stateCol))
-      else sk
-    io.overwrite(merged, table, props = props)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      // Replay guard INSIDE the loop (mirrors the append path): a
+      // sum-merge that loses the version race may have lost it to the
+      // SAME batch committed by a recovered query instance — blind
+      // retry would fold the batch in twice. Re-checked per attempt.
+      if (alreadyMerged()) return
+      val base = io.catalog.currentVersion(table).getOrElse(0)
+      val merged =
+        if (base > 0)
+          io.read(table).unionByName(sk)
+            .groupBy(keyCols.map(col): _*)
+            .agg(agg(col(stateCol)).as(stateCol))
+        else sk
+      try {
+        io.overwriteAt(merged, table, base + 1, props = props)
+        done = true
+      } catch {
+        case e: graft.io.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 20) throw e // livelock guard; caller decides
+      }
+    }
   }
 
   /** Wire a streaming DataFrame into a table: every micro-batch is one
@@ -238,10 +263,12 @@ object TableSink {
                                 toSketch: DataFrame => DataFrame,
                                 keyCols: Seq[String], stateCol: String,
                                 propKey: String): Boolean = {
-    if (io.catalog.streamBatchMark(table, propKey).exists(_ >= batchId)) false
+    def merged() = io.catalog.streamBatchMark(table, propKey).exists(_ >= batchId)
+    if (merged()) false
     else {
       mergeSketch(io, table, toSketch(batch), keyCols, stateCol,
-        org.apache.spark.sql.functions.sum, Map(propKey -> batchId.toString))
+        org.apache.spark.sql.functions.sum, Map(propKey -> batchId.toString),
+        alreadyMerged = () => merged())
       true
     }
   }

@@ -249,6 +249,19 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
+  test("exactKPerStratum excludes NULL-id rows by declared contract") {
+    // 4 non-null + 3 null ids in one stratum, k = 6: the sample is the
+    // 4 non-null rows (never a null-id filler), ranks dense 1..4 — the
+    // same rows the oracle's `WHERE id IS NOT NULL` form selects
+    val docs = spark.range(0, 7)
+      .selectExpr("CASE WHEN id < 4 THEN id END AS doc_id", "'en' AS lang")
+    val out = graft.sampling.Sampling.exactKPerStratum(docs, "lang", 6)
+      .select(col("doc_id"), col("sample_rank")).as[(Long, Int)].collect()
+    assert(out.length === 4, out.mkString(","))
+    assert(out.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).sorted === Array(1, 2, 3, 4))
+  }
+
   test("mixtureBalance downsamples every stratum toward the rarest one's count") {
     // skewed mixture: 4000 'web', 1000 'book', 200 'wiki'
     val docs = spark.range(0, 5200)

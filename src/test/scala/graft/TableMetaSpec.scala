@@ -397,6 +397,24 @@ class TableMetaSpec extends graft.SparkSpec {
     }
   }
 
+  test("overwriteAt pins a read-merge-overwrite: a racer's commit surfaces, never a lost update") {
+    val io = freshIO()
+    val t = "default.pinned"
+    io.overwrite(Seq((1L, 10L)).toDF("k", "cnt"), t) // v1
+    val read = io.catalog.currentVersion(t).get // merger reads state here
+    // racer (another merger / another process) lands its merge first
+    io.overwrite(Seq((1L, 25L)).toDF("k", "cnt"), t) // v2
+    // our merge, computed against v1, must NOT silently clobber v2
+    intercept[graft.io.ConcurrentCommitException] {
+      io.overwriteAt(Seq((1L, 17L)).toDF("k", "cnt"), t, read + 1)
+    }
+    assert(io.read(t).as[(Long, Long)].collect().toSeq == Seq(1L -> 25L),
+      "racer's state must survive the refused commit")
+    // the retried merge (re-read at v2) commits cleanly at v3
+    io.overwriteAt(Seq((1L, 42L)).toDF("k", "cnt"), t, io.catalog.currentVersion(t).get + 1)
+    assert(io.read(t).as[(Long, Long)].collect().toSeq == Seq(1L -> 42L))
+  }
+
   test("commits persist per-file column stats in the manifest; reads prune from them without footers") {
     val io = freshIO()
     val t = "default.stats"
