@@ -1551,6 +1551,78 @@ object OracleQueries {
         |UNION ALL SELECT 'exp', 'branch', 2
         |UNION ALL SELECT 'idle', 'branch', 1""".stripMargin,
 
+    // the hidden-days layout must lose no rows to pruning: the oracle
+    // is the same range aggregate over the RAW events table (no
+    // layout, no pruning) — boundary timestamps included
+    "q111_hidden_days_prune" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // bucket pruning is exactness-neutral by the oracle's definition:
+    // the IN lookup over the raw table
+    "q112_hidden_bucket_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_custkey IN (7, 33, 129, 466)""".stripMargin,
+
+    // SemDeDup keep-set replay: a vector is dropped iff some
+    // smaller-id vector sits at cosine >= 0.4 (the naive all-pairs
+    // EXISTS the cell-bucketed plan refuses to run)
+    "q113_semdedup_corpus" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)""".stripMargin,
+
+    // analytic pixel-sum replay of the REAL PNG round trip: dims
+    // 16 + id%33 x 16 + (id*7)%33, channel value
+    // (id*31 + c*97 + x*7 + y*13) % 256 summed over all (x, y, c) —
+    // PNG is lossless, so the decoded sums must match bit for bit.
+    // unnest(range(w)) per row (generate_series rejects lateral
+    // column-dependent bounds in DuckDB)
+    "q114_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 33 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 33 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, width, height, unnest(range(width)) AS x FROM d),
+        |xy AS (SELECT doc_id, width, height, x, unnest(range(height)) AS y FROM xs)
+        |SELECT doc_id, width, height,
+        |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + 97 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + 194 + x * 7 + y * 13) % 256) AS BIGINT) AS pixel_sum
+        |FROM xy GROUP BY 1, 2, 3""".stripMargin,
+
+    // nearest-neighbor resample replay: target pixel (i, j) reads
+    // source (i*w // 16, j*h // 16); the sum runs over the TARGET grid
+    "q115_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 33 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 7) % 33 AS BIGINT) AS h
+        |  FROM documents),
+        |is_ AS (SELECT doc_id, w, h, unnest(range(16)) AS i FROM d),
+        |ij AS (SELECT doc_id, w, h, i, unnest(range(16)) AS j FROM is_),
+        |m AS (
+        |  SELECT doc_id, (i * w) // 16 AS x, (j * h) // 16 AS y FROM ij)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + 97 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + 194 + x * 7 + y * 13) % 256) AS BIGINT) AS pixel_sum
+        |FROM m GROUP BY 1, 2, 3""".stripMargin,
+
     // bottom-k-by-hash replays exactly: rank by the same 52-bit md5
     // prefix (13 hex chars — exact in Spark's Double score), id ASC
     // tiebreak, keep rank <= k per stratum; NULL ids are excluded by

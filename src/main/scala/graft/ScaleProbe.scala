@@ -61,7 +61,12 @@ object ScaleProbe {
     "q105_stream_hll", "q106_stream_cms",
     // exact-k sample: bounded topk aggregate — cost should track the
     // scan, state stays strata x k regardless of corpus size
-    "q110_exact_k_sample")
+    "q110_exact_k_sample",
+    // r14: hidden-partition layouts (write + pruned catalog scan; the
+    // layout write is the dominant cost and must scale with data, the
+    // pruned scan with the MATCHING partitions) and the SemDeDup
+    // corpus op (rides the q27 cell-bucketed pair join + one anti-join)
+    "q111_hidden_days_prune", "q112_hidden_bucket_prune", "q113_semdedup_corpus")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1426,6 +1426,76 @@ object SparkEntry {
         strataCol = "lang", k = 20)
         .select("doc_id", "lang", "source", "sample_rank")),
 
+    // HIDDEN partition transform, time flavor: events laid out by
+    // days(ts) — the layout column is derived at write, never visible,
+    // and the catalog scan prunes day-dirs from the RANGE predicate on
+    // the SOURCE column (file-skip pinned in HiddenPartitionSpec; the
+    // oracle checks the pruned scan loses no boundary rows).
+    "q111_hidden_days_prune" -> ((s, dir) => {
+      val cname = "ghdp"
+      val io = catalogIO(s, cname, "graft_hidp_")
+      val t = "default.events_bydays"
+      if (io.catalog.currentVersion(t).isEmpty) io.setPartitionSpec(t, Seq("days(ts)"))
+      io.overwrite(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+        t)
+      s.sql(s"""SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM $cname.$t
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type""".stripMargin)
+    }),
+
+    // HIDDEN partition transform, hash flavor: orders laid out by
+    // bucket(16, o_custkey). Point/IN predicates on the source column
+    // prune to the matching bucket dirs — the case range stats can
+    // NEVER serve (every file spans the whole key domain).
+    "q112_hidden_bucket_prune" -> ((s, dir) => {
+      val cname = "ghbp"
+      val io = catalogIO(s, cname, "graft_hibp_")
+      val t = "default.orders_bybucket"
+      if (io.catalog.currentVersion(t).isEmpty)
+        io.setPartitionSpec(t, Seq("bucket(16, o_custkey)"))
+      io.overwrite(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority")),
+        t)
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority " +
+        s"FROM $cname.$t WHERE o_custkey IN (7, 33, 129, 466)")
+    }),
+
+    // Embedding-space dedup'd corpus (SemDeDup): drop every vector
+    // with a smaller-id neighbor at cosine >= 0.4, keep the rest —
+    // the representative-selection corpus op composing the q27 pair
+    // join (cell-bucketed, triangle-inequality-pruned) with one
+    // LeftAnti. Output is all-integer for the exactness recipe.
+    "q113_semdedup_corpus" -> ((s, dir) =>
+      Similarity.semDedupCorpus(Tables.embeddings(s, dir), threshold = 0.4)
+        .select(col("vec_id"), col("label"))),
+
+    // REAL image decode (javax.imageio): per-doc deterministic rasters
+    // are PNG-encoded, decoded back, and pixel-summed on executors;
+    // the oracle recomputes the sums analytically — PNG is lossless,
+    // so any codec/kernel defect breaks the hash. n_bytes is excluded
+    // (PNG compression size is encoder lore, not semantics).
+    "q114_image_decode" -> ((s, dir) =>
+      Multimodal.decodeImageStats(Multimodal.withImageBlob(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))),
+
+    // REAL resize chain: decode -> integer nearest-neighbor resample
+    // -> re-encode -> decode again; the resized pixel sums follow the
+    // same analytic mapping, so the oracle checks the whole chain.
+    "q115_image_resize" -> ((s, dir) =>
+      Multimodal.decodeImageStats(
+        Multimodal.resizeImagesNN(
+          Multimodal.withImageBlob(Tables.documents(s, dir)), 16, 16))
+        .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))),
+
     // Branch maintenance in the q107 lifecycle: the ingest branch's
     // per-batch small files compact into one rewritten file BETWEEN
     // integration cycles (fastForward's rebase record resets the fork

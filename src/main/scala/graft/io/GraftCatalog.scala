@@ -189,8 +189,9 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     // with mixed directory depths (breaking partition discovery), so
     // partitioned tables keep DELETE-only DML (SupportsDelete V1
     // path) plus the programmatic TableIO.updateWhere.
+    val pspec = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
     if (pcols.isEmpty) new GraftRowOpsTable(name, catalog, delegate, declared, renames)
-    else new GraftTable(name, catalog, delegate, pcols, declared, renames)
+    else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec)
   }
 
   /** Hive-style partition columns inferred from a manifest's file
@@ -495,15 +496,37 @@ private[io] class GraftTable(
     delegate: ParquetTable,
     partitionCols: Seq[String],
     declaredSchema: Option[StructType],
-    renames: Map[String, String]
+    renames: Map[String, String],
+    pspec: Seq[PartitionTransform] = Seq.empty
 ) extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  // hidden layout columns (pspec-derived) — stripped from the visible
+  // schema; identity transforms keep their source column visible
+  private val hiddenCols: Set[String] = pspec.collect {
+    case t if !t.isInstanceOf[PartitionTransforms.Identity] => t.derivedName
+  }.toSet
+
   override def name(): String = delegate.name
-  override def schema(): StructType =
-    if (renames.nonEmpty) declaredSchema.getOrElse(delegate.schema) else delegate.schema
+  override def schema(): StructType = {
+    val base =
+      if (renames.nonEmpty) declaredSchema.getOrElse(delegate.schema) else delegate.schema
+    if (hiddenCols.isEmpty) base
+    else StructType(base.fields.filterNot(f => hiddenCols.contains(f.name)))
+  }
 
   override def partitioning(): Array[Transform] =
-    partitionCols.map(Expressions.identity).toArray
+    if (pspec.isEmpty) partitionCols.map(Expressions.identity).toArray
+    else pspec.map {
+      case PartitionTransforms.Days(c) => Expressions.days(c)
+      case PartitionTransforms.Hours(c) => Expressions.hours(c)
+      case PartitionTransforms.Months(c) => Expressions.months(c)
+      case PartitionTransforms.Years(c) => Expressions.years(c)
+      case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
+      case PartitionTransforms.Identity(c) => Expressions.identity(c)
+      case t: PartitionTransforms.Truncate =>
+        Expressions.apply("truncate",
+          Expressions.literal(t.w), Expressions.column(t.src))
+    }.toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -511,7 +534,7 @@ private[io] class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (renames.isEmpty)
-      new StatsPruningScanBuilder(delegate, options)
+      new StatsPruningScanBuilder(delegate, options, pspec)
     else new ScanBuilder with SupportsPushDownRequiredColumns {
       private val db = delegate.newScanBuilder(options)
       private val toLogicalName = renames.map(_.swap)
@@ -827,7 +850,8 @@ private[io] class GraftRowOpsTable(
   */
 private[io] class StatsPruningScanBuilder(
     delegate: ParquetTable,
-    options: CaseInsensitiveStringMap
+    options: CaseInsensitiveStringMap,
+    pspec: Seq[PartitionTransform] = Seq.empty
 ) extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -872,6 +896,10 @@ private[io] class StatsPruningScanBuilder(
         Some(sources.In(a.name, vs.map(convertToScala(_, a.dataType)).toArray))
       case IsNull(a: AttributeReference) => Some(sources.IsNull(a.name))
       case IsNotNull(a: AttributeReference) => Some(sources.IsNotNull(a.name))
+      // LIKE 'p%' optimizes to StartsWith — prunes truncate/identity
+      // partition dirs (FileStats.mightMatch ignores shapes it can't use)
+      case StartsWith(a: AttributeReference, Literal(v, org.apache.spark.sql.types.StringType)) =>
+        Some(sources.StringStartsWith(a.name, v.toString))
       case And(l, r) =>
         (toV1(l), toV1(r)) match {
           case (Some(lf), Some(rf)) => Some(sources.And(lf, rf))
@@ -889,11 +917,21 @@ private[io] class StatsPruningScanBuilder(
     val v1 = filters.flatMap(toV1)
     val keep =
       if (v1.isEmpty) delegate.paths
-      else
+      else {
+        // hidden-partition pruning FIRST (pure path arithmetic — no
+        // I/O), so partition-skipped files never pay a footer read in
+        // the stats pass below
+        val partKept =
+          if (pspec.isEmpty) delegate.paths
+          else
+            try delegate.paths.filter(f =>
+              PartitionTransforms.fileMightMatch(f, v1, pspec, delegate.schema))
+            catch { case scala.util.control.NonFatal(_) => delegate.paths }
         try {
           val conf = SparkSession.active.sessionState.newHadoopConf()
-          delegate.paths.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
-        } catch { case scala.util.control.NonFatal(_) => delegate.paths }
+          partKept.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
+        } catch { case scala.util.control.NonFatal(_) => partKept }
+      }
     if (keep.size < delegate.paths.size) {
       // a fully-pruned scan has no footers left to infer from — carry
       // the already-inferred schema so it returns zero rows, not an

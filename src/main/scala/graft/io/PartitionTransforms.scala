@@ -1,0 +1,339 @@
+package graft.io
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+
+/** Hidden partition transforms — Iceberg's partition-spec idea
+  * (reference builds on Iceberg: IngestionJob.scala:16-19 partitions
+  * by a DERIVED `pickup_date` column the user must maintain by hand;
+  * Iceberg itself, and this layer, derive the layout value from the
+  * source column so the logical schema stays clean and predicates on
+  * the SOURCE column still prune).
+  *
+  * A spec is a list of transform strings stored in table meta
+  * (`pspec`): `days(ts)`, `hours(ts)`, `months(ts)`, `years(ts)`,
+  * `bucket(16, user_id)`, `truncate(4, code)`, `identity(region)`.
+  * Writers derive one hidden layout column per transform (named
+  * `gp_<transform>_<col>`) and Hive-partition by it; readers drop the
+  * layout columns, so they never appear in any query result or
+  * schema. At plan time, filters on the source column are transformed
+  * into constraints on the layout value and evaluated against each
+  * file's partition directory — files that provably cannot match are
+  * skipped before any task is scheduled (the partition-pruning half
+  * of Iceberg's scan planning, next to the manifest-stats half in
+  * `StatsPruningScanBuilder`).
+  *
+  * Pruning is conservative by construction: a transform that cannot
+  * map a literal (unexpected type), a directory without the layout
+  * key, and the null partition all keep the file. Time transforms are
+  * UTC-fixed (epoch arithmetic on `unix_micros`), never
+  * session-timezone — a layout must not depend on who wrote it.
+  *
+  * The layout-value computations are deliberately expressed twice —
+  * once as a Spark `Column` (write path) and once driver-side on
+  * plain JVM values (literal side of pruning) — and spec-pinned equal,
+  * since a divergence would silently mis-prune.
+  */
+sealed trait PartitionTransform {
+  /** Logical source column. */
+  def src: String
+
+  /** Hidden layout column name (the Hive partition directory key). */
+  def derivedName: String
+
+  /** Canonical spec string (what meta.json stores). */
+  def spec: String
+
+  /** Non-strictly order-preserving (allows range-predicate pruning)? */
+  def monotonic: Boolean
+
+  /** Derive the layout value as a Column from the source column.
+    * `srcType` chooses the date-vs-timestamp arithmetic.
+    */
+  def column(c: Column, srcType: DataType): Column
+
+  /** Driver-side layout value of a pushed literal; None = literal
+    * type this transform cannot map (contributes no constraint).
+    * Must agree with `column` bit for bit.
+    */
+  def literal(v: Any, srcType: DataType): Option[Any]
+}
+
+object PartitionTransforms {
+  /** Prefix of every hidden layout column / directory key. Chosen to
+    * not start with `_` or `.` (Spark's FileIndex hides such paths).
+    */
+  val Prefix = "gp_"
+
+  private val DayMicros = 86400000000L
+  private val HourMicros = 3600000000L
+
+  /** Timestamp-typed literal -> epoch micros (UTC). Handles both the
+    * default external type and the java8 API flavor.
+    */
+  private def microsOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case l: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(l))
+    case _ => None
+  }
+
+  /** Date-typed literal -> epoch days. */
+  private def epochDaysOf(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+    case l: java.time.LocalDate => Some(Math.toIntExact(l.toEpochDay))
+    case _ => None
+  }
+
+  /** Source value -> epoch days, for either source type. */
+  private def daysOf(v: Any): Option[Long] =
+    microsOf(v).map(Math.floorDiv(_, DayMicros)).orElse(epochDaysOf(v).map(_.toLong))
+
+  /** Exact floor-division Column on longs: x - pmod(x, n) is the
+    * floored multiple (pmod is non-negative, so this floors rather
+    * than truncates for pre-1970 values), and dividing an exact
+    * multiple below 2^53 through Double is exact (epoch micros stay
+    * under 2^53 until year ~2255 — same bound the 52-bit portable
+    * hash relies on).
+    */
+  private def floorDivCol(x: Column, n: Long): Column =
+    floor((x - pmod(x, lit(n))) / lit(n)).cast(LongType)
+
+  /** Epoch-day Column for a timestamp or date source. */
+  private def epochDaysCol(c: Column, srcType: DataType): Column = srcType match {
+    case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+    case _ => floorDivCol(unix_micros(c), DayMicros)
+  }
+
+  final case class Days(src: String) extends PartitionTransform {
+    val derivedName = s"${Prefix}days_$src"
+    val spec = s"days($src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column = epochDaysCol(c, srcType)
+    def literal(v: Any, srcType: DataType): Option[Any] = daysOf(v)
+  }
+
+  final case class Hours(src: String) extends PartitionTransform {
+    val derivedName = s"${Prefix}hours_$src"
+    val spec = s"hours($src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column =
+      floorDivCol(unix_micros(c), HourMicros)
+    def literal(v: Any, srcType: DataType): Option[Any] =
+      microsOf(v).map(Math.floorDiv(_, HourMicros))
+  }
+
+  /** Months since 1970-01 (Iceberg's convention), via the epoch day so
+    * the calendar math never consults the session timezone.
+    */
+  final case class Months(src: String) extends PartitionTransform {
+    val derivedName = s"${Prefix}months_$src"
+    val spec = s"months($src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column = {
+      val d = date_add(to_date(lit("1970-01-01")), epochDaysCol(c, srcType).cast(IntegerType))
+      ((year(d) - 1970) * 12 + month(d) - 1).cast(LongType)
+    }
+    def literal(v: Any, srcType: DataType): Option[Any] = daysOf(v).map { ed =>
+      val ld = java.time.LocalDate.ofEpochDay(ed)
+      (ld.getYear - 1970).toLong * 12 + ld.getMonthValue - 1
+    }
+  }
+
+  final case class Years(src: String) extends PartitionTransform {
+    val derivedName = s"${Prefix}years_$src"
+    val spec = s"years($src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column = {
+      val d = date_add(to_date(lit("1970-01-01")), epochDaysCol(c, srcType).cast(IntegerType))
+      (year(d) - 1970).cast(LongType)
+    }
+    def literal(v: Any, srcType: DataType): Option[Any] =
+      daysOf(v).map(ed => (java.time.LocalDate.ofEpochDay(ed).getYear - 1970).toLong)
+  }
+
+  /** Murmur3 bucket — the exact `pmod(hash(c), n)` Spark computes, so
+    * the literal side evaluates the same catalyst expression. Only
+    * equality/IN predicates prune (a hash destroys order).
+    */
+  final case class Bucket(n: Int, src: String) extends PartitionTransform {
+    require(n > 0, s"bucket width must be positive, got $n")
+    val derivedName = s"${Prefix}bucket${n}_$src"
+    val spec = s"bucket($n, $src)"
+    val monotonic = false
+    def column(c: Column, srcType: DataType): Column = pmod(hash(c), lit(n)).cast(LongType)
+    def literal(v: Any, srcType: DataType): Option[Any] =
+      try {
+        val cat = CatalystTypeConverters.convertToCatalyst(v)
+        val h = Murmur3Hash(Seq(Literal.create(cat, srcType)), 42).eval(null)
+          .asInstanceOf[Int]
+        Some((((h % n) + n) % n).toLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Width-truncation: strings to their first `w` chars, integrals
+    * floored to the nearest multiple of `w` — both order-preserving,
+    * so ranges and (for strings) prefix predicates prune.
+    */
+  final case class Truncate(w: Int, src: String) extends PartitionTransform {
+    require(w > 0, s"truncate width must be positive, got $w")
+    val derivedName = s"${Prefix}trunc${w}_$src"
+    val spec = s"truncate($w, $src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column = srcType match {
+      case StringType => substring(c, 1, w)
+      case _ => (c.cast(LongType) - pmod(c.cast(LongType), lit(w.toLong)))
+    }
+    def literal(v: Any, srcType: DataType): Option[Any] = v match {
+      case s: String => Some(if (s.length > w) s.substring(0, w) else s)
+      case n: java.lang.Number =>
+        val l = n.longValue()
+        Some(l - (((l % w) + w) % w))
+      case _ => None
+    }
+  }
+
+  /** Identity keeps the source column as the visible layout column —
+    * plain Hive partitioning inside a mixed spec. Spark's own
+    * partition discovery prunes it natively; it is never hidden or
+    * dropped on read.
+    */
+  final case class Identity(src: String) extends PartitionTransform {
+    val derivedName = src
+    val spec = s"identity($src)"
+    val monotonic = true
+    def column(c: Column, srcType: DataType): Column = c
+    // only shapes whose directory rendering compares exactly: integral
+    // numbers (as Long) and strings — a float's dir string is not a
+    // reliable equality key
+    def literal(v: Any, srcType: DataType): Option[Any] = v match {
+      case s: String => Some(s)
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[java.lang.Number].longValue())
+      case _ => None
+    }
+  }
+
+  private val Fn1 = """(\w+)\s*\(\s*(\w+)\s*\)""".r
+  private val Fn2 = """(\w+)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+
+  /** Parse one spec string; rejects unknown shapes loudly (a typo'd
+    * spec silently ignored would write an unpartitioned layout).
+    */
+  def parse(s: String): PartitionTransform = s.trim match {
+    case Fn1("days", c) => Days(c)
+    case Fn1("hours", c) => Hours(c)
+    case Fn1("months", c) => Months(c)
+    case Fn1("years", c) => Years(c)
+    case Fn1("identity", c) => Identity(c)
+    case Fn2("bucket", n, c) => Bucket(n.toInt, c)
+    case Fn2("truncate", w, c) => Truncate(w.toInt, c)
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform: '$other' (expected days/hours/months/years/" +
+        "identity(col), bucket(n, col), or truncate(w, col))")
+  }
+
+  /** The layout value a file's path carries for `key`, URL-decoded;
+    * None when the path has no such directory. The Hive null
+    * partition decodes to None-with-a-marker via [[NullPartition]].
+    */
+  private[io] def pathValue(path: String, key: String): Option[String] = {
+    val marker = s"/$key="
+    val i = path.indexOf(marker)
+    if (i < 0) None
+    else {
+      val start = i + marker.length
+      val end = path.indexOf('/', start)
+      val raw = if (end < 0) path.substring(start) else path.substring(start, end)
+      Some(java.net.URLDecoder.decode(raw, "UTF-8"))
+    }
+  }
+
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Compare a directory's (string) layout value to a transformed
+    * literal: longs numerically, everything else as strings.
+    */
+  private def cmp(dir: String, lit: Any): Option[Int] = lit match {
+    case l: Long => dir.toLongOption.map(java.lang.Long.compare(_, l))
+    case s: String => Some(dir.compareTo(s))
+    case _ => None
+  }
+
+  /** Can a file whose `t`-layout value is `dir` possibly hold a row
+    * matching this pushed filter? `dir = None` means the path carries
+    * no layout key (conservative: yes). Unknown filter shapes and
+    * unmappable literals contribute no constraint.
+    */
+  private def might(t: PartitionTransform, srcType: DataType,
+                    dir: Option[String], f: sources.Filter): Boolean = {
+    def lv(v: Any): Option[Any] = t.literal(v, srcType)
+    (dir, f) match {
+      case (None, _) => true
+      // the null partition: every row's source value is null (all
+      // transforms here are null-preserving), so only null-tests and
+      // nothing else can match
+      case (Some(NullPartition), other) => other match {
+        case sources.IsNull(a) if a == t.src => true
+        case sources.EqualTo(a, _) if a == t.src => false
+        case sources.In(a, _) if a == t.src => false
+        case sources.GreaterThan(a, _) if a == t.src => false
+        case sources.GreaterThanOrEqual(a, _) if a == t.src => false
+        case sources.LessThan(a, _) if a == t.src => false
+        case sources.LessThanOrEqual(a, _) if a == t.src => false
+        case sources.IsNotNull(a) if a == t.src => false
+        case sources.StringStartsWith(a, _) if a == t.src => false
+        case sources.And(l, r) => might(t, srcType, dir, l) && might(t, srcType, dir, r)
+        case sources.Or(l, r) => might(t, srcType, dir, l) || might(t, srcType, dir, r)
+        case _ => true
+      }
+      case (Some(d), sources.EqualTo(a, v)) if a == t.src =>
+        lv(v).flatMap(cmp(d, _)).forall(_ == 0)
+      case (Some(d), sources.In(a, vs)) if a == t.src =>
+        vs.exists(v => lv(v).flatMap(cmp(d, _)).forall(_ == 0))
+      // monotonic (non-strict): source > v  =>  layout >= t(v)
+      case (Some(d), sources.GreaterThan(a, v)) if a == t.src && t.monotonic =>
+        lv(v).flatMap(cmp(d, _)).forall(_ >= 0)
+      case (Some(d), sources.GreaterThanOrEqual(a, v)) if a == t.src && t.monotonic =>
+        lv(v).flatMap(cmp(d, _)).forall(_ >= 0)
+      case (Some(d), sources.LessThan(a, v)) if a == t.src && t.monotonic =>
+        lv(v).flatMap(cmp(d, _)).forall(_ <= 0)
+      case (Some(d), sources.LessThanOrEqual(a, v)) if a == t.src && t.monotonic =>
+        lv(v).flatMap(cmp(d, _)).forall(_ <= 0)
+      case (Some(d), sources.StringStartsWith(a, p)) if a == t.src =>
+        t match {
+          case Truncate(w, _) =>
+            if (p.length >= w) d == p.substring(0, w) else d.startsWith(p)
+          case Identity(_) => d.startsWith(p)
+          case _ => true
+        }
+      case (Some(d), sources.IsNotNull(a)) if a == t.src => true
+      case (_, sources.And(l, r)) =>
+        might(t, srcType, dir, l) && might(t, srcType, dir, r)
+      case (_, sources.Or(l, r)) =>
+        might(t, srcType, dir, l) || might(t, srcType, dir, r)
+      case _ => true
+    }
+  }
+
+  /** Plan-time file skip: keep the file unless some transform proves a
+    * pushed conjunct cannot match. `schema` supplies source types for
+    * the literal-side transforms; a source column missing from it
+    * contributes no constraint.
+    */
+  def fileMightMatch(path: String, filters: Seq[sources.Filter],
+                     specs: Seq[PartitionTransform],
+                     schema: StructType): Boolean =
+    specs.forall { t =>
+      schema.find(_.name == t.src).forall { f =>
+        val dir = pathValue(path, t.derivedName)
+        filters.forall(might(t, f.dataType, dir, _))
+      }
+    }
+}

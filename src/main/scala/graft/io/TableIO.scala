@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -270,7 +271,12 @@ final case class TableCatalog(warehouse: String) {
   final case class TableMeta(schemaJson: Option[String] = None,
                              partitionCols: Option[Seq[String]] = None,
                              renames: Map[String, String] = Map.empty,
-                             dropped: Seq[String] = Seq.empty)
+                             dropped: Seq[String] = Seq.empty,
+                             // hidden partition transforms (pspec):
+                             // canonical spec strings, parsed by
+                             // PartitionTransforms.parse. When present,
+                             // pcols holds the DERIVED layout names.
+                             partitionSpec: Seq[String] = Seq.empty)
 
   def readMeta(name: String): TableMeta = {
     val f = metaPath(name).resolve("meta.json")
@@ -285,7 +291,8 @@ final case class TableCatalog(warehouse: String) {
           else None,
         renames = TableCatalog.parseStringArrayAt(json, "renames")
           .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
-        dropped = TableCatalog.parseStringArrayAt(json, "dropped"))
+        dropped = TableCatalog.parseStringArrayAt(json, "dropped"),
+        partitionSpec = TableCatalog.parseStringArrayAt(json, "pspec"))
     }
   }
 
@@ -324,6 +331,7 @@ final case class TableCatalog(warehouse: String) {
     val fields = Seq.newBuilder[String]
     meta.schemaJson.foreach(s => fields += s""""schema": "${TableCatalog.escape(s)}"""")
     meta.partitionCols.foreach(p => fields += s""""pcols": ${arr(p)}""")
+    if (meta.partitionSpec.nonEmpty) fields += s""""pspec": ${arr(meta.partitionSpec)}"""
     fields += s""""renames": ${arr(meta.renames.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) })}"""
     fields += s""""dropped": ${arr(meta.dropped.distinct.sorted)}"""
     val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID()}.json.tmp")
@@ -1178,6 +1186,25 @@ object TableCatalog {
   */
 final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
+  /** Declare a hidden partition spec (see [[PartitionTransforms]]):
+    * every subsequent write derives the layout columns from the spec
+    * and partitions by them; reads hide them; catalog-scan filters on
+    * the SOURCE columns prune files by the layout. Must run before the
+    * table's first commit — the layout is physical, and a table with
+    * mixed directory depths breaks Hive partition discovery.
+    */
+  def setPartitionSpec(name: String, specs: Seq[String]): Unit = {
+    require(specs.nonEmpty, "empty partition spec (use no spec for an unpartitioned table)")
+    val parsed = specs.map(PartitionTransforms.parse) // validates loudly
+    require(catalog.currentVersion(name).isEmpty,
+      s"partition spec must be declared before the first commit to $name " +
+        "(the layout is physical; rewrite into a fresh table to re-spec)")
+    val meta = catalog.readMeta(name)
+    catalog.writeMeta(name, meta.copy(
+      partitionCols = Some(parsed.map(_.derivedName)),
+      partitionSpec = parsed.map(_.spec)))
+  }
+
   /** Current-snapshot read. */
   def read(name: String): DataFrame = {
     val v = catalog.currentVersion(name).getOrElse(
@@ -1389,9 +1416,16 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       }
       // alias on-disk physical names back to their current logical
       // names (ALTER TABLE RENAME COLUMN is metadata-only)
-      meta.renames.foldLeft(raw) { case (df, (logical, physical)) =>
+      val logical = meta.renames.foldLeft(raw) { case (df, (logical, physical)) =>
         df.withColumnRenamed(physical, logical)
       }
+      // hidden layout columns (pspec-derived, re-injected by partition
+      // discovery) never reach the logical schema; identity transforms
+      // keep their source column, which IS the logical column
+      val hidden = meta.partitionSpec.map(PartitionTransforms.parse).collect {
+        case t if !t.isInstanceOf[PartitionTransforms.Identity] => t.derivedName
+      }
+      if (hidden.isEmpty) logical else logical.drop(hidden: _*)
     }
   }
 
@@ -1745,9 +1779,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // layoutPartitionColsOf exists to prevent
       val pcols = layoutPartitionColsOf(name, files)
       val df = readFiles(name, files)
-      val rewritten =
-        if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
-        else df.repartition(targetFiles)
+      val rewritten = clusterByLayout(df, name, pcols, targetFiles)
       val newFiles = stageWrite(toPhysical(rewritten, name), name, pcols)
       catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
         Map(TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
@@ -1765,6 +1797,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * re-running one date partition commits O(that partition).
     */
   def overwritePartition(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
+    // partition-swap semantics need VISIBLE partition values; a hidden
+    // spec's layout values are derived — use updateWhere/overwrite
+    require(catalog.readMeta(name).partitionSpec.isEmpty,
+      s"overwritePartition on $name: table has a hidden partition spec; " +
+        "use overwrite or updateWhere instead")
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try overwritePartitionLocked(df, name, partitionCols)
@@ -1943,13 +1980,24 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
   def compact(name: String, partitionCols: Seq[String] = Seq.empty,
               targetFiles: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.col
     val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val df = read(name)
-    val out =
-      if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
-      else df.repartition(targetFiles)
-    overwrite(out, name, pcols)
+    overwrite(clusterByLayout(df, name, pcols, targetFiles), name, pcols)
+  }
+
+  /** Cluster a rewrite by the table's layout so each partition gets
+    * few large files: by the hidden spec's DERIVED values when one is
+    * declared (the logical frame no longer carries the layout
+    * columns), else by the explicit partition columns, else flat to
+    * `targetFiles`.
+    */
+  private def clusterByLayout(df: DataFrame, name: String,
+                              pcols: Seq[String], targetFiles: Int): DataFrame = {
+    val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
+    if (specs.nonEmpty)
+      df.repartition(specs.map(t => t.column(col(t.src), df.schema(t.src).dataType)): _*)
+    else if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
+    else df.repartition(targetFiles)
   }
 
   /** Sort-clustered compaction (Iceberg's sort-order rewrite): rewrite
@@ -2053,6 +2101,40 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       d.withColumnRenamed(logical, physical)
     }
 
+  /** Hidden-partition layout derivation (the write half of the pspec
+    * design, see [[PartitionTransforms]]): when the table declares a
+    * partition spec, append one derived layout column per transform
+    * and lay the write out by THOSE — callers never see or maintain
+    * the layout columns. Tables without a spec pass through with the
+    * caller's explicit partition columns (classic Hive layout).
+    */
+  private def withLayout(df: DataFrame, name: String,
+                         passed: Seq[String]): (DataFrame, Seq[String]) = {
+    val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
+    if (specs.isEmpty) (df, passed)
+    else {
+      val renames = catalog.renames(name)
+      // identity transforms keep the (physical) source column itself
+      // as the visible layout column; the rest derive a gp_* column
+      val layoutNames = specs.map {
+        case PartitionTransforms.Identity(src) => renames.getOrElse(src, src)
+        case t => t.derivedName
+      }
+      require(passed.isEmpty || passed == layoutNames || passed == specs.map(_.derivedName),
+        s"$name partitions by its spec (${specs.map(_.spec).mkString(", ")}); " +
+          s"explicit partition columns ${passed.mkString(",")} conflict")
+      val out = specs.zip(layoutNames).foldLeft(df) { case (d, (t, layout)) =>
+        val phys = renames.getOrElse(t.src, t.src)
+        require(d.columns.contains(phys),
+          s"partition transform ${t.spec} of $name: source column '$phys' " +
+            s"missing from the write (columns: ${d.columns.mkString(",")})")
+        if (layout == phys) d
+        else d.withColumn(layout, t.column(col(phys), d.schema(phys).dataType))
+      }
+      (out, layoutNames)
+    }
+  }
+
   /** Write `df` into a PRIVATE per-write staging directory under the
     * table root, then move the finished parquet files into the data
     * dir (same filesystem — a cheap atomic rename apiece, partition
@@ -2076,12 +2158,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * `listDataFiles`); `removeOrphanFiles` can reclaim it.
     */
   private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String]): Seq[String] = {
+    val (laid, layoutCols) = withLayout(df, name, partitionCols)
     val tableRoot = Paths.get(catalog.pathOf(name))
     Files.createDirectories(tableRoot)
     val staging = Files.createTempDirectory(tableRoot, ".stage-")
     try {
-      val w = df.write.mode(SaveMode.Append)
-      val withParts = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+      val w = laid.write.mode(SaveMode.Append)
+      val withParts = if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w
       withParts.parquet(staging.toString)
       val dataRoot = Paths.get(catalog.dataPath(name))
       TableIO.moveStagedFiles(staging, dataRoot)

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * struct, exactly as a 100 TB training-data pipeline carries them
   * (decode only at the consumer edge, never in the shuffle path).
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * STUBS — `fakeDecodeStats` derives deterministic pseudo-features
-  * from the raw bytes (clearly marked; swap the kernel body for a real
-  * codec call in production). Everything around the stub is real and
-  * load-bearing:
+  * The IMAGE path is REAL end to end (r14): `javax.imageio` ships in
+  * the JDK, so `withImageBlob`/`decodeImageStats`/`resizeImagesNN`
+  * run actual PNG encode → decode → resample → encode pixel kernels
+  * on executors, oracle-checked against analytic pixel sums. The
+  * audio/video flavors keep byte-level STUB kernels
+  * (`fakeDecodeStats`, `frameSample`'s byte-stride demux) — no JDK
+  * codec exists for those; swap the kernel body in production.
+  * The shared plumbing is real and load-bearing either way:
   * - the binary column + metadata schema,
   * - batch-shaped per-partition processing (`mapPartitions` over an
   *   iterator, the JVM analog of `mapInPandas` batch UDFs — one
@@ -159,6 +162,141 @@ object Multimodal {
       // frame past its end), capped at 16
       (sum.toDouble / blob.length, math.min((blob.length + 63) / 64, 16))
     }
+  }
+
+  // ---- REAL pixel path (r14): `javax.imageio` is pure JDK, so the
+  // image half of the multimodal family needs no external codec after
+  // all — PNG encode, PNG decode, and raster resize below run real
+  // pixel kernels on executors. The byte-level stubs above remain for
+  // the audio/video flavors (no JDK codec exists for those) and as the
+  // format-agnostic fallback.
+
+  /** Deterministic RGB raster for a document id: dims and every pixel
+    * derive from arithmetic on (id, x, y, channel), so an oracle can
+    * recompute the EXACT pixel sums analytically — which turns the
+    * real encode→decode round trip into a hash-checkable query
+    * instead of a trust-me kernel. Channel value:
+    * `(id*31 + c*97 + x*7 + y*13) mod 256`; dims
+    * `16 + id mod 33` x `16 + (id*7) mod 33`.
+    */
+  def synthDims(id: Long): (Int, Int) =
+    ((16 + id % 33).toInt, (16 + (id * 7) % 33).toInt)
+
+  def synthChannel(id: Long, c: Int, x: Int, y: Int): Int =
+    ((id * 31 + c * 97 + x * 7 + y * 13) % 256).toInt
+
+  private def synthRaster(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = synthDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (synthChannel(id, 0, x, y) << 16) |
+            (synthChannel(id, 1, x, y) << 8) |
+            synthChannel(id, 2, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class IdRow(doc_id: Long)
+  final case class ImageRow(doc_id: Long, blob: Array[Byte])
+  final case class ImageStatsRow(doc_id: Long, width: Int, height: Int,
+                                 pixel_sum: Long, n_bytes: Long)
+
+  /** Attach a REAL PNG blob per document — encoded executor-side from
+    * the deterministic raster (per-partition batch loop, the same
+    * shape a real pipeline uses to read blobs out of tar shards).
+    */
+  def withImageBlob(docs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      docs.select(col("doc_id")), parallelism, spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[IdRow])
+      .mapPartitions(_.map(r => ImageRow(r.doc_id, pngBytes(synthRaster(r.doc_id)))))(
+        Encoders.product[ImageRow])
+      .toDF()
+  }
+
+  /** REAL PNG decode: `ImageIO.read` on every blob, summing decoded
+    * R+G+B over all pixels. PNG is lossless, so against synthetic
+    * blobs the sums equal the analytic formula exactly — the oracle
+    * claim that pins codec fidelity end to end. All-integer output
+    * (the exactness recipe).
+    */
+  def decodeImageStats(images: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = images.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      images.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"doc ${r.doc_id}: blob is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageStatsRow(r.doc_id, w, h, sum, r.blob.length.toLong)
+      })(Encoders.product[ImageStatsRow])
+      .toDF()
+  }
+
+  /** REAL nearest-neighbor resize: decode, map every target pixel to
+    * `src((i*w) / tw, (j*h) / th)` (explicit integer floor — NOT
+    * AffineTransformOp, whose half-pixel rounding is implementation
+    * lore), re-encode PNG. The mapping is plain integer arithmetic, so
+    * the resized pixel sums are ALSO analytic — the oracle checks the
+    * full decode→resample→encode→decode chain, not just metadata.
+    */
+  def resizeImagesNN(images: DataFrame, targetW: Int, targetH: Int,
+                     parallelism: Option[Int] = None): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target dims ${targetW}x$targetH")
+    import org.apache.spark.sql.Encoders
+    val spark = images.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      images.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"doc ${r.doc_id}: blob is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < targetH) {
+          val sy = (j * h) / targetH
+          var i = 0
+          while (i < targetW) {
+            out.setRGB(i, j, img.getRGB((i * w) / targetW, sy))
+            i += 1
+          }
+          j += 1
+        }
+        ImageRow(r.doc_id, pngBytes(out))
+      })(Encoders.product[ImageRow])
+      .toDF()
   }
 
   /** Batch decode: per-partition iterator processing over (id, blob,

@@ -383,6 +383,36 @@ object Similarity {
         col("cos"))
   }
 
+  /** Embedding-space dedup'd CORPUS (SemDeDup, Abbas et al. 2023):
+    * keep one representative per near-duplicate neighborhood — a row
+    * is DROPPED iff some SMALLER-id row sits within the cosine
+    * threshold. This is the deterministic variant of SemDeDup's
+    * keep-one-per-ε-ball rule (they keep an arbitrary/quality-chosen
+    * member; the min-id convention makes the corpus reproducible and
+    * the rule a plain EXISTS, no transitive closure), completing the
+    * family: text has exact/fuzzy/span dedup'd-corpus ops, embeddings
+    * had only the pair and incremental views.
+    *
+    * Composition, not new machinery: the candidate pairs come from
+    * [[embeddingNearDuplicates]] (cell-bucketed exact threshold join —
+    * no corpus broadcast, no nested loop), whose output already
+    * orders each pair as (id_a < id_b); every id_b is by definition a
+    * row with a smaller-id near neighbor, so the keep set is one
+    * LeftAnti against the distinct id_b side. Scale rides the pair
+    * join's design; the anti-join shuffles only (corpus keys x
+    * dropped ids), never vectors.
+    */
+  def semDedupCorpus(
+      embeddings: DataFrame,
+      threshold: Double,
+      nlist: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val dropped = embeddingNearDuplicates(embeddings, threshold, nlist, iters)
+      .select(col("id_b").as("vec_id")).distinct()
+    embeddings.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-space decontamination: drop every `corpus` vector whose
     * cosine to ANY `bench` vector is >= `threshold` — the semantic
     * sibling of the n-gram decontamination family (q41/q54 catch

@@ -275,6 +275,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "near-dup join must stay bucketed")
   }
 
+  test("semDedupCorpus keeps exactly the rows with no smaller-id neighbor at the threshold") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val kept = Similarity.semDedupCorpus(e, threshold = 0.4)
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // independent reference: the exact all-pairs drop rule
+    val dropped = Similarity.embeddingNearDuplicatesExact(e, threshold = 0.4)
+      .select("id_b").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val all = e.select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(kept === all -- dropped)
+    assert(dropped.nonEmpty && kept.nonEmpty, "fixture must exercise both sides")
+    // every input column survives on the kept rows (corpus-op contract)
+    assert(Similarity.semDedupCorpus(e, 0.4).columns.toSet === e.columns.toSet)
+  }
+
   test("incremental embedding near-dups vs a persisted IVF index equal the exact cross-pair join") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val split = org.apache.spark.sql.functions.pmod(

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{PartitionTransforms, TableIO}
+
+/** Hidden partition transforms (`TableIO.setPartitionSpec` +
+  * `PartitionTransforms`): layout columns derive from the spec and
+  * never reach a logical schema, source-column predicates prune files
+  * at plan time through the catalog scan (including the bucket case
+  * range stats can NEVER serve), and the driver-side literal
+  * transforms are bit-identical to the write-side columns — the
+  * equality the pruning's correctness rests on.
+  */
+class HiddenPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Files the catalog scan actually planned (post partition/stats skip). */
+  private def pathsIn(sql: String): Int = {
+    val df = spark.sql(sql)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      .getOrElse(fail(s"no file index in plan:\n$p"))
+  }
+
+  private def withCatalog(cat: String, wh: String)(body: => Unit): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("days(ts): layout derives and hides; ts-range SQL prunes files; results exact") {
+    val wh = tmp("graft_hp_days_")
+    val io = TableIO(spark, wh)
+    val t = "default.ev"
+    io.setPartitionSpec(t, Seq("days(ts)"))
+    // 10 UTC days x 20 events, shuffled so insertion order proves nothing
+    val rows = new scala.util.Random(7).shuffle(
+      (for (d <- 0 until 10; i <- 0 until 20) yield
+        (d * 20L + i, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-01T00:00:00Z")
+            .plusSeconds(d * 86400L + i * 977L)))).toVector)
+      .toDF("event_id", "ts")
+    io.append(rows, t)
+
+    // logical schema: no layout column, values round-trip
+    val back = io.read(t)
+    assert(back.columns.toSet === Set("event_id", "ts"))
+    assert(back.count() === 200)
+
+    withCatalog("ghp1", wh) {
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(total >= 10, s"one file per day-dir expected, got $total")
+      assert(spark.sql(s"SELECT * FROM ghp1.$t").columns.toSet === Set("event_id", "ts"))
+      // a 2-day range must plan <= 3 of the 10 day-dirs' files: the
+      // non-strict monotonic mapping keeps the upper BOUNDARY day
+      // (`ts < midnight` maps to `days <= that day`), never more
+      val q = s"SELECT count(*) AS n FROM ghp1.$t " +
+        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'"
+      assert(pathsIn(q) <= 3 * (total / 10), s"expected <= ${3 * (total / 10)} of $total files")
+      assert(spark.sql(q).as[Long].head() === 40L)
+      // exactness against the unpruned in-memory filter, boundary included
+      val got = spark.sql(s"SELECT event_id FROM ghp1.$t " +
+        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'")
+        .as[Long].collect().toSet
+      val want = rows.filter(col("ts") >= lit("2024-03-03 00:00:00") &&
+          col("ts") < lit("2024-03-05 00:00:00"))
+        .select("event_id").as[Long].collect().toSet
+      assert(got === want && want.size === 40)
+    }
+  }
+
+  test("bucket(8, k): point/IN lookups prune where range stats cannot; ranges stay conservative") {
+    val wh = tmp("graft_hp_bucket_")
+    val io = TableIO(spark, wh)
+    val t = "default.kv"
+    io.setPartitionSpec(t, Seq("bucket(8, k)"))
+    // dense keys split even/odd across input tasks: EVERY file's
+    // (min, max) spans ~the whole domain, so footer stats can never
+    // prune — any skip below is the bucket directory's doing
+    io.append((0 until 2000).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .repartition(2, pmod(col("k"), lit(2))), t)
+
+    withCatalog("ghp2", wh) {
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(total >= 8)
+      val hit = pathsIn(s"SELECT * FROM ghp2.$t WHERE k = 274")
+      assert(hit <= total / 4, s"bucket prune expected: $hit of $total files")
+      assert(spark.sql(s"SELECT v FROM ghp2.$t WHERE k = 274").as[String].head() === "v274")
+      // IN-list unions per-value buckets
+      val in3 = pathsIn(s"SELECT * FROM ghp2.$t WHERE k IN (1, 2, 3)")
+      assert(in3 <= 3 * (total / 8).max(1), s"IN should plan <= 3 buckets' files, got $in3")
+      assert(spark.sql(s"SELECT count(*) FROM ghp2.$t WHERE k IN (1, 2, 3)").as[Long].head() === 3L)
+      // a range cannot prune through a hash — conservative keep-all
+      assert(pathsIn(s"SELECT * FROM ghp2.$t WHERE k < 100") === total)
+      assert(spark.sql(s"SELECT count(*) FROM ghp2.$t WHERE k < 100").as[Long].head() === 100L)
+    }
+  }
+
+  test("truncate(4, code): equality and prefix predicates prune; read hides the layout") {
+    val wh = tmp("graft_hp_trunc_")
+    val io = TableIO(spark, wh)
+    val t = "default.codes"
+    io.setPartitionSpec(t, Seq("truncate(4, code)"))
+    val prefixes = Seq("alfa", "brav", "char", "delt", "echo")
+    io.append((for (p <- prefixes; i <- 0 until 30) yield (s"$p$i", i.toLong))
+      .toDF("code", "n"), t)
+    assert(io.read(t).columns.toSet === Set("code", "n"))
+
+    withCatalog("ghp3", wh) {
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(total >= prefixes.size)
+      val eq = pathsIn(s"SELECT * FROM ghp3.$t WHERE code = 'char7'")
+      assert(eq <= total / 4, s"equality should reach one prefix dir, got $eq of $total")
+      assert(spark.sql(s"SELECT n FROM ghp3.$t WHERE code = 'char7'").as[Long].head() === 7L)
+      // prefix at least as long as the width pins the directory
+      val pre = pathsIn(s"SELECT * FROM ghp3.$t WHERE code LIKE 'echo%'")
+      assert(pre <= total / 4, s"startsWith should reach one prefix dir, got $pre")
+      assert(spark.sql(s"SELECT count(*) FROM ghp3.$t WHERE code LIKE 'echo%'")
+        .as[Long].head() === 30L)
+      // lexicographic range prunes through the (monotonic) truncation
+      val rng = pathsIn(s"SELECT * FROM ghp3.$t WHERE code >= 'delt'")
+      assert(rng <= 2 * (total / prefixes.size), s"range should keep delt+echo dirs, got $rng")
+      assert(spark.sql(s"SELECT count(*) FROM ghp3.$t WHERE code >= 'delt'")
+        .as[Long].head() === 60L)
+    }
+  }
+
+  test("literal-side transforms are bit-identical to the write-side columns") {
+    val rnd = new scala.util.Random(19)
+    val ts = (0 until 300).map(_ => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(rnd.between(-2L * 365 * 86400, 4L * 365 * 86400 * 20),
+        rnd.between(0, 1000000000L))))
+    val longs = (0 until 300).map(_ => rnd.nextLong() % 100000L)
+    val strs = (0 until 300).map(_ => rnd.alphanumeric.take(rnd.between(0, 12)).mkString)
+    val df = ts.zip(longs).zip(strs).map { case ((a, b), c) => (a, b, c) }
+      .toDF("t", "l", "s")
+
+    val specs = Seq("days(t)", "hours(t)", "months(t)", "years(t)",
+      "bucket(16, l)", "truncate(7, l)", "bucket(16, s)", "truncate(3, s)")
+      .map(PartitionTransforms.parse)
+    for (tr <- specs) {
+      val srcType = df.schema(tr.src).dataType
+      val pairs = df.select(col(tr.src), tr.column(col(tr.src), srcType).as("d"))
+        .collect()
+      pairs.foreach { r =>
+        val lit = tr.literal(r.get(0), srcType)
+          .getOrElse(fail(s"${tr.spec}: literal() refused ${r.get(0)}"))
+        assert(lit === r.get(1), s"${tr.spec} diverges on ${r.get(0)}")
+      }
+    }
+  }
+
+  test("null sources land in the null partition; point lookups skip it, IS NULL finds it") {
+    val wh = tmp("graft_hp_null_")
+    val io = TableIO(spark, wh)
+    val t = "default.nulls"
+    io.setPartitionSpec(t, Seq("days(ts)"))
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 12:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-05-02 12:00:00")),
+      (3L, null.asInstanceOf[java.sql.Timestamp]))
+    io.append(rows.toDF("id", "ts"), t)
+    assert(io.read(t).count() === 3)
+    withCatalog("ghp4", wh) {
+      assert(spark.sql(s"SELECT id FROM ghp4.$t WHERE ts IS NULL").as[Long].head() === 3L)
+      assert(spark.sql(
+        s"SELECT id FROM ghp4.$t WHERE ts = TIMESTAMP '2024-05-02 12:00:00'")
+        .as[Long].head() === 2L)
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(pathsIn(
+        s"SELECT * FROM ghp4.$t WHERE ts = TIMESTAMP '2024-05-02 12:00:00'") < total,
+        "the null partition (and other days) must be skipped for an equality")
+    }
+  }
+
+  test("compact preserves a hidden layout; spec changes and partition swaps refuse loudly") {
+    val wh = tmp("graft_hp_guard_")
+    val io = TableIO(spark, wh)
+    val t = "default.g"
+    io.setPartitionSpec(t, Seq("bucket(4, k)"))
+    // several appends -> several files per bucket dir
+    (0 until 3).foreach(i =>
+      io.append((0 until 40).map(k => ((i * 40 + k).toLong, s"r$k")).toDF("k", "v"), t))
+    val before = io.catalog.manifest(t, io.versions(t).last).size
+    io.compact(t)
+    val after = io.catalog.manifest(t, io.versions(t).last).size
+    assert(after < before, s"compact must shrink file count ($before -> $after)")
+    assert(after >= 4, "compacted table must keep its bucket dirs")
+    assert(io.read(t).count() === 120)
+    assert(io.read(t).columns.toSet === Set("k", "v"))
+
+    val e1 = intercept[IllegalArgumentException](io.setPartitionSpec(t, Seq("days(k)")))
+    assert(e1.getMessage.contains("before the first commit"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      io.overwritePartition(Seq((1L, "x")).toDF("k", "v"), t, Seq("k")))
+    assert(e2.getMessage.contains("hidden partition spec"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      io.setPartitionSpec("default.fresh", Seq("fortnights(ts)")))
+    assert(e3.getMessage.contains("unknown partition transform"), e3.getMessage)
+  }
+}

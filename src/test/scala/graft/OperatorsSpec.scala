@@ -356,4 +356,42 @@ class MultimodalResizeSpec extends SparkSpec {
     assert(m.getLong(3) == expected)
     assert(m.getInt(4).toLong == math.min(expected, 100L))
   }
+
+  test("real PNG round trip: decoded dims and pixel sums equal the analytic raster") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val stats = Multimodal.decodeImageStats(Multimodal.withImageBlob(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(stats.size === 40)
+    for (id <- 0L until 40L) {
+      val (w, h) = Multimodal.synthDims(id)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        want += Multimodal.synthChannel(id, c, x, y)
+      assert(stats(id) === ((w, h, want)), s"doc $id")
+    }
+  }
+
+  test("nearest-neighbor resize maps target (i,j) to source (i*w/tw, j*h/th) exactly") {
+    val docs = Seq(5L, 17L).toDF("doc_id")
+    val resized = Multimodal.decodeImageStats(
+      Multimodal.resizeImagesNN(Multimodal.withImageBlob(docs), 16, 16))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    for (id <- Seq(5L, 17L)) {
+      val (w, h) = Multimodal.synthDims(id)
+      var want = 0L
+      for (j <- 0 until 16; i <- 0 until 16; c <- 0 until 3)
+        want += Multimodal.synthChannel(id, c, (i * w) / 16, (j * h) / 16)
+      assert(resized(id) === ((16, 16, want)), s"doc $id")
+    }
+  }
+
+  test("decodeImageStats refuses an undecodable blob loudly") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "blob")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageStats(junk).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")),
+      s"got: ${e.getMessage}")
+  }
 }
