@@ -230,14 +230,40 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String]): Table = {
     val name = qualified(ident)
     if (catalog.tableExists(name)) throw new TableAlreadyExistsException(ident)
-    val pcols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft catalog supports identity partitioning only, got $t")
-      t.references().head.fieldNames().mkString(".")
+    // DDL `PARTITIONED BY (...)`: identity columns keep the classic
+    // Hive layout; transform partitions (days/hours/months/years/
+    // bucket/truncate) become a hidden partition SPEC — derived at
+    // write, invisible to reads, pruned from source-column predicates
+    val specs = partitions.toSeq.map { t =>
+      val ref = t.references().headOption.map(_.fieldNames().mkString("."))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition transform without a column reference: $t"))
+      // int argument (bucket count / truncate width) in either
+      // position — DDL dialects disagree on the order
+      lazy val width = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name} transform needs an integer argument: $t"))
+      t.name match {
+        case "identity" => PartitionTransforms.Identity(ref)
+        case "days" => PartitionTransforms.Days(ref)
+        case "hours" => PartitionTransforms.Hours(ref)
+        case "months" => PartitionTransforms.Months(ref)
+        case "years" => PartitionTransforms.Years(ref)
+        case "bucket" => PartitionTransforms.Bucket(width, ref)
+        case "truncate" => PartitionTransforms.Truncate(width, ref)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform in DDL: $other($ref)")
+      }
     }
+    val allIdentity = specs.forall(_.isInstanceOf[PartitionTransforms.Identity])
     val c0 = catalog
     c0.writeMeta(name, c0.TableMeta(
-      schemaJson = Some(schema.json), partitionCols = Some(pcols)))
+      schemaJson = Some(schema.json),
+      partitionCols = Some(specs.map(_.derivedName)),
+      partitionSpec = if (allIdentity) Seq.empty else specs.map(_.spec)))
     // the file index resolves basePath eagerly even for an empty table
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(catalog.dataPath(name)))
     // pinned at v1: the tableExists check above is check-then-act, and

@@ -179,6 +179,44 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL PARTITIONED BY (days(ts)) creates a hidden-spec table; INSERT derives, SELECT prunes") {
+    val wh = tmp("graft_hp_ddl_")
+    withCatalog("ghp5", wh) {
+      spark.sql("CREATE TABLE ghp5.default.ddlev (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      // visible schema: the declared columns only
+      assert(spark.table("ghp5.default.ddlev").columns.toSet === Set("id", "ts"))
+      spark.sql("INSERT INTO ghp5.default.ddlev SELECT id, " +
+        "TIMESTAMP '2024-06-01 00:00:00' + make_interval(0, 0, 0, 0, CAST(id * 7 AS INT)) " +
+        "FROM range(0, 40)")
+      val io = TableIO(spark, wh)
+      val t = "default.ddlev"
+      assert(io.catalog.readMeta(t).partitionSpec === Seq("days(ts)"))
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(total >= 10, s"40 rows x 7h apart span ~12 days, got $total files")
+      val q = "SELECT count(*) FROM ghp5.default.ddlev " +
+        "WHERE ts >= TIMESTAMP '2024-06-05 00:00:00' AND ts < TIMESTAMP '2024-06-07 00:00:00'"
+      // 3 of ~12 day-dirs survive (2 in-range + the non-strict upper
+      // boundary day); a dir may hold one file per insert task
+      assert(pathsIn(q) <= total / 2, s"expected <= ${total / 2} of $total files")
+      // 2-day window at 7h cadence: exactness vs direct arithmetic
+      val want = (0 until 40).count { id =>
+        val h = id * 7L
+        h >= 4L * 24 && h < 6L * 24
+      }
+      assert(spark.sql(q).as[Long].head() === want.toLong && want > 0)
+      // bucket DDL flavor parses too (either literal position)
+      spark.sql("CREATE TABLE ghp5.default.ddlb (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      assert(io.catalog.readMeta("default.ddlb").partitionSpec === Seq("bucket(4, k)"))
+      // plain identity DDL keeps the classic layout, no spec
+      spark.sql("CREATE TABLE ghp5.default.ddli (k BIGINT, dt STRING) " +
+        "PARTITIONED BY (dt)")
+      assert(io.catalog.readMeta("default.ddli").partitionSpec === Seq.empty)
+      assert(io.catalog.readMeta("default.ddli").partitionCols === Some(Seq("dt")))
+    }
+  }
+
   test("compact preserves a hidden layout; spec changes and partition swaps refuse loudly") {
     val wh = tmp("graft_hp_guard_")
     val io = TableIO(spark, wh)
