@@ -66,7 +66,10 @@ object ScaleProbe {
     // layout write is the dominant cost and must scale with data, the
     // pruned scan with the MATCHING partitions) and the SemDeDup
     // corpus op (rides the q27 cell-bucketed pair join + one anti-join)
-    "q111_hidden_days_prune", "q112_hidden_bucket_prune", "q113_semdedup_corpus")
+    "q111_hidden_days_prune", "q112_hidden_bucket_prune", "q113_semdedup_corpus",
+    // real PNG pixel kernels: embarrassingly parallel mapPartitions —
+    // cost must track the document count, with no shuffle at all
+    "q114_image_decode", "q115_image_resize")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -609,7 +609,9 @@ private[io] class GraftTable(
         all.partition { f =>
           val stats = FileStats.cached(f, conf)
             .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
-          !FileStats.mightMatch(stats, filters.toSeq)
+          !FileStats.mightMatch(stats, filters.toSeq) ||
+            (pspec.nonEmpty &&
+              !PartitionTransforms.fileMightMatch(f, filters.toSeq, pspec, schema()))
         }
       } catch { case scala.util.control.NonFatal(_) => (Seq.empty, all) }
     if (candidates.isEmpty) return // nothing can match: no new snapshot
@@ -888,54 +890,10 @@ private[io] class StatsPruningScanBuilder(
   // Conservative catalyst -> v1 translation for stats evaluation only:
   // shapes we don't recognize contribute NO constraint (the delegate
   // still receives the full expressions for its own pushdown).
+  // Shared with TableIO.readWhere via FilterTranslation.
   private def toV1(
       e: org.apache.spark.sql.catalyst.expressions.Expression
-  ): Option[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.sources
-    e match {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-        Some(sources.EqualTo(a.name, convertToScala(v, dt)))
-      case EqualTo(Literal(v, dt), a: AttributeReference) =>
-        Some(sources.EqualTo(a.name, convertToScala(v, dt)))
-      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        Some(sources.GreaterThan(a.name, convertToScala(v, dt)))
-      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-        Some(sources.LessThan(a.name, convertToScala(v, dt)))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        Some(sources.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
-      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        Some(sources.LessThanOrEqual(a.name, convertToScala(v, dt)))
-      case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        Some(sources.LessThan(a.name, convertToScala(v, dt)))
-      case LessThan(Literal(v, dt), a: AttributeReference) =>
-        Some(sources.GreaterThan(a.name, convertToScala(v, dt)))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        Some(sources.LessThanOrEqual(a.name, convertToScala(v, dt)))
-      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        Some(sources.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
-      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        Some(sources.In(a.name,
-          vs.map { case Literal(v, dt) => convertToScala(v, dt) }.toArray))
-      case InSet(a: AttributeReference, vs) =>
-        Some(sources.In(a.name, vs.map(convertToScala(_, a.dataType)).toArray))
-      case IsNull(a: AttributeReference) => Some(sources.IsNull(a.name))
-      case IsNotNull(a: AttributeReference) => Some(sources.IsNotNull(a.name))
-      // LIKE 'p%' optimizes to StartsWith — prunes truncate/identity
-      // partition dirs (FileStats.mightMatch ignores shapes it can't use)
-      case StartsWith(a: AttributeReference, Literal(v, org.apache.spark.sql.types.StringType)) =>
-        Some(sources.StringStartsWith(a.name, v.toString))
-      case And(l, r) =>
-        (toV1(l), toV1(r)) match {
-          case (Some(lf), Some(rf)) => Some(sources.And(lf, rf))
-          case (one, other) => one.orElse(other) // a conjunct alone is still a valid constraint
-        }
-      case Or(l, r) =>
-        for { lf <- toV1(l); rf <- toV1(r) } yield sources.Or(lf, rf)
-      case _ => None
-    }
-  }
+  ): Option[org.apache.spark.sql.sources.Filter] = FilterTranslation.toV1(e)
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]

@@ -337,3 +337,73 @@ object PartitionTransforms {
       }
     }
 }
+
+/** Conservative catalyst -> v1 `Filter` translation, shared by the
+  * catalog scan's pruning passes and `TableIO.readWhere`: shapes it
+  * doesn't recognize contribute NO constraint (the full expression
+  * still evaluates row-level downstream, so pruning stays an
+  * optimization, never a semantics change).
+  */
+private[io] object FilterTranslation {
+  /** Column name of an attribute — resolved (`AttributeReference`,
+    * the catalog-scan path) or unresolved (`UnresolvedAttribute`, the
+    * `readWhere(col("ts") >= ...)` path, whose Column expressions
+    * never pass an analyzer).
+    */
+  private object Attr {
+    def unapply(
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+  }
+
+  def toV1(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case EqualTo(Attr(a), Literal(v, dt)) =>
+        Some(sources.EqualTo(a, convertToScala(v, dt)))
+      case EqualTo(Literal(v, dt), Attr(a)) =>
+        Some(sources.EqualTo(a, convertToScala(v, dt)))
+      case GreaterThan(Attr(a), Literal(v, dt)) =>
+        Some(sources.GreaterThan(a, convertToScala(v, dt)))
+      case GreaterThan(Literal(v, dt), Attr(a)) =>
+        Some(sources.LessThan(a, convertToScala(v, dt)))
+      case GreaterThanOrEqual(Attr(a), Literal(v, dt)) =>
+        Some(sources.GreaterThanOrEqual(a, convertToScala(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), Attr(a)) =>
+        Some(sources.LessThanOrEqual(a, convertToScala(v, dt)))
+      case LessThan(Attr(a), Literal(v, dt)) =>
+        Some(sources.LessThan(a, convertToScala(v, dt)))
+      case LessThan(Literal(v, dt), Attr(a)) =>
+        Some(sources.GreaterThan(a, convertToScala(v, dt)))
+      case LessThanOrEqual(Attr(a), Literal(v, dt)) =>
+        Some(sources.LessThanOrEqual(a, convertToScala(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), Attr(a)) =>
+        Some(sources.GreaterThanOrEqual(a, convertToScala(v, dt)))
+      case In(Attr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(sources.In(a,
+          vs.map { case Literal(v, dt) => convertToScala(v, dt) }.toArray))
+      case InSet(a: AttributeReference, vs) =>
+        Some(sources.In(a.name, vs.map(convertToScala(_, a.dataType)).toArray))
+      case IsNull(Attr(a)) => Some(sources.IsNull(a))
+      case IsNotNull(Attr(a)) => Some(sources.IsNotNull(a))
+      // LIKE 'p%' optimizes to StartsWith — prunes truncate/identity
+      // partition dirs (FileStats.mightMatch ignores shapes it can't use)
+      case StartsWith(Attr(a), Literal(v, StringType)) =>
+        Some(sources.StringStartsWith(a, v.toString))
+      case And(l, r) =>
+        (toV1(l), toV1(r)) match {
+          case (Some(lf), Some(rf)) => Some(sources.And(lf, rf))
+          case (one, other) => one.orElse(other) // a conjunct alone is still a valid constraint
+        }
+      case Or(l, r) =>
+        for { lf <- toV1(l); rf <- toV1(r) } yield sources.Or(lf, rf)
+      case _ => None
+    }
+  }
+}

@@ -1212,6 +1212,47 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     readVersion(name, v)
   }
 
+  /** Pruned programmatic read: the path-API twin of the catalog
+    * scan's plan-time file skip. The condition is translated (
+    * conservatively) to v1 filters and evaluated per manifest file
+    * against BOTH the hidden partition layout and the manifest column
+    * stats; files that provably cannot match never reach the scan.
+    * The full condition still applies row-level afterwards, so an
+    * untranslatable or partially-translatable predicate only loses
+    * pruning, never correctness. This is how a `TableIO` consumer gets
+    * "filter last week touches O(matching partitions)" without going
+    * through the SQL catalog.
+    */
+  def readWhere(name: String, cond: org.apache.spark.sql.Column): DataFrame = {
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val files = catalog.manifest(name, v)
+    // Resolve + constant-fold the condition against a probe frame so
+    // the translation sees exactly what a DSv2 pushdown would (typed
+    // attributes, literal-side casts folded) — no private analyzer API
+    val probe = readFiles(name, files).filter(cond)
+    val v1 = probe.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(FilterTranslation.toV1)
+    val kept =
+      if (v1.isEmpty) files
+      else {
+        val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
+        val schema = probe.schema // logical schema for source types
+        val partKept =
+          if (specs.isEmpty) files
+          else files.filter(f =>
+            PartitionTransforms.fileMightMatch(f, v1, specs, schema))
+        val stats = catalog.manifestStats(name, v)
+        lazy val conf = spark.sessionState.newHadoopConf()
+        try partKept.filter { f =>
+          val s = stats.getOrElse(f, FileStats.cached(f, conf))
+          FileStats.mightMatch(s, v1)
+        } catch { case scala.util.control.NonFatal(_) => partKept }
+      }
+    readFiles(name, kept).filter(cond)
+  }
+
   /** Metadata-only `count(*)` of the current snapshot (Iceberg's
     * stats-based count): per-file row counts come from the manifest's
     * persisted stats, so a stats-complete table answers in O(manifest)

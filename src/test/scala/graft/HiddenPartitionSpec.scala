@@ -217,6 +217,38 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("readWhere prunes files through the path API (layout + stats) and loses no rows") {
+    val wh = tmp("graft_hp_rw_")
+    val io = TableIO(spark, wh)
+    val t = "default.rw"
+    io.setPartitionSpec(t, Seq("bucket(8, k)"))
+    io.append((0 until 2000).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .repartition(2, pmod(col("k"), lit(2))), t)
+    val total = io.catalog.manifest(t, io.versions(t).last).size
+
+    def planned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+        .getOrElse(fail(s"no file index in plan:\n$p"))
+    }
+    // bucket point lookup: ~1/8 of the files, exact rows
+    val hit = io.readWhere(t, col("k") === 274L)
+    assert(planned(hit) <= total / 4, s"of $total")
+    assert(hit.select("v").as[String].collect().toSeq === Seq("v274"))
+    // untranslatable predicate: no pruning, still correct
+    val odd = io.readWhere(t, pmod(col("k"), lit(997)) === 1L)
+    assert(odd.count() === 3) // 1, 998, 1995
+    // stats pruning rides along on a non-spec sorted table
+    val t2 = "default.rws"
+    io.append((0 until 2000).map(k => (k.toLong, k.toString)).toDF("k", "v"), t2)
+    io.compactSorted(t2, Seq("k"), targetFiles = 8)
+    val t2total = io.catalog.manifest(t2, io.versions(t2).last).size
+    val rng = io.readWhere(t2, col("k") >= 1900L)
+    assert(planned(rng) < t2total, "sorted layout must stats-prune the range")
+    assert(rng.count() === 100)
+  }
+
   test("compact preserves a hidden layout; spec changes and partition swaps refuse loudly") {
     val wh = tmp("graft_hp_guard_")
     val io = TableIO(spark, wh)
