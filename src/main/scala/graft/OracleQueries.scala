@@ -1585,6 +1585,47 @@ object OracleQueries {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)""".stripMargin,
 
+    // Gopher-rule replay: every counter is the same regexp over the
+    // same text (RE2 and Java agree on these anchor-free patterns;
+    // regexp_replace needs the 'g' flag here, Spark replaces all by
+    // default), every ratio an integer cross-multiplication. keep
+    // includes the two line rules even though their columns are not
+    // projected (single-line fixture docs satisfy them trivially).
+    "q116_gopher_rules" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS INT) AS n_sym,
+        |    CAST(len(regexp_extract_all(text, '\n')) + 1 AS INT) AS n_lines,
+        |    CAST(len(regexp_extract_all(chr(10) || text, '\n[ \t]*[-*•]')) AS INT) AS n_bullet,
+        |    CAST(len(regexp_extract_all(text || chr(10), '(\.\.\.|…)[ \t]*\n')) AS INT) AS n_ellipsis,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS INT) AS n_alpha_words,
+        |    CAST((CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' the ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' be ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' to ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' of ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' and ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' that ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' have ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ', ' with ') > 0 THEN 1 ELSE 0 END)
+        |      AS INT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words, word_chars, n_stop,
+        |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        |  (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_mean_word_len,
+        |  (10 * n_sym <= n_words) AS r_symbol_ratio,
+        |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        |  (n_stop >= 2) AS r_stopwords,
+        |  ((n_words BETWEEN 50 AND 100000)
+        |    AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        |    AND (10 * n_sym <= n_words)
+        |    AND (10 * n_bullet <= n_lines)
+        |    AND (10 * n_ellipsis <= 3 * n_lines)
+        |    AND (5 * n_alpha_words >= 4 * n_words)
+        |    AND (n_stop >= 2)) AS keep
+        |FROM c""".stripMargin,
+
     // analytic pixel-sum replay of the REAL PNG round trip: dims
     // 16 + id%33 x 16 + (id*7)%33, channel value
     // (id*31 + c*97 + x*7 + y*13) % 256 summed over all (x, y, c) —

@@ -69,7 +69,9 @@ object ScaleProbe {
     "q111_hidden_days_prune", "q112_hidden_bucket_prune", "q113_semdedup_corpus",
     // real PNG pixel kernels: embarrassingly parallel mapPartitions —
     // cost must track the document count, with no shuffle at all
-    "q114_image_decode", "q115_image_resize")
+    "q114_image_decode", "q115_image_resize",
+    // Gopher rules: one codegen'd regexp projection, same class as q15
+    "q116_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1478,6 +1478,17 @@ object SparkEntry {
       Similarity.semDedupCorpus(Tables.embeddings(s, dir), threshold = 0.4)
         .select(col("vec_id"), col("label"))),
 
+    // Gopher quality-rule battery: the canonical hard PASS/FAIL web-text
+    // rules as native regexp counters + integer cross-multiplied ratio
+    // rules (no Double division, no HOFs) — bit-portable to the DuckDB
+    // replay. Median fixture doc is 56 words, so the canonical 50-word
+    // floor genuinely splits the corpus.
+    "q116_gopher_rules" -> ((s, dir) =>
+      graft.text.TextAnalysis.gopherRules(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_words"), col("word_chars"), col("n_stop"),
+          col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
+          col("r_alpha_words"), col("r_stopwords"), col("keep"))),
+
     // REAL image decode (javax.imageio): per-doc deterministic rasters
     // are PNG-encoded, decoded back, and pixel-summed on executors;
     // the oracle recomputes the sums analytically — PNG is lossless,

@@ -353,6 +353,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     var schema = current
     var renames = catalog.renames(name)
     var dropped = catalog.droppedCols(name).toSet
+    // hidden-partition SOURCE columns are as load-bearing as the
+    // layout columns themselves: the spec string and the on-disk
+    // gp_* directory names both embed the source name, so dropping
+    // one bricks every future write and renaming one strands the
+    // spec (a rewritten spec would derive a DIFFERENT layout name
+    // over the existing directories — mixed layout)
+    val specSources = catalog.readMeta(name).partitionSpec
+      .map(PartitionTransforms.parse(_).src).toSet
     def physOf(logical: String): String = renames.getOrElse(logical, logical)
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -378,6 +386,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         val colName = del.fieldNames()(0)
         require(schema.fieldNames.contains(colName), s"no such column: $colName")
         require(!pcols.contains(colName), s"cannot drop partition column: $colName")
+        require(!specSources.contains(colName),
+          s"cannot drop partition-spec source column: $colName")
         dropped += physOf(colName)
         renames -= colName
         schema = StructType(schema.fields.filterNot(_.name == colName))
@@ -389,6 +399,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         require(schema.fieldNames.contains(from), s"no such column: $from")
         require(!schema.fieldNames.contains(to), s"column already exists: $to")
         require(!pcols.contains(from), s"cannot rename partition column: $from")
+        require(!specSources.contains(from),
+          s"cannot rename partition-spec source column: $from")
         val phys = physOf(from)
         renames -= from
         if (to != phys) renames += (to -> phys) // renaming back to the birth name clears the entry

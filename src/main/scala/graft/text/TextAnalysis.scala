@@ -121,6 +121,59 @@ object TextAnalysis {
       .drop("__tc")
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021 §A1.1, the ruleset
+    * most LLM data pipelines filter web text with) — hard per-document
+    * PASS/FAIL rules, complementing the continuous [[qualityScore]]:
+    *
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [3, 10] characters
+    *   3. symbol-to-word ratio (#, ellipsis) <= 0.1
+    *   4. <= 10% of lines start with a bullet
+    *   5. <= 30% of lines end with an ellipsis
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. >= 2 distinct required stopwords present
+    *
+    * Engineering shape: every counter is a native regexp expression
+    * (regexp_count / regexp_replace / instr — whole-stage codegen, no
+    * HOFs), and every RATIO rule is an integer cross-multiplication
+    * (`10*n_sym <= n_words`, never a Double division), so the output
+    * is bit-portable to any engine — the DuckDB oracle replays it
+    * exactly. Line rules avoid `^`/`$` anchors (Java and RE2 disagree
+    * about a final newline): the text is padded with an explicit
+    * newline instead.
+    */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  minWords: Long = 50, maxWords: Long = 100000): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val padded = concat(lit(" "), regexp_replace(lower(t), lit("[^a-z0-9]+"), lit(" ")), lit(" "))
+    docs.select(
+        col(idCol),
+        regexp_count(t, lit("""\S+""")).as("n_words"),
+        length(regexp_replace(t, lit("""\s+"""), lit(""))).as("word_chars"),
+        regexp_count(t, lit("""#|\.\.\.|…""")).as("n_sym"),
+        (regexp_count(t, lit("\n")) + 1).as("n_lines"),
+        regexp_count(concat(lit("\n"), t), lit("\n[ \t]*[-*•]")).as("n_bullet"),
+        regexp_count(concat(t, lit("\n")), lit("""(\.\.\.|…)[ \t]*""" + "\n")).as("n_ellipsis"),
+        regexp_count(t, lit("""\S*[A-Za-z]\S*""")).as("n_alpha_words"),
+        stops.map(w => when(instr(padded, s" $w ") > 0, 1).otherwise(0))
+          .reduce(_ + _).as("n_stop"))
+      .withColumn("r_word_count", col("n_words").between(minWords, maxWords))
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol_ratio", lit(10) * col("n_sym") <= col("n_words"))
+      .withColumn("r_bullet_lines", lit(10) * col("n_bullet") <= col("n_lines"))
+      .withColumn("r_ellipsis_lines", lit(10) * col("n_ellipsis") <= lit(3) * col("n_lines"))
+      .withColumn("r_alpha_words", lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("r_stopwords", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
   /** Winnowing fingerprint (the Schleimer–Wilkerson–Aiken rolling-hash
     * scheme, the MOSS document-fingerprinting algorithm): hash every
     * word `k`-gram, slide a window of `w` consecutive gram hashes, and

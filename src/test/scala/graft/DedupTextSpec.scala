@@ -505,6 +505,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(1L) > q(2L))
   }
 
+  test("gopherRules: each rule trips on its designed offender and passes clean text") {
+    val clean = ("the quick brown fox jumps over a lazy dog and then " * 6).trim // 60 words, stopwords present
+    val docs = Seq(
+      1L -> clean,
+      2L -> "the cat and that dog", // too few words
+      3L -> (clean + " " + Seq.fill(30)("a").mkString(" ")), // mean word len < 3
+      4L -> (clean + " " + Seq.fill(12)("#").mkString(" ")), // symbol ratio > 0.1
+      5L -> (clean.split(' ').map("- " + _).mkString("\n")), // every line a bullet
+      6L -> (clean.split(' ').map(_ + "...").mkString("\n")), // every line ends ...
+      7L -> (clean + " " + (1 to 25).map(_.toString).mkString(" ")), // alpha words < 80%
+      8L -> ("zq " * 60).trim // 60 words, no required stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), "clean text must pass every rule")
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = out(id)
+      assert(!r.getAs[Boolean](rule), s"doc $id should fail $rule")
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    failsOnly(2L, "r_word_count")
+    failsOnly(3L, "r_mean_word_len")
+    failsOnly(4L, "r_symbol_ratio")
+    failsOnly(5L, "r_bullet_lines")
+    failsOnly(6L, "r_ellipsis_lines")
+    failsOnly(7L, "r_alpha_words")
+    failsOnly(8L, "r_stopwords")
+    // integer cross-multiplication boundary: exactly 10% symbols passes
+    val ten = ("the of and to with that be have " + "w " * 32).trim // 40 words
+    val boundary = Seq(9L -> (ten + " # # # #")).toDF("doc_id", "text") // 44 words, 4 syms
+    val b = TextAnalysis.gopherRules(boundary).collect().head
+    assert(b.getAs[Boolean]("r_symbol_ratio"), "4 symbols in 44 words is under the 10% line")
+  }
+
   test("langId picks the dominant marker language") {
     val samples = Seq(
       (1L, "the cat and the dog went to the park of the town"),

@@ -274,4 +274,23 @@ class HiddenPartitionSpec extends SparkSpec {
       io.setPartitionSpec("default.fresh", Seq("fortnights(ts)")))
     assert(e3.getMessage.contains("unknown partition transform"), e3.getMessage)
   }
+
+  test("ALTER TABLE cannot drop or rename a spec source column (layout embeds its name)") {
+    val wh = tmp("graft_hp_alter_")
+    withCatalog("ghp6", wh) {
+      spark.sql("CREATE TABLE ghp6.default.al (id BIGINT, ts TIMESTAMP, note STRING) " +
+        "PARTITIONED BY (days(ts))")
+      val drop = intercept[Exception](
+        spark.sql("ALTER TABLE ghp6.default.al DROP COLUMN ts"))
+      assert(drop.getMessage.contains("partition-spec source"), drop.getMessage)
+      val ren = intercept[Exception](
+        spark.sql("ALTER TABLE ghp6.default.al RENAME COLUMN ts TO event_ts"))
+      assert(ren.getMessage.contains("partition-spec source"), ren.getMessage)
+      // non-source columns still evolve freely
+      spark.sql("ALTER TABLE ghp6.default.al RENAME COLUMN note TO comment")
+      spark.sql("ALTER TABLE ghp6.default.al ADD COLUMN score DOUBLE")
+      assert(spark.table("ghp6.default.al").columns.toSet ===
+        Set("id", "ts", "comment", "score"))
+    }
+  }
 }
