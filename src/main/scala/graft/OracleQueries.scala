@@ -531,6 +531,21 @@ object OracleQueries {
          |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(revenue AS DECIMAL(30,4)) END) AS DOUBLE) AS rev_r
          |FROM clean GROUP BY 1""".stripMargin,
 
+    // melt replay: the UNION ALL formulation of Spark's Expand-based
+    // unpivot — metric names are the source column names, in the
+    // declared order (row order is irrelevant to the sorted compare)
+    "q117_unpivot_metrics" ->
+      s"""WITH clean AS ($cleanLineitemSql),
+         |a AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+         |    CAST(sum(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE) AS sum_revenue,
+         |    CAST(count(*) AS DOUBLE) AS n_rows
+         |  FROM clean GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         |UNION ALL SELECT l_returnflag, 'sum_revenue', sum_revenue FROM a
+         |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a""".stripMargin,
+
     "q35_window_analytics" ->
       s"""WITH clean AS ($cleanLineitemSql)
          |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, revenue,

@@ -281,6 +281,21 @@ object SparkEntry {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(graft.functions.ExactAgg.dsum(col("revenue"), 4))
         .select(col("ship_year"), col("A").as("rev_a"), col("N").as("rev_n"), col("R").as("rev_r"))),
+
+    // q34's inverse: wide -> long reshape via the NATIVE Dataset
+    // .unpivot (Spark's melt — an Expand node, one scan, no join or
+    // union replay of the input). Metric values are exact-decimal
+    // aggregates cast once at the edge, per the parity rules.
+    "q117_unpivot_metrics" -> ((s, dir) =>
+      Ingestion.cleanLineitem(Tables.lineitem(s, dir))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.ExactAgg.dsum(col("l_quantity"), 2).as("sum_qty"),
+          graft.functions.ExactAgg.dsum(col("revenue"), 4).as("sum_revenue"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_revenue"), col("n_rows")),
+          "metric", "value")),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))

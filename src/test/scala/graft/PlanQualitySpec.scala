@@ -145,6 +145,27 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
   }
 
+  test("gopher rules (q116) is one codegen'd projection — no fallback, no shuffle, one scan") {
+    val df = SparkEntry.queries("q116_gopher_rules")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"rule battery must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"rule battery must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"one corpus scan only:\n$p")
+    // the `*(n)` prefix IS the whole-stage-codegen marker in this
+    // rendering; every Project in the pipeline must carry it
+    assert("(?m)^\\s*\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined &&
+      !"(?m)^\\s*Project".r.findFirstIn(p).isDefined,
+      s"regexp counters must stay codegen'd:\n$p")
+  }
+
+  test("unpivot (q117) plans an Expand over ONE aggregate — never a union of input replays") {
+    val p = plan(SparkEntry.queries("q117_unpivot_metrics")(spark, sfDir))
+    assert(p.contains("Expand"), s"native unpivot should lower to Expand:\n$p")
+    val fin = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).length == 1, s"one input scan only:\n$p")
+    assert(!p.contains("Union"), s"melt must not replay the input per metric:\n$p")
+  }
+
   test("sequence packing (q43) shuffles once on shard — no join, one scan") {
     val p = plan(SparkEntry.queries("q43_sequence_pack")(spark, sfDir))
     assert(!p.contains("Join"), s"packing must not join:\n$p")
