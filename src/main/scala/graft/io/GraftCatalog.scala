@@ -539,17 +539,22 @@ private[io] class GraftTable(
 ) extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   // hidden layout columns (pspec-derived) — stripped from the visible
-  // schema; identity transforms keep their source column visible
+  // schema; identity transforms keep their source column visible. The
+  // `gp_` prefix is reserved for layout columns, so prefix-matching
+  // ones are stripped even when minted by a superseded spec (old
+  // versions after respecTable carry the previous layout's dirs).
   private val hiddenCols: Set[String] = pspec.collect {
     case t if !t.isInstanceOf[PartitionTransforms.Identity] => t.derivedName
   }.toSet
+
+  private def hide(f: org.apache.spark.sql.types.StructField): Boolean =
+    hiddenCols.contains(f.name) || f.name.startsWith(PartitionTransforms.Prefix)
 
   override def name(): String = delegate.name
   override def schema(): StructType = {
     val base =
       if (renames.nonEmpty) declaredSchema.getOrElse(delegate.schema) else delegate.schema
-    if (hiddenCols.isEmpty) base
-    else StructType(base.fields.filterNot(f => hiddenCols.contains(f.name)))
+    StructType(base.fields.filterNot(hide))
   }
 
   override def partitioning(): Array[Transform] =

@@ -30,9 +30,9 @@ private[io] object GraftProcedures {
 
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
-      "compact_zorder", "add_bloom_index", "tag_snapshot", "remove_tag",
-      "rollback_to_snapshot", "create_branch", "fast_forward", "drop_branch",
-      "expire_branch_snapshots")
+      "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
+      "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
+      "drop_branch", "expire_branch_snapshots")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -123,6 +123,24 @@ private[io] object GraftProcedures {
             in.getInt(3), cat.tablePartitionCols(t).getOrElse(Seq.empty))
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "rewrite_partition_spec" =>
+      // partition-spec evolution as an EXPLICIT rewrite (see
+      // TableIO.respecTable). Specs are ';'-separated — commas live
+      // inside bucket(n, col)/truncate(w, col).
+      Some(proc("rewrite_partition_spec",
+        Seq("table" -> StringType, "spec" -> StringType),
+        new StructType().add("new_version", IntegerType, nullable = false)
+          .add("spec", StringType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val specs = in.getUTF8String(1).toString.split(';').map(_.trim).filter(_.nonEmpty).toSeq
+          val io = new TableIO(SparkSession.active, cat)
+          io.respecTable(t, specs)
+          Seq(new GenericInternalRow(Array[Any](
+            cat.currentVersion(t).getOrElse(0),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              cat.readMeta(t).partitionSpec.mkString("; ")))))
         }))
     case "add_bloom_index" =>
       // per-file bloom membership index over one column (metadata-only

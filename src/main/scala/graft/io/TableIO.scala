@@ -1198,11 +1198,42 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val parsed = specs.map(PartitionTransforms.parse) // validates loudly
     require(catalog.currentVersion(name).isEmpty,
       s"partition spec must be declared before the first commit to $name " +
-        "(the layout is physical; rewrite into a fresh table to re-spec)")
+        "(the layout is physical; respecTable evolves an existing table via explicit rewrite)")
     val meta = catalog.readMeta(name)
     catalog.writeMeta(name, meta.copy(
       partitionCols = Some(parsed.map(_.derivedName)),
       partitionSpec = parsed.map(_.spec)))
+  }
+
+  /** Partition-spec EVOLUTION, the explicit-rewrite way: relay the
+    * current snapshot into the new spec's layout as one logical
+    * overwrite. Unlike Iceberg's metadata-only evolution (new spec
+    * applies to new data; old files keep their layout and per-file
+    * partition tuples ride the manifests), this layer derives layout
+    * from DIRECTORY names, so a uniform layout per live snapshot is
+    * the invariant — hence rewrite, honest O(table) cost included.
+    * Prior versions keep their old-layout files (time travel reads
+    * them fine: the reserved `gp_` prefix is dropped on every read
+    * regardless of which spec minted it, and pruning no-ops on files
+    * without the current spec's keys — conservative, never wrong).
+    * The meta update and the overwrite are two separate commits (the
+    * per-table lock is NOT reentrant, and meta.json swaps atomically
+    * on its own): a crash between them leaves a readable table whose
+    * next write completes the migration. Single-writer operation,
+    * like every overwrite.
+    */
+  def respecTable(name: String, specs: Seq[String]): Unit = {
+    require(specs.nonEmpty, "respec requires a non-empty partition spec")
+    val parsed = specs.map(PartitionTransforms.parse) // validates loudly
+    require(catalog.currentVersion(name).nonEmpty, s"table not found: $name")
+    val df = read(name) // plan + hidden-drop captured under the OLD meta
+    val meta = catalog.readMeta(name)
+    catalog.writeMeta(name, meta.copy(
+      partitionCols = Some(parsed.map(_.derivedName)),
+      partitionSpec = parsed.map(_.spec)))
+    // overwrite consults the NEW meta: stageWrite derives the new
+    // layout; clusterByLayout gives each new partition few files
+    overwrite(clusterByLayout(df, name, parsed.map(_.derivedName), 1), name)
   }
 
   /** Current-snapshot read. */
@@ -1462,11 +1493,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       }
       // hidden layout columns (pspec-derived, re-injected by partition
       // discovery) never reach the logical schema; identity transforms
-      // keep their source column, which IS the logical column
+      // keep their source column, which IS the logical column. The
+      // `gp_` prefix is RESERVED for layout columns, so any partition
+      // dir column carrying it is dropped even when it belongs to a
+      // superseded spec (respecTable rewrites the layout, but prior
+      // versions keep their old-layout files for time travel).
       val hidden = meta.partitionSpec.map(PartitionTransforms.parse).collect {
         case t if !t.isInstanceOf[PartitionTransforms.Identity] => t.derivedName
-      }
-      if (hidden.isEmpty) logical else logical.drop(hidden: _*)
+      } ++ logical.columns.filter(_.startsWith(PartitionTransforms.Prefix))
+      if (hidden.isEmpty) logical else logical.drop(hidden.distinct: _*)
     }
   }
 

@@ -275,6 +275,50 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(e3.getMessage.contains("unknown partition transform"), e3.getMessage)
   }
 
+  test("respecTable evolves the layout by explicit rewrite; time travel keeps the old one") {
+    val wh = tmp("graft_hp_respec_")
+    val io = TableIO(spark, wh)
+    val t = "default.ev2"
+    io.setPartitionSpec(t, Seq("bucket(4, event_id)"))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-07-01T00:00:00Z").plusSeconds(i * 4321L)))
+    }.toDF("event_id", "ts")
+    io.append(rows, t)
+    val vOld = io.catalog.currentVersion(t).get
+
+    io.respecTable(t, Seq("days(ts)"))
+    assert(io.catalog.readMeta(t).partitionSpec === Seq("days(ts)"))
+    // new layout on disk: current manifest's files live under day dirs
+    val cur = io.catalog.manifest(t, io.versions(t).last)
+    assert(cur.forall(_.contains("gp_days_ts=")), cur.take(3).mkString(","))
+    // logical content identical, layout columns of BOTH specs hidden
+    assert(io.read(t).columns.toSet === Set("event_id", "ts"))
+    assert(io.read(t).count() === 200)
+    // the PRE-respec version still reads (old bucket layout, same rows)
+    val old = io.readVersion(t, vOld)
+    assert(old.columns.toSet === Set("event_id", "ts") && old.count() === 200)
+    // pruning follows the NEW spec
+    withCatalog("ghp7", wh) {
+      val total = cur.size
+      val q = s"SELECT count(*) FROM ghp7.$t " +
+        "WHERE ts >= TIMESTAMP '2024-07-03 00:00:00' AND ts < TIMESTAMP '2024-07-05 00:00:00'"
+      assert(pathsIn(q) < total, "day-range must prune the re-specced layout")
+      val want = rows.filter(col("ts") >= lit("2024-07-03 00:00:00") &&
+        col("ts") < lit("2024-07-05 00:00:00")).count()
+      assert(spark.sql(q).as[Long].head() === want && want > 0)
+    }
+    // the SQL procedure spelling drives the same rewrite
+    withCatalog("ghp8", wh) {
+      val r = spark.sql(
+        s"CALL ghp8.system.rewrite_partition_spec('$t', 'bucket(8, event_id)')").collect()
+      assert(r.head.getString(1) === "bucket(8, event_id)")
+      assert(io.read(t).count() === 200)
+      assert(io.catalog.manifest(t, io.versions(t).last)
+        .forall(_.contains("gp_bucket8_event_id=")))
+    }
+  }
+
   test("ALTER TABLE cannot drop or rename a spec source column (layout embeds its name)") {
     val wh = tmp("graft_hp_alter_")
     withCatalog("ghp6", wh) {
