@@ -546,6 +546,24 @@ object OracleQueries {
          |UNION ALL SELECT l_returnflag, 'sum_revenue', sum_revenue FROM a
          |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a""".stripMargin,
 
+    // WAP branch DML replay: q46's merge (full-join formulation) with
+    // the on-branch DELETE applied before publish
+    "q118_wap_branch_dml" ->
+      """WITH t AS (SELECT s_suppkey, s_name, s_acctbal AS balance
+        |           FROM supplier WHERE s_suppkey <= 80),
+        |s AS (SELECT s_suppkey, s_name, s_acctbal * CAST(0.5 AS DOUBLE) AS delta
+        |      FROM supplier WHERE s_suppkey > 40),
+        |merged AS (
+        |  SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+        |    COALESCE(t.s_name, s.s_name) AS s_name,
+        |    CASE WHEN t.s_suppkey IS NOT NULL AND s.s_suppkey IS NOT NULL
+        |           THEN t.balance + s.delta
+        |         WHEN t.s_suppkey IS NOT NULL THEN t.balance
+        |         ELSE s.delta END AS balance
+        |  FROM t FULL JOIN s ON t.s_suppkey = s.s_suppkey)
+        |SELECT s_suppkey, s_name, balance FROM merged
+        |WHERE s_suppkey NOT BETWEEN 50 AND 60""".stripMargin,
+
     "q35_window_analytics" ->
       s"""WITH clean AS ($cleanLineitemSql)
          |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, revenue,

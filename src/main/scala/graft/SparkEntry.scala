@@ -296,6 +296,44 @@ object SparkEntry {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_revenue"), col("n_rows")),
           "metric", "value")),
+
+    // Session write-audit-publish (Iceberg's spark.wap.branch): with
+    // the conf set, the UNCHANGED q46-style MERGE and a DELETE land as
+    // BRANCH commits — main stays at the pre-DML snapshot (asserted:
+    // audit isolation is the operator's contract, not a side effect)
+    // until fast_forward publishes the audited state metadata-only.
+    // The result is post-publish main; the oracle replays the DML.
+    "q118_wap_branch_dml" -> ((s, dir) => {
+      val cname = "gwq"
+      val io = catalogIO(s, cname, "graft_wapq_")
+      io.overwrite(
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 80)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("balance")),
+        "default.supp_wap")
+      val vMain = io.catalog.currentVersion("default.supp_wap").get
+      // reruns share the session warehouse: a leftover audit branch
+      // would pin a stale fork — each run starts its audit fresh
+      io.dropBranch("default.supp_wap", "audit")
+      Tables.supplier(s, dir).filter(col("s_suppkey") > 40)
+        .select(col("s_suppkey"), col("s_name"), (col("s_acctbal") * 0.5).as("delta"))
+        .createOrReplaceTempView(s"wap_src_$cname")
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql(
+          s"""MERGE INTO $cname.default.supp_wap t USING wap_src_$cname s
+             |ON t.s_suppkey = s.s_suppkey
+             |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
+             |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_name, balance)
+             |  VALUES (s.s_suppkey, s.s_name, s.delta)""".stripMargin)
+        s.sql(s"DELETE FROM $cname.default.supp_wap WHERE s_suppkey BETWEEN 50 AND 60")
+      } finally s.conf.unset("spark.wap.branch")
+      s.catalog.dropTempView(s"wap_src_$cname")
+      // the audit gate: two DML commits later, main is still pristine
+      require(io.catalog.currentVersion("default.supp_wap").contains(vMain),
+        "WAP isolation violated: branch DML advanced main")
+      io.fastForward("default.supp_wap", "audit")
+      io.read("default.supp_wap")
+    }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))

@@ -70,18 +70,47 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     catalog.tableExists(qualified(ident))
 
+  /** The session's write-audit-publish branch (Iceberg's
+    * `spark.wap.branch`): when set, every plain-identifier resolution
+    * in this catalog lands on that branch — reads see the branch head
+    * (falling back to main until the branch exists), and writes
+    * (INSERT / UPDATE / DELETE / MERGE) commit branch snapshots,
+    * creating the branch at the current main snapshot on first write.
+    * Main is untouched until `fast_forward` publishes. Explicit
+    * `VERSION AS OF` / `TIMESTAMP AS OF` stay literal (time travel
+    * outranks the session default), as do metadata tables.
+    */
+  private def wapBranch(): Option[String] =
+    SparkSession.active.conf.getOption("spark.wap.branch")
+      .map(_.trim).filter(_.nonEmpty)
+
   override def loadTable(ident: Identifier): Table = {
     val name = qualified(ident)
-    catalog.currentVersion(name) match {
-      case Some(v) => loadVersion(ident, v)
+    val wap = wapBranch().filter(_ => catalog.tableExists(name))
+    wap.flatMap(b => catalog.branchHead(name, b).map(b -> _)) match {
+      case Some((b, head)) =>
+        // WAP session + branch exists: the branch head IS the table
+        try loadSnapshot(ident, s"branch-$b@v$head",
+          catalog.branchManifest(name, b, head),
+          try catalog.branchStats(name, b, head)
+          catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[String, Map[String, FileStats.ColStats]] },
+          writeBranch = Some(b))
+        catch { case _: java.nio.file.NoSuchFileException =>
+          throw new NoSuchTableException(ident) }
       case None =>
-        // Iceberg-style metadata tables: <ns>.<table>.snapshots etc.
-        // parse as namespace [ns, table] + name "snapshots"
-        val base = ident.namespace().mkString(".")
-        if (ident.namespace().nonEmpty && MetadataTables.Names.contains(ident.name()) &&
-            catalog.tableExists(base))
-          MetadataTables.load(catalog, base, ident.name())
-        else throw new NoSuchTableException(ident)
+        catalog.currentVersion(name) match {
+          // wap set but branch not yet created: read main, write forks
+          case Some(v) => loadVersion(ident, v, writeBranch = wap)
+          case None =>
+            // Iceberg-style metadata tables: <ns>.<table>.snapshots etc.
+            // parse as namespace [ns, table] + name "snapshots"
+            val base = ident.namespace().mkString(".")
+            if (ident.namespace().nonEmpty && MetadataTables.Names.contains(ident.name()) &&
+                catalog.tableExists(base))
+              MetadataTables.load(catalog, base, ident.name())
+            else throw new NoSuchTableException(ident)
+        }
     }
   }
 
@@ -126,12 +155,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     loadVersion(ident, v)
   }
 
-  private def loadVersion(ident: Identifier, version: Int): Table = {
+  private def loadVersion(ident: Identifier, version: Int,
+                          writeBranch: Option[String] = None): Table = {
     val name = qualified(ident)
     loadSnapshot(ident, s"v$version", catalog.manifest(name, version),
       try catalog.manifestStats(name, version)
       catch { case scala.util.control.NonFatal(_) =>
-        Map.empty[String, Map[String, FileStats.ColStats]] })
+        Map.empty[String, Map[String, FileStats.ColStats]] },
+      writeBranch)
   }
 
   /** Materialize ANY manifest's file list (a main version or a branch
@@ -139,7 +170,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     * and branch resolution.
     */
   private def loadSnapshot(ident: Identifier, label: String, files: Seq[String],
-                           stats: Map[String, Map[String, FileStats.ColStats]]): Table = {
+                           stats: Map[String, Map[String, FileStats.ColStats]],
+                           writeBranch: Option[String] = None): Table = {
     val name = qualified(ident)
     // seed the stats cache from the manifest so plan-time file
     // skipping (StatsPruningScanBuilder, DML scoping) never opens a
@@ -190,8 +222,9 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     // partitioned tables keep DELETE-only DML (SupportsDelete V1
     // path) plus the programmatic TableIO.updateWhere.
     val pspec = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
-    if (pcols.isEmpty) new GraftRowOpsTable(name, catalog, delegate, declared, renames)
-    else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec)
+    if (pcols.isEmpty)
+      new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch)
+    else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec, writeBranch)
   }
 
   /** Hive-style partition columns inferred from a manifest's file
@@ -535,7 +568,10 @@ private[io] class GraftTable(
     partitionCols: Seq[String],
     declaredSchema: Option[StructType],
     renames: Map[String, String],
-    pspec: Seq[PartitionTransform] = Seq.empty
+    pspec: Seq[PartitionTransform] = Seq.empty,
+    // session WAP branch (`spark.wap.branch`): writes commit branch
+    // snapshots instead of main versions; None = normal main writes
+    writeBranch: Option[String] = None
 ) extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   // hidden layout columns (pspec-derived) — stripped from the visible
@@ -617,8 +653,15 @@ private[io] class GraftTable(
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val io = new TableIO(spark, cat)
+    // under a WAP session the delete's base snapshot is the BRANCH
+    // head (creating the branch at main's current snapshot on first
+    // write); otherwise main's current version
+    val branchHead = writeBranch.map(b => b -> io.ensureBranch(tableName, b))
     val baseVersion = cat.currentVersion(tableName)
-    val all = baseVersion.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+    val all = branchHead match {
+      case Some((b, h)) => cat.branchManifest(tableName, b, h)
+      case None => baseVersion.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+    }
     val toLogicalName = renames.map(_.swap)
     val (kept, candidates) =
       try {
@@ -636,8 +679,14 @@ private[io] class GraftTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     val remaining = io.readFiles(tableName, candidates)
       .filter(not(coalesce(cond, lit(false))))
-    io.commitReplacement(remaining, tableName, kept, partitionCols,
-      baseVersion = baseVersion.getOrElse(0))
+    branchHead match {
+      case Some((b, h)) =>
+        io.commitBranchReplacement(remaining, tableName, b, kept, partitionCols, baseHead = h)
+        ()
+      case None =>
+        io.commitReplacement(remaining, tableName, kept, partitionCols,
+          baseVersion = baseVersion.getOrElse(0))
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -649,8 +698,17 @@ private[io] class GraftTable(
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val io = new TableIO(data.sparkSession, cat)
-              if (replace || overwrite) io.overwrite(data, tableName, partitionCols)
-              else io.append(data, tableName, partitionCols)
+              writeBranch match {
+                case Some(b) =>
+                  // WAP session: the write lands on the branch,
+                  // forking it at main's current snapshot when absent
+                  if (replace || overwrite) io.overwriteBranch(data, tableName, b, partitionCols)
+                  else { io.ensureBranch(tableName, b); io.appendToBranch(data, tableName, b, partitionCols) }
+                  ()
+                case None =>
+                  if (replace || overwrite) io.overwrite(data, tableName, partitionCols)
+                  else io.append(data, tableName, partitionCols)
+              }
             }
           }
       }
@@ -676,8 +734,10 @@ private[io] class GraftRowOpsTable(
     cat: TableCatalog,
     delegate: ParquetTable,
     declaredSchema: Option[StructType],
-    renames: Map[String, String]
-) extends GraftTable(tableName, cat, delegate, Seq.empty, declaredSchema, renames)
+    renames: Map[String, String],
+    writeBranch: Option[String] = None
+) extends GraftTable(tableName, cat, delegate, Seq.empty, declaredSchema, renames,
+    writeBranch = writeBranch)
   with SupportsRowLevelOperations {
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -693,6 +753,12 @@ private[io] class GraftRowOpsTable(
         // time) surfaces as ConcurrentCommitException instead of the
         // rewrite silently dropping that commit's files (lost update)
         @volatile private var baseVersion: Option[Int] = None
+        // WAP-session bookkeeping: the branch head the scan planned
+        // against (None = branch not created yet — it forks at commit)
+        // and the planned file set (the conflict check for the
+        // fork-at-commit case, where no branch version existed to pin)
+        @volatile private var branchHeadAtScan: Option[Int] = None
+        @volatile private var plannedFiles: Seq[String] = Seq.empty
 
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String = s"graft copy-on-write ${info.command()}"
@@ -712,8 +778,17 @@ private[io] class GraftRowOpsTable(
           new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
             private val baseV = cat.currentVersion(tableName)
             locally { baseVersion = baseV } // one read: files + version from the same snapshot
-            private val allFiles = baseV
-              .map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+            // under a WAP session the rewrite's base snapshot is the
+            // BRANCH head when it exists; otherwise main's current
+            // manifest (the branch forks from it at commit time)
+            private val branchHeadNow: Option[Int] =
+              writeBranch.flatMap(b => cat.branchHead(tableName, b))
+            locally { branchHeadAtScan = branchHeadNow }
+            private val allFiles = (writeBranch, branchHeadNow) match {
+              case (Some(b), Some(h)) => cat.branchManifest(tableName, b, h)
+              case _ => baseV.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
+            }
+            locally { plannedFiles = allFiles }
             private var chosen: Seq[String] = allFiles
             private val toLogicalName = renames.map(_.swap)
 
@@ -833,16 +908,47 @@ private[io] class GraftRowOpsTable(
                   try {
                     // Fail fast if ANY commit landed after the rewrite's
                     // file partition was computed: carriedOver came from
-                    // baseVersion's manifest, so committing over a newer
-                    // snapshot would silently drop that snapshot's files.
-                    // (The lock serializes same-JVM writers from toBatch
-                    // on, but the scan planned BEFORE the lock, and other
-                    // processes are never held by it.)
-                    val cur = cat.currentVersion(tableName)
-                    if (cur != baseVersion)
-                      throw new ConcurrentCommitException(
-                        s"concurrent commit to $tableName during row-level ${info.command()}: " +
-                          s"planned against version $baseVersion but current is $cur; re-run the command")
+                    // the base snapshot's manifest, so committing over a
+                    // newer snapshot would silently drop that snapshot's
+                    // files. (The lock serializes same-JVM writers from
+                    // toBatch on, but the scan planned BEFORE the lock,
+                    // and other processes are never held by it.)
+                    // WAP session: the base snapshot is the BRANCH head
+                    // (or, when the branch forks at this commit, the
+                    // main manifest the scan planned against — checked
+                    // by file-set equality since no branch version
+                    // existed yet to pin).
+                    // the validated base head for a branch commit —
+                    // pinned through to commitBranchSnapshot below so a
+                    // racer landing after this check loses the
+                    // exclusive-create race instead of being stacked on
+                    val branchCommitHead: Option[Int] = writeBranch match {
+                      case Some(b) =>
+                        val io = new TableIO(SparkSession.active, cat)
+                        // the per-table lock is HELD here (acquired at
+                        // toBatch) and is non-reentrant — fork via the
+                        // lock-assumed flavor, never ensureBranch
+                        val head = io.ensureBranchLocked(tableName, b)
+                        val stale = branchHeadAtScan match {
+                          case Some(h) => head != h
+                          case None =>
+                            cat.branchManifest(tableName, b, head).toSet != plannedFiles.toSet
+                        }
+                        if (stale)
+                          throw new ConcurrentCommitException(
+                            s"concurrent commit to $tableName branch $b during row-level " +
+                              s"${info.command()}: planned against " +
+                              s"${branchHeadAtScan.map(h => s"branch head $h").getOrElse("the fork snapshot")} " +
+                              s"but the branch moved; re-run the command")
+                        Some(head)
+                      case None =>
+                        val cur = cat.currentVersion(tableName)
+                        if (cur != baseVersion)
+                          throw new ConcurrentCommitException(
+                            s"concurrent commit to $tableName during row-level ${info.command()}: " +
+                              s"planned against version $baseVersion but current is $cur; re-run the command")
+                        None
+                    }
                     dBatch.commit(messages)
                     // new table = files the scan proved untouchable
                     // (carried over verbatim) + this write's replacement
@@ -857,16 +963,39 @@ private[io] class GraftRowOpsTable(
                     // commit keeps plan-time pruning O(manifest) —
                     // without them the next loadTable silently degrades
                     // to per-file footer reads for the whole table.
-                    // Committing AT baseVersion+1 (not "current+1") makes
-                    // the conflict atomic with version-file creation:
+                    // Committing AT base+1 (not "current+1") makes the
+                    // conflict atomic with version-file creation:
                     // a cross-process commit sneaking in between the
                     // check above and here loses the hard-link race and
                     // surfaces as ConcurrentCommitException instead of
-                    // being silently overwritten.
-                    cat.commitSnapshotAt(tableName, carriedOver ++ newFiles,
-                      baseVersion.getOrElse(0) + 1,
-                      stats = cat.statsForCommit(tableName, carriedOver, newFiles,
-                        SparkSession.active.sessionState.newHadoopConf()))
+                    // being silently overwritten. The branch flavor
+                    // commits a BRANCH snapshot the same pinned way
+                    // (exclusive branch-manifest create), carrying the
+                    // fork-base prop so fast_forward's divergence check
+                    // keeps working after on-branch DML.
+                    val conf = SparkSession.active.sessionState.newHadoopConf()
+                    writeBranch match {
+                      case Some(b) =>
+                        val head = branchCommitHead.getOrElse(0)
+                        val carriedStats =
+                          try cat.branchStats(tableName, b, head)
+                            .view.filterKeys(carriedOver.toSet).toMap
+                          catch { case scala.util.control.NonFatal(_) =>
+                            Map.empty[String, Map[String, FileStats.ColStats]] }
+                        val forkBase =
+                          try cat.branchProps(tableName, b, head)
+                            .getOrElse(TableCatalog.BranchBaseProp, "0")
+                          catch { case scala.util.control.NonFatal(_) => "0" }
+                        cat.commitBranchSnapshot(tableName, b, carriedOver ++ newFiles,
+                          head + 1,
+                          Map(TableCatalog.BranchBaseProp -> forkBase),
+                          carriedStats ++
+                            cat.statsForCommit(tableName, Seq.empty, newFiles, conf))
+                      case None =>
+                        cat.commitSnapshotAt(tableName, carriedOver ++ newFiles,
+                          baseVersion.getOrElse(0) + 1,
+                          stats = cat.statsForCommit(tableName, carriedOver, newFiles, conf))
+                    }
                     ()
                   } finally { releaseOnce(); sweepStaging() }
                 override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -616,19 +616,27 @@ final case class TableCatalog(warehouse: String) {
   def createBranch(name: String, branch: String): Int = {
     val lock = TableIO.writeLock(pathOf(name))
     lock.acquire()
-    try {
-      require(branchHead(name, branch).isEmpty,
-        s"branch $branch already exists on $name")
-      val base = currentVersion(name).getOrElse(0)
-      val files = if (base == 0) Seq.empty else manifest(name, base)
-      val stats =
-        if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
-        else try manifestStats(name, base)
-             catch { case scala.util.control.NonFatal(_) =>
-               Map.empty[String, Map[String, FileStats.ColStats]] }
-      commitBranchSnapshot(name, branch, files, 1,
-        Map(TableCatalog.BranchBaseProp -> base.toString), stats)
-    } finally lock.release()
+    try createBranchLocked(name, branch) finally lock.release()
+  }
+
+  /** [[createBranch]] for a caller that ALREADY HOLDS the per-table
+    * write lock (it is a non-reentrant semaphore — re-acquiring
+    * deadlocks; the row-level-op commit path holds it from toBatch
+    * through commit). Cross-process safety is unchanged: the v1
+    * branch-manifest create below is exclusive.
+    */
+  private[io] def createBranchLocked(name: String, branch: String): Int = {
+    require(branchHead(name, branch).isEmpty,
+      s"branch $branch already exists on $name")
+    val base = currentVersion(name).getOrElse(0)
+    val files = if (base == 0) Seq.empty else manifest(name, base)
+    val stats =
+      if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
+      else try manifestStats(name, base)
+           catch { case scala.util.control.NonFatal(_) =>
+             Map.empty[String, Map[String, FileStats.ColStats]] }
+    commitBranchSnapshot(name, branch, files, 1,
+      Map(TableCatalog.BranchBaseProp -> base.toString), stats)
   }
 
   /** Fast-forward MAIN to the branch head (Iceberg's
@@ -1790,6 +1798,95 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
       catalog.commitBranchSnapshot(name, branch, prev ++ newFiles, head + 1,
         props + (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
+        carried ++ commitStats(name, Seq.empty, newFiles))
+    } finally lock.release()
+  }
+
+  /** Branch create-if-absent — the write half of the session WAP flow
+    * (`spark.wap.branch`, [[GraftCatalog]]): like Iceberg, the first
+    * write under the conf forks the branch at the table's current main
+    * snapshot. Called OUTSIDE the per-table lock (it is non-reentrant
+    * and [[TableCatalog.createBranch]] takes it); a racing creator is
+    * absorbed — exactly one create wins, both see the same head.
+    */
+  private[io] def ensureBranch(name: String, branch: String): Int =
+    catalog.branchHead(name, branch).getOrElse {
+      try catalog.createBranch(name, branch)
+      catch {
+        case _: IllegalArgumentException | _: ConcurrentCommitException =>
+          catalog.branchHead(name, branch).getOrElse(
+            throw new IllegalStateException(
+              s"branch $branch on $name vanished during create (concurrent drop?)"))
+      }
+    }
+
+  /** [[ensureBranch]] for a caller that ALREADY HOLDS the per-table
+    * write lock — the row-level-op commit path ([[GraftRowOpsTable]])
+    * acquires it at toBatch and forks the WAP branch at commit time.
+    * Same-JVM racers are excluded by the held lock; a cross-process
+    * racer still loses the exclusive v1-manifest create and is
+    * absorbed the same way.
+    */
+  private[graft] def ensureBranchLocked(name: String, branch: String): Int =
+    catalog.branchHead(name, branch).getOrElse {
+      try catalog.createBranchLocked(name, branch)
+      catch {
+        case _: IllegalArgumentException | _: ConcurrentCommitException =>
+          catalog.branchHead(name, branch).getOrElse(
+            throw new IllegalStateException(
+              s"branch $branch on $name vanished during create (concurrent drop?)"))
+      }
+    }
+
+  /** Logical full replace of the BRANCH head — the branch twin of
+    * [[overwrite]]: new files only, committed as the next branch
+    * version (exclusive create: a same-version racer surfaces as
+    * [[ConcurrentCommitException]]). Main and prior branch versions
+    * keep reading their files. Creates the branch at the current main
+    * snapshot when absent (WAP first-write semantics).
+    */
+  def overwriteBranch(df: DataFrame, name: String, branch: String,
+                      partitionCols: Seq[String] = Seq.empty,
+                      props: Map[String, String] = Map.empty): Int = {
+    ensureBranch(name, branch)
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val head = catalog.branchHead(name, branch).getOrElse(
+        throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
+        props + (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
+        commitStats(name, Seq.empty, newFiles))
+    } finally lock.release()
+  }
+
+  /** Branch twin of [[commitReplacement]] — the commit half of a
+    * file-scoped copy-on-write mutation ON A BRANCH: `keepFiles` carry
+    * into the new branch manifest verbatim (stats carried from the
+    * branch head, no footer re-read), `df`'s rows replace everything
+    * else. PINNED at `baseHead + 1` via the exclusive branch-manifest
+    * create: a concurrent branch commit landing after the caller
+    * planned against `baseHead` surfaces as
+    * [[ConcurrentCommitException]] instead of having its files
+    * silently dropped from the kept list — the same-version-racer
+    * guard extended to DML commits.
+    */
+  private[graft] def commitBranchReplacement(df: DataFrame, name: String, branch: String,
+                                             keepFiles: Seq[String],
+                                             partitionCols: Seq[String],
+                                             baseHead: Int,
+                                             props: Map[String, String] = Map.empty): Int = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val carried =
+        try catalog.branchStats(name, branch, baseHead).view.filterKeys(keepFiles.toSet).toMap
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      catalog.commitBranchSnapshot(name, branch, keepFiles ++ newFiles, baseHead + 1,
+        props + (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, baseHead)),
         carried ++ commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }
