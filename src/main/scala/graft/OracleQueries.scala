@@ -564,6 +564,51 @@ object OracleQueries {
         |SELECT s_suppkey, s_name, balance FROM merged
         |WHERE s_suppkey NOT BETWEEN 50 AND 60""".stripMargin,
 
+    // MOR position-delete replay: the kept set is identical in both
+    // read states (pending = merge-on-read anti-join, applied =
+    // post-rewrite scan) — the query emits it twice under a state
+    // marker. NOT coalesce(pred, false) mirrors SQL DELETE's
+    // null-keeps-the-row rule.
+    "q119_mor_delete" ->
+      """WITH src AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |         CAST(l_linenumber AS BIGINT) AS lnum,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE CAST(l_orderkey AS BIGINT) <= 2000),
+        |kept AS (SELECT * FROM src WHERE NOT coalesce(qty <= 10, false))
+        |SELECT 'pending' AS state, okey, lnum, qty FROM kept
+        |UNION ALL
+        |SELECT 'applied' AS state, okey, lnum, qty FROM kept""".stripMargin,
+
+    // MOR UPDATE replay: both read states equal the CASE-applied frame
+    "q120_mor_update" ->
+      """WITH src AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |         CAST(l_linenumber AS BIGINT) AS lnum,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE CAST(l_orderkey AS BIGINT) <= 1500),
+        |upd AS (SELECT okey, lnum,
+        |          CASE WHEN coalesce(qty >= 40, FALSE) THEN qty + 100 ELSE qty END AS qty
+        |        FROM src)
+        |SELECT 'pending' AS state, okey, lnum, qty FROM upd
+        |UNION ALL
+        |SELECT 'applied' AS state, okey, lnum, qty FROM upd""".stripMargin,
+
+    // equality-delete upsert replay: batch rows win, non-batch keys
+    // pass through (last-write-wins) — identical in both read states
+    "q121_mor_upsert" ->
+      """WITH t AS (SELECT s_suppkey, s_name, s_acctbal AS bal
+        |           FROM supplier WHERE s_suppkey <= 60),
+        |b AS (SELECT s_suppkey, s_name, s_acctbal * CAST(0.5 AS DOUBLE) AS bal
+        |      FROM supplier WHERE s_suppkey BETWEEN 41 AND 80),
+        |merged AS (
+        |  SELECT * FROM b
+        |  UNION ALL
+        |  SELECT t.* FROM t ANTI JOIN b USING (s_suppkey))
+        |SELECT 'pending' AS state, s_suppkey, s_name, bal FROM merged
+        |UNION ALL
+        |SELECT 'applied' AS state, s_suppkey, s_name, bal FROM merged""".stripMargin,
+
     "q35_window_analytics" ->
       s"""WITH clean AS ($cleanLineitemSql)
          |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, revenue,

@@ -334,6 +334,112 @@ object SparkEntry {
       io.fastForward("default.supp_wap", "audit")
       io.read("default.supp_wap")
     }),
+
+    // Merge-on-read position deletes (Iceberg's MOR DELETE): the
+    // delete records (file, row position) pairs in a small parquet and
+    // commits METADATA-ONLY — asserted in-query: the data file list is
+    // byte-identical across the delete. Both read states are
+    // oracle-hashed: 'pending' rows come through the SQL catalog's V1
+    // read bridge while the deletes are unapplied (the plan pins the
+    // dirty version, so laziness cannot leak the applied state in),
+    // 'applied' rows read the post-applyDeletes pure-scan table. At
+    // 100 TB this is the right DELETE cost shape: O(matched rows) to
+    // delete, O(dirty bytes) to materialize — never an O(table)
+    // rewrite for a handful of rows.
+    "q119_mor_delete" -> ((s, dir) => {
+      val cname = "gmq"
+      val io = catalogIO(s, cname, "graft_morq_")
+      val t = "default.li_mor"
+      io.overwrite(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast("bigint").as("okey"),
+          col("l_linenumber").cast("bigint").as("lnum"),
+          col("l_quantity").cast("bigint").as("qty"))
+          .filter(col("l_orderkey").cast("bigint") <= 2000),
+        t)
+      val v0 = io.catalog.currentVersion(t).get
+      val files0 = io.catalog.manifest(t, v0)
+      val (v1, deleted) = io.deleteWhereMOR(t, col("qty") <= 10)
+      require(v1 == v0 + 1 && deleted > 0, s"MOR delete did not commit ($v1, $deleted)")
+      require(io.catalog.manifest(t, v1) == files0,
+        "MOR delete must be metadata-only: the data file list changed")
+      // resolved NOW against the dirty snapshot — GraftMorTable pins
+      // version v1, so this frame stays the pending-state read even
+      // though it executes after applyDeletes below
+      val pending = s.sql(
+        s"SELECT 'pending' AS state, okey, lnum, qty FROM $cname.$t")
+      val (v2, rewritten) = io.applyDeletes(t)
+      require(v2 == v1 + 1 && rewritten > 0, "applyDeletes did not rewrite")
+      require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
+      val applied = s.sql(
+        s"SELECT 'applied' AS state, okey, lnum, qty FROM $cname.$t")
+      pending.unionByName(applied)
+    }),
+
+    // MOR UPDATE: ONE commit carrying a position-delete file (matched
+    // rows) plus the replacement rows with the assignment applied —
+    // asserted in-query: every pre-update data file survives the
+    // commit. Both read states hash-oracled like q119.
+    "q120_mor_update" -> ((s, dir) => {
+      val cname = "gmu"
+      val io = catalogIO(s, cname, "graft_moruq_")
+      val t = "default.li_upd"
+      io.overwrite(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast("bigint").as("okey"),
+          col("l_linenumber").cast("bigint").as("lnum"),
+          col("l_quantity").cast("bigint").as("qty"))
+          .filter(col("l_orderkey").cast("bigint") <= 1500),
+        t)
+      val v0 = io.catalog.currentVersion(t).get
+      val files0 = io.catalog.manifest(t, v0).toSet
+      val (v1, n) = io.updateWhereMOR(t, col("qty") >= 40,
+        Map("qty" -> (col("qty") + 100)))
+      require(v1 == v0 + 1 && n > 0, s"MOR update did not commit ($v1, $n)")
+      require(files0.subsetOf(io.catalog.manifest(t, v1).toSet),
+        "MOR update must keep every pre-update data file")
+      val pending = s.sql(
+        s"SELECT 'pending' AS state, okey, lnum, qty FROM $cname.$t")
+      val (v2, _) = io.applyDeletes(t)
+      require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
+      val applied = s.sql(
+        s"SELECT 'applied' AS state, okey, lnum, qty FROM $cname.$t")
+      pending.unionByName(applied)
+    }),
+
+    // Equality-delete UPSERT (Iceberg's zero-read CDC write): the
+    // batch appends its rows and commits its key set as an equality
+    // delete scoped to the files that might hold them — NOTHING is
+    // read at write time (asserted: every pre-batch data file survives
+    // the commit), so a CDC batch costs O(batch) at any table size
+    // where the COW upsert rewrites candidate files. Both read states
+    // hash-oracled: pending resolves last-write-wins through the entry
+    // chain (SQL V1 bridge), applied reads the materialized table.
+    "q121_mor_upsert" -> ((s, dir) => {
+      val cname = "gms"
+      val io = catalogIO(s, cname, "graft_morsq_")
+      val t = "default.supp_cdc"
+      io.overwrite(
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 60)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("bal")),
+        t)
+      val v0 = io.catalog.currentVersion(t).get
+      val files0 = io.catalog.manifest(t, v0).toSet
+      val batch = Tables.supplier(s, dir)
+        .filter(col("s_suppkey").between(41, 80))
+        .select(col("s_suppkey"), col("s_name"), (col("s_acctbal") * 0.5).as("bal"))
+      val (v1, n) = io.upsertMOR(t, batch, Seq("s_suppkey"))
+      require(v1 == v0 + 1 && n > 0, s"MOR upsert did not commit ($v1, $n)")
+      require(files0.subsetOf(io.catalog.manifest(t, v1).toSet),
+        "MOR upsert must keep every pre-batch data file (zero-read write)")
+      val pending = s.sql(
+        s"SELECT 'pending' AS state, s_suppkey, s_name, bal FROM $cname.$t")
+      val (v2, _) = io.applyDeletes(t)
+      require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
+      val applied = s.sql(
+        s"SELECT 'applied' AS state, s_suppkey, s_name, bal FROM $cname.$t")
+      pending.unionByName(applied)
+    }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))

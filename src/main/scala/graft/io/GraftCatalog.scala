@@ -158,11 +158,18 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   private def loadVersion(ident: Identifier, version: Int,
                           writeBranch: Option[String] = None): Table = {
     val name = qualified(ident)
+    // a snapshot with PENDING merge-on-read position deletes cannot be
+    // served as a raw parquet scan — every read must anti-join the
+    // delete positions (TableIO.mergeDeletes); applyDeletes restores
+    // the pure-scan table
+    val morVersion =
+      try if (catalog.pendingDeletes(name, version).nonEmpty) Some(version) else None
+      catch { case scala.util.control.NonFatal(_) => None }
     loadSnapshot(ident, s"v$version", catalog.manifest(name, version),
       try catalog.manifestStats(name, version)
       catch { case scala.util.control.NonFatal(_) =>
         Map.empty[String, Map[String, FileStats.ColStats]] },
-      writeBranch)
+      writeBranch, morVersion)
   }
 
   /** Materialize ANY manifest's file list (a main version or a branch
@@ -171,7 +178,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     */
   private def loadSnapshot(ident: Identifier, label: String, files: Seq[String],
                            stats: Map[String, Map[String, FileStats.ColStats]],
-                           writeBranch: Option[String] = None): Table = {
+                           writeBranch: Option[String] = None,
+                           morVersion: Option[Int] = None): Table = {
     val name = qualified(ident)
     // seed the stats cache from the manifest so plan-time file
     // skipping (StatsPruningScanBuilder, DML scoping) never opens a
@@ -222,9 +230,18 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     // partitioned tables keep DELETE-only DML (SupportsDelete V1
     // path) plus the programmatic TableIO.updateWhere.
     val pspec = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
-    if (pcols.isEmpty)
-      new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch)
-    else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec, writeBranch)
+    morVersion match {
+      case Some(mv) =>
+        // dirty snapshot: reads go through the V1 bridge computing the
+        // deletes-merged frame; COW row-level ops refuse (they would
+        // scan raw files and resurrect deleted rows)
+        new GraftMorTable(name, catalog, delegate, pcols, declared, renames, pspec,
+          writeBranch, mv)
+      case None =>
+        if (pcols.isEmpty)
+          new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch)
+        else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec, writeBranch)
+    }
   }
 
   /** Hive-style partition columns inferred from a manifest's file
@@ -1007,6 +1024,78 @@ private[io] class GraftRowOpsTable(
         }
       }
     }
+}
+
+/** Snapshot with PENDING merge-on-read position deletes
+  * (TableIO.deleteWhereMOR): every read must anti-join the delete
+  * positions, which a DSv2 parquet scan cannot express — so reads go
+  * through Spark's V1 read bridge ([[org.apache.spark.sql.connector
+  * .read.V1Scan]], the same fallback JDBC catalog tables use): the
+  * scan materializes as `TableIO.readVersion`'s deletes-merged frame
+  * (clean files on the codegen parquet path, only dirty files pay the
+  * broadcast anti-join), with required-column pruning applied to the
+  * frame. This table is the TRANSIENT state between a MOR delete and
+  * `applyDeletes` — once the prop clears, loadTable serves the normal
+  * pure-scan GraftTable again.
+  *
+  * Writes: INSERT INTO appends through TableIO.append, which carries
+  * the pending-deletes prop (deleted rows stay deleted); INSERT
+  * OVERWRITE replaces the file list, clearing it. Copy-on-write
+  * row-level ops refuse loudly — their rewrite scans raw files and
+  * would resurrect deleted rows.
+  */
+private[io] class GraftMorTable(
+    tableName: String,
+    cat: TableCatalog,
+    delegate: ParquetTable,
+    partitionCols: Seq[String],
+    declaredSchema: Option[StructType],
+    renames: Map[String, String],
+    pspec: Seq[PartitionTransform],
+    writeBranch: Option[String],
+    version: Int
+) extends GraftTable(tableName, cat, delegate, partitionCols, declaredSchema, renames,
+    pspec, writeBranch) {
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan {
+        private val full = schema()
+        private val read = required.getOrElse(full)
+        override def readSchema(): StructType = read
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            ctx: org.apache.spark.sql.SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+            override def schema: StructType = read
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val spark = ctx.sparkSession
+              val io = new TableIO(spark, cat)
+              val df = io.readVersion(tableName, version)
+              // empty required schema = count(*)-style scan: rows, no
+              // columns (select() keeps the row count)
+              df.select(read.fields.toSeq
+                .map(f => org.apache.spark.sql.functions.col(f.name)): _*).rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
+
+  /** COW DELETE over pending position deletes would read raw files and
+    * resurrect rows — refuse with the recovery step. (`canDeleteWhere`
+    * stays permissive so the command reaches this message instead of a
+    * generic fallback error.)
+    */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    throw new UnsupportedOperationException(
+      s"$tableName has pending position deletes (merge-on-read): run " +
+        "CALL <catalog>.system.apply_deletes first, or use TableIO.deleteWhereMOR " +
+        "to stack another metadata-only delete")
 }
 
 /** Read-path metadata file skipping (the SELECT-side use of

@@ -32,7 +32,7 @@ private[io] object GraftProcedures {
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
       "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
-      "drop_branch", "expire_branch_snapshots")
+      "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -78,6 +78,35 @@ private[io] object GraftProcedures {
             })
         }
       })
+    case "mor_delete" =>
+      // merge-on-read DELETE: records (file, position) pairs instead
+      // of rewriting files — O(matched rows), data files untouched.
+      // The predicate is a SQL expression over the table's columns.
+      Some(proc("mor_delete",
+        Seq("table" -> StringType, "predicate" -> StringType),
+        new StructType().add("version", IntegerType, nullable = false)
+          .add("deleted_rows", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val pred = in.getUTF8String(1).toString
+          val io = new TableIO(SparkSession.active, cat)
+          val (v, n) = io.deleteWhereMOR(t, org.apache.spark.sql.functions.expr(pred))
+          Seq(new GenericInternalRow(Array[Any](v, n)))
+        }))
+    case "apply_deletes" =>
+      // materialize pending position deletes: rewrite ONLY the dirty
+      // files and clear the prop, restoring the pure-scan plan
+      Some(proc("apply_deletes",
+        Seq("table" -> StringType),
+        new StructType().add("version", IntegerType, nullable = false)
+          .add("rewritten_files", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val io = new TableIO(SparkSession.active, cat)
+          val pcols = cat.tablePartitionCols(t).getOrElse(Seq.empty)
+          val (v, n) = io.applyDeletes(t, pcols)
+          Seq(new GenericInternalRow(Array[Any](v, n)))
+        }))
     case "compact" =>
       Some(proc("compact",
         Seq("table" -> StringType),

@@ -165,6 +165,33 @@ final case class TableCatalog(warehouse: String) {
     TableCatalog.parseStringArrayAt(Files.readString(f), "props")
       .grouped(2).collect { case Seq(k, v) => k -> v }.toMap
 
+  /** PENDING merge-on-read position deletes of snapshot `version`,
+    * paths resolved absolute against the table root. Empty = clean
+    * snapshot (the normal state; `TableIO.applyDeletes` restores it).
+    */
+  def pendingDeletes(name: String, version: Int): Seq[TableCatalog.DeleteEntry] = {
+    val props =
+      try manifestProps(name, version)
+      catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, String] }
+    props.get(TableCatalog.DeletesProp).map { v =>
+      val base = tableRoot(name)
+      def abs(p: String): String =
+        if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+      TableCatalog.decodeDeletes(v).map(e =>
+        e.copy(deleteFile = abs(e.deleteFile), dirtyFiles = e.dirtyFiles.map(abs)))
+    }.getOrElse(Seq.empty)
+  }
+
+  /** The raw deletes prop of `version` as a carryable props map —
+    * for commits that keep the version's data files (append, rollback)
+    * and therefore MUST keep its pending deletes attached, or deleted
+    * rows would silently resurrect.
+    */
+  private[io] def deletesCarry(name: String, version: Int): Map[String, String] =
+    (try manifestProps(name, version)
+     catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .view.filterKeys(_ == TableCatalog.DeletesProp).toMap
+
   /** Commit at a WRITER-COMPUTED version — the optimistic-concurrency
     * primitive: two writers that both read version N race to create
     * `v(N+1).json`; exactly one wins, the other gets
@@ -629,6 +656,11 @@ final case class TableCatalog(warehouse: String) {
     require(branchHead(name, branch).isEmpty,
       s"branch $branch already exists on $name")
     val base = currentVersion(name).getOrElse(0)
+    // branch manifests carry no delete entries, so forking a dirty
+    // snapshot would RESURRECT deleted rows on every branch read
+    require(base == 0 || pendingDeletes(name, base).isEmpty,
+      s"cannot branch $name: snapshot $base has pending position deletes — " +
+        "run applyDeletes first")
     val files = if (base == 0) Seq.empty else manifest(name, base)
     val stats =
       if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
@@ -806,8 +838,12 @@ final case class TableCatalog(warehouse: String) {
       // pinned at the version observed above: a CROSS-PROCESS commit
       // landing after the read must fail this commit fast (the JVM
       // lock only serializes same-process writers), not be silently
-      // superseded by a rollback that never saw it
-      commitSnapshotAt(name, files, live.max + 1, stats = stats)
+      // superseded by a rollback that never saw it. The target's
+      // pending-deletes prop (if any) is carried: the restored file
+      // list is the target's, so its delete entries apply verbatim —
+      // dropping them would resurrect the rows the target had deleted.
+      commitSnapshotAt(name, files, live.max + 1,
+        props = deletesCarry(name, version), stats = stats)
     } finally lock.release()
   }
 
@@ -973,6 +1009,47 @@ final case class TableCatalog(warehouse: String) {
         Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
       }
       FileStats.invalidate(orphans)
+      // Position-delete files live under <table>/deletes/<id>/ and are
+      // referenced from manifest PROPS, not file lists — liveness comes
+      // from every surviving version's pendingDeletes entries. A dir
+      // with no live delete file (its referencing snapshots expired, or
+      // applyDeletes cleared the prop) is reclaimed age-guarded like
+      // data orphans; a young dir may be a deleteWhereMOR mid-commit.
+      val deleteOrphans: Seq[String] = {
+        val liveDel = versions(name).flatMap { v =>
+          try pendingDeletes(name, v).map(_.deleteFile)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        }.map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+        val delRoot = Paths.get(pathOf(name), "deletes")
+        if (!Files.isDirectory(delRoot)) Seq.empty
+        else Using.resource(Files.list(delRoot)) { s =>
+          s.iterator().asScala.toSeq.filter(Files.isDirectory(_))
+        }.filter { dir =>
+          val entries =
+            try Using.resource(Files.walk(dir)) { w =>
+              w.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+            } catch {
+              case _: java.io.IOException | _: java.io.UncheckedIOException => Seq.empty[Path]
+            }
+          entries.nonEmpty &&
+            !entries.exists(p => liveDel(p.toAbsolutePath.normalize.toString)) &&
+            entries.forall(p => mtimeOr(p, Long.MaxValue) < cutoff)
+        }.flatMap { dir =>
+          val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+          try Using.resource(Files.walk(dir)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder[Path]())
+              .iterator().asScala.foreach { p =>
+                if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+                  removed += p.toString
+                Files.deleteIfExists(p)
+                ()
+              }
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+          }
+          removed
+        }
+      }
       // Reclaim partition directories the deletions emptied (deepest
       // first so nested col=value levels collapse) — leaving them
       // behind is listing noise that accumulates across overwrite+GC
@@ -1000,7 +1077,7 @@ final case class TableCatalog(warehouse: String) {
           }
         }
       }
-      orphans
+      orphans ++ deleteOrphans
     } finally lock.release()
   }
 
@@ -1060,6 +1137,65 @@ object TableCatalog {
     * branch forked from — fastForward's divergence check.
     */
   val BranchBaseProp = "branchBaseVersion"
+
+  /** Manifest prop carrying PENDING merge-on-read position deletes:
+    * encoded [[DeleteEntry]] list (delete parquet + the data files it
+    * covers, paths relative to the table root). A snapshot with this
+    * prop is "dirty": readers must anti-join the delete positions;
+    * [[TableIO.applyDeletes]] rewrites the dirty files and clears it.
+    */
+  val DeletesProp = "graft.deletes"
+
+  /** One pending position-delete file and the data files it covers.
+    * Paths are table-root-relative in the manifest prop (rename-safe)
+    * and resolved absolute by [[TableCatalog.pendingDeletes]].
+    */
+  /** `eqKeyCols` empty = a POSITION delete (the parquet holds
+    * (gd_file, gd_pos) pairs, killing exactly those rows of exactly
+    * those files); non-empty = an EQUALITY delete (the parquet holds
+    * key tuples under those column names, killing every matching row
+    * of the listed dirty files — Iceberg's equality-delete semantics,
+    * the zero-read CDC write). Equality entries apply ONLY to their
+    * dirty list, which never includes files committed with or after
+    * the entry — so an upsert's own new rows survive it.
+    */
+  final case class DeleteEntry(deleteFile: String, dirtyFiles: Seq[String],
+                               eqKeyCols: Seq[String] = Seq.empty) {
+    def isEquality: Boolean = eqKeyCols.nonEmpty
+  }
+
+  // control-char separators survive the manifest JSON escape (escape()
+  // encodes them as \\uXXXX) and can never appear in a path component
+  private final val DelFieldSep = '\u0001'
+  private final val DelEntrySep = '\u0002'
+
+  // entry format: kind token, delete file, dirty files...; the kind
+  // token is "P" for position entries, "E:k1,k2" for equality entries
+  // (key column names may not contain ',' — enforced at encode)
+  private[io] def encodeDeletes(entries: Seq[DeleteEntry]): String =
+    entries.map { e =>
+      val kind =
+        if (!e.isEquality) "P"
+        else {
+          require(e.eqKeyCols.forall(!_.contains(',')),
+            s"equality-delete key columns may not contain ',': ${e.eqKeyCols}")
+          "E:" + e.eqKeyCols.mkString(",")
+        }
+      (kind +: e.deleteFile +: e.dirtyFiles).mkString(DelFieldSep.toString)
+    }.mkString(DelEntrySep.toString)
+
+  private[io] def decodeDeletes(v: String): Seq[DeleteEntry] =
+    v.split(DelEntrySep).toSeq.filter(_.nonEmpty).map { s =>
+      val parts = s.split(DelFieldSep).toSeq
+      val keys =
+        if (parts.head == "P") Seq.empty[String]
+        else parts.head.stripPrefix("E:").split(',').toSeq
+      DeleteEntry(parts(1), parts.drop(2), keys)
+    }
+
+  /** Concatenate two already-encoded deletes-prop values. */
+  private[io] def joinDeletesRaw(a: String, b: String): String =
+    a + DelEntrySep + b
 
   /** Manifest prop key for a sink's batch mark: the bare legacy key
     * when no sink identity is given, else `streamBatchId:<sinkId>`.
@@ -1266,30 +1402,45 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val v = catalog.currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val files = catalog.manifest(name, v)
-    // Resolve + constant-fold the condition against a probe frame so
-    // the translation sees exactly what a DSv2 pushdown would (typed
-    // attributes, literal-side casts folded) — no private analyzer API
+    val kept = pruneForCondition(name, v, files, cond)
+    // pending position deletes apply to whatever survived pruning —
+    // the merge is file-scoped, so a fully-pruned dirty file costs
+    // nothing
+    val pending = catalog.pendingDeletes(name, v)
+    val base = if (pending.isEmpty) readFiles(name, kept)
+               else mergeDeletes(name, kept, pending)
+    base.filter(cond)
+  }
+
+  /** Plan-time file pruning for a programmatic predicate: resolve +
+    * constant-fold `cond` against a probe frame (so the translation
+    * sees exactly what a DSv2 pushdown would), translate to v1
+    * filters, and keep only files the hidden partition layout and the
+    * manifest column stats cannot rule out. Conservative everywhere —
+    * an untranslatable predicate keeps every file.
+    */
+  private def pruneForCondition(name: String, v: Int, files: Seq[String],
+                                cond: org.apache.spark.sql.Column): Seq[String] = {
+    if (files.isEmpty) return files
     val probe = readFiles(name, files).filter(cond)
     val v1 = probe.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.flatMap(FilterTranslation.toV1)
-    val kept =
-      if (v1.isEmpty) files
-      else {
-        val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
-        val schema = probe.schema // logical schema for source types
-        val partKept =
-          if (specs.isEmpty) files
-          else files.filter(f =>
-            PartitionTransforms.fileMightMatch(f, v1, specs, schema))
-        val stats = catalog.manifestStats(name, v)
-        lazy val conf = spark.sessionState.newHadoopConf()
-        try partKept.filter { f =>
-          val s = stats.getOrElse(f, FileStats.cached(f, conf))
-          FileStats.mightMatch(s, v1)
-        } catch { case scala.util.control.NonFatal(_) => partKept }
-      }
-    readFiles(name, kept).filter(cond)
+    if (v1.isEmpty) files
+    else {
+      val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
+      val schema = probe.schema // logical schema for source types
+      val partKept =
+        if (specs.isEmpty) files
+        else files.filter(f =>
+          PartitionTransforms.fileMightMatch(f, v1, specs, schema))
+      val stats = catalog.manifestStats(name, v)
+      lazy val conf = spark.sessionState.newHadoopConf()
+      try partKept.filter { f =>
+        val s = stats.getOrElse(f, FileStats.cached(f, conf))
+        FileStats.mightMatch(s, v1)
+      } catch { case scala.util.control.NonFatal(_) => partKept }
+    }
   }
 
   /** Metadata-only `count(*)` of the current snapshot (Iceberg's
@@ -1305,10 +1456,20 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     val stats = catalog.manifestStats(name, v)
     lazy val conf = spark.sessionState.newHadoopConf()
-    catalog.manifest(name, v).map { f =>
+    val pending = catalog.pendingDeletes(name, v)
+    // an EQUALITY delete's row count is key tuples, not rows killed
+    // (a key may match many rows or none) — no metadata answer exists
+    // until applyDeletes materializes it, so count honestly (Iceberg
+    // has the same limitation)
+    if (pending.exists(_.isEquality)) return read(name).count()
+    val dataRows = catalog.manifest(name, v).map { f =>
       stats.get(f).flatMap(_.values.headOption.map(_.rowCount))
         .getOrElse(FileStats.rowCount(f, conf))
     }.sum
+    // pending position deletes subtract exactly: deleteWhereMOR scans
+    // the deletes-MERGED frame, so entries never overlap a position an
+    // earlier entry already deleted, and every position is live data
+    dataRows - pending.map(e => FileStats.rowCount(e.deleteFile, conf)).sum
   }
 
   /** Time travel by tag: `readTag(t, "train-run-47")` — the named-ref
@@ -1321,10 +1482,76 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   /** Time travel: the reference's `VERSION AS OF` (README.md:143-154).
     * mergeSchema, like the raw-scan path (`Tables`): an append with a
     * drifted (added-column) schema must not silently drop the new
-    * column on read-back.
+    * column on read-back. A snapshot with PENDING merge-on-read
+    * position deletes ([[deleteWhereMOR]]) is served deletes-merged —
+    * clean files scan on the normal codegen path, only dirty files pay
+    * the anti-join.
     */
-  def readVersion(name: String, version: Int): DataFrame =
-    readFiles(name, catalog.manifest(name, version))
+  def readVersion(name: String, version: Int): DataFrame = {
+    val files = catalog.manifest(name, version)
+    val pending = catalog.pendingDeletes(name, version)
+    if (pending.isEmpty) readFiles(name, files)
+    else mergeDeletes(name, files, pending)
+  }
+
+  /** Deletes-merged read of `files`: files a pending delete entry
+    * covers are scanned WITH their position bookkeeping columns and
+    * anti-joined against the (broadcast) delete-position set; all
+    * other files scan on the plain path and union in. The delete set
+    * is small by design — it grows with rows DELETED since the last
+    * [[applyDeletes]], never with the table — so the broadcast is the
+    * right plan; a workload that accumulates huge pending deletes
+    * should applyDeletes, which restores the pure-scan plan entirely.
+    */
+  private def mergeDeletes(name: String, files: Seq[String],
+                           entries: Seq[TableCatalog.DeleteEntry]): DataFrame = {
+    def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    val dirtySet = entries.flatMap(_.dirtyFiles).map(norm).toSet
+    val (dirty, clean) = files.partition(f => dirtySet(norm(f)))
+    if (dirty.isEmpty) return readFiles(name, files)
+    val dirtyDF = readFiles(name, dirty, withPos = true)
+    val merged = applyDeleteEntries(dirtyDF, name, entries)
+      .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+    if (clean.isEmpty) merged else readFiles(name, clean).unionByName(merged)
+  }
+
+  /** Anti-join a frame that carries the position bookkeeping columns
+    * against every pending delete entry: position entries fold into
+    * ONE combined broadcast anti-join on (file, pos); equality entries
+    * anti-join their key tuples one entry at a time, scoped to the
+    * entry's own dirty files via the file key (files committed with or
+    * after the entry are never in its dirty list, so an upsert's new
+    * rows survive its own delete). Every build side is a delete set —
+    * small by design, broadcast is the right plan.
+    */
+  private def applyDeleteEntries(df: DataFrame, name: String,
+                                 entries: Seq[TableCatalog.DeleteEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+    val (eq, pos) = entries.partition(_.isEquality)
+    val afterPos =
+      if (pos.isEmpty) df
+      else {
+        val delDF = spark.read
+          .schema("gd_file STRING, gd_pos BIGINT")
+          .parquet(pos.map(_.deleteFile).distinct: _*)
+        df.join(broadcast(delDF),
+          df(TableIO.PosFileCol) === delDF("gd_file") &&
+            df(TableIO.PosIdxCol) === delDF("gd_pos"),
+          "left_anti")
+      }
+    // equality keys are stored under PHYSICAL column names (rename-
+    // proof, like data files); the probe side is logical-named
+    val toLogical = catalog.renames(name).map(_.swap)
+    eq.foldLeft(afterPos) { (cur, e) =>
+      val keys = spark.read.parquet(e.deleteFile).select(e.eqKeyCols.map(col): _*)
+      val dirtyKeys = e.dirtyFiles.map(f => TableIO.fileKeyOf(root, f))
+      val cond = e.eqKeyCols.map(k =>
+        cur(toLogical.getOrElse(k, k)) === keys(k)).reduce(_ && _) &&
+        cur(TableIO.PosFileCol).isin(dirtyKeys: _*)
+      cur.join(broadcast(keys), cond, "left_anti")
+    }
+  }
 
   /** Time travel by commit instant — `TIMESTAMP AS OF` resolution
     * (newest snapshot at or before `tsMs`); rejects loudly when the
@@ -1471,7 +1698,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * declared type per file. Schema-on-read tables (no declared meta)
     * keep mergeSchema semantics.
     */
-  private[graft] def readFiles(name: String, files: Seq[String]): DataFrame = {
+  private[graft] def readFiles(name: String, files: Seq[String],
+                               withPos: Boolean = false): DataFrame = {
     val meta = catalog.readMeta(name)
     if (files.isEmpty)
       meta.schemaJson
@@ -1482,7 +1710,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         .getOrElse(spark.emptyDataFrame)
     else {
       val reader = spark.read.option("basePath", catalog.dataPath(name))
-      val raw = meta.schemaJson match {
+      val scanned = meta.schemaJson match {
         case Some(js) =>
           // declared schema is in LOGICAL names; the scan needs the
           // on-disk PHYSICAL names (renames are metadata-only)
@@ -1494,6 +1722,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         case None =>
           reader.option("mergeSchema", "true").parquet(files: _*)
       }
+      // position-delete bookkeeping columns, materialized straight off
+      // the scan's hidden _metadata struct (before renames/drops):
+      // the rename-stable file key plus the row's ordinal in its file
+      val raw =
+        if (!withPos) scanned
+        else scanned
+          .withColumn(TableIO.PosFileCol, TableIO.fileKeyExpr)
+          .withColumn(TableIO.PosIdxCol, col("_metadata.row_index"))
       // alias on-disk physical names back to their current logical
       // names (ALTER TABLE RENAME COLUMN is metadata-only)
       val logical = meta.renames.foldLeft(raw) { case (df, (logical, physical)) =>
@@ -1593,6 +1829,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val base = catalog.currentVersion(name)
       if (base.isEmpty) { append(pinned, name, partitionCols, props); return }
       val v = base.get
+      // the scoped rewrite reads candidate files RAW and carries the
+      // rest verbatim — running it over pending position deletes would
+      // resurrect deleted rows in the rewritten files. Loud over wrong.
+      require(catalog.pendingDeletes(name, v).isEmpty,
+        s"upsert into $name: snapshot $v has pending position deletes — " +
+          "run applyDeletes first")
       val files = catalog.manifest(name, v)
       val conf = spark.sessionState.newHadoopConf()
       val manifestStats =
@@ -1742,8 +1984,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val carried = if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
           else try catalog.manifestStats(name, base)
                catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] }
+        // the publish keeps every base data file, so the base's
+        // pending position deletes (if any) ride along — dropping the
+        // prop would resurrect deleted rows (same carry as append)
+        val morCarry = if (base == 0) Map.empty[String, String]
+                       else catalog.deletesCarry(name, base)
         try {
           published = catalog.commitSnapshotAt(name, prev ++ staged, base + 1,
+            props = morCarry,
             stats = carried.view.filterKeys(prev.toSet).toMap ++ stagedStats)
         } catch {
           case e: ConcurrentCommitException =>
@@ -1983,6 +2231,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 
   private def overwritePartitionLocked(df: DataFrame, name: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartition requires partition columns")
+    // kept (untouched-partition) files would carry without their
+    // pending position deletes — and carrying the full prop would
+    // break rowCount's every-delete-row-targets-a-live-file invariant
+    // for the replaced partitions. Loud over wrong, like upsert.
+    catalog.currentVersion(name).foreach(v =>
+      require(catalog.pendingDeletes(name, v).isEmpty,
+        s"overwritePartition on $name: snapshot $v has pending position deletes — " +
+          "run applyDeletes first"))
     val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
     val touched = newFiles.map(partitionKeyOf(name, _)).toSet
     val base = catalog.currentVersion(name)
@@ -2255,6 +2511,296 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     overwrite(updated, name, partitionCols)
   }
 
+  // ---- Merge-on-read position deletes (Iceberg's MOR DELETE).
+  // Copy-on-write DELETE rewrites every file the predicate touches —
+  // the wrong cost shape when a 100 TB table loses a handful of rows
+  // per file. deleteWhereMOR instead writes a SMALL parquet of
+  // (file key, row position) pairs and commits metadata-only: cost is
+  // O(matched rows), data files are untouched byte-for-byte. Readers
+  // (readVersion/readWhere, and the SQL catalog via GraftMorTable)
+  // anti-join the positions, file-scoped: only files with deletes pay
+  // the merge. applyDeletes rewrites ONLY the dirty files —
+  // O(dirty bytes), never O(table) — and restores the pure-scan plan.
+  // Every raw-manifest consumer that can't merge refuses loudly
+  // instead of resurrecting rows: upsert, branch forks, the scoped
+  // COW rewrite (see their respective guards).
+
+  /** Merge-on-read row-level DELETE: record the positions of rows
+    * matching `condition` (a null-valued predicate keeps the row, per
+    * SQL) as a position-delete file and commit it with the UNCHANGED
+    * data file list. Returns (new version, rows deleted); a no-match
+    * delete commits nothing. Candidate files are pruned by the hidden
+    * partition layout and manifest stats first, and the scan runs over
+    * the deletes-MERGED frame, so repeated MOR deletes never record
+    * the same position twice (rowCount subtraction and the oracle
+    * replay rely on that).
+    */
+  def deleteWhereMOR(name: String, condition: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, collect_set, count, lit}
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val v = catalog.currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val files = catalog.manifest(name, v)
+      if (files.isEmpty) return (v, 0L)
+      val schemaCols = readFiles(name, files).columns.toSet
+      require(!schemaCols(TableIO.PosFileCol) && !schemaCols(TableIO.PosIdxCol),
+        s"$name: columns ${TableIO.PosFileCol}/${TableIO.PosIdxCol} are reserved " +
+          "for position-delete bookkeeping")
+      val candidates = pruneForCondition(name, v, files, condition)
+      if (candidates.isEmpty) return (v, 0L)
+      val prior = catalog.pendingDeletes(name, v)
+      // scan LIVE rows only: an already-deleted position must never be
+      // recorded again (position entries stay disjoint), and rows an
+      // equality entry already kills must not be re-deleted
+      val scanned = readFiles(name, candidates, withPos = true)
+      val live =
+        if (prior.isEmpty) scanned
+        else applyDeleteEntries(scanned, name, prior)
+      val hits = live.filter(coalesce(condition, lit(false)))
+        .select(col(TableIO.PosFileCol).as("gd_file"), col(TableIO.PosIdxCol).as("gd_pos"))
+      val id = java.util.UUID.randomUUID().toString.take(12)
+      val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
+      hits.coalesce(1).write.parquet(outDir.toString)
+      // one tiny job over the just-written (page-cache-hot) parquet:
+      // deleted-row count + the distinct dirty file keys. The collect
+      // is bounded by the manifest size, never the data.
+      val agg = spark.read.parquet(outDir.toString)
+        .agg(count(lit(1)).as("n"), collect_set(col("gd_file")).as("dirty")).head()
+      val n = agg.getLong(0)
+      if (n == 0) {
+        // nothing matched: reclaim the empty delete dir, commit nothing
+        try Using.resource(Files.walk(outDir)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+        return (v, 0L)
+      }
+      val dirtyKeys = agg.getSeq[String](1).sorted
+      val delFiles = Using.resource(Files.list(outDir)) { s =>
+        s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+      }
+      require(delFiles.nonEmpty, s"delete write for $name produced no parquet under $outDir")
+      val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+      val newEntries = delFiles.map(df =>
+        TableCatalog.DeleteEntry(root.relativize(
+          Paths.get(df).toAbsolutePath.normalize).toString, dirtyKeys))
+      // prior entries carry in their RAW (relative) prop form so the
+      // encoding is byte-stable across stacked MOR deletes
+      val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+      val newRaw = TableCatalog.encodeDeletes(newEntries)
+      val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
+      val stats =
+        try catalog.manifestStats(name, v)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      // pinned at v+1: a racer landing after the scan surfaces as
+      // ConcurrentCommitException, never a delete set computed against
+      // a stale snapshot committing over fresher data
+      val nv = catalog.commitSnapshotAt(name, files, v + 1,
+        Map(TableCatalog.DeletesProp -> propVal), stats)
+      (nv, n)
+    } finally lock.release()
+  }
+
+  /** Materialize pending position deletes: rewrite ONLY the files that
+    * have deletes (clean files and their stats carry verbatim —
+    * O(dirty bytes), never O(table)) and clear the deletes prop,
+    * restoring the pure parquet-scan plan for every reader. Returns
+    * (new version, dirty files rewritten); a clean table is a no-op.
+    */
+  def applyDeletes(name: String, partitionCols: Seq[String] = Seq.empty): (Int, Long) = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val v = catalog.currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val entries = catalog.pendingDeletes(name, v)
+      if (entries.isEmpty) return (v, 0L)
+      val files = catalog.manifest(name, v)
+      def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+      val dirtySet = entries.flatMap(_.dirtyFiles).map(norm).toSet
+      val (dirty, clean) = files.partition(f => dirtySet(norm(f)))
+      val merged = mergeDeletes(name, dirty, entries)
+      val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+      val newFiles = stageWrite(toPhysical(merged, name), name, pcols)
+      // pinned at v+1 like every version-checked commit; the cleared
+      // prop is what flips readers back to the pure-scan plan. The
+      // now-unreferenced delete files become age-guarded GC food.
+      val nv = catalog.commitSnapshotAt(name, clean ++ newFiles, v + 1,
+        Map.empty, commitStats(name, clean, newFiles))
+      (nv, dirty.size.toLong)
+    } finally lock.release()
+  }
+
+  /** Merge-on-read row-level UPDATE: ONE commit carrying (a) a
+    * position-delete file for the matched live rows and (b) new data
+    * files holding those rows with `assignments` applied. Unmatched
+    * rows are never read or rewritten beyond the pruned candidate
+    * scan — O(matched rows), the update twin of [[deleteWhereMOR]].
+    * Returns (new version, rows updated); no match commits nothing.
+    */
+  def updateWhereMOR(name: String, condition: org.apache.spark.sql.Column,
+                     assignments: Map[String, org.apache.spark.sql.Column],
+                     partitionCols: Seq[String] = Seq.empty): (Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val v = catalog.currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val files = catalog.manifest(name, v)
+      if (files.isEmpty) return (v, 0L)
+      val cols = readFiles(name, files).columns
+      assignments.keys.foreach(k =>
+        require(cols.contains(k), s"no such column in $name: $k"))
+      require(!cols.contains(TableIO.PosFileCol) && !cols.contains(TableIO.PosIdxCol),
+        s"$name: columns ${TableIO.PosFileCol}/${TableIO.PosIdxCol} are reserved")
+      val candidates = pruneForCondition(name, v, files, condition)
+      if (candidates.isEmpty) return (v, 0L)
+      val prior = catalog.pendingDeletes(name, v)
+      val scanned = readFiles(name, candidates, withPos = true)
+      val live = if (prior.isEmpty) scanned else applyDeleteEntries(scanned, name, prior)
+      val matched = live.filter(coalesce(condition, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
+        matched.select(col(TableIO.PosFileCol).as("gd_file"),
+          col(TableIO.PosIdxCol).as("gd_pos")).coalesce(1).write.parquet(outDir.toString)
+        val agg = spark.read.parquet(outDir.toString)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.collect_set(col("gd_file")).as("dirty")).head()
+        val n = agg.getLong(0)
+        if (n == 0) {
+          try Using.resource(Files.walk(outDir)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
+          return (v, 0L)
+        }
+        val dirtyKeys = agg.getSeq[String](1).sorted
+        val delFiles = Using.resource(Files.list(outDir)) { s =>
+          s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+        }
+        val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+        val newEntries = delFiles.map(df =>
+          TableCatalog.DeleteEntry(root.relativize(
+            Paths.get(df).toAbsolutePath.normalize).toString, dirtyKeys))
+        // the replacement rows: matched rows with assignments applied
+        val bare = matched.drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+        val updated = bare.select(bare.columns.toSeq.map(c =>
+          assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+        val newFiles = stageWrite(toPhysical(updated, name), name, pcols)
+        val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+        val newRaw = TableCatalog.encodeDeletes(newEntries)
+        val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
+        val nv = catalog.commitSnapshotAt(name, files ++ newFiles, v + 1,
+          Map(TableCatalog.DeletesProp -> propVal),
+          commitStats(name, files, newFiles))
+        (nv, n)
+      } finally { matched.unpersist(); () }
+    } finally lock.release()
+  }
+
+  /** Merge-on-read UPSERT via an EQUALITY delete (Iceberg's
+    * equality-delete CDC write): the batch's rows land as new data
+    * files and its key tuples land as an equality-delete file scoped
+    * to the files that might hold those keys (manifest-stats
+    * pruning) — committed together, atomically. NOTHING is read at
+    * write time: cost is O(batch) regardless of table size, where the
+    * copy-on-write [[upsert]] reads and rewrites every candidate file
+    * per batch. Readers anti-join the keys against the entry's dirty
+    * files only; [[applyDeletes]] (or any compaction) materializes.
+    * Returns (new version, batch rows). Last-write-wins within the
+    * table; within-batch reduction is the caller's job, like [[upsert]].
+    */
+  def upsertMOR(name: String, rows: DataFrame, keyCols: Seq[String],
+                partitionCols: Seq[String] = Seq.empty,
+                props: Map[String, String] = Map.empty,
+                maxScopedKeys: Int = 100000): (Int, Long) = {
+    require(keyCols.nonEmpty, "upsertMOR needs at least one key column")
+    val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(pinned.filter(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty,
+        s"upsertMOR into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      if (catalog.currentVersion(name).isEmpty) {
+        append(pinned, name, partitionCols, props)
+        return (catalog.currentVersion(name).get, pinned.count())
+      }
+      val lock = TableIO.writeLock(catalog.pathOf(name))
+      lock.acquire()
+      try {
+        val v = catalog.currentVersion(name).get
+        val files = catalog.manifest(name, v)
+        val n = pinned.count()
+        if (n == 0) {
+          // idle batch: metadata-only mark commit (same as upsert)
+          if (props.nonEmpty) {
+            val stats = try catalog.manifestStats(name, v)
+              catch { case scala.util.control.NonFatal(_) =>
+                Map.empty[String, Map[String, FileStats.ColStats]] }
+            catalog.commitSnapshotAt(name, files, v + 1,
+              catalog.deletesCarry(name, v) ++ props, stats)
+            return (v + 1, 0L)
+          }
+          return (v, 0L)
+        }
+        // scope the equality delete to files that might hold the keys
+        // (first-key manifest stats, like upsert's rewrite scoping)
+        val conf = spark.sessionState.newHadoopConf()
+        try FileStats.prime(catalog.manifestStats(name, v))
+        catch { case scala.util.control.NonFatal(_) => () }
+        val keyVals: Option[Array[Any]] =
+          try {
+            val ks = pinned.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
+            if (ks.length > maxScopedKeys) None else Some(ks.map(_.get(0)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val dirty = keyVals match {
+          case None => files
+          case Some(vals) =>
+            val filter = Seq(org.apache.spark.sql.sources.In(keyCols.head, vals))
+            try files.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), filter))
+            catch { case scala.util.control.NonFatal(_) => files }
+        }
+        val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+        val newFiles = stageWrite(toPhysical(pinned, name), name, pcols)
+        val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+        val deletesProp =
+          if (dirty.isEmpty) priorRaw // stats prove no file holds the keys: pure append
+          else {
+            // equality keys ride under PHYSICAL column names (rename-proof)
+            val renames = catalog.renames(name)
+            val physKeys = keyCols.map(k => renames.getOrElse(k, k))
+            val id = java.util.UUID.randomUUID().toString.take(12)
+            val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
+            toPhysical(pinned.select(keyCols.map(col): _*).distinct(), name)
+              .coalesce(1).write.parquet(outDir.toString)
+            val delFiles = Using.resource(Files.list(outDir)) { s =>
+              s.iterator().asScala.map(_.toString)
+                .filter(_.endsWith(".parquet")).toSeq.sorted
+            }
+            val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+            val dirtyRel = dirty.map(f => root.relativize(
+              Paths.get(f).toAbsolutePath.normalize).toString).sorted
+            val entries = delFiles.map(df =>
+              TableCatalog.DeleteEntry(root.relativize(
+                Paths.get(df).toAbsolutePath.normalize).toString, dirtyRel, physKeys))
+            val newRaw = TableCatalog.encodeDeletes(entries)
+            Some(priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw)))
+          }
+        val nv = catalog.commitSnapshotAt(name, files ++ newFiles, v + 1,
+          deletesProp.map(TableCatalog.DeletesProp -> _).toMap ++ props,
+          commitStats(name, files, newFiles))
+        (nv, n)
+      } finally lock.release()
+    } finally { pinned.unpersist(); () }
+  }
+
   def tableExists(name: String): Boolean = catalog.tableExists(name)
 
   def versions(name: String): Seq[Int] = catalog.versions(name)
@@ -2414,8 +2960,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val carried = if (base == 0) Map.empty[String, Map[String, FileStats.ColStats]]
           else try catalog.manifestStats(name, base)
                catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] }
+        // an append keeps every base data file, so the base's PENDING
+        // position deletes (if any) must ride along — dropping the
+        // prop would silently resurrect the deleted rows
+        val morCarry =
+          if (base == 0) Map.empty[String, String]
+          else catalog.deletesCarry(name, base)
         try {
-          catalog.commitSnapshotAt(name, prev ++ newFiles, base + 1, props,
+          catalog.commitSnapshotAt(name, prev ++ newFiles, base + 1, morCarry ++ props,
             carried.view.filterKeys(prev.toSet).toMap ++ newStats)
           done = true
         } catch {
@@ -2431,6 +2983,33 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
 object TableIO {
   def apply(spark: SparkSession, warehouse: String): TableIO =
     new TableIO(spark, TableCatalog(warehouse))
+
+  /** Bookkeeping columns for position-delete scans — reserved names,
+    * refused as user columns by [[TableIO.deleteWhereMOR]].
+    */
+  private[io] val PosFileCol = "__gd_file"
+  private[io] val PosIdxCol = "__gd_pos"
+
+  /** Rename-stable data-file key: the file's path RELATIVE to the
+    * table root (`data/...`), derived from the scan's hidden
+    * `_metadata.file_path`. The LAST `/data/` in the path is
+    * necessarily the table's data root — partition directories always
+    * carry '=' in their name, so no nested directory under data/ can
+    * be named bare `data`, and a warehouse path containing `/data/`
+    * sits to the LEFT of the table's own. Computed by the same
+    * expression on the delete-write and merge-read sides so any
+    * URI-form quirk of file_path cancels; stored relative, so a table
+    * rename or warehouse move never detaches delete files from their
+    * data files.
+    */
+  private[io] def fileKeyExpr: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, substring_index}
+    concat(lit("data/"), substring_index(col("_metadata.file_path"), "/data/", -1))
+  }
+
+  /** The same key for a manifest path, driver-side. */
+  private[io] def fileKeyOf(tableRootAbs: java.nio.file.Path, file: String): String =
+    tableRootAbs.relativize(Paths.get(file).toAbsolutePath.normalize).toString
 
   /** Process-wide write audit: data files (and their bytes) moved into
     * tables by `stageWrite` since JVM start. Bench snapshots the

@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions.col
+
+import graft.io.{GraftCatalog, TableCatalog, TableIO}
+
+/** Merge-on-read position deletes (TableIO.deleteWhereMOR):
+  * a DELETE records (file, row position) pairs in a small parquet and
+  * commits metadata-only — data files untouched byte-for-byte, readers
+  * anti-join the positions file-scoped, applyDeletes rewrites ONLY the
+  * dirty files. Every raw-manifest consumer that cannot merge refuses
+  * loudly (upsert, branch fork, COW DML on a dirty snapshot).
+  */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newIO(prefix: String): (TableIO, String) = {
+    val wh = Files.createTempDirectory(prefix).toString
+    (TableIO(spark, wh), wh)
+  }
+
+  private def dataFilesWithMtimes(io: TableIO, t: String, v: Int): Map[String, Long] =
+    io.catalog.manifest(t, v).map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+
+  test("MOR delete: metadata-only commit, merged reads, exact rowCount, stacking, applyDeletes rewrites dirty files only") {
+    val (io, _) = newIO("graft_mor_")
+    val t = "default.rows"
+    // two files: ids 1-10 and 11-20 (second append = second file)
+    io.append((1L to 10L).toDF("id").coalesce(1), t)
+    io.append((11L to 20L).toDF("id").coalesce(1), t)
+    val v0 = io.catalog.currentVersion(t).get
+    val before = dataFilesWithMtimes(io, t, v0)
+
+    val (v1, n1) = io.deleteWhereMOR(t, col("id") % 2 === 0)
+    assert(v1 === v0 + 1 && n1 === 10L)
+    // data files byte-identical and the manifest still lists exactly them
+    assert(dataFilesWithMtimes(io, t, v1) === before)
+    assert(io.read(t).as[Long].collect().sorted === Array(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L, 19L))
+    assert(io.rowCount(t) === 10L)
+    // time travel to the pre-delete snapshot still sees everything
+    assert(io.readVersion(t, v0).count() === 20L)
+
+    // stacked second MOR delete never re-records a dead position
+    val (v2, n2) = io.deleteWhereMOR(t, col("id") <= 5)
+    assert(v2 === v1 + 1 && n2 === 3L) // 1, 3, 5 (2 and 4 already dead)
+    assert(io.rowCount(t) === 7L)
+    assert(io.read(t).as[Long].collect().sorted === Array(7L, 9L, 11L, 13L, 15L, 17L, 19L))
+    // a no-match delete commits nothing
+    val (v2b, n2b) = io.deleteWhereMOR(t, col("id") > 1000)
+    assert(v2b === v2 && n2b === 0L)
+
+    // applyDeletes: both files are dirty here, so both rewrite; the
+    // result is position-delete-free and value-identical
+    val (v3, rewritten) = io.applyDeletes(t)
+    assert(v3 === v2 + 1 && rewritten === 2L)
+    assert(io.catalog.pendingDeletes(t, v3).isEmpty)
+    assert(io.read(t).as[Long].collect().sorted === Array(7L, 9L, 11L, 13L, 15L, 17L, 19L))
+    assert(io.rowCount(t) === 7L)
+  }
+
+  test("file-scoped: a file the predicate cannot touch stays clean and carries verbatim through applyDeletes") {
+    val (io, _) = newIO("graft_morfs_")
+    val t = "default.scoped"
+    io.append((1L to 10L).toDF("id").coalesce(1), t)   // file A: 1-10
+    io.append((11L to 20L).toDF("id").coalesce(1), t)  // file B: 11-20
+    val (v1, n) = io.deleteWhereMOR(t, col("id") === 15L)
+    assert(n === 1L)
+    // manifest stats prune file A out of the delete scan entirely
+    val entries = io.catalog.pendingDeletes(t, v1)
+    assert(entries.flatMap(_.dirtyFiles).distinct.size === 1)
+
+    val filesBefore = io.catalog.manifest(t, v1).toSet
+    val (v2, rewritten) = io.applyDeletes(t)
+    assert(rewritten === 1L)
+    // the clean file's path carries verbatim into the new manifest
+    val filesAfter = io.catalog.manifest(t, v2).toSet
+    assert(filesBefore.intersect(filesAfter).size === 1)
+    assert(io.read(t).as[Long].collect().sorted ===
+      ((1L to 14L) ++ (16L to 20L)).toArray)
+  }
+
+  test("SQL surface: reads bridge while dirty, COW DML refuses, INSERT carries, apply_deletes restores the scan path") {
+    val (io, wh) = newIO("graft_morsql_")
+    val t = "default.accounts"
+    io.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "owner").coalesce(1), t)
+
+    spark.conf.set("spark.sql.catalog.gmor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    try {
+      val v0 = io.catalog.currentVersion(t).get
+      val res = spark.sql("CALL gmor.system.mor_delete('default.accounts', 'id IN (2, 3)')")
+        .as[(Int, Long)].head()
+      assert(res === ((v0 + 1, 2L)))
+
+      // plain read, filtered read, and count(*) (empty required schema)
+      // all flow through the V1 bridge while dirty
+      assert(spark.table("gmor.default.accounts").select("id")
+        .as[Long].collect().sorted === Array(1L, 4L))
+      assert(spark.sql("SELECT owner FROM gmor.default.accounts WHERE id = 4")
+        .as[String].head() === "d")
+      assert(spark.sql("SELECT count(*) FROM gmor.default.accounts").head().getLong(0) === 2L)
+      // explicit time travel to the pre-delete snapshot is untouched
+      assert(spark.sql(s"SELECT count(*) FROM gmor.default.accounts VERSION AS OF $v0")
+        .head().getLong(0) === 4L)
+
+      // COW row-level DML on the dirty snapshot refuses loudly
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM gmor.default.accounts WHERE id = 1"))
+      assert(e.getMessage.contains("pending position deletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("pending position deletes")))
+
+      // INSERT INTO while dirty: appends AND keeps the deletes attached
+      spark.sql("INSERT INTO gmor.default.accounts VALUES (5, 'e')")
+      assert(spark.table("gmor.default.accounts").select("id")
+        .as[Long].collect().sorted === Array(1L, 4L, 5L))
+
+      val applied = spark.sql("CALL gmor.system.apply_deletes('default.accounts')")
+        .as[(Int, Long)].head()
+      assert(applied._2 === 1L) // one dirty file rewritten
+      assert(io.catalog.pendingDeletes(t, applied._1).isEmpty)
+      assert(spark.table("gmor.default.accounts").select("id")
+        .as[Long].collect().sorted === Array(1L, 4L, 5L))
+      // post-apply the table serves the normal DSv2 parquet scan again
+      // (and COW DML works again)
+      spark.sql("DELETE FROM gmor.default.accounts WHERE id = 5")
+      assert(spark.table("gmor.default.accounts").select("id")
+        .as[Long].collect().sorted === Array(1L, 4L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmor")
+      spark.conf.unset("spark.sql.catalog.gmor.warehouse")
+    }
+  }
+
+  test("raw-manifest consumers refuse a dirty snapshot: upsert and branch fork") {
+    val (io, _) = newIO("graft_morg_")
+    val t = "default.guarded"
+    io.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    io.deleteWhereMOR(t, col("id") === 1L)
+
+    val e1 = intercept[IllegalArgumentException](
+      io.upsert(t, Seq((2L, 21L)).toDF("id", "v"), Seq("id")))
+    assert(e1.getMessage.contains("pending position deletes"))
+    val e2 = intercept[IllegalArgumentException](io.createBranch(t, "b"))
+    assert(e2.getMessage.contains("pending position deletes"))
+    // applyDeletes clears the guards
+    io.applyDeletes(t)
+    io.upsert(t, Seq((2L, 21L)).toDF("id", "v"), Seq("id"))
+    io.createBranch(t, "b")
+    assert(io.read(t).as[(Long, Long)].collect().toSet === Set(2L -> 21L))
+  }
+
+  test("append and rollback carry pending deletes — deleted rows never resurrect") {
+    val (io, _) = newIO("graft_morc_")
+    val t = "default.carried"
+    io.append((1L to 6L).toDF("id").coalesce(1), t)
+    val (vDel, _) = io.deleteWhereMOR(t, col("id") <= 2)
+    // path-API append while dirty: new rows land, dead rows stay dead
+    io.append(Seq(7L).toDF("id"), t)
+    assert(io.read(t).as[Long].collect().sorted === Array(3L, 4L, 5L, 6L, 7L))
+    assert(io.rowCount(t) === 5L)
+    // an overwrite clears the prop with the files
+    val vAppend = io.catalog.currentVersion(t).get
+    assert(io.catalog.pendingDeletes(t, vAppend).nonEmpty)
+    // rollback to the dirty snapshot restores its file list AND its
+    // delete entries
+    io.append(Seq(8L).toDF("id"), t)
+    val vBack = io.catalog.rollbackTo(t, vDel)
+    assert(io.catalog.pendingDeletes(t, vBack).nonEmpty)
+    assert(io.read(t).as[Long].collect().sorted === Array(3L, 4L, 5L, 6L))
+  }
+
+  test("partitioned + renamed table: the file key survives partition dirs and renames") {
+    val (io, wh) = newIO("graft_morp_")
+    val t = "default.part"
+    io.append(Seq((1L, "x", "2024-01-01"), (2L, "x", "2024-01-01"),
+      (3L, "y", "2024-01-02"), (4L, "y", "2024-01-02")).toDF("id", "grp", "day"),
+      t, partitionCols = Seq("day"))
+    val (_, n) = io.deleteWhereMOR(t, col("id") === 2L || col("id") === 3L)
+    assert(n === 2L)
+    assert(io.read(t).select("id").as[Long].collect().sorted === Array(1L, 4L))
+    // readWhere prunes partitions and still merges the deletes
+    assert(io.readWhere(t, col("day") === "2024-01-01").select("id")
+      .as[Long].collect().sorted === Array(1L))
+    val (_, rewritten) = io.applyDeletes(t, partitionCols = Seq("day"))
+    assert(rewritten === 2L)
+    assert(io.read(t).select("id").as[Long].collect().sorted === Array(1L, 4L))
+  }
+
+  test("publishStaged carries pending deletes; overwritePartition refuses a dirty snapshot") {
+    val (io, _) = newIO("graft_morst_")
+    val t = "default.staged"
+    io.append((1L to 4L).toDF("id").coalesce(1), t)
+    io.deleteWhereMOR(t, col("id") === 2L)
+    // stage an audit append, then publish: base files carry WITH their
+    // pending deletes — id=2 must stay dead post-publish
+    val staged = io.appendStaged((5L to 6L).toDF("id"), t)
+    io.publishStaged(t, staged)
+    assert(io.read(t).as[Long].collect().sorted === Array(1L, 3L, 4L, 5L, 6L))
+    assert(io.rowCount(t) === 5L)
+
+    val (iop, _) = newIO("graft_morop_")
+    val tp = "default.partow"
+    iop.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), tp, partitionCols = Seq("k"))
+    iop.deleteWhereMOR(tp, col("id") === 1L)
+    val e = intercept[IllegalArgumentException](
+      iop.overwritePartition(Seq((3L, "b")).toDF("id", "k"), tp, Seq("k")))
+    assert(e.getMessage.contains("pending position deletes"))
+  }
+
+  test("declared-schema (CTAS) table: _metadata positions work under an explicit read schema") {
+    val (_, wh) = newIO("graft_morcs_")
+    spark.conf.set("spark.sql.catalog.gmcs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmcs.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gmcs.default.decl (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO gmcs.default.decl VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val res = spark.sql(
+        "CALL gmcs.system.mor_delete('default.decl', 'id = 2')").as[(Int, Long)].head()
+      assert(res._2 === 1L)
+      assert(spark.table("gmcs.default.decl").select("id")
+        .as[Long].collect().sorted === Array(1L, 3L))
+      spark.sql("CALL gmcs.system.apply_deletes('default.decl')")
+      assert(spark.table("gmcs.default.decl").select("id")
+        .as[Long].collect().sorted === Array(1L, 3L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmcs")
+      spark.conf.unset("spark.sql.catalog.gmcs.warehouse")
+    }
+  }
+
+  test("GC: pending delete files are live; applied + expired ones are reclaimed age-guarded") {
+    val (io, _) = newIO("graft_morgc_")
+    val t = "default.gc"
+    io.append((1L to 8L).toDF("id").coalesce(1), t)
+    val (vDel, _) = io.deleteWhereMOR(t, col("id") > 6)
+    val delFiles = io.catalog.pendingDeletes(t, vDel).map(_.deleteFile)
+    assert(delFiles.nonEmpty && delFiles.forall(f => Files.exists(Paths.get(f))))
+
+    // while any live version references them, a zero-age sweep keeps them
+    io.catalog.removeOrphanFiles(t, olderThanMs = -1)
+    assert(delFiles.forall(f => Files.exists(Paths.get(f))))
+    assert(io.read(t).count() === 6L)
+
+    // applyDeletes unreferences them from the head; expiring the dirty
+    // snapshots makes them orphans and GC reclaims the delete dir
+    io.applyDeletes(t)
+    io.catalog.expireSnapshots(t, keepLast = 1)
+    val swept = io.catalog.removeOrphanFiles(t, olderThanMs = -1)
+    assert(delFiles.forall(f => !Files.exists(Paths.get(f))))
+    assert(delFiles.forall(f => swept.contains(f)))
+    assert(io.read(t).count() === 6L)
+  }
+}

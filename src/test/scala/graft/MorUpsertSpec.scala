@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.io.TableIO
+
+/** MOR UPDATE (position-delete + replacement rows in one commit) and
+  * the equality-delete UPSERT (Iceberg's zero-read CDC write): the
+  * batch's rows append and its key tuples commit as an equality
+  * delete scoped to the files that might hold them — O(batch) at any
+  * table size. Readers resolve last-write-wins through the entry
+  * chain; applyDeletes materializes.
+  */
+class MorUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newIO(prefix: String): TableIO =
+    TableIO(spark, Files.createTempDirectory(prefix).toString)
+
+  test("updateWhereMOR: one commit, data files kept, matched rows replaced; applyDeletes materializes") {
+    val io = newIO("graft_moru_")
+    val t = "default.upd"
+    io.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1), t)
+    val v0 = io.catalog.currentVersion(t).get
+    val files0 = io.catalog.manifest(t, v0).toSet
+
+    val (v1, n) = io.updateWhereMOR(t, col("id") <= 2, Map("v" -> (col("v") + 1)))
+    assert(v1 === v0 + 1 && n === 2L)
+    // ONE commit: original files all kept, update rows appended
+    val files1 = io.catalog.manifest(t, v1).toSet
+    assert(files0.subsetOf(files1) && files1.size > files0.size)
+    assert(io.read(t).as[(Long, Long)].collect().toSet ===
+      Set(1L -> 11L, 2L -> 21L, 3L -> 30L))
+    assert(io.rowCount(t) === 3L) // position entries: exact metadata count
+    assert(io.readVersion(t, v0).as[(Long, Long)].collect().toSet ===
+      Set(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // a no-match update commits nothing
+    assert(io.updateWhereMOR(t, col("id") > 99, Map("v" -> lit(0L)))._2 === 0L)
+
+    val (v2, _) = io.applyDeletes(t)
+    assert(io.catalog.pendingDeletes(t, v2).isEmpty)
+    assert(io.read(t).as[(Long, Long)].collect().toSet ===
+      Set(1L -> 11L, 2L -> 21L, 3L -> 30L))
+  }
+
+  test("upsertMOR: zero-read batches, last-write-wins across stacked batches, applyDeletes agrees") {
+    val io = newIO("graft_morq_")
+    val t = "default.cdc"
+    io.append(Seq((1L, "a0"), (2L, "b0"), (3L, "c0")).toDF("id", "s").coalesce(1), t)
+    val v0 = io.catalog.currentVersion(t).get
+
+    // batch 1: update id=2, insert id=4
+    val (v1, n1) = io.upsertMOR(t, Seq((2L, "b1"), (4L, "d1")).toDF("id", "s"), Seq("id"))
+    assert(v1 === v0 + 1 && n1 === 2L)
+    // every pre-existing data file survives the commit (nothing read, nothing rewritten)
+    assert(io.catalog.manifest(t, v0).toSet.subsetOf(io.catalog.manifest(t, v1).toSet))
+    assert(io.read(t).as[(Long, String)].collect().toSet ===
+      Set(1L -> "a0", 2L -> "b1", 3L -> "c0", 4L -> "d1"))
+
+    // batch 2 overrides batch 1's own row: the later equality entry
+    // must kill the EARLIER BATCH's file too (it is in its dirty list)
+    val (_, n2) = io.upsertMOR(t, Seq((4L, "d2"), (1L, "a2")).toDF("id", "s"), Seq("id"))
+    assert(n2 === 2L)
+    val expected = Set(1L -> "a2", 2L -> "b1", 3L -> "c0", 4L -> "d2")
+    assert(io.read(t).as[(Long, String)].collect().toSet === expected)
+    // equality entries pending: rowCount falls back to an honest count
+    assert(io.rowCount(t) === 4L)
+
+    val (va, _) = io.applyDeletes(t)
+    assert(io.catalog.pendingDeletes(t, va).isEmpty)
+    assert(io.read(t).as[(Long, String)].collect().toSet === expected)
+    assert(io.rowCount(t) === 4L)
+  }
+
+  test("upsertMOR scoping: keys provably absent from every file commit a pure append, no entry") {
+    val io = newIO("graft_mors_")
+    val t = "default.scope"
+    io.append(Seq((1L, "x"), (2L, "y")).toDF("id", "s").coalesce(1), t)
+    val (v1, _) = io.upsertMOR(t, Seq((100L, "new")).toDF("id", "s"), Seq("id"))
+    // manifest min/max on id proves no existing file can hold key 100
+    assert(io.catalog.pendingDeletes(t, v1).isEmpty)
+    assert(io.read(t).count() === 3L)
+  }
+
+  test("equality keys are rename-proof: ALTER RENAME after the entry still resolves") {
+    val wh = Files.createTempDirectory("graft_morr_").toString
+    val io = TableIO(spark, wh)
+    spark.conf.set("spark.sql.catalog.gmr", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmr.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gmr.default.renamed (id BIGINT, s STRING)")
+      spark.sql("INSERT INTO gmr.default.renamed VALUES (1, 'a'), (2, 'b')")
+      io.upsertMOR("default.renamed", Seq((2L, "b9")).toDF("id", "s"), Seq("id"))
+      // rename the key column AFTER the equality entry committed: the
+      // entry stores the PHYSICAL name, so the anti-join still lands
+      spark.sql("ALTER TABLE gmr.default.renamed RENAME COLUMN id TO ident")
+      assert(io.read("default.renamed").select("ident", "s")
+        .as[(Long, String)].collect().toSet === Set(1L -> "a", 2L -> "b9"))
+      val (va, _) = io.applyDeletes("default.renamed")
+      assert(io.catalog.pendingDeletes("default.renamed", va).isEmpty)
+      assert(io.read("default.renamed").select("ident", "s")
+        .as[(Long, String)].collect().toSet === Set(1L -> "a", 2L -> "b9"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmr")
+      spark.conf.unset("spark.sql.catalog.gmr.warehouse")
+    }
+  }
+
+  test("mixing kinds: deleteWhereMOR over pending equality entries sees the merged state") {
+    val io = newIO("graft_morm_")
+    val t = "default.mixed"
+    io.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), t)
+    io.upsertMOR(t, Seq((2L, 21L)).toDF("id", "v"), Seq("id"))
+    // the MOR delete scans the LIVE frame: it must kill the upserted
+    // row (v=21), and the dead original (v=20) must not resurrect
+    val (_, n) = io.deleteWhereMOR(t, col("v") === 21L)
+    assert(n === 1L)
+    assert(io.read(t).as[(Long, Long)].collect().toSet === Set(1L -> 10L))
+    val (va, _) = io.applyDeletes(t)
+    assert(io.read(t).as[(Long, Long)].collect().toSet === Set(1L -> 10L))
+    assert(io.catalog.pendingDeletes(t, va).isEmpty)
+  }
+
+  test("upsertMOR idle batch with a stream mark commits metadata-only and carries entries") {
+    val io = newIO("graft_mori_")
+    val t = "default.idle"
+    io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    io.upsertMOR(t, Seq((1L, "a1")).toDF("id", "s"), Seq("id"))
+    val vDirty = io.catalog.currentVersion(t).get
+    val (vMark, n) = io.upsertMOR(t, Seq.empty[(Long, String)].toDF("id", "s"),
+      Seq("id"), props = Map("streamBatchId" -> "7"))
+    assert(vMark === vDirty + 1 && n === 0L)
+    assert(io.catalog.manifest(t, vMark) === io.catalog.manifest(t, vDirty))
+    assert(io.catalog.pendingDeletes(t, vMark).nonEmpty) // entries carried
+    assert(io.read(t).as[(Long, String)].collect().toSet === Set(1L -> "a1"))
+  }
+}
