@@ -598,9 +598,9 @@ object OracleQueries {
     // pass through (last-write-wins) — identical in both read states
     "q121_mor_upsert" ->
       """WITH t AS (SELECT s_suppkey, s_name, s_acctbal AS bal
-        |           FROM supplier WHERE s_suppkey <= 60),
+        |           FROM supplier WHERE s_suppkey <= 6),
         |b AS (SELECT s_suppkey, s_name, s_acctbal * CAST(0.5 AS DOUBLE) AS bal
-        |      FROM supplier WHERE s_suppkey BETWEEN 41 AND 80),
+        |      FROM supplier WHERE s_suppkey BETWEEN 4 AND 8),
         |merged AS (
         |  SELECT * FROM b
         |  UNION ALL
@@ -608,6 +608,24 @@ object OracleQueries {
         |SELECT 'pending' AS state, s_suppkey, s_name, bal FROM merged
         |UNION ALL
         |SELECT 'applied' AS state, s_suppkey, s_name, bal FROM merged""".stripMargin,
+
+    // .deletes metadata: fully scripted (one-file table, a 5-row
+    // position delete, a 3-key equality upsert) — literal oracle
+    "q122_deletes_meta" ->
+      """SELECT 'position' AS kind, CAST(5 AS BIGINT) AS delete_rows,
+        |       1 AS n_dirty_files, CAST(NULL AS VARCHAR) AS key_cols
+        |UNION ALL
+        |SELECT 'equality', CAST(3 AS BIGINT), 1, 's_suppkey'""".stripMargin,
+
+    // streaming MOR upsert: same latest-state-per-key answer as q91
+    "q123_stream_mor_upsert" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q35_window_analytics" ->
       s"""WITH clean AS ($cleanLineitemSql)

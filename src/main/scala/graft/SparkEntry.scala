@@ -419,14 +419,16 @@ object SparkEntry {
       val cname = "gms"
       val io = catalogIO(s, cname, "graft_morsq_")
       val t = "default.supp_cdc"
+      // key windows sized for the SMALLEST fixture (sf0.001 has
+      // suppliers 0-9): base 0-6, batch 4-8 = 3 updates + 2 inserts
       io.overwrite(
-        Tables.supplier(s, dir).filter(col("s_suppkey") <= 60)
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 6)
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("bal")),
         t)
       val v0 = io.catalog.currentVersion(t).get
       val files0 = io.catalog.manifest(t, v0).toSet
       val batch = Tables.supplier(s, dir)
-        .filter(col("s_suppkey").between(41, 80))
+        .filter(col("s_suppkey").between(4, 8))
         .select(col("s_suppkey"), col("s_name"), (col("s_acctbal") * 0.5).as("bal"))
       val (v1, n) = io.upsertMOR(t, batch, Seq("s_suppkey"))
       require(v1 == v0 + 1 && n > 0, s"MOR upsert did not commit ($v1, $n)")
@@ -439,6 +441,60 @@ object SparkEntry {
       val applied = s.sql(
         s"SELECT 'applied' AS state, s_suppkey, s_name, bal FROM $cname.$t")
       pending.unionByName(applied)
+    }),
+
+    // MOR observability: the `.deletes` metadata table profiles the
+    // current snapshot's pending delete files (kind, rows, dirty-file
+    // fan-out, equality key columns) — an O(entries) metadata read.
+    // The scripted op sequence (one position delete, one equality
+    // upsert over a single-file table) fully determines the rows, so a
+    // literal oracle pins them.
+    "q122_deletes_meta" -> ((s, dir) => {
+      val cname = "gdm"
+      val io = catalogIO(s, cname, "graft_dmeta_")
+      val t = "default.supp_dm"
+      // key windows sized for the SMALLEST fixture (sf0.001 has
+      // suppliers 0-9) so graft.Plans can run the script too
+      io.overwrite(
+        Tables.supplier(s, dir).filter(col("s_suppkey") <= 50)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .coalesce(1), // ONE data file: deterministic dirty fan-out
+        t)
+      val (_, nDel) = io.deleteWhereMOR(t, col("s_suppkey").between(2, 6))
+      require(nDel == 5, s"expected 5 position deletes, got $nDel")
+      val batch = Tables.supplier(s, dir)
+        .filter(col("s_suppkey").isin(7, 8))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .unionByName(Tables.supplier(s, dir).filter(col("s_suppkey") === 1)
+          // a brand-new key, type-exact (derived, not a literal)
+          .select((col("s_suppkey") + 998).as("s_suppkey"),
+            col("s_name"), col("s_acctbal")))
+      val (_, nUp) = io.upsertMOR(t, batch, Seq("s_suppkey"))
+      require(nUp == 3, s"expected a 3-row upsert batch, got $nUp")
+      s.sql(s"SELECT kind, delete_rows, n_dirty_files, key_cols FROM $cname.$t.deletes")
+    }),
+
+    // Streaming CDC, merge-on-read flavor: q91's latest-state-per-key
+    // sink where every micro-batch is a ZERO-READ equality-delete
+    // commit (upsertMOR) instead of a candidate-file rewrite. The
+    // hashed output is the post-applyDeletes table; the pending
+    // (entry-chain-resolved) read is required equal in-query, so the
+    // stacked per-batch entries provably encode the same answer.
+    "q123_stream_mor_upsert" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_umor_"))
+      withStreamShuffle(s) {
+        graft.streaming.TableSink.upsertStreamMOR(
+          eventsFileStream(s, dir), io, "default.user_state_mor",
+          tempDir("graft_ckptm_"), keyCols = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"), availableNow = true)
+          .awaitTermination()
+      }
+      val pending = io.read("default.user_state_mor") // pins the dirty version
+      io.applyDeletes("default.user_state_mor")
+      val applied = io.read("default.user_state_mor")
+      require(pending.exceptAll(applied).isEmpty && applied.exceptAll(pending).isEmpty,
+        "applyDeletes changed the streaming upsert answer")
+      applied
     }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {

@@ -28,7 +28,7 @@ private[io] object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats",
-      "branches", "refs")
+      "branches", "refs", "deletes")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -239,6 +239,35 @@ private[io] object MetadataTables {
         } catch { case _: java.nio.file.NoSuchFileException => None }
       }
       local(s"$table.branches", schema, rows)
+    case "deletes" =>
+      // pending merge-on-read delete files of the CURRENT snapshot:
+      // the operator's observability surface (what will applyDeletes
+      // rewrite, how many delete rows ride each entry, which kind).
+      // `rows` is position pairs for position entries and key tuples
+      // for equality entries; a clean table returns zero rows.
+      val schema = new StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("delete_rows", LongType, nullable = false)
+        .add("n_dirty_files", IntegerType, nullable = false)
+        .add("key_cols", org.apache.spark.sql.types.StringType, nullable = true)
+        .add("size_bytes", LongType, nullable = false)
+      val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      val rows = cat.currentVersion(table).toSeq
+        .flatMap(v => cat.pendingDeletes(table, v))
+        .map { e =>
+          val kind = if (e.isEquality) "equality" else "position"
+          val nRows =
+            try FileStats.rowCount(e.deleteFile, conf)
+            catch { case scala.util.control.NonFatal(_) => -1L }
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+            nRows, e.dirtyFiles.size,
+            if (e.isEquality)
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.eqKeyCols.mkString(","))
+            else null,
+            sizeOf(e.deleteFile))): InternalRow
+        }
+      local(s"$table.deletes", schema, rows)
     case other =>
       throw new IllegalArgumentException(s"unknown metadata table: $other")
   }

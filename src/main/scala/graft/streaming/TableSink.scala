@@ -197,6 +197,52 @@ object TableSink {
     }
   }
 
+  /** One MERGE-ON-READ micro-batch commit: the batch lands as an
+    * equality-delete upsert ([[graft.io.TableIO.upsertMOR]]) unless
+    * the mark says it already did. Same within-batch last-write-wins
+    * reduction and replay guard as [[commitUpsertBatch]]; the
+    * difference is the write's cost shape — NOTHING existing is read
+    * or rewritten, so a CDC batch costs O(batch) at ANY table size
+    * (the COW sink reads and rewrites every candidate file per
+    * batch). The read-side bill is deferred to applyDeletes/compaction
+    * cadence — the right trade for write-heavy CDC into huge tables.
+    */
+  def commitUpsertMORBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
+                           keyCols: Seq[String], orderCols: Seq[String],
+                           partitionCols: Seq[String] = Seq.empty,
+                           sinkId: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val propKey = TableCatalog.streamBatchProp(sinkId)
+    val mark = io.catalog.streamBatchMark(table, propKey)
+    if (mark.exists(_ >= batchId)) false
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col(_).desc): _*)
+      val winners = batch.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      io.upsertMOR(table, winners, keyCols, partitionCols,
+        props = Map(propKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming CDC-apply, merge-on-read flavor: [[upsertStream]]'s
+    * semantics (latest state per key, CDC source order) with
+    * [[graft.io.TableIO.upsertMOR]]'s write cost — each micro-batch is
+    * a zero-read equality-delete commit. Run applyDeletes/compact on a
+    * cadence to fold the entry chain back into clean files.
+    */
+  def upsertStreamMOR(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                      keyCols: Seq[String], orderCols: Seq[String],
+                      partitionCols: Seq[String] = Seq.empty,
+                      availableNow: Boolean = false): StreamingQuery = {
+    val sid = Some(sinkIdOf(checkpoint))
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitUpsertMORBatch(io, table, id, batch, keyCols, orderCols, partitionCols, sid); ()
+    }
+  }
+
   /** Merge-mode sink for IDEMPOTENT sketch states: each micro-batch is
     * reduced to its sketch relation by `toSketch` (e.g.
     * [[graft.functions.HyperLogLog.registers]]) and MAX-merged into

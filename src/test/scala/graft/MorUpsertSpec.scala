@@ -123,6 +123,33 @@ class MorUpsertSpec extends SparkSpec {
     assert(io.catalog.pendingDeletes(t, va).isEmpty)
   }
 
+  test("streaming MOR sink: replayed micro-batch refused, stacked batches resolve last-write-wins") {
+    import graft.streaming.TableSink
+    val io = newIO("graft_morsk_")
+    val t = "default.cdc_stream"
+    io.append(Seq((1L, "a0", 0L)).toDF("id", "s", "ts").coalesce(1), t)
+
+    // batch 0: two rows for one key — within-batch winner by ts desc
+    assert(TableSink.commitUpsertMORBatch(io, t, 0L,
+      Seq((1L, "a1", 5L), (1L, "a1-late", 3L), (2L, "b1", 1L)).toDF("id", "s", "ts"),
+      Seq("id"), Seq("ts")))
+    assert(io.read(t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a1", 5L), (2L, "b1", 1L)))
+
+    // at-least-once REPLAY of batch 0: refused by the mark
+    assert(!TableSink.commitUpsertMORBatch(io, t, 0L,
+      Seq((1L, "a1", 5L)).toDF("id", "s", "ts"), Seq("id"), Seq("ts")))
+
+    // batch 1 overrides batch 0's row through the entry chain
+    assert(TableSink.commitUpsertMORBatch(io, t, 1L,
+      Seq((2L, "b2", 9L)).toDF("id", "s", "ts"), Seq("id"), Seq("ts")))
+    val expected = Set((1L, "a1", 5L), (2L, "b2", 9L))
+    assert(io.read(t).as[(Long, String, Long)].collect().toSet === expected)
+    // materializing agrees
+    io.applyDeletes(t)
+    assert(io.read(t).as[(Long, String, Long)].collect().toSet === expected)
+  }
+
   test("upsertMOR idle batch with a stream mark commits metadata-only and carries entries") {
     val io = newIO("graft_mori_")
     val t = "default.idle"
