@@ -62,6 +62,14 @@ object ScaleProbe {
     // exact-k sample: bounded topk aggregate — cost should track the
     // scan, state stays strata x k regardless of corpus size
     "q110_exact_k_sample",
+    // MOR DML (r14): the delete/update sides are O(matched rows) and
+    // the q121 upsert is O(batch) by construction — 10x lineitem means
+    // 10x build + matched volume for q119/q120 (so ~linear total is
+    // the honest expectation; the claim under test is the ABSENCE of
+    // any table-sized rewrite), while q121's supplier batch is fixed
+    // so its cost should be FLAT at 10x facts (suppliers are a dim,
+    // kept 1x by the sim — the probe pins the zero-read write).
+    "q119_mor_delete", "q120_mor_update", "q121_mor_upsert",
     // r14: hidden-partition layouts (write + pruned catalog scan; the
     // layout write is the dominant cost and must scale with data, the
     // pruned scan with the MATCHING partitions) and the SemDeDup
