@@ -617,6 +617,17 @@ object OracleQueries {
         |UNION ALL
         |SELECT 'equality', CAST(3 AS BIGINT), 1, 's_suppkey'""".stripMargin,
 
+    // CDC-with-deletes replay: the two ordered batches compose to the
+    // global per-user argmax, with purchase-latest users deleted
+    "q124_cdc_mor_apply" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
+
     // streaming MOR upsert: same latest-state-per-key answer as q91
     "q123_stream_mor_upsert" ->
       """WITH r AS (

@@ -496,6 +496,42 @@ object SparkEntry {
         "applyDeletes changed the streaming upsert answer")
       applied
     }),
+
+    // FULL CDC apply with DELETE events, zero-read: events become a
+    // CDC feed (a purchase DELETES the user's state — "account
+    // closed"; anything else upserts), applied in two strictly-ordered
+    // batches split at the time midpoint, each reduced to its latest
+    // op per user. A user deleted in batch 1 with later activity in
+    // batch 2 resurrects; a user whose GLOBAL latest event is a
+    // purchase ends absent — so the final table is the per-user argmax
+    // with purchase-latest users removed, which is the oracle. Both
+    // batches are single zero-read commits (cdcApplyMOR); pending ==
+    // applied required in-query.
+    "q124_cdc_mor_apply" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_cdcq_"))
+      val t = "default.account_state"
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (tMin, tMax) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val cutoff = new java.sql.Timestamp((tMin.getTime + tMax.getTime) / 2)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latestPerUser(df: DataFrame): DataFrame =
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      def asCdc(df: DataFrame): DataFrame = df.withColumn("op",
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")))
+      val batch1 = asCdc(latestPerUser(ev.filter(col("ts") < lit(cutoff))))
+      val batch2 = asCdc(latestPerUser(ev.filter(col("ts") >= lit(cutoff))))
+      io.cdcApplyMOR(t, batch1, Seq("user_id"), "op")
+      io.cdcApplyMOR(t, batch2, Seq("user_id"), "op")
+      val pending = io.read(t)
+      io.applyDeletes(t)
+      val applied = io.read(t)
+      require(pending.exceptAll(applied).isEmpty && applied.exceptAll(pending).isEmpty,
+        "applyDeletes changed the CDC answer")
+      applied
+    }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))

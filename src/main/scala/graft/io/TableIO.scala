@@ -2722,22 +2722,59 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def upsertMOR(name: String, rows: DataFrame, keyCols: Seq[String],
                 partitionCols: Seq[String] = Seq.empty,
                 props: Map[String, String] = Map.empty,
-                maxScopedKeys: Int = 100000): (Int, Long) = {
-    require(keyCols.nonEmpty, "upsertMOR needs at least one key column")
-    val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                maxScopedKeys: Int = 100000): (Int, Long) =
+    cdcMOR(name, rows, rows, keyCols, partitionCols, props, maxScopedKeys)
+
+  /** CDC apply, zero-read: `batch` carries an op column; rows whose
+    * `opCol` value equals `deleteOp` are DELETE events (key-only —
+    * their non-key columns are ignored), everything else upserts. ONE
+    * equality-delete entry covers every key in the batch (a deleted
+    * key simply gets no replacement row), so a mixed CDC batch costs
+    * exactly what an upsert-only batch costs: new files for the
+    * surviving rows + one key-tuple parquet + a metadata commit —
+    * nothing existing is read at any table size. Within-batch
+    * reduction to ONE op per key is the caller's job (the streaming
+    * sink does it), like [[upsert]]/[[upsertMOR]].
+    */
+  def cdcApplyMOR(name: String, batch: DataFrame, keyCols: Seq[String],
+                  opCol: String, deleteOp: String = "D",
+                  partitionCols: Seq[String] = Seq.empty,
+                  props: Map[String, String] = Map.empty,
+                  maxScopedKeys: Int = 100000): (Int, Long) = {
+    require(batch.columns.contains(opCol), s"cdcApplyMOR: no op column '$opCol' in batch")
+    require(!keyCols.contains(opCol), s"cdcApplyMOR: op column '$opCol' cannot be a key")
+    cdcMOR(name, batch.filter(col(opCol) =!= deleteOp).drop(opCol),
+      batch, keyCols, partitionCols, props, maxScopedKeys)
+  }
+
+  /** Shared zero-read MOR batch commit: `rows` append (may select
+    * NOTHING for a pure-delete batch), `keySource` supplies the key
+    * tuples the equality delete kills. For [[upsertMOR]] the two are
+    * the same frame; [[cdcApplyMOR]] splits delete events out of
+    * `rows` but keeps their keys in `keySource`.
+    */
+  private def cdcMOR(name: String, rowsIn: DataFrame, keySource: DataFrame,
+                     keyCols: Seq[String],
+                     partitionCols: Seq[String],
+                     props: Map[String, String],
+                     maxScopedKeys: Int): (Int, Long) = {
+    require(keyCols.nonEmpty, "upsertMOR/cdcApplyMOR needs at least one key column")
+    val pinnedKeys = keySource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = rowsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(pinned.filter(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty,
-        s"upsertMOR into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      require(pinnedKeys.filter(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty,
+        s"MOR batch into $name: key columns (${keyCols.mkString(",")}) must be non-null")
       if (catalog.currentVersion(name).isEmpty) {
+        // table creation: deletes against nothing are no-ops
         append(pinned, name, partitionCols, props)
-        return (catalog.currentVersion(name).get, pinned.count())
+        return (catalog.currentVersion(name).get, pinnedKeys.count())
       }
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()
       try {
         val v = catalog.currentVersion(name).get
         val files = catalog.manifest(name, v)
-        val n = pinned.count()
+        val n = pinnedKeys.count()
         if (n == 0) {
           // idle batch: metadata-only mark commit (same as upsert)
           if (props.nonEmpty) {
@@ -2757,7 +2794,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         catch { case scala.util.control.NonFatal(_) => () }
         val keyVals: Option[Array[Any]] =
           try {
-            val ks = pinned.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
+            val ks = pinnedKeys.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
             if (ks.length > maxScopedKeys) None else Some(ks.map(_.get(0)))
           } catch { case scala.util.control.NonFatal(_) => None }
         val dirty = keyVals match {
@@ -2768,7 +2805,10 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             catch { case scala.util.control.NonFatal(_) => files }
         }
         val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-        val newFiles = stageWrite(toPhysical(pinned, name), name, pcols)
+        // a pure-delete batch appends nothing — no empty-file junk
+        val newFiles =
+          if (pinned.isEmpty) Seq.empty[String]
+          else stageWrite(toPhysical(pinned, name), name, pcols)
         val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
         val deletesProp =
           if (dirty.isEmpty) priorRaw // stats prove no file holds the keys: pure append
@@ -2778,7 +2818,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             val physKeys = keyCols.map(k => renames.getOrElse(k, k))
             val id = java.util.UUID.randomUUID().toString.take(12)
             val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-            toPhysical(pinned.select(keyCols.map(col): _*).distinct(), name)
+            toPhysical(pinnedKeys.select(keyCols.map(col): _*).distinct(), name)
               .coalesce(1).write.parquet(outDir.toString)
             val delFiles = Using.resource(Files.list(outDir)) { s =>
               s.iterator().asScala.map(_.toString)
@@ -2798,7 +2838,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           commitStats(name, files, newFiles))
         (nv, n)
       } finally lock.release()
-    } finally { pinned.unpersist(); () }
+    } finally { pinned.unpersist(); pinnedKeys.unpersist(); () }
   }
 
   def tableExists(name: String): Boolean = catalog.tableExists(name)

@@ -243,6 +243,52 @@ object TableSink {
     }
   }
 
+  /** One FULL-CDC micro-batch commit: upserts AND delete events in one
+    * zero-read equality-delete commit ([[graft.io.TableIO.cdcApplyMOR]]).
+    * The batch reduces to its LATEST op per key first (greatest
+    * `orderCols`), so a key that is updated then deleted within the
+    * batch deletes, and deleted-then-reinserted reinserts — CDC source
+    * order. Replay guard as everywhere: the mark rides the commit.
+    */
+  def commitCdcMORBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
+                        keyCols: Seq[String], orderCols: Seq[String],
+                        opCol: String, deleteOp: String = "D",
+                        partitionCols: Seq[String] = Seq.empty,
+                        sinkId: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val propKey = TableCatalog.streamBatchProp(sinkId)
+    val mark = io.catalog.streamBatchMark(table, propKey)
+    if (mark.exists(_ >= batchId)) false
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col(_).desc): _*)
+      val winners = batch.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      io.cdcApplyMOR(table, winners, keyCols, opCol, deleteOp, partitionCols,
+        props = Map(propKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming FULL-CDC apply, merge-on-read: the table mirrors the
+    * latest state per key with DELETE events honored — rows whose
+    * `opCol` equals `deleteOp` remove the key. Every micro-batch is
+    * one zero-read equality-delete commit; applyDeletes/compaction
+    * folds the chain on a cadence.
+    */
+  def cdcStreamMOR(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
+                   keyCols: Seq[String], orderCols: Seq[String],
+                   opCol: String, deleteOp: String = "D",
+                   partitionCols: Seq[String] = Seq.empty,
+                   availableNow: Boolean = false): StreamingQuery = {
+    val sid = Some(sinkIdOf(checkpoint))
+    startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
+      commitCdcMORBatch(io, table, id, batch, keyCols, orderCols, opCol, deleteOp,
+        partitionCols, sid); ()
+    }
+  }
+
   /** Merge-mode sink for IDEMPOTENT sketch states: each micro-batch is
     * reduced to its sketch relation by `toSketch` (e.g.
     * [[graft.functions.HyperLogLog.registers]]) and MAX-merged into

@@ -150,6 +150,63 @@ class MorUpsertSpec extends SparkSpec {
     assert(io.read(t).as[(Long, String, Long)].collect().toSet === expected)
   }
 
+  test("cdcApplyMOR: upserts + deletes in ONE zero-read commit; pure-delete batch; absent-key delete no-op") {
+    val io = newIO("graft_cdc_")
+    val t = "default.cdcfull"
+    io.append(Seq((1L, "a0"), (2L, "b0"), (3L, "c0")).toDF("id", "s").coalesce(1), t)
+    val v0 = io.catalog.currentVersion(t).get
+
+    val batch = Seq((2L, "b1", "U"), (3L, "x", "D"), (4L, "d1", "I"), (9L, "x", "D"))
+      .toDF("id", "s", "op")
+    val (v1, n) = io.cdcApplyMOR(t, batch, Seq("id"), "op")
+    assert(v1 === v0 + 1 && n === 4L)
+    // zero-read: every pre-batch file survives the single commit
+    assert(io.catalog.manifest(t, v0).toSet.subsetOf(io.catalog.manifest(t, v1).toSet))
+    assert(io.read(t).as[(Long, String)].collect().toSet ===
+      Set(1L -> "a0", 2L -> "b1", 4L -> "d1")) // 3 deleted, 9 absent = no-op
+
+    // pure-delete batch: appends nothing, kills the key
+    val (v2, n2) = io.cdcApplyMOR(t, Seq((1L, "x", "D")).toDF("id", "s", "op"), Seq("id"), "op")
+    assert(n2 === 1L)
+    assert(io.catalog.manifest(t, v2).size === io.catalog.manifest(t, v1).size)
+    assert(io.read(t).as[(Long, String)].collect().toSet === Set(2L -> "b1", 4L -> "d1"))
+
+    val (va, _) = io.applyDeletes(t)
+    assert(io.catalog.pendingDeletes(t, va).isEmpty)
+    assert(io.read(t).as[(Long, String)].collect().toSet === Set(2L -> "b1", 4L -> "d1"))
+    assert(io.rowCount(t) === 2L)
+  }
+
+  test("streaming CDC sink: latest op per key wins within a batch; delete replay-safe across batches") {
+    import graft.streaming.TableSink
+    val io = newIO("graft_cdcsk_")
+    val t = "default.cdcfeed"
+    io.append(Seq((1L, "a0", 0L)).toDF("id", "s", "ts").coalesce(1), t)
+
+    // within-batch CDC order: key 5 updated then DELETED (delete wins),
+    // key 6 deleted then UPDATED (update wins), key 1 plain update
+    assert(TableSink.commitCdcMORBatch(io, t, 0L,
+      Seq((5L, "e1", 1L, "U"), (5L, "x", 2L, "D"),
+        (6L, "x", 1L, "D"), (6L, "f2", 2L, "U"),
+        (1L, "a1", 3L, "U")).toDF("id", "s", "ts", "op"),
+      Seq("id"), Seq("ts"), "op"))
+    assert(io.read(t).select("id", "s").as[(Long, String)].collect().toSet ===
+      Set(1L -> "a1", 6L -> "f2"))
+
+    // replay of batch 0 refused
+    assert(!TableSink.commitCdcMORBatch(io, t, 0L,
+      Seq((1L, "a1", 3L, "U")).toDF("id", "s", "ts", "op"), Seq("id"), Seq("ts"), "op"))
+
+    // batch 1 deletes a key batch 0 created
+    assert(TableSink.commitCdcMORBatch(io, t, 1L,
+      Seq((6L, "x", 9L, "D")).toDF("id", "s", "ts", "op"), Seq("id"), Seq("ts"), "op"))
+    assert(io.read(t).select("id", "s").as[(Long, String)].collect().toSet ===
+      Set(1L -> "a1"))
+    io.applyDeletes(t)
+    assert(io.read(t).select("id", "s").as[(Long, String)].collect().toSet ===
+      Set(1L -> "a1"))
+  }
+
   test("upsertMOR idle batch with a stream mark commits metadata-only and carries entries") {
     val io = newIO("graft_mori_")
     val t = "default.idle"
