@@ -234,8 +234,13 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       case Some(mv) =>
         // dirty snapshot: reads go through the V1 bridge computing the
         // deletes-merged frame; COW row-level ops refuse (they would
-        // scan raw files and resurrect deleted rows)
-        new GraftMorTable(name, catalog, delegate, pcols, declared, renames, pspec,
+        // scan raw files and resurrect deleted rows). Unpartitioned
+        // tables keep the row-level-op INTERFACE so UPDATE/MERGE reach
+        // our refusal message instead of a generic analysis error.
+        if (pcols.isEmpty)
+          new GraftMorRowOpsTable(name, catalog, delegate, declared, renames,
+            writeBranch, mv)
+        else new GraftMorTable(name, catalog, delegate, pcols, declared, renames, pspec,
           writeBranch, mv)
       case None =>
         if (pcols.isEmpty)
@@ -1096,6 +1101,33 @@ private[io] class GraftMorTable(
       s"$tableName has pending position deletes (merge-on-read): run " +
         "CALL <catalog>.system.apply_deletes first, or use TableIO.deleteWhereMOR " +
         "to stack another metadata-only delete")
+}
+
+/** [[GraftMorTable]] for an UNPARTITIONED dirty snapshot: declares the
+  * row-level-op interface so SQL UPDATE / MERGE reach a message naming
+  * the recovery step, instead of Spark's generic "table does not
+  * support row-level operations" (the clean-snapshot twin,
+  * [[GraftRowOpsTable]], really executes them — this transient table
+  * can't, because its rewrite would scan raw files and resurrect
+  * deleted rows).
+  */
+private[io] class GraftMorRowOpsTable(
+    tableName: String,
+    cat: TableCatalog,
+    delegate: ParquetTable,
+    declaredSchema: Option[StructType],
+    renames: Map[String, String],
+    writeBranch: Option[String],
+    version: Int
+) extends GraftMorTable(tableName, cat, delegate, Seq.empty, declaredSchema, renames,
+    Seq.empty, writeBranch, version)
+  with SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    throw new UnsupportedOperationException(
+      s"$tableName has pending position deletes (merge-on-read): ${info.command()} " +
+        "would rewrite raw files and resurrect deleted rows — run " +
+        "CALL <catalog>.system.apply_deletes first")
 }
 
 /** Read-path metadata file skipping (the SELECT-side use of

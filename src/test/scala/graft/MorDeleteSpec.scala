@@ -111,6 +111,12 @@ class MorDeleteSpec extends SparkSpec {
         spark.sql("DELETE FROM gmor.default.accounts WHERE id = 1"))
       assert(e.getMessage.contains("pending position deletes") ||
         Option(e.getCause).exists(_.getMessage.contains("pending position deletes")))
+      // ...and UPDATE/MERGE reach the same recovery message (the MOR
+      // table declares the row-op interface purely to name the fix)
+      val eu = intercept[Exception](
+        spark.sql("UPDATE gmor.default.accounts SET owner = 'z' WHERE id = 1"))
+      assert(eu.getMessage.contains("pending position deletes") ||
+        Option(eu.getCause).exists(_.getMessage.contains("pending position deletes")))
 
       // INSERT INTO while dirty: appends AND keeps the deletes attached
       spark.sql("INSERT INTO gmor.default.accounts VALUES (5, 'e')")
