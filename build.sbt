@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sun.jnu.encoding (path-name charset) follows the process locale and
+// ignores -D overrides; a POSIX host locale would make any non-ASCII
+// partition directory unwritable. Pin a UTF-8 locale for forked JVMs.
+Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,6 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

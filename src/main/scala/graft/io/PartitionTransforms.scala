@@ -190,7 +190,7 @@ object PartitionTransforms {
       case _ => (c.cast(LongType) - pmod(c.cast(LongType), lit(w.toLong)))
     }
     def literal(v: Any, srcType: DataType): Option[Any] = v match {
-      case s: String => Some(if (s.length > w) s.substring(0, w) else s)
+      case s: String => Some(PartitionTransforms.cpTruncate(s, w))
       case n: java.lang.Number =>
         val l = n.longValue()
         Some(l - (((l % w) + w) % w))
@@ -220,6 +220,15 @@ object PartitionTransforms {
     }
   }
 
+  /** First `w` CODE POINTS of `s` — Spark's `substring` counts code
+    * points, not UTF-16 units, so the literal side must too or a
+    * supplementary character (emoji) near the cut makes the two sides
+    * of the "bit for bit" contract diverge and mis-prune.
+    */
+  private[io] def cpTruncate(s: String, w: Int): String =
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
+
   private val Fn1 = """(\w+)\s*\(\s*(\w+)\s*\)""".r
   private val Fn2 = """(\w+)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
 
@@ -239,9 +248,13 @@ object PartitionTransforms {
         "identity(col), bucket(n, col), or truncate(w, col))")
   }
 
-  /** The layout value a file's path carries for `key`, URL-decoded;
-    * None when the path has no such directory. The Hive null
-    * partition decodes to None-with-a-marker via [[NullPartition]].
+  /** The layout value a file's path carries for `key`, unescaped with
+    * Spark's own percent-unescape (NOT URLDecoder — Spark's
+    * `escapePathName` does not escape '+', so URL-decoding would turn
+    * a literal '+' in a string layout value into a space and
+    * mis-prune); None when the path has no such directory. The Hive
+    * null partition decodes to None-with-a-marker via
+    * [[NullPartition]].
     */
   private[io] def pathValue(path: String, key: String): Option[String] = {
     val marker = s"/$key="
@@ -251,7 +264,7 @@ object PartitionTransforms {
       val start = i + marker.length
       val end = path.indexOf('/', start)
       val raw = if (end < 0) path.substring(start) else path.substring(start, end)
-      Some(java.net.URLDecoder.decode(raw, "UTF-8"))
+      Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw))
     }
   }
 
@@ -276,23 +289,38 @@ object PartitionTransforms {
     def lv(v: Any): Option[Any] = t.literal(v, srcType)
     (dir, f) match {
       case (None, _) => true
-      // the null partition: every row's source value is null (all
-      // transforms here are null-preserving), so only null-tests and
-      // nothing else can match
-      case (Some(NullPartition), other) => other match {
-        case sources.IsNull(a) if a == t.src => true
-        case sources.EqualTo(a, _) if a == t.src => false
-        case sources.In(a, _) if a == t.src => false
-        case sources.GreaterThan(a, _) if a == t.src => false
-        case sources.GreaterThanOrEqual(a, _) if a == t.src => false
-        case sources.LessThan(a, _) if a == t.src => false
-        case sources.LessThanOrEqual(a, _) if a == t.src => false
-        case sources.IsNotNull(a) if a == t.src => false
-        case sources.StringStartsWith(a, _) if a == t.src => false
-        case sources.And(l, r) => might(t, srcType, dir, l) && might(t, srcType, dir, r)
-        case sources.Or(l, r) => might(t, srcType, dir, l) || might(t, srcType, dir, r)
-        case _ => true
-      }
+      // The null partition holds rows whose LAYOUT value Spark's
+      // partitionBy maps to __HIVE_DEFAULT_PARTITION__ — that is NULL
+      // and (for string layouts) the EMPTY STRING. All transforms are
+      // null-preserving, and the string-layout transforms
+      // (truncate/identity on a string source) map '' -> '' — so the
+      // source value of a row here is null, or '' when the transform
+      // has a string layout. Keep the file iff the filter could match
+      // either candidate value.
+      case (Some(NullPartition), other) =>
+        val emptyLandsHere = srcType == StringType && (t match {
+          case Truncate(_, _) | Identity(_) => true
+          case _ => false
+        })
+        // could a row whose source value is null (empty=false) or ''
+        // (empty=true) satisfy f? Unknown shapes: conservative yes.
+        def could(f: sources.Filter, empty: Boolean): Boolean = f match {
+          case sources.IsNull(a) if a == t.src => !empty
+          case sources.IsNotNull(a) if a == t.src => empty
+          case sources.EqualTo(a, v) if a == t.src => empty && v == ""
+          case sources.In(a, vs) if a == t.src => empty && vs.contains("")
+          // '' is the minimal string: never > anything, >= only ''
+          case sources.GreaterThan(a, _) if a == t.src => false
+          case sources.GreaterThanOrEqual(a, v) if a == t.src => empty && v == ""
+          case sources.LessThan(a, v) if a == t.src =>
+            empty && v != null && v.toString.nonEmpty
+          case sources.LessThanOrEqual(a, v) if a == t.src => empty && v != null
+          case sources.StringStartsWith(a, p) if a == t.src => empty && p.isEmpty
+          case sources.And(l, r) => could(l, empty) && could(r, empty)
+          case sources.Or(l, r) => could(l, empty) || could(r, empty)
+          case _ => true
+        }
+        could(other, empty = false) || (emptyLandsHere && could(other, empty = true))
       case (Some(d), sources.EqualTo(a, v)) if a == t.src =>
         lv(v).flatMap(cmp(d, _)).forall(_ == 0)
       case (Some(d), sources.In(a, vs)) if a == t.src =>
@@ -309,7 +337,8 @@ object PartitionTransforms {
       case (Some(d), sources.StringStartsWith(a, p)) if a == t.src =>
         t match {
           case Truncate(w, _) =>
-            if (p.length >= w) d == p.substring(0, w) else d.startsWith(p)
+            if (p.codePointCount(0, p.length) >= w) d == cpTruncate(p, w)
+            else d.startsWith(p)
           case Identity(_) => d.startsWith(p)
           case _ => true
         }

@@ -1562,6 +1562,27 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(
         s"$name has no snapshot at or before epoch-ms $tsMs")))
 
+  /** The file-diff readers (`readIncremental`, `readChangelog`) diff
+    * MANIFESTS, and a merge-on-read commit changes no files: a
+    * `deleteWhereMOR` passes an append-only check while its rows are
+    * logically gone, and `updateWhereMOR`/`upsertMOR` replacement
+    * files would stream as pure inserts with the replaced rows still
+    * live in the consumer's view. So any version in the range that
+    * carries a pending-deletes prop refuses loudly (the raw-manifest
+    * consumer rule), naming `applyDeletes` as the recovery step —
+    * after which a range starting at or after the applied snapshot
+    * reads clean.
+    */
+  private def rejectDirtyRange(name: String, fromV: Int, to: Int, what: String): Unit =
+    (math.max(fromV, 1) to to).foreach { v =>
+      if (catalog.pendingDeletes(name, v).nonEmpty)
+        throw new IllegalStateException(
+          s"$what read of $name: snapshot $v in range [$fromV, $to] carries pending " +
+            "merge-on-read deletes — a MOR commit changes no files, so file-level " +
+            "diffing would serve deleted or replaced rows as live. Run applyDeletes " +
+            "and read a range starting at or after the applied snapshot.")
+    }
+
   /** Incremental scan: the rows ADDED by snapshots in
     * `(fromVersion, toVersion]` — the "what changed since I last
     * looked" primitive (Iceberg's incremental append scan). At 100 TB
@@ -1583,6 +1604,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     require(fromVersion >= 1 && fromVersion <= to,
       s"fromVersion must be in [1, $to], got $fromVersion")
+    rejectDirtyRange(name, fromVersion, to, "incremental")
     def manifestOrReject(v: Int): Seq[String] =
       try catalog.manifest(name, v)
       catch {
@@ -1637,6 +1659,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     require(fromVersion >= 0 && fromVersion <= to,
       s"fromVersion must be in [0, $to], got $fromVersion")
+    rejectDirtyRange(name, fromVersion, to, "changelog")
     def manifestOrReject(v: Int): Seq[String] =
       if (v == 0) Seq.empty
       else
@@ -2743,6 +2766,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                   maxScopedKeys: Int = 100000): (Int, Long) = {
     require(batch.columns.contains(opCol), s"cdcApplyMOR: no op column '$opCol' in batch")
     require(!keyCols.contains(opCol), s"cdcApplyMOR: op column '$opCol' cannot be a key")
+    // A null op makes `col(opCol) =!= deleteOp` null, which filter()
+    // drops — the row would silently become a DELETE event (its key
+    // stays in keySource). Refuse loudly instead, like the null-key
+    // guard in cdcMOR.
+    require(batch.filter(col(opCol).isNull).isEmpty,
+      s"cdcApplyMOR into $name: op column '$opCol' must be non-null " +
+        "(a null op is neither an upsert nor a delete event)")
     cdcMOR(name, batch.filter(col(opCol) =!= deleteOp).drop(opCol),
       batch, keyCols, partitionCols, props, maxScopedKeys)
   }

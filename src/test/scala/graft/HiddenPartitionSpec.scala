@@ -137,7 +137,14 @@ class HiddenPartitionSpec extends SparkSpec {
       java.time.Instant.ofEpochSecond(rnd.between(-2L * 365 * 86400, 4L * 365 * 86400 * 20),
         rnd.between(0, 1000000000L))))
     val longs = (0 until 300).map(_ => rnd.nextLong() % 100000L)
-    val strs = (0 until 300).map(_ => rnd.alphanumeric.take(rnd.between(0, 12)).mkString)
+    // mix in supplementary characters (2 UTF-16 units each): Spark's
+    // substring counts CODE POINTS, so the literal side must too
+    val emo = Array("😀", "🚀", "𝒳")
+    val strs = (0 until 300).map { i =>
+      val base = rnd.alphanumeric.take(rnd.between(0, 12)).mkString
+      if (i % 3 == 0) emo(rnd.nextInt(emo.length)) + base + emo(rnd.nextInt(emo.length))
+      else base
+    }
     val df = ts.zip(longs).zip(strs).map { case ((a, b), c) => (a, b, c) }
       .toDF("t", "l", "s")
 
@@ -176,6 +183,43 @@ class HiddenPartitionSpec extends SparkSpec {
       assert(pathsIn(
         s"SELECT * FROM ghp4.$t WHERE ts = TIMESTAMP '2024-05-02 12:00:00'") < total,
         "the null partition (and other days) must be skipped for an equality")
+    }
+  }
+
+  test("pruning edge parity: '+' survives unescape, '' shares the null dir unlost, emoji truncates by code points") {
+    val wh = tmp("graft_hp_esc_")
+    val io = TableIO(spark, wh)
+    val t = "default.esc"
+    io.setPartitionSpec(t, Seq("truncate(3, s)"))
+    val rows = Seq(
+      ("a+b", 1L), ("a b", 2L), ("", 3L), (null.asInstanceOf[String], 4L),
+      ("😀😀tail", 5L), ("plain", 6L))
+    io.append(rows.toDF("s", "n"), t)
+    withCatalog("ghp9", wh) {
+      def one(pred: String): Long =
+        spark.sql(s"SELECT n FROM ghp9.$t WHERE $pred").as[Long].collect().toList match {
+          case x :: Nil => x
+          case other => fail(s"'$pred' matched $other, expected exactly one row")
+        }
+      // escapePathName does not escape '+': URL-decoding the dir would
+      // read 'a b', fail the equality, and silently lose the row
+      assert(one("s = 'a+b'") === 1L)
+      assert(one("s = 'a b'") === 2L)
+      // '' maps to the __HIVE_DEFAULT_PARTITION__ dir next to null:
+      // equality on '' (and IS NOT NULL) must keep that file
+      assert(one("s = ''") === 3L)
+      assert(one("s IS NULL") === 4L)
+      // the literal-side truncation must count code points like
+      // Spark's substring: two emoji are 2 code points, 4 UTF-16 units
+      assert(one("s = '😀😀tail'") === 5L)
+      assert(spark.sql(s"SELECT count(*) FROM ghp9.$t WHERE s IS NOT NULL")
+        .as[Long].head() === 5L)
+      assert(spark.sql(s"SELECT count(*) FROM ghp9.$t WHERE s <= 'b'")
+        .as[Long].head() === 3L)
+      // pruning still happens for predicates that exclude both null
+      // and '': the null dir and non-matching prefix dirs are skipped
+      val total = io.catalog.manifest(t, io.versions(t).last).size
+      assert(pathsIn(s"SELECT * FROM ghp9.$t WHERE s = 'plain'") < total)
     }
   }
 

@@ -158,6 +158,43 @@ class MorDeleteSpec extends SparkSpec {
     assert(io.read(t).as[(Long, Long)].collect().toSet === Set(2L -> 21L))
   }
 
+  test("file-diff readers refuse a dirty range; post-apply ranges read clean; cdcApplyMOR refuses null ops") {
+    val (io, _) = newIO("graft_mord_")
+    val t = "default.diffed"
+    io.append((1L to 4L).toDF("id").coalesce(1), t)   // v1
+    io.append((5L to 8L).toDF("id").coalesce(1), t)   // v2
+    val (vDel, _) = io.deleteWhereMOR(t, col("id") === 2L) // v3: no files change
+    io.append((9L to 10L).toDF("id").coalesce(1), t)  // v4: dirty carried
+    val (vApplied, _) = io.applyDeletes(t)            // v5: clean again
+    io.append((11L to 12L).toDF("id").coalesce(1), t) // v6
+
+    // a MOR commit passes an append-only file check, so without the
+    // guard readIncremental would serve v4's rows while silently
+    // hiding that id=2 died in-range — and readChangelog would never
+    // emit its DELETE. Both must refuse, naming the recovery step.
+    for (from <- Seq(1, vDel, vDel + 1)) {
+      val ei = intercept[IllegalStateException](io.readIncremental(t, from).collect())
+      assert(ei.getMessage.contains("pending") && ei.getMessage.contains("applyDeletes"),
+        s"from=$from: ${ei.getMessage}")
+    }
+    val ec = intercept[IllegalStateException](io.readChangelog(t).collect())
+    assert(ec.getMessage.contains("applyDeletes"), ec.getMessage)
+
+    // ranges at or after the applied snapshot read clean
+    assert(io.readIncremental(t, vApplied).as[Long].collect().sorted === Array(11L, 12L))
+    val cl = io.readChangelog(t, vApplied)
+    assert(cl.filter(col("_change_type") === "INSERT").count() === 2L)
+    assert(cl.filter(col("_change_type") === "DELETE").count() === 0L)
+
+    // a null op is neither upsert nor delete: loud refusal, no commit
+    val vBefore = io.catalog.currentVersion(t).get
+    val en = intercept[IllegalArgumentException](
+      io.cdcApplyMOR(t, Seq((1L, Some("U")), (2L, Option.empty[String]))
+        .toDF("id", "op"), Seq("id"), "op"))
+    assert(en.getMessage.contains("non-null"), en.getMessage)
+    assert(io.catalog.currentVersion(t).get === vBefore)
+  }
+
   test("append and rollback carry pending deletes — deleted rows never resurrect") {
     val (io, _) = newIO("graft_morc_")
     val t = "default.carried"
