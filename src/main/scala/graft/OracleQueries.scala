@@ -638,6 +638,41 @@ object OracleQueries {
         |SELECT event_id, ts, user_id, event_type, value, props
         |FROM r WHERE rn = 1""".stripMargin,
 
+    // dirty-DML replay: pending = base minus the first MOR delete;
+    // final = UPDATE (+100 where skey%5=0) then second MOR delete then
+    // MERGE (matched rows take src values; unmatched src keys insert —
+    // including keys the MOR deletes killed, which re-enter as inserts
+    // because the merged target no longer holds them)
+    "q125_dirty_dml" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |live1 AS (SELECT * FROM base WHERE skey % 3 <> 1),
+        |upd AS (SELECT skey, s_name,
+        |          CASE WHEN skey % 5 = 0 THEN CAST(bal + 100 AS DECIMAL(12,2))
+        |               ELSE bal END AS bal
+        |        FROM live1),
+        |live2 AS (SELECT * FROM upd WHERE skey % 4 <> 2),
+        |src AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, 'm_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000, 'm_' || s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2))
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |merged AS (
+        |  SELECT l.skey, coalesce(s.s_name, l.s_name) AS s_name,
+        |         coalesce(s.bal, l.bal) AS bal
+        |  FROM live2 l LEFT JOIN src s ON l.skey = s.skey
+        |  UNION ALL
+        |  SELECT s.skey, s.s_name, s.bal FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM live2 l WHERE l.skey = s.skey))
+        |SELECT state, skey, s_name, CAST(bal AS DECIMAL(14,2)) AS bal FROM (
+        |  SELECT 'pending' AS state, * FROM live1
+        |  UNION ALL
+        |  SELECT 'final' AS state, * FROM merged)""".stripMargin,
+
     "q35_window_analytics" ->
       s"""WITH clean AS ($cleanLineitemSql)
          |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber, revenue,

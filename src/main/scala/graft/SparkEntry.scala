@@ -532,6 +532,67 @@ object SparkEntry {
         "applyDeletes changed the CDC answer")
       applied
     }),
+
+    // SQL row-level DML over a DIRTY merge-on-read snapshot (Iceberg's
+    // COW-over-MOR): UPDATE and MERGE run while position deletes are
+    // pending — the rewrite scans the deletes-MERGED frame (deleted
+    // rows can never resurrect) and CONSUMES the rewritten files'
+    // delete entries in the same commit. The script: MOR-delete ⅓ of
+    // suppliers, SQL UPDATE the dirty table (commits clean — asserted),
+    // stack a second MOR delete, SQL MERGE the dirty table (matched
+    // update + not-matched insert; a MOR-deleted key re-enters as an
+    // INSERT). Output = the dirty-snapshot 'pending' read (V1 bridge)
+    // plus the 'final' post-MERGE table, both hash-oracled against a
+    // pure-SQL replay.
+    "q125_dirty_dml" -> ((s, dir) => {
+      val cname = "gdd"
+      val io = catalogIO(s, cname, "graft_ddml_")
+      val t = "default.supp_dd"
+      io.overwrite(Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"),
+        col("s_acctbal").cast("decimal(12,2)").as("bal")), t)
+      val v0 = io.catalog.currentVersion(t).get
+      val files0 = io.catalog.manifest(t, v0)
+      val (v1, nDel) = io.deleteWhereMOR(t, col("skey") % 3 === 1)
+      require(v1 == v0 + 1 && nDel > 0, s"MOR delete did not commit ($v1, $nDel)")
+      require(io.catalog.manifest(t, v1) == files0,
+        "MOR delete must be metadata-only: the data file list changed")
+      // pinned dirty-version read (V1 bridge) — stays 'pending' even
+      // though it executes after the DML below
+      val pending = s.sql(s"SELECT 'pending' AS state, skey, s_name, bal FROM $cname.$t")
+      // UPDATE over the dirty snapshot: % is not a pushable filter, so
+      // every file is a rewrite candidate — all entries consumed, the
+      // commit is CLEAN (spec-pinned partial-consumption lives in
+      // MorDeleteSpec; here the headline is one-commit DML-on-dirty)
+      s.sql(s"UPDATE $cname.$t SET bal = bal + 100 WHERE skey % 5 = 0")
+      val vU = io.catalog.currentVersion(t).get
+      require(io.catalog.pendingDeletes(t, vU).isEmpty,
+        "UPDATE over the dirty snapshot must consume the rewritten files' delete entries")
+      val (_, nDel2) = io.deleteWhereMOR(t, col("skey") % 4 === 2)
+      require(nDel2 > 0, "second MOR delete matched nothing")
+      Tables.supplier(s, dir).filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").cast("bigint").as("skey"),
+          concat(lit("m_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal"))
+        .unionByName(Tables.supplier(s, dir).filter(col("s_suppkey") % 2 === 0)
+          .select((col("s_suppkey").cast("bigint") + 1000).as("skey"),
+            concat(lit("m_"), col("s_name")).as("s_name"),
+            col("s_acctbal").cast("decimal(12,2)").as("bal")))
+        .createOrReplaceTempView("dd_src")
+      s.sql(
+        s"""MERGE INTO $cname.$t tgt USING dd_src src ON tgt.skey = src.skey
+           |WHEN MATCHED THEN UPDATE SET s_name = src.s_name, bal = src.bal
+           |WHEN NOT MATCHED THEN INSERT (skey, s_name, bal)
+           |  VALUES (src.skey, src.s_name, src.bal)""".stripMargin)
+      s.catalog.dropTempView("dd_src")
+      val vM = io.catalog.currentVersion(t).get
+      require(io.catalog.pendingDeletes(t, vM).isEmpty,
+        "MERGE over the dirty snapshot must consume the delete entries")
+      val fin = s.sql(s"SELECT 'final' AS state, skey, s_name, bal FROM $cname.$t")
+      pending.unionByName(fin).select(col("state"), col("skey"), col("s_name"),
+        col("bal").cast("decimal(14,2)").as("bal"))
+    }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))

@@ -1103,13 +1103,38 @@ private[io] class GraftMorTable(
         "to stack another metadata-only delete")
 }
 
-/** [[GraftMorTable]] for an UNPARTITIONED dirty snapshot: declares the
-  * row-level-op interface so SQL UPDATE / MERGE reach a message naming
-  * the recovery step, instead of Spark's generic "table does not
-  * support row-level operations" (the clean-snapshot twin,
-  * [[GraftRowOpsTable]], really executes them — this transient table
-  * can't, because its rewrite would scan raw files and resurrect
-  * deleted rows).
+/** [[GraftMorTable]] for an UNPARTITIONED dirty snapshot: SQL UPDATE /
+  * MERGE / DELETE run as a file-scoped copy-on-write rewrite over the
+  * deletes-MERGED frame (Iceberg's COW-over-MOR behavior — a CDC user
+  * must not have to `apply_deletes` before row-level SQL DML).
+  * Structure mirrors the clean twin ([[GraftRowOpsTable]]) with three
+  * deliberate differences:
+  *
+  *  1. The rewrite scan cannot hand Spark raw parquet for DIRTY
+  *     candidate files — their MOR-deleted rows would flow into the
+  *     replacement write and resurrect. And the group-based rewrite
+  *     planner builds its `DataSourceV2ScanRelation` directly (no
+  *     `V1ScanWrapper`), so the SELECT path's V1 bridge is unusable
+  *     here. Instead, the scan MATERIALIZES the dirty candidates'
+  *     deletes-merged rows into a private staging dir (one bounded
+  *     distributed write — O(dirty candidate bytes), never O(table))
+  *     and scans clean candidates + staged files on the normal DSv2
+  *     parquet path, keeping file-granularity group semantics.
+  *  2. The commit CONSUMES the delete entries of rewritten files in
+  *     the same snapshot (their replacement rows are already merged)
+  *     and carries entries scoped to carried-over files, trimmed via
+  *     [[TableIO.trimDeletesForRewrite]]; all entries consumed =
+  *     the snapshot commits clean and loadTable serves the pure-scan
+  *     table again.
+  *  3. Everything pins the dirty snapshot `version` loadTable planned
+  *     against — manifest, pending entries, and the commit at
+  *     `version + 1` — so any concurrent commit surfaces as
+  *     [[ConcurrentCommitException]], never a lost update.
+  *
+  * `canDeleteWhere` answers false so SQL DELETE routes here (the
+  * group-based rewrite) instead of [[GraftMorTable]]'s raw-file COW
+  * refusal. A WAP branch session refuses loudly: branch manifests and
+  * main-snapshot delete props have no pinned pairing yet.
   */
 private[io] class GraftMorRowOpsTable(
     tableName: String,
@@ -1123,11 +1148,189 @@ private[io] class GraftMorRowOpsTable(
     Seq.empty, writeBranch, version)
   with SupportsRowLevelOperations {
 
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    throw new UnsupportedOperationException(
-      s"$tableName has pending position deletes (merge-on-read): ${info.command()} " +
-        "would rewrite raw files and resurrect deleted rows — run " +
-        "CALL <catalog>.system.apply_deletes first")
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    false // route DELETE to the merged rewrite below, not the raw-COW path
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (writeBranch.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName has pending merge-on-read deletes and the session writes to WAP " +
+          s"branch '${writeBranch.get}': branch ${info.command()} over a dirty snapshot " +
+          "is not supported — run applyDeletes first, or clear spark.wap.branch")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        // manifest + pending entries of the PINNED dirty snapshot —
+        // one consistent pair; the commit re-validates the pin
+        private val pending = cat.pendingDeletes(tableName, version)
+        private val tableRoot = java.nio.file.Paths.get(cat.pathOf(tableName))
+        private def norm(p: String): String =
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+        @volatile private var carriedOver: Seq[String] = Seq.empty
+        // staging dir holding the dirty candidates' merged rows for the
+        // rewrite scan — swept with the write staging on commit/abort
+        @volatile private var scanStaging: Option[java.nio.file.Path] = None
+
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"graft merged copy-on-write ${info.command()} (pending MOR deletes)"
+
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+            private val allFiles = cat.manifest(tableName, version)
+            private var chosen: Seq[String] = allFiles
+            private val toLogicalName = renames.map(_.swap)
+
+            override def pushFilters(
+                filters: Array[org.apache.spark.sql.sources.Filter]
+            ): Array[org.apache.spark.sql.sources.Filter] = {
+              // same conservative driver-side partition as the clean
+              // twin: stats can't-match → carried verbatim. For dirty
+              // files the stats describe RAW rows (deleted included) —
+              // a superset, so can't-match stays safe.
+              val (pruned, scanned) =
+                try {
+                  val conf = SparkSession.active.sessionState.newHadoopConf()
+                  allFiles.partition { f =>
+                    val stats = FileStats.cached(f, conf)
+                      .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
+                    !FileStats.mightMatch(stats, filters.toSeq)
+                  }
+                } catch { case scala.util.control.NonFatal(_) => (Seq.empty, allFiles) }
+              chosen = scanned
+              carriedOver = pruned
+              filters // rows are filtered by the rewrite's projection, not the scan
+            }
+            override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+              Array.empty
+
+            override def build(): Scan = {
+              val spark = SparkSession.active
+              val dirtySet = pending.flatMap(_.dirtyFiles).map(norm).toSet
+              val (dirtyChosen, cleanChosen) = chosen.partition(f => dirtySet(norm(f)))
+              val scanFiles =
+                if (dirtyChosen.isEmpty) cleanChosen
+                else {
+                  // one distributed write of the dirty candidates'
+                  // merged rows (PHYSICAL column names, like every
+                  // data file) into a private staging dir
+                  val io = new TableIO(spark, cat)
+                  val merged = io.readFilesMerged(tableName, dirtyChosen, pending)
+                  val physical = renames.foldLeft(merged) { case (df, (l, p)) =>
+                    df.withColumnRenamed(l, p)
+                  }
+                  java.nio.file.Files.createDirectories(tableRoot)
+                  val stage = java.nio.file.Files.createTempDirectory(tableRoot, ".stage-")
+                  scanStaging = Some(stage)
+                  val out = stage.resolve("merged")
+                  physical.write.parquet(out.toString)
+                  val staged = scala.util.Using.resource(
+                    java.nio.file.Files.list(out)) { s =>
+                    s.iterator().asScala.map(_.toString)
+                      .filter(_.endsWith(".parquet")).toSeq.sorted
+                  }
+                  cleanChosen ++ staged
+                }
+              // staged files live OUTSIDE the data dir: the delegate's
+              // basePath option would reject them (and an unpartitioned
+              // table needs no partition discovery) — drop it
+              val scanOptions = new CaseInsensitiveStringMap(
+                (delegate.options.asScala.toMap - "basepath").asJava)
+              val scanTable = ParquetTable(s"${delegate.name}#morscoped", spark,
+                scanOptions, scanFiles, delegate.userSpecifiedSchema,
+                classOf[ParquetFileFormat])
+              val ds = scanTable.newScanBuilder(options).build()
+              new Scan {
+                override def readSchema(): StructType = {
+                  val s = ds.readSchema()
+                  StructType(s.fields.map(f =>
+                    toLogicalName.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+                }
+                override def toBatch: Batch = ds.toBatch
+                override def description(): String = ds.description()
+              }
+            }
+          }
+
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = {
+              val physInfo: LogicalWriteInfo = new LogicalWriteInfo {
+                override def options(): CaseInsensitiveStringMap = winfo.options()
+                override def queryId(): String = winfo.queryId()
+                override def schema(): StructType = StructType(winfo.schema().fields.map(f =>
+                  renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+                override def rowIdSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+                override def metadataSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+              }
+              // private per-write staging, claimed by explicit move —
+              // same protocol (and same reasons) as the clean twin
+              java.nio.file.Files.createDirectories(tableRoot)
+              val staging = java.nio.file.Files.createTempDirectory(tableRoot, ".stage-")
+              val writeTable = ParquetTable(
+                s"${delegate.name}#morrewrite",
+                SparkSession.active,
+                winfo.options(),
+                Seq(staging.toString),
+                userSpecifiedSchema = Some(physInfo.schema()),
+                fallbackFileFormat = classOf[ParquetFileFormat])
+              def sweep(dir: java.nio.file.Path): Unit =
+                try {
+                  val s = java.nio.file.Files.walk(dir)
+                  try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                    .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+                  finally s.close()
+                } catch { case scala.util.control.NonFatal(_) => () }
+              def sweepAll(): Unit = { sweep(staging); scanStaging.foreach(sweep) }
+              val lock = TableIO.writeLock(cat.pathOf(tableName))
+              lock.acquire()
+              val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+              def releaseOnce(): Unit =
+                if (released.compareAndSet(false, true)) lock.release()
+              val dBatch =
+                try writeTable.newWriteBuilder(physInfo).build().toBatch
+                catch { case e: Throwable => releaseOnce(); sweepAll(); throw e }
+              new BatchWrite {
+                override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+                  new ProjectToDataColsFactory(
+                    dBatch.createBatchWriterFactory(p), physInfo.schema())
+                override def useCommitCoordinator(): Boolean = dBatch.useCommitCoordinator()
+                override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+                  dBatch.onDataWriterCommit(m)
+                override def commit(messages: Array[WriterCommitMessage]): Unit =
+                  try {
+                    val cur = cat.currentVersion(tableName)
+                    if (cur != Some(version))
+                      throw new ConcurrentCommitException(
+                        s"concurrent commit to $tableName during row-level ${info.command()}: " +
+                          s"planned against dirty snapshot $version but current is $cur; " +
+                          "re-run the command")
+                    dBatch.commit(messages)
+                    val dataRoot = java.nio.file.Paths.get(cat.dataPath(tableName))
+                    java.nio.file.Files.createDirectories(dataRoot)
+                    val newFiles = TableIO.moveStagedFiles(staging, dataRoot)
+                    // consumed entries clear HERE, in the same commit
+                    // as the replacement files; carried dirty files
+                    // keep theirs (trimmed)
+                    val io = new TableIO(SparkSession.active, cat)
+                    val props = io.trimDeletesForRewrite(tableName, pending, carriedOver)
+                    val conf = SparkSession.active.sessionState.newHadoopConf()
+                    cat.commitSnapshotAt(tableName, carriedOver ++ newFiles, version + 1,
+                      props,
+                      stats = cat.statsForCommit(tableName, carriedOver, newFiles, conf))
+                    ()
+                  } finally { releaseOnce(); sweepAll() }
+                override def abort(messages: Array[WriterCommitMessage]): Unit =
+                  try dBatch.abort(messages)
+                  finally { releaseOnce(); sweepAll() }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
 }
 
 /** Read-path metadata file skipping (the SELECT-side use of

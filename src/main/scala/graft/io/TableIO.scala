@@ -1503,6 +1503,65 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * right plan; a workload that accumulates huge pending deletes
     * should applyDeletes, which restores the pure-scan plan entirely.
     */
+  /** Deletes-merged read of an explicit file subset — the package
+    * door to [[mergeDeletes]] for the DSv2 row-level rewrite over a
+    * dirty snapshot ([[GraftMorRowOpsTable]]): the rewrite scans
+    * exactly its candidate files, merged, so a COW UPDATE/MERGE can
+    * never resurrect MOR-deleted rows.
+    */
+  private[io] def readFilesMerged(name: String, files: Seq[String],
+                                  entries: Seq[TableCatalog.DeleteEntry]): DataFrame =
+    mergeDeletes(name, files, entries)
+
+  /** Deletes prop for a commit that REWRITES some dirty files (their
+    * entries are consumed — the rewritten replacement rows are already
+    * deletes-merged) and CARRIES others verbatim (their entries must
+    * survive). Per entry: fully-carried → unchanged; fully-consumed →
+    * dropped; PARTIALLY consumed position entries get their delete
+    * parquet rewritten to only the carried files' positions, because
+    * [[rowCount]] subtracts a position file's full row count and a
+    * stale position for a rewritten file would over-subtract.
+    * (Equality entries just trim their dirty list — their delete file
+    * holds key tuples, not positions, and rowCount already falls back
+    * to a real count when equality entries are pending.) Returns the
+    * props map for the commit: empty = every entry consumed, the
+    * snapshot is clean again.
+    */
+  private[io] def trimDeletesForRewrite(name: String,
+      entries: Seq[TableCatalog.DeleteEntry],
+      carried: Seq[String]): Map[String, String] = {
+    val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+    def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    val carriedSet = carried.map(norm).toSet
+    def rel(p: String): String = {
+      val a = Paths.get(p).toAbsolutePath.normalize
+      if (a.startsWith(root)) root.relativize(a).toString else p
+    }
+    val trimmed = entries.flatMap { e =>
+      val kept = e.dirtyFiles.filter(f => carriedSet(norm(f)))
+      if (kept.isEmpty) None
+      else if (e.isEquality || kept.size == e.dirtyFiles.size)
+        Some(TableCatalog.DeleteEntry(rel(e.deleteFile), kept.map(rel), e.eqKeyCols))
+      else {
+        val keptKeys = kept.map(f => TableIO.fileKeyOf(root, f))
+        val outDir = Paths.get(catalog.pathOf(name), "deletes",
+          java.util.UUID.randomUUID().toString.take(12))
+        spark.read.schema("gd_file STRING, gd_pos BIGINT").parquet(e.deleteFile)
+          .filter(col("gd_file").isin(keptKeys: _*))
+          .coalesce(1).write.parquet(outDir.toString)
+        val delFile = Using.resource(Files.list(outDir)) { s =>
+          s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted.headOption
+            .getOrElse(throw new IllegalStateException(
+              s"trimmed delete write for $name produced no parquet under $outDir"))
+        }
+        Some(TableCatalog.DeleteEntry(rel(delFile), kept.map(rel)))
+      }
+    }
+    if (trimmed.isEmpty) Map.empty
+    else Map(TableCatalog.DeletesProp -> TableCatalog.encodeDeletes(trimmed))
+  }
+
   private def mergeDeletes(name: String, files: Seq[String],
                            entries: Seq[TableCatalog.DeleteEntry]): DataFrame = {
     def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
