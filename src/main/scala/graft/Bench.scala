@@ -26,6 +26,11 @@ object Bench {
     *  - queries whose runs were majority-contended (median per-run
     *    canary > 2x the pass-best canary) are named in the headline's
     *    "contended" list: medians are either clean or flagged.
+    *  - a SHORT FSYNC probe before every timed run (8 create+fsync
+    *    ops, ~8 ms quiet) with its own "contended_io" headline list —
+    *    the CPU probe is blind to durable-write contention (r14: a 4x
+    *    fsync-slow window inflated write/commit-heavy queries 2.5-4x
+    *    in stable-looking medians while every CPU canary read idle).
     *
     * Output contract: the harness keeps only the tail (~1.9 KB) of this
     * process's stdout, so the headline JSON must be (a) the LAST line
@@ -84,9 +89,9 @@ object Bench {
     // canaries read idle. ~1 ms p50 is a quiet local disk; multi-ms
     // means shared-storage sync contention and streaming medians should
     // be read accordingly.
-    def fsyncCanary(): Double = {
+    def fsyncCanary(ops: Int = 30): Double = {
       val dir = java.nio.file.Files.createTempDirectory("graft-fsync").toFile
-      val lat = (0 until 30).map { i =>
+      val lat = (0 until ops).map { i =>
         val t0 = System.nanoTime()
         val ch = java.nio.channels.FileChannel.open(
           new java.io.File(dir, s"f$i").toPath,
@@ -139,22 +144,29 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    // Each element: (name, per-run (canary, timing-or-failure) pairs)
+    // Each element: (name, per-run (cpu canary, fsync canary, timing)
+    // triples). The per-run FSYNC probe (8 ops, ~8 ms quiet) exists
+    // because the r14 driver pass proved the CPU probe blind to
+    // durable-write contention: write/commit-heavy queries inflated
+    // 2.5-4x in stable-looking medians while every CPU canary read
+    // idle — only the pass-boundary fsync canaries (4x slower) caught
+    // it, too coarse to attribute per query.
     val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> Seq.fill(runs)((cpuCanary(RunCanaryIters), timeOnce(fn)))
+        name -> Seq.fill(runs)((cpuCanary(RunCanaryIters), fsyncCanary(ops = 8), timeOnce(fn)))
       }
     val canaryCpuEnd = cpuCanary(FullCanaryIters)
     val canaryFsyncEnd = fsyncCanary()
     val timings = sampled.map { case (name, rs) =>
-      name -> rs.collect { case (_, Some(t)) => r4(t._1) }
+      name -> rs.collect { case (_, _, Some(t)) => r4(t._1) }
     }
     val canaries = sampled.map { case (name, rs) => name -> rs.map(r => r4(r._1)) }
+    val fsyncs = sampled.map { case (name, rs) => name -> rs.map(r => r4(r._2)) }
     // files/bytes are deterministic per query; keep the max across runs
     val writes = sampled
       .map { case (name, rs) =>
-        val oks = rs.flatMap(_._2)
+        val oks = rs.flatMap(_._3)
         name -> (if (oks.isEmpty) (0L, 0L) else (oks.map(_._2).max, oks.map(_._3).max))
       }
       .filter { case (_, (f, _)) => f > 0L }
@@ -172,6 +184,17 @@ object Bench {
     val contended = canaries.collect {
       case (k, cs) if median(cs) > 2.0 * canaryBase => k
     }.sorted
+    // IO-contended: same majority rule against the pass-best per-run
+    // fsync p50, with an absolute floor — a quiet local disk syncs in
+    // well under a millisecond and a 2x ratio over a 0.1 ms base is
+    // noise, not contention (the r14 incident read 1.25 ms vs an 0.31
+    // ms idle base). Queries here have their write/commit/streaming
+    // medians attributed to shared-storage sync latency, not code.
+    val allFsyncs = fsyncs.flatMap(_._2)
+    val fsyncBase = if (allFsyncs.isEmpty) 1.0 else allFsyncs.min
+    val contendedIo = fsyncs.collect {
+      case (k, fs) if median(fs) > math.max(2.0 * fsyncBase, 0.8) => k
+    }.sorted
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmtRuns(m: Iterable[(String, Seq[Double])]) =
@@ -179,7 +202,7 @@ object Bench {
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def short(name: String): String = name.split('_').head
     val total = r4(med.map(_._2).sum)
-    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)}}"""
+    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"fsync_runs":${fmtRuns(fsyncs)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)}}"""
     val writesLine = writes
       .map { case (k, (f, b)) => s"\"" + k + "\":{\"files\":" + f + ",\"bytes\":" + b + "}" }
       .mkString("""{"metric":"queries_writes","queries_writes":{""", ",", "}}")
@@ -207,7 +230,7 @@ object Bench {
     // Headline LAST: qNN-prefix keys keep it inside the tail budget,
     // and total/canaries sit at line END so front-truncation can't eat
     // them (full names: queries_median line + the runs file).
-    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
+    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"contended_io":${fmtList(contendedIo.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -477,9 +477,10 @@ object SparkEntry {
     // Streaming CDC, merge-on-read flavor: q91's latest-state-per-key
     // sink where every micro-batch is a ZERO-READ equality-delete
     // commit (upsertMOR) instead of a candidate-file rewrite. The
-    // hashed output is the post-applyDeletes table; the pending
-    // (entry-chain-resolved) read is required equal in-query, so the
-    // stacked per-batch entries provably encode the same answer.
+    // hashed output is the post-applyDeletes table; pending == applied
+    // equivalence is spec-pinned (MorUpsertSpec's streaming tests
+    // assert both read states against the same expected set), so the
+    // benched query prices the OPERATOR, not a proof.
     "q123_stream_mor_upsert" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_umor_"))
       withStreamShuffle(s) {
@@ -489,12 +490,8 @@ object SparkEntry {
           orderCols = Seq("ts", "event_id"), availableNow = true)
           .awaitTermination()
       }
-      val pending = io.read("default.user_state_mor") // pins the dirty version
       io.applyDeletes("default.user_state_mor")
-      val applied = io.read("default.user_state_mor")
-      require(pending.exceptAll(applied).isEmpty && applied.exceptAll(pending).isEmpty,
-        "applyDeletes changed the streaming upsert answer")
-      applied
+      io.read("default.user_state_mor")
     }),
 
     // FULL CDC apply with DELETE events, zero-read: events become a
@@ -506,7 +503,9 @@ object SparkEntry {
     // purchase ends absent — so the final table is the per-user argmax
     // with purchase-latest users removed, which is the oracle. Both
     // batches are single zero-read commits (cdcApplyMOR); pending ==
-    // applied required in-query.
+    // applied equivalence is spec-pinned (MorUpsertSpec asserts both
+    // read states against the same expected set), so the benched query
+    // prices the operator, not a four-pass equality proof.
     "q124_cdc_mor_apply" -> ((s, dir) => {
       val io = TableIO(s, tempDir("graft_cdcq_"))
       val t = "default.account_state"
@@ -525,12 +524,8 @@ object SparkEntry {
       val batch2 = asCdc(latestPerUser(ev.filter(col("ts") >= lit(cutoff))))
       io.cdcApplyMOR(t, batch1, Seq("user_id"), "op")
       io.cdcApplyMOR(t, batch2, Seq("user_id"), "op")
-      val pending = io.read(t)
       io.applyDeletes(t)
-      val applied = io.read(t)
-      require(pending.exceptAll(applied).isEmpty && applied.exceptAll(pending).isEmpty,
-        "applyDeletes changed the CDC answer")
-      applied
+      io.read(t)
     }),
 
     // SQL row-level DML over a DIRTY merge-on-read snapshot (Iceberg's
