@@ -1503,6 +1503,34 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * right plan; a workload that accumulates huge pending deletes
     * should applyDeletes, which restores the pure-scan plan entirely.
     */
+  /** Row bound above which a MOR delete/key write is SHARDED (shuffle
+    * by dirty-file key / equality key) instead of coalesced into one
+    * file. The one-file path is right for the designed regime — a
+    * delete set that grows with rows deleted since the last
+    * applyDeletes — but a predicate matching millions of rows must not
+    * serialize its delete-file write through a single task. ~1M
+    * position rows ≈ 100 MB uncompressed: a sane single-task ceiling.
+    */
+  private def morShardRows: Long =
+    spark.conf.getOption("spark.graft.mor.shardRows").map(_.toLong).getOrElse(1L << 20)
+
+  /** Metadata-only UPPER BOUND on the rows a scan of `files` can emit:
+    * manifest stats row counts, footer fallback, "unbounded" on a
+    * failed footer (conservative toward sharding — at scale an unknown
+    * size must parallelize, never single-task).
+    */
+  private def statsRowBound(name: String, v: Int, files: Seq[String]): Long = {
+    val stats = catalog.manifestStats(name, v)
+    lazy val conf = spark.sessionState.newHadoopConf()
+    files.foldLeft(0L) { (acc, f) =>
+      val rows = stats.get(f).flatMap(_.values.headOption.map(_.rowCount))
+        .getOrElse(
+          try FileStats.rowCount(f, conf)
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 })
+      if (acc + rows < acc) Long.MaxValue else acc + rows
+    }
+  }
+
   /** Deletes-merged read of an explicit file subset — the package
     * door to [[mergeDeletes]] for the DSv2 row-level rewrite over a
     * dirty snapshot ([[GraftMorRowOpsTable]]): the rewrite scans
@@ -2644,7 +2672,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         .select(col(TableIO.PosFileCol).as("gd_file"), col(TableIO.PosIdxCol).as("gd_pos"))
       val id = java.util.UUID.randomUUID().toString.take(12)
       val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-      hits.coalesce(1).write.parquet(outDir.toString)
+      // small delete sets (the designed regime) write ONE file in one
+      // task; above the shard bound the write repartitions by dirty
+      // file key so a predicate matching millions of rows never
+      // serializes through a single task (multi-file delete sets are
+      // first-class: one entry per file, shared dirty list)
+      (if (statsRowBound(name, v, candidates) > morShardRows)
+         hits.repartition(col("gd_file"))
+       else hits.coalesce(1))
+        .write.parquet(outDir.toString)
       // one tiny job over the just-written (page-cache-hot) parquet:
       // deleted-row count + the distinct dirty file keys. The collect
       // is bounded by the manifest size, never the data.
@@ -2750,8 +2786,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       try {
         val id = java.util.UUID.randomUUID().toString.take(12)
         val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-        matched.select(col(TableIO.PosFileCol).as("gd_file"),
-          col(TableIO.PosIdxCol).as("gd_pos")).coalesce(1).write.parquet(outDir.toString)
+        val positions = matched.select(col(TableIO.PosFileCol).as("gd_file"),
+          col(TableIO.PosIdxCol).as("gd_pos"))
+        // sharded above the bound, like deleteWhereMOR's write
+        (if (statsRowBound(name, v, candidates) > morShardRows)
+           positions.repartition(col("gd_file"))
+         else positions.coalesce(1))
+          .write.parquet(outDir.toString)
         val agg = spark.read.parquet(outDir.toString)
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
             org.apache.spark.sql.functions.collect_set(col("gd_file")).as("dirty")).head()
@@ -2907,8 +2948,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             val physKeys = keyCols.map(k => renames.getOrElse(k, k))
             val id = java.util.UUID.randomUUID().toString.take(12)
             val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-            toPhysical(pinnedKeys.select(keyCols.map(col): _*).distinct(), name)
-              .coalesce(1).write.parquet(outDir.toString)
+            val keyRows = toPhysical(pinnedKeys.select(keyCols.map(col): _*).distinct(), name)
+            // a CDC batch is O(batch) by design; above the shard bound
+            // the key write parallelizes by key instead of one task
+            (if (n > morShardRows) keyRows.repartition(col(physKeys.head))
+             else keyRows.coalesce(1))
+              .write.parquet(outDir.toString)
             val delFiles = Using.resource(Files.list(outDir)) { s =>
               s.iterator().asScala.map(_.toString)
                 .filter(_.endsWith(".parquet")).toSeq.sorted

@@ -162,6 +162,31 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("large delete sets shard the position write by dirty file key; semantics identical to the one-file path") {
+    val (io, _) = newIO("graft_morsh_")
+    val t = "default.sharded"
+    io.append((1L to 60L).toDF("id").coalesce(1), t)
+    io.append((61L to 120L).toDF("id").coalesce(1), t)
+    spark.conf.set("spark.graft.mor.shardRows", "10") // force the shard path
+    try {
+      val (vDel, n) = io.deleteWhereMOR(t, col("id") % 2L === 0L)
+      assert(n === 60L)
+      val entries = io.catalog.pendingDeletes(t, vDel)
+      // sharded by dirty file key: one delete parquet per (non-empty)
+      // shuffle partition, each its own entry sharing the dirty list
+      assert(entries.nonEmpty && entries.forall(!_.isEquality))
+      assert(io.read(t).as[Long].collect().sorted === (1L to 120L by 2).toArray)
+      assert(io.rowCount(t) === 60L) // disjoint positions across shards
+      // updateWhereMOR's sharded write too
+      val (_, nu) = io.updateWhereMOR(t, col("id") % 3L === 0L, Map("id" -> (col("id") + 1000L)))
+      assert(nu === 20L) // odd multiples of 3 in 1..120: 3,9,...,117
+      io.applyDeletes(t)
+      val got = io.read(t).as[Long].collect().sorted
+      val want = (1L to 120L by 2).map(i => if (i % 3 == 0) i + 1000L else i).sorted.toArray
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.mor.shardRows")
+  }
+
   test("dirty DML partial consumption: a position entry spanning two files trims to the carried file, rowCount stays exact") {
     val (io, wh) = newIO("graft_morpart_")
     val t = "default.spanned"
