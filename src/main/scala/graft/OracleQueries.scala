@@ -643,6 +643,18 @@ object OracleQueries {
     // MERGE (matched rows take src values; unmatched src keys insert —
     // including keys the MOR deletes killed, which re-enter as inserts
     // because the merged target no longer holds them)
+    // SPJ replay: the zero-exchange plan shape is asserted in-query
+    // and spec-pinned; the oracle checks the join SEMANTICS
+    "q126_spj_join" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(c_custkey AS BIGINT) AS cust, CAST(c_nationkey AS INT) AS nk,
+        |       c_mktsegment AS segment, o.n_orders, o.total
+        |FROM customer c JOIN o ON CAST(c_custkey AS BIGINT) = o.cust""".stripMargin,
+
     "q125_dirty_dml" ->
       """WITH base AS (
         |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,

@@ -28,6 +28,12 @@ object SessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // storage-partitioned joins: honor the KeyGroupedPartitioning
+      // the graft catalog scan reports for bucket(n, key) layouts —
+      // zero-exchange joins of co-bucketed tables. pushPartValues
+      // tolerates one side missing a bucket value (empty bucket).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val withMaster = master.fold(b)(b.master)

@@ -1776,6 +1776,52 @@ object SparkEntry {
         s"FROM $cname.$t WHERE o_custkey IN (7, 33, 129, 466)")
     }),
 
+    // Storage-partitioned join: customer and a per-customer orders
+    // rollup live as bucket(8, custkey) hidden layouts; the catalog
+    // scan reports KeyGroupedPartitioning (resolved through the
+    // catalog's V2 bucket function) and the SQL join plans with ZERO
+    // exchange — asserted in-query on the planned string (driver-side
+    // planning only, no extra pass). Broadcast is disabled for the
+    // plan so the assert pins the storage-partitioned shape, not a
+    // broadcast that hides the question. At 100 TB this is Iceberg's
+    // SPJ: the fact-fact join that never shuffles.
+    "q126_spj_join" -> ((s, dir) => {
+      val cname = "gspj"
+      val io = catalogIO(s, cname, "graft_spjq_")
+      val tc = "default.cust_b8"
+      val to = "default.ords_b8"
+      if (io.catalog.currentVersion(tc).isEmpty) io.setPartitionSpec(tc, Seq("bucket(8, cust)"))
+      if (io.catalog.currentVersion(to).isEmpty) io.setPartitionSpec(to, Seq("bucket(8, cust)"))
+      io.overwrite(Tables.customer(s, dir).select(
+        col("c_custkey").cast("bigint").as("cust"),
+        col("c_nationkey").cast("int").as("nk"),
+        col("c_mktsegment").as("segment")), tc)
+      io.overwrite(Tables.orders(s, dir)
+        .groupBy(col("o_custkey").cast("bigint").as("cust"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.ExactAgg.dsum(col("o_totalprice"), 2).as("total")), to)
+      // set-and-leave (SessionFactory's defaults): flipping them back
+      // before the driver executes the returned frame would have AQE
+      // finalize stages under different confs than the asserted plan
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val bKey = "spark.sql.autoBroadcastJoinThreshold"
+      val bPrev = s.conf.getOption(bKey)
+      s.conf.set(bKey, "-1")
+      try {
+        val df = s.sql(
+          s"""SELECT c.cust, c.nk, c.segment, o.n_orders, o.total
+             |FROM $cname.$tc c JOIN $cname.$to o ON c.cust = o.cust""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"expected a zero-exchange storage-partitioned join, got:\n$plan")
+        df
+      } finally bPrev match {
+        case Some(v) => s.conf.set(bKey, v)
+        case None => s.conf.unset(bKey)
+      }
+    }),
+
     // Embedding-space dedup'd corpus (SemDeDup): drop every vector
     // with a smaller-id neighbor at cosine >= 0.4, keep the rest —
     // the representative-selection corpus op composing the q27 pair

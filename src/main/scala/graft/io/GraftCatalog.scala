@@ -42,10 +42,22 @@ import scala.jdk.CollectionConverters._
   * replace (prior versions stay readable).
   */
 class GraftCatalog extends V2TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var catalog: TableCatalog = _
+
+  // FunctionCatalog: the transform functions hidden partition specs
+  // use. Spark resolves a scan's reported KeyGroupedPartitioning
+  // transforms against the TABLE's catalog — without this, the
+  // partitioning is silently dropped and bucket-co-located joins pay
+  // two full exchanges.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -1356,6 +1368,8 @@ private[io] class StatsPruningScanBuilder(
 
   private var current: ScanBuilder = delegate.newScanBuilder(options)
   private var prunedColumns: Option[StructType] = None
+  // the post-pruning file list — what a bucket-keyed scan keys over
+  private var keptFiles: Seq[String] = delegate.paths
 
   // Conservative catalyst -> v1 translation for stats evaluation only:
   // shapes we don't recognize contribute NO constraint (the delegate
@@ -1386,6 +1400,7 @@ private[io] class StatsPruningScanBuilder(
           partKept.filter(f => FileStats.mightMatch(FileStats.cached(f, conf), v1))
         } catch { case scala.util.control.NonFatal(_) => partKept }
       }
+    keptFiles = keep
     if (keep.size < delegate.paths.size) {
       // a fully-pruned scan has no footers left to infer from — carry
       // the already-inferred schema so it returns zero rows, not an
@@ -1423,7 +1438,26 @@ private[io] class StatsPruningScanBuilder(
     }
   }
 
-  override def build(): Scan = current.build()
+  /** The built scan — wrapped with storage-partitioned-join key
+    * reporting when the layout is a single `bucket(n, key)` spec and
+    * EVERY kept file carries the bucket directory (pre-spec files make
+    * the layout unprovable: fall back to the plain scan, never guess).
+    * Keys are normalized absolute paths so the plan-time lookup
+    * matches `PartitionedFile.filePath.toUri.getPath`.
+    */
+  override def build(): Scan = {
+    val inner = current.build()
+    pspec match {
+      case Seq(b: PartitionTransforms.Bucket) if keptFiles.nonEmpty =>
+        val keyed = keptFiles.flatMap { f =>
+          PartitionTransforms.bucketDirValue(f, b).map(v =>
+            java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString -> v)
+        }
+        if (keyed.size == keptFiles.size) new BucketKeyedScan(inner, b, keyed.toMap)
+        else inner
+      case _ => inner
+    }
+  }
 }
 
 /** Projects each incoming row onto its TRAILING `schema.length` fields

@@ -229,6 +229,17 @@ object PartitionTransforms {
     if (s.codePointCount(0, s.length) <= w) s
     else s.substring(0, s.offsetByCodePoints(0, w))
 
+  /** The bucket layout value `path` carries for spec `b`, parsed to
+    * the bucket ordinal — None when the directory is absent (pre-spec
+    * file) or non-numeric (the Hive null partition: a null key has no
+    * bucket, and a scan containing it cannot report key-grouped
+    * partitioning). Feeds [[graft.io.BucketKeyedScan]]'s totality
+    * check.
+    */
+  private[io] def bucketDirValue(path: String, b: Bucket): Option[Int] =
+    pathValue(path, b.derivedName).flatMap(v =>
+      scala.util.Try(v.trim.toLong.toInt).toOption)
+
   private val Fn1 = """(\w+)\s*\(\s*(\w+)\s*\)""".r
   private val Fn2 = """(\w+)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
 
