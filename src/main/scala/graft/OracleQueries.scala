@@ -643,6 +643,33 @@ object OracleQueries {
     // MERGE (matched rows take src values; unmatched src keys insert —
     // including keys the MOR deletes killed, which re-enter as inserts
     // because the merged target no longer holds them)
+    // branch-MOR CDC replay: base minus the branch position delete,
+    // then the CDC batch applied (every batch key leaves, non-D rows
+    // re-enter) — identical in the branch read and the published read
+    "q127_branch_mor_cdc" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey <= 6),
+        |live1 AS (SELECT * FROM base WHERE skey NOT IN (1, 2)),
+        |batch AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, 'b_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'U' ELSE 'D' END AS op
+        |  FROM supplier WHERE s_suppkey BETWEEN 4 AND 8
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT) + 100, 'n_' || s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)), 'U'
+        |  FROM supplier WHERE s_suppkey <= 2),
+        |st AS (
+        |  SELECT l.skey, l.s_name, l.bal FROM live1 l
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.skey = l.skey)
+        |  UNION ALL
+        |  SELECT skey, s_name, bal FROM batch WHERE op <> 'D')
+        |SELECT 'branch' AS state, skey, s_name, bal FROM st
+        |UNION ALL
+        |SELECT 'published' AS state, skey, s_name, bal FROM st""".stripMargin,
+
     // SPJ replay: the zero-exchange plan shape is asserted in-query
     // and spec-pinned; the oracle checks the join SEMANTICS
     "q126_spj_join" ->

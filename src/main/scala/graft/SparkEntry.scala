@@ -335,6 +335,52 @@ object SparkEntry {
       io.read("default.supp_wap")
     }),
 
+    // Zero-read CDC into an AUDIT BRANCH (MOR-on-branch — the WAP
+    // pattern with equality-delete write costs): a position delete and
+    // a full CDC batch stack on the branch chain's props while main
+    // stays byte-untouched (asserted: version pinned); the branch read
+    // resolves deletes-MERGED through the SQL bridge (VERSION AS OF
+    // '<branch>' pins the dirty head), and fast_forward publishes the
+    // files WITH their pending entries — main applies on its own
+    // cadence. Both states hash-oracled against a pure-SQL replay.
+    "q127_branch_mor_cdc" -> ((s, dir) => {
+      val cname = "gbm"
+      val io = catalogIO(s, cname, "graft_bmor_")
+      val t = "default.supp_bm"
+      val br = "audit"
+      io.overwrite(Tables.supplier(s, dir).filter(col("s_suppkey") <= 6)
+        .select(col("s_suppkey").cast("bigint").as("skey"),
+          col("s_name"), col("s_acctbal").cast("decimal(12,2)").as("bal")), t)
+      val vMain = io.catalog.currentVersion(t).get
+      // reruns share the session warehouse: a leftover audit branch
+      // would pin a stale fork — each run starts its audit fresh
+      io.dropBranch(t, br)
+      val (_, nDel) = io.deleteWhereMOR(t, col("skey").isin(1L, 2L), branch = Some(br))
+      require(nDel == 2, s"branch MOR delete matched $nDel rows, expected 2")
+      val batch = Tables.supplier(s, dir).filter(col("s_suppkey").between(4, 8))
+        .select(col("s_suppkey").cast("bigint").as("skey"),
+          concat(lit("b_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal"),
+          when(col("s_suppkey") % 2 === 0, lit("U")).otherwise(lit("D")).as("op"))
+        .unionByName(Tables.supplier(s, dir).filter(col("s_suppkey") <= 2)
+          .select((col("s_suppkey").cast("bigint") + 100).as("skey"),
+            concat(lit("n_"), col("s_name")).as("s_name"),
+            col("s_acctbal").cast("decimal(12,2)").as("bal"), lit("U").as("op")))
+      io.cdcApplyMOR(t, batch, Seq("skey"), "op", branch = Some(br))
+      require(io.catalog.currentVersion(t).contains(vMain),
+        "branch CDC leaked to main: version advanced")
+      // pinned at the dirty branch head (analysis-time resolution)
+      val branchState = s.sql(
+        s"SELECT 'branch' AS state, skey, s_name, bal FROM $cname.$t VERSION AS OF '$br'")
+      io.fastForward(t, br)
+      val vPub = io.catalog.currentVersion(t).get
+      require(io.catalog.pendingDeletes(t, vPub).nonEmpty,
+        "publish must carry the branch's pending delete entries to main")
+      io.applyDeletes(t)
+      val published = s.sql(s"SELECT 'published' AS state, skey, s_name, bal FROM $cname.$t")
+      branchState.unionByName(published)
+    }),
+
     // Merge-on-read position deletes (Iceberg's MOR DELETE): the
     // delete records (file, row position) pairs in a small parquet and
     // commits METADATA-ONLY — asserted in-query: the data file list is

@@ -141,13 +141,21 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       case None =>
         catalog.branchHead(name, version) match {
           case Some(head) =>
+            // a branch head with pending MOR deletes (branch CDC
+            // writes) is served deletes-MERGED like a dirty main
+            // snapshot — a raw scan would resurrect its deleted rows
+            val dirty =
+              try catalog.branchPendingDeletes(name, version, head).nonEmpty
+              catch { case scala.util.control.NonFatal(_) => false }
             // a branch dropped between the head listing and the
             // manifest read reports not-found, same as readBranch
             try loadSnapshot(ident, s"branch-$version@v$head",
               catalog.branchManifest(name, version, head),
               try catalog.branchStats(name, version, head)
               catch { case scala.util.control.NonFatal(_) =>
-                Map.empty[String, Map[String, FileStats.ColStats]] })
+                Map.empty[String, Map[String, FileStats.ColStats]] },
+              morVersion = if (dirty) Some(head) else None,
+              morBranch = if (dirty) Some(version) else None)
             catch { case _: java.nio.file.NoSuchFileException =>
               throw new NoSuchTableException(ident) }
           case None => throw new NoSuchTableException(ident)
@@ -191,7 +199,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   private def loadSnapshot(ident: Identifier, label: String, files: Seq[String],
                            stats: Map[String, Map[String, FileStats.ColStats]],
                            writeBranch: Option[String] = None,
-                           morVersion: Option[Int] = None): Table = {
+                           morVersion: Option[Int] = None,
+                           morBranch: Option[String] = None): Table = {
     val name = qualified(ident)
     // seed the stats cache from the manifest so plan-time file
     // skipping (StatsPruningScanBuilder, DML scoping) never opens a
@@ -245,15 +254,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     morVersion match {
       case Some(mv) =>
         // dirty snapshot: reads go through the V1 bridge computing the
-        // deletes-merged frame; COW row-level ops refuse (they would
-        // scan raw files and resurrect deleted rows). Unpartitioned
-        // tables keep the row-level-op INTERFACE so UPDATE/MERGE reach
-        // our refusal message instead of a generic analysis error.
-        if (pcols.isEmpty)
+        // deletes-merged frame. Unpartitioned MAIN snapshots also get
+        // the row-level ops (merged COW rewrite); a dirty BRANCH
+        // snapshot (VERSION AS OF '<branch>') is a read surface.
+        if (pcols.isEmpty && morBranch.isEmpty)
           new GraftMorRowOpsTable(name, catalog, delegate, declared, renames,
             writeBranch, mv)
         else new GraftMorTable(name, catalog, delegate, pcols, declared, renames, pspec,
-          writeBranch, mv)
+          writeBranch, mv, morBranch)
       case None =>
         if (pcols.isEmpty)
           new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch)
@@ -819,7 +827,15 @@ private[io] class GraftRowOpsTable(
               writeBranch.flatMap(b => cat.branchHead(tableName, b))
             locally { branchHeadAtScan = branchHeadNow }
             private val allFiles = (writeBranch, branchHeadNow) match {
-              case (Some(b), Some(h)) => cat.branchManifest(tableName, b, h)
+              case (Some(b), Some(h)) =>
+                // the rewrite scans candidate files RAW: a branch head
+                // carrying pending MOR deletes would resurrect them
+                // into the replacement files — refuse with the
+                // recovery step (same rule as every raw consumer)
+                require(cat.branchPendingDeletes(tableName, b, h).isEmpty,
+                  s"$tableName branch $b has pending merge-on-read deletes — " +
+                    s"run compactBranch before row-level ${info.command()} on the branch")
+                cat.branchManifest(tableName, b, h)
               case _ => baseV.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
             }
             locally { plannedFiles = allFiles }
@@ -1070,7 +1086,10 @@ private[io] class GraftMorTable(
     renames: Map[String, String],
     pspec: Seq[PartitionTransform],
     writeBranch: Option[String],
-    version: Int
+    version: Int,
+    // Some(b) = this dirty snapshot is BRANCH b's head at `version`;
+    // the merged read resolves against the branch chain's props
+    morBranch: Option[String] = None
 ) extends GraftTable(tableName, cat, delegate, partitionCols, declaredSchema, renames,
     pspec, writeBranch) {
 
@@ -1093,7 +1112,10 @@ private[io] class GraftMorTable(
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val spark = ctx.sparkSession
               val io = new TableIO(spark, cat)
-              val df = io.readVersion(tableName, version)
+              val df = morBranch match {
+                case Some(b) => io.readBranchVersion(tableName, b, version)
+                case None => io.readVersion(tableName, version)
+              }
               // empty required schema = count(*)-style scan: rows, no
               // columns (select() keeps the row count)
               df.select(read.fields.toSeq

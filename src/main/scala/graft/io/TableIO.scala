@@ -192,6 +192,24 @@ final case class TableCatalog(warehouse: String) {
      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
       .view.filterKeys(_ == TableCatalog.DeletesProp).toMap
 
+  /** [[deletesCarry]] for a BRANCH snapshot — branch MOR writes stack
+    * entries on the branch chain's props exactly like main commits.
+    */
+  private[io] def branchDeletesCarry(name: String, branch: String, v: Int): Map[String, String] =
+    (try branchProps(name, branch, v)
+     catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .view.filterKeys(_ == TableCatalog.DeletesProp).toMap
+
+  /** [[pendingDeletes]] of a BRANCH snapshot, paths resolved absolute. */
+  def branchPendingDeletes(name: String, branch: String, v: Int): Seq[TableCatalog.DeleteEntry] =
+    branchDeletesCarry(name, branch, v).get(TableCatalog.DeletesProp).map { raw =>
+      val base = tableRoot(name)
+      def abs(p: String): String =
+        if (Paths.get(p).isAbsolute) p else base.resolve(p).toString
+      TableCatalog.decodeDeletes(raw).map(e =>
+        e.copy(deleteFile = abs(e.deleteFile), dirtyFiles = e.dirtyFiles.map(abs)))
+    }.getOrElse(Seq.empty)
+
   /** Commit at a WRITER-COMPUTED version — the optimistic-concurrency
     * primitive: two writers that both read version N race to create
     * `v(N+1).json`; exactly one wins, the other gets
@@ -725,8 +743,13 @@ final case class TableCatalog(warehouse: String) {
       // divergence check above — silently dropping the racer's rows.
       // Pinning makes the race surface as ConcurrentCommitException
       // (commitReplacement's identical guard).
+      // the branch head's PENDING MOR deletes travel with its files:
+      // publishing a dirty branch head without the prop would
+      // resurrect every branch-deleted row on main (spec-pinned in
+      // MorBranchSpec); main's applyDeletes materializes as usual
+      val morCarry = branchDeletesCarry(name, branch, head)
       val newV = commitSnapshotAt(name, files, cur + 1,
-        Map("fastForwardFrom" -> branch), stats)
+        morCarry + ("fastForwardFrom" -> branch), stats)
       // REBASE RECORD: commit a branch snapshot (same files) whose
       // base prop is the just-created main version, so the NEXT cycle
       // of the long-lived branch passes the fork-point check directly —
@@ -738,7 +761,7 @@ final case class TableCatalog(warehouse: String) {
       // the old base prop, and the subset condition still covers the
       // un-compacted repeated-cycle case.
       try commitBranchSnapshot(name, branch, files, head + 1,
-        Map(TableCatalog.BranchBaseProp -> newV.toString), stats)
+        morCarry + (TableCatalog.BranchBaseProp -> newV.toString), stats)
       catch { case scala.util.control.NonFatal(_) => () }
       newV
     } finally lock.release()
@@ -1016,10 +1039,16 @@ final case class TableCatalog(warehouse: String) {
       // applyDeletes cleared the prop) is reclaimed age-guarded like
       // data orphans; a young dir may be a deleteWhereMOR mid-commit.
       val deleteOrphans: Seq[String] = {
-        val liveDel = versions(name).flatMap { v =>
+        val liveDel = (versions(name).flatMap { v =>
           try pendingDeletes(name, v).map(_.deleteFile)
           catch { case scala.util.control.NonFatal(_) => Seq.empty }
-        }.map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+        } ++ listBranches(name).flatMap { b =>
+          // branch MOR writes reference delete files from BRANCH props
+          branchVersions(name, b).flatMap { v =>
+            try branchPendingDeletes(name, b, v).map(_.deleteFile)
+            catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          }
+        }).map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
         val delRoot = Paths.get(pathOf(name), "deletes")
         if (!Files.isDirectory(delRoot)) Seq.empty
         else Using.resource(Files.list(delRoot)) { s =>
@@ -1402,7 +1431,10 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val v = catalog.currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val files = catalog.manifest(name, v)
-    val kept = pruneForCondition(name, v, files, cond)
+    val kept = pruneForCondition(name, files, cond,
+      try catalog.manifestStats(name, v)
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, FileStats.ColStats]] })
     // pending position deletes apply to whatever survived pruning —
     // the merge is file-scoped, so a fully-pruned dirty file costs
     // nothing
@@ -1419,8 +1451,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * manifest column stats cannot rule out. Conservative everywhere —
     * an untranslatable predicate keeps every file.
     */
-  private def pruneForCondition(name: String, v: Int, files: Seq[String],
-                                cond: org.apache.spark.sql.Column): Seq[String] = {
+  private def pruneForCondition(name: String, files: Seq[String],
+                                cond: org.apache.spark.sql.Column,
+                                stats: Map[String, Map[String, FileStats.ColStats]]): Seq[String] = {
     if (files.isEmpty) return files
     val probe = readFiles(name, files).filter(cond)
     val v1 = probe.queryExecution.optimizedPlan.collect {
@@ -1434,7 +1467,6 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         if (specs.isEmpty) files
         else files.filter(f =>
           PartitionTransforms.fileMightMatch(f, v1, specs, schema))
-      val stats = catalog.manifestStats(name, v)
       lazy val conf = spark.sessionState.newHadoopConf()
       try partKept.filter { f =>
         val s = stats.getOrElse(f, FileStats.cached(f, conf))
@@ -1519,8 +1551,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * failed footer (conservative toward sharding — at scale an unknown
     * size must parallelize, never single-task).
     */
-  private def statsRowBound(name: String, v: Int, files: Seq[String]): Long = {
-    val stats = catalog.manifestStats(name, v)
+  private def statsRowBound(stats: Map[String, Map[String, FileStats.ColStats]],
+                            files: Seq[String]): Long = {
     lazy val conf = spark.sessionState.newHadoopConf()
     files.foldLeft(0L) { (acc, f) =>
       val rows = stats.get(f).flatMap(_.values.headOption.map(_.rowCount))
@@ -2154,8 +2186,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         catch { case scala.util.control.NonFatal(_) =>
           Map.empty[String, Map[String, FileStats.ColStats]] }
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
+      // an append keeps every base file: the branch head's pending MOR
+      // deletes must ride along or branch-deleted rows resurrect
       catalog.commitBranchSnapshot(name, branch, prev ++ newFiles, head + 1,
-        props + (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
+        catalog.branchDeletesCarry(name, branch, head) ++ props +
+          (TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
         carried ++ commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }
@@ -2238,6 +2273,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
+      // the caller read its rewrite candidates RAW: over a branch head
+      // with pending MOR deletes that resurrects — refuse loudly, like
+      // every raw-manifest consumer (compactBranch materializes)
+      require(catalog.branchPendingDeletes(name, branch, baseHead).isEmpty,
+        s"$name branch $branch has pending merge-on-read deletes at head $baseHead — " +
+          "run compactBranch (or applyDeletes on the branch) before a raw rewrite")
       val carried =
         try catalog.branchStats(name, branch, baseHead).view.filterKeys(keepFiles.toSet).toMap
         catch { case scala.util.control.NonFatal(_) =>
@@ -2273,7 +2314,51 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           throw new IllegalArgumentException(
             s"branch $branch does not exist on $name (dropped concurrently)")
       }
-    readFiles(name, files)
+    // branch MOR writes stack entries on the branch chain's props —
+    // merge them exactly like a dirty MAIN snapshot (file-scoped)
+    val pending = catalog.branchPendingDeletes(name, branch, head)
+    if (pending.isEmpty) readFiles(name, files)
+    else mergeDeletes(name, files, pending)
+  }
+
+  /** Pinned-version branch read, deletes-merged — the branch twin of
+    * [[readVersion]] (the SQL bridge pins a dirty branch head here so
+    * laziness cannot leak a later state in).
+    */
+  private[io] def readBranchVersion(name: String, branch: String, v: Int): DataFrame = {
+    val files = catalog.branchManifest(name, branch, v)
+    val pending = catalog.branchPendingDeletes(name, branch, v)
+    if (pending.isEmpty) readFiles(name, files)
+    else mergeDeletes(name, files, pending)
+  }
+
+  /** [[applyDeletes]] on a BRANCH chain: rewrite only the branch
+    * head's dirty files, clear its deletes prop, keep the fork base —
+    * the cadence maintenance a long-lived CDC audit branch needs
+    * between fast_forward cycles. Returns (new branch head, dirty
+    * files rewritten); a clean head is a no-op.
+    */
+  def applyDeletesBranch(name: String, branch: String,
+                         partitionCols: Seq[String] = Seq.empty): (Int, Long) = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val chain = morChain(name, Some(branch))
+      val entries = chain.pending
+      if (entries.isEmpty) return (chain.head, 0L)
+      val files = chain.manifest
+      def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+      val dirtySet = entries.flatMap(_.dirtyFiles).map(norm).toSet
+      val (dirty, clean) = files.partition(f => dirtySet(norm(f)))
+      val merged = mergeDeletes(name, dirty, entries)
+      val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+      val newFiles = stageWrite(toPhysical(merged, name), name, pcols)
+      val conf = spark.sessionState.newHadoopConf()
+      val nv = chain.commit(clean ++ newFiles, Map.empty,
+        chain.stats.view.filterKeys(clean.toSet).toMap ++
+          catalog.statsForCommit(name, Seq.empty, newFiles, conf))
+      (nv, dirty.size.toLong)
+    } finally lock.release()
   }
 
   /** Fast-forward MAIN to the branch head — see
@@ -2309,7 +2394,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // branch flat would create the mixed-layout state
       // layoutPartitionColsOf exists to prevent
       val pcols = layoutPartitionColsOf(name, files)
-      val df = readFiles(name, files)
+      // a compaction is a FULL rewrite of the head: read it MERGED and
+      // clear the deletes prop (applyDeletes fused in, like main-side
+      // compact/overwrite) — reading raw would resurrect branch-MOR-
+      // deleted rows into the rewritten files
+      val pending = catalog.branchPendingDeletes(name, branch, head)
+      val df = if (pending.isEmpty) readFiles(name, files)
+               else mergeDeletes(name, files, pending)
       val rewritten = clusterByLayout(df, name, pcols, targetFiles)
       val newFiles = stageWrite(toPhysical(rewritten, name), name, pcols)
       catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
@@ -2635,6 +2726,68 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   // instead of resurrecting rows: upsert, branch forks, the scoped
   // COW rewrite (see their respective guards).
 
+  /** The snapshot chain a MOR write targets: MAIN's version chain or a
+    * BRANCH's manifest chain (the WAP/audit flavor the zero-read CDC
+    * sink needs — branch snapshots carry the same `graft.deletes`
+    * prop, branch reads merge it, and [[TableCatalog.fastForward]]
+    * publishes it to main with the files). One implementation of every
+    * MOR write serves both.
+    */
+  private sealed trait MorChain {
+    def describe: String
+    def head: Int
+    def manifest: Seq[String]
+    def stats: Map[String, Map[String, FileStats.ColStats]]
+    def deletesCarry: Map[String, String]
+    def pending: Seq[TableCatalog.DeleteEntry]
+    /** fork-base and friends a branch commit must re-assert */
+    def extraProps: Map[String, String]
+    def commit(files: Seq[String], props: Map[String, String],
+               stats: Map[String, Map[String, FileStats.ColStats]]): Int
+  }
+
+  /** Resolve the chain UNDER the held table lock. `branch` must
+    * already exist (callers [[ensureBranch]] before locking — the
+    * create path takes the same non-reentrant lock).
+    */
+  private def morChain(name: String, branch: Option[String]): MorChain = branch match {
+    case None => new MorChain {
+      private val v = catalog.currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val describe = name
+      val head: Int = v
+      lazy val manifest: Seq[String] = catalog.manifest(name, v)
+      lazy val stats: Map[String, Map[String, FileStats.ColStats]] =
+        try catalog.manifestStats(name, v)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      lazy val deletesCarry: Map[String, String] = catalog.deletesCarry(name, v)
+      lazy val pending: Seq[TableCatalog.DeleteEntry] = catalog.pendingDeletes(name, v)
+      val extraProps: Map[String, String] = Map.empty
+      def commit(files: Seq[String], props: Map[String, String],
+                 st: Map[String, Map[String, FileStats.ColStats]]): Int =
+        catalog.commitSnapshotAt(name, files, v + 1, props, st)
+    }
+    case Some(b) => new MorChain {
+      private val h = catalog.branchHead(name, b).getOrElse(
+        throw new IllegalArgumentException(s"branch $b does not exist on $name"))
+      val describe = s"$name@$b"
+      val head: Int = h
+      lazy val manifest: Seq[String] = catalog.branchManifest(name, b, h)
+      lazy val stats: Map[String, Map[String, FileStats.ColStats]] =
+        try catalog.branchStats(name, b, h)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Map[String, FileStats.ColStats]] }
+      lazy val deletesCarry: Map[String, String] = catalog.branchDeletesCarry(name, b, h)
+      lazy val pending: Seq[TableCatalog.DeleteEntry] = catalog.branchPendingDeletes(name, b, h)
+      lazy val extraProps: Map[String, String] =
+        Map(TableCatalog.BranchBaseProp -> branchBaseOf(name, b, h))
+      def commit(files: Seq[String], props: Map[String, String],
+                 st: Map[String, Map[String, FileStats.ColStats]]): Int =
+        catalog.commitBranchSnapshot(name, b, files, h + 1, props ++ extraProps, st)
+    }
+  }
+
   /** Merge-on-read row-level DELETE: record the positions of rows
     * matching `condition` (a null-valued predicate keeps the row, per
     * SQL) as a position-delete file and commit it with the UNCHANGED
@@ -2643,24 +2796,28 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * partition layout and manifest stats first, and the scan runs over
     * the deletes-MERGED frame, so repeated MOR deletes never record
     * the same position twice (rowCount subtraction and the oracle
-    * replay rely on that).
+    * replay rely on that). With `branch` the delete stacks on the
+    * BRANCH chain (forking it at main's snapshot when absent) — main
+    * never sees it until fast_forward.
     */
-  def deleteWhereMOR(name: String, condition: org.apache.spark.sql.Column): (Int, Long) = {
+  def deleteWhereMOR(name: String, condition: org.apache.spark.sql.Column,
+                     branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, collect_set, count, lit}
+    branch.foreach(ensureBranch(name, _)) // outside the non-reentrant lock
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
-      val v = catalog.currentVersion(name).getOrElse(
-        throw new IllegalArgumentException(s"table not found: $name"))
-      val files = catalog.manifest(name, v)
+      val chain = morChain(name, branch)
+      val v = chain.head
+      val files = chain.manifest
       if (files.isEmpty) return (v, 0L)
       val schemaCols = readFiles(name, files).columns.toSet
       require(!schemaCols(TableIO.PosFileCol) && !schemaCols(TableIO.PosIdxCol),
         s"$name: columns ${TableIO.PosFileCol}/${TableIO.PosIdxCol} are reserved " +
           "for position-delete bookkeeping")
-      val candidates = pruneForCondition(name, v, files, condition)
+      val candidates = pruneForCondition(name, files, condition, chain.stats)
       if (candidates.isEmpty) return (v, 0L)
-      val prior = catalog.pendingDeletes(name, v)
+      val prior = chain.pending
       // scan LIVE rows only: an already-deleted position must never be
       // recorded again (position entries stay disjoint), and rows an
       // equality entry already kills must not be re-deleted
@@ -2677,7 +2834,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // file key so a predicate matching millions of rows never
       // serializes through a single task (multi-file delete sets are
       // first-class: one entry per file, shared dirty list)
-      (if (statsRowBound(name, v, candidates) > morShardRows)
+      (if (statsRowBound(chain.stats, candidates) > morShardRows)
          hits.repartition(col("gd_file"))
        else hits.coalesce(1))
         .write.parquet(outDir.toString)
@@ -2707,18 +2864,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           Paths.get(df).toAbsolutePath.normalize).toString, dirtyKeys))
       // prior entries carry in their RAW (relative) prop form so the
       // encoding is byte-stable across stacked MOR deletes
-      val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+      val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
       val newRaw = TableCatalog.encodeDeletes(newEntries)
       val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
-      val stats =
-        try catalog.manifestStats(name, v)
-        catch { case scala.util.control.NonFatal(_) =>
-          Map.empty[String, Map[String, FileStats.ColStats]] }
-      // pinned at v+1: a racer landing after the scan surfaces as
+      // pinned at head+1: a racer landing after the scan surfaces as
       // ConcurrentCommitException, never a delete set computed against
       // a stale snapshot committing over fresher data
-      val nv = catalog.commitSnapshotAt(name, files, v + 1,
-        Map(TableCatalog.DeletesProp -> propVal), stats)
+      val nv = chain.commit(files, Map(TableCatalog.DeletesProp -> propVal), chain.stats)
       (nv, n)
     } finally lock.release()
   }
@@ -2762,23 +2914,25 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def updateWhereMOR(name: String, condition: org.apache.spark.sql.Column,
                      assignments: Map[String, org.apache.spark.sql.Column],
-                     partitionCols: Seq[String] = Seq.empty): (Int, Long) = {
+                     partitionCols: Seq[String] = Seq.empty,
+                     branch: Option[String] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    branch.foreach(ensureBranch(name, _)) // outside the non-reentrant lock
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
-      val v = catalog.currentVersion(name).getOrElse(
-        throw new IllegalArgumentException(s"table not found: $name"))
-      val files = catalog.manifest(name, v)
+      val chain = morChain(name, branch)
+      val v = chain.head
+      val files = chain.manifest
       if (files.isEmpty) return (v, 0L)
       val cols = readFiles(name, files).columns
       assignments.keys.foreach(k =>
         require(cols.contains(k), s"no such column in $name: $k"))
       require(!cols.contains(TableIO.PosFileCol) && !cols.contains(TableIO.PosIdxCol),
         s"$name: columns ${TableIO.PosFileCol}/${TableIO.PosIdxCol} are reserved")
-      val candidates = pruneForCondition(name, v, files, condition)
+      val candidates = pruneForCondition(name, files, condition, chain.stats)
       if (candidates.isEmpty) return (v, 0L)
-      val prior = catalog.pendingDeletes(name, v)
+      val prior = chain.pending
       val scanned = readFiles(name, candidates, withPos = true)
       val live = if (prior.isEmpty) scanned else applyDeleteEntries(scanned, name, prior)
       val matched = live.filter(coalesce(condition, lit(false)))
@@ -2789,7 +2943,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val positions = matched.select(col(TableIO.PosFileCol).as("gd_file"),
           col(TableIO.PosIdxCol).as("gd_pos"))
         // sharded above the bound, like deleteWhereMOR's write
-        (if (statsRowBound(name, v, candidates) > morShardRows)
+        (if (statsRowBound(chain.stats, candidates) > morShardRows)
            positions.repartition(col("gd_file"))
          else positions.coalesce(1))
           .write.parquet(outDir.toString)
@@ -2819,12 +2973,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
         val newFiles = stageWrite(toPhysical(updated, name), name, pcols)
-        val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+        val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
         val newRaw = TableCatalog.encodeDeletes(newEntries)
         val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
-        val nv = catalog.commitSnapshotAt(name, files ++ newFiles, v + 1,
+        val conf = spark.sessionState.newHadoopConf()
+        val nv = chain.commit(files ++ newFiles,
           Map(TableCatalog.DeletesProp -> propVal),
-          commitStats(name, files, newFiles))
+          chain.stats ++ catalog.statsForCommit(name, Seq.empty, newFiles, conf))
         (nv, n)
       } finally { matched.unpersist(); () }
     } finally lock.release()
@@ -2845,8 +3000,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def upsertMOR(name: String, rows: DataFrame, keyCols: Seq[String],
                 partitionCols: Seq[String] = Seq.empty,
                 props: Map[String, String] = Map.empty,
-                maxScopedKeys: Int = 100000): (Int, Long) =
-    cdcMOR(name, rows, rows, keyCols, partitionCols, props, maxScopedKeys)
+                maxScopedKeys: Int = 100000,
+                branch: Option[String] = None): (Int, Long) =
+    cdcMOR(name, rows, rows, keyCols, partitionCols, props, maxScopedKeys, branch)
 
   /** CDC apply, zero-read: `batch` carries an op column; rows whose
     * `opCol` value equals `deleteOp` are DELETE events (key-only —
@@ -2863,7 +3019,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                   opCol: String, deleteOp: String = "D",
                   partitionCols: Seq[String] = Seq.empty,
                   props: Map[String, String] = Map.empty,
-                  maxScopedKeys: Int = 100000): (Int, Long) = {
+                  maxScopedKeys: Int = 100000,
+                  branch: Option[String] = None): (Int, Long) = {
     require(batch.columns.contains(opCol), s"cdcApplyMOR: no op column '$opCol' in batch")
     require(!keyCols.contains(opCol), s"cdcApplyMOR: op column '$opCol' cannot be a key")
     // A null op makes `col(opCol) =!= deleteOp` null, which filter()
@@ -2874,7 +3031,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       s"cdcApplyMOR into $name: op column '$opCol' must be non-null " +
         "(a null op is neither an upsert nor a delete event)")
     cdcMOR(name, batch.filter(col(opCol) =!= deleteOp).drop(opCol),
-      batch, keyCols, partitionCols, props, maxScopedKeys)
+      batch, keyCols, partitionCols, props, maxScopedKeys, branch)
   }
 
   /** Shared zero-read MOR batch commit: `rows` append (may select
@@ -2887,7 +3044,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                      keyCols: Seq[String],
                      partitionCols: Seq[String],
                      props: Map[String, String],
-                     maxScopedKeys: Int): (Int, Long) = {
+                     maxScopedKeys: Int,
+                     branch: Option[String] = None): (Int, Long) = {
     require(keyCols.nonEmpty, "upsertMOR/cdcApplyMOR needs at least one key column")
     val pinnedKeys = keySource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pinned = rowsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2895,24 +3053,25 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       require(pinnedKeys.filter(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty,
         s"MOR batch into $name: key columns (${keyCols.mkString(",")}) must be non-null")
       if (catalog.currentVersion(name).isEmpty) {
+        require(branch.isEmpty,
+          s"branch MOR write into $name: the table does not exist yet — " +
+            "create it (a main append/overwrite) before branching CDC onto it")
         // table creation: deletes against nothing are no-ops
         append(pinned, name, partitionCols, props)
         return (catalog.currentVersion(name).get, pinnedKeys.count())
       }
+      branch.foreach(ensureBranch(name, _)) // outside the non-reentrant lock
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()
       try {
-        val v = catalog.currentVersion(name).get
-        val files = catalog.manifest(name, v)
+        val chain = morChain(name, branch)
+        val v = chain.head
+        val files = chain.manifest
         val n = pinnedKeys.count()
         if (n == 0) {
           // idle batch: metadata-only mark commit (same as upsert)
           if (props.nonEmpty) {
-            val stats = try catalog.manifestStats(name, v)
-              catch { case scala.util.control.NonFatal(_) =>
-                Map.empty[String, Map[String, FileStats.ColStats]] }
-            catalog.commitSnapshotAt(name, files, v + 1,
-              catalog.deletesCarry(name, v) ++ props, stats)
+            chain.commit(files, chain.deletesCarry ++ props, chain.stats)
             return (v + 1, 0L)
           }
           return (v, 0L)
@@ -2920,8 +3079,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         // scope the equality delete to files that might hold the keys
         // (first-key manifest stats, like upsert's rewrite scoping)
         val conf = spark.sessionState.newHadoopConf()
-        try FileStats.prime(catalog.manifestStats(name, v))
-        catch { case scala.util.control.NonFatal(_) => () }
+        FileStats.prime(chain.stats)
         val keyVals: Option[Array[Any]] =
           try {
             val ks = pinnedKeys.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
@@ -2939,7 +3097,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val newFiles =
           if (pinned.isEmpty) Seq.empty[String]
           else stageWrite(toPhysical(pinned, name), name, pcols)
-        val priorRaw = catalog.deletesCarry(name, v).get(TableCatalog.DeletesProp)
+        val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
         val deletesProp =
           if (dirty.isEmpty) priorRaw // stats prove no file holds the keys: pure append
           else {
@@ -2967,9 +3125,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             val newRaw = TableCatalog.encodeDeletes(entries)
             Some(priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw)))
           }
-        val nv = catalog.commitSnapshotAt(name, files ++ newFiles, v + 1,
+        val nv = chain.commit(files ++ newFiles,
           deletesProp.map(TableCatalog.DeletesProp -> _).toMap ++ props,
-          commitStats(name, files, newFiles))
+          chain.stats ++ catalog.statsForCommit(name, Seq.empty, newFiles, conf))
         (nv, n)
       } finally lock.release()
     } finally { pinned.unpersist(); pinnedKeys.unpersist(); () }

@@ -210,11 +210,18 @@ object TableSink {
   def commitUpsertMORBatch(io: TableIO, table: String, batchId: Long, batch: DataFrame,
                            keyCols: Seq[String], orderCols: Seq[String],
                            partitionCols: Seq[String] = Seq.empty,
-                           sinkId: Option[String] = None): Boolean = {
+                           sinkId: Option[String] = None,
+                           branch: Option[String] = None): Boolean = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
     val propKey = TableCatalog.streamBatchProp(sinkId)
-    val mark = io.catalog.streamBatchMark(table, propKey)
+    // branch mode: the mark rides BRANCH manifests, so the replay
+    // guard must read the branch chain (a main-side mark would let a
+    // recovered query double-commit the batch onto the branch)
+    val mark = branch match {
+      case Some(b) => io.catalog.branchStreamBatchMark(table, b, propKey)
+      case None => io.catalog.streamBatchMark(table, propKey)
+    }
     if (mark.exists(_ >= batchId)) false
     else {
       val w = Window.partitionBy(keyCols.map(col): _*)
@@ -222,7 +229,7 @@ object TableSink {
       val winners = batch.withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
       io.upsertMOR(table, winners, keyCols, partitionCols,
-        props = Map(propKey -> batchId.toString))
+        props = Map(propKey -> batchId.toString), branch = branch)
       true
     }
   }
@@ -236,10 +243,12 @@ object TableSink {
   def upsertStreamMOR(stream: DataFrame, io: TableIO, table: String, checkpoint: String,
                       keyCols: Seq[String], orderCols: Seq[String],
                       partitionCols: Seq[String] = Seq.empty,
-                      availableNow: Boolean = false): StreamingQuery = {
+                      availableNow: Boolean = false,
+                      branch: Option[String] = None): StreamingQuery = {
     val sid = Some(sinkIdOf(checkpoint))
     startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
-      commitUpsertMORBatch(io, table, id, batch, keyCols, orderCols, partitionCols, sid); ()
+      commitUpsertMORBatch(io, table, id, batch, keyCols, orderCols, partitionCols,
+        sid, branch); ()
     }
   }
 
@@ -254,11 +263,15 @@ object TableSink {
                         keyCols: Seq[String], orderCols: Seq[String],
                         opCol: String, deleteOp: String = "D",
                         partitionCols: Seq[String] = Seq.empty,
-                        sinkId: Option[String] = None): Boolean = {
+                        sinkId: Option[String] = None,
+                        branch: Option[String] = None): Boolean = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
     val propKey = TableCatalog.streamBatchProp(sinkId)
-    val mark = io.catalog.streamBatchMark(table, propKey)
+    val mark = branch match {
+      case Some(b) => io.catalog.branchStreamBatchMark(table, b, propKey)
+      case None => io.catalog.streamBatchMark(table, propKey)
+    }
     if (mark.exists(_ >= batchId)) false
     else {
       val w = Window.partitionBy(keyCols.map(col): _*)
@@ -266,7 +279,7 @@ object TableSink {
       val winners = batch.withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
       io.cdcApplyMOR(table, winners, keyCols, opCol, deleteOp, partitionCols,
-        props = Map(propKey -> batchId.toString))
+        props = Map(propKey -> batchId.toString), branch = branch)
       true
     }
   }
@@ -281,11 +294,12 @@ object TableSink {
                    keyCols: Seq[String], orderCols: Seq[String],
                    opCol: String, deleteOp: String = "D",
                    partitionCols: Seq[String] = Seq.empty,
-                   availableNow: Boolean = false): StreamingQuery = {
+                   availableNow: Boolean = false,
+                   branch: Option[String] = None): StreamingQuery = {
     val sid = Some(sinkIdOf(checkpoint))
     startForeachBatch(stream, checkpoint, availableNow) { (batch, id) =>
       commitCdcMORBatch(io, table, id, batch, keyCols, orderCols, opCol, deleteOp,
-        partitionCols, sid); ()
+        partitionCols, sid, branch); ()
     }
   }
 
