@@ -1813,6 +1813,20 @@ object OracleQueries {
     // PNG is lossless, so the decoded sums must match bit for bit.
     // unnest(range(w)) per row (generate_series rejects lateral
     // column-dependent bounds in DuckDB)
+    // WAV decode replay: sample i of doc d is
+    // ((d*131 + i*7919) % 65536) - 32768 over 200 + d%300 samples;
+    // the decoded header's rate is the encoder's literal 8000
+    "q128_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 300 AS BIGINT) AS n FROM documents),
+        |di AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |sv AS (SELECT doc_id, n,
+        |         (doc_id * 131 + i * 7919) % 65536 - 32768 AS v FROM di)
+        |SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+        |FROM sv GROUP BY 1, 2, 3""".stripMargin,
+
     "q114_image_decode" ->
       """WITH d AS (
         |  SELECT doc_id,

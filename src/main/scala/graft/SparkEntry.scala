@@ -1893,6 +1893,17 @@ object SparkEntry {
     // the oracle recomputes the sums analytically — PNG is lossless,
     // so any codec/kernel defect breaks the hash. n_bytes is excluded
     // (PNG compression size is encoder lore, not semantics).
+    // REAL audio decode (javax.sound.sampled): per-doc deterministic
+    // 16-bit mono PCM waveforms are WAV-encoded, header-parsed and
+    // sample-decoded back on executors; the oracle recomputes length
+    // and sample sums analytically — PCM is lossless, so any RIFF or
+    // sample-assembly defect breaks the hash. sample_rate comes from
+    // the decoded HEADER, pinning the parse, not the synth.
+    "q128_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudioStats(Multimodal.withAudioBlob(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sample_sum"), col("abs_sum"))),
+
     "q114_image_decode" -> ((s, dir) =>
       Multimodal.decodeImageStats(Multimodal.withImageBlob(Tables.documents(s, dir)))
         .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))),

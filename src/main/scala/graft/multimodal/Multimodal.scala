@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * the JDK, so `withImageBlob`/`decodeImageStats`/`resizeImagesNN`
   * run actual PNG encode → decode → resample → encode pixel kernels
   * on executors, oracle-checked against analytic pixel sums. The
-  * audio/video flavors keep byte-level STUB kernels
-  * (`fakeDecodeStats`, `frameSample`'s byte-stride demux) — no JDK
-  * codec exists for those; swap the kernel body in production.
+  * AUDIO path is REAL too (r15): `javax.sound.sampled` ships in the
+  * JDK, so `withAudioBlob`/`decodeAudioStats` run actual WAV/PCM
+  * encode → header parse → sample decode, oracle-checked against
+  * analytic sample sums. Only VIDEO keeps byte-level STUB kernels
+  * (`fakeDecodeStats`, `frameSample`'s byte-stride demux) — no
+  * pure-JDK video codec exists; swap the kernel body in production.
   * The shared plumbing is real and load-bearing either way:
   * - the binary column + metadata schema,
   * - batch-shaped per-partition processing (`mapPartitions` over an
@@ -168,7 +171,7 @@ object Multimodal {
   // image half of the multimodal family needs no external codec after
   // all — PNG encode, PNG decode, and raster resize below run real
   // pixel kernels on executors. The byte-level stubs above remain for
-  // the audio/video flavors (no JDK codec exists for those) and as the
+  // the video flavor (no pure-JDK video codec exists) and as the
   // format-agnostic fallback.
 
   /** Deterministic RGB raster for a document id: dims and every pixel
@@ -296,6 +299,99 @@ object Multimodal {
         }
         ImageRow(r.doc_id, pngBytes(out))
       })(Encoders.product[ImageRow])
+      .toDF()
+  }
+
+  // ---- REAL audio path (r15): `javax.sound.sampled` is pure JDK, so
+  // the WAV/PCM half of the audio family runs a real codec too — RIFF
+  // encode, header parse, and sample decode on executors. Video keeps
+  // the byte-level stub (no pure-JDK video codec exists; documented
+  // out in SURVEY §8).
+
+  /** Deterministic 16-bit mono PCM waveform for a document id: length
+    * and every sample derive from arithmetic on (id, i), so an oracle
+    * recomputes the exact sample sums analytically — the audio twin of
+    * [[synthChannel]]. Sample `((id*131 + i*7919) mod 65536) - 32768`,
+    * length `200 + id mod 300`, rate 8000 Hz.
+    */
+  def synthAudioLen(id: Long): Int = (200 + id % 300).toInt
+
+  def synthSample(id: Long, i: Int): Int =
+    (((id * 131 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  private def wavBytes(id: Long): Array[Byte] = {
+    val n = synthAudioLen(id)
+    val pcm = new Array[Byte](n * 2) // 16-bit little-endian mono
+    var i = 0
+    while (i < n) {
+      val v = synthSample(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioStatsRow(doc_id: Long, sample_rate: Int, n_samples: Long,
+                                 sample_sum: Long, abs_sum: Long)
+
+  /** Attach a REAL WAV blob per document — RIFF-encoded executor-side
+    * from the deterministic waveform (same per-partition batch shape
+    * as [[withImageBlob]]).
+    */
+  def withAudioBlob(docs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      docs.select(col("doc_id")), parallelism, spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[IdRow])
+      .mapPartitions(_.map(r => ImageRow(r.doc_id, wavBytes(r.doc_id))))(
+        Encoders.product[ImageRow])
+      .toDF()
+  }
+
+  /** REAL WAV decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF header (rate/bits/channels come from the FILE, not trust),
+    * the PCM frames are read back and re-assembled into signed 16-bit
+    * samples. PCM is lossless, so against synthetic blobs the sums
+    * equal the analytic formula exactly — codec fidelity is
+    * hash-checked end to end. Undecodable or non-16-bit-mono-LE blobs
+    * refuse loudly. All-integer output (the exactness recipe).
+    */
+  def decodeAudioStats(audio: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = audio.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      audio.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        val f = ais.getFormat
+        require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+          s"doc ${r.doc_id}: not 16-bit mono little-endian PCM ($f)")
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val n = pcm.length / 2
+        var sum = 0L
+        var abs = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          sum += v
+          abs += math.abs(v)
+          i += 1
+        }
+        AudioStatsRow(r.doc_id, f.getSampleRate.toInt, n.toLong, sum, abs)
+      })(Encoders.product[AudioStatsRow])
       .toDF()
   }
 

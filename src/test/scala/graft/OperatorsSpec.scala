@@ -357,6 +357,30 @@ class MultimodalResizeSpec extends SparkSpec {
     assert(m.getInt(4).toLong == math.min(expected, 100L))
   }
 
+  test("real WAV round trip: decoded header + sample sums equal the analytic waveform; corrupt blob refuses") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val stats = Multimodal.decodeAudioStats(Multimodal.withAudioBlob(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats.size === 30)
+    for (id <- 0L until 30L) {
+      val n = Multimodal.synthAudioLen(id)
+      var sum = 0L
+      var abs = 0L
+      for (i <- 0 until n) {
+        val v = Multimodal.synthSample(id, i)
+        sum += v; abs += math.abs(v)
+      }
+      // 8000 comes from the DECODED RIFF header, not the synth
+      assert(stats(id) === ((8000, n.toLong, sum, abs)), s"doc $id")
+    }
+    // an undecodable blob refuses loudly, never fake-stats
+    val junk = Seq((99L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "blob")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeAudioStats(junk).collect())
+    assert(Option(e.getCause).nonEmpty)
+  }
+
   test("real PNG round trip: decoded dims and pixel sums equal the analytic raster") {
     val docs = (0L until 40L).toDF("doc_id")
     val stats = Multimodal.decodeImageStats(Multimodal.withImageBlob(docs))
