@@ -184,16 +184,18 @@ object Bench {
     val contended = canaries.collect {
       case (k, cs) if median(cs) > 2.0 * canaryBase => k
     }.sorted
-    // IO-contended: same majority rule against the pass-best per-run
-    // fsync p50, with an absolute floor — a quiet local disk syncs in
-    // well under a millisecond and a 2x ratio over a 0.1 ms base is
-    // noise, not contention (the r14 incident read 1.25 ms vs an 0.31
-    // ms idle base). Queries here have their write/commit/streaming
-    // medians attributed to shared-storage sync latency, not code.
+    // IO-contended: per-run fsync medians against the PASS MEDIAN (not
+    // the pass best — the bench's own writes keep ambient sync latency
+    // 2-3x above idle, measured r15: in-pass p50 0.74 ms / p90 1.45 ms
+    // vs 0.43 ms at the idle pass boundary, so a min-based 2x rule
+    // flags half the board). This list attributes LOCALIZED bursts —
+    // a query whose probes sit 3x above what the rest of the same pass
+    // saw; whole-pass contention (the r14 incident: every probe 4x) is
+    // the pass-boundary canaries' job, which caught exactly that.
     val allFsyncs = fsyncs.flatMap(_._2)
-    val fsyncBase = if (allFsyncs.isEmpty) 1.0 else allFsyncs.min
+    val fsyncBase = if (allFsyncs.isEmpty) 1.0 else median(allFsyncs)
     val contendedIo = fsyncs.collect {
-      case (k, fs) if median(fs) > math.max(2.0 * fsyncBase, 0.8) => k
+      case (k, fs) if median(fs) > math.max(3.0 * fsyncBase, 2.0) => k
     }.sorted
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

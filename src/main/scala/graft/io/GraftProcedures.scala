@@ -32,7 +32,8 @@ private[io] object GraftProcedures {
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
       "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
-      "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes")
+      "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
+      "apply_deletes_branch")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -82,17 +83,30 @@ private[io] object GraftProcedures {
       // merge-on-read DELETE: records (file, position) pairs instead
       // of rewriting files — O(matched rows), data files untouched.
       // The predicate is a SQL expression over the table's columns.
-      Some(proc("mor_delete",
-        Seq("table" -> StringType, "predicate" -> StringType),
-        new StructType().add("version", IntegerType, nullable = false)
-          .add("deleted_rows", LongType, nullable = false),
-        (in: InternalRow) => {
-          val t = in.getUTF8String(0).toString
-          val pred = in.getUTF8String(1).toString
-          val io = new TableIO(SparkSession.active, cat)
-          val (v, n) = io.deleteWhereMOR(t, org.apache.spark.sql.functions.expr(pred))
-          Seq(new GenericInternalRow(Array[Any](v, n)))
-        }))
+      // Optional third arg `branch` (bound by call arity) stacks the
+      // delete on the BRANCH chain — the audit/WAP flavor.
+      Some(new UnboundProcedure {
+        override def name(): String = "mor_delete"
+        override def description(): String = "graft maintenance procedure mor_delete"
+        override def bind(inputType: StructType): BoundProcedure = {
+          val withBranch = inputType.size >= 3
+          val params = Seq("table" -> StringType, "predicate" -> StringType) ++
+            (if (withBranch) Seq("branch" -> StringType) else Nil)
+          bound("mor_delete", params,
+            new StructType().add("version", IntegerType, nullable = false)
+              .add("deleted_rows", LongType, nullable = false),
+            (in: InternalRow) => {
+              val t = in.getUTF8String(0).toString
+              val pred = in.getUTF8String(1).toString
+              val br = if (withBranch && !in.isNullAt(2))
+                Some(in.getUTF8String(2).toString) else None
+              val io = new TableIO(SparkSession.active, cat)
+              val (v, n) = io.deleteWhereMOR(t,
+                org.apache.spark.sql.functions.expr(pred), br)
+              Seq(new GenericInternalRow(Array[Any](v, n)))
+            })
+        }
+      })
     case "apply_deletes" =>
       // materialize pending position deletes: rewrite ONLY the dirty
       // files and clear the prop, restoring the pure-scan plan
@@ -105,6 +119,22 @@ private[io] object GraftProcedures {
           val io = new TableIO(SparkSession.active, cat)
           val pcols = cat.tablePartitionCols(t).getOrElse(Seq.empty)
           val (v, n) = io.applyDeletes(t, pcols)
+          Seq(new GenericInternalRow(Array[Any](v, n)))
+        }))
+    case "apply_deletes_branch" =>
+      // the branch twin: rewrite the BRANCH head's dirty files, clear
+      // its prop, keep the fork base (cadence maintenance for a
+      // long-lived CDC audit branch)
+      Some(proc("apply_deletes_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("branch_version", IntegerType, nullable = false)
+          .add("rewritten_files", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val b = in.getUTF8String(1).toString
+          val io = new TableIO(SparkSession.active, cat)
+          val pcols = cat.tablePartitionCols(t).getOrElse(Seq.empty)
+          val (v, n) = io.applyDeletesBranch(t, b, pcols)
           Seq(new GenericInternalRow(Array[Any](v, n)))
         }))
     case "compact" =>

@@ -129,6 +129,38 @@ class MorBranchSpec extends SparkSpec {
     }
   }
 
+  test("CALL surface: mor_delete(..., branch) stacks on the branch; apply_deletes_branch materializes it") {
+    val (io, wh) = newIO("graft_mbp_")
+    val t = "default.procb"
+    io.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t)
+    val vMain = io.catalog.currentVersion(t).get
+    spark.conf.set("spark.sql.catalog.gmp2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmp2.warehouse", wh)
+    try {
+      val r = spark.sql(s"CALL gmp2.system.mor_delete('$t', 'id = 2', 'audit')")
+        .as[(Int, Long)].head()
+      assert(r._2 === 1L)
+      assert(io.catalog.currentVersion(t).contains(vMain), "branch CALL advanced main")
+      assert(io.readBranch(t, "audit").as[(Long, String)].collect().toSet ===
+        Set(1L -> "a", 3L -> "c"))
+      val a = spark.sql(s"CALL gmp2.system.apply_deletes_branch('$t', 'audit')")
+        .as[(Int, Long)].head()
+      assert(a._2 > 0)
+      assert(io.catalog.branchPendingDeletes(t, "audit", a._1).isEmpty)
+      assert(io.readBranch(t, "audit").as[(Long, String)].collect().toSet ===
+        Set(1L -> "a", 3L -> "c"))
+      // the two-arg form still binds (arity-bound optional branch)
+      val m = spark.sql(s"CALL gmp2.system.mor_delete('$t', 'id = 1')")
+        .as[(Int, Long)].head()
+      assert(m._2 === 1L)
+      assert(io.read(t).as[(Long, String)].collect().toSet ===
+        Set(2L -> "b", 3L -> "c"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmp2")
+      spark.conf.unset("spark.sql.catalog.gmp2.warehouse")
+    }
+  }
+
   test("streaming MOR batch to a branch: replay refused via the BRANCH mark; GC keeps branch delete files live") {
     import graft.streaming.TableSink
     val (io, _) = newIO("graft_mbs_")
