@@ -124,6 +124,25 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("aggregation on the bucket key is exchange-free too: KeyGroupedPartitioning satisfies the grouping") {
+    val wh = tmp("graft_spjagg_")
+    val io = TableIO(spark, wh)
+    io.setPartitionSpec("default.agg", Seq("bucket(4, id)"))
+    io.append((0L until 100L).map(i => (i % 20, i)).toDF("id", "v"), "default.agg")
+    withCatalog("gspja", wh) {
+      withSpjConfs {
+        val (plan, rows) = finalPlan(
+          "SELECT id, sum(v) AS s FROM gspja.default.agg GROUP BY id")
+        assert(!plan.contains("Exchange"),
+          s"groupBy on the bucket key should need no shuffle:\n$plan")
+        assert(rows.length === 20)
+        val got = rows.map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = (0L until 100L).groupBy(_ % 20).map { case (k, is) => k -> is.sum }
+        assert(got === want)
+      }
+    }
+  }
+
   test("bucket V2 function evaluates the exact write-side layout hash") {
     val b = graft.io.GraftBucketFunction.bind(
       org.apache.spark.sql.types.StructType.fromDDL("n INT, k BIGINT"))
