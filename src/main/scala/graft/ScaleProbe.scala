@@ -62,6 +62,11 @@ object ScaleProbe {
     // exact-k sample: bounded topk aggregate — cost should track the
     // scan, state stays strata x k regardless of corpus size
     "q110_exact_k_sample",
+    // SPJ join (r15): zero-exchange is plan-level; bytes-wise the
+    // query is scan-bound on orders (10x in sim, customer stays 1x) —
+    // expected ~linear in input, never super-linear (no shuffle to
+    // blow up). Audio decode (r15): per-doc codec, linear in blobs.
+    "q126_spj_join", "q128_audio_decode",
     // MOR DML (r14): the delete/update sides are O(matched rows) and
     // the q121 upsert is O(batch) by construction — 10x lineitem means
     // 10x build + matched volume for q119/q120 (so ~linear total is
@@ -158,6 +163,47 @@ object ScaleProbe {
     }
     upsertProbe(srcDir, "sf0.1")
     upsertProbe(simDir, "sf1sim")
+    // Dirty-DML probe (r15, not a harness query): q125's supplier base
+    // is a dim (1x at both scales), so the harness row can't show the
+    // scale claim. This one can: a FIXED key band is MOR-deleted, then
+    // SQL-UPDATEd while dirty, against orders at 1x vs 10x. Both
+    // predicates are stats-prunable and the layout is key-sorted, so
+    // carried files dominate at either scale and the merged rewrite
+    // touches ~the band's tile — cost should track the BAND, not the
+    // table. Run i uses band [i*2000, i*2000+2000) so every run
+    // exercises the dirty path (a reused band would find its rows
+    // already deleted and take the clean-table path instead).
+    def dirtyDmlProbe(dir: String, scale: String): Unit = {
+      if (!scales.contains(scale)) return
+      if (!only.forall(_.contains("dirty_dml_fixed_band"))) return
+      val wh = java.nio.file.Files.createTempDirectory("graft_ddp_").toString
+      val io = graft.io.TableIO(spark, wh)
+      val t = "default.dd"
+      io.append(graft.tables.Tables.orders(spark, dir)
+        .select(col("o_orderkey").cast("bigint").as("okey"),
+          col("o_custkey").cast("bigint").as("ckey"),
+          col("o_totalprice").cast("double").as("price")), t)
+      io.compactSorted(t, Seq("okey"), targetFiles = 32)
+      val cat = "gddp" + scale.replace(".", "_")
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.io.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val times = (0 until runs).map { i =>
+        val lo = i.toLong * 2000
+        val t0 = System.nanoTime()
+        val (_, nDel) = io.deleteWhereMOR(t,
+          col("okey") >= lo && col("okey") < lo + 2000 && col("okey") % 7 === 3)
+        spark.sql(s"UPDATE $cat.$t SET price = price + 1 " +
+          s"WHERE okey >= $lo AND okey < ${lo + 1000}")
+        val dt = r4((System.nanoTime() - t0) / 1e9)
+        require(nDel > 0, s"dirty-DML probe band $i matched nothing")
+        require(io.catalog.pendingDeletes(t,
+          io.catalog.currentVersion(t).get).isEmpty, "UPDATE left the band dirty")
+        dt
+      }
+      println(s"""{"probe":"dirty_dml_fixed_band","scale":"$scale","runs":${times.mkString("[", ",", "]")}}""")
+    }
+    dirtyDmlProbe(srcDir, "sf0.1")
+    dirtyDmlProbe(simDir, "sf1sim")
     // Pure-estimate HLL probe (not a harness query): q100 pairs the
     // sketch with an exact count(DISTINCT) whose value shuffle would
     // mask a register-path regression. This times ONLY the
