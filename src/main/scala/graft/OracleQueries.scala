@@ -643,6 +643,15 @@ object OracleQueries {
     // MERGE (matched rows take src values; unmatched src keys insert —
     // including keys the MOR deletes killed, which re-enter as inserts
     // because the merged target no longer holds them)
+    // SPJ aggregation replay: semantics are a plain rollup; the
+    // zero-exchange shape is asserted in-query and spec-pinned
+    "q129_spj_agg" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS skey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // branch-MOR CDC replay: base minus the branch position delete,
     // then the CDC batch applied (every batch key leaves, non-D rows
     // re-enter) — identical in the branch read and the published read

@@ -1868,6 +1868,34 @@ object SparkEntry {
       }
     }),
 
+    // Storage-partitioned AGGREGATION: the bucket(8, skey) layout's
+    // KeyGroupedPartitioning satisfies GROUP BY skey's clustered
+    // distribution, so the per-supplier rollup of a bucketed lineitem
+    // fact plans partial+final HashAggregate directly on the scan —
+    // ZERO exchange (asserted in-query, planning only). With q126 this
+    // makes the two dominant query shapes over a bucketed 100 TB fact
+    // (join on key, aggregate by key) shuffle-free.
+    "q129_spj_agg" -> ((s, dir) => {
+      val cname = "gsa"
+      val io = catalogIO(s, cname, "graft_spjagg_")
+      val t = "default.li_b8"
+      if (io.catalog.currentVersion(t).isEmpty) io.setPartitionSpec(t, Seq("bucket(8, skey)"))
+      io.overwrite(Tables.lineitem(s, dir).select(
+        col("l_suppkey").cast("bigint").as("skey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price")), t)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val df = s.sql(
+        s"""SELECT skey, count(*) AS n, sum(qty) AS sum_qty,
+           |  CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+           |FROM $cname.$t GROUP BY skey""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"expected an exchange-free storage-partitioned aggregation, got:\n$plan")
+      df
+    }),
+
     // Embedding-space dedup'd corpus (SemDeDup): drop every vector
     // with a smaller-id neighbor at cosine >= 0.4, keep the rest —
     // the representative-selection corpus op composing the q27 pair

@@ -223,6 +223,47 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("dirty DML over EQUALITY entries: upsertMOR's pending keys never resurrect through SQL UPDATE; carried file keeps a trimmed entry") {
+    val (io, wh) = newIO("graft_moreq_")
+    val t = "default.eqdirty"
+    io.append(Seq((1L, "a0"), (2L, "b0")).toDF("id", "s").coalesce(1), t)   // file A
+    io.append(Seq((10L, "x0"), (11L, "y0")).toDF("id", "s").coalesce(1), t) // file B
+    // equality-delete upsert: replaces id=2, inserts id=3 — file A is
+    // dirty via the entry's scoped dirty list; B's stats exclude the keys
+    val (_, n) = io.upsertMOR(t, Seq((2L, "b1"), (3L, "c1")).toDF("id", "s"), Seq("id"))
+    assert(n === 2L)
+    spark.conf.set("spark.sql.catalog.gme", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gme.warehouse", wh)
+    try {
+      // UPDATE touches only the low-key band: A (dirty) rewritten
+      // MERGED — the superseded (2,"b0") must not resurrect and the
+      // entry scoped to A is consumed; B carries clean
+      spark.sql("UPDATE gme.default.eqdirty SET s = concat(s, '!') WHERE id <= 3")
+      assert(spark.table("gme.default.eqdirty").as[(Long, String)].collect().toSet ===
+        Set(1L -> "a0!", 2L -> "b1!", 3L -> "c1!", 10L -> "x0", 11L -> "y0"))
+      val v = io.catalog.currentVersion(t).get
+      assert(io.catalog.pendingDeletes(t, v).isEmpty,
+        "the equality entry was scoped to rewritten files only: commit must be clean")
+
+      // now the reverse shape: a second upsert dirties the HIGH band's
+      // file, and an UPDATE on the low band must CARRY its entry
+      io.upsertMOR(t, Seq((10L, "x1")).toDF("id", "s"), Seq("id"))
+      spark.sql("UPDATE gme.default.eqdirty SET s = 'z' WHERE id = 1")
+      val v2 = io.catalog.currentVersion(t).get
+      val carried = io.catalog.pendingDeletes(t, v2)
+      assert(carried.nonEmpty && carried.forall(_.isEquality),
+        s"the high-band equality entry must carry, got $carried")
+      assert(spark.table("gme.default.eqdirty").as[(Long, String)].collect().toSet ===
+        Set(1L -> "z", 2L -> "b1!", 3L -> "c1!", 10L -> "x1", 11L -> "y0"))
+      io.applyDeletes(t)
+      assert(spark.table("gme.default.eqdirty").as[(Long, String)].collect().toSet ===
+        Set(1L -> "z", 2L -> "b1!", 3L -> "c1!", 10L -> "x1", 11L -> "y0"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gme")
+      spark.conf.unset("spark.sql.catalog.gme.warehouse")
+    }
+  }
+
   test("dirty DML under a WAP branch session refuses loudly; concurrent commit surfaces, never a lost update") {
     val (io, wh) = newIO("graft_morwap_")
     val t = "default.wapdirty"
