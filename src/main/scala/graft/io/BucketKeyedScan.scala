@@ -2,44 +2,49 @@ package graft.io
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.FilePartition
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Storage-partitioned-join reporting for a `bucket(n, key)` hidden
-  * layout: wraps the pruned parquet scan and reports
-  * `KeyGroupedPartitioning(bucket(n, key))` with bucket-PURE input
-  * partitions, so a SQL join of two tables sharing the spec (same n,
-  * same key type — checked through [[GraftBucketFunction]]'s canonical
-  * name) plans with zero exchange, the storage-partitioned join
-  * Iceberg does. Unifies the layout's point-lookup pruning (q112) with
-  * the shuffle-free co-located join (q69's programmatic twin) on the
-  * SQL surface.
+/** Storage-partitioned-join reporting for a hidden layout: wraps the
+  * pruned parquet scan and reports `KeyGroupedPartitioning` over the
+  * spec's transforms with layout-PURE input partitions, so a SQL join
+  * (or GROUP BY) of tables sharing the spec — same transforms, same
+  * literals, same key types, checked through [[TransformFunctions]]'
+  * canonical names — plans with zero exchange, the storage-partitioned
+  * join Iceberg does. A realistic `[days(ts), bucket(16, id)]` fact
+  * layout reports BOTH keys; joins on the full tuple are co-partitioned
+  * directly, joins on a subset (id alone) additionally need
+  * `spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys
+  * .enabled`.
   *
   * Partition shape: the delegate's size-packed `FilePartition`s are
-  * kept whenever they are already bucket-pure and SPLIT per bucket
+  * kept whenever they are already key-pure and SPLIT per key tuple
   * when mixed — parallelism stays file/size-driven (a plain scan of a
-  * 16-bucket table still uses every core); Spark's `BatchScanExec`
-  * groups same-key partitions only when a join actually exploits the
+  * bucketed table still uses every core); Spark's `BatchScanExec`
+  * groups same-key partitions only when a plan actually exploits the
   * partitioning. Reading delegates untouched to the parquet reader
   * factory — the wrapper only re-labels partitions.
   *
-  * Constructed ONLY when every kept file carries the bucket directory
-  * (`fileToBucket` total): pre-spec files make the layout unprovable
-  * and the builder falls back to the plain scan — conservative, never
-  * wrong.
+  * Constructed ONLY when [[KeyedLayoutScan.fileKeys]] could derive a
+  * key value from EVERY kept file's directories for EVERY transform
+  * (pre-spec files, null/empty-valued dirs, and Identity transforms
+  * make the layout unprovable and the builder falls back to the plain
+  * scan — conservative, never wrong).
   */
-private[io] class BucketKeyedScan(
+private[io] class KeyedLayoutScan(
     inner: Scan,
-    bucket: PartitionTransforms.Bucket,
-    fileToBucket: Map[String, Int]
+    spec: Seq[PartitionTransform],
+    clustering: Array[Transform],
+    fileToKey: Map[String, Seq[Any]]
 ) extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
-    s"${inner.description()} (keyed: ${bucket.spec})"
+    s"${inner.description()} (keyed: ${spec.map(_.spec).mkString(", ")})"
 
   override def estimateStatistics(): Statistics = inner match {
     case s: SupportsReportStatistics => s.estimateStatistics()
@@ -51,33 +56,30 @@ private[io] class BucketKeyedScan(
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucket.n, bucket.src)),
-      fileToBucket.values.toSet.size)
-
-  private def key(b: Int): InternalRow = new GenericInternalRow(Array[Any](b))
+      clustering.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+      fileToKey.values.toSet.size)
 
   override def toBatch: Batch = new Batch {
     private val innerBatch = inner.toBatch
 
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = innerBatch.planInputPartitions()
-      def bucketOf(pathStr: String): Int =
-        fileToBucket.getOrElse(pathStr,
+      def keyOf(pathStr: String): Seq[Any] =
+        fileToKey.getOrElse(pathStr,
           // the builder proved totality against the kept-file list; a
           // miss here is a planner-introduced path mismatch — refuse
-          // loudly rather than mis-bucket silently
+          // loudly rather than mis-key silently
           throw new IllegalStateException(
-            s"bucket-keyed scan: no layout value for planned file $pathStr"))
+            s"keyed layout scan: no layout value for planned file $pathStr"))
       parts.iterator.flatMap {
         case fp: FilePartition =>
-          fp.files.groupBy(pf => bucketOf(pf.filePath.toUri.getPath)).map {
-            case (b, pfs) => (b, pfs)
-          }
+          fp.files.groupBy(pf => keyOf(pf.filePath.toUri.getPath))
         case other =>
           throw new IllegalStateException(
-            s"bucket-keyed scan expected FilePartition, got ${other.getClass}")
-      }.zipWithIndex.map { case ((b, pfs), idx) =>
-        KeyedFilePartition(FilePartition(idx, pfs), key(b)): InputPartition
+            s"keyed layout scan expected FilePartition, got ${other.getClass}")
+      }.zipWithIndex.map { case ((k, pfs), idx) =>
+        KeyedFilePartition(FilePartition(idx, pfs),
+          new GenericInternalRow(k.toArray)): InputPartition
       }.toArray
     }
 
@@ -86,7 +88,51 @@ private[io] class BucketKeyedScan(
   }
 }
 
-/** A delegate `FilePartition` labeled with its bucket key — what
+private[io] object KeyedLayoutScan {
+
+  /** Per-file key tuple for `spec` from the file's layout directories —
+    * None when ANY transform's value is absent (pre-spec file) or
+    * unparseable (the Hive null/empty dir), or when the spec contains
+    * a transform whose directory form is not safely invertible
+    * (Identity — arbitrary source types round-trip through Hive
+    * escaping ambiguously). Values are CATALYST-typed to match the
+    * bound V2 functions' result types: bucket → Int, time transforms →
+    * Long, truncate → UTF8String (string sources) / Long (integrals).
+    */
+  def fileKeys(files: Seq[String], spec: Seq[PartitionTransform],
+               schema: StructType): Option[Map[String, Seq[Any]]] = {
+    import scala.util.Try
+    if (spec.isEmpty || files.isEmpty) return None
+    def srcTypeOf(src: String): Option[DataType] =
+      schema.fields.find(_.name == src).map(_.dataType)
+    def value(f: String, t: PartitionTransform): Option[Any] = t match {
+      case b: PartitionTransforms.Bucket =>
+        PartitionTransforms.bucketDirValue(f, b).map(Int.box)
+      case _: PartitionTransforms.Days | _: PartitionTransforms.Hours |
+           _: PartitionTransforms.Months | _: PartitionTransforms.Years =>
+        PartitionTransforms.pathValue(f, t.derivedName)
+          .flatMap(v => Try(Long.box(v.trim.toLong)).toOption)
+      case tr: PartitionTransforms.Truncate => srcTypeOf(tr.src).flatMap {
+        case StringType =>
+          PartitionTransforms.pathValue(f, tr.derivedName)
+            .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+            .map(UTF8String.fromString)
+        case _ =>
+          PartitionTransforms.pathValue(f, tr.derivedName)
+            .flatMap(v => Try(Long.box(v.trim.toLong)).toOption)
+      }
+      case _ => None // Identity: not safely invertible from a dir name
+    }
+    val keyed = files.map { f =>
+      val vs = spec.map(t => value(f, t))
+      if (vs.exists(_.isEmpty)) return None
+      java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString -> vs.map(_.get)
+    }
+    Some(keyed.toMap)
+  }
+}
+
+/** A delegate `FilePartition` labeled with its layout key tuple — what
   * `BatchScanExec.groupPartitions` groups on.
   */
 private[io] case class KeyedFilePartition(inner: FilePartition, keyRow: InternalRow)

@@ -54,10 +54,10 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   // partitioning is silently dropped and bucket-co-located joins pay
   // two full exchanges.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    TransformFunctions.names.map(n => Identifier.of(Array.empty, n)).toArray
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    TransformFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -637,17 +637,7 @@ private[io] class GraftTable(
 
   override def partitioning(): Array[Transform] =
     if (pspec.isEmpty) partitionCols.map(Expressions.identity).toArray
-    else pspec.map {
-      case PartitionTransforms.Days(c) => Expressions.days(c)
-      case PartitionTransforms.Hours(c) => Expressions.hours(c)
-      case PartitionTransforms.Months(c) => Expressions.months(c)
-      case PartitionTransforms.Years(c) => Expressions.years(c)
-      case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
-      case PartitionTransforms.Identity(c) => Expressions.identity(c)
-      case t: PartitionTransforms.Truncate =>
-        Expressions.apply("truncate",
-          Expressions.literal(t.w), Expressions.column(t.src))
-    }.toArray
+    else pspec.map(PartitionTransforms.v2Transform).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -1461,23 +1451,25 @@ private[io] class StatsPruningScanBuilder(
   }
 
   /** The built scan — wrapped with storage-partitioned-join key
-    * reporting when the layout is a single `bucket(n, key)` spec and
-    * EVERY kept file carries the bucket directory (pre-spec files make
-    * the layout unprovable: fall back to the plain scan, never guess).
+    * reporting when the layout contains a `bucket` transform and EVERY
+    * kept file yields a key value for EVERY transform (pre-spec files
+    * or unparseable dirs make the layout unprovable: fall back to the
+    * plain scan, never guess). Bucket-less (pure time) layouts stay on
+    * the delegate's size-packed partitions: key-pure splitting would
+    * turn a 365-day scan into 365 tasks for a partitioning no join
+    * exploits, while a bucket spec bounds the key fan-out by design.
     * Keys are normalized absolute paths so the plan-time lookup
     * matches `PartitionedFile.filePath.toUri.getPath`.
     */
   override def build(): Scan = {
     val inner = current.build()
-    pspec match {
-      case Seq(b: PartitionTransforms.Bucket) if keptFiles.nonEmpty =>
-        val keyed = keptFiles.flatMap { f =>
-          PartitionTransforms.bucketDirValue(f, b).map(v =>
-            java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString -> v)
-        }
-        if (keyed.size == keptFiles.size) new BucketKeyedScan(inner, b, keyed.toMap)
-        else inner
-      case _ => inner
+    val bucketed = pspec.exists(_.isInstanceOf[PartitionTransforms.Bucket])
+    if (!bucketed) inner
+    else KeyedLayoutScan.fileKeys(keptFiles, pspec, delegate.schema) match {
+      case Some(keys) =>
+        new KeyedLayoutScan(inner, pspec,
+          pspec.map(PartitionTransforms.v2Transform).toArray, keys)
+      case None => inner
     }
   }
 }

@@ -240,6 +240,25 @@ object PartitionTransforms {
     pathValue(path, b.derivedName).flatMap(v =>
       scala.util.Try(v.trim.toLong.toInt).toOption)
 
+  /** The connector-side `Transform` for a layout transform — shared by
+    * the table's `partitioning()` report and the keyed scan's
+    * clustering so the two can never disagree.
+    */
+  private[io] def v2Transform(t: PartitionTransform)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    t match {
+      case Days(c) => Expressions.days(c)
+      case Hours(c) => Expressions.hours(c)
+      case Months(c) => Expressions.months(c)
+      case Years(c) => Expressions.years(c)
+      case Bucket(n, c) => Expressions.bucket(n, c)
+      case Identity(c) => Expressions.identity(c)
+      case tr: Truncate => Expressions.apply("truncate",
+        Expressions.literal(tr.w), Expressions.column(tr.src))
+    }
+  }
+
   private val Fn1 = """(\w+)\s*\(\s*(\w+)\s*\)""".r
   private val Fn2 = """(\w+)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
 

@@ -124,6 +124,43 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("composite [days(ts), bucket(4, id)] layout: full-tuple join and subset join (conf-gated) are exchange-free") {
+    val wh = tmp("graft_spjc_")
+    val io = TableIO(spark, wh)
+    io.setPartitionSpec("default.fa", Seq("days(ts)", "bucket(4, id)"))
+    io.setPartitionSpec("default.fb", Seq("days(ts)", "bucket(4, id)"))
+    def rows(mult: Long) = (0L until 120L).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-03-${10 + (i % 3)} 0${i % 9}:00:00"),
+        i % 40, i * mult)
+    }
+    io.append(rows(3).toDF("ts", "id", "v"), "default.fa")
+    io.append(rows(7).toDF("ts", "id", "v"), "default.fb")
+    withCatalog("gspjc", wh) {
+      withSpjConfs {
+        // join keys COVER the layout (ts finer than days, id the
+        // bucket source): co-partitioned directly
+        val (plan, rows1) = finalPlan(
+          """SELECT a.id, a.v, b.v AS v2 FROM gspjc.default.fa a
+            |JOIN gspjc.default.fb b ON a.ts = b.ts AND a.id = b.id""".stripMargin)
+        assert(!plan.contains("Exchange"),
+          s"full-tuple join over the composite layout should not shuffle:\n$plan")
+        assert(rows1.length === 120)
+
+        // subset join (id alone) needs the subset conf on top
+        val k = "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled"
+        spark.conf.set(k, "true")
+        try {
+          val (plan2, rows2) = finalPlan(
+            """SELECT a.id, a.v, b.v AS v2 FROM gspjc.default.fa a
+              |JOIN gspjc.default.fb b ON a.id = b.id""".stripMargin)
+          assert(rows2.length === 360) // 3 rows per id per side
+          assert(!plan2.contains("ShuffleExchange"),
+            s"subset join with the conf should not shuffle:\n$plan2")
+        } finally spark.conf.unset(k)
+      }
+    }
+  }
+
   test("aggregation on the bucket key is exchange-free too: KeyGroupedPartitioning satisfies the grouping") {
     val wh = tmp("graft_spjagg_")
     val io = TableIO(spark, wh)
