@@ -223,6 +223,10 @@ private[io] object MetadataTables {
         .add("committed_at", TimestampType, nullable = false)
         .add("n_files", IntegerType, nullable = false)
         .add("total_bytes", LongType, nullable = false)
+        // branch-MOR health: non-zero = the head serves merged reads
+        // and needs applyDeletesBranch/compactBranch before raw
+        // consumers (WAP COW DML) can run
+        .add("pending_delete_entries", IntegerType, nullable = false)
       val rows = cat.listBranches(table).flatMap { b =>
         try {
           cat.branchHead(table, b).map { head =>
@@ -234,7 +238,8 @@ private[io] object MetadataTables {
             new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(b),
               head, fork.map(Int.box).orNull, mtimeMicros,
-              files.size, files.map(sizeOf).sum)): InternalRow
+              files.size, files.map(sizeOf).sum,
+              cat.branchPendingDeletes(table, b, head).size)): InternalRow
           }
         } catch { case _: java.nio.file.NoSuchFileException => None }
       }

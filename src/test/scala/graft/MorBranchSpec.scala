@@ -143,8 +143,16 @@ class MorBranchSpec extends SparkSpec {
       assert(io.catalog.currentVersion(t).contains(vMain), "branch CALL advanced main")
       assert(io.readBranch(t, "audit").as[(Long, String)].collect().toSet ===
         Set(1L -> "a", 3L -> "c"))
+      // .branches surfaces the dirtiness before the apply...
+      assert(spark.sql(
+        s"SELECT pending_delete_entries FROM gmp2.$t.branches WHERE branch = 'audit'")
+        .as[Int].head() === 1)
       val a = spark.sql(s"CALL gmp2.system.apply_deletes_branch('$t', 'audit')")
         .as[(Int, Long)].head()
+      // ...and its clearance after
+      assert(spark.sql(
+        s"SELECT pending_delete_entries FROM gmp2.$t.branches WHERE branch = 'audit'")
+        .as[Int].head() === 0)
       assert(a._2 > 0)
       assert(io.catalog.branchPendingDeletes(t, "audit", a._1).isEmpty)
       assert(io.readBranch(t, "audit").as[(Long, String)].collect().toSet ===
