@@ -652,6 +652,24 @@ object OracleQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // branch changelog replay: appended rows INSERT at branch v2;
+    // every row matching the delete predicate (base AND just-appended)
+    // DELETEs at v3 — carried rewrite rows cancel in the file diff
+    "q130_branch_changelog" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |app AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000 AS skey, 'x_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
+        |allrows AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT 'INSERT' AS _change_type, CAST(2 AS INT) AS _change_version,
+        |       skey, s_name, bal FROM app
+        |UNION ALL
+        |SELECT 'DELETE', CAST(3 AS INT), skey, s_name, bal
+        |FROM allrows WHERE skey % 4 = 1""".stripMargin,
+
     // branch-MOR CDC replay: base minus the branch position delete,
     // then the CDC batch applied (every batch key leaves, non-D rows
     // re-enter) — identical in the branch read and the published read

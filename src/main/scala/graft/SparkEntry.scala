@@ -381,6 +381,37 @@ object SparkEntry {
       branchState.unionByName(published)
     }),
 
+    // Branch CHANGELOG — the audit question itself: "what exactly will
+    // fast_forward publish?" The branch accumulates an append and a
+    // COW DELETE (via the WAP session conf); readChangelogBranch diffs
+    // the branch chain from the fork baseline and reports the NET
+    // row-level changes — appended rows as INSERTs at branch v2,
+    // predicate-matched rows (including just-appended ones) as DELETEs
+    // at branch v3, with rewrite-carried rows cancelling out. Branch
+    // versions restart at 1 per fork, so the version column is
+    // deterministic and hash-oracled.
+    "q130_branch_changelog" -> ((s, dir) => {
+      val cname = "gbc"
+      val io = catalogIO(s, cname, "graft_bchg_")
+      val t = "default.supp_bc"
+      io.overwrite(Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"), col("s_acctbal").cast("decimal(12,2)").as("bal")), t)
+      io.dropBranch(t, "cdc") // reruns share the warehouse: fresh fork
+      io.createBranch(t, "cdc") // branch v1 = fork record
+      io.appendToBranch(Tables.supplier(s, dir)
+        .filter(col("s_suppkey").between(3, 7))
+        .select((col("s_suppkey").cast("bigint") + 1000).as("skey"),
+          concat(lit("x_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal")), t, "cdc") // v2
+      s.conf.set("spark.wap.branch", "cdc")
+      try s.sql(s"DELETE FROM $cname.$t WHERE skey % 4 = 1") // v3: COW on the branch
+      finally s.conf.unset("spark.wap.branch")
+      io.readChangelogBranch(t, "cdc")
+        .select(col("_change_type"), col("_change_version"),
+          col("skey"), col("s_name"), col("bal"))
+    }),
+
     // Merge-on-read position deletes (Iceberg's MOR DELETE): the
     // delete records (file, row position) pairs in a small parquet and
     // commits METADATA-ONLY — asserted in-query: the data file list is

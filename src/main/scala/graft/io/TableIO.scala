@@ -1692,11 +1692,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * after which a range starting at or after the applied snapshot
     * reads clean.
     */
-  private def rejectDirtyRange(name: String, fromV: Int, to: Int, what: String): Unit =
+  private def rejectDirtyRange(label: String, fromV: Int, to: Int, what: String,
+                               dirtyAt: Int => Boolean): Unit =
     (math.max(fromV, 1) to to).foreach { v =>
-      if (catalog.pendingDeletes(name, v).nonEmpty)
+      if (dirtyAt(v))
         throw new IllegalStateException(
-          s"$what read of $name: snapshot $v in range [$fromV, $to] carries pending " +
+          s"$what read of $label: snapshot $v in range [$fromV, $to] carries pending " +
             "merge-on-read deletes — a MOR commit changes no files, so file-level " +
             "diffing would serve deleted or replaced rows as live. Run applyDeletes " +
             "and read a range starting at or after the applied snapshot.")
@@ -1721,16 +1722,41 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                       toVersion: Option[Int] = None): DataFrame = {
     val to = toVersion.orElse(catalog.currentVersion(name)).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
+    incrementalCore(name, name, fromVersion, to,
+      v => catalog.manifest(name, v),
+      v => catalog.pendingDeletes(name, v).nonEmpty)
+  }
+
+  /** [[readIncremental]] over a BRANCH chain: the rows branch versions
+    * in `(fromBranchVersion, head]` appended — "what landed on the
+    * audit branch since I last looked". Branch v1 is the FORK record
+    * (main's files at fork time), so `fromBranchVersion = 1` reads
+    * exactly the branch's own additions. Same guards as main:
+    * non-append commits, expired manifests, and pending branch MOR
+    * deletes in range all refuse loudly.
+    */
+  def readIncrementalBranch(name: String, branch: String, fromBranchVersion: Int = 1,
+                            toBranchVersion: Option[Int] = None): DataFrame = {
+    val to = toBranchVersion.orElse(catalog.branchHead(name, branch)).getOrElse(
+      throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+    incrementalCore(name, s"$name@$branch", fromBranchVersion, to,
+      v => catalog.branchManifest(name, branch, v),
+      v => catalog.branchPendingDeletes(name, branch, v).nonEmpty)
+  }
+
+  private def incrementalCore(name: String, label: String, fromVersion: Int, to: Int,
+                              manifestAt: Int => Seq[String],
+                              dirtyAt: Int => Boolean): DataFrame = {
     require(fromVersion >= 1 && fromVersion <= to,
       s"fromVersion must be in [1, $to], got $fromVersion")
-    rejectDirtyRange(name, fromVersion, to, "incremental")
+    rejectDirtyRange(label, fromVersion, to, "incremental", dirtyAt)
     def manifestOrReject(v: Int): Seq[String] =
-      try catalog.manifest(name, v)
+      try manifestAt(v)
       catch {
         // the range is INCLUSIVE of fromVersion here: its manifest is
         // the baseline that proves the delta, so it is required too
         case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
-          s"incremental read of $name: snapshot $v in required range [$fromVersion, $to] " +
+          s"incremental read of $label: snapshot $v in required range [$fromVersion, $to] " +
             "is expired — append-only history cannot be verified")
       }
     val fromFiles = manifestOrReject(fromVersion)
@@ -1739,7 +1765,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val cur = manifestOrReject(v).toSet
       val removed = prev.diff(cur)
       if (removed.nonEmpty) throw new IllegalStateException(
-        s"incremental read of $name requires an append-only range: snapshot $v " +
+        s"incremental read of $label requires an append-only range: snapshot $v " +
           s"removed ${removed.size} file(s) (overwrite, row-level DML, or compaction " +
           s"inside ($fromVersion, $to])")
       prev = cur
@@ -1747,7 +1773,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val added = manifestOrReject(to).filterNot(fromFiles.toSet)
     // empty delta: zero rows under the TABLE's schema (a bare empty
     // DataFrame would drop the columns on schema-on-read tables)
-    if (added.isEmpty) readVersion(name, to).limit(0)
+    if (added.isEmpty) readFiles(name, manifestOrReject(to)).limit(0)
     else readFiles(name, added)
   }
 
@@ -1773,19 +1799,43 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   def readChangelog(name: String, fromVersion: Int = 0,
                     toVersion: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     val to = toVersion.orElse(catalog.currentVersion(name)).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
+    changelogCore(name, name, fromVersion, to,
+      v => catalog.manifest(name, v),
+      v => catalog.pendingDeletes(name, v).nonEmpty)
+  }
+
+  /** [[readChangelog]] over a BRANCH chain: the NET row-level changes
+    * the branch accumulated — the AUDIT question itself ("what exactly
+    * will fast_forward publish?"). Branch v1 is the fork record, so
+    * the default `fromBranchVersion = 1` diffs against the fork
+    * baseline and reports only the branch's own changes; 0 replays
+    * the inherited fork content as INSERTs too.
+    */
+  def readChangelogBranch(name: String, branch: String, fromBranchVersion: Int = 1,
+                          toBranchVersion: Option[Int] = None): DataFrame = {
+    val to = toBranchVersion.orElse(catalog.branchHead(name, branch)).getOrElse(
+      throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
+    changelogCore(name, s"$name@$branch", fromBranchVersion, to,
+      v => catalog.branchManifest(name, branch, v),
+      v => catalog.branchPendingDeletes(name, branch, v).nonEmpty)
+  }
+
+  private def changelogCore(name: String, label: String, fromVersion: Int, to: Int,
+                            manifestAt: Int => Seq[String],
+                            dirtyAt: Int => Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion >= 0 && fromVersion <= to,
       s"fromVersion must be in [0, $to], got $fromVersion")
-    rejectDirtyRange(name, fromVersion, to, "changelog")
+    rejectDirtyRange(label, fromVersion, to, "changelog", dirtyAt)
     def manifestOrReject(v: Int): Seq[String] =
       if (v == 0) Seq.empty
       else
-        try catalog.manifest(name, v)
+        try manifestAt(v)
         catch {
           case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
-            s"changelog read of $name: snapshot $v in required range [$fromVersion, $to] " +
+            s"changelog read of $label: snapshot $v in required range [$fromVersion, $to] " +
               "is expired — its commit can no longer be diffed")
         }
     // Schema-on-read tables (no declared schema) can drift columns
@@ -1820,7 +1870,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       }
     }
     if (steps.isEmpty)
-      readVersion(name, to).limit(0)
+      readFiles(name, manifestOrReject(to)).limit(0)
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_change_version", lit(null).cast("int"))
     else steps.reduce(_.unionByName(_, allowMissingColumns = true))

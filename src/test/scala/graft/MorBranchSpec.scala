@@ -129,6 +129,51 @@ class MorBranchSpec extends SparkSpec {
     }
   }
 
+  test("branch incremental/changelog: fork-baseline diffs, dirty ranges refuse, applyDeletes surfaces the DELETEs") {
+    val (io, _) = newIO("graft_mbd_")
+    val t = "default.auditlog"
+    io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    io.createBranch(t, "b") // branch v1 = fork record
+    io.appendToBranch(Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t, "b") // v2
+
+    // "what landed on the branch since the fork"
+    assert(io.readIncrementalBranch(t, "b").select("id").as[Long].collect().sorted ===
+      Array(2L, 3L))
+    val cl1 = io.readChangelogBranch(t, "b")
+    assert(cl1.filter(col("_change_type") === "INSERT").select("id")
+      .as[Long].collect().sorted === Array(2L, 3L))
+    assert(cl1.filter(col("_change_type") === "DELETE").count() === 0L)
+
+    // a pending branch MOR delete in range: both readers refuse loudly
+    io.deleteWhereMOR(t, col("id") === 3L, branch = Some("b")) // v3, dirty
+    val ei = intercept[IllegalStateException](io.readIncrementalBranch(t, "b").collect())
+    assert(ei.getMessage.contains("applyDeletes"), ei.getMessage)
+    val ec = intercept[IllegalStateException](io.readChangelogBranch(t, "b").collect())
+    assert(ec.getMessage.contains("applyDeletes"), ec.getMessage)
+
+    // applyDeletesBranch materializes; ranges still SPANNING the dirty
+    // snapshot keep refusing (v3 is in [1, head] — consumers restart
+    // from the applied snapshot, same contract as main), and ranges at
+    // or after it read clean
+    io.applyDeletesBranch(t, "b") // v4
+    val en = intercept[IllegalStateException](io.readIncrementalBranch(t, "b").collect())
+    assert(en.getMessage.contains("applyDeletes"), en.getMessage)
+    assert(io.readIncrementalBranch(t, "b", fromBranchVersion = 4).count() === 0L)
+    assert(io.readBranch(t, "b").select("id").as[Long].collect().sorted ===
+      Array(1L, 2L))
+
+    // COW (file-diff-visible) delete on the clean branch head: the
+    // changelog OBSERVES the row-level DELETE through the diff
+    val head4 = io.catalog.branchHead(t, "b").get
+    io.commitBranchReplacement(
+      io.readFiles(t, io.catalog.branchManifest(t, "b", head4)).filter(col("id") =!= 2L),
+      t, "b", Seq.empty, Seq.empty, head4) // v5: full rewrite minus id=2
+    val cl2 = io.readChangelogBranch(t, "b", fromBranchVersion = 4)
+    assert(cl2.filter(col("_change_type") === "DELETE").select("id")
+      .as[Long].collect().sorted === Array(2L))
+    assert(cl2.filter(col("_change_type") === "INSERT").count() === 0L)
+  }
+
   test("CALL surface: mor_delete(..., branch) stacks on the branch; apply_deletes_branch materializes it") {
     val (io, wh) = newIO("graft_mbp_")
     val t = "default.procb"
