@@ -180,6 +180,36 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("SPJ x MOR: a dirty bucketed table falls back to the merged bridge (shuffled, correct); applyDeletes restores the zero-exchange join") {
+    val wh = tmp("graft_spjm_")
+    val io = TableIO(spark, wh)
+    io.setPartitionSpec("default.ma", Seq("bucket(4, id)"))
+    io.setPartitionSpec("default.mb", Seq("bucket(4, id)"))
+    io.append((0L until 60L).map(i => (i, i * 2)).toDF("id", "v"), "default.ma")
+    io.append((0L until 60L).map(i => (i, i * 5)).toDF("id", "v"), "default.mb")
+    io.deleteWhereMOR("default.ma", col("id") === 7L)
+    withCatalog("gspjm", wh) {
+      withSpjConfs {
+        val q =
+          """SELECT a.id, a.v, b.v AS v2 FROM gspjm.default.ma a
+            |JOIN gspjm.default.mb b ON a.id = b.id""".stripMargin
+        // dirty side: reads route through the merged V1 bridge — no
+        // keyed partitioning to exploit, so the join shuffles, and the
+        // MOR-deleted row is gone from the result
+        val (_, rows1) = finalPlan(q)
+        assert(rows1.length === 59)
+        assert(!rows1.exists(_.getLong(0) == 7L))
+        io.applyDeletes("default.ma")
+        // clean again: the pure-scan table reports its keys and the
+        // join drops every exchange
+        val (plan2, rows2) = finalPlan(q)
+        assert(!plan2.contains("Exchange"),
+          s"post-apply the storage-partitioned join should return:\n$plan2")
+        assert(rows2.length === 59)
+      }
+    }
+  }
+
   test("bucket V2 function evaluates the exact write-side layout hash") {
     val b = graft.io.GraftBucketFunction.bind(
       org.apache.spark.sql.types.StructType.fromDDL("n INT, k BIGINT"))
