@@ -1609,13 +1609,27 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         spark.read.schema("gd_file STRING, gd_pos BIGINT").parquet(e.deleteFile)
           .filter(col("gd_file").isin(keptKeys: _*))
           .coalesce(1).write.parquet(outDir.toString)
-        val delFile = Using.resource(Files.list(outDir)) { s =>
-          s.iterator().asScala.map(_.toString)
-            .filter(_.endsWith(".parquet")).toSeq.sorted.headOption
-            .getOrElse(throw new IllegalStateException(
-              s"trimmed delete write for $name produced no parquet under $outDir"))
+        // a SHARDED delete set lists every dirty file on every shard
+        // entry, so a shard may hold zero positions for the carried
+        // files — drop the phantom entry (and its empty parquet)
+        // instead of carrying a no-op anti-join and a misleading
+        // .deletes row
+        val trimmedRows = spark.read.parquet(outDir.toString).count()
+        if (trimmedRows == 0) {
+          try Using.resource(Files.walk(outDir)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
+          None
+        } else {
+          val delFile = Using.resource(Files.list(outDir)) { s =>
+            s.iterator().asScala.map(_.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted.headOption
+              .getOrElse(throw new IllegalStateException(
+                s"trimmed delete write for $name produced no parquet under $outDir"))
+          }
+          Some(TableCatalog.DeleteEntry(rel(delFile), kept.map(rel)))
         }
-        Some(TableCatalog.DeleteEntry(rel(delFile), kept.map(rel)))
       }
     }
     if (trimmed.isEmpty) Map.empty

@@ -187,6 +187,47 @@ class MorDeleteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mor.shardRows")
   }
 
+  test("sharded delete set partially consumed by dirty DML: per-shard trims drop phantom entries, rowCount stays exact") {
+    val (io, wh) = newIO("graft_morsp_")
+    val t = "default.shtrim"
+    io.append((1L to 40L).toDF("id").coalesce(1), t)   // file A: 1-40
+    io.append((41L to 80L).toDF("id").coalesce(1), t)  // file B: 41-80
+    spark.conf.set("spark.graft.mor.shardRows", "10")
+    try {
+      // sharded by dirty file key: one entry per shard, BOTH listing
+      // both dirty files, but each shard's parquet holds only its own
+      // file's positions
+      val (vDel, n) = io.deleteWhereMOR(t, col("id") % 4L === 0L)
+      assert(n === 20L)
+      // sharded write: entry count = non-empty shuffle partitions
+      // (two keys may hash-collide into one — both shapes are legal;
+      // the deterministic phantom-drop unit test lives in
+      // TrimDeletesSpec)
+      assert(io.catalog.pendingDeletes(t, vDel).nonEmpty)
+      spark.conf.set("spark.sql.catalog.gmsp", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gmsp.warehouse", wh)
+      try {
+        // UPDATE touches only file A: its shard entries are consumed,
+        // B's shards trim — and a shard holding ONLY A-positions trims
+        // to empty and must be DROPPED, not carried as a phantom
+        spark.sql("UPDATE gmsp.default.shtrim SET id = id + 1000 WHERE id <= 40")
+        val v = io.catalog.currentVersion(t).get
+        val carried = io.catalog.pendingDeletes(t, v)
+        assert(carried.nonEmpty && carried.forall(_.dirtyFiles.size == 1),
+          s"B-scoped shards must survive trimmed to B alone: $carried")
+        val want = ((1L to 40L).filterNot(_ % 4 == 0).map(_ + 1000L) ++
+          (41L to 80L).filterNot(_ % 4 == 0)).sorted.toArray
+        assert(spark.table("gmsp.default.shtrim").as[Long].collect().sorted === want)
+        assert(io.rowCount(t) === 60L) // exact through the trimmed shards
+        io.applyDeletes(t)
+        assert(io.read(t).as[Long].collect().sorted === want)
+      } finally {
+        spark.conf.unset("spark.sql.catalog.gmsp")
+        spark.conf.unset("spark.sql.catalog.gmsp.warehouse")
+      }
+    } finally spark.conf.unset("spark.graft.mor.shardRows")
+  }
+
   test("dirty DML partial consumption: a position entry spanning two files trims to the carried file, rowCount stays exact") {
     val (io, wh) = newIO("graft_morpart_")
     val t = "default.spanned"
