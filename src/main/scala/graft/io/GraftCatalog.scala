@@ -855,10 +855,16 @@ private[io] class GraftRowOpsTable(
               Array.empty
 
             override def build(): Scan = {
+              // a fully-pruned rewrite (predicate provably matches no
+              // file) has no footers to infer from: carry the
+              // delegate's already-inferred schema so the command
+              // no-ops instead of dying with UNABLE_TO_INFER_SCHEMA
+              val schemaForScoped = delegate.userSpecifiedSchema
+                .orElse(if (chosen.isEmpty) Some(delegate.schema) else None)
               val scanTable =
                 if (chosen == allFiles) delegate
                 else ParquetTable(s"${delegate.name}#scoped", SparkSession.active,
-                  delegate.options, chosen, delegate.userSpecifiedSchema,
+                  delegate.options, chosen, schemaForScoped,
                   classOf[ParquetFileFormat])
               val ds = scanTable.newScanBuilder(options).build()
               new Scan {
@@ -1259,8 +1265,12 @@ private[io] class GraftMorRowOpsTable(
               // table needs no partition discovery) — drop it
               val scanOptions = new CaseInsensitiveStringMap(
                 (delegate.options.asScala.toMap - "basepath").asJava)
+              // fully-pruned: no footers to infer from (see the clean
+              // twin) — carry the delegate's schema
+              val schemaForScoped = delegate.userSpecifiedSchema
+                .orElse(if (scanFiles.isEmpty) Some(delegate.schema) else None)
               val scanTable = ParquetTable(s"${delegate.name}#morscoped", spark,
-                scanOptions, scanFiles, delegate.userSpecifiedSchema,
+                scanOptions, scanFiles, schemaForScoped,
                 classOf[ParquetFileFormat])
               val ds = scanTable.newScanBuilder(options).build()
               new Scan {

@@ -187,6 +187,30 @@ class MorDeleteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mor.shardRows")
   }
 
+  test("no-match UPDATE on schema-on-read tables: fully-pruned rewrite no-ops (clean AND dirty), never UNABLE_TO_INFER_SCHEMA") {
+    val (io, wh) = newIO("graft_mornm_")
+    val t = "default.nomatch"
+    io.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), t)
+    spark.conf.set("spark.sql.catalog.gmn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmn.warehouse", wh)
+    try {
+      // stats prove no file can match: both files carry, the rewrite
+      // scan is EMPTY — the command must no-op, not die inferring a
+      // schema from zero footers
+      spark.sql("UPDATE gmn.default.nomatch SET v = 99 WHERE id = 12345")
+      assert(io.read(t).as[(Long, Long)].collect().toSet === Set(1L -> 10L, 2L -> 20L))
+      io.deleteWhereMOR(t, col("id") === 1L)
+      spark.sql("UPDATE gmn.default.nomatch SET v = 99 WHERE id = 12345")
+      assert(io.read(t).as[(Long, Long)].collect().toSet === Set(2L -> 20L))
+      // the carried entries survive the no-op commit
+      val v = io.catalog.currentVersion(t).get
+      assert(io.catalog.pendingDeletes(t, v).nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmn")
+      spark.conf.unset("spark.sql.catalog.gmn.warehouse")
+    }
+  }
+
   test("sharded delete set partially consumed by dirty DML: per-shard trims drop phantom entries, rowCount stays exact") {
     val (io, wh) = newIO("graft_morsp_")
     val t = "default.shtrim"
