@@ -463,6 +463,24 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         require(!pcols.contains(colName), s"cannot drop partition column: $colName")
         require(!specSources.contains(colName),
           s"cannot drop partition-spec source column: $colName")
+        // pending equality-delete entries anti-join on their key
+        // columns at every read: dropping one would wedge the table
+        // (merged reads and applyDeletes both fail resolving the key).
+        // RENAME is fine — entries store PHYSICAL names (rename-proof,
+        // spec-pinned); DROP must materialize first.
+        locally {
+          val phys = physOf(colName)
+          val eqKeyed =
+            catalog.currentVersion(name).toSeq
+              .flatMap(v => catalog.pendingDeletes(name, v)) ++
+              catalog.listBranches(name).flatMap(b =>
+                catalog.branchHead(name, b).toSeq
+                  .flatMap(h => catalog.branchPendingDeletes(name, b, h)))
+          require(!eqKeyed.exists(_.eqKeyCols.contains(phys)),
+            s"cannot drop column '$colName': pending merge-on-read equality-delete " +
+              "entries key on it — run applyDeletes (and applyDeletesBranch for dirty " +
+              "branches) first")
+        }
         dropped += physOf(colName)
         renames -= colName
         schema = StructType(schema.fields.filterNot(_.name == colName))

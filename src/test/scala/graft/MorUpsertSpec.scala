@@ -207,6 +207,36 @@ class MorUpsertSpec extends SparkSpec {
       Set(1L -> "a1"))
   }
 
+  test("ALTER DROP of a pending equality-key column refuses (RENAME stays fine); applyDeletes unblocks the drop") {
+    val io = newIO("graft_morad_")
+    val t = "default.altguard"
+    io.append(Seq((1L, "a", 5L)).toDF("id", "s", "extra").coalesce(1), t)
+    io.upsertMOR(t, Seq((1L, "a1", 6L)).toDF("id", "s", "extra"), Seq("id"))
+    val wh = io.catalog.warehouse
+    spark.conf.set("spark.sql.catalog.gmad", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmad.warehouse", wh)
+    try {
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE gmad.$t DROP COLUMN id"))
+      def msg(x: Throwable): String =
+        Option(x.getMessage).getOrElse("") +
+          Option(x.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+      assert(msg(e).contains("equality-delete"), msg(e))
+      // unrelated columns drop fine while dirty; key columns RENAME fine
+      spark.sql(s"ALTER TABLE gmad.$t DROP COLUMN extra")
+      spark.sql(s"ALTER TABLE gmad.$t RENAME COLUMN id TO uid")
+      assert(spark.table(s"gmad.$t").as[(Long, String)].collect().toSet ===
+        Set(1L -> "a1"))
+      // materializing clears the guard
+      io.applyDeletes(t)
+      spark.sql(s"ALTER TABLE gmad.$t DROP COLUMN uid")
+      assert(spark.table(s"gmad.$t").as[String].collect().toSeq === Seq("a1"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmad")
+      spark.conf.unset("spark.sql.catalog.gmad.warehouse")
+    }
+  }
+
   test("upsertMOR idle batch with a stream mark commits metadata-only and carries entries") {
     val io = newIO("graft_mori_")
     val t = "default.idle"
