@@ -652,6 +652,12 @@ object OracleQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // table-stream-source replay: the drained rows are exactly the
+    // two appended event batches = the events table
+    "q131_table_stream_source" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events""".stripMargin,
+
     // branch changelog replay: appended rows INSERT at branch v2;
     // every row matching the delete predicate (base AND just-appended)
     // DELETEs at v3 — carried rewrite rows cancel in the file diff

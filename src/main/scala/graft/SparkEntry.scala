@@ -381,6 +381,42 @@ object SparkEntry {
       branchState.unionByName(published)
     }),
 
+    // The graft table as a STREAMING SOURCE (spark.readStream.table —
+    // Iceberg/Delta's table-as-stream): two event batches land as
+    // appends, a micro-batch stream follows the snapshot chain from
+    // the pre-append baseline (offset = version, checkpointed), and
+    // every served row is drained into a results table whose content
+    // is hash-oracled against the events replay. Rerun-safe: each run
+    // streams only its own appends (startingVersion = the run's
+    // baseline) into a fresh drain table.
+    "q131_table_stream_source" -> ((s, dir) => {
+      val cname = "gtss"
+      val io = catalogIO(s, cname, "graft_tss_")
+      val t = "default.ev_src"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cutoff = new java.sql.Timestamp(
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+      val v0 = io.catalog.currentVersion(t).getOrElse(0)
+      io.append(ev.filter(col("ts") < lit(cutoff)), t)
+      io.append(ev.filter(col("ts") >= lit(cutoff)), t)
+      val drainIo = TableIO(s, tempDir("graft_tssd_"))
+      val q = s.readStream.option("startingVersion", v0.toString)
+        .table(s"$cname.$t")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tempDir("graft_tssc_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.TableSink.commitStreamBatch(
+            drainIo, "default.drained", id, batch)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      drainIo.read("default.drained")
+    }),
+
     // Branch CHANGELOG — the audit question itself: "what exactly will
     // fast_forward publish?" The branch accumulates an append and a
     // COW DELETE (via the WAP session conf); readChangelogBranch diffs

@@ -658,12 +658,20 @@ private[io] class GraftTable(
     else pspec.map(PartitionTransforms.v2Transform).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (renames.isEmpty)
-      new StatsPruningScanBuilder(delegate, options, pspec)
+      new StatsPruningScanBuilder(delegate, options, pspec,
+        // Hive-DIR-partitioned tables (incl. identity hidden layouts)
+        // carry column VALUES in directory names whose append position
+        // can't match the fixed streaming row shape — they stay
+        // batch-only. Unpartitioned tables and non-identity hidden
+        // layouts (gp_* dirs DERIVE from source columns the footers
+        // already carry) stream.
+        if (partitionCols.forall(_.startsWith(PartitionTransforms.Prefix)))
+          Some((cat, tableName)) else None)
     else new ScanBuilder with SupportsPushDownRequiredColumns {
       private val db = delegate.newScanBuilder(options)
       private val toLogicalName = renames.map(_.swap)
@@ -1112,7 +1120,9 @@ private[io] class GraftMorTable(
       private var required: Option[StructType] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
-      override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan
+          with MorStreamRefusal {
+        override def morTableName: String = tableName
         private val full = schema()
         private val read = required.getOrElse(full)
         override def readSchema(): StructType = read
@@ -1149,6 +1159,21 @@ private[io] class GraftMorTable(
       s"$tableName has pending position deletes (merge-on-read): run " +
         "CALL <catalog>.system.apply_deletes first, or use TableIO.deleteWhereMOR " +
         "to stack another metadata-only delete")
+}
+
+/** Streaming refusal for a dirty snapshot's V1-bridge scan: the
+  * micro-batch source diffs FILES, and a MOR commit changes none —
+  * name the recovery instead of Spark's generic unsupported error.
+  */
+private[io] trait MorStreamRefusal extends Scan {
+  def morTableName: String
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new IllegalStateException(
+      s"$morTableName has pending merge-on-read deletes: the table stream diffs " +
+        "files and a MOR commit changes none, so deleted rows would stream as live. " +
+        "Run applyDeletes and start the stream from the applied snapshot " +
+        "(startingVersion)")
 }
 
 /** [[GraftMorTable]] for an UNPARTITIONED dirty snapshot: SQL UPDATE /
@@ -1401,7 +1426,10 @@ private[io] class GraftMorRowOpsTable(
 private[io] class StatsPruningScanBuilder(
     delegate: ParquetTable,
     options: CaseInsensitiveStringMap,
-    pspec: Seq[PartitionTransform] = Seq.empty
+    pspec: Seq[PartitionTransform] = Seq.empty,
+    // (catalog, table) when this scan may also serve as a STREAMING
+    // source (readStream.table) — None for path-API scans
+    streamSource0: Option[(TableCatalog, String)] = None
 ) extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -1491,14 +1519,19 @@ private[io] class StatsPruningScanBuilder(
     */
   override def build(): Scan = {
     val inner = current.build()
-    val bucketed = pspec.exists(_.isInstanceOf[PartitionTransforms.Bucket])
-    if (!bucketed) inner
-    else KeyedLayoutScan.fileKeys(keptFiles, pspec, delegate.schema) match {
-      case Some(keys) =>
-        new KeyedLayoutScan(inner, pspec,
-          pspec.map(PartitionTransforms.v2Transform).toArray, keys)
-      case None => inner
+    // the stream reads per-batch files under THIS scan's (possibly
+    // column-pruned) schema — renames are empty on this path, so the
+    // read schema IS the physical one
+    val stream = streamSource0.map { case (c, t) =>
+      (c, t, inner.readSchema(), options)
     }
+    val bucketed = pspec.exists(_.isInstanceOf[PartitionTransforms.Bucket])
+    val keyed =
+      if (!bucketed) None
+      else KeyedLayoutScan.fileKeys(keptFiles, pspec, delegate.schema).map(keys =>
+        new KeyedLayoutScan(inner, pspec,
+          pspec.map(PartitionTransforms.v2Transform).toArray, keys, stream))
+    keyed.getOrElse(new StreamableParquetScan(inner, stream))
   }
 }
 

@@ -39,8 +39,11 @@ private[io] class KeyedLayoutScan(
     inner: Scan,
     spec: Seq[PartitionTransform],
     clustering: Array[Transform],
-    fileToKey: Map[String, Seq[Any]]
-) extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
+    fileToKey: Map[String, Seq[Any]],
+    val streamSource: Option[(TableCatalog, String, StructType,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap)] = None
+) extends Scan with SupportsReportPartitioning with SupportsReportStatistics
+  with GraftStreamableScan {
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.{GraftCatalog, TableIO}
+
+/** The graft table as a streaming SOURCE (`spark.readStream.table`):
+  * micro-batches follow the snapshot chain (offset = version), serving
+  * exactly the files each commit appended — the Iceberg/Delta
+  * table-as-stream capability. Append-only history streams; rewrites,
+  * pending MOR deletes, and expired manifests refuse loudly.
+  */
+class StreamTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat(cat: String)(body: String => Unit): Unit = {
+    val wh = Files.createTempDirectory("graft_sts_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(wh) finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private def drain(tableRef: String, checkpoint: String,
+                    opts: Map[String, String] = Map.empty): Seq[(Long, String)] = {
+    val buf = mutable.ArrayBuffer.empty[(Long, String)]
+    val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+    val q = reader.table(tableRef).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= batch.select("id", "s").as[(Long, String)].collect() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("micro-batches follow the snapshot chain; a checkpointed restart serves only new commits") {
+    withCat("gsts") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.src"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      val ckpt = Files.createTempDirectory("graft_stsc_").toString
+
+      // first drain: full history (startingVersion default 0)
+      assert(drain(s"gsts.$t", ckpt).toSet === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      // nothing new: empty drain
+      assert(drain(s"gsts.$t", ckpt).isEmpty)
+      // new commits only after restart from the same checkpoint
+      io.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((5L, "e")).toDF("id", "s").coalesce(1), t)
+      assert(drain(s"gsts.$t", ckpt).toSet === Set(4L -> "d", 5L -> "e"))
+
+      // startingVersion = current head: a fresh stream sees only the future
+      val head = io.catalog.currentVersion(t).get
+      val ckpt2 = Files.createTempDirectory("graft_stsc2_").toString
+      assert(drain(s"gsts.$t", ckpt2,
+        Map("startingVersion" -> head.toString)).isEmpty)
+      io.append(Seq((6L, "f")).toDF("id", "s").coalesce(1), t)
+      assert(drain(s"gsts.$t", ckpt2,
+        Map("startingVersion" -> head.toString)).toSet === Set(6L -> "f"))
+    }
+  }
+
+  test("a hidden-layout (bucketed) table streams with the layout dirs pruned; column pruning holds") {
+    withCat("gstsb") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.bsrc"
+      io.setPartitionSpec(t, Seq("bucket(4, id)"))
+      io.append((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s"), t)
+      val ckpt = Files.createTempDirectory("graft_stsb_").toString
+      val got = drain(s"gstsb.$t", ckpt)
+      assert(got.toSet === (0L until 20L).map(i => i -> s"v$i").toSet)
+    }
+  }
+
+  test("rewrites and pending MOR deletes refuse loudly; Hive-dir-partitioned tables are batch-only") {
+    withCat("gstsr") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.rsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      val ckpt = Files.createTempDirectory("graft_stsr_").toString
+      assert(drain(s"gstsr.$t", ckpt).toSet === Set(1L -> "a"))
+
+      // a compaction rewrote history: the next drain must fail loudly
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.compact(t)
+      val e1 = intercept[Exception](drain(s"gstsr.$t", ckpt))
+      def msg(x: Throwable): String = {
+        def walk(c: Throwable): Seq[String] =
+          if (c == null) Seq.empty else Option(c.getMessage).toSeq ++ walk(c.getCause)
+        walk(x).mkString(" | ")
+      }
+      assert(msg(e1).contains("append-only"), msg(e1))
+
+      // pending MOR deletes in range: refuse naming the recovery
+      val t2 = "default.msrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t2)
+      io.deleteWhereMOR(t2, col("id") === 2L)
+      val ckpt2 = Files.createTempDirectory("graft_stsm_").toString
+      val e2 = intercept[Exception](drain(s"gstsr.$t2", ckpt2))
+      assert(msg(e2).contains("applyDeletes"), msg(e2))
+
+      // Hive-dir-partitioned: loud batch-only refusal
+      val t3 = "default.psrc"
+      io.append(Seq((1L, "a", "x")).toDF("id", "s", "p"), t3, partitionCols = Seq("p"))
+      val ckpt3 = Files.createTempDirectory("graft_stsp_").toString
+      val e3 = intercept[Exception](drain(s"gstsr.$t3", ckpt3))
+      assert(msg(e3).contains("batch-only"), msg(e3))
+    }
+  }
+}
