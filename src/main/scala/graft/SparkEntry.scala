@@ -378,7 +378,10 @@ object SparkEntry {
         "publish must carry the branch's pending delete entries to main")
       io.applyDeletes(t)
       val published = s.sql(s"SELECT 'published' AS state, skey, s_name, bal FROM $cname.$t")
+      // deterministic output: the union's physical row order is
+      // scheduling-dependent — 16 rows, the sort is free
       branchState.unionByName(published)
+        .orderBy(col("state"), col("skey"), col("s_name"), col("bal"))
     }),
 
     // The graft table as a STREAMING SOURCE (spark.readStream.table —
@@ -446,6 +449,10 @@ object SparkEntry {
       io.readChangelogBranch(t, "cdc")
         .select(col("_change_type"), col("_change_version"),
           col("skey"), col("s_name"), col("bal"))
+        // deterministic output: changelog row order is file-scheduling
+        // dependent — 31 rows, the sort is free
+        .orderBy(col("_change_version"), col("_change_type"), col("skey"),
+          col("s_name"), col("bal"))
     }),
 
     // Merge-on-read position deletes (Iceberg's MOR DELETE): the
@@ -486,7 +493,9 @@ object SparkEntry {
       require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
       val applied = s.sql(
         s"SELECT 'applied' AS state, okey, lnum, qty FROM $cname.$t")
+      // deterministic output: union row order is scheduling-dependent
       pending.unionByName(applied)
+        .orderBy(col("state"), col("okey"), col("lnum"), col("qty"))
     }),
 
     // MOR UPDATE: ONE commit carrying a position-delete file (matched
@@ -517,7 +526,9 @@ object SparkEntry {
       require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
       val applied = s.sql(
         s"SELECT 'applied' AS state, okey, lnum, qty FROM $cname.$t")
+      // deterministic output: union row order is scheduling-dependent
       pending.unionByName(applied)
+        .orderBy(col("state"), col("okey"), col("lnum"), col("qty"))
     }),
 
     // Equality-delete UPSERT (Iceberg's zero-read CDC write): the
@@ -553,7 +564,9 @@ object SparkEntry {
       require(io.catalog.pendingDeletes(t, v2).isEmpty, "deletes prop must clear")
       val applied = s.sql(
         s"SELECT 'applied' AS state, s_suppkey, s_name, bal FROM $cname.$t")
+      // deterministic output: union row order is scheduling-dependent
       pending.unionByName(applied)
+        .orderBy(col("state"), col("s_suppkey"), col("s_name"), col("bal"))
     }),
 
     // MOR observability: the `.deletes` metadata table profiles the
@@ -698,8 +711,11 @@ object SparkEntry {
       require(io.catalog.pendingDeletes(t, vM).isEmpty,
         "MERGE over the dirty snapshot must consume the delete entries")
       val fin = s.sql(s"SELECT 'final' AS state, skey, s_name, bal FROM $cname.$t")
+      // deterministic output: the union's physical row order is
+      // scheduling-dependent — 200 rows, the sort is free
       pending.unionByName(fin).select(col("state"), col("skey"), col("s_name"),
         col("bal").cast("decimal(14,2)").as("bal"))
+        .orderBy(col("state"), col("skey"), col("s_name"), col("bal"))
     }),
     // Analytic windows: lag + exact running total per supplier
     "q35_window_analytics" -> ((s, dir) => {
@@ -1710,7 +1726,9 @@ object SparkEntry {
         .withColumn("valid_to", lit(null).cast("date"))
         .withColumn("is_current", lit(true))
       val untouched = dim.join(updateKeys, Seq("c_custkey"), "left_anti")
+      // deterministic output: union row order is scheduling-dependent
       untouched.unionByName(closed).unionByName(opened)
+        .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
     // Multi-granularity aggregate in ONE pass: GROUPING SETS ((flag,
@@ -1760,7 +1778,9 @@ object SparkEntry {
       val branchHead = io.readBranch(t, "exp").withColumn("stage", lit("branch_head"))
       io.fastForward(t, "exp")
       val mainAfter = io.read(t).withColumn("stage", lit("main_after"))
+      // deterministic output: union row order is scheduling-dependent
       mainBefore.unionAll(branchHead).unionAll(mainAfter)
+        .orderBy(col("stage"), col("o_orderkey"))
     }),
 
     // STREAMING distinct-count maintenance: the HLL register table
@@ -1810,7 +1830,9 @@ object SparkEntry {
       }
       val before = rollup(io.read(t), "main_before")
       io.fastForward(t, "ingest")
+      // deterministic output: union row order is scheduling-dependent
       before.unionByName(rollup(io.read(t), "main_after"))
+        .orderBy(col("stage"), col("event_type"))
     }),
 
     // The unified .refs view (Iceberg refs): every named pointer into

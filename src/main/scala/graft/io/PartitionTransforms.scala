@@ -233,7 +233,7 @@ object PartitionTransforms {
     * the bucket ordinal — None when the directory is absent (pre-spec
     * file) or non-numeric (the Hive null partition: a null key has no
     * bucket, and a scan containing it cannot report key-grouped
-    * partitioning). Feeds [[graft.io.BucketKeyedScan]]'s totality
+    * partitioning). Feeds [[graft.io.KeyedLayoutScan]]'s totality
     * check.
     */
   private[io] def bucketDirValue(path: String, b: Bucket): Option[Int] =
