@@ -658,6 +658,12 @@ object OracleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // maintenance-tolerant stream: compaction/sort rewrites serve
+    // nothing, appends serve once — the drain is the full replay
+    "q132_stream_skip_rewrites" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events""".stripMargin,
+
     // branch changelog replay: appended rows INSERT at branch v2;
     // every row matching the delete predicate (base AND just-appended)
     // DELETEs at v3 — carried rewrite rows cancel in the file diff

@@ -420,6 +420,54 @@ object SparkEntry {
       drainIo.read("default.drained")
     }),
 
+    // The streaming consumer RIDING THROUGH table maintenance
+    // (Iceberg's streaming-skip-overwrite-snapshots / Delta's
+    // skipChangeCommits, rewrite flavor): a checkpointed stream drains
+    // the first half of events, then the table is COMPACTED, the
+    // second half lands, and a sort-clustered rewrite follows — the
+    // resumed stream serves exactly the new appends because both
+    // rewrites carry the `graft.op = rewrite` marker and
+    // skipRewriteCommits skips them (their files re-pack rows already
+    // served). Without the option this is the "restart from a fresh
+    // checkpoint" wall every 100 TB table hits at its first
+    // compaction. Drained rows hash-match the full events replay.
+    "q132_stream_skip_rewrites" -> ((s, dir) => {
+      val cname = "gmnt"
+      val io = catalogIO(s, cname, "graft_mnt_")
+      val t = "default.ev_mnt"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cutoff = new java.sql.Timestamp(
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+      val v0 = io.catalog.currentVersion(t).getOrElse(0)
+      val drainIo = TableIO(s, tempDir("graft_mntd_"))
+      val ckpt = tempDir("graft_mntc_")
+      def drainOnce(): Unit = {
+        val q = s.readStream
+          .option("startingVersion", v0.toString)
+          .option("skipRewriteCommits", "true")
+          .table(s"$cname.$t")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.streaming.TableSink.commitStreamBatch(
+              drainIo, "default.drained", id, batch)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      io.append(ev.filter(col("ts") < lit(cutoff)), t)
+      drainOnce() // first half served
+      io.compact(t) // maintenance mid-stream: the consumer rides through
+      io.append(ev.filter(col("ts") >= lit(cutoff)), t)
+      io.compactSorted(t, Seq("user_id"), targetFiles = 2)
+      drainOnce() // serves ONLY the new append — the rewrites, nothing
+      drainIo.read("default.drained")
+    }),
+
     // Branch CHANGELOG — the audit question itself: "what exactly will
     // fast_forward publish?" The branch accumulates an append and a
     // COW DELETE (via the WAP session conf); readChangelogBranch diffs

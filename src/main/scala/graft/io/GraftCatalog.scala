@@ -685,7 +685,11 @@ private[io] class GraftTable(
       }
       override def build(): Scan = {
         val ds = db.build()
-        new Scan {
+        // GraftStreamableScan with streamSource = None: readStream on a
+        // renamed-column table reaches the loud batch-only refusal
+        // instead of Spark's generic micro-batch-unsupported error
+        new Scan with GraftStreamableScan {
+          override def streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)] = None
           override def readSchema(): StructType = logical(ds.readSchema())
           override def toBatch: Batch = ds.toBatch
           override def description(): String = ds.description()
@@ -1125,6 +1129,11 @@ private[io] class GraftMorTable(
         override def morTableName: String = tableName
         private val full = schema()
         private val read = required.getOrElse(full)
+        override def morStreamSource: Option[(TableCatalog, StructType, CaseInsensitiveStringMap)] =
+          if (renames.isEmpty && morBranch.isEmpty &&
+              partitionCols.forall(_.startsWith(PartitionTransforms.Prefix)))
+            Some((cat, full, options))
+          else None
         override def readSchema(): StructType = read
         override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan](
@@ -1164,16 +1173,29 @@ private[io] class GraftMorTable(
 /** Streaming refusal for a dirty snapshot's V1-bridge scan: the
   * micro-batch source diffs FILES, and a MOR commit changes none —
   * name the recovery instead of Spark's generic unsupported error.
+  * One escape hatch: `skipChangeCommits` (Delta's append-as-of
+  * contract) makes pending deletes invisible BY CONTRACT — rows
+  * stream as of their append — so the file-diff source is sound over
+  * the dirty chain and [[morStreamSource]] supplies its wiring.
   */
 private[io] trait MorStreamRefusal extends Scan {
   def morTableName: String
+  /** `Some(catalog, physSchema, options)` when this dirty table is
+    * shape-eligible to stream (no renames, no Hive dirs, main chain) —
+    * the option gate itself is checked here.
+    */
+  def morStreamSource: Option[(TableCatalog, StructType, CaseInsensitiveStringMap)] = None
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new IllegalStateException(
-      s"$morTableName has pending merge-on-read deletes: the table stream diffs " +
-        "files and a MOR commit changes none, so deleted rows would stream as live. " +
-        "Run applyDeletes and start the stream from the applied snapshot " +
-        "(startingVersion)")
+    morStreamSource match {
+      case Some((cat, sch, opts)) if opts.getBoolean("skipChangeCommits", false) =>
+        new GraftMicroBatchStream(morTableName, cat, sch, opts)
+      case _ => throw new IllegalStateException(
+        s"$morTableName has pending merge-on-read deletes: the table stream diffs " +
+          "files and a MOR commit changes none, so deleted rows would stream as live. " +
+          "Run applyDeletes and start the stream from the applied snapshot " +
+          "(startingVersion), or opt into append-as-of semantics with skipChangeCommits")
+    }
 }
 
 /** [[GraftMorTable]] for an UNPARTITIONED dirty snapshot: SQL UPDATE /

@@ -34,6 +34,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * serves the table's full content as the first batch (Delta's
   * default); the CURRENT version at stream start makes it
   * new-commits-only.
+  *
+  * Maintenance tolerance — two opt-in relaxations of the append-only
+  * rule, mirroring Iceberg/Delta so a long-lived consumer survives
+  * table upkeep instead of restarting from a fresh checkpoint:
+  *  - `option("skipRewriteCommits", true)` (Iceberg's
+  *    `streaming-skip-overwrite-snapshots`): a file-removing commit
+  *    PROVEN content-preserving — it carries the `graft.op = rewrite`
+  *    manifest prop that compact / compactSorted / compactZOrder /
+  *    respecTable / applyDeletes stamp — is skipped: its rewritten
+  *    files hold only rows already served from their original append
+  *    commits, so serving nothing from it is exactly once. A removal
+  *    WITHOUT the marker (overwrite, COW DML, rollback, a fast-forward
+  *    integrating a compacted branch) is a data change and still
+  *    refuses. Skipped originals stay readable on disk until snapshot
+  *    expiry + GC — a consumer lagging past retention fails at read
+  *    time, same as Iceberg.
+  *  - `option("skipChangeCommits", true)` (Delta's option of the same
+  *    name): ANY file-removing commit is skipped and pending
+  *    merge-on-read deletes in range are tolerated — the consumer
+  *    receives rows as of their APPEND and never sees later updates or
+  *    deletes of those rows. Only sound when downstream tolerates
+  *    stale rows (e.g. append-only feature logs); hence separate from
+  *    and strictly weaker than `skipRewriteCommits`.
   */
 private[io] class GraftMicroBatchStream(
     tableName: String,
@@ -47,7 +70,21 @@ private[io] class GraftMicroBatchStream(
   }
 
   private val startV: Int =
-    Option(options.get("startingVersion")).map(_.trim.toInt).getOrElse(0)
+    Option(options.get("startingVersion")).map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"table stream over $tableName: option startingVersion must be a " +
+          s"non-negative integer, got '$raw'"))
+      val cur = cat.currentVersion(tableName).getOrElse(0)
+      if (v < 0 || v > cur) throw new IllegalArgumentException(
+        s"table stream over $tableName: option startingVersion = $v is outside " +
+          s"the table's history [0, $cur]")
+      v
+    }.getOrElse(0)
+
+  private val skipRewrites: Boolean =
+    options.getBoolean("skipRewriteCommits", false)
+  private val skipChanges: Boolean =
+    options.getBoolean("skipChangeCommits", false)
 
   override def initialOffset(): Offset = V(startV)
   override def latestOffset(): Offset = V(cat.currentVersion(tableName).getOrElse(0))
@@ -72,35 +109,64 @@ private[io] class GraftMicroBatchStream(
             s"table stream over $tableName: snapshot $v in range [$s, $e] is expired — " +
               "the commit log needed for the delta is gone; restart the stream")
         }
-    (math.max(s, 1) to e).foreach { v =>
+    if (!skipChanges) (math.max(s, 1) to e).foreach { v =>
       if (cat.pendingDeletes(tableName, v).nonEmpty)
         throw new IllegalStateException(
           s"table stream over $tableName: snapshot $v carries pending merge-on-read " +
             "deletes — a MOR commit changes no files, so the file diff would serve " +
             "deleted rows as live. Run applyDeletes and restart the stream from the " +
-            "applied snapshot (startingVersion)")
+            "applied snapshot (startingVersion), or opt into append-as-of semantics " +
+            "with skipChangeCommits")
     }
+    // Per-commit walk, not an end-to-start diff: a file appended at
+    // v1 and compacted away at v2 must still be served (from v1) when
+    // v2 is skippable — the original file outlives the rewrite on disk
+    // until snapshot expiry + GC. Under strict append-only history the
+    // per-commit union equals the cumulative diff exactly.
     var prev = manifestOrReject(s).toSet
-    val fromFiles = prev
+    val served = Vector.newBuilder[String]
     ((s + 1) to e).foreach { v =>
       val cur = manifestOrReject(v).toSet
       val removed = prev.diff(cur)
-      if (removed.nonEmpty) throw new IllegalStateException(
+      if (removed.isEmpty) served ++= cur.diff(prev)
+      else if (skipChanges) () // append-as-of: changes invisible by contract
+      else if (skipRewrites) {
+        val op =
+          try cat.manifestProps(tableName, v).get(TableCatalog.OpProp)
+          catch { case scala.util.control.NonFatal(_) => None }
+        if (!op.contains(TableCatalog.OpRewrite)) throw new IllegalStateException(
+          s"table stream over $tableName: snapshot $v removed ${removed.size} file(s) " +
+            s"and is not a content-preserving rewrite (graft.op = ${op.getOrElse("absent")}) " +
+            "— an overwrite, row-level DML, rollback, or pre-marker maintenance commit " +
+            "changed rows. skipRewriteCommits only rides through marked rewrites " +
+            "(compact/compactSorted/compactZOrder/respecTable/applyDeletes); restart " +
+            "the stream with a fresh checkpoint at or after this snapshot, or opt into " +
+            "append-as-of semantics with skipChangeCommits")
+        // marked rewrite: its added files re-pack rows already served
+        // from their original append commits — serve nothing
+      }
+      else throw new IllegalStateException(
         s"table stream over $tableName requires append-only history: snapshot $v " +
           s"removed ${removed.size} file(s) (overwrite, row-level DML, or compaction). " +
           "Restart the stream with a fresh checkpoint (startingVersion at or after the " +
-          "rewrite) — its rows are not expressible as an insert delta")
+          "rewrite), or ride through content-preserving maintenance with " +
+          "skipRewriteCommits — its rows are not expressible as an insert delta")
       prev = cur
     }
-    val added = manifestOrReject(e).filterNot(fromFiles)
+    val added = served.result().distinct.sorted
     if (added.isEmpty) { batchFactory = EmptyReaderFactory; return Array.empty }
     // a plain parquet batch over exactly the added files, pinned to
     // the stream's schema (no inference: the manifest may be long
     // gone by restart time, but the schema rides the checkpoint).
-    // basePath anchors partition-directory values (Hive-partitioned
-    // and hidden-layout tables carry them in dir names, not footers)
-    val scanOptions = new CaseInsensitiveStringMap(
-      java.util.Map.of("basePath", cat.dataPath(tableName)))
+    // NO basePath: with it, a batch mixing layout generations (a
+    // root-level file appended before respecTable plus a gp_* file
+    // after) silently DROPS the root file's rows — Spark's partition
+    // discovery anchored at basePath keeps only files that parse
+    // partition values. Without it, explicit-leaf-file listing reads
+    // every file; any inferred gp_* dirs are pruned below and their
+    // values already ride the footers (hidden-layout columns are
+    // derived; Hive-dir tables never reach here — batch-only)
+    val scanOptions = CaseInsensitiveStringMap.empty()
     val scanTable = ParquetTable(s"$tableName#stream@v$e", SparkSession.active,
       scanOptions, added, Some(physSchema),
       classOf[ParquetFileFormat])
@@ -151,10 +217,25 @@ private[io] class StreamableParquetScan(
     inner: Scan,
     val streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)]
 ) extends Scan with GraftStreamableScan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+
+  // forward DSv2 runtime filtering (e.g. dynamic partition pruning on
+  // Hive-dir-partitioned tables) — wrapping must not silently disable
+  // what the unwrapped file scan exposed
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filter(filters)
+      case _ => ()
+    }
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>

@@ -43,11 +43,27 @@ private[io] class KeyedLayoutScan(
     val streamSource: Option[(TableCatalog, String, StructType,
       org.apache.spark.sql.util.CaseInsensitiveStringMap)] = None
 ) extends Scan with SupportsReportPartitioning with SupportsReportStatistics
-  with GraftStreamableScan {
+  with GraftStreamableScan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
     s"${inner.description()} (keyed: ${spec.map(_.spec).mkString(", ")})"
+
+  // forward DSv2 runtime filtering (dynamic partition pruning) to the
+  // file scan — the filter only SHRINKS the kept-file set, so the
+  // proven fileToKey stays total over every planned file; absent
+  // support downstream degrades to "no filterable attributes"
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filter(filters)
+      case _ => ()
+    }
 
   override def estimateStatistics(): Statistics = inner match {
     case s: SupportsReportStatistics => s.estimateStatistics()

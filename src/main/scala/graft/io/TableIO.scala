@@ -1175,6 +1175,21 @@ object TableCatalog {
     */
   val DeletesProp = "graft.deletes"
 
+  /** Manifest prop naming the commit's operation KIND when it matters
+    * downstream. Today one value is meaningful: [[OpRewrite]] marks a
+    * CONTENT-PRESERVING file rewrite (compaction, sort/Z-order rewrite,
+    * partition-spec relay, applyDeletes materialization) — the logical
+    * row set of the table is identical before and after the commit,
+    * only its file layout changed. The streaming table source's
+    * `skipRewriteCommits` option rides through exactly these (Iceberg's
+    * `streaming-skip-overwrite-snapshots`); a file-removing commit
+    * WITHOUT the marker is a data change (overwrite, COW DML, rollback)
+    * and still refuses. Absent on plain appends — they remove nothing,
+    * so the stream never consults it.
+    */
+  val OpProp = "graft.op"
+  val OpRewrite = "rewrite"
+
   /** One pending position-delete file and the data files it covers.
     * Paths are table-root-relative in the manifest prop (rename-safe)
     * and resolved absolute by [[TableCatalog.pendingDeletes]].
@@ -1406,7 +1421,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       partitionSpec = parsed.map(_.spec)))
     // overwrite consults the NEW meta: stageWrite derives the new
     // layout; clusterByLayout gives each new partition few files
-    overwrite(clusterByLayout(df, name, parsed.map(_.derivedName), 1), name)
+    overwrite(clusterByLayout(df, name, parsed.map(_.derivedName), 1), name,
+      props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
   /** Current-snapshot read. */
@@ -2418,7 +2434,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
       val newFiles = stageWrite(toPhysical(merged, name), name, pcols)
       val conf = spark.sessionState.newHadoopConf()
-      val nv = chain.commit(clean ++ newFiles, Map.empty,
+      val nv = chain.commit(clean ++ newFiles,
+        Map(TableCatalog.OpProp -> TableCatalog.OpRewrite),
         chain.stats.view.filterKeys(clean.toSet).toMap ++
           catalog.statsForCommit(name, Seq.empty, newFiles, conf))
       (nv, dirty.size.toLong)
@@ -2468,7 +2485,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val rewritten = clusterByLayout(df, name, pcols, targetFiles)
       val newFiles = stageWrite(toPhysical(rewritten, name), name, pcols)
       catalog.commitBranchSnapshot(name, branch, newFiles, head + 1,
-        Map(TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head)),
+        Map(TableCatalog.BranchBaseProp -> branchBaseOf(name, branch, head),
+          TableCatalog.OpProp -> TableCatalog.OpRewrite),
         commitStats(name, Seq.empty, newFiles))
     } finally lock.release()
   }
@@ -2676,7 +2694,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
               targetFiles: Int = 1): Unit = {
     val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val df = read(name)
-    overwrite(clusterByLayout(df, name, pcols, targetFiles), name, pcols)
+    overwrite(clusterByLayout(df, name, pcols, targetFiles), name, pcols,
+      props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
   /** Cluster a rewrite by the table's layout so each partition gets
@@ -2714,7 +2733,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val out = read(name)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    overwrite(out, name, pcols)
+    overwrite(out, name, pcols,
+      props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
   /** Z-order-clustered compaction: like `compactSorted` but clustered
@@ -2739,7 +2759,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       .repartitionByRange(targetFiles, col(z))
       .sortWithinPartitions(col(z))
       .drop(z) // projection after the sort: row order within partitions survives
-    overwrite(out, name, pcols)
+    overwrite(out, name, pcols,
+      props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
   /** Copy-on-write row-level DELETE — the programmatic twin of SQL
@@ -2964,7 +2985,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // prop is what flips readers back to the pure-scan plan. The
       // now-unreferenced delete files become age-guarded GC food.
       val nv = catalog.commitSnapshotAt(name, clean ++ newFiles, v + 1,
-        Map.empty, commitStats(name, clean, newFiles))
+        Map(TableCatalog.OpProp -> TableCatalog.OpRewrite),
+        commitStats(name, clean, newFiles))
       (nv, dirty.size.toLong)
     } finally lock.release()
   }

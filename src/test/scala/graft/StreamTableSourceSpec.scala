@@ -119,4 +119,83 @@ class StreamTableSourceSpec extends SparkSpec {
       assert(msg(e3).contains("batch-only"), msg(e3))
     }
   }
+
+  private def msgChain(x: Throwable): String = {
+    def walk(c: Throwable): Seq[String] =
+      if (c == null) Seq.empty else Option(c.getMessage).toSeq ++ walk(c.getCause)
+    walk(x).mkString(" | ")
+  }
+
+  test("skipRewriteCommits rides through compaction / sorted rewrite / respec, exactly once") {
+    withCat("gstsk") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.ksrc"
+      val opts = Map("skipRewriteCommits" -> "true")
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      val ckpt = Files.createTempDirectory("graft_stsk_").toString
+      assert(drain(s"gstsk.$t", ckpt, opts).toSet === Set(1L -> "a", 2L -> "b"))
+
+      // append → compact → append, all unseen by the consumer yet: one
+      // drain serves exactly the two appends, nothing from the rewrite
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      io.compact(t)
+      io.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t)
+      assert(drain(s"gstsk.$t", ckpt, opts).toSet === Set(3L -> "c", 4L -> "d"))
+
+      // sorted rewrite and spec relay are marked maintenance too
+      io.compactSorted(t, Seq("id"), targetFiles = 2)
+      io.append(Seq((5L, "e")).toDF("id", "s").coalesce(1), t)
+      io.respecTable(t, Seq("bucket(2, id)"))
+      io.append(Seq((6L, "f")).toDF("id", "s").coalesce(1), t)
+      assert(drain(s"gstsk.$t", ckpt, opts).toSet === Set(5L -> "e", 6L -> "f"))
+
+      // a full replay from scratch over the same maintained history
+      // serves every appended row exactly once
+      val ckpt2 = Files.createTempDirectory("graft_stsk2_").toString
+      assert(drain(s"gstsk.$t", ckpt2, opts).toSet ===
+        (1L to 6L).map(i => i -> ("abcdef" (i.toInt - 1)).toString).toSet)
+
+      // an UNMARKED data-change rewrite still refuses, naming the option
+      io.deleteWhere(t, col("id") === 1L)
+      val e = intercept[Exception](drain(s"gstsk.$t", ckpt, opts))
+      assert(msgChain(e).contains("not a content-preserving rewrite"), msgChain(e))
+    }
+  }
+
+  test("skipChangeCommits serves append-as-of rows through COW DML and MOR deletes") {
+    withCat("gstsc") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.csrc"
+      val opts = Map("skipChangeCommits" -> "true")
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhere(t, col("id") === 2L) // COW change: skipped
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhereMOR(t, col("id") === 3L) // pending MOR: tolerated
+      io.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t)
+      val ckpt = Files.createTempDirectory("graft_stscc_").toString
+      // every row as of its APPEND — later deletes invisible by contract
+      assert(drain(s"gstsc.$t", ckpt, opts).toSet ===
+        Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    }
+  }
+
+  test("startingVersion is validated: non-numeric and out-of-range values name the option") {
+    withCat("gstsv") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.vsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      val e1 = intercept[Exception](drain(s"gstsv.$t",
+        Files.createTempDirectory("graft_stsv1_").toString,
+        Map("startingVersion" -> "banana")))
+      assert(msgChain(e1).contains("startingVersion"), msgChain(e1))
+      val e2 = intercept[Exception](drain(s"gstsv.$t",
+        Files.createTempDirectory("graft_stsv2_").toString,
+        Map("startingVersion" -> "99")))
+      assert(msgChain(e2).contains("outside the table's history"), msgChain(e2))
+      val e3 = intercept[Exception](drain(s"gstsv.$t",
+        Files.createTempDirectory("graft_stsv3_").toString,
+        Map("startingVersion" -> "-1")))
+      assert(msgChain(e3).contains("startingVersion"), msgChain(e3))
+    }
+  }
 }
