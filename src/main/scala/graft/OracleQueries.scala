@@ -664,6 +664,27 @@ object OracleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // streaming CDF replay of the scripted history: appends INSERT at
+    // their versions, the COW delete nets pure DELETEs (carried rows
+    // cancel), the COW update nets DELETE(old)+INSERT(new) over the
+    // v3-live rows, the compaction nets zero
+    "q133_stream_changelog" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |app AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000 AS skey, 'n_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
+        |v2state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live3 AS (SELECT * FROM v2state WHERE skey % 3 <> 0)
+        |SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
+        |UNION ALL SELECT skey, s_name, bal, 'INSERT', 2 FROM app
+        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM v2state WHERE skey % 3 = 0
+        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 4 FROM live3 WHERE skey % 4 = 1
+        |UNION ALL SELECT skey, s_name, CAST(bal + 50 AS DECIMAL(12,2)), 'INSERT', 4
+        |  FROM live3 WHERE skey % 4 = 1""".stripMargin,
+
     // branch changelog replay: appended rows INSERT at branch v2;
     // every row matching the delete predicate (base AND just-appended)
     // DELETEs at v3 — carried rewrite rows cancel in the file diff

@@ -468,6 +468,51 @@ object SparkEntry {
       drainIo.read("default.drained")
     }),
 
+    // STREAMING change data feed (Delta's readChangeFeed / Iceberg's
+    // changelog scan, as a stream): `readStream.table("<t>.changelog")`
+    // serves the NET row-level changes per micro-batch — appends as
+    // INSERTs straight off their files (constant-tagged rows, zero
+    // extra I/O), COW DELETE/UPDATE rewrites as their exceptAll diff
+    // (staged once under the stream's checkpoint, O(files touched)),
+    // and a compaction nets to ZERO rows, so CDC consumers ride
+    // through maintenance with no option at all. The scripted history
+    // (overwrite, append, COW delete, COW update, compact) fully
+    // determines the drained rows; versions restart at 1 via dropTable
+    // so the _change_version column is hash-oracled literally.
+    "q133_stream_changelog" -> ((s, dir) => {
+      val cname = "gcdc"
+      val io = catalogIO(s, cname, "graft_cdc2_")
+      val t = "default.supp_cl"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"),
+        col("s_acctbal").cast("decimal(12,2)").as("bal")), t) // v1
+      io.append(Tables.supplier(s, dir).filter(col("s_suppkey").between(3, 7))
+        .select((col("s_suppkey").cast("bigint") + 1000).as("skey"),
+          concat(lit("n_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal")), t) // v2
+      io.deleteWhere(t, col("skey") % 3 === 0) // v3: net DELETEs only
+      io.updateWhere(t, col("skey") % 4 === 1,
+        Map("bal" -> (col("bal") + 50).cast("decimal(12,2)"))) // v4: DELETE+INSERT
+      io.compact(t) // v5: nets zero changelog rows
+      val drainIo = TableIO(s, tempDir("graft_cdcd_"))
+      val q = s.readStream.table(s"$cname.$t.changelog")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tempDir("graft_cdcc_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.TableSink.commitStreamBatch(
+            drainIo, "default.drained", id, batch)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      drainIo.read("default.drained")
+        .orderBy(col("_change_version"), col("_change_type"), col("skey"),
+          col("s_name"), col("bal"))
+    }),
+
     // Branch CHANGELOG — the audit question itself: "what exactly will
     // fast_forward publish?" The branch accumulates an append and a
     // COW DELETE (via the WAP session conf); readChangelogBranch diffs

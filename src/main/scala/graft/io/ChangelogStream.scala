@@ -1,0 +1,347 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `<table>.changelog` metadata table — the CDC surface in both
+  * execution modes (Iceberg's `.changes` metadata table / Delta's
+  * change data feed):
+  *
+  *   - BATCH: `SELECT * FROM cat.ns.t.changelog` serves
+  *     [[TableIO.readChangelog]] — the NET row-level changes of a
+  *     version range as data rows + `_change_type`
+  *     ("INSERT"/"DELETE") + `_change_version`, with
+  *     `option("fromVersion", n)` / `option("toVersion", n)` bounds
+  *     (defaults: full history to current).
+  *   - STREAMING: `spark.readStream.table("cat.ns.t.changelog")`
+  *     serves the same rows PER MICRO-BATCH with the checkpointed
+  *     version offset — the streaming CDF consumer. Each batch costs
+  *     O(files its commits touched): pure appends stream their files
+  *     directly with constant-tagged rows (no extra I/O), and rewrite
+  *     commits (COW DML, MERGE) net their row diff via the changelog
+  *     core, staged once under the stream's own checkpoint directory.
+  *     A pure compaction nets to zero rows, so CDC consumers ride
+  *     through maintenance with no option needed — the file diff
+  *     cancels carried rows by construction.
+  *
+  * Refusals mirror the batch reader: pending merge-on-read deletes in
+  * range (a MOR commit changes no files, its deletions are invisible
+  * to a file diff) and expired manifests refuse loudly with the
+  * recovery step. Renamed-column and Hive-dir-partitioned tables are
+  * batch-only changelog sources, same shape rule as the plain table
+  * stream.
+  */
+private[io] class ChangelogTable(
+    cat: TableCatalog,
+    tableName: String
+) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+  private def io: TableIO = new TableIO(spark, cat)
+
+  // the DATA schema under logical names (declared schema + renames +
+  // hidden-layout stripping all applied by the normal read path)
+  private lazy val dataSchema: StructType = io.read(tableName).schema
+
+  override def name(): String = s"$tableName.changelog"
+
+  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_change_version", IntegerType, nullable = true)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+
+      override def build(): Scan = new org.apache.spark.sql.connector.read.V1Scan {
+        private val full = schema()
+        private val read = required.getOrElse(full)
+        override def readSchema(): StructType = read
+
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            ctx: org.apache.spark.sql.SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+            override def schema: StructType = read
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              def intOpt(key: String): Option[Int] =
+                Option(options.get(key)).map { raw =>
+                  raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+                    s"changelog read of $tableName: option $key must be an integer, got '$raw'"))
+                }
+              val from = intOpt("fromVersion").getOrElse(0)
+              val io2 = new TableIO(ctx.sparkSession, cat)
+              io2.readChangelog(tableName, from, intOpt("toVersion"))
+                .select(read.fields.toSeq
+                  .map(f => org.apache.spark.sql.functions.col(f.name)): _*).rdd
+            }
+          }.asInstanceOf[T]
+
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val meta = cat.readMeta(tableName)
+          if (meta.renames.nonEmpty) throw new UnsupportedOperationException(
+            s"$tableName.changelog: renamed-column tables are batch-only changelog " +
+              "sources (per-batch file reads run under physical names; use " +
+              "readChangelog, or compact() to rewrite files under current names)")
+          val hiveDir = cat.currentVersion(tableName).toSeq
+            .flatMap(v => cat.manifest(tableName, v))
+            .exists(f => Paths.get(f).iterator().asScala.exists { seg =>
+              val s = seg.toString
+              s.contains('=') && !s.startsWith(PartitionTransforms.Prefix)
+            })
+          if (hiveDir) throw new UnsupportedOperationException(
+            s"$tableName.changelog: Hive-dir-partitioned tables are batch-only " +
+              "changelog sources (directory values cannot ride the fixed streaming " +
+              "row shape; hidden-layout gp_* tables stream fine)")
+          new ChangelogMicroBatchStream(tableName, cat, dataSchema, read,
+            options, checkpointLocation)
+        }
+      }
+    }
+}
+
+/** Micro-batch half of [[ChangelogTable]]: offset = snapshot version
+  * (checkpointed), each batch serves the changelog rows of
+  * `(startOffset, endOffset]`. Append commits stream their files
+  * directly — a per-partition wrapper appends the constant
+  * (`_change_type`, `_change_version`) pair, so the hot path costs
+  * zero extra I/O. Rewrite commits stage their net row diff (the
+  * [[TableIO.readChangelog]] single-step frame) as parquet under
+  * `<checkpoint>/graft-cdf-stage/v<version>/` — O(files touched),
+  * overwritten idempotently on replanning and swept on batch commit.
+  */
+private[io] class ChangelogMicroBatchStream(
+    tableName: String,
+    cat: TableCatalog,
+    dataSchema: StructType,
+    streamSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String
+) extends MicroBatchStream {
+
+  private case class V(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  private val startV: Int =
+    Option(options.get("startingVersion")).map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"changelog stream over $tableName: option startingVersion must be a " +
+          s"non-negative integer, got '$raw'"))
+      val cur = cat.currentVersion(tableName).getOrElse(0)
+      if (v < 0 || v > cur) throw new IllegalArgumentException(
+        s"changelog stream over $tableName: option startingVersion = $v is outside " +
+          s"the table's history [0, $cur]")
+      v
+    }.getOrElse(0)
+
+  override def initialOffset(): Offset = V(startV)
+  override def latestOffset(): Offset = V(cat.currentVersion(tableName).getOrElse(0))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
+  override def stop(): Unit = ()
+
+  // checkpointLocation arrives as a URI string ("file:/tmp/ckpt");
+  // Paths.get on the raw string would treat the scheme as a literal
+  // path segment, diverging from where the parquet writer lands
+  private def stageRoot: java.nio.file.Path = {
+    val base =
+      try {
+        val u = new java.net.URI(checkpointLocation)
+        if (u.getScheme == null) Paths.get(checkpointLocation) else Paths.get(u)
+      } catch { case scala.util.control.NonFatal(_) => Paths.get(checkpointLocation) }
+    base.resolve("graft-cdf-stage")
+  }
+
+  /** Processed through `end`: the staged diffs at or below it are dead
+    * weight in the stream's own checkpoint dir — sweep best-effort.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[V].v
+    try {
+      if (Files.isDirectory(stageRoot))
+        Using.resource(Files.list(stageRoot)) { s =>
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.stripPrefix("v").toIntOption.exists(_ <= e))
+            .toSeq
+        }.foreach { dir =>
+          Using.resource(Files.walk(dir)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  // the pruned DATA columns this stream serves (change cols appended
+  // by the reader wrapper in streamSchema's own order)
+  private val dataCols = StructType(
+    streamSchema.fields.filterNot(f => ChangelogStream.ChangeCols.contains(f.name)))
+  private val changeCols: Seq[String] =
+    streamSchema.fields.map(_.name).filter(ChangelogStream.ChangeCols.contains).toSeq
+
+  @volatile private var batchFactory: PartitionReaderFactory =
+    ChangelogStream.EmptyFactory
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.col
+    val s = start.asInstanceOf[V].v
+    val e = end.asInstanceOf[V].v
+    if (e <= s) { batchFactory = ChangelogStream.EmptyFactory; return Array.empty }
+    def manifestOrReject(v: Int): Seq[String] =
+      if (v == 0) Seq.empty
+      else
+        try cat.manifest(tableName, v)
+        catch {
+          case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
+            s"changelog stream over $tableName: snapshot $v in range [$s, $e] is " +
+              "expired — its commit can no longer be diffed; restart the stream")
+        }
+    (math.max(s, 1) to e).foreach { v =>
+      if (cat.pendingDeletes(tableName, v).nonEmpty)
+        throw new IllegalStateException(
+          s"changelog stream over $tableName: snapshot $v carries pending " +
+            "merge-on-read deletes — a MOR commit changes no files, so its deletions " +
+            "are invisible to a file diff. Run applyDeletes and restart the stream " +
+            "from the applied snapshot (startingVersion)")
+    }
+    val spark = SparkSession.active
+    val io = new TableIO(spark, cat)
+    // normalized file path -> (change type, committing version)
+    val tags = Map.newBuilder[String, (String, Int)]
+    def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    var prev = manifestOrReject(s).toSet
+    ((s + 1) to e).foreach { v =>
+      val cur = manifestOrReject(v).toSet
+      val removed = prev.diff(cur)
+      if (removed.isEmpty) cur.diff(prev).foreach(f => tags += norm(f) -> ("INSERT" -> v))
+      else {
+        // rewrite commit: net row diff via the batch changelog core —
+        // carried rows cancel (a pure compaction stages zero rows).
+        // Staged ONCE per version and REUSED on replanning: the batch
+        // plan is re-executed (foreachBatch re-plans the scan), and a
+        // re-stage would mint new random file names while the earlier
+        // planning's partitions still reference the old ones. A
+        // complete stage (writer's _SUCCESS marker) is authoritative;
+        // anything else (crash mid-write) is rewritten. Swept on batch
+        // commit.
+        lazy val step = io.readChangelog(tableName, v - 1, Some(v))
+        Seq("INSERT" -> "insert", "DELETE" -> "delete").foreach { case (tpe, sub) =>
+          val dir = stageRoot.resolve(s"v$v").resolve(sub)
+          if (!Files.isRegularFile(dir.resolve("_SUCCESS")))
+            step.filter(col("_change_type") === tpe)
+              .drop("_change_type", "_change_version")
+              .write.mode("overwrite").parquet(dir.toString)
+          Using.resource(Files.list(dir)) { l =>
+            l.iterator().asScala.map(_.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted
+          }.foreach(f => tags += norm(f) -> (tpe -> v))
+        }
+      }
+      prev = cur
+    }
+    val tagOf = tags.result()
+    if (tagOf.isEmpty) { batchFactory = ChangelogStream.EmptyFactory; return Array.empty }
+    // one plain parquet batch over every tagged file, pinned to the
+    // table's data schema (staged diffs and appended data files share
+    // it); NO basePath — see GraftMicroBatchStream: partition
+    // discovery over mixed roots silently drops files
+    val files = tagOf.keys.toSeq.sorted
+    val scanOptions = CaseInsensitiveStringMap.empty()
+    val scanTable = ParquetTable(s"$tableName#changelog@v$e", spark,
+      scanOptions, files, Some(dataSchema), classOf[ParquetFileFormat])
+    val sb = scanTable.newScanBuilder(scanOptions)
+    sb match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataCols)
+      case _ => ()
+    }
+    val batch = sb.build().toBatch
+    // split size-packed FilePartitions to TAG purity so the constant
+    // pair is per-partition (same relabeling move as KeyedLayoutScan)
+    val parts = batch.planInputPartitions().iterator.flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy { pf =>
+          tagOf.getOrElse(pf.filePath.toUri.getPath,
+            throw new IllegalStateException(
+              s"changelog stream: no tag for planned file ${pf.filePath}"))
+        }
+      case other => throw new IllegalStateException(
+        s"changelog stream expected FilePartition, got ${other.getClass}")
+    }.zipWithIndex.map { case (((tpe, v), pfs), idx) =>
+      ChangeTaggedPartition(FilePartition(idx, pfs), tpe, v): InputPartition
+    }.toArray
+    batchFactory =
+      new ChangeTagReaderFactory(batch.createReaderFactory(), changeCols)
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = batchFactory
+}
+
+private[io] object ChangelogStream {
+  val ChangeCols: Set[String] = Set("_change_type", "_change_version")
+
+  object EmptyFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      throw new IllegalStateException("empty changelog micro-batch planned no partitions")
+  }
+}
+
+/** A delegate `FilePartition` labeled with the constant change pair its
+  * rows carry.
+  */
+private[io] case class ChangeTaggedPartition(inner: FilePartition,
+                                             changeType: String, version: Int)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Appends the partition's constant (`_change_type`,
+  * `_change_version`) pair to each data row — in the pruned stream
+  * schema's own column order (`changeCols` lists exactly the requested
+  * change columns). Row-based on purpose: the constant join is a
+  * `JoinedRow` re-use per row, and change batches are delta-sized.
+  */
+private[io] class ChangeTagReaderFactory(
+    delegate: PartitionReaderFactory,
+    changeCols: Seq[String]
+) extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case t: ChangeTaggedPartition =>
+      val inner = delegate.createReader(t.inner)
+      if (changeCols.isEmpty) inner
+      else new PartitionReader[InternalRow] {
+        private val tail = new GenericInternalRow(changeCols.map {
+          case "_change_type" => UTF8String.fromString(t.changeType): Any
+          case "_change_version" => t.version: Any
+        }.toArray)
+        private val joined = new JoinedRow
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), tail)
+        override def close(): Unit = inner.close()
+      }
+    case other => delegate.createReader(other)
+  }
+}

@@ -28,7 +28,7 @@ private[io] object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "files", "history", "tags", "staged", "partitions", "column_stats",
-      "branches", "refs", "deletes")
+      "branches", "refs", "deletes", "changelog")
 
   def load(cat: TableCatalog, table: String, meta: String): Table = meta match {
     case "snapshots" | "history" =>
@@ -273,6 +273,10 @@ private[io] object MetadataTables {
             sizeOf(e.deleteFile))): InternalRow
         }
       local(s"$table.deletes", schema, rows)
+    case "changelog" =>
+      // the CDC surface, batch AND streaming — data-sized, so not a
+      // LocalScan: see ChangelogTable
+      new ChangelogTable(cat, table)
     case other =>
       throw new IllegalArgumentException(s"unknown metadata table: $other")
   }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.{GraftCatalog, TableIO}
+
+/** The `<table>.changelog` metadata table: batch CDC reads through SQL
+  * and the streaming change-data-feed source — INSERT/DELETE rows per
+  * micro-batch with the checkpointed version offset, composing the
+  * q131 micro-batch machinery with the readChangelog file-diff core.
+  */
+class ChangelogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat(cat: String)(body: String => Unit): Unit = {
+    val wh = Files.createTempDirectory("graft_cdf_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(wh) finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private def drain(tableRef: String, checkpoint: String,
+                    opts: Map[String, String] = Map.empty): Seq[(String, Int, Long, String)] = {
+    val buf = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+    val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+    val q = reader.table(tableRef).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= batch.select("_change_type", "_change_version", "id", "s")
+            .as[(String, Int, Long, String)].collect()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  private def msgChain(x: Throwable): String = {
+    def walk(c: Throwable): Seq[String] =
+      if (c == null) Seq.empty else Option(c.getMessage).toSeq ++ walk(c.getCause)
+    walk(x).mkString(" | ")
+  }
+
+  test("streaming CDF serves INSERT/DELETE per micro-batch across appends, COW DML, and compaction") {
+    withCat("gcdf") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.src"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t) // v1
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t) // v2
+      val ckpt = Files.createTempDirectory("graft_cdfc_").toString
+
+      // full-history first drain: all three rows as INSERTs at their versions
+      assert(drain(s"gcdf.$t.changelog", ckpt).toSet === Set(
+        ("INSERT", 1, 1L, "a"), ("INSERT", 1, 2L, "b"), ("INSERT", 2, 3L, "c")))
+      assert(drain(s"gcdf.$t.changelog", ckpt).isEmpty)
+
+      // a COW DELETE: the rewrite's net diff is one DELETE row (carried
+      // rows cancel via exceptAll)
+      io.deleteWhere(t, col("id") === 2L) // v3
+      assert(drain(s"gcdf.$t.changelog", ckpt).toSet === Set(("DELETE", 3, 2L, "b")))
+
+      // a COW UPDATE nets DELETE(old) + INSERT(new) at the same version
+      io.updateWhere(t, col("id") === 3L, Map("s" -> org.apache.spark.sql.functions.lit("C"))) // v4
+      assert(drain(s"gcdf.$t.changelog", ckpt).toSet === Set(
+        ("DELETE", 4, 3L, "c"), ("INSERT", 4, 3L, "C")))
+
+      // a pure compaction nets to ZERO rows — CDC rides through
+      // maintenance with no option needed
+      io.compact(t) // v5
+      assert(drain(s"gcdf.$t.changelog", ckpt).isEmpty)
+
+      // and the next append still streams
+      io.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t) // v6
+      assert(drain(s"gcdf.$t.changelog", ckpt).toSet === Set(("INSERT", 6, 4L, "d")))
+
+      // streaming replay from scratch equals the batch changelog replay
+      val ckpt2 = Files.createTempDirectory("graft_cdfc2_").toString
+      val streamed = drain(s"gcdf.$t.changelog", ckpt2).toSet
+      val batch = io.readChangelog(t)
+        .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(streamed === batch)
+    }
+  }
+
+  test("batch .changelog through SQL honors fromVersion/toVersion options") {
+    withCat("gcdfb") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.bsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v1
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t) // v2
+      io.deleteWhere(t, col("id") === 1L) // v3
+      val all = spark.sql(s"SELECT _change_type, _change_version, id, s FROM gcdfb.$t.changelog")
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(all === Set(("INSERT", 1, 1L, "a"), ("INSERT", 2, 2L, "b"), ("DELETE", 3, 1L, "a")))
+      val ranged = spark.read.option("fromVersion", "1").option("toVersion", "2")
+        .table(s"gcdfb.$t.changelog")
+        .select("_change_type", "_change_version", "id", "s")
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(ranged === Set(("INSERT", 2, 2L, "b")))
+      val e = intercept[Exception](spark.read.option("fromVersion", "x")
+        .table(s"gcdfb.$t.changelog").collect())
+      assert(msgChain(e).contains("fromVersion"), msgChain(e))
+    }
+  }
+
+  test("CDF stream refuses pending MOR deletes in range, naming applyDeletes") {
+    withCat("gcdfm") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.msrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhereMOR(t, col("id") === 2L)
+      val e = intercept[Exception](drain(s"gcdfm.$t.changelog",
+        Files.createTempDirectory("graft_cdfm_").toString))
+      assert(msgChain(e).contains("applyDeletes"), msgChain(e))
+      // after applyDeletes, a stream starting at the applied snapshot reads
+      io.applyDeletes(t)
+      val vApplied = io.catalog.currentVersion(t).get
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      val got = drain(s"gcdfm.$t.changelog",
+        Files.createTempDirectory("graft_cdfm2_").toString,
+        Map("startingVersion" -> vApplied.toString))
+      assert(got.toSet === Set(("INSERT", vApplied + 1, 3L, "c")))
+    }
+  }
+
+  test("column pruning: a consumer selecting only data columns (or only change columns) reads clean") {
+    withCat("gcdfp") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.psrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhere(t, col("id") === 1L)
+      val buf = mutable.ArrayBuffer.empty[(Long, String)]
+      val q = spark.readStream.table(s"gcdfp.$t.changelog")
+        .select("id", "_change_type") // prunes s and _change_version
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_cdfp_").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= batch.as[(Long, String)].collect() }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(buf.toSet === Set(1L -> "INSERT", 2L -> "INSERT", 1L -> "DELETE"))
+    }
+  }
+}
