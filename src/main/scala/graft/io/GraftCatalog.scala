@@ -1314,15 +1314,33 @@ private[io] class GraftMorRowOpsTable(
                     df.withColumnRenamed(l, p)
                   }
                   java.nio.file.Files.createDirectories(tableRoot)
+                  // a REPLAN re-stages: reclaim the superseded dir now
+                  // instead of waiting out the age-guarded orphan GC
+                  scanStaging.foreach(GraftCatalog.sweepDir)
                   val stage = java.nio.file.Files.createTempDirectory(tableRoot, ".stage-")
                   scanStaging = Some(stage)
                   val out = stage.resolve("merged")
-                  physical.write.parquet(out.toString)
-                  val staged = scala.util.Using.resource(
-                    java.nio.file.Files.list(out)) { s =>
-                    s.iterator().asScala.map(_.toString)
-                      .filter(_.endsWith(".parquet")).toSeq.sorted
-                  }
+                  // a failed materialization must not leak its dir —
+                  // this is the planning-side failure window the
+                  // write-side sweepAll can never reach (the write is
+                  // only constructed after planning succeeds). A plan
+                  // abandoned between here and write construction is
+                  // the one remaining leak shape; the age-guarded
+                  // orphan GC reclaims it.
+                  val staged =
+                    try {
+                      physical.write.parquet(out.toString)
+                      scala.util.Using.resource(
+                        java.nio.file.Files.list(out)) { s =>
+                        s.iterator().asScala.map(_.toString)
+                          .filter(_.endsWith(".parquet")).toSeq.sorted
+                      }
+                    } catch {
+                      case e: Throwable =>
+                        GraftCatalog.sweepDir(stage)
+                        scanStaging = None
+                        throw e
+                    }
                   cleanChosen ++ staged
                 }
               // staged files live OUTSIDE the data dir: the delegate's
@@ -1624,4 +1642,15 @@ private[io] object GraftTable {
   }
 
   private def attr(a: String): Column = col("`" + a.replace("`", "``") + "`")
+}
+
+private[io] object GraftCatalog {
+  /** Best-effort recursive delete of a private staging dir. */
+  def sweepDir(dir: java.nio.file.Path): Unit =
+    try {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -1562,23 +1562,6 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   private def morShardRows: Long =
     spark.conf.getOption("spark.graft.mor.shardRows").map(_.toLong).getOrElse(1L << 20)
 
-  /** Metadata-only UPPER BOUND on the rows a scan of `files` can emit:
-    * manifest stats row counts, footer fallback, "unbounded" on a
-    * failed footer (conservative toward sharding — at scale an unknown
-    * size must parallelize, never single-task).
-    */
-  private def statsRowBound(stats: Map[String, Map[String, FileStats.ColStats]],
-                            files: Seq[String]): Long = {
-    lazy val conf = spark.sessionState.newHadoopConf()
-    files.foldLeft(0L) { (acc, f) =>
-      val rows = stats.get(f).flatMap(_.values.headOption.map(_.rowCount))
-        .getOrElse(
-          try FileStats.rowCount(f, conf)
-          catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 })
-      if (acc + rows < acc) Long.MaxValue else acc + rows
-    }
-  }
-
   /** Deletes-merged read of an explicit file subset — the package
     * door to [[mergeDeletes]] for the DSv2 row-level rewrite over a
     * dirty snapshot ([[GraftMorRowOpsTable]]): the rewrite scans
@@ -2873,6 +2856,60 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     }
   }
 
+  /** Commit a merge-on-read write on top of the chain with OPTIMISTIC
+    * CROSS-PROCESS REBASE. The write path holds the same-JVM table
+    * lock, but a writer in another process can land a commit between
+    * chain resolution and our pinned commit — without a retry the
+    * loser errors out even when nothing actually conflicts (Iceberg
+    * retries metadata-only commits; so do we). The MOR commit shape —
+    * keep every current file, add `newFiles`, stack `newRaw` entries
+    * onto the head's deletes carry — rebases safely onto any head that
+    * still CONTAINS every file the entries scope (`scopedKeys`,
+    * table-root-relative): position pairs reference immutable files,
+    * and an equality entry's dirty list pins exactly the files it
+    * kills in, so a racer's appended files stay out of scope — their
+    * rows are newer than this batch and survive it (snapshot
+    * isolation, Iceberg's default for row-delta commits). A head
+    * missing a scoped file means a rewrite/applyDeletes landed and the
+    * recorded positions are dead — rethrow for the caller to rerun
+    * against fresh state. Bounded attempts: livelock surfaces as the
+    * conflict, never a spin.
+    */
+  private def commitMorRebasing(name: String, branch: Option[String],
+      chain0: MorChain, newFiles: Seq[String], newRaw: Option[String],
+      scopedKeys: Seq[String],
+      newStats: Map[String, Map[String, FileStats.ColStats]],
+      extraProps: Map[String, String]): Int = {
+    val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+    def relKey(f: String): String =
+      root.relativize(Paths.get(f).toAbsolutePath.normalize).toString
+    val scoped = scopedKeys.toSet
+    var chain = chain0
+    var attempts = 0
+    while (true) {
+      val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
+      val deletesProp = newRaw match {
+        case Some(nr) =>
+          Map(TableCatalog.DeletesProp -> priorRaw.fold(nr)(p => TableCatalog.joinDeletesRaw(p, nr)))
+        case None => priorRaw.map(TableCatalog.DeletesProp -> _).toMap
+      }
+      try return chain.commit(chain.manifest ++ newFiles,
+        deletesProp ++ extraProps, chain.stats ++ newStats)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+          chain = morChain(name, branch) // re-read the fresh head
+          if (!scoped.subsetOf(chain.manifest.map(relKey).toSet))
+            throw new ConcurrentCommitException(
+              s"MOR commit to ${chain.describe} lost its base: a concurrent rewrite " +
+                "removed file(s) the delete entries scope — rerun the operation " +
+                "against the current snapshot")
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Merge-on-read row-level DELETE: record the positions of rows
     * matching `condition` (a null-valued predicate keeps the row, per
     * SQL) as a position-delete file and commit it with the UNCHANGED
@@ -2912,50 +2949,44 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         else applyDeleteEntries(scanned, name, prior)
       val hits = live.filter(coalesce(condition, lit(false)))
         .select(col(TableIO.PosFileCol).as("gd_file"), col(TableIO.PosIdxCol).as("gd_pos"))
-      val id = java.util.UUID.randomUUID().toString.take(12)
-      val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-      // small delete sets (the designed regime) write ONE file in one
-      // task; above the shard bound the write repartitions by dirty
-      // file key so a predicate matching millions of rows never
-      // serializes through a single task (multi-file delete sets are
-      // first-class: one entry per file, shared dirty list)
-      (if (statsRowBound(chain.stats, candidates) > morShardRows)
-         hits.repartition(col("gd_file"))
-       else hits.coalesce(1))
-        .write.parquet(outDir.toString)
-      // one tiny job over the just-written (page-cache-hot) parquet:
-      // deleted-row count + the distinct dirty file keys. The collect
-      // is bounded by the manifest size, never the data.
-      val agg = spark.read.parquet(outDir.toString)
-        .agg(count(lit(1)).as("n"), collect_set(col("gd_file")).as("dirty")).head()
-      val n = agg.getLong(0)
-      if (n == 0) {
-        // nothing matched: reclaim the empty delete dir, commit nothing
-        try Using.resource(Files.walk(outDir)) { s =>
-          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }
-        return (v, 0L)
-      }
-      val dirtyKeys = agg.getSeq[String](1).sorted
-      val delFiles = Using.resource(Files.list(outDir)) { s =>
-        s.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (n, dirtyKeys, delFiles, outDir) = try {
+        // count + dirty keys from the cached positions FIRST: the shard
+        // decision keys on the ACTUAL hit count, not the candidate-row
+        // upper bound — a selective predicate over millions of candidate
+        // rows must not shatter a tiny delete set into
+        // shuffle.partitions files, each duplicating the dirty list in
+        // its entry. The collect is bounded by the manifest size.
+        val agg = hits.agg(count(lit(1)).as("n"),
+          collect_set(col("gd_file")).as("dirty")).head()
+        val nHits = agg.getLong(0)
+        if (nHits == 0) return (v, 0L) // nothing matched: nothing written
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val dir = Paths.get(catalog.pathOf(name), "deletes", id)
+        // small delete sets (the designed regime) write ONE file in one
+        // task; above the shard bound the write repartitions by dirty
+        // file key so a predicate matching millions of rows never
+        // serializes through a single task (multi-file delete sets are
+        // first-class: one entry per file, shared dirty list)
+        (if (nHits > morShardRows) hits.repartition(col("gd_file"))
+         else hits.coalesce(1))
+          .write.parquet(dir.toString)
+        val files = Using.resource(Files.list(dir)) { s =>
+          s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+        }
+        (nHits, agg.getSeq[String](1).sorted, files, dir)
+      } finally { hits.unpersist(); () }
       require(delFiles.nonEmpty, s"delete write for $name produced no parquet under $outDir")
       val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
       val newEntries = delFiles.map(df =>
         TableCatalog.DeleteEntry(root.relativize(
           Paths.get(df).toAbsolutePath.normalize).toString, dirtyKeys))
-      // prior entries carry in their RAW (relative) prop form so the
-      // encoding is byte-stable across stacked MOR deletes
-      val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
-      val newRaw = TableCatalog.encodeDeletes(newEntries)
-      val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
-      // pinned at head+1: a racer landing after the scan surfaces as
-      // ConcurrentCommitException, never a delete set computed against
-      // a stale snapshot committing over fresher data
-      val nv = chain.commit(files, Map(TableCatalog.DeletesProp -> propVal), chain.stats)
+      // pinned at head+1; a cross-process racer rebases through
+      // commitMorRebasing (prior entries carry in their RAW relative
+      // prop form there, byte-stable across stacked MOR deletes)
+      val nv = commitMorRebasing(name, branch, chain, Seq.empty,
+        Some(TableCatalog.encodeDeletes(newEntries)), dirtyKeys, Map.empty, Map.empty)
       (nv, n)
     } finally lock.release()
   }
@@ -2970,24 +3001,39 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
-      val v = catalog.currentVersion(name).getOrElse(
-        throw new IllegalArgumentException(s"table not found: $name"))
-      val entries = catalog.pendingDeletes(name, v)
-      if (entries.isEmpty) return (v, 0L)
-      val files = catalog.manifest(name, v)
-      def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
-      val dirtySet = entries.flatMap(_.dirtyFiles).map(norm).toSet
-      val (dirty, clean) = files.partition(f => dirtySet(norm(f)))
-      val merged = mergeDeletes(name, dirty, entries)
-      val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-      val newFiles = stageWrite(toPhysical(merged, name), name, pcols)
-      // pinned at v+1 like every version-checked commit; the cleared
-      // prop is what flips readers back to the pure-scan plan. The
-      // now-unreferenced delete files become age-guarded GC food.
-      val nv = catalog.commitSnapshotAt(name, clean ++ newFiles, v + 1,
-        Map(TableCatalog.OpProp -> TableCatalog.OpRewrite),
-        commitStats(name, clean, newFiles))
-      (nv, dirty.size.toLong)
+      // a rewrite cannot blind-rebase (the merge ran against the pinned
+      // snapshot's files and entries), but it CAN rerun: on a
+      // cross-process conflict the whole read-merge-commit repeats
+      // against the fresh head — entries/files re-read, the losing
+      // attempt's staged files become age-guarded GC food
+      var attempts = 0
+      while (true) {
+        val v = catalog.currentVersion(name).getOrElse(
+          throw new IllegalArgumentException(s"table not found: $name"))
+        val entries = catalog.pendingDeletes(name, v)
+        if (entries.isEmpty) return (v, 0L)
+        val files = catalog.manifest(name, v)
+        def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+        val dirtySet = entries.flatMap(_.dirtyFiles).map(norm).toSet
+        val (dirty, clean) = files.partition(f => dirtySet(norm(f)))
+        val merged = mergeDeletes(name, dirty, entries)
+        val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+        val newFiles = stageWrite(toPhysical(merged, name), name, pcols)
+        // pinned at v+1 like every version-checked commit; the cleared
+        // prop is what flips readers back to the pure-scan plan. The
+        // now-unreferenced delete files become age-guarded GC food.
+        try {
+          val nv = catalog.commitSnapshotAt(name, clean ++ newFiles, v + 1,
+            Map(TableCatalog.OpProp -> TableCatalog.OpRewrite),
+            commitStats(name, clean, newFiles))
+          return (nv, dirty.size.toLong)
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempts += 1
+            if (attempts >= 3) throw e
+        }
+      }
+      (-1, -1L) // unreachable
     } finally lock.release()
   }
 
@@ -3024,26 +3070,21 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       val matched = live.filter(coalesce(condition, lit(false)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val id = java.util.UUID.randomUUID().toString.take(12)
-        val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
         val positions = matched.select(col(TableIO.PosFileCol).as("gd_file"),
           col(TableIO.PosIdxCol).as("gd_pos"))
-        // sharded above the bound, like deleteWhereMOR's write
-        (if (statsRowBound(chain.stats, candidates) > morShardRows)
-           positions.repartition(col("gd_file"))
-         else positions.coalesce(1))
-          .write.parquet(outDir.toString)
-        val agg = spark.read.parquet(outDir.toString)
+        // count + dirty keys from the cached match FIRST (the shard
+        // decision keys on ACTUAL hits, like deleteWhereMOR's write);
+        // a no-match update commits nothing and writes nothing
+        val agg = positions
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
             org.apache.spark.sql.functions.collect_set(col("gd_file")).as("dirty")).head()
         val n = agg.getLong(0)
-        if (n == 0) {
-          try Using.resource(Files.walk(outDir)) { s =>
-            s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          } catch { case scala.util.control.NonFatal(_) => () }
-          return (v, 0L)
-        }
+        if (n == 0) return (v, 0L)
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
+        (if (n > morShardRows) positions.repartition(col("gd_file"))
+         else positions.coalesce(1))
+          .write.parquet(outDir.toString)
         val dirtyKeys = agg.getSeq[String](1).sorted
         val delFiles = Using.resource(Files.list(outDir)) { s =>
           s.iterator().asScala.map(_.toString)
@@ -3059,13 +3100,10 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
         val newFiles = stageWrite(toPhysical(updated, name), name, pcols)
-        val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
-        val newRaw = TableCatalog.encodeDeletes(newEntries)
-        val propVal = priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw))
         val conf = spark.sessionState.newHadoopConf()
-        val nv = chain.commit(files ++ newFiles,
-          Map(TableCatalog.DeletesProp -> propVal),
-          chain.stats ++ catalog.statsForCommit(name, Seq.empty, newFiles, conf))
+        val nv = commitMorRebasing(name, branch, chain, newFiles,
+          Some(TableCatalog.encodeDeletes(newEntries)), dirtyKeys,
+          catalog.statsForCommit(name, Seq.empty, newFiles, conf), Map.empty)
         (nv, n)
       } finally { matched.unpersist(); () }
     } finally lock.release()
@@ -3157,8 +3195,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         if (n == 0) {
           // idle batch: metadata-only mark commit (same as upsert)
           if (props.nonEmpty) {
-            chain.commit(files, chain.deletesCarry ++ props, chain.stats)
-            return (v + 1, 0L)
+            val nv = commitMorRebasing(name, branch, chain, Seq.empty, None,
+              Seq.empty, Map.empty, props)
+            return (nv, 0L)
           }
           return (v, 0L)
         }
@@ -3183,9 +3222,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val newFiles =
           if (pinned.isEmpty) Seq.empty[String]
           else stageWrite(toPhysical(pinned, name), name, pcols)
-        val priorRaw = chain.deletesCarry.get(TableCatalog.DeletesProp)
-        val deletesProp =
-          if (dirty.isEmpty) priorRaw // stats prove no file holds the keys: pure append
+        // stats prove no file holds the keys: pure append (no entry)
+        val (entriesRaw, dirtyRel) =
+          if (dirty.isEmpty) (None, Seq.empty[String])
           else {
             // equality keys ride under PHYSICAL column names (rename-proof)
             val renames = catalog.renames(name)
@@ -3203,17 +3242,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                 .filter(_.endsWith(".parquet")).toSeq.sorted
             }
             val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
-            val dirtyRel = dirty.map(f => root.relativize(
+            val rel = dirty.map(f => root.relativize(
               Paths.get(f).toAbsolutePath.normalize).toString).sorted
             val entries = delFiles.map(df =>
               TableCatalog.DeleteEntry(root.relativize(
-                Paths.get(df).toAbsolutePath.normalize).toString, dirtyRel, physKeys))
-            val newRaw = TableCatalog.encodeDeletes(entries)
-            Some(priorRaw.fold(newRaw)(p => TableCatalog.joinDeletesRaw(p, newRaw)))
+                Paths.get(df).toAbsolutePath.normalize).toString, rel, physKeys))
+            (Some(TableCatalog.encodeDeletes(entries)), rel)
           }
-        val nv = chain.commit(files ++ newFiles,
-          deletesProp.map(TableCatalog.DeletesProp -> _).toMap ++ props,
-          chain.stats ++ catalog.statsForCommit(name, Seq.empty, newFiles, conf))
+        val nv = commitMorRebasing(name, branch, chain, newFiles, entriesRaw,
+          dirtyRel, catalog.statsForCommit(name, Seq.empty, newFiles, conf), props)
         (nv, n)
       } finally lock.release()
     } finally { pinned.unpersist(); pinnedKeys.unpersist(); () }

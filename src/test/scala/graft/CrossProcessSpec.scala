@@ -34,6 +34,33 @@ object CrossProcessAppendWorker {
   }
 }
 
+/** Worker `main` for the MOR cross-process race: N sequential
+  * `deleteWhereMOR` calls, one id per commit, from this worker's own
+  * id range. Any version conflict with the other JVM's commits must be
+  * resolved by the optimistic rebase in `commitMorRebasing` — both
+  * writers' entries stack, no delete lost, no error surfaced.
+  */
+object CrossProcessMorWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(wh, table, loStr, hiStr) = args.take(4)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-xmor-worker-$loStr")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.col
+      val io = TableIO(spark, wh)
+      (loStr.toInt until hiStr.toInt).foreach { id =>
+        val (_, n) = io.deleteWhereMOR(table, col("id") === id.toLong)
+        require(n == 1, s"delete of id=$id matched $n rows")
+      }
+    } finally spark.stop()
+    sys.exit(0)
+  }
+}
+
 /** End-to-end proof that the commit protocol is safe ACROSS PROCESSES,
   * not just across threads: the in-JVM per-table write semaphore
   * cannot serialize two JVMs, so simultaneous appends from separate
@@ -112,6 +139,92 @@ class CrossProcessSpec extends graft.SparkSpec {
     }
     assert(claimed.map(_.size).sum == manifests.last.size,
       "a data file was committed as new by more than one snapshot")
+  }
+
+  test("two JVMs stacking MOR deletes concurrently: both writers' entries land, no lost update") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_xmor_").toString
+    val t = "default.morxjvm"
+    val io = TableIO(spark, wh)
+    // several data files so racing entries scope overlapping file sets
+    io.append((0L until 40L).map(i => (i, s"r$i")).toDF("id", "s").repartition(4), t)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val perWorker = 8
+    val procs = Seq((1, 0), (2, perWorker)).map { case (wid, lo) =>
+      val log = Files.createTempFile(s"graft_xmor_w$wid", ".log").toFile
+      val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.io.CrossProcessMorWorker",
+        wh, t, lo.toString, (lo + perWorker).toString)).asJava
+      val p = new ProcessBuilder(cmd).redirectErrorStream(true)
+        .redirectOutput(log).start()
+      (wid, p, log)
+    }
+    procs.foreach { case (wid, p, log) =>
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"MOR worker $wid timed out; log: $log")
+      assert(p.exitValue() == 0,
+        s"MOR worker $wid failed (exit ${p.exitValue()}); tail:\n" +
+          Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+    }
+
+    // every delete committed: seed + 16 MOR commits, contiguous versions
+    val total = 1 + 2 * perWorker
+    assert(io.versions(t) == (1 to total),
+      s"expected versions 1..$total, got ${io.versions(t)}")
+    // the data file list never changed (metadata-only commits throughout)
+    assert(io.catalog.manifest(t, total).toSet == io.catalog.manifest(t, 1).toSet,
+      "a MOR delete commit changed the data file list")
+    // both writers' entries are pending — none lost to a race
+    assert(io.catalog.pendingDeletes(t, total).size == 2 * perWorker,
+      s"expected ${2 * perWorker} pending entries, got " +
+        s"${io.catalog.pendingDeletes(t, total).size}")
+    // the merged read reflects every delete from both JVMs
+    val expect = (2L * perWorker until 40L).map(i => (i, s"r$i")).toSet
+    assert(io.read(t).as[(Long, String)].collect().toSet == expect)
+    // and materialization agrees
+    io.applyDeletes(t)
+    assert(io.read(t).as[(Long, String)].collect().toSet == expect)
+    assert(io.catalog.pendingDeletes(t, io.catalog.currentVersion(t).get).isEmpty)
+  }
+
+  test("MOR delete racing a second JVM's appends: the rebase keeps the racer's rows") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_xmra_").toString
+    val t = "default.mraxjvm"
+    val io = TableIO(spark, wh)
+    io.append((0L until 20L).map(i => (i, s"seed$i")).toDF("id", "s").repartition(2), t)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val log = Files.createTempFile("graft_xmra_w", ".log").toFile
+    val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessAppendWorker",
+      wh, t, "5", "6")).asJava
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+      .redirectOutput(log).start()
+    // MOR deletes from THIS JVM while the worker appends from its own:
+    // every commit from both sides must land (the rebase recommits on
+    // the racer's head, keeping its appended files)
+    (0 until 6).foreach { k =>
+      val (_, n) = io.deleteWhereMOR(t, col("id") === k.toLong)
+      assert(n == 1, s"delete of id=$k matched $n rows")
+      Thread.sleep(100)
+    }
+    assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+    assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+      Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+
+    // all 13 commits landed (seed + 6 worker appends + 6 MOR deletes)
+    assert(io.versions(t) == (1 to 13), s"got ${io.versions(t)}")
+    // no worker row lost to a rebased delete commit, deletes all applied
+    val expect = (6L until 20L).map(i => (i, s"seed$i")).toSet ++
+      (0 until 6).map(k => (5000L + k, s"w5-$k")).toSet
+    assert(io.read(t).as[(Long, String)].collect().toSet == expect)
+    io.applyDeletes(t)
+    assert(io.read(t).as[(Long, String)].collect().toSet == expect)
   }
 
   test("WAP publish racing a second JVM's appends: staged rows land exactly once, nothing lost") {
