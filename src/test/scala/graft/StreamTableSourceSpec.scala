@@ -117,6 +117,15 @@ class StreamTableSourceSpec extends SparkSpec {
       val ckpt3 = Files.createTempDirectory("graft_stsp_").toString
       val e3 = intercept[Exception](drain(s"gstsr.$t3", ckpt3))
       assert(msg(e3).contains("batch-only"), msg(e3))
+
+      // renamed-column table: the NAMED batch-only refusal, not
+      // Spark's generic micro-batch-unsupported error
+      val t4 = "default.rnsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t4)
+      spark.sql(s"ALTER TABLE gstsr.$t4 RENAME COLUMN s TO label")
+      val e4 = intercept[Exception](drain(s"gstsr.$t4",
+        Files.createTempDirectory("graft_stsn_").toString))
+      assert(msg(e4).contains("batch-only"), msg(e4))
     }
   }
 
