@@ -821,6 +821,12 @@ private[io] class GraftRowOpsTable(
         // fork-at-commit case, where no branch version existed to pin)
         @volatile private var branchHeadAtScan: Option[Int] = None
         @volatile private var plannedFiles: Seq[String] = Seq.empty
+        // the command's pushed (translatable) condition — the rebase's
+        // conflict-detection filter (Iceberg's serializable check): a
+        // racer's NEW file that MIGHT hold matching rows kills the
+        // rebase. Empty when the predicate is untranslatable —
+        // conservative, every new file then conflicts.
+        @volatile private var commandFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
 
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String = s"graft copy-on-write ${info.command()}"
@@ -879,6 +885,7 @@ private[io] class GraftRowOpsTable(
                 } catch { case scala.util.control.NonFatal(_) => (Seq.empty, allFiles) } // unreadable: rewrite all
               chosen = scanned
               carriedOver = pruned
+              commandFilters = filters.toSeq
               filters // rows are filtered by the rewrite's projection, not the scan
             }
             override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -1018,11 +1025,9 @@ private[io] class GraftRowOpsTable(
                               s"but the branch moved; re-run the command")
                         Some(head)
                       case None =>
-                        val cur = cat.currentVersion(tableName)
-                        if (cur != baseVersion)
-                          throw new ConcurrentCommitException(
-                            s"concurrent commit to $tableName during row-level ${info.command()}: " +
-                              s"planned against version $baseVersion but current is $cur; re-run the command")
+                        // main-path conflicts are handled at the commit
+                        // loop below (optimistic rebase); nothing to
+                        // validate before the data write lands
                         None
                     }
                     dBatch.commit(messages)
@@ -1068,9 +1073,83 @@ private[io] class GraftRowOpsTable(
                           carriedStats ++
                             cat.statsForCommit(tableName, Seq.empty, newFiles, conf))
                       case None =>
-                        cat.commitSnapshotAt(tableName, carriedOver ++ newFiles,
-                          baseVersion.getOrElse(0) + 1,
-                          stats = cat.statsForCommit(tableName, carriedOver, newFiles, conf))
+                        // Pinned commit with OPTIMISTIC REBASE on a
+                        // cross-process conflict (Iceberg's retry for
+                        // row-level commits, serializable flavor). A
+                        // rebase is sound iff on the fresh head:
+                        //  (a) every file this rewrite REPLACED still
+                        //      exists — else another writer rewrote the
+                        //      rows we computed replacements from;
+                        //  (b) no pending MOR entry scopes a replaced
+                        //      file — our replacement rows came from the
+                        //      pre-delete scan and would resurrect them;
+                        //  (c) no NEW file might hold rows matching the
+                        //      command's condition (stats vs the pushed
+                        //      filters — Iceberg's conflict detection
+                        //      filter): else the racer's matching rows
+                        //      would silently dodge this DELETE/UPDATE/
+                        //      MERGE. Untranslatable predicates make
+                        //      every new file a conflict — conservative.
+                        // The rebased manifest = fresh head minus the
+                        // replaced files plus our replacements; the
+                        // fresh head's pending entries carry TRIMMED to
+                        // surviving files.
+                        def norm(p: String): String =
+                          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+                        val replaced = plannedFiles.toSet -- carriedOver.toSet
+                        val replacedNorm = replaced.map(norm)
+                        val io = new TableIO(SparkSession.active, cat)
+                        var attempts = 0
+                        var done = false
+                        while (!done) {
+                          val cur = cat.currentVersion(tableName)
+                          val (keep, props) =
+                            if (cur == baseVersion) (carriedOver, Map.empty[String, String])
+                            else {
+                              val freshManifest = cur.map(cat.manifest(tableName, _))
+                                .getOrElse(Seq.empty)
+                              if (!replacedNorm.subsetOf(freshManifest.map(norm).toSet))
+                                throw new ConcurrentCommitException(
+                                  s"concurrent commit to $tableName during row-level " +
+                                    s"${info.command()}: another writer rewrote or removed " +
+                                    "candidate file(s) this command replaced; re-run the command")
+                              val freshPending = cur.map(cat.pendingDeletes(tableName, _))
+                                .getOrElse(Seq.empty)
+                              if (freshPending.exists(_.dirtyFiles.exists(f => replacedNorm(norm(f)))))
+                                throw new ConcurrentCommitException(
+                                  s"concurrent commit to $tableName during row-level " +
+                                    s"${info.command()}: a merge-on-read delete landed on " +
+                                    "candidate file(s) this command replaced (the rewrite " +
+                                    "would resurrect its rows); re-run the command")
+                              val newcomers = freshManifest.filterNot(plannedFiles.toSet)
+                              val toLogical = renames.map(_.swap)
+                              val conflicting = newcomers.exists { f =>
+                                try FileStats.mightMatch(
+                                  FileStats.cached(f, conf)
+                                    .map { case (k, v) => toLogical.getOrElse(k, k) -> v },
+                                  commandFilters)
+                                catch { case scala.util.control.NonFatal(_) => true }
+                              }
+                              if (conflicting)
+                                throw new ConcurrentCommitException(
+                                  s"concurrent commit to $tableName during row-level " +
+                                    s"${info.command()}: a concurrent commit added file(s) " +
+                                    "that may hold rows matching the command's condition " +
+                                    "(serializable check); re-run the command")
+                              val kept = freshManifest.filterNot(f => replacedNorm(norm(f)))
+                              (kept, io.trimDeletesForRewrite(tableName, freshPending, kept))
+                            }
+                          try {
+                            cat.commitSnapshotAt(tableName, keep ++ newFiles,
+                              cur.getOrElse(0) + 1, props,
+                              stats = cat.statsForCommit(tableName, keep, newFiles, conf))
+                            done = true
+                          } catch {
+                            case e: ConcurrentCommitException =>
+                              attempts += 1
+                              if (attempts >= 5) throw e
+                          }
+                        }
                     }
                     ()
                   } finally { releaseOnce(); sweepStaging() }

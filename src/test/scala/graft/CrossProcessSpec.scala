@@ -269,6 +269,49 @@ class CrossProcessSpec extends graft.SparkSpec {
     }
   }
 
+  test("key-scoped DML racing a second JVM's appends: every DML rebases and lands, no lost update") {
+    val wh = Files.createTempDirectory("graft_xdmlr_").toString
+    val t = "default.dmlrebase"
+    val io = graft.io.TableIO(spark, wh)
+    io.append((0L until 10L).map(i => (i, s"seed$i")).toDF("id", "s").repartition(2), t)
+    spark.conf.set("spark.sql.catalog.gxr", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxr.warehouse", wh)
+    try {
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val log = Files.createTempFile("graft_xdmlr_w", ".log").toFile
+      // worker appends ids 8000..8007 — disjoint from every DML key, so
+      // parquet stats PROVE the racer's new files can't match and the
+      // serializable conflict-detection filter lets every DML rebase
+      val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessAppendWorker",
+        wh, t, "8", "8")).asJava
+      val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+        .redirectOutput(log).start()
+      (0 until 8).foreach { k =>
+        // translatable predicate (id = k): pushed filters drive both the
+        // file-scoped rewrite AND the rebase's conflict filter
+        spark.sql(s"UPDATE gxr.default.dmlrebase SET s = concat(s, '!') WHERE id = $k")
+        Thread.sleep(100)
+      }
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+      assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+        Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+
+      // EVERY commit landed: seed + 8 worker appends + 8 DML rewrites
+      val vs = io.versions(t)
+      assert(vs == (1 to 17), s"expected versions 1..17, got $vs")
+      // no worker row lost to a rebased rewrite, every update applied
+      val expect = (0L until 8L).map(i => (i, s"seed$i!")).toSet ++
+        Set(8L -> "seed8", 9L -> "seed9") ++
+        (0 until 8).map(k => (8000L + k, s"w8-$k")).toSet
+      assert(io.read(t).as[(Long, String)].collect().toSet == expect)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gxr")
+      spark.conf.unset("spark.sql.catalog.gxr.warehouse")
+    }
+  }
+
   test("row-level DML racing a second JVM's appends: fail-fast or consistent, never corrupt") {
     val wh = Files.createTempDirectory("graft_xdml_").toString
     val t = "default.dmlxjvm"
