@@ -84,7 +84,18 @@ object ScaleProbe {
     // cost must track the document count, with no shuffle at all
     "q114_image_decode", "q115_image_resize",
     // Gopher rules: one codegen'd regexp projection, same class as q15
-    "q116_gopher_rules")
+    "q116_gopher_rules",
+    // r16: maintenance-tolerant stream — the skip walk is
+    // metadata-sized (O(versions), manifest reads only); the benched
+    // query's cost is the honest linear part (10x events appended,
+    // compacted once, drained once), so ~linear total is the
+    // expectation and the claim under test is nothing super-linear
+    "q132_stream_skip_rewrites",
+    // r16: streaming CDF over the supplier script — supplier is a DIM
+    // (kept 1x by the sim), so the probe pins the whole CDF machinery
+    // (offset walk, constant-tag partitions, staged rewrite diffs) at
+    // FLAT cost under 10x fact growth
+    "q133_stream_changelog")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
