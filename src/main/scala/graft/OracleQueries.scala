@@ -1919,6 +1919,51 @@ object OracleQueries {
         |         + (doc_id * 31 + 194 + x * 7 + y * 13) % 256) AS BIGINT) AS pixel_sum
         |FROM m GROUP BY 1, 2, 3""".stripMargin,
 
+    // REAL video decode replay: the analytic raster sum over every
+    // frame of every doc's synthetic AVI — raw DIB frames are
+    // lossless, so the decoded sums equal the formula exactly
+    "q134_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height,
+        |    CAST(2 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |fs AS (SELECT doc_id, width, height, n_frames,
+        |         unnest(range(n_frames)) AS f FROM d),
+        |xs AS (SELECT doc_id, width, height, n_frames, f,
+        |         unnest(range(width)) AS x FROM fs),
+        |xy AS (SELECT doc_id, width, height, n_frames, f, x,
+        |         unnest(range(height)) AS y FROM xs)
+        |SELECT doc_id, width, height, n_frames,
+        |  CAST(sum((doc_id * 31 + f * 59 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + f * 59 + 97 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + f * 59 + 194 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS pixel_sum
+        |FROM xy GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // frame-sampling replay: only every 2nd frame's raster sum
+    "q135_video_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id * 3) % 9 AS INT) AS height,
+        |    CAST(2 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |fs AS (SELECT doc_id, width, height,
+        |         unnest(range(n_frames)) AS f FROM d),
+        |sampled AS (SELECT * FROM fs WHERE f % 2 = 0),
+        |xs AS (SELECT doc_id, width, height, f,
+        |         unnest(range(width)) AS x FROM sampled),
+        |xy AS (SELECT doc_id, width, height, f, x,
+        |         unnest(range(height)) AS y FROM xs)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sum((doc_id * 31 + f * 59 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + f * 59 + 97 + x * 7 + y * 13) % 256
+        |         + (doc_id * 31 + f * 59 + 194 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS frame_sum
+        |FROM xy GROUP BY 1, 2""".stripMargin,
+
     // bottom-k-by-hash replays exactly: rank by the same 52-bit md5
     // prefix (13 hex chars — exact in Spark's Double score), id ASC
     // tiebreak, keep rank <= k per stratum; NULL ids are excluded by

@@ -2127,6 +2127,28 @@ object SparkEntry {
           Multimodal.withImageBlob(Tables.documents(s, dir)), 16, 16))
         .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))),
 
+    // REAL video decode (r16): AVI/RIFF container encode executor-side
+    // (uncompressed bottom-up BGR24 'DIB ' frames — the one video
+    // stream format needing no codec), then a REAL chunk-tree parse +
+    // frame demux + raster decode. Raw frames are lossless, so the
+    // per-video pixel sums equal the analytic formula exactly — the
+    // oracle pins container fidelity end to end, closing the last
+    // byte-level stub in the multimodal family.
+    "q134_video_decode" -> ((s, dir) =>
+      Multimodal.decodeVideoStats(Multimodal.withVideoBlob(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("pixel_sum"))),
+
+    // REAL frame sampling (the demux claim): the container walk indexes
+    // every frame chunk but DECODES only every 2nd — one row per
+    // sampled frame with its analytic pixel sum. At 100 TB this is the
+    // cost shape that matters: sampling k of n frames pays O(k) raster
+    // decodes plus a metadata-sized chunk walk, never a full decode.
+    "q135_video_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.withVideoBlob(Tables.documents(s, dir)), every = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_sum"))),
+
     // Branch maintenance in the q107 lifecycle: the ingest branch's
     // per-batch small files compact into one rewritten file BETWEEN
     // integration cycles (fastForward's rebase record resets the fork

@@ -16,9 +16,15 @@ import org.apache.spark.sql.types._
   * AUDIO path is REAL too (r15): `javax.sound.sampled` ships in the
   * JDK, so `withAudioBlob`/`decodeAudioStats` run actual WAV/PCM
   * encode → header parse → sample decode, oracle-checked against
-  * analytic sample sums. Only VIDEO keeps byte-level STUB kernels
-  * (`fakeDecodeStats`, `frameSample`'s byte-stride demux) — no
-  * pure-JDK video codec exists; swap the kernel body in production.
+  * analytic sample sums. The VIDEO path is REAL as of r16 for
+  * uncompressed streams: AVI is RIFF (same chunk grammar as WAV) and
+  * 'DIB ' frames are raw bottom-up BGR24 rasters, so
+  * `withVideoBlob`/`decodeVideoStats`/`sampleVideoFrames` run an
+  * actual container encode → chunk-tree parse → frame demux → raster
+  * decode, oracle-checked like the others. COMPRESSED video streams
+  * refuse loudly (no pure-JDK codec exists — the honest boundary);
+  * the byte-level stubs (`fakeDecodeStats`, `frameSample`) remain as
+  * the format-agnostic fallback.
   * The shared plumbing is real and load-bearing either way:
   * - the binary column + metadata schema,
   * - batch-shaped per-partition processing (`mapPartitions` over an
@@ -392,6 +398,234 @@ object Multimodal {
         }
         AudioStatsRow(r.doc_id, f.getSampleRate.toInt, n.toLong, sum, abs)
       })(Encoders.product[AudioStatsRow])
+      .toDF()
+  }
+
+  // ---- REAL video path (r16): no pure-JDK video CODEC exists, but a
+  // video CONTAINER with uncompressed frames needs none — AVI is RIFF
+  // (the same chunk grammar as r15's WAV work) and the 'DIB ' stream
+  // format is raw bottom-up BGR24 rows, byte-decodable like BMP. The
+  // encode below writes a spec-valid minimal AVI (avih + strl/strh/
+  // strf + movi '00db' frame chunks); the decode is a REAL container
+  // parser — it walks the RIFF chunk tree, reads dims/compression
+  // from the BITMAPINFOHEADER (the FILE, not trust), demuxes the
+  // frame chunks, and decodes padded bottom-up rows. Frames are
+  // deterministic rasters, so pixel sums stay analytic and the whole
+  // encode → demux → decode chain is hash-checked like image/audio.
+
+  /** Deterministic video geometry/pixels for a document id: every
+    * frame's channel value derives from (id, frame, c, x, y), dims and
+    * frame count from id — the video twin of [[synthChannel]].
+    * Channel `(id*31 + f*59 + c*97 + x*7 + y*13) mod 256` (c: 0=R,
+    * 1=G, 2=B); dims `(8 + id mod 9) x (8 + (id*3) mod 9)`; frames
+    * `2 + id mod 5`.
+    */
+  def synthVideoDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+
+  def synthVideoFrames(id: Long): Int = (2 + id % 5).toInt
+
+  def synthVideoChannel(id: Long, f: Int, c: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 59 + c * 97 + x * 7 + y * 13) % 256).toInt
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Minimal spec-valid AVI: RIFF('AVI ') > LIST('hdrl') holding the
+    * main header and one 'vids'/'DIB ' stream, then LIST('movi') with
+    * one '00db' uncompressed frame chunk per frame. Frame payload is
+    * the DIB raster: BOTTOM-UP rows of BGR triples, each row padded to
+    * a 4-byte boundary — the actual on-disk format VfW wrote.
+    */
+  private def aviBytes(id: Long): Array[Byte] = {
+    val (w, h) = synthVideoDims(id)
+    val nFrames = synthVideoFrames(id)
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowStride * h
+    val buf = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      buf.write(v & 0xff); buf.write((v >> 8) & 0xff)
+      buf.write((v >> 16) & 0xff); buf.write((v >> 24) & 0xff)
+    }
+    def bytes(b: Array[Byte]): Unit = buf.write(b, 0, b.length)
+    // sizes, inside-out: strf(40) strh(56) avih(56), movi frames
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    bytes(fourcc("RIFF")); le32(riffSize); bytes(fourcc("AVI "))
+    bytes(fourcc("LIST")); le32(hdrlSize); bytes(fourcc("hdrl"))
+    bytes(fourcc("avih")); le32(56)
+    le32(100000); le32(frameBytes * 10); le32(0); le32(0) // usec/frame, bytes/sec, pad, flags
+    le32(nFrames); le32(0); le32(1); le32(frameBytes) // frames, initial, streams, bufsize
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved[4]
+    bytes(fourcc("LIST")); le32(strlSize); bytes(fourcc("strl"))
+    bytes(fourcc("strh")); le32(56)
+    bytes(fourcc("vids")); bytes(fourcc("DIB ")) // type, handler
+    le32(0); le32(0); le32(0) // flags, prio+lang, initial
+    le32(1); le32(10); le32(0); le32(nFrames) // scale, rate, start, length
+    le32(frameBytes); le32(-1); le32(0) // bufsize, quality, samplesize
+    le32(0); le32(0) // rcFrame (4 shorts)
+    bytes(fourcc("strf")); le32(40)
+    le32(40); le32(w); le32(h) // biSize, width, height (positive = bottom-up)
+    buf.write(1); buf.write(0); buf.write(24); buf.write(0) // planes=1, bitCount=24
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0) // BI_RGB, size, ppm, clr
+    bytes(fourcc("LIST")); le32(moviSize); bytes(fourcc("movi"))
+    var f = 0
+    while (f < nFrames) {
+      bytes(fourcc("00db")); le32(frameBytes)
+      var y = h - 1 // bottom-up: last raster row first
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          buf.write(synthVideoChannel(id, f, 2, x, y)) // B
+          buf.write(synthVideoChannel(id, f, 1, x, y)) // G
+          buf.write(synthVideoChannel(id, f, 0, x, y)) // R
+          x += 1
+        }
+        var pad = rowStride - w * 3
+        while (pad > 0) { buf.write(0); pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.toByteArray
+  }
+
+  /** Attach a REAL AVI blob per document (same per-partition batch
+    * shape as [[withImageBlob]]/[[withAudioBlob]]).
+    */
+  def withVideoBlob(docs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      docs.select(col("doc_id")), parallelism, spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[IdRow])
+      .mapPartitions(_.map(r => ImageRow(r.doc_id, aviBytes(r.doc_id))))(
+        Encoders.product[ImageRow])
+      .toDF()
+  }
+
+  /** Parsed AVI container state: dims/compression from the stream
+    * format header, frame payload offsets from the movi chunk walk.
+    */
+  private final case class AviParsed(width: Int, height: Int,
+                                     frames: Seq[(Int, Int)]) // (offset, size) per frame
+
+  /** REAL RIFF/AVI container parse: walk the chunk tree (word-aligned
+    * sizes, LIST subtypes), read the BITMAPINFOHEADER for dims and
+    * compression (refusing anything but uncompressed 24-bit BI_RGB —
+    * no pure-JDK codec exists for compressed streams), and index the
+    * movi frame chunks WITHOUT decoding them — the demux step, so a
+    * frame sampler pays only for the frames it keeps.
+    */
+  private def parseAvi(docId: Long, b: Array[Byte]): AviParsed = {
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      s"doc $docId: blob is not an AVI (RIFF) container")
+    var width = -1
+    var height = -1
+    val frames = Seq.newBuilder[(Int, Int)]
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val size = le32(off + 4)
+        val body = off + 8
+        id match {
+          case "LIST" => walk(body + 4, body + size) // skip subtype fourcc
+          case "strf" =>
+            require(size >= 40, s"doc $docId: truncated BITMAPINFOHEADER")
+            width = le32(body + 4)
+            height = le32(body + 8)
+            val bitCount = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
+            val compression = le32(body + 16)
+            require(compression == 0 && bitCount == 24,
+              s"doc $docId: only uncompressed 24-bit DIB streams decode " +
+                s"(biCompression=$compression, biBitCount=$bitCount) — no pure-JDK " +
+                "codec exists for compressed video")
+          case "00db" | "00dc" => frames += ((body, size))
+          case _ => ()
+        }
+        off = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 12 + le32(4) - 4)
+    require(width > 0 && height > 0, s"doc $docId: no stream format header in AVI")
+    AviParsed(width, height, frames.result())
+  }
+
+  /** Decode one bottom-up BGR24 DIB frame payload: returns the frame's
+    * R+G+B pixel sum.
+    */
+  private def dibFrameSum(b: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val rowOff = off + (h - 1 - y) * rowStride // bottom-up
+      var x = 0
+      while (x < w) {
+        val p = rowOff + x * 3
+        sum += (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  final case class VideoStatsRow(doc_id: Long, width: Int, height: Int,
+                                 n_frames: Int, pixel_sum: Long, n_bytes: Long)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_sum: Long)
+
+  /** REAL video decode: container parse + every frame's raster decoded
+    * and summed. Raw DIB frames are lossless, so against synthetic
+    * blobs the sums equal the analytic formula exactly — codec
+    * fidelity hash-checked end to end, the video twin of
+    * [[decodeImageStats]]/[[decodeAudioStats]]. All-integer output.
+    */
+  def decodeVideoStats(videos: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = videos.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      videos.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.map { r =>
+        val p = parseAvi(r.doc_id, r.blob)
+        var sum = 0L
+        p.frames.foreach { case (off, _) => sum += dibFrameSum(r.blob, off, p.width, p.height) }
+        VideoStatsRow(r.doc_id, p.width, p.height, p.frames.size, sum, r.blob.length.toLong)
+      })(Encoders.product[VideoStatsRow])
+      .toDF()
+  }
+
+  /** REAL frame sampling (the demux claim): the container walk indexes
+    * every frame chunk, but only every `every`-th frame's raster is
+    * DECODED — cost O(sampled frames) + an O(container) offset walk,
+    * never a full decode. One output row per sampled frame with its
+    * pixel sum, the real version of [[frameSample]]'s byte-stride
+    * stand-in.
+    */
+  def sampleVideoFrames(videos: DataFrame, every: Int = 2,
+                        parallelism: Option[Int] = None): DataFrame = {
+    require(every >= 1, s"bad sampling stride $every")
+    import org.apache.spark.sql.Encoders
+    val spark = videos.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      videos.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.flatMap { r =>
+        val p = parseAvi(r.doc_id, r.blob)
+        p.frames.iterator.zipWithIndex.collect {
+          case ((off, _), f) if f % every == 0 =>
+            FrameRow(r.doc_id, f, dibFrameSum(r.blob, off, p.width, p.height))
+        }
+      })(Encoders.product[FrameRow])
       .toDF()
   }
 
