@@ -105,12 +105,10 @@ private[io] class ChangelogTable(
             s"$tableName.changelog: renamed-column tables are batch-only changelog " +
               "sources (per-batch file reads run under physical names; use " +
               "readChangelog, or compact() to rewrite files under current names)")
+          val dataRoot = Paths.get(cat.dataPath(tableName)).toAbsolutePath.normalize
           val hiveDir = cat.currentVersion(tableName).toSeq
             .flatMap(v => cat.manifest(tableName, v))
-            .exists(f => Paths.get(f).iterator().asScala.exists { seg =>
-              val s = seg.toString
-              s.contains('=') && !s.startsWith(PartitionTransforms.Prefix)
-            })
+            .exists(StreamShape.hiveDirFile(dataRoot, _))
           if (hiveDir) throw new UnsupportedOperationException(
             s"$tableName.changelog: Hive-dir-partitioned tables are batch-only " +
               "changelog sources (directory values cannot ride the fixed streaming " +
@@ -146,16 +144,7 @@ private[io] class ChangelogMicroBatchStream(
   }
 
   private val startV: Int =
-    Option(options.get("startingVersion")).map { raw =>
-      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"changelog stream over $tableName: option startingVersion must be a " +
-          s"non-negative integer, got '$raw'"))
-      val cur = cat.currentVersion(tableName).getOrElse(0)
-      if (v < 0 || v > cur) throw new IllegalArgumentException(
-        s"changelog stream over $tableName: option startingVersion = $v is outside " +
-          s"the table's history [0, $cur]")
-      v
-    }.getOrElse(0)
+    StreamShape.startingVersion("changelog stream", tableName, cat, options)
 
   override def initialOffset(): Offset = V(startV)
   override def latestOffset(): Offset = V(cat.currentVersion(tableName).getOrElse(0))
@@ -185,12 +174,7 @@ private[io] class ChangelogMicroBatchStream(
           s.iterator().asScala
             .filter(p => p.getFileName.toString.stripPrefix("v").toIntOption.exists(_ <= e))
             .toSeq
-        }.foreach { dir =>
-          Using.resource(Files.walk(dir)) { w =>
-            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          }
-        }
+        }.foreach(GraftCatalog.sweepDir)
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -263,6 +247,19 @@ private[io] class ChangelogMicroBatchStream(
     }
     val tagOf = tags.result()
     if (tagOf.isEmpty) { batchFactory = ChangelogStream.EmptyFactory; return Array.empty }
+    // pre-respec identity-layout (Hive-dir) append files carry column
+    // values in directory names — serving them raw would emit NULLs.
+    // Staged diff files live under the checkpoint, outside the data
+    // root, so they never trip this.
+    val dataRoot = Paths.get(cat.dataPath(tableName)).toAbsolutePath.normalize
+    tagOf.keys.find(StreamShape.hiveDirFile(dataRoot, _)).foreach { f =>
+      throw new IllegalStateException(
+        s"changelog stream over $tableName: file $f in range [$s, $e] carries column " +
+          "values in Hive-style directory names (a pre-respec identity layout) — " +
+          "its rows cannot ride the fixed streaming row shape. Start the stream at " +
+          "or after the respec rewrite (startingVersion), or use the batch " +
+          "readChangelog")
+    }
     // one plain parquet batch over every tagged file, pinned to the
     // table's data schema (staged diffs and appended data files share
     // it); NO basePath — see GraftMicroBatchStream: partition

@@ -1211,7 +1211,10 @@ private[io] class GraftMorTable(
         override def morStreamSource: Option[(TableCatalog, StructType, CaseInsensitiveStringMap)] =
           if (renames.isEmpty && morBranch.isEmpty &&
               partitionCols.forall(_.startsWith(PartitionTransforms.Prefix)))
-            Some((cat, full, options))
+            // the PRUNED read schema, like the clean path: a
+            // column-pruned stream must serve rows in its scan's own
+            // shape, or ordinals misalign downstream
+            Some((cat, read, options))
           else None
         override def readSchema(): StructType = read
         override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation

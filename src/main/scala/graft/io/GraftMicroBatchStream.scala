@@ -1,5 +1,7 @@
 package graft.io
 
+import java.nio.file.Paths
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -58,6 +60,51 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    stale rows (e.g. append-only feature logs); hence separate from
   *    and strictly weaker than `skipRewriteCommits`.
   */
+/** Shape rules and option parsing shared by the table stream and the
+  * changelog stream.
+  */
+private[io] object StreamShape {
+
+  /** Does `file` carry column VALUES in a Hive-style `k=v` directory
+    * under the table's data root? Only segments BELOW the data root
+    * count — a warehouse living under an ancestor dir named `run=5`
+    * must not flag every table. Hidden-layout `gp_*` dirs are fine
+    * (their values derive from source columns the footers carry);
+    * anything else means the file's rows are incomplete without
+    * directory recovery, which the fixed streaming row shape cannot
+    * do — serving it raw would emit NULLs for that column.
+    */
+  def hiveDirFile(dataRoot: java.nio.file.Path, file: String): Boolean = {
+    val p = java.nio.file.Paths.get(file).toAbsolutePath.normalize
+    if (!p.startsWith(dataRoot)) false
+    else {
+      val it = dataRoot.relativize(p).iterator()
+      var found = false
+      while (it.hasNext && !found) {
+        val s = it.next().toString
+        found = s.contains('=') && !s.startsWith(PartitionTransforms.Prefix)
+      }
+      found
+    }
+  }
+
+  /** Validated `startingVersion` option: non-negative, within the
+    * table's history, errors naming the option. Default 0.
+    */
+  def startingVersion(label: String, tableName: String, cat: TableCatalog,
+                      options: CaseInsensitiveStringMap): Int =
+    Option(options.get("startingVersion")).map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$label over $tableName: option startingVersion must be a " +
+          s"non-negative integer, got '$raw'"))
+      val cur = cat.currentVersion(tableName).getOrElse(0)
+      if (v < 0 || v > cur) throw new IllegalArgumentException(
+        s"$label over $tableName: option startingVersion = $v is outside " +
+          s"the table's history [0, $cur]")
+      v
+    }.getOrElse(0)
+}
+
 private[io] class GraftMicroBatchStream(
     tableName: String,
     cat: TableCatalog,
@@ -70,16 +117,7 @@ private[io] class GraftMicroBatchStream(
   }
 
   private val startV: Int =
-    Option(options.get("startingVersion")).map { raw =>
-      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"table stream over $tableName: option startingVersion must be a " +
-          s"non-negative integer, got '$raw'"))
-      val cur = cat.currentVersion(tableName).getOrElse(0)
-      if (v < 0 || v > cur) throw new IllegalArgumentException(
-        s"table stream over $tableName: option startingVersion = $v is outside " +
-          s"the table's history [0, $cur]")
-      v
-    }.getOrElse(0)
+    StreamShape.startingVersion("table stream", tableName, cat, options)
 
   private val skipRewrites: Boolean =
     options.getBoolean("skipRewriteCommits", false)
@@ -155,6 +193,19 @@ private[io] class GraftMicroBatchStream(
     }
     val added = served.result().distinct.sorted
     if (added.isEmpty) { batchFactory = EmptyReaderFactory; return Array.empty }
+    // loadTable's eligibility gate sees the CURRENT layout only — a
+    // table respec'd from identity (Hive-dir) partitioning to a hidden
+    // spec passes it, but its PRE-RESPEC files carry the identity
+    // column's values in directory names, not footers. Serving those
+    // raw would emit NULLs for that column: refuse loudly instead.
+    val dataRoot = Paths.get(cat.dataPath(tableName)).toAbsolutePath.normalize
+    added.find(StreamShape.hiveDirFile(dataRoot, _)).foreach { f =>
+      throw new IllegalStateException(
+        s"table stream over $tableName: file $f in range [$s, $e] carries column " +
+          "values in Hive-style directory names (a pre-respec identity layout) — " +
+          "its rows cannot ride the fixed streaming row shape. Start the stream at " +
+          "or after the respec rewrite (startingVersion), or compact() first")
+    }
     // a plain parquet batch over exactly the added files, pinned to
     // the stream's schema (no inference: the manifest may be long
     // gone by restart time, but the schema rides the checkpoint).

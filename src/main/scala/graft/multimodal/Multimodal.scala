@@ -527,6 +527,10 @@ object Multimodal {
       s"doc $docId: blob is not an AVI (RIFF) container")
     var width = -1
     var height = -1
+    // a multi-stream AVI (video + 'auds') has one strf PER stream and
+    // the audio one is a WAVEFORMATEX, not a BITMAPINFOHEADER — only
+    // the strf following a 'vids' stream header describes the frames
+    var lastStreamType = ""
     val frames = Seq.newBuilder[(Int, Int)]
     def walk(off0: Int, end: Int): Unit = {
       var off = off0
@@ -536,7 +540,10 @@ object Multimodal {
         val body = off + 8
         id match {
           case "LIST" => walk(body + 4, body + size) // skip subtype fourcc
-          case "strf" =>
+          case "strh" =>
+            require(size >= 8, s"doc $docId: truncated stream header")
+            lastStreamType = cc(body) // fccType: 'vids' / 'auds' / ...
+          case "strf" if lastStreamType == "vids" =>
             require(size >= 40, s"doc $docId: truncated BITMAPINFOHEADER")
             width = le32(body + 4)
             height = le32(body + 8)

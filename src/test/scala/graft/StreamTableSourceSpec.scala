@@ -171,6 +171,67 @@ class StreamTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("pre-respec Hive-dir files in range refuse: their column values live in dir names") {
+    withCat("gstsh") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.hsrc"
+      // identity (Hive-dir) layout first: the column's values ride
+      // directory names, stripped from the footers
+      io.append(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "s", "p"),
+        t, partitionCols = Seq("p"))
+      // respec to a hidden spec: the CURRENT layout is streamable, so
+      // loadTable's gate passes — the per-file guard must still refuse
+      // the pre-respec files (serving them raw would NULL column p)
+      io.respecTable(t, Seq("bucket(2, id)"))
+      io.append(Seq((3L, "c", "z")).toDF("id", "s", "p").coalesce(1), t)
+      val e = intercept[Exception](drain(s"gstsh.$t",
+        Files.createTempDirectory("graft_stsh_").toString,
+        Map("skipRewriteCommits" -> "true")))
+      assert(msgChain(e).contains("Hive-style directory names"), msgChain(e))
+      // a stream STARTING at the respec rewrite reads clean (post-respec
+      // files carry every column in footers)
+      val vRespec = io.catalog.versions(t).takeRight(2).head
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      val q = spark.readStream
+        .option("startingVersion", vRespec.toString)
+        .option("skipRewriteCommits", "true")
+        .table(s"gstsh.$t").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_stsh2_").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= batch.select("id", "s", "p").as[(Long, String, String)].collect() }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(buf.toSet === Set((3L, "c", "z")))
+    }
+  }
+
+  test("a column-pruned skipChangeCommits stream over a dirty MOR head serves aligned rows") {
+    withCat("gstsd") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.dsrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhereMOR(t, col("id") === 1L) // head stays dirty
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream
+        .option("skipChangeCommits", "true")
+        .table(s"gstsd.$t")
+        .select("s") // prunes id: the stream schema must follow
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_stsd_").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= batch.as[String].collect() }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(buf.toSet === Set("a", "b")) // append-as-of: MOR delete invisible
+    }
+  }
+
   test("skipChangeCommits serves append-as-of rows through COW DML and MOR deletes") {
     withCat("gstsc") { wh =>
       val io = TableIO(spark, wh)
