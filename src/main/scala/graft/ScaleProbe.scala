@@ -95,7 +95,11 @@ object ScaleProbe {
     // (kept 1x by the sim), so the probe pins the whole CDF machinery
     // (offset walk, constant-tag partitions, staged rewrite diffs) at
     // FLAT cost under 10x fact growth
-    "q133_stream_changelog")
+    "q133_stream_changelog",
+    // r16: real AVI encode→demux→decode — per-doc container codec,
+    // embarrassingly parallel mapPartitions like images/audio: cost
+    // must track the document count linearly, no shuffle at all
+    "q134_video_decode", "q135_video_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,12 +88,20 @@ private[io] object StreamShape {
     }
   }
 
-  /** Validated `startingVersion` option: non-negative, within the
-    * table's history, errors naming the option. Default 0.
+  /** Validated start offset: `startingVersion` (non-negative, within
+    * the table's history) or `startingTimestamp` (epoch-millis, ISO
+    * instant, or `yyyy-mm-dd hh:mm:ss` — serves every commit at or
+    * after it, Delta's semantics), mutually exclusive, errors naming
+    * the option. Default 0 (full history as the first batch).
     */
   def startingVersion(label: String, tableName: String, cat: TableCatalog,
-                      options: CaseInsensitiveStringMap): Int =
-    Option(options.get("startingVersion")).map { raw =>
+                      options: CaseInsensitiveStringMap): Int = {
+    val byVersion = Option(options.get("startingVersion"))
+    val byTs = Option(options.get("startingTimestamp"))
+    if (byVersion.isDefined && byTs.isDefined) throw new IllegalArgumentException(
+      s"$label over $tableName: options startingVersion and startingTimestamp " +
+        "are mutually exclusive")
+    byVersion.map { raw =>
       val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"$label over $tableName: option startingVersion must be a " +
           s"non-negative integer, got '$raw'"))
@@ -102,7 +110,19 @@ private[io] object StreamShape {
         s"$label over $tableName: option startingVersion = $v is outside " +
           s"the table's history [0, $cur]")
       v
-    }.getOrElse(0)
+    }.orElse(byTs.map { raw =>
+      val s = raw.trim
+      val tsMs = s.toLongOption
+        .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$label over $tableName: option startingTimestamp must be epoch-millis, " +
+            s"an ISO instant, or 'yyyy-mm-dd hh:mm:ss', got '$raw'"))
+      // serve commits AT OR AFTER the instant: the offset is the
+      // newest version strictly BEFORE it (batches serve (offset, ...])
+      cat.versionAsOf(tableName, tsMs - 1).getOrElse(0)
+    }).getOrElse(0)
+  }
 }
 
 private[io] class GraftMicroBatchStream(

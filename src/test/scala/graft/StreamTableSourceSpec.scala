@@ -249,6 +249,45 @@ class StreamTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingTimestamp serves commits at or after the instant (Delta semantics)") {
+    withCat("gstst") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.tsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v1
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t) // v2
+      // pin manifest mtimes so the boundary is deterministic (commits
+      // in a test land within the same millisecond)
+      val now = System.currentTimeMillis()
+      def setMtime(v: Int, ms: Long): Unit =
+        Files.setLastModifiedTime(io.catalog.metaPath(t).resolve(s"v$v.json"),
+          java.nio.file.attribute.FileTime.fromMillis(ms))
+      setMtime(1, now - 100000)
+      setMtime(2, now - 50000)
+      // boundary between v1 and v2: only v2's rows serve
+      assert(drain(s"gstst.$t", Files.createTempDirectory("graft_stst1_").toString,
+        Map("startingTimestamp" -> (now - 60000).toString)).toSet === Set(2L -> "b"))
+      // exactly v2's instant: v2 still serves (at-or-after)
+      assert(drain(s"gstst.$t", Files.createTempDirectory("graft_stst2_").toString,
+        Map("startingTimestamp" -> (now - 50000).toString)).toSet === Set(2L -> "b"))
+      // before the table existed: full history
+      assert(drain(s"gstst.$t", Files.createTempDirectory("graft_stst3_").toString,
+        Map("startingTimestamp" -> (now - 200000).toString)).toSet ===
+        Set(1L -> "a", 2L -> "b"))
+      // after the last commit: nothing yet
+      assert(drain(s"gstst.$t", Files.createTempDirectory("graft_stst4_").toString,
+        Map("startingTimestamp" -> now.toString)).isEmpty)
+      // both options together, and junk values, name the option
+      val e1 = intercept[Exception](drain(s"gstst.$t",
+        Files.createTempDirectory("graft_stst5_").toString,
+        Map("startingTimestamp" -> now.toString, "startingVersion" -> "1")))
+      assert(msgChain(e1).contains("mutually exclusive"), msgChain(e1))
+      val e2 = intercept[Exception](drain(s"gstst.$t",
+        Files.createTempDirectory("graft_stst6_").toString,
+        Map("startingTimestamp" -> "not-a-time")))
+      assert(msgChain(e2).contains("startingTimestamp"), msgChain(e2))
+    }
+  }
+
   test("startingVersion is validated: non-numeric and out-of-range values name the option") {
     withCat("gstsv") { wh =>
       val io = TableIO(spark, wh)
