@@ -1964,6 +1964,23 @@ object OracleQueries {
         |    AS frame_sum
         |FROM xy GROUP BY 1, 2""".stripMargin,
 
+    // CDC replication: the replica's final content is the source's
+    // final state — live rows after the delete, with the update applied
+    "q136_cdc_replication" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |app AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000 AS skey, 'n_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
+        |live3 AS (
+        |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |  WHERE skey % 3 <> 0)
+        |SELECT skey, s_name,
+        |  CASE WHEN skey % 4 = 1 THEN CAST(bal + 50 AS DECIMAL(12,2)) ELSE bal END AS bal
+        |FROM live3""".stripMargin,
+
     // bottom-k-by-hash replays exactly: rank by the same 52-bit md5
     // prefix (13 hex chars — exact in Spark's Double score), id ASC
     // tiebreak, keep rank <= k per stratum; NULL ids are excluded by

@@ -513,6 +513,58 @@ object SparkEntry {
           col("s_name"), col("bal"))
     }),
 
+    // TABLE REPLICATION off the change feed — the composition the CDC
+    // surface exists for: the source table's scripted history (q133's
+    // shape) streams through `.changelog`, each micro-batch reduces to
+    // its latest change per key (INSERT beats DELETE at the same
+    // version: an UPDATE's net pair applies as the new row), and a
+    // zero-read cdcApplyMOR lands it in the REPLICA — a different
+    // warehouse, as replication would be. At 100 TB this is the
+    // O(delta) table-sync loop: per cycle the replica pays the
+    // changed files' diff + one metadata commit, never a source or
+    // replica rescan. Final replica content == the source's final
+    // state, hash-oracled against the pure-SQL replay.
+    "q136_cdc_replication" -> ((s, dir) => {
+      val cname = "gcrp"
+      val io = catalogIO(s, cname, "graft_crp_")
+      val t = "default.supp_rp"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"),
+        col("s_acctbal").cast("decimal(12,2)").as("bal")), t) // v1
+      io.append(Tables.supplier(s, dir).filter(col("s_suppkey").between(3, 7))
+        .select((col("s_suppkey").cast("bigint") + 1000).as("skey"),
+          concat(lit("n_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal")), t) // v2
+      io.deleteWhere(t, col("skey") % 3 === 0) // v3
+      io.updateWhere(t, col("skey") % 4 === 1,
+        Map("bal" -> (col("bal") + 50).cast("decimal(12,2)"))) // v4
+      io.compact(t) // v5: nets zero changelog rows
+      val dstIo = TableIO(s, tempDir("graft_crpd_"))
+      val dst = "default.supp_replica"
+      val q = s.readStream.table(s"$cname.$t.changelog")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tempDir("graft_crpc_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val w = Window.partitionBy(col("skey")).orderBy(
+            col("_change_version").desc,
+            when(col("_change_type") === "INSERT", 0).otherwise(1).asc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .withColumn("op",
+              when(col("_change_type") === "DELETE", lit("D")).otherwise(lit("U")))
+            .select(col("skey"), col("s_name"), col("bal"), col("op"))
+          dstIo.cdcApplyMOR(dst, latest, Seq("skey"), "op")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      dstIo.applyDeletes(dst)
+      dstIo.read(dst).orderBy(col("skey"), col("s_name"), col("bal"))
+    }),
+
     // Branch CHANGELOG — the audit question itself: "what exactly will
     // fast_forward publish?" The branch accumulates an append and a
     // COW DELETE (via the WAP session conf); readChangelogBranch diffs

@@ -91,15 +91,27 @@ private[io] class ChangelogTable(
                   raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
                     s"changelog read of $tableName: option $key must be an integer, got '$raw'"))
                 }
-              val from = intOpt("fromVersion").getOrElse(0)
               val io2 = new TableIO(ctx.sparkSession, cat)
-              io2.readChangelog(tableName, from, intOpt("toVersion"))
-                .select(read.fields.toSeq
-                  .map(f => org.apache.spark.sql.functions.col(f.name)): _*).rdd
+              val df = Option(options.get("branch")) match {
+                case Some(b) =>
+                  // branch default fromVersion = 1 (the fork record):
+                  // "the branch's own changes", matching the reader API
+                  io2.readChangelogBranch(tableName, b,
+                    intOpt("fromVersion").getOrElse(1), intOpt("toVersion"))
+                case None =>
+                  io2.readChangelog(tableName,
+                    intOpt("fromVersion").getOrElse(0), intOpt("toVersion"))
+              }
+              df.select(read.fields.toSeq
+                .map(f => org.apache.spark.sql.functions.col(f.name)): _*).rdd
             }
           }.asInstanceOf[T]
 
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          if (options.get("branch") != null) throw new UnsupportedOperationException(
+            s"$tableName.changelog: branch changelogs are batch-only (branch version " +
+              "numbering restarts per fork, so a checkpointed offset cannot survive a " +
+              "re-fork) — use the batch read with option(branch, ...)")
           val meta = cat.readMeta(tableName)
           if (meta.renames.nonEmpty) throw new UnsupportedOperationException(
             s"$tableName.changelog: renamed-column tables are batch-only changelog " +

@@ -115,6 +115,35 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
+  test("batch .changelog reads a BRANCH chain with option(branch); streaming a branch refuses") {
+    withCat("gcdfr") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.brsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      io.createBranch(t, "exp")
+      io.appendToBranch(Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "exp")
+      // fork-baseline default: only the branch's own change
+      val got = spark.read.option("branch", "exp").table(s"gcdfr.$t.changelog")
+        .select("_change_type", "id", "s").as[(String, Long, String)].collect().toSet
+      assert(got === Set(("INSERT", 2L, "b")))
+      // fromVersion 0 replays the inherited fork content too
+      val all = spark.read.option("branch", "exp").option("fromVersion", "0")
+        .table(s"gcdfr.$t.changelog")
+        .select("_change_type", "id", "s").as[(String, Long, String)].collect().toSet
+      assert(all === Set(("INSERT", 1L, "a"), ("INSERT", 2L, "b")))
+      // streaming a branch changelog: loud batch-only refusal
+      val e = intercept[Exception] {
+        val q = spark.readStream.option("branch", "exp").table(s"gcdfr.$t.changelog")
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Files.createTempDirectory("graft_cdfr_").toString)
+          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+          .start()
+        q.awaitTermination()
+      }
+      assert(msgChain(e).contains("batch-only"), msgChain(e))
+    }
+  }
+
   test("CDF stream refuses pending MOR deletes in range, naming applyDeletes") {
     withCat("gcdfm") { wh =>
       val io = TableIO(spark, wh)
