@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.{GraftCatalog, TableIO}
+
+/** Randomized (seeded) history equivalence for the streaming sources:
+  * arbitrary op sequences must keep the maintenance-tolerant stream
+  * equal to the appended-row set, and the streaming changelog equal to
+  * the batch changelog replay — across interleavings no scripted
+  * history covers.
+  */
+class StreamFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat(cat: String)(body: String => Unit): Unit = {
+    val wh = Files.createTempDirectory("graft_sfz_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(wh) finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("skipRewriteCommits drain == every appended row, over random append/compact histories") {
+    withCat("gfz1") { wh =>
+      val io = TableIO(spark, wh)
+      Seq(11, 29).foreach { seed =>
+        val rnd = new Random(seed)
+        val t = s"default.fz$seed"
+        val appended = mutable.Set.empty[(Long, String)]
+        var nextId = 0L
+        // every history starts with an append (a compaction of an
+        // empty table is a no-op anyway)
+        def appendBatch(): Unit = {
+          val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+            val r = (nextId, s"s$seed-$nextId"); nextId += 1; r
+          }
+          appended ++= rows
+          io.append(rows.toDF("id", "s").coalesce(1), t)
+        }
+        appendBatch()
+        (0 until 12).foreach { _ =>
+          rnd.nextInt(4) match {
+            case 0 | 1 => appendBatch()
+            case 2     => io.compact(t)
+            case 3     => io.compactSorted(t, Seq("id"), targetFiles = 2)
+          }
+        }
+        val buf = mutable.ArrayBuffer.empty[(Long, String)]
+        val q = spark.readStream
+          .option("skipRewriteCommits", "true")
+          .table(s"gfz1.$t").writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Files.createTempDirectory(s"graft_sfzc$seed").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized { buf ++= batch.select("id", "s").as[(Long, String)].collect() }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // exactly once: as a SET and as a BAG
+        assert(buf.size === appended.size, s"seed $seed: duplicates or losses")
+        assert(buf.toSet === appended.toSet, s"seed $seed")
+      }
+    }
+  }
+
+  test("streamed changelog == batch readChangelog replay, over random append/DML/compact histories") {
+    withCat("gfz2") { wh =>
+      val io = TableIO(spark, wh)
+      Seq(7, 43).foreach { seed =>
+        val rnd = new Random(seed)
+        val t = s"default.cfz$seed"
+        var nextId = 0L
+        io.append((0 until 4).map { _ =>
+          val r = (nextId, s"v$nextId"); nextId += 1; r
+        }.toDF("id", "s").coalesce(1), t)
+        (0 until 10).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 | 1 =>
+              val rows = (0 until (1 + rnd.nextInt(2))).map { _ =>
+                val r = (nextId, s"v$nextId"); nextId += 1; r
+              }
+              io.append(rows.toDF("id", "s").coalesce(1), t)
+            case 2 =>
+              io.deleteWhere(t, col("id") % (2 + rnd.nextInt(3)) === rnd.nextInt(2))
+            case 3 =>
+              io.updateWhere(t, col("id") % (2 + rnd.nextInt(3)) === rnd.nextInt(2),
+                Map("s" -> org.apache.spark.sql.functions.concat(col("s"), lit("u"))))
+            case 4 =>
+              io.compact(t)
+          }
+        }
+        val buf = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+        val q = spark.readStream.table(s"gfz2.$t.changelog").writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Files.createTempDirectory(s"graft_cfzc$seed").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= batch.select("_change_type", "_change_version", "id", "s")
+                .as[(String, Int, Long, String)].collect()
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val batchReplay = io.readChangelog(t)
+          .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+          .as[(String, Int, Long, String)].collect()
+        // bag equality: multiplicities matter for changelog semantics
+        def bag(xs: Seq[(String, Int, Long, String)]) =
+          xs.groupBy(identity).view.mapValues(_.size).toMap
+        assert(bag(buf.toSeq) === bag(batchReplay.toSeq), s"seed $seed")
+        // and replaying the STREAMED changelog reconstructs the table:
+        // per key, the latest change (INSERT beats DELETE at the same
+        // version) is the live row or a tombstone
+        val live = buf.groupBy(_._3).flatMap { case (_, changes) =>
+          val latest = changes.maxBy(c => (c._2, if (c._1 == "INSERT") 1 else 0))
+          if (latest._1 == "INSERT") Some((latest._3, latest._4)) else None
+        }.toSet
+        val current = io.read(t).as[(Long, String)].collect().toSet
+        assert(live === current, s"seed $seed: changelog replay != current table")
+      }
+    }
+  }
+}
