@@ -1964,6 +1964,25 @@ object OracleQueries {
         |    AS frame_sum
         |FROM xy GROUP BY 1, 2""".stripMargin,
 
+    // changelog over MOR: the position delete's kills report at v2,
+    // the equality upsert reports DELETE(old live image) + INSERT(new)
+    // at v3 — old images exist only for keys live after v2 — and the
+    // applyDeletes materialization nets zero
+    "q137_mor_changelog" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |batch AS (
+        |  SELECT skey, s_name, CAST(bal + 10 AS DECIMAL(12,2)) AS bal
+        |  FROM base WHERE skey BETWEEN 2 AND 6
+        |  UNION ALL
+        |  SELECT skey + 2000, 'n_' || s_name, bal FROM base WHERE skey = 1)
+        |SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
+        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 2 FROM base WHERE skey % 3 = 1
+        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM base
+        |  WHERE skey BETWEEN 2 AND 6 AND skey % 3 <> 1
+        |UNION ALL SELECT skey, s_name, bal, 'INSERT', 3 FROM batch""".stripMargin,
+
     // CDC replication: the replica's final content is the source's
     // final state — live rows after the delete, with the update applied
     "q136_cdc_replication" ->

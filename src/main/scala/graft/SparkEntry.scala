@@ -565,6 +565,42 @@ object SparkEntry {
       dstIo.read(dst).orderBy(col("skey"), col("s_name"), col("bal"))
     }),
 
+    // CHANGELOG OVER MERGE-ON-READ HISTORY (Iceberg's changelog-with-
+    // deletes, r16): a MOR commit changes no files, but the changelog
+    // reports the rows its delete entries kill — computed from the
+    // entries' own parquet against the pre-commit live state — and
+    // applyDeletes nets to ZERO because the file diff runs against the
+    // MERGED content of removed files. The scripted history: position
+    // delete (kills report at v2), equality upsert (DELETE old image +
+    // INSERT new row at v3), applyDeletes (nothing at v4). This is CDC
+    // completeness over the cheap-write path: zero-read MOR commits
+    // stay O(batch) to write AND their consumers still get exact
+    // row-level history, no "apply first" wall.
+    "q137_mor_changelog" -> ((s, dir) => {
+      val io = TableIO(s, tempDir("graft_morcl_"))
+      val t = "default.supp_mcl"
+      val base = Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"),
+        col("s_acctbal").cast("decimal(12,2)").as("bal"))
+      io.overwrite(base, t) // v1
+      val (_, nDel) = io.deleteWhereMOR(t, col("skey") % 3 === 1) // v2: dirty
+      require(nDel > 0, "MOR delete matched nothing")
+      val batch = base.filter(col("skey").between(2, 6))
+        .select(col("skey"), col("s_name"),
+          (col("bal") + 10).cast("decimal(12,2)").as("bal"))
+        .unionByName(base.filter(col("skey") === 1)
+          .select((col("skey") + 2000).as("skey"),
+            concat(lit("n_"), col("s_name")).as("s_name"), col("bal")))
+      io.upsertMOR(t, batch, Seq("skey")) // v3: still dirty
+      io.applyDeletes(t) // v4: nets zero changelog rows
+      io.readChangelog(t)
+        .select(col("skey"), col("s_name"), col("bal"),
+          col("_change_type"), col("_change_version"))
+        .orderBy(col("_change_version"), col("_change_type"), col("skey"),
+          col("s_name"), col("bal"))
+    }),
+
     // Branch CHANGELOG — the audit question itself: "what exactly will
     // fast_forward publish?" The branch accumulates an append and a
     // COW DELETE (via the WAP session conf); readChangelogBranch diffs

@@ -39,12 +39,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     through maintenance with no option needed — the file diff
   *     cancels carried rows by construction.
   *
-  * Refusals mirror the batch reader: pending merge-on-read deletes in
-  * range (a MOR commit changes no files, its deletions are invisible
-  * to a file diff) and expired manifests refuse loudly with the
-  * recovery step. Renamed-column and Hive-dir-partitioned tables are
-  * batch-only changelog sources, same shape rule as the plain table
-  * stream.
+  * MERGE-ON-READ commits are first-class (Iceberg's changelog-with-
+  * deletes): a MOR delete/upsert changes no files, but its new entries
+  * report the rows they kill as DELETEs at that version — computed
+  * from the entries' own delete parquet against the pre-commit live
+  * state — and applyDeletes nets to zero because the file diff runs
+  * against the MERGED content of removed files. Expired manifests
+  * refuse loudly with the recovery step; renamed-column and
+  * Hive-dir-partitioned tables are batch-only changelog sources, same
+  * shape rule as the plain table stream.
   */
 private[io] class ChangelogTable(
     cat: TableCatalog,
@@ -214,34 +217,36 @@ private[io] class ChangelogMicroBatchStream(
             s"changelog stream over $tableName: snapshot $v in range [$s, $e] is " +
               "expired — its commit can no longer be diffed; restart the stream")
         }
-    (math.max(s, 1) to e).foreach { v =>
-      if (cat.pendingDeletes(tableName, v).nonEmpty)
-        throw new IllegalStateException(
-          s"changelog stream over $tableName: snapshot $v carries pending " +
-            "merge-on-read deletes — a MOR commit changes no files, so its deletions " +
-            "are invisible to a file diff. Run applyDeletes and restart the stream " +
-            "from the applied snapshot (startingVersion)")
-    }
     val spark = SparkSession.active
     val io = new TableIO(spark, cat)
     // normalized file path -> (change type, committing version)
     val tags = Map.newBuilder[String, (String, Int)]
     def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
+      if (v == 0) Seq.empty
+      else
+        try cat.pendingDeletes(tableName, v)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
     var prev = manifestOrReject(s).toSet
+    var prevPending = pendingOrEmpty(s)
     ((s + 1) to e).foreach { v =>
       val cur = manifestOrReject(v).toSet
       val removed = prev.diff(cur)
-      if (removed.isEmpty) cur.diff(prev).foreach(f => tags += norm(f) -> ("INSERT" -> v))
+      val curPending = pendingOrEmpty(v)
+      val pendingChanged = curPending != prevPending
+      if (removed.isEmpty && !pendingChanged)
+        cur.diff(prev).foreach(f => tags += norm(f) -> ("INSERT" -> v))
       else {
-        // rewrite commit: net row diff via the batch changelog core —
-        // carried rows cancel (a pure compaction stages zero rows).
-        // Staged ONCE per version and REUSED on replanning: the batch
-        // plan is re-executed (foreachBatch re-plans the scan), and a
-        // re-stage would mint new random file names while the earlier
-        // planning's partitions still reference the old ones. A
-        // complete stage (writer's _SUCCESS marker) is authoritative;
-        // anything else (crash mid-write) is rewritten. Swept on batch
-        // commit.
+        // rewrite OR merge-on-read commit: net row diff via the batch
+        // changelog core — carried rows cancel (a pure compaction
+        // stages zero rows) and MOR entry deltas report the rows they
+        // kill. Staged ONCE per version and REUSED on replanning: the
+        // batch plan is re-executed (foreachBatch re-plans the scan),
+        // and a re-stage would mint new random file names while the
+        // earlier planning's partitions still reference the old ones.
+        // A complete stage (writer's _SUCCESS marker) is
+        // authoritative; anything else (crash mid-write) is rewritten.
+        // Swept on batch commit.
         lazy val step = io.readChangelog(tableName, v - 1, Some(v))
         Seq("INSERT" -> "insert", "DELETE" -> "delete").foreach { case (tpe, sub) =>
           val dir = stageRoot.resolve(s"v$v").resolve(sub)
@@ -256,6 +261,7 @@ private[io] class ChangelogMicroBatchStream(
         }
       }
       prev = cur
+      prevPending = curPending
     }
     val tagOf = tags.result()
     if (tagOf.isEmpty) { batchFactory = ChangelogStream.EmptyFactory; return Array.empty }

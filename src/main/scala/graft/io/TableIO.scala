@@ -1685,6 +1685,50 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     }
   }
 
+  /** The rows `entries` logically DELETE, as a data-column frame — the
+    * SEMI mirror of [[applyDeleteEntries]], for the changelog's
+    * merge-on-read steps: scans only the entries' dirty files with
+    * `prior` entries applied first, so rows already dead before these
+    * entries never re-report (position entries are disjoint across
+    * commits by construction — the delete scan records LIVE rows only —
+    * and an equality entry kills only rows live at its commit). One
+    * commit writes one entry KIND, and sharded same-commit entries
+    * partition their rows (by file for positions, by key for
+    * equality), so the union below never double-counts a row.
+    */
+  private def rowsKilledBy(name: String, entries: Seq[TableCatalog.DeleteEntry],
+                           prior: Seq[TableCatalog.DeleteEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
+    def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    val dirtyFiles = entries.flatMap(_.dirtyFiles).map(norm).distinct
+    val scanned = readFiles(name, dirtyFiles, withPos = true)
+    val live = if (prior.isEmpty) scanned else applyDeleteEntries(scanned, name, prior)
+    val (eq, pos) = entries.partition(_.isEquality)
+    val toLogical = catalog.renames(name).map(_.swap)
+    val posKilled =
+      if (pos.isEmpty) None
+      else {
+        val delDF = spark.read
+          .schema("gd_file STRING, gd_pos BIGINT")
+          .parquet(pos.map(_.deleteFile).distinct: _*)
+        Some(live.join(broadcast(delDF),
+          live(TableIO.PosFileCol) === delDF("gd_file") &&
+            live(TableIO.PosIdxCol) === delDF("gd_pos"),
+          "left_semi"))
+      }
+    val eqKilled = eq.map { e =>
+      val keys = spark.read.parquet(e.deleteFile).select(e.eqKeyCols.map(col): _*)
+      val dirtyKeys = e.dirtyFiles.map(f => TableIO.fileKeyOf(root, f))
+      val cond = e.eqKeyCols.map(k =>
+        live(toLogical.getOrElse(k, k)) === keys(k)).reduce(_ && _) &&
+        live(TableIO.PosFileCol).isin(dirtyKeys: _*)
+      live.join(broadcast(keys), cond, "left_semi")
+    }
+    (posKilled.toSeq ++ eqKilled).reduce(_.unionByName(_))
+      .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+  }
+
   /** Time travel by commit instant — `TIMESTAMP AS OF` resolution
     * (newest snapshot at or before `tsMs`); rejects loudly when the
     * table has no snapshot that old.
@@ -1816,7 +1860,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     changelogCore(name, name, fromVersion, to,
       v => catalog.manifest(name, v),
-      v => catalog.pendingDeletes(name, v).nonEmpty)
+      v => catalog.pendingDeletes(name, v))
   }
 
   /** [[readChangelog]] over a BRANCH chain: the NET row-level changes
@@ -1832,16 +1876,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
     changelogCore(name, s"$name@$branch", fromBranchVersion, to,
       v => catalog.branchManifest(name, branch, v),
-      v => catalog.branchPendingDeletes(name, branch, v).nonEmpty)
+      v => catalog.branchPendingDeletes(name, branch, v))
   }
 
   private def changelogCore(name: String, label: String, fromVersion: Int, to: Int,
                             manifestAt: Int => Seq[String],
-                            dirtyAt: Int => Boolean): DataFrame = {
+                            pendingAt: Int => Seq[TableCatalog.DeleteEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion >= 0 && fromVersion <= to,
       s"fromVersion must be in [0, $to], got $fromVersion")
-    rejectDirtyRange(label, fromVersion, to, "changelog", dirtyAt)
     def manifestOrReject(v: Int): Seq[String] =
       if (v == 0) Seq.empty
       else
@@ -1851,6 +1894,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             s"changelog read of $label: snapshot $v in required range [$fromVersion, $to] " +
               "is expired — its commit can no longer be diffed")
         }
+    def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
+      if (v == 0) Seq.empty
+      else
+        try pendingAt(v)
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
     // Schema-on-read tables (no declared schema) can drift columns
     // between versions, so per-step frames may disagree in column
     // set/order: exceptAll pairs are aligned to their shared name
@@ -1866,21 +1914,49 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       (conform(x, y), conform(y, x))
     }
     var prev = manifestOrReject(fromVersion).toSet
+    var prevPending = pendingOrEmpty(fromVersion)
     val steps = ((fromVersion + 1) to to).flatMap { v =>
       val cur = manifestOrReject(v).toSet
       val added = (cur -- prev).toSeq.sorted
       val removed = (prev -- cur).toSeq.sorted
+      val curPending = pendingOrEmpty(v)
+      // MERGE-ON-READ steps (Iceberg's changelog-with-deletes): a MOR
+      // commit changes no files but stacks delete ENTRIES — the rows
+      // its new entries kill report as DELETEs at v, computed from the
+      // entries' own parquet against the pre-commit live state
+      // (rowsKilledBy). Entries CONSUMED by a rewrite don't report:
+      // their effect is already materialized in the file diff below.
+      val newEntries = {
+        val before = prevPending.toSet
+        curPending.filterNot(before)
+      }
+      // this step's PRE-commit pending set, pinned before the vars
+      // advance (mergedRemoved is invoked after the reassignment)
+      val pendingBefore = prevPending
+      // file-removing steps diff MERGED content: a removed dirty
+      // file's already-dead rows must not report as DELETEs again
+      // (applyDeletes and dirty-table compactions net to ZERO this
+      // way; a COW-over-dirty DML nets exactly its own row changes)
+      def mergedRemoved(files: Seq[String]): DataFrame =
+        if (pendingBefore.isEmpty) readFiles(name, files)
+        else applyDeleteEntries(readFiles(name, files, withPos = true), name, pendingBefore)
+          .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+      val killed =
+        if (newEntries.isEmpty) None
+        else Some(rowsKilledBy(name, newEntries, pendingBefore))
       prev = cur
+      prevPending = curPending
       def tag(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe)).withColumn("_change_version", lit(v))
-      (added.nonEmpty, removed.nonEmpty) match {
+      val fileDiff = (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => None
         case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
-        case (false, true) => Some(tag(readFiles(name, removed), "DELETE"))
+        case (false, true) => Some(tag(mergedRemoved(removed), "DELETE"))
         case (true, true) =>
-          val (a, r) = align(readFiles(name, added), readFiles(name, removed))
+          val (a, r) = align(readFiles(name, added), mergedRemoved(removed))
           Some(tag(a.exceptAll(r), "INSERT").unionByName(tag(r.exceptAll(a), "DELETE")))
       }
+      fileDiff.toSeq ++ killed.map(tag(_, "DELETE")).toSeq
     }
     if (steps.isEmpty)
       readFiles(name, manifestOrReject(to)).limit(0)

@@ -144,23 +144,64 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
-  test("CDF stream refuses pending MOR deletes in range, naming applyDeletes") {
+  test("merge-on-read commits are first-class changelog steps: kills report, applyDeletes nets zero") {
     withCat("gcdfm") { wh =>
       val io = TableIO(spark, wh)
       val t = "default.msrc"
-      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
-      io.deleteWhereMOR(t, col("id") === 2L)
-      val e = intercept[Exception](drain(s"gcdfm.$t.changelog",
-        Files.createTempDirectory("graft_cdfm_").toString))
-      assert(msgChain(e).contains("applyDeletes"), msgChain(e))
-      // after applyDeletes, a stream starting at the applied snapshot reads
-      io.applyDeletes(t)
-      val vApplied = io.catalog.currentVersion(t).get
-      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
-      val got = drain(s"gcdfm.$t.changelog",
-        Files.createTempDirectory("graft_cdfm2_").toString,
-        Map("startingVersion" -> vApplied.toString))
-      assert(got.toSet === Set(("INSERT", vApplied + 1, 3L, "c")))
+      io.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t) // v1
+      val ckpt = Files.createTempDirectory("graft_cdfm_").toString
+      assert(drain(s"gcdfm.$t.changelog", ckpt).toSet === Set(
+        ("INSERT", 1, 1L, "a"), ("INSERT", 1, 2L, "b"), ("INSERT", 1, 3L, "c")))
+
+      // a MOR position delete changes no files but its entry kills a
+      // row: the changelog reports exactly that DELETE at v2
+      io.deleteWhereMOR(t, col("id") === 2L) // v2
+      assert(drain(s"gcdfm.$t.changelog", ckpt).toSet === Set(("DELETE", 2, 2L, "b")))
+
+      // a MOR equality upsert: DELETE(old image) + INSERT(new row) at v3
+      io.upsertMOR(t, Seq((3L, "C")).toDF("id", "s").coalesce(1), Seq("id")) // v3
+      assert(drain(s"gcdfm.$t.changelog", ckpt).toSet === Set(
+        ("DELETE", 3, 3L, "c"), ("INSERT", 3, 3L, "C")))
+
+      // applyDeletes materializes what was already reported: ZERO rows
+      io.applyDeletes(t) // v4
+      assert(drain(s"gcdfm.$t.changelog", ckpt).isEmpty)
+
+      // and the full streamed replay equals the batch changelog replay
+      val ckpt2 = Files.createTempDirectory("graft_cdfm2_").toString
+      val streamed = drain(s"gcdfm.$t.changelog", ckpt2).toSet
+      val batch = io.readChangelog(t)
+        .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(streamed === batch)
+      // replaying the changelog per key reconstructs the table
+      val live = streamed.groupBy(_._3).flatMap { case (_, cs) =>
+        val latest = cs.maxBy(c => (c._2, if (c._1 == "INSERT") 1 else 0))
+        if (latest._1 == "INSERT") Some((latest._3, latest._4)) else None
+      }.toSet
+      assert(live === io.read(t).as[(Long, String)].collect().toSet)
+    }
+  }
+
+  test("a MOR pure-delete CDC batch and a dirty-range start both read correctly") {
+    withCat("gcdfn") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.nsrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t) // v1
+      io.deleteWhereMOR(t, col("id") === 2L) // v2 (head stays dirty)
+      // cdcApplyMOR with a delete event: key-only equality kill at v3
+      io.cdcApplyMOR(t, Seq((1L, "x", "D")).toDF("id", "s", "op"), Seq("id"), "op") // v3
+      val got = drain(s"gcdfn.$t.changelog",
+        Files.createTempDirectory("graft_cdfn_").toString)
+      assert(got.toSet === Set(
+        ("INSERT", 1, 1L, "a"), ("INSERT", 1, 2L, "b"),
+        ("DELETE", 2, 2L, "b"), ("DELETE", 3, 1L, "a")))
+      // a stream STARTING at the dirty v2 baseline reports only v3's
+      // kill — pre-baseline deletions are part of the baseline
+      val got2 = drain(s"gcdfn.$t.changelog",
+        Files.createTempDirectory("graft_cdfn2_").toString,
+        Map("startingVersion" -> "2"))
+      assert(got2.toSet === Set(("DELETE", 3, 1L, "a")))
     }
   }
 

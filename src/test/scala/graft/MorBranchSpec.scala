@@ -144,21 +144,27 @@ class MorBranchSpec extends SparkSpec {
       .as[Long].collect().sorted === Array(2L, 3L))
     assert(cl1.filter(col("_change_type") === "DELETE").count() === 0L)
 
-    // a pending branch MOR delete in range: both readers refuse loudly
+    // a pending branch MOR delete in range: the INCREMENTAL reader
+    // refuses loudly (a file diff cannot express a deletion as an
+    // insert delta), while the CHANGELOG is MOR-aware (r16) and
+    // reports exactly the killed row as a DELETE at v3
     io.deleteWhereMOR(t, col("id") === 3L, branch = Some("b")) // v3, dirty
     val ei = intercept[IllegalStateException](io.readIncrementalBranch(t, "b").collect())
     assert(ei.getMessage.contains("applyDeletes"), ei.getMessage)
-    val ec = intercept[IllegalStateException](io.readChangelogBranch(t, "b").collect())
-    assert(ec.getMessage.contains("applyDeletes"), ec.getMessage)
+    val clDirty = io.readChangelogBranch(t, "b")
+      .select(col("_change_type"), col("_change_version"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(clDirty === Set(("INSERT", 2, 2L), ("INSERT", 2, 3L), ("DELETE", 3, 3L)))
 
-    // applyDeletesBranch materializes; ranges still SPANNING the dirty
-    // snapshot keep refusing (v3 is in [1, head] — consumers restart
-    // from the applied snapshot, same contract as main), and ranges at
-    // or after it read clean
+    // applyDeletesBranch materializes; incremental ranges SPANNING the
+    // dirty snapshot keep refusing (consumers restart from the applied
+    // snapshot), ranges at or after it read clean — and the changelog
+    // nets the materialization to ZERO (already reported at v3)
     io.applyDeletesBranch(t, "b") // v4
     val en = intercept[IllegalStateException](io.readIncrementalBranch(t, "b").collect())
     assert(en.getMessage.contains("applyDeletes"), en.getMessage)
     assert(io.readIncrementalBranch(t, "b", fromBranchVersion = 4).count() === 0L)
+    assert(io.readChangelogBranch(t, "b", fromBranchVersion = 3).count() === 0L)
     assert(io.readBranch(t, "b").select("id").as[Long].collect().sorted ===
       Array(1L, 2L))
 

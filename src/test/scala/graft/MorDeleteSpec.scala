@@ -393,15 +393,21 @@ class MorDeleteSpec extends SparkSpec {
 
     // a MOR commit passes an append-only file check, so without the
     // guard readIncremental would serve v4's rows while silently
-    // hiding that id=2 died in-range — and readChangelog would never
-    // emit its DELETE. Both must refuse, naming the recovery step.
+    // hiding that id=2 died in-range — it must refuse, naming the
+    // recovery step. The CHANGELOG is MOR-aware (r16): the full replay
+    // emits the kill as a DELETE at vDel and nets applyDeletes to zero.
     for (from <- Seq(1, vDel, vDel + 1)) {
       val ei = intercept[IllegalStateException](io.readIncremental(t, from).collect())
       assert(ei.getMessage.contains("pending") && ei.getMessage.contains("applyDeletes"),
         s"from=$from: ${ei.getMessage}")
     }
-    val ec = intercept[IllegalStateException](io.readChangelog(t).collect())
-    assert(ec.getMessage.contains("applyDeletes"), ec.getMessage)
+    val full = io.readChangelog(t)
+      .select(col("_change_type"), col("_change_version"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(full === ((1L to 8L).map(i => ("INSERT", if (i <= 4) 1 else 2, i)) ++
+      Seq(("DELETE", vDel, 2L)) ++
+      (9L to 10L).map(i => ("INSERT", 4, i)) ++
+      (11L to 12L).map(i => ("INSERT", 6, i))).toSet)
 
     // ranges at or after the applied snapshot read clean
     assert(io.readIncremental(t, vApplied).as[Long].collect().sorted === Array(11L, 12L))

@@ -73,7 +73,7 @@ class StreamFuzzSpec extends SparkSpec {
     }
   }
 
-  test("streamed changelog == batch readChangelog replay, over random append/DML/compact histories") {
+  test("streamed changelog == batch readChangelog replay, over random append/DML/MOR/compact histories") {
     withCat("gfz2") { wh =>
       val io = TableIO(spark, wh)
       Seq(7, 43).foreach { seed =>
@@ -83,8 +83,8 @@ class StreamFuzzSpec extends SparkSpec {
         io.append((0 until 4).map { _ =>
           val r = (nextId, s"v$nextId"); nextId += 1; r
         }.toDF("id", "s").coalesce(1), t)
-        (0 until 10).foreach { _ =>
-          rnd.nextInt(5) match {
+        (0 until 12).foreach { _ =>
+          rnd.nextInt(8) match {
             case 0 | 1 =>
               val rows = (0 until (1 + rnd.nextInt(2))).map { _ =>
                 val r = (nextId, s"v$nextId"); nextId += 1; r
@@ -97,6 +97,17 @@ class StreamFuzzSpec extends SparkSpec {
                 Map("s" -> org.apache.spark.sql.functions.concat(col("s"), lit("u"))))
             case 4 =>
               io.compact(t)
+            case 5 => // zero-read MOR position delete (dirty snapshots in range)
+              io.deleteWhereMOR(t, col("id") % (3 + rnd.nextInt(3)) === rnd.nextInt(3))
+              ()
+            case 6 => // zero-read MOR equality upsert: an update + an insert
+              val upd = rnd.nextLong(math.max(1L, nextId))
+              val rows = Seq((upd, s"m$upd"), { val r = (nextId, s"v$nextId"); nextId += 1; r })
+              io.upsertMOR(t, rows.toDF("id", "s").coalesce(1), Seq("id"))
+              ()
+            case 7 =>
+              io.applyDeletes(t)
+              ()
           }
         }
         val buf = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
