@@ -222,11 +222,12 @@ private[io] class ChangelogMicroBatchStream(
     // normalized file path -> (change type, committing version)
     val tags = Map.newBuilder[String, (String, Int)]
     def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    // no catch: pendingDeletes returns empty for missing manifests, so
+    // anything thrown is a CORRUPT deletes prop — loud beats silently
+    // treating a MOR commit as clean (the batch core is equally loud,
+    // keeping the spec-pinned streamed == batch equivalence)
     def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
-      if (v == 0) Seq.empty
-      else
-        try cat.pendingDeletes(tableName, v)
-        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      if (v == 0) Seq.empty else cat.pendingDeletes(tableName, v)
     var prev = manifestOrReject(s).toSet
     var prevPending = pendingOrEmpty(s)
     ((s + 1) to e).foreach { v =>

@@ -865,8 +865,14 @@ final case class TableCatalog(warehouse: String) {
       // pending-deletes prop (if any) is carried: the restored file
       // list is the target's, so its delete entries apply verbatim —
       // dropping them would resurrect the rows the target had deleted.
+      // stamped graft.op=rollback: a rollback's file/entry transition
+      // follows NO incremental shape (entries can vanish without a
+      // consuming rewrite, or reappear over files re-added raw) — the
+      // changelog switches to an exact merged-state diff on this marker
       commitSnapshotAt(name, files, live.max + 1,
-        props = deletesCarry(name, version), stats = stats)
+        props = deletesCarry(name, version) +
+          (TableCatalog.OpProp -> TableCatalog.OpRollback),
+        stats = stats)
     } finally lock.release()
   }
 
@@ -1189,6 +1195,13 @@ object TableCatalog {
     */
   val OpProp = "graft.op"
   val OpRewrite = "rewrite"
+  /** A rollback restores an older snapshot verbatim: its row-level
+    * effect is a STATE transition (rows resurrect, rows vanish) that
+    * no file/entry-incremental math expresses — the changelog diffs
+    * the merged states exactly on this marker, and the table stream's
+    * skip options never skip it.
+    */
+  val OpRollback = "rollback"
 
   /** One pending position-delete file and the data files it covers.
     * Paths are table-root-relative in the manifest prop (rename-safe)
@@ -1656,6 +1669,29 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * rows survive its own delete). Every build side is a delete set —
     * small by design, broadcast is the right plan.
     */
+  /** The position-delete pairs of `pos` entries as one frame. */
+  private def posDeleteFrame(pos: Seq[TableCatalog.DeleteEntry]): DataFrame =
+    spark.read
+      .schema("gd_file STRING, gd_pos BIGINT")
+      .parquet(pos.map(_.deleteFile).distinct: _*)
+
+  /** Join condition matching rows of `df` that equality entry `e`
+    * kills: key-tuple equality against `keys` (equality keys ride
+    * PHYSICAL column names — rename-proof, like data files; the probe
+    * side is logical-named) scoped to the entry's dirty file keys.
+    * Shared by the anti (merged reads) and semi (changelog kills)
+    * flavors so the matching semantics can never diverge.
+    */
+  private def eqKillCond(df: DataFrame, keys: DataFrame,
+                         e: TableCatalog.DeleteEntry,
+                         root: java.nio.file.Path,
+                         toLogical: Map[String, String]): org.apache.spark.sql.Column = {
+    val dirtyKeys = e.dirtyFiles.map(f => TableIO.fileKeyOf(root, f))
+    e.eqKeyCols.map(k =>
+      df(toLogical.getOrElse(k, k)) === keys(k)).reduce(_ && _) &&
+      df(TableIO.PosFileCol).isin(dirtyKeys: _*)
+  }
+
   private def applyDeleteEntries(df: DataFrame, name: String,
                                  entries: Seq[TableCatalog.DeleteEntry]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
@@ -1664,24 +1700,16 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val afterPos =
       if (pos.isEmpty) df
       else {
-        val delDF = spark.read
-          .schema("gd_file STRING, gd_pos BIGINT")
-          .parquet(pos.map(_.deleteFile).distinct: _*)
+        val delDF = posDeleteFrame(pos)
         df.join(broadcast(delDF),
           df(TableIO.PosFileCol) === delDF("gd_file") &&
             df(TableIO.PosIdxCol) === delDF("gd_pos"),
           "left_anti")
       }
-    // equality keys are stored under PHYSICAL column names (rename-
-    // proof, like data files); the probe side is logical-named
     val toLogical = catalog.renames(name).map(_.swap)
     eq.foldLeft(afterPos) { (cur, e) =>
       val keys = spark.read.parquet(e.deleteFile).select(e.eqKeyCols.map(col): _*)
-      val dirtyKeys = e.dirtyFiles.map(f => TableIO.fileKeyOf(root, f))
-      val cond = e.eqKeyCols.map(k =>
-        cur(toLogical.getOrElse(k, k)) === keys(k)).reduce(_ && _) &&
-        cur(TableIO.PosFileCol).isin(dirtyKeys: _*)
-      cur.join(broadcast(keys), cond, "left_anti")
+      cur.join(broadcast(keys), eqKillCond(cur, keys, e, root, toLogical), "left_anti")
     }
   }
 
@@ -1709,9 +1737,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val posKilled =
       if (pos.isEmpty) None
       else {
-        val delDF = spark.read
-          .schema("gd_file STRING, gd_pos BIGINT")
-          .parquet(pos.map(_.deleteFile).distinct: _*)
+        val delDF = posDeleteFrame(pos)
         Some(live.join(broadcast(delDF),
           live(TableIO.PosFileCol) === delDF("gd_file") &&
             live(TableIO.PosIdxCol) === delDF("gd_pos"),
@@ -1719,11 +1745,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       }
     val eqKilled = eq.map { e =>
       val keys = spark.read.parquet(e.deleteFile).select(e.eqKeyCols.map(col): _*)
-      val dirtyKeys = e.dirtyFiles.map(f => TableIO.fileKeyOf(root, f))
-      val cond = e.eqKeyCols.map(k =>
-        live(toLogical.getOrElse(k, k)) === keys(k)).reduce(_ && _) &&
-        live(TableIO.PosFileCol).isin(dirtyKeys: _*)
-      live.join(broadcast(keys), cond, "left_semi")
+      live.join(broadcast(keys), eqKillCond(live, keys, e, root, toLogical), "left_semi")
     }
     (posKilled.toSeq ++ eqKilled).reduce(_.unionByName(_))
       .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
@@ -1860,7 +1882,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"table not found: $name"))
     changelogCore(name, name, fromVersion, to,
       v => catalog.manifest(name, v),
-      v => catalog.pendingDeletes(name, v))
+      v => catalog.pendingDeletes(name, v),
+      v => try catalog.manifestProps(name, v).get(TableCatalog.OpProp)
+           catch { case scala.util.control.NonFatal(_) => None })
   }
 
   /** [[readChangelog]] over a BRANCH chain: the NET row-level changes
@@ -1876,12 +1900,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       throw new IllegalArgumentException(s"branch $branch does not exist on $name"))
     changelogCore(name, s"$name@$branch", fromBranchVersion, to,
       v => catalog.branchManifest(name, branch, v),
-      v => catalog.branchPendingDeletes(name, branch, v))
+      v => catalog.branchPendingDeletes(name, branch, v),
+      v => try catalog.branchProps(name, branch, v).get(TableCatalog.OpProp)
+           catch { case scala.util.control.NonFatal(_) => None })
   }
 
   private def changelogCore(name: String, label: String, fromVersion: Int, to: Int,
                             manifestAt: Int => Seq[String],
-                            pendingAt: Int => Seq[TableCatalog.DeleteEntry]): DataFrame = {
+                            pendingAt: Int => Seq[TableCatalog.DeleteEntry],
+                            opAt: Int => Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion >= 0 && fromVersion <= to,
       s"fromVersion must be in [0, $to], got $fromVersion")
@@ -1894,11 +1921,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             s"changelog read of $label: snapshot $v in required range [$fromVersion, $to] " +
               "is expired — its commit can no longer be diffed")
         }
+    // no catch here: the catalog accessors already return empty for
+    // missing manifests, so anything thrown is a CORRUPT deletes prop —
+    // loud beats silently treating a MOR commit as clean
     def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
-      if (v == 0) Seq.empty
-      else
-        try pendingAt(v)
-        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      if (v == 0) Seq.empty else pendingAt(v)
     // Schema-on-read tables (no declared schema) can drift columns
     // between versions, so per-step frames may disagree in column
     // set/order: exceptAll pairs are aligned to their shared name
@@ -1913,50 +1940,93 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         }: _*)
       (conform(x, y), conform(y, x))
     }
-    var prev = manifestOrReject(fromVersion).toSet
+    // deletes-merged view of an arbitrary (files, entries) state —
+    // the exact-state fallback for steps with no incremental shape
+    def mergedState(files: Seq[String],
+                    pending: Seq[TableCatalog.DeleteEntry]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else if (pending.isEmpty) Some(readFiles(name, files))
+      else Some(applyDeleteEntries(readFiles(name, files, withPos = true), name, pending)
+        .drop(TableIO.PosFileCol, TableIO.PosIdxCol))
+    var prevSeq = manifestOrReject(fromVersion)
+    var prev = prevSeq.toSet
     var prevPending = pendingOrEmpty(fromVersion)
     val steps = ((fromVersion + 1) to to).flatMap { v =>
-      val cur = manifestOrReject(v).toSet
+      val curSeq = manifestOrReject(v)
+      val cur = curSeq.toSet
       val added = (cur -- prev).toSeq.sorted
       val removed = (prev -- cur).toSeq.sorted
       val curPending = pendingOrEmpty(v)
-      // MERGE-ON-READ steps (Iceberg's changelog-with-deletes): a MOR
-      // commit changes no files but stacks delete ENTRIES — the rows
-      // its new entries kill report as DELETEs at v, computed from the
-      // entries' own parquet against the pre-commit live state
-      // (rowsKilledBy). Entries CONSUMED by a rewrite don't report:
-      // their effect is already materialized in the file diff below.
-      val newEntries = {
-        val before = prevPending.toSet
-        curPending.filterNot(before)
-      }
-      // this step's PRE-commit pending set, pinned before the vars
-      // advance (mergedRemoved is invoked after the reassignment)
+      // this step's PRE-commit state, pinned before the vars advance
+      // (mergedRemoved is invoked after the reassignment)
       val pendingBefore = prevPending
-      // file-removing steps diff MERGED content: a removed dirty
-      // file's already-dead rows must not report as DELETEs again
-      // (applyDeletes and dirty-table compactions net to ZERO this
-      // way; a COW-over-dirty DML nets exactly its own row changes)
-      def mergedRemoved(files: Seq[String]): DataFrame =
-        if (pendingBefore.isEmpty) readFiles(name, files)
-        else applyDeleteEntries(readFiles(name, files, withPos = true), name, pendingBefore)
-          .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
-      val killed =
-        if (newEntries.isEmpty) None
-        else Some(rowsKilledBy(name, newEntries, pendingBefore))
+      val prevFiles = prevSeq
+      prevSeq = curSeq
       prev = cur
       prevPending = curPending
       def tag(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe)).withColumn("_change_version", lit(v))
-      val fileDiff = (added.nonEmpty, removed.nonEmpty) match {
-        case (false, false) => None
-        case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
-        case (false, true) => Some(tag(mergedRemoved(removed), "DELETE"))
-        case (true, true) =>
-          val (a, r) = align(readFiles(name, added), mergedRemoved(removed))
-          Some(tag(a.exceptAll(r), "INSERT").unionByName(tag(r.exceptAll(a), "DELETE")))
+      def stateDiff(): Seq[DataFrame] =
+        (mergedState(prevFiles, pendingBefore), mergedState(curSeq, curPending)) match {
+          case (None, None) => Seq.empty
+          case (Some(b), None) => Seq(tag(b, "DELETE"))
+          case (None, Some(a)) => Seq(tag(a, "INSERT"))
+          case (Some(b), Some(a)) =>
+            val (x, y) = align(a, b)
+            Seq(tag(x.exceptAll(y), "INSERT").unionByName(tag(y.exceptAll(x), "DELETE")))
+        }
+      if (opAt(v).contains(TableCatalog.OpRollback)) {
+        // a ROLLBACK restores an older snapshot verbatim: rows
+        // resurrect and entries reappear/vanish in ways no
+        // file/entry-incremental math expresses — diff the exact
+        // merged states instead (net: resurrections INSERT, losses
+        // DELETE, an identical-state rollback emits nothing)
+        stateDiff()
+      } else {
+        // MERGE-ON-READ steps (Iceberg's changelog-with-deletes): a MOR
+        // commit changes no files but stacks delete ENTRIES — the rows
+        // its new entries kill report as DELETEs at v, computed from
+        // the entries' own parquet against the pre-commit live state
+        // (rowsKilledBy). Entries CONSUMED or TRIMMED by a rewrite
+        // don't report: a trimmed carry-over keeps its delete FILE
+        // (trimDeletesForRewrite shrinks the dirty list only), and its
+        // kills were reported when the original entry committed.
+        val beforeEntries = pendingBefore.toSet
+        val beforeDelFiles = pendingBefore.map(_.deleteFile).toSet
+        val newEntries = curPending.filterNot(e =>
+          beforeEntries(e) || beforeDelFiles(e.deleteFile))
+        val vanished = pendingBefore.filterNot(curPending.toSet)
+        if (vanished.nonEmpty && removed.isEmpty)
+          // entries can only legitimately disappear when a rewrite
+          // consumed their dirty files — anything else (an unstamped
+          // legacy rollback, manual metadata surgery) would silently
+          // drop resurrections from the replay
+          throw new IllegalStateException(
+            s"changelog read of $label: snapshot $v dropped ${vanished.size} pending " +
+              "delete entr(ies) without rewriting any file — no incremental shape " +
+              "expresses this transition (an unstamped rollback?); read a range " +
+              "starting at or after it")
+        // file-removing steps diff MERGED content: a removed dirty
+        // file's already-dead rows must not report as DELETEs again
+        // (applyDeletes and dirty-table compactions net to ZERO this
+        // way; a COW-over-dirty DML nets exactly its own row changes)
+        def mergedRemoved(files: Seq[String]): DataFrame =
+          if (pendingBefore.isEmpty) readFiles(name, files)
+          else applyDeleteEntries(readFiles(name, files, withPos = true), name, pendingBefore)
+            .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+        val killed =
+          if (newEntries.isEmpty) None
+          else Some(rowsKilledBy(name, newEntries, pendingBefore))
+        val fileDiff = (added.nonEmpty, removed.nonEmpty) match {
+          case (false, false) => None
+          case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
+          case (false, true) => Some(tag(mergedRemoved(removed), "DELETE"))
+          case (true, true) =>
+            val (a, r) = align(readFiles(name, added), mergedRemoved(removed))
+            Some(tag(a.exceptAll(r), "INSERT").unionByName(tag(r.exceptAll(a), "DELETE")))
+        }
+        fileDiff.toSeq ++ killed.map(tag(_, "DELETE")).toSeq
       }
-      fileDiff.toSeq ++ killed.map(tag(_, "DELETE")).toSeq
     }
     if (steps.isEmpty)
       readFiles(name, manifestOrReject(to)).limit(0)

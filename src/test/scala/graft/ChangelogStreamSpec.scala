@@ -205,6 +205,39 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
+  test("rollback steps diff merged STATES exactly: resurrections INSERT, losses DELETE, MOR entries honored") {
+    withCat("gcdro") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.rosrc"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t) // v1
+      io.deleteWhereMOR(t, col("id") === 2L) // v2: dirty, DELETE(2) reported
+      io.applyDeletes(t) // v3: nets zero
+      io.catalog.rollbackTo(t, 1) // v4: id=2 RESURRECTS (back to the pre-delete state)
+      val got = io.readChangelog(t)
+        .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(got === Set(
+        ("INSERT", 1, 1L, "a"), ("INSERT", 1, 2L, "b"),
+        ("DELETE", 2, 2L, "b"),
+        ("INSERT", 4, 2L, "b"))) // the rollback's exact state diff
+      // rolling back TO a dirty snapshot: the restored state is the
+      // MERGED view (entry carried), so the diff nets zero vs v2's
+      // merged state reached again
+      val t2 = "default.rosrc2"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t2) // v1
+      io.deleteWhereMOR(t2, col("id") === 2L) // v2: dirty
+      io.catalog.rollbackTo(t2, 2) // v3: identical merged state
+      val got2 = io.readChangelog(t2)
+        .select(col("_change_type"), col("_change_version"), col("id"))
+        .as[(String, Int, Long)].collect().toSet
+      assert(got2 === Set(("INSERT", 1, 1L), ("INSERT", 1, 2L), ("DELETE", 2, 2L)))
+      // and the streamed replay agrees with the batch one across both
+      val streamed = drain(s"gcdro.$t.changelog",
+        Files.createTempDirectory("graft_cdro_").toString).toSet
+      assert(streamed === got)
+    }
+  }
+
   test("column pruning: a consumer selecting only data columns (or only change columns) reads clean") {
     withCat("gcdfp") { wh =>
       val io = TableIO(spark, wh)
