@@ -677,13 +677,16 @@ object OracleQueries {
         |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
         |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
         |v2state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-        |live3 AS (SELECT * FROM v2state WHERE skey % 3 <> 0)
-        |SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
-        |UNION ALL SELECT skey, s_name, bal, 'INSERT', 2 FROM app
-        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM v2state WHERE skey % 3 = 0
-        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 4 FROM live3 WHERE skey % 4 = 1
-        |UNION ALL SELECT skey, s_name, CAST(bal + 50 AS DECIMAL(12,2)), 'INSERT', 4
-        |  FROM live3 WHERE skey % 4 = 1""".stripMargin,
+        |live3 AS (SELECT * FROM v2state WHERE skey % 3 <> 0),
+        |out AS (
+        |  SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
+        |  UNION ALL SELECT skey, s_name, bal, 'INSERT', 2 FROM app
+        |  UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM v2state WHERE skey % 3 = 0
+        |  UNION ALL SELECT skey, s_name, bal, 'DELETE', 4 FROM live3 WHERE skey % 4 = 1
+        |  UNION ALL SELECT skey, s_name, CAST(bal + 50 AS DECIMAL(12,2)), 'INSERT', 4
+        |    FROM live3 WHERE skey % 4 = 1)
+        |SELECT skey, s_name, CAST(bal AS DOUBLE) AS bal, _change_type, _change_version
+        |FROM out""".stripMargin,
 
     // branch changelog replay: appended rows INSERT at branch v2;
     // every row matching the delete predicate (base AND just-appended)
@@ -698,9 +701,9 @@ object OracleQueries {
         |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
         |allrows AS (SELECT * FROM base UNION ALL SELECT * FROM app)
         |SELECT 'INSERT' AS _change_type, CAST(2 AS INT) AS _change_version,
-        |       skey, s_name, bal FROM app
+        |       skey, s_name, CAST(bal AS DOUBLE) AS bal FROM app
         |UNION ALL
-        |SELECT 'DELETE', CAST(3 AS INT), skey, s_name, bal
+        |SELECT 'DELETE', CAST(3 AS INT), skey, s_name, CAST(bal AS DOUBLE)
         |FROM allrows WHERE skey % 4 = 1""".stripMargin,
 
     // branch-MOR CDC replay: base minus the branch position delete,
@@ -726,9 +729,9 @@ object OracleQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.skey = l.skey)
         |  UNION ALL
         |  SELECT skey, s_name, bal FROM batch WHERE op <> 'D')
-        |SELECT 'branch' AS state, skey, s_name, bal FROM st
+        |SELECT 'branch' AS state, skey, s_name, CAST(bal AS DOUBLE) AS bal FROM st
         |UNION ALL
-        |SELECT 'published' AS state, skey, s_name, bal FROM st""".stripMargin,
+        |SELECT 'published' AS state, skey, s_name, CAST(bal AS DOUBLE) FROM st""".stripMargin,
 
     // SPJ replay: the zero-exchange plan shape is asserted in-query
     // and spec-pinned; the oracle checks the join SEMANTICS
@@ -767,7 +770,7 @@ object OracleQueries {
         |  UNION ALL
         |  SELECT s.skey, s.s_name, s.bal FROM src s
         |  WHERE NOT EXISTS (SELECT 1 FROM live2 l WHERE l.skey = s.skey))
-        |SELECT state, skey, s_name, CAST(bal AS DECIMAL(14,2)) AS bal FROM (
+        |SELECT state, skey, s_name, CAST(bal AS DOUBLE) AS bal FROM (
         |  SELECT 'pending' AS state, * FROM live1
         |  UNION ALL
         |  SELECT 'final' AS state, * FROM merged)""".stripMargin,
@@ -1976,12 +1979,15 @@ object OracleQueries {
         |  SELECT skey, s_name, CAST(bal + 10 AS DECIMAL(12,2)) AS bal
         |  FROM base WHERE skey BETWEEN 2 AND 6
         |  UNION ALL
-        |  SELECT skey + 2000, 'n_' || s_name, bal FROM base WHERE skey = 1)
-        |SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
-        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 2 FROM base WHERE skey % 3 = 1
-        |UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM base
-        |  WHERE skey BETWEEN 2 AND 6 AND skey % 3 <> 1
-        |UNION ALL SELECT skey, s_name, bal, 'INSERT', 3 FROM batch""".stripMargin,
+        |  SELECT skey + 2000, 'n_' || s_name, bal FROM base WHERE skey = 1),
+        |out AS (
+        |  SELECT skey, s_name, bal, 'INSERT' AS _change_type, 1 AS _change_version FROM base
+        |  UNION ALL SELECT skey, s_name, bal, 'DELETE', 2 FROM base WHERE skey % 3 = 1
+        |  UNION ALL SELECT skey, s_name, bal, 'DELETE', 3 FROM base
+        |    WHERE skey BETWEEN 2 AND 6 AND skey % 3 <> 1
+        |  UNION ALL SELECT skey, s_name, bal, 'INSERT', 3 FROM batch)
+        |SELECT skey, s_name, CAST(bal AS DOUBLE) AS bal, _change_type, _change_version
+        |FROM out""".stripMargin,
 
     // CDC replication: the replica's final content is the source's
     // final state — live rows after the delete, with the update applied
@@ -1997,7 +2003,8 @@ object OracleQueries {
         |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM app)
         |  WHERE skey % 3 <> 0)
         |SELECT skey, s_name,
-        |  CASE WHEN skey % 4 = 1 THEN CAST(bal + 50 AS DECIMAL(12,2)) ELSE bal END AS bal
+        |  CAST(CASE WHEN skey % 4 = 1 THEN CAST(bal + 50 AS DECIMAL(12,2)) ELSE bal END
+        |       AS DOUBLE) AS bal
         |FROM live3""".stripMargin,
 
     // bottom-k-by-hash replays exactly: rank by the same 52-bit md5

@@ -371,13 +371,18 @@ object SparkEntry {
         "branch CDC leaked to main: version advanced")
       // pinned at the dirty branch head (analysis-time resolution)
       val branchState = s.sql(
-        s"SELECT 'branch' AS state, skey, s_name, bal FROM $cname.$t VERSION AS OF '$br'")
+        s"SELECT 'branch' AS state, skey, s_name, CAST(bal AS DOUBLE) AS bal " +
+          s"FROM $cname.$t VERSION AS OF '$br'")
       io.fastForward(t, br)
       val vPub = io.catalog.currentVersion(t).get
       require(io.catalog.pendingDeletes(t, vPub).nonEmpty,
         "publish must carry the branch's pending delete entries to main")
       io.applyDeletes(t)
-      val published = s.sql(s"SELECT 'published' AS state, skey, s_name, bal FROM $cname.$t")
+      // final outputs cast DECIMAL bal to DOUBLE (exact for cents
+      // values): the driver's hasher canonicalizes DECIMAL differently
+      // between the Spark and DuckDB sides — decimals stay internal
+      val published = s.sql(
+        s"SELECT 'published' AS state, skey, s_name, CAST(bal AS DOUBLE) AS bal FROM $cname.$t")
       // deterministic output: the union's physical row order is
       // scheduling-dependent — 16 rows, the sort is free
       branchState.unionByName(published)
@@ -508,7 +513,10 @@ object SparkEntry {
         }
         .start()
       q.awaitTermination()
+      // DECIMAL stays internal: the driver's hasher mismatches decimal
+      // output columns, and cents-exact bal casts to DOUBLE losslessly
       drainIo.read("default.drained")
+        .withColumn("bal", col("bal").cast("double"))
         .orderBy(col("_change_version"), col("_change_type"), col("skey"),
           col("s_name"), col("bal"))
     }),
@@ -562,7 +570,10 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       dstIo.applyDeletes(dst)
-      dstIo.read(dst).orderBy(col("skey"), col("s_name"), col("bal"))
+      // decimal-free final schema (driver-hash rule); exact for cents
+      dstIo.read(dst)
+        .withColumn("bal", col("bal").cast("double"))
+        .orderBy(col("skey"), col("s_name"), col("bal"))
     }),
 
     // CHANGELOG OVER MERGE-ON-READ HISTORY (Iceberg's changelog-with-
@@ -595,7 +606,9 @@ object SparkEntry {
       io.upsertMOR(t, batch, Seq("skey")) // v3: still dirty
       io.applyDeletes(t) // v4: nets zero changelog rows
       io.readChangelog(t)
-        .select(col("skey"), col("s_name"), col("bal"),
+        .select(col("skey"), col("s_name"),
+          // decimal-free final schema (driver-hash rule); exact for cents
+          col("bal").cast("double").as("bal"),
           col("_change_type"), col("_change_version"))
         .orderBy(col("_change_version"), col("_change_type"), col("skey"),
           col("s_name"), col("bal"))
@@ -629,7 +642,8 @@ object SparkEntry {
       finally s.conf.unset("spark.wap.branch")
       io.readChangelogBranch(t, "cdc")
         .select(col("_change_type"), col("_change_version"),
-          col("skey"), col("s_name"), col("bal"))
+          // decimal-free final schema (driver-hash rule); exact for cents
+          col("skey"), col("s_name"), col("bal").cast("double").as("bal"))
         // deterministic output: changelog row order is file-scheduling
         // dependent — 31 rows, the sort is free
         .orderBy(col("_change_version"), col("_change_type"), col("skey"),
@@ -894,8 +908,9 @@ object SparkEntry {
       val fin = s.sql(s"SELECT 'final' AS state, skey, s_name, bal FROM $cname.$t")
       // deterministic output: the union's physical row order is
       // scheduling-dependent — 200 rows, the sort is free
+      // decimal-free final schema (driver-hash rule); exact for cents
       pending.unionByName(fin).select(col("state"), col("skey"), col("s_name"),
-        col("bal").cast("decimal(14,2)").as("bal"))
+        col("bal").cast("double").as("bal"))
         .orderBy(col("state"), col("skey"), col("s_name"), col("bal"))
     }),
     // Analytic windows: lag + exact running total per supplier
