@@ -1725,11 +1725,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * equality), so the union below never double-counts a row.
     */
   private def rowsKilledBy(name: String, entries: Seq[TableCatalog.DeleteEntry],
-                           prior: Seq[TableCatalog.DeleteEntry]): DataFrame = {
+                           prior: Seq[TableCatalog.DeleteEntry],
+                           excludeFiles: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val root = Paths.get(catalog.pathOf(name)).toAbsolutePath.normalize
     def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    // excludeFiles: same-commit ADDED files — their kills net against
+    // the INSERT frame in changelogCore, not as DELETE rows here
     val dirtyFiles = entries.flatMap(_.dirtyFiles).map(norm).distinct
+      .filterNot(excludeFiles)
     val scanned = readFiles(name, dirtyFiles, withPos = true)
     val live = if (prior.isEmpty) scanned else applyDeleteEntries(scanned, name, prior)
     val (eq, pos) = entries.partition(_.isEquality)
@@ -2014,15 +2018,36 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           if (pendingBefore.isEmpty) readFiles(name, files)
           else applyDeleteEntries(readFiles(name, files, withPos = true), name, pendingBefore)
             .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
+        // Same-commit adds scoped by the commit's OWN new entries —
+        // fastForward publishing a dirty branch whose MOR deletes hit
+        // branch-APPENDED files: the NET contract demands a row added
+        // and killed in one commit emit NOTHING. Subtract those kills
+        // from the added-file INSERT frame and keep rowsKilledBy to
+        // pre-commit files only; an INSERT/DELETE pair at equal
+        // version would resurrect the dead row under the key-replay
+        // convention (INSERT beats DELETE at equal version, q136).
+        def normF(p: String): String =
+          Paths.get(p).toAbsolutePath.normalize.toString
+        val addedKeys = added.map(normF).toSet
+        val entriesOnAdded =
+          newEntries.filter(_.dirtyFiles.exists(f => addedKeys(normF(f))))
+        def liveAdded(): DataFrame =
+          if (entriesOnAdded.isEmpty) readFiles(name, added)
+          else applyDeleteEntries(
+            readFiles(name, added, withPos = true), name, entriesOnAdded)
+            .drop(TableIO.PosFileCol, TableIO.PosIdxCol)
         val killed =
           if (newEntries.isEmpty) None
-          else Some(rowsKilledBy(name, newEntries, pendingBefore))
+          else if (newEntries.flatMap(_.dirtyFiles).map(normF).distinct
+                     .forall(addedKeys)) None
+          else Some(rowsKilledBy(name, newEntries, pendingBefore,
+            excludeFiles = addedKeys))
         val fileDiff = (added.nonEmpty, removed.nonEmpty) match {
           case (false, false) => None
-          case (true, false) => Some(tag(readFiles(name, added), "INSERT"))
+          case (true, false) => Some(tag(liveAdded(), "INSERT"))
           case (false, true) => Some(tag(mergedRemoved(removed), "DELETE"))
           case (true, true) =>
-            val (a, r) = align(readFiles(name, added), mergedRemoved(removed))
+            val (a, r) = align(liveAdded(), mergedRemoved(removed))
             Some(tag(a.exceptAll(r), "INSERT").unionByName(tag(r.exceptAll(a), "DELETE")))
         }
         fileDiff.toSeq ++ killed.map(tag(_, "DELETE")).toSeq

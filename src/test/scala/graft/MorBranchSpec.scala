@@ -246,4 +246,40 @@ class MorBranchSpec extends SparkSpec {
     assert(delFiles.forall(f => Files.exists(Paths.get(f))),
       "branch-referenced delete files must survive GC")
   }
+
+  test("fast_forward of a dirty branch: publish-commit changelog NETS same-commit adds against their own kills") {
+    val (io, _) = newIO("graft_mbn_")
+    val t = "default.auditnet"
+    io.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t) // main v1
+    val vMain = io.catalog.currentVersion(t).get
+    io.createBranch(t, "audit")
+    io.appendToBranch(Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1), t, "audit")
+    // the branch MOR delete scopes BOTH a base file and the
+    // branch-appended file: (2,"b") pre-exists on main, (10,"x") was
+    // added by the branch itself
+    val (_, nDel) = io.deleteWhereMOR(t, col("id").isin(2L, 10L), branch = Some("audit"))
+    assert(nDel === 2L)
+
+    // publish: ONE main commit that both ADDS the branch file and
+    // carries entries scoping it — the ff-of-dirty-branch shape
+    io.fastForward(t, "audit")
+    val vPub = io.catalog.currentVersion(t).get
+    assert(io.catalog.pendingDeletes(t, vPub).nonEmpty)
+
+    // NET contract at the publish version: the surviving appended row
+    // INSERTs, the killed BASE row DELETEs, and the appended-and-
+    // killed row emits NOTHING — an INSERT/DELETE pair at equal
+    // version would resurrect it under key-replay (INSERT wins ties)
+    val step = io.readChangelog(t, fromVersion = vMain)
+      .select(col("_change_type"), col("_change_version"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(step === Set(("INSERT", vPub, 11L), ("DELETE", vPub, 2L)),
+      s"publish step must net same-commit add+kill, got $step")
+
+    // key-replay of the FULL changelog reproduces the merged state
+    io.applyDeletes(t)
+    assert(io.readChangelog(t, fromVersion = vPub).count() === 0L,
+      "applyDeletes must net to zero after the publish step")
+    assert(io.read(t).select("id").as[Long].collect().sorted === Array(1L, 3L, 11L))
+  }
 }
