@@ -94,6 +94,13 @@ private[io] class ChangelogTable(
                   raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
                     s"changelog read of $tableName: option $key must be an integer, got '$raw'"))
                 }
+              // batch reads bound with fromVersion/toVersion; the
+              // streaming-only start options would silently no-op here
+              Seq("startingVersion", "startingTimestamp").foreach { k =>
+                if (options.get(k) != null) throw new IllegalArgumentException(
+                  s"changelog read of $tableName: option $k is streaming-only — " +
+                    "batch reads bound the range with fromVersion/toVersion")
+              }
               val io2 = new TableIO(ctx.sparkSession, cat)
               val df = Option(options.get("branch")) match {
                 case Some(b) =>
@@ -111,6 +118,13 @@ private[io] class ChangelogTable(
           }.asInstanceOf[T]
 
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // the batch-only bounds would silently serve the FULL
+          // history to a stream that believes it set a range
+          Seq("fromVersion", "toVersion").foreach { k =>
+            if (options.get(k) != null) throw new IllegalArgumentException(
+              s"$tableName.changelog: option $k is batch-only — streams start at " +
+                "startingVersion (or startingTimestamp) and follow the head")
+          }
           if (options.get("branch") != null) throw new UnsupportedOperationException(
             s"$tableName.changelog: branch changelogs are batch-only (branch version " +
               "numbering restarts per fork, so a checkpointed offset cannot survive a " +
@@ -228,6 +242,9 @@ private[io] class ChangelogMicroBatchStream(
     // keeping the spec-pinned streamed == batch equivalence)
     def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
       if (v == 0) Seq.empty else cat.pendingDeletes(tableName, v)
+    def opOf(v: Int): Option[String] =
+      try cat.manifestProps(tableName, v).get(TableCatalog.OpProp)
+      catch { case scala.util.control.NonFatal(_) => None }
     var prev = manifestOrReject(s).toSet
     var prevPending = pendingOrEmpty(s)
     ((s + 1) to e).foreach { v =>
@@ -235,7 +252,13 @@ private[io] class ChangelogMicroBatchStream(
       val removed = prev.diff(cur)
       val curPending = pendingOrEmpty(v)
       val pendingChanged = curPending != prevPending
-      if (removed.isEmpty && !pendingChanged)
+      // a stamped ROLLBACK always routes through the staged exact
+      // merged-state diff, even when its file/entry shape looks like a
+      // pure append (re-added files with identical carried entries):
+      // streamed == batch equivalence by construction, not by the
+      // entry-trim invariants happening to hold
+      if (!opOf(v).contains(TableCatalog.OpRollback) &&
+          removed.isEmpty && !pendingChanged)
         cur.diff(prev).foreach(f => tags += norm(f) -> ("INSERT" -> v))
       else {
         // rewrite OR merge-on-read commit: net row diff via the batch
@@ -248,13 +271,25 @@ private[io] class ChangelogMicroBatchStream(
         // A complete stage (writer's _SUCCESS marker) is
         // authoritative; anything else (crash mid-write) is rewritten.
         // Swept on batch commit.
-        lazy val step = io.readChangelog(tableName, v - 1, Some(v))
-        Seq("INSERT" -> "insert", "DELETE" -> "delete").foreach { case (tpe, sub) =>
-          val dir = stageRoot.resolve(s"v$v").resolve(sub)
-          if (!Files.isRegularFile(dir.resolve("_SUCCESS")))
+        val kinds = Seq("INSERT" -> "insert", "DELETE" -> "delete")
+        val toStage = kinds.filter { case (_, sub) =>
+          !Files.isRegularFile(stageRoot.resolve(s"v$v").resolve(sub).resolve("_SUCCESS"))
+        }
+        if (toStage.nonEmpty) {
+          // ONE diff job for both change types: the exceptAll/kill
+          // computation is the expensive part — persist it across the
+          // two filtered writes instead of recomputing per type
+          val step = io.readChangelog(tableName, v - 1, Some(v))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try toStage.foreach { case (tpe, sub) =>
             step.filter(col("_change_type") === tpe)
               .drop("_change_type", "_change_version")
-              .write.mode("overwrite").parquet(dir.toString)
+              .write.mode("overwrite")
+              .parquet(stageRoot.resolve(s"v$v").resolve(sub).toString)
+          } finally step.unpersist()
+        }
+        kinds.foreach { case (tpe, sub) =>
+          val dir = stageRoot.resolve(s"v$v").resolve(sub)
           Using.resource(Files.list(dir)) { l =>
             l.iterator().asScala.map(_.toString)
               .filter(_.endsWith(".parquet")).toSeq.sorted

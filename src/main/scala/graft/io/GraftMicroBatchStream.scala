@@ -78,11 +78,17 @@ private[io] object StreamShape {
     val p = java.nio.file.Paths.get(file).toAbsolutePath.normalize
     if (!p.startsWith(dataRoot)) false
     else {
-      val it = dataRoot.relativize(p).iterator()
+      // DIRECTORY segments only: the final segment is the file NAME,
+      // and a basename containing '=' carries no partition value
+      val rel = dataRoot.relativize(p)
+      val it = rel.iterator()
       var found = false
-      while (it.hasNext && !found) {
+      var i = 0
+      val dirCount = rel.getNameCount - 1
+      while (it.hasNext && !found && i < dirCount) {
         val s = it.next().toString
         found = s.contains('=') && !s.startsWith(PartitionTransforms.Prefix)
+        i += 1
       }
       found
     }

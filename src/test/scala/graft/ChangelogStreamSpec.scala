@@ -258,4 +258,47 @@ class ChangelogStreamSpec extends SparkSpec {
       assert(buf.toSet === Set(1L -> "INSERT", 2L -> "INSERT", 1L -> "DELETE"))
     }
   }
+
+  test("an ADD-ONLY stamped rollback streams via the staged exact diff, matching the batch replay") {
+    withCat("gcdao") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.aosrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v1
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t) // v2
+      io.catalog.rollbackTo(t, 1) // v3: drops the second file
+      io.catalog.rollbackTo(t, 2) // v4: RE-ADDS it — no removals, same entries:
+      // the file/entry shape is indistinguishable from a pure append,
+      // only the graft.op=rollback stamp routes it to the staged diff
+      assert(io.catalog.manifest(t, 3).toSet.subsetOf(io.catalog.manifest(t, 4).toSet),
+        "construction must be an add-only rollback step")
+      val batch = io.readChangelog(t)
+        .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(batch === Set(
+        ("INSERT", 1, 1L, "a"), ("INSERT", 2, 2L, "b"),
+        ("DELETE", 3, 2L, "b"), ("INSERT", 4, 2L, "b")))
+      val streamed = drain(s"gcdao.$t.changelog",
+        Files.createTempDirectory("graft_cdao_").toString).toSet
+      assert(streamed === batch)
+    }
+  }
+
+  test("batch-only and streaming-only changelog options reject loudly instead of silently no-opping") {
+    withCat("gcdop") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.optsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      val e1 = intercept[Exception] {
+        spark.read.option("startingVersion", "0")
+          .table(s"gcdop.$t.changelog").collect()
+      }
+      assert(msgChain(e1).contains("streaming-only"), msgChain(e1))
+      val e2 = intercept[Exception] {
+        drain(s"gcdop.$t.changelog",
+          Files.createTempDirectory("graft_cdop_").toString,
+          Map("fromVersion" -> "0"))
+      }
+      assert(msgChain(e2).contains("batch-only"), msgChain(e2))
+    }
+  }
 }
