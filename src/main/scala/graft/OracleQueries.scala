@@ -706,6 +706,25 @@ object OracleQueries {
         |SELECT 'DELETE', CAST(3 AS INT), skey, s_name, CAST(bal AS DOUBLE)
         |FROM allrows WHERE skey % 4 = 1""".stripMargin,
 
+    // streamed branch changelog replay: the appended rows INSERT at
+    // branch v2, the branch MOR delete's kills (base AND appended
+    // rows) DELETE at v3 — same net contract as the batch q130, the
+    // stream just serves it per micro-batch with fork-id offsets
+    "q138_branch_stream_cdc" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+        |app AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 1000 AS skey, 'x_' || s_name AS s_name,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier WHERE s_suppkey BETWEEN 3 AND 7),
+        |allrows AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT 'INSERT' AS _change_type, CAST(2 AS INT) AS _change_version,
+        |       skey, s_name, CAST(bal AS DOUBLE) AS bal FROM app
+        |UNION ALL
+        |SELECT 'DELETE', CAST(3 AS INT), skey, s_name, CAST(bal AS DOUBLE)
+        |FROM allrows WHERE skey % 4 = 1""".stripMargin,
+
     // branch-MOR CDC replay: base minus the branch position delete,
     // then the CDC batch applied (every batch key leaves, non-D rows
     // re-enter) — identical in the branch read and the published read

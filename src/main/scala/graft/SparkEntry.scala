@@ -650,6 +650,52 @@ object SparkEntry {
           col("s_name"), col("bal"))
     }),
 
+    // BRANCH changelog as a STREAM (Iceberg's branch CDC, r17): the
+    // WAP auditor follows the audit branch's own changes live —
+    // `readStream.table("<t>.changelog")` with option(branch) serves
+    // the branch chain per micro-batch, offsets embed the FORK ID
+    // minted at createBranch so a drop+re-create invalidates the
+    // checkpoint loudly (branch version numbering restarts per fork;
+    // refusal spec-pinned in ChangelogStreamSpec). The scripted branch
+    // history: append at branch v2, zero-read MOR delete at v3 whose
+    // kills span base AND branch-appended files. Main never moves.
+    "q138_branch_stream_cdc" -> ((s, dir) => {
+      val cname = "gbst"
+      val io = catalogIO(s, cname, "graft_bst_")
+      val t = "default.supp_bs"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh fork
+      io.overwrite(Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("bigint").as("skey"),
+        col("s_name"), col("s_acctbal").cast("decimal(12,2)").as("bal")), t)
+      val vMain = io.catalog.currentVersion(t).get
+      io.createBranch(t, "wap") // branch v1 = fork record
+      io.appendToBranch(Tables.supplier(s, dir)
+        .filter(col("s_suppkey").between(3, 7))
+        .select((col("s_suppkey").cast("bigint") + 1000).as("skey"),
+          concat(lit("x_"), col("s_name")).as("s_name"),
+          col("s_acctbal").cast("decimal(12,2)").as("bal")), t, "wap") // branch v2
+      io.deleteWhereMOR(t, col("skey") % 4 === 1, branch = Some("wap")) // branch v3
+      require(io.catalog.currentVersion(t).contains(vMain),
+        "branch history leaked to main: version advanced")
+      val drainIo = TableIO(s, tempDir("graft_bstd_"))
+      val q = s.readStream.option("branch", "wap").table(s"$cname.$t.changelog")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tempDir("graft_bstc_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.TableSink.commitStreamBatch(
+            drainIo, "default.drained", id, batch)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // decimal-free final schema (driver-hash rule); exact for cents
+      drainIo.read("default.drained")
+        .withColumn("bal", col("bal").cast("double"))
+        .orderBy(col("_change_version"), col("_change_type"), col("skey"),
+          col("s_name"), col("bal"))
+    }),
+
     // Merge-on-read position deletes (Iceberg's MOR DELETE): the
     // delete records (file, row position) pairs in a small parquet and
     // commits METADATA-ONLY — asserted in-query: the data file list is

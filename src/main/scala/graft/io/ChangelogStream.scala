@@ -125,25 +125,36 @@ private[io] class ChangelogTable(
               s"$tableName.changelog: option $k is batch-only — streams start at " +
                 "startingVersion (or startingTimestamp) and follow the head")
           }
-          if (options.get("branch") != null) throw new UnsupportedOperationException(
-            s"$tableName.changelog: branch changelogs are batch-only (branch version " +
-              "numbering restarts per fork, so a checkpointed offset cannot survive a " +
-              "re-fork) — use the batch read with option(branch, ...)")
+          // BRANCH changelogs stream too (Iceberg's branch CDC — the
+          // WAP auditor's consumer): offsets embed the FORK ID minted
+          // at createBranch, so a drop+re-create under the same name
+          // invalidates the checkpoint loudly instead of serving the
+          // new fork's restarted version numbers against stale state
+          val branch = Option(options.get("branch"))
+          branch.foreach { b =>
+            if (cat.branchHead(tableName, b).isEmpty)
+              throw new IllegalArgumentException(
+                s"$tableName.changelog: branch $b does not exist")
+          }
           val meta = cat.readMeta(tableName)
           if (meta.renames.nonEmpty) throw new UnsupportedOperationException(
             s"$tableName.changelog: renamed-column tables are batch-only changelog " +
               "sources (per-batch file reads run under physical names; use " +
               "readChangelog, or compact() to rewrite files under current names)")
           val dataRoot = Paths.get(cat.dataPath(tableName)).toAbsolutePath.normalize
-          val hiveDir = cat.currentVersion(tableName).toSeq
-            .flatMap(v => cat.manifest(tableName, v))
-            .exists(StreamShape.hiveDirFile(dataRoot, _))
-          if (hiveDir) throw new UnsupportedOperationException(
-            s"$tableName.changelog: Hive-dir-partitioned tables are batch-only " +
-              "changelog sources (directory values cannot ride the fixed streaming " +
-              "row shape; hidden-layout gp_* tables stream fine)")
+          val headFiles = branch match {
+            case Some(b) => cat.branchHead(tableName, b).toSeq
+              .flatMap(v => cat.branchManifest(tableName, b, v))
+            case None => cat.currentVersion(tableName).toSeq
+              .flatMap(v => cat.manifest(tableName, v))
+          }
+          if (headFiles.exists(StreamShape.hiveDirFile(dataRoot, _)))
+            throw new UnsupportedOperationException(
+              s"$tableName.changelog: Hive-dir-partitioned tables are batch-only " +
+                "changelog sources (directory values cannot ride the fixed streaming " +
+                "row shape; hidden-layout gp_* tables stream fine)")
           new ChangelogMicroBatchStream(tableName, cat, dataSchema, read,
-            options, checkpointLocation)
+            options, checkpointLocation, branch)
         }
       }
     }
@@ -165,19 +176,79 @@ private[io] class ChangelogMicroBatchStream(
     dataSchema: StructType,
     streamSchema: StructType,
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String
+    checkpointLocation: String,
+    branch: Option[String] = None
 ) extends MicroBatchStream {
+
+  private val label = branch.fold(tableName)(b => s"$tableName@$b")
+
+  // Branch version numbering RESTARTS per fork, so a checkpointed
+  // branch offset is only meaningful against the fork it came from:
+  // offsets embed the fork id minted at createBranch (fork records
+  // predating the id get a stable placeholder — a later re-fork still
+  // mints a real id, so the mismatch refusal keeps working).
+  private val forkId: Option[String] = branch.map { b =>
+    try cat.branchProps(tableName, b, 1)
+      .getOrElse(TableCatalog.BranchForkIdProp, "legacy-fork")
+    catch { case _: java.nio.file.NoSuchFileException => "expired-fork" }
+  }
 
   private case class V(v: Int) extends Offset {
     override def json(): String = v.toString
   }
+  private case class BranchV(fork: String, v: Int) extends Offset {
+    override def json(): String = s"$fork:$v"
+  }
+  private def offsetAt(v: Int): Offset =
+    forkId.fold[Offset](V(v))(BranchV(_, v))
+  private def versionOf(o: Offset): Int = o match {
+    case BranchV(fork, v) =>
+      if (!forkId.contains(fork)) throw new IllegalStateException(
+        s"changelog stream over $label: checkpointed offset belongs to branch fork " +
+          s"$fork but the current fork is ${forkId.getOrElse("<main>")} — the branch " +
+          "was dropped and re-created (version numbering restarted), so this " +
+          "checkpoint cannot resume. Start a fresh checkpoint against the new fork.")
+      v
+    case V(v) =>
+      if (forkId.isDefined) throw new IllegalStateException(
+        s"changelog stream over $label: checkpointed offset carries no fork id — it " +
+          "was taken from the MAIN changelog; a branch stream cannot resume it")
+      v
+  }
 
-  private val startV: Int =
-    StreamShape.startingVersion("changelog stream", tableName, cat, options)
+  private def headVersion: Int = branch match {
+    case Some(b) => cat.branchHead(tableName, b).getOrElse(
+      throw new IllegalStateException(
+        s"changelog stream over $label: the branch was dropped mid-stream"))
+    case None => cat.currentVersion(tableName).getOrElse(0)
+  }
 
-  override def initialOffset(): Offset = V(startV)
-  override def latestOffset(): Offset = V(cat.currentVersion(tableName).getOrElse(0))
-  override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
+  private val startV: Int = branch match {
+    case None =>
+      StreamShape.startingVersion("changelog stream", tableName, cat, options)
+    case Some(b) =>
+      if (options.get("startingTimestamp") != null) throw new IllegalArgumentException(
+        s"changelog stream over $label: startingTimestamp is main-only (branch " +
+          "commits have no main-timeline instants) — use startingVersion")
+      val head = cat.branchHead(tableName, b).getOrElse(0)
+      Option(options.get("startingVersion")).map { raw =>
+        val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"changelog stream over $label: option startingVersion must be a " +
+            s"non-negative integer, got '$raw'"))
+        if (v < 0 || v > head) throw new IllegalArgumentException(
+          s"changelog stream over $label: option startingVersion = $v is outside " +
+            s"the branch's history [0, $head]")
+        v
+      }.getOrElse(1) // fork record: "the branch's own changes", the batch default
+  }
+
+  override def initialOffset(): Offset = offsetAt(startV)
+  override def latestOffset(): Offset = offsetAt(headVersion)
+  override def deserializeOffset(json: String): Offset = {
+    val i = json.lastIndexOf(':')
+    if (i < 0) V(json.trim.toInt)
+    else BranchV(json.substring(0, i), json.substring(i + 1).trim.toInt)
+  }
   override def stop(): Unit = ()
 
   // checkpointLocation arrives as a URI string ("file:/tmp/ckpt");
@@ -196,7 +267,7 @@ private[io] class ChangelogMicroBatchStream(
     * weight in the stream's own checkpoint dir — sweep best-effort.
     */
   override def commit(end: Offset): Unit = {
-    val e = end.asInstanceOf[V].v
+    val e = versionOf(end)
     try {
       if (Files.isDirectory(stageRoot))
         Using.resource(Files.list(stageRoot)) { s =>
@@ -219,16 +290,20 @@ private[io] class ChangelogMicroBatchStream(
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     import org.apache.spark.sql.functions.col
-    val s = start.asInstanceOf[V].v
-    val e = end.asInstanceOf[V].v
+    val s = versionOf(start)
+    val e = versionOf(end)
     if (e <= s) { batchFactory = ChangelogStream.EmptyFactory; return Array.empty }
+    def manifestAt(v: Int): Seq[String] = branch match {
+      case Some(b) => cat.branchManifest(tableName, b, v)
+      case None => cat.manifest(tableName, v)
+    }
     def manifestOrReject(v: Int): Seq[String] =
       if (v == 0) Seq.empty
       else
-        try cat.manifest(tableName, v)
+        try manifestAt(v)
         catch {
           case _: java.nio.file.NoSuchFileException => throw new IllegalStateException(
-            s"changelog stream over $tableName: snapshot $v in range [$s, $e] is " +
+            s"changelog stream over $label: snapshot $v in range [$s, $e] is " +
               "expired — its commit can no longer be diffed; restart the stream")
         }
     val spark = SparkSession.active
@@ -241,10 +316,18 @@ private[io] class ChangelogMicroBatchStream(
     // treating a MOR commit as clean (the batch core is equally loud,
     // keeping the spec-pinned streamed == batch equivalence)
     def pendingOrEmpty(v: Int): Seq[TableCatalog.DeleteEntry] =
-      if (v == 0) Seq.empty else cat.pendingDeletes(tableName, v)
+      if (v == 0) Seq.empty
+      else branch match {
+        case Some(b) => cat.branchPendingDeletes(tableName, b, v)
+        case None => cat.pendingDeletes(tableName, v)
+      }
     def opOf(v: Int): Option[String] =
-      try cat.manifestProps(tableName, v).get(TableCatalog.OpProp)
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        branch match {
+          case Some(b) => cat.branchProps(tableName, b, v).get(TableCatalog.OpProp)
+          case None => cat.manifestProps(tableName, v).get(TableCatalog.OpProp)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     var prev = manifestOrReject(s).toSet
     var prevPending = pendingOrEmpty(s)
     ((s + 1) to e).foreach { v =>
@@ -279,14 +362,17 @@ private[io] class ChangelogMicroBatchStream(
           // ONE diff job for both change types: the exceptAll/kill
           // computation is the expensive part — persist it across the
           // two filtered writes instead of recomputing per type
-          val step = io.readChangelog(tableName, v - 1, Some(v))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val step = branch match {
+            case Some(b) => io.readChangelogBranch(tableName, b, v - 1, Some(v))
+            case None => io.readChangelog(tableName, v - 1, Some(v))
+          }
+          val cached = step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try toStage.foreach { case (tpe, sub) =>
-            step.filter(col("_change_type") === tpe)
+            cached.filter(col("_change_type") === tpe)
               .drop("_change_type", "_change_version")
               .write.mode("overwrite")
               .parquet(stageRoot.resolve(s"v$v").resolve(sub).toString)
-          } finally step.unpersist()
+          } finally cached.unpersist()
         }
         kinds.foreach { case (tpe, sub) =>
           val dir = stageRoot.resolve(s"v$v").resolve(sub)
@@ -308,7 +394,7 @@ private[io] class ChangelogMicroBatchStream(
     val dataRoot = Paths.get(cat.dataPath(tableName)).toAbsolutePath.normalize
     tagOf.keys.find(StreamShape.hiveDirFile(dataRoot, _)).foreach { f =>
       throw new IllegalStateException(
-        s"changelog stream over $tableName: file $f in range [$s, $e] carries column " +
+        s"changelog stream over $label: file $f in range [$s, $e] carries column " +
           "values in Hive-style directory names (a pre-respec identity layout) — " +
           "its rows cannot ride the fixed streaming row shape. Start the stream at " +
           "or after the respec rewrite (startingVersion), or use the batch " +
@@ -396,3 +482,4 @@ private[io] class ChangeTagReaderFactory(
     case other => delegate.createReader(other)
   }
 }
+

@@ -686,7 +686,8 @@ final case class TableCatalog(warehouse: String) {
            catch { case scala.util.control.NonFatal(_) =>
              Map.empty[String, Map[String, FileStats.ColStats]] }
     commitBranchSnapshot(name, branch, files, 1,
-      Map(TableCatalog.BranchBaseProp -> base.toString), stats)
+      Map(TableCatalog.BranchBaseProp -> base.toString,
+        TableCatalog.BranchForkIdProp -> java.util.UUID.randomUUID().toString), stats)
   }
 
   /** Fast-forward MAIN to the branch head (Iceberg's
@@ -1172,6 +1173,15 @@ object TableCatalog {
     * branch forked from — fastForward's divergence check.
     */
   val BranchBaseProp = "branchBaseVersion"
+
+  /** Manifest prop on the branch FORK RECORD (branch v1): a unique id
+    * minted at [[TableIO.createBranch]]. Branch version numbering
+    * restarts per fork, so a checkpointed branch-stream offset is only
+    * meaningful against the fork it was taken from — the changelog
+    * stream embeds this id in its offsets and refuses loudly when a
+    * drop+re-create minted a new fork under the same branch name.
+    */
+  val BranchForkIdProp = "branchForkId"
 
   /** Manifest prop carrying PENDING merge-on-read position deletes:
     * encoded [[DeleteEntry]] list (delete parquet + the data files it
@@ -3699,3 +3709,4 @@ object TableIO {
       Paths.get(tablePath).toAbsolutePath.normalize.toString,
       _ => new java.util.concurrent.Semaphore(1))
 }
+

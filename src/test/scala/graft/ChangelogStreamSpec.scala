@@ -115,7 +115,7 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
-  test("batch .changelog reads a BRANCH chain with option(branch); streaming a branch refuses") {
+  test("batch .changelog reads a BRANCH chain with option(branch)") {
     withCat("gcdfr") { wh =>
       val io = TableIO(spark, wh)
       val t = "default.brsrc"
@@ -131,16 +131,61 @@ class ChangelogStreamSpec extends SparkSpec {
         .table(s"gcdfr.$t.changelog")
         .select("_change_type", "id", "s").as[(String, Long, String)].collect().toSet
       assert(all === Set(("INSERT", 1L, "a"), ("INSERT", 2L, "b")))
-      // streaming a branch changelog: loud batch-only refusal
-      val e = intercept[Exception] {
-        val q = spark.readStream.option("branch", "exp").table(s"gcdfr.$t.changelog")
-          .writeStream.trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", Files.createTempDirectory("graft_cdfr_").toString)
-          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
-          .start()
-        q.awaitTermination()
+    }
+  }
+
+  test("a BRANCH changelog streams: WAP audit consumer follows the branch across drains") {
+    withCat("gcdbs") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.brstream"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      io.createBranch(t, "wap") // branch v1 = fork record
+      io.appendToBranch(Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t, "wap") // v2
+      val ckpt = Files.createTempDirectory("graft_cdbs_").toString
+      // first drain: the branch's own changes (fork-baseline default)
+      assert(drain(s"gcdbs.$t.changelog", ckpt, Map("branch" -> "wap")).toSet ===
+        Set(("INSERT", 2, 2L, "b"), ("INSERT", 2, 3L, "c")))
+      assert(drain(s"gcdbs.$t.changelog", ckpt, Map("branch" -> "wap")).isEmpty)
+      // a branch MOR delete: MOR-aware step, kill reported at its version
+      io.deleteWhereMOR(t, col("id") === 3L, branch = Some("wap")) // v3
+      assert(drain(s"gcdbs.$t.changelog", ckpt, Map("branch" -> "wap")).toSet ===
+        Set(("DELETE", 3, 3L, "c")))
+      // fast_forward leaves a rebase record on the chain: nets zero
+      io.fastForward(t, "wap")
+      assert(drain(s"gcdbs.$t.changelog", ckpt, Map("branch" -> "wap")).isEmpty)
+      // batch-only bounds reject on the stream
+      val eOpt = intercept[Exception] {
+        drain(s"gcdbs.$t.changelog",
+          Files.createTempDirectory("graft_cdbso_").toString,
+          Map("branch" -> "wap", "fromVersion" -> "1"))
       }
-      assert(msgChain(e).contains("batch-only"), msgChain(e))
+      assert(msgChain(eOpt).contains("batch-only"), msgChain(eOpt))
+    }
+  }
+
+  test("a re-forked branch invalidates the stream checkpoint loudly (fork id rides the offset)") {
+    withCat("gcdrf") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.refork"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      io.createBranch(t, "audit")
+      io.appendToBranch(Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "audit")
+      val ckpt = Files.createTempDirectory("graft_cdrf_").toString
+      assert(drain(s"gcdrf.$t.changelog", ckpt, Map("branch" -> "audit")).toSet ===
+        Set(("INSERT", 2, 2L, "b")))
+      // drop + re-create: version numbering restarts — the checkpointed
+      // offset (fork A, v2) must not resume against fork B's v2
+      io.dropBranch(t, "audit")
+      io.createBranch(t, "audit")
+      io.appendToBranch(Seq((9L, "z")).toDF("id", "s").coalesce(1), t, "audit")
+      val e = intercept[Exception] {
+        drain(s"gcdrf.$t.changelog", ckpt, Map("branch" -> "audit"))
+      }
+      assert(msgChain(e).contains("re-created"), msgChain(e))
+      // a fresh checkpoint reads the new fork cleanly
+      assert(drain(s"gcdrf.$t.changelog",
+        Files.createTempDirectory("graft_cdrf2_").toString,
+        Map("branch" -> "audit")).toSet === Set(("INSERT", 2, 9L, "z")))
     }
   }
 
