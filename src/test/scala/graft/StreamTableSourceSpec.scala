@@ -307,4 +307,61 @@ class StreamTableSourceSpec extends SparkSpec {
       assert(msgChain(e3).contains("startingVersion"), msgChain(e3))
     }
   }
+
+  test("mid-stream schema evolution contract: ADD serves from restart with null-filled old files; RENAME refuses") {
+    withCat("gsev") { _ =>
+      val t = "default.evo"
+      spark.sql(s"CREATE TABLE gsev.$t (id BIGINT, s STRING) USING parquet")
+      spark.sql(s"INSERT INTO gsev.$t SELECT 1, 'a'") // v1
+      val ckpt = Files.createTempDirectory("graft_sevc_").toString
+      assert(drain(s"gsev.$t", ckpt).toSet === Set(1L -> "a"))
+
+      // evolution between drained batches against the LIVE checkpoint:
+      // a pre-ALTER append (its file lacks the column), the ALTER, and
+      // a post-ALTER append carrying the new column
+      spark.sql(s"INSERT INTO gsev.$t SELECT 2, 'b'") // v2: no 'tag' in file
+      spark.sql(s"ALTER TABLE gsev.$t ADD COLUMN tag STRING")
+      spark.sql(s"INSERT INTO gsev.$t SELECT 3, 'c', 'T'") // v3: carries 'tag'
+
+      // CONTRACT (Delta/Iceberg add-column semantics): the restarted
+      // reader resolves the NEW schema; committed-but-undrained files
+      // written before the ALTER serve NULL for the added column,
+      // post-ALTER rows serve their value. Within a single stream run
+      // the schema stays pinned at start — Spark's streaming contract
+      // forbids a mid-query schema change anyway.
+      val buf = mutable.ArrayBuffer.empty[(Long, String, Option[String])]
+      val q = spark.readStream.table(s"gsev.$t").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= batch.select("id", "s", "tag")
+              .collect().map(r => (r.getLong(0), r.getString(1),
+                Option(r.getString(2))))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(buf.toSet === Set((2L, "b", None), (3L, "c", Some("T"))),
+        s"pre-ALTER files must null-fill the added column, got ${buf.toSet}")
+
+      // RENAME against the live checkpoint: per-batch file reads run
+      // under PHYSICAL names — the stream refuses loudly rather than
+      // serving rows whose column names silently diverge from the
+      // resolved schema; compact() (rewrite under current names) is
+      // the documented recovery
+      spark.sql(s"ALTER TABLE gsev.$t RENAME COLUMN s TO label")
+      spark.sql(s"INSERT INTO gsev.$t SELECT 4, 'd', 'U'")
+      val e = intercept[Exception] {
+        val q2 = spark.readStream.table(s"gsev.$t").writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+          .start()
+        q2.awaitTermination()
+      }
+      assert(msgChain(e).contains("batch-only"), msgChain(e))
+    }
+  }
 }
