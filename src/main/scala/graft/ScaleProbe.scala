@@ -96,6 +96,10 @@ object ScaleProbe {
     // (offset walk, constant-tag partitions, staged rewrite diffs) at
     // FLAT cost under 10x fact growth
     "q133_stream_changelog",
+    // r17: BRANCH changelog stream — same dim-script shape as q133,
+    // plus fork-id offset resolution and branch-manifest walks: FLAT
+    // expected under 10x fact growth
+    "q138_branch_stream_cdc",
     // r16: real AVI encode→demux→decode — per-doc container codec,
     // embarrassingly parallel mapPartitions like images/audio: cost
     // must track the document count linearly, no shuffle at all

@@ -354,32 +354,27 @@ private[io] class ChangelogMicroBatchStream(
         // A complete stage (writer's _SUCCESS marker) is
         // authoritative; anything else (crash mid-write) is rewritten.
         // Swept on batch commit.
-        val kinds = Seq("INSERT" -> "insert", "DELETE" -> "delete")
-        val toStage = kinds.filter { case (_, sub) =>
-          !Files.isRegularFile(stageRoot.resolve(s"v$v").resolve(sub).resolve("_SUCCESS"))
-        }
-        if (toStage.nonEmpty) {
-          // ONE diff job for both change types: the exceptAll/kill
-          // computation is the expensive part — persist it across the
-          // two filtered writes instead of recomputing per type
+        val vdir = stageRoot.resolve(s"v$v")
+        if (!Files.isRegularFile(vdir.resolve("_SUCCESS"))) {
+          // ONE diff job for both change types: a partitionBy write
+          // splits the step frame into _change_type=INSERT/DELETE
+          // subdirs in a single pass instead of recomputing the
+          // exceptAll/kill diff once per type
           val step = branch match {
             case Some(b) => io.readChangelogBranch(tableName, b, v - 1, Some(v))
             case None => io.readChangelog(tableName, v - 1, Some(v))
           }
-          val cached = step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try toStage.foreach { case (tpe, sub) =>
-            cached.filter(col("_change_type") === tpe)
-              .drop("_change_type", "_change_version")
-              .write.mode("overwrite")
-              .parquet(stageRoot.resolve(s"v$v").resolve(sub).toString)
-          } finally cached.unpersist()
+          step.drop("_change_version")
+            .write.mode("overwrite").partitionBy("_change_type")
+            .parquet(vdir.toString)
         }
-        kinds.foreach { case (tpe, sub) =>
-          val dir = stageRoot.resolve(s"v$v").resolve(sub)
-          Using.resource(Files.list(dir)) { l =>
-            l.iterator().asScala.map(_.toString)
-              .filter(_.endsWith(".parquet")).toSeq.sorted
-          }.foreach(f => tags += norm(f) -> (tpe -> v))
+        Seq("INSERT", "DELETE").foreach { tpe =>
+          val dir = vdir.resolve(s"_change_type=$tpe")
+          if (Files.isDirectory(dir)) // absent = zero rows of this type
+            Using.resource(Files.list(dir)) { l =>
+              l.iterator().asScala.map(_.toString)
+                .filter(_.endsWith(".parquet")).toSeq.sorted
+            }.foreach(f => tags += norm(f) -> (tpe -> v))
         }
       }
       prev = cur
