@@ -638,7 +638,12 @@ final case class TableCatalog(warehouse: String) {
         keys.foreach(k => newestPerKey(k) = v) // ascending scan: last write wins
       }
       val pinned = newestPerKey.values.toSet
-      val expired = vs.dropRight(keepLast).filterNot(pinned)
+      // the FORK RECORD (v1) is pinned for the branch's lifetime: it
+      // carries the fork id (stream-checkpoint identity, r17) and is
+      // the changelog's fork-baseline default — expiring it would
+      // falsely refuse live stream checkpoints as "re-forked" and
+      // break readChangelogBranch's "the branch's own changes" range
+      val expired = vs.dropRight(keepLast).filterNot(v => v == 1 || pinned(v))
       expired.foreach(v => Files.deleteIfExists(branchFile(name, branch, v)))
       expired
     } finally lock.release()

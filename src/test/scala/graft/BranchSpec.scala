@@ -142,12 +142,15 @@ class BranchSpec extends graft.SparkSpec {
       // unknown refs report not-found, not a filesystem error
       intercept[Exception](spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'nope'").collect())
 
-      // branch-chain expiry through SQL: head retained, old pruned
+      // branch-chain expiry through SQL: head retained, old pruned —
+      // except the FORK RECORD (v1), pinned for the branch's lifetime
+      // (fork id = stream-checkpoint identity, changelog baseline)
       io.appendToBranch(rows(140, 150), "default.t2", "exp2")
       val bexp = spark.sql("CALL gbr.system.expire_branch_snapshots('default.t2', 'exp2', 1)")
         .collect().map(_.getInt(0)).toSeq
-      assert(bexp.nonEmpty)
-      assert(io.catalog.branchVersions("default.t2", "exp2").size === 1)
+      assert(bexp.nonEmpty && !bexp.contains(1))
+      assert(io.catalog.branchVersions("default.t2", "exp2").headOption.contains(1))
+      assert(io.catalog.branchVersions("default.t2", "exp2").size === 2)
       assert(spark.sql("SELECT * FROM gbr.default.t2 VERSION AS OF 'exp2'").count() === 50)
     } finally {
       spark.conf.unset("spark.sql.catalog.gbr")
@@ -193,9 +196,11 @@ class BranchSpec extends graft.SparkSpec {
 
     val expired = io.catalog.expireBranchSnapshots(t, "ingest", keepLast = 1)
     // v3 carries mark batchId=1 (the newest marked) -> retained even
-    // though older than the keep window; v1, v2, v4 go
-    assert(expired === Seq(1, 2, 4))
-    assert(io.catalog.branchVersions(t, "ingest") === Seq(3, 5))
+    // though older than the keep window; v1 is the FORK RECORD —
+    // pinned for the branch's lifetime (fork id = stream-checkpoint
+    // identity; changelog fork-baseline default); only v2, v4 go
+    assert(expired === Seq(2, 4))
+    assert(io.catalog.branchVersions(t, "ingest") === Seq(1, 3, 5))
     assert(io.catalog.branchStreamBatchMark(t, "ingest", propKey) === Some(1L),
       "the replay guard must survive expiry")
     // the head still reads whole after GC reclaims the expired bytes
@@ -217,9 +222,9 @@ class BranchSpec extends graft.SparkSpec {
     io.compactBranch(t, "b")                                          // v4
     io.compactBranch(t, "b")                                          // v5 (head)
     val expired = io.catalog.expireBranchSnapshots(t, "b", keepLast = 1)
-    // v2 AND v3 are pinned (each the newest mark of its sink); only v1
-    // and v4 may go
-    assert(expired === Seq(1, 4))
+    // v2 AND v3 are pinned (each the newest mark of its sink), v1 is
+    // the pinned fork record; only v4 may go
+    assert(expired === Seq(4))
     assert(io.catalog.branchStreamBatchMark(t, "b", keyA) === Some(5L))
     assert(io.catalog.branchStreamBatchMark(t, "b", keyB) === Some(2L))
   }

@@ -142,4 +142,93 @@ class StreamFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamed BRANCH changelog == batch replay over random branch histories; dirty fast-forward nets") {
+    withCat("gfz3") { wh =>
+      val io = TableIO(spark, wh)
+      Seq(13, 31, 57).foreach { seed =>
+        val rnd = new Random(seed)
+        val t = s"default.bfz$seed"
+        var nextId = 0L
+        def mkRows(n: Int): Seq[(Long, String)] =
+          (0 until n).map { _ => val r = (nextId, s"v$nextId"); nextId += 1; r }
+        io.append(mkRows(4).toDF("id", "s").coalesce(1), t) // main v1
+        val vMain = io.catalog.currentVersion(t).get
+        val forkContent = io.read(t).as[(Long, String)].collect().toSet
+        io.createBranch(t, "b")
+        (0 until 8).foreach { _ =>
+          rnd.nextInt(6) match {
+            case 0 | 1 =>
+              io.appendToBranch(mkRows(1 + rnd.nextInt(2)).toDF("id", "s").coalesce(1), t, "b")
+            case 2 =>
+              io.deleteWhereMOR(t, col("id") % (3 + rnd.nextInt(3)) === rnd.nextInt(3),
+                branch = Some("b"))
+              ()
+            case 3 =>
+              val upd = rnd.nextLong(math.max(1L, nextId))
+              io.upsertMOR(t, (Seq((upd, s"m$upd")) ++ mkRows(1)).toDF("id", "s").coalesce(1),
+                Seq("id"), branch = Some("b"))
+              ()
+            case 4 =>
+              io.applyDeletesBranch(t, "b")
+              ()
+            case 5 =>
+              io.compactBranch(t, "b", targetFiles = 2)
+              ()
+          }
+        }
+        // key-replay convention shared with q136: latest change wins,
+        // INSERT beats DELETE at the same version
+        def replay(base: Set[(Long, String)],
+                   changes: Seq[(String, Int, Long, String)]): Set[(Long, String)] = {
+          val byKey = changes.groupBy(_._3)
+          (base.map(_._1) ++ byKey.keySet).flatMap { k =>
+            byKey.get(k) match {
+              case None => base.find(_._1 == k)
+              case Some(cs) =>
+                val latest = cs.maxBy(c => (c._2, if (c._1 == "INSERT") 1 else 0))
+                if (latest._1 == "INSERT") Some((latest._3, latest._4)) else None
+            }
+          }
+        }
+        def bag(xs: Seq[(String, Int, Long, String)]) =
+          xs.groupBy(identity).view.mapValues(_.size).toMap
+        val buf = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+        val q = spark.readStream.option("branch", "b")
+          .table(s"gfz3.$t.changelog").writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Files.createTempDirectory(s"graft_bfzc$seed").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= batch.select("_change_type", "_change_version", "id", "s")
+                .as[(String, Int, Long, String)].collect()
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val batchReplay = io.readChangelogBranch(t, "b")
+          .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+          .as[(String, Int, Long, String)].collect()
+        assert(bag(buf.toSeq) === bag(batchReplay.toSeq), s"seed $seed: streamed != batch")
+        // the branch's own changes replayed over the fork content
+        // reconstruct the branch head (merged view)
+        assert(replay(forkContent, buf.toSeq) ===
+          io.readBranch(t, "b").as[(Long, String)].collect().toSet,
+          s"seed $seed: branch changelog replay != branch head")
+
+        // publish the branch (possibly DIRTY: entries scoping
+        // branch-appended files — the r17 netting shape) and check the
+        // MAIN changelog's publish step replays to the final state
+        io.fastForward(t, "b")
+        io.applyDeletes(t)
+        val mainChanges = io.readChangelog(t, fromVersion = vMain)
+          .select(col("_change_type"), col("_change_version"), col("id"), col("s"))
+          .as[(String, Int, Long, String)].collect()
+        assert(replay(forkContent, mainChanges.toSeq) ===
+          io.read(t).as[(Long, String)].collect().toSet,
+          s"seed $seed: publish-step replay != published main")
+      }
+    }
+  }
 }
