@@ -328,6 +328,47 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
+  test("changelog stream schema evolution: ADD serves from restart with null-filled pre-ALTER files") {
+    withCat("gcdse") { _ =>
+      val t = "default.clevo"
+      spark.sql(s"CREATE TABLE gcdse.$t (id BIGINT, s STRING) USING parquet")
+      spark.sql(s"INSERT INTO gcdse.$t SELECT 1, 'a'") // v1
+      val ckpt = Files.createTempDirectory("graft_cdse_").toString
+      val io = TableIO(spark, spark.conf.get("spark.sql.catalog.gcdse.warehouse"))
+      def drainWide(): Set[(String, Long, Option[String])] = {
+        val buf = mutable.ArrayBuffer.empty[(String, Long, Option[String])]
+        val q = spark.readStream.table(s"gcdse.$t.changelog").writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= batch.select("_change_type", "id", "tag")
+                .collect().map(r => (r.getString(0), r.getLong(1),
+                  Option(r.getString(2))))
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        buf.toSet
+      }
+      // same contract as the table stream (StreamTableSourceSpec): the
+      // restart resolves the NEW schema; a pre-ALTER append in range
+      // null-fills the added column, post-ALTER changes carry it —
+      // including a staged COW-delete diff read back under the new
+      // schema
+      assert(drain(s"gcdse.$t.changelog",
+        Files.createTempDirectory("graft_cdse0_").toString).nonEmpty) // sanity: v1 streams
+      spark.sql(s"INSERT INTO gcdse.$t SELECT 2, 'b'") // v2: file lacks 'tag'
+      spark.sql(s"ALTER TABLE gcdse.$t ADD COLUMN tag STRING")
+      spark.sql(s"INSERT INTO gcdse.$t SELECT 3, 'c', 'T'") // v3
+      io.deleteWhere(t, col("id") === 2L) // v4: staged diff, post-ALTER schema
+      assert(drainWide() === Set(
+        ("INSERT", 1L, None), ("INSERT", 2L, None),
+        ("INSERT", 3L, Some("T")), ("DELETE", 2L, None)))
+    }
+  }
+
   test("batch-only and streaming-only changelog options reject loudly instead of silently no-opping") {
     withCat("gcdop") { wh =>
       val io = TableIO(spark, wh)
