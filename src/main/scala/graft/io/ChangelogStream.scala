@@ -101,16 +101,47 @@ private[io] class ChangelogTable(
                   s"changelog read of $tableName: option $k is streaming-only — " +
                     "batch reads bound the range with fromVersion/toVersion")
               }
+              // Delta-CDF-style TIMESTAMP bounds (batch, main chain):
+              // fromTimestamp serves commits AT OR AFTER the instant,
+              // toTimestamp at or before it — both resolved through
+              // the TIMESTAMP AS OF rule (manifest commit instants)
+              def tsOpt(key: String): Option[Long] = Option(options.get(key))
+                .map(StreamShape.parseTimestamp("changelog read", tableName, key, _))
+              Seq("fromVersion" -> "fromTimestamp", "toVersion" -> "toTimestamp")
+                .foreach { case (v, ts) =>
+                  if (options.get(v) != null && options.get(ts) != null)
+                    throw new IllegalArgumentException(
+                      s"changelog read of $tableName: options $v and $ts are " +
+                        "mutually exclusive")
+                }
               val io2 = new TableIO(ctx.sparkSession, cat)
               val df = Option(options.get("branch")) match {
                 case Some(b) =>
+                  Seq("fromTimestamp", "toTimestamp").foreach { k =>
+                    if (options.get(k) != null) throw new IllegalArgumentException(
+                      s"changelog read of $tableName: option $k is main-only " +
+                        "(branch commits have no main-timeline instants) — bound " +
+                        "branch ranges with fromVersion/toVersion")
+                  }
                   // branch default fromVersion = 1 (the fork record):
                   // "the branch's own changes", matching the reader API
                   io2.readChangelogBranch(tableName, b,
                     intOpt("fromVersion").getOrElse(1), intOpt("toVersion"))
                 case None =>
-                  io2.readChangelog(tableName,
-                    intOpt("fromVersion").getOrElse(0), intOpt("toVersion"))
+                  val fromV = intOpt("fromVersion")
+                    .orElse(tsOpt("fromTimestamp").map(ts =>
+                      cat.versionAsOf(tableName, ts - 1).getOrElse(0)))
+                    .getOrElse(0)
+                  val toV = intOpt("toVersion")
+                    .orElse(tsOpt("toTimestamp").map(ts =>
+                      // no commit at or before the instant = zero changes
+                      cat.versionAsOf(tableName, ts).getOrElse(0)))
+                  if (toV.contains(0))
+                    // the version-0 "table" has no manifest to derive a
+                    // frame from — serve the scan schema's empty set
+                    return ctx.sparkSession.sparkContext
+                      .emptyRDD[org.apache.spark.sql.Row]
+                  io2.readChangelog(tableName, fromV, toV)
               }
               df.select(read.fields.toSeq
                 .map(f => org.apache.spark.sql.functions.col(f.name)): _*).rdd

@@ -117,17 +117,24 @@ private[io] object StreamShape {
           s"the table's history [0, $cur]")
       v
     }.orElse(byTs.map { raw =>
-      val s = raw.trim
-      val tsMs = s.toLongOption
-        .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
-        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).toOption)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$label over $tableName: option startingTimestamp must be epoch-millis, " +
-            s"an ISO instant, or 'yyyy-mm-dd hh:mm:ss', got '$raw'"))
+      val tsMs = parseTimestamp(label, tableName, "startingTimestamp", raw)
       // serve commits AT OR AFTER the instant: the offset is the
       // newest version strictly BEFORE it (batches serve (offset, ...])
       cat.versionAsOf(tableName, tsMs - 1).getOrElse(0)
     }).getOrElse(0)
+  }
+
+  /** Epoch-millis, ISO instant, or `yyyy-mm-dd hh:mm:ss` — the one
+    * timestamp-literal rule every timestamp-bounded option shares.
+    */
+  def parseTimestamp(label: String, tableName: String, key: String, raw: String): Long = {
+    val s = raw.trim
+    s.toLongOption
+      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$label over $tableName: option $key must be epoch-millis, " +
+          s"an ISO instant, or 'yyyy-mm-dd hh:mm:ss', got '$raw'"))
   }
 }
 

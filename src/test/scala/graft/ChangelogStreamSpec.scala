@@ -328,6 +328,38 @@ class ChangelogStreamSpec extends SparkSpec {
     }
   }
 
+  test("batch .changelog accepts Delta-style timestamp bounds on the main chain") {
+    withCat("gcdts") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.tsrc"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v1
+      Thread.sleep(30)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(30)
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t) // v2
+      def changes(opts: (String, String)*): Set[(String, Long)] =
+        opts.foldLeft(spark.read) { case (r, (k, v)) => r.option(k, v) }
+          .table(s"gcdts.$t.changelog")
+          .select("_change_type", "id").as[(String, Long)].collect().toSet
+      // commits AT OR AFTER the instant
+      assert(changes("fromTimestamp" -> mid.toString) === Set(("INSERT", 2L)))
+      // commits at or before it
+      assert(changes("toTimestamp" -> mid.toString) === Set(("INSERT", 1L)))
+      // an instant before the first commit bounds to zero changes
+      assert(changes("toTimestamp" -> "0").isEmpty)
+      // guard rails: exclusivity, branch rejection, literal validation
+      val e1 = intercept[Exception](changes(
+        "fromVersion" -> "0", "fromTimestamp" -> mid.toString))
+      assert(msgChain(e1).contains("mutually exclusive"), msgChain(e1))
+      io.createBranch(t, "b")
+      val e2 = intercept[Exception](changes(
+        "branch" -> "b", "fromTimestamp" -> mid.toString))
+      assert(msgChain(e2).contains("main-only"), msgChain(e2))
+      val e3 = intercept[Exception](changes("fromTimestamp" -> "banana"))
+      assert(msgChain(e3).contains("epoch-millis"), msgChain(e3))
+    }
+  }
+
   test("changelog stream schema evolution: ADD serves from restart with null-filled pre-ALTER files") {
     withCat("gcdse") { _ =>
       val t = "default.clevo"
