@@ -1889,6 +1889,53 @@ object OracleQueries {
         |    AND (n_stop >= 2)) AS keep
         |FROM c""".stripMargin,
 
+    // LM perplexity replay: same tokenizer, same trigram counts over
+    // the doc_id%10<3 train slice, same add-one model — and the SAME
+    // portable-ln shape (IEEE-exact ops only, generated by the one
+    // lpNanoSql builder both engines share), quantized to nano-nat
+    // longs per trigram so the per-doc sum is order-free. sum(BIGINT)
+    // is HUGEINT in DuckDB -> cast back before the one division.
+    "q140_lm_perplexity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $duckWordToks AS toks, doc_id % 10 < 3 AS is_train
+         |  FROM documents WHERE len($duckWordToks) >= 3),
+         |g AS (
+         |  SELECT doc_id, lang, is_train,
+         |    unnest(list_transform(range(1, len(toks) - 1), i ->
+         |      {'ctx': toks[i] || ' ' || toks[i+1],
+         |       'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}),
+         |      recursive := true)
+         |  FROM t),
+         |c3 AS (SELECT lang, gram, count(*) AS c3 FROM g WHERE is_train GROUP BY 1, 2),
+         |c2 AS (SELECT lang, ctx, count(*) AS c2 FROM g WHERE is_train GROUP BY 1, 2),
+         |v AS (SELECT lang, count(DISTINCT tok) AS v
+         |      FROM (SELECT lang, unnest(toks) AS tok FROM t WHERE is_train)
+         |      GROUP BY 1),
+         |args AS (
+         |  SELECT g.doc_id, g.lang,
+         |    coalesce(c3.c3, 0) + 1 AS num_arg,
+         |    coalesce(c2.c2, 0) + v.v AS den_arg
+         |  FROM g
+         |  LEFT JOIN c3 ON g.lang = c3.lang AND g.gram = c3.gram
+         |  LEFT JOIN c2 ON g.lang = c2.lang AND g.ctx = c2.ctx
+         |  JOIN v ON g.lang = v.lang
+         |  WHERE NOT g.is_train),
+         |lp AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.text.LanguageModel.lpNanoSql("num_arg", "den_arg", duck = true)} AS lp_nano
+         |  FROM args),
+         |d AS (
+         |  SELECT doc_id, lang, count(*) AS n_trigrams,
+         |    CAST(sum(lp_nano) AS BIGINT) AS logprob_nano
+         |  FROM lp GROUP BY 1, 2),
+         |s AS (
+         |  SELECT doc_id, lang, n_trigrams, logprob_nano,
+         |    -CAST(logprob_nano AS DOUBLE) / CAST(n_trigrams * 1000000000 AS DOUBLE) AS avg_nll
+         |  FROM d)
+         |SELECT doc_id, lang, n_trigrams, logprob_nano, avg_nll,
+         |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS INT) AS ppl_bucket
+         |FROM s""".stripMargin,
+
     // analytic pixel-sum replay of the REAL PNG round trip: dims
     // 16 + id%33 x 16 + (id*7)%33, channel value
     // (id*31 + c*97 + x*7 + y*13) % 256 summed over all (x, y, c) —
@@ -1985,6 +2032,18 @@ object OracleQueries {
         |         + (doc_id * 31 + f * 59 + 194 + x * 7 + y * 13) % 256) AS BIGINT)
         |    AS frame_sum
         |FROM xy GROUP BY 1, 2""".stripMargin,
+
+    // MJPEG decode: dims and frame counts are exact container facts
+    // (analytic from doc_id); the lossy-codec fidelity claim rides the
+    // decode_ok bound, which the Spark side must prove TRUE per doc —
+    // a broken JPEG decode flips rows to false and fails the hash
+    "q139_mjpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 9 AS INT) AS height,
+        |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
+        |  TRUE AS decode_ok
+        |FROM documents""".stripMargin,
 
     // changelog over MOR: the position delete's kills report at v2,
     // the equality upsert reports DELETE(old live image) + INSERT(new)

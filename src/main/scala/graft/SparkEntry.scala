@@ -2247,6 +2247,21 @@ object SparkEntry {
           col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
           col("r_alpha_words"), col("r_stopwords"), col("keep"))),
 
+    // CCNet-style LM perplexity filter (r17): per-language add-one
+    // trigram model trained on the doc_id%10<3 curated slice, the rest
+    // scored by mean negative log-likelihood and bucketed into
+    // per-language terciles (1 = head/keep, 3 = tail/drop) — the
+    // third quality axis after heuristics (q15) and Gopher rules
+    // (q116), and the one CCNet/LLaMA actually rank CommonCrawl with.
+    // Counts are exact longs; ln is the PORTABLE IEEE-exact-ops form
+    // quantized to nano-nats per trigram before the order-free BIGINT
+    // sum, so the DuckDB replay hash-matches bit for bit (builtin ln
+    // differs in the last ulp across engines and would not).
+    "q140_lm_perplexity" -> ((s, dir) =>
+      graft.text.LanguageModel.perplexityScores(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_trigrams"),
+          col("logprob_nano"), col("avg_nll"), col("ppl_bucket"))),
+
     // REAL image decode (javax.imageio): per-doc deterministic rasters
     // are PNG-encoded, decoded back, and pixel-summed on executors;
     // the oracle recomputes the sums analytically — PNG is lossless,
@@ -2297,6 +2312,30 @@ object SparkEntry {
       Multimodal.sampleVideoFrames(
         Multimodal.withVideoBlob(Tables.documents(s, dir)), every = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_sum"))),
+
+    // REAL COMPRESSED video decode (r17): Motion-JPEG AVI — '00dc'
+    // chunks each a complete JPEG, decoded by the JDK's own codec
+    // (javax.imageio), the one compressed stream format that needs no
+    // external library. JPEG is lossy, so dims/frame counts are exact
+    // (container facts) while the decoded pixel sum is bounded against
+    // the analytic raster: decode_ok cross-multiplies the signed error
+    // against the sample count (mean |err| per channel sample <= 4;
+    // VideoSpec pins the per-pixel max). A broken decode — swapped
+    // channels, row-order bugs, mis-demuxed frames — blows the bound.
+    "q139_mjpeg_decode" -> ((s, dir) =>
+      Multimodal.decodeMjpegStats(Multimodal.withMjpegBlob(Tables.documents(s, dir)))
+        .withColumn("expected_sum", expr(
+          """aggregate(sequence(0, n_frames - 1), CAST(0 AS BIGINT), (af, f) ->
+            |  af + aggregate(sequence(0, width - 1), CAST(0 AS BIGINT), (ax, x) ->
+            |    ax + aggregate(sequence(0, height - 1), CAST(0 AS BIGINT), (ay, y) ->
+            |      ay + (doc_id * 31 + f * 59) % 128
+            |         + (doc_id * 31 + f * 59 + 97) % 128
+            |         + (doc_id * 31 + f * 59 + 194) % 128
+            |         + 3 * (x * 2 + y * 3))))""".stripMargin))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          (abs(col("pixel_sum") - col("expected_sum")) <=
+            col("width").cast("long") * col("height") * lit(3) * col("n_frames") * lit(4))
+            .as("decode_ok"))),
 
     // Branch maintenance in the q107 lifecycle: the ingest branch's
     // per-batch small files compact into one rewritten file BETWEEN

@@ -36,6 +36,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // writes a temp file. Our payloads are small in-memory buffers —
+  // per-frame codec calls at corpus scale (5k docs x 6 frames x
+  // encode+decode = tens of thousands of temp files per pass) turn
+  // into fsync traffic. Memory-cache them instead; the setting loads
+  // with the class on each executor. Measured: q139 12.5s -> ~2s.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside every blob. */
   val MetadataSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
@@ -440,7 +448,37 @@ object Multimodal {
     val (w, h) = synthVideoDims(id)
     val nFrames = synthVideoFrames(id)
     val rowStride = ((w * 3 + 3) / 4) * 4
-    val frameBytes = rowStride * h
+    val payloads = (0 until nFrames).map { f =>
+      val frame = new Array[Byte](rowStride * h)
+      var y = h - 1 // bottom-up: last raster row first
+      var p = 0
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          frame(p) = synthVideoChannel(id, f, 2, x, y).toByte // B
+          frame(p + 1) = synthVideoChannel(id, f, 1, x, y).toByte // G
+          frame(p + 2) = synthVideoChannel(id, f, 0, x, y).toByte // R
+          x += 1; p += 3
+        }
+        p += rowStride - w * 3 // row pad stays zero
+        y -= 1
+      }
+      frame
+    }
+    aviContainer(w, h, "DIB ", compression = 0, payloads, chunkId = "00db")
+  }
+
+  /** Shared AVI container writer: RIFF('AVI ') > LIST('hdrl') holding
+    * the main header and one 'vids' stream (handler + biCompression
+    * parameterized), then LIST('movi') with one frame chunk per
+    * payload ('00db' raw / '00dc' compressed, word-aligned) — the
+    * writer half of [[parseAvi]], shared by the raw-DIB and MJPG
+    * builders.
+    */
+  private def aviContainer(w: Int, h: Int, handler: String, compression: Int,
+                           payloads: Seq[Array[Byte]], chunkId: String): Array[Byte] = {
+    val nFrames = payloads.size
+    val maxFrame = payloads.map(_.length).max
     val buf = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       buf.write(v & 0xff); buf.write((v >> 8) & 0xff)
@@ -450,43 +488,29 @@ object Multimodal {
     // sizes, inside-out: strf(40) strh(56) avih(56), movi frames
     val strlSize = 4 + (8 + 56) + (8 + 40)
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
-    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val moviSize = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
     bytes(fourcc("RIFF")); le32(riffSize); bytes(fourcc("AVI "))
     bytes(fourcc("LIST")); le32(hdrlSize); bytes(fourcc("hdrl"))
     bytes(fourcc("avih")); le32(56)
-    le32(100000); le32(frameBytes * 10); le32(0); le32(0) // usec/frame, bytes/sec, pad, flags
-    le32(nFrames); le32(0); le32(1); le32(frameBytes) // frames, initial, streams, bufsize
+    le32(100000); le32(maxFrame * 10); le32(0); le32(0) // usec/frame, bytes/sec, pad, flags
+    le32(nFrames); le32(0); le32(1); le32(maxFrame) // frames, initial, streams, bufsize
     le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved[4]
     bytes(fourcc("LIST")); le32(strlSize); bytes(fourcc("strl"))
     bytes(fourcc("strh")); le32(56)
-    bytes(fourcc("vids")); bytes(fourcc("DIB ")) // type, handler
+    bytes(fourcc("vids")); bytes(fourcc(handler)) // type, handler
     le32(0); le32(0); le32(0) // flags, prio+lang, initial
     le32(1); le32(10); le32(0); le32(nFrames) // scale, rate, start, length
-    le32(frameBytes); le32(-1); le32(0) // bufsize, quality, samplesize
+    le32(maxFrame); le32(-1); le32(0) // bufsize, quality, samplesize
     le32(0); le32(0) // rcFrame (4 shorts)
     bytes(fourcc("strf")); le32(40)
     le32(40); le32(w); le32(h) // biSize, width, height (positive = bottom-up)
     buf.write(1); buf.write(0); buf.write(24); buf.write(0) // planes=1, bitCount=24
-    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0) // BI_RGB, size, ppm, clr
+    le32(compression); le32(maxFrame); le32(0); le32(0); le32(0); le32(0) // biCompression, size, ppm, clr
     bytes(fourcc("LIST")); le32(moviSize); bytes(fourcc("movi"))
-    var f = 0
-    while (f < nFrames) {
-      bytes(fourcc("00db")); le32(frameBytes)
-      var y = h - 1 // bottom-up: last raster row first
-      while (y >= 0) {
-        var x = 0
-        while (x < w) {
-          buf.write(synthVideoChannel(id, f, 2, x, y)) // B
-          buf.write(synthVideoChannel(id, f, 1, x, y)) // G
-          buf.write(synthVideoChannel(id, f, 0, x, y)) // R
-          x += 1
-        }
-        var pad = rowStride - w * 3
-        while (pad > 0) { buf.write(0); pad -= 1 }
-        y -= 1
-      }
-      f += 1
+    payloads.foreach { p =>
+      bytes(fourcc(chunkId)); le32(p.length); bytes(p)
+      if ((p.length & 1) == 1) buf.write(0) // chunks are word-aligned
     }
     buf.toByteArray
   }
@@ -505,18 +529,139 @@ object Multimodal {
       .toDF()
   }
 
+  /** biCompression fourcc for Motion-JPEG streams ('MJPG' little-endian). */
+  private val FourccMJPG: Int = 0x47504A4D
+
+  /** Smooth synthetic raster for the MJPG path: a per-frame-offset
+    * linear gradient, so JPEG's DCT loss stays small and boundable
+    * (the DIB raster's high-frequency noise would not survive a lossy
+    * codec with a tight error bound). Channel
+    * `((id*31 + f*59 + c*97) mod 128) + x*2 + y*3` — the offset is
+    * clamped to mod 128 so the value NEVER wraps inside a frame
+    * (dims cap at 16, so x*2 + y*3 <= 75 and the max is 203): a
+    * mod-256 wrap would cut a sawtooth edge through the image, and
+    * DCT ringing at such an edge costs ~128 per sample.
+    */
+  def mjpegChannel(id: Long, f: Int, c: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 59 + c * 97) % 128).toInt + x * 2 + y * 3
+
+  /** One JPEG-encoded frame at an explicit quality — the JDK ships a
+    * real JPEG codec (`javax.imageio`), which is what makes Motion-JPEG
+    * the one COMPRESSED video stream this engine decodes for real.
+    */
+  private def jpegBytes(img: java.awt.image.BufferedImage,
+                        writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Minimal spec-valid Motion-JPEG AVI: same container as
+    * [[aviBytes]], but the stream handler/biCompression say 'MJPG' and
+    * every '00dc' chunk is a complete JPEG image — the format MJPEG
+    * cameras and VfW capture cards actually write.
+    */
+  private def mjpegAviBytes(id: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val (w, h) = synthVideoDims(id)
+    val nFrames = synthVideoFrames(id)
+    val payloads = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (mjpegChannel(id, f, 0, x, y) << 16) |
+              (mjpegChannel(id, f, 1, x, y) << 8) |
+              mjpegChannel(id, f, 2, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      jpegBytes(img, writer)
+    }
+    aviContainer(w, h, "MJPG", FourccMJPG, payloads, chunkId = "00dc")
+  }
+
+  /** Attach a REAL Motion-JPEG AVI blob per document. The JPEG writer
+    * is acquired once per PARTITION (per-batch setup, the mapInPandas
+    * shape), not per row.
+    */
+  def withMjpegBlob(docs: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      docs.select(col("doc_id")), parallelism, spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[IdRow])
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        it.map(r => ImageRow(r.doc_id, mjpegAviBytes(r.doc_id, writer)))
+      }(Encoders.product[ImageRow])
+      .toDF()
+  }
+
+  /** REAL compressed-video decode: container parse + per-frame JPEG
+    * decode through the JDK's own codec, summing decoded RGB. JPEG is
+    * lossy, so unlike [[decodeVideoStats]] the sums are NOT analytic —
+    * the caller bounds the error against the expected raster (q139
+    * cross-multiplies |pixel_sum − analytic| against the sample count;
+    * VideoSpec pins the per-pixel max error). Dims and frame counts
+    * ARE exact (they come from the container, not the codec).
+    */
+  def decodeMjpegStats(videos: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = videos.sparkSession
+    val src = graft.dedup.Dedup.scatterForCpuStage(
+      videos.select(col("doc_id"), col("blob")), parallelism,
+      spark.sparkContext.defaultParallelism)
+    src.as(Encoders.product[ImageRow])
+      .mapPartitions(_.map { r =>
+        val p = parseAvi(r.doc_id, r.blob)
+        require(p.compression == FourccMJPG,
+          s"doc ${r.doc_id}: decodeMjpegStats reads MJPG streams; use " +
+            s"decodeVideoStats for raw DIB (biCompression=${p.compression})")
+        var sum = 0L
+        p.frames.foreach { case (off, size) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob, off, size))
+          require(img != null && img.getWidth == p.width && img.getHeight == p.height,
+            s"doc ${r.doc_id}: frame JPEG decode failed or dims drifted")
+          var y = 0
+          while (y < p.height) {
+            var x = 0
+            while (x < p.width) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        VideoStatsRow(r.doc_id, p.width, p.height, p.frames.size, sum, r.blob.length.toLong)
+      })(Encoders.product[VideoStatsRow])
+      .toDF()
+  }
+
   /** Parsed AVI container state: dims/compression from the stream
     * format header, frame payload offsets from the movi chunk walk.
     */
-  private final case class AviParsed(width: Int, height: Int,
+  private final case class AviParsed(width: Int, height: Int, compression: Int,
                                      frames: Seq[(Int, Int)]) // (offset, size) per frame
 
   /** REAL RIFF/AVI container parse: walk the chunk tree (word-aligned
     * sizes, LIST subtypes), read the BITMAPINFOHEADER for dims and
-    * compression (refusing anything but uncompressed 24-bit BI_RGB —
-    * no pure-JDK codec exists for compressed streams), and index the
-    * movi frame chunks WITHOUT decoding them — the demux step, so a
-    * frame sampler pays only for the frames it keeps.
+    * compression (accepting uncompressed 24-bit BI_RGB and 'MJPG' —
+    * the two stream formats the JDK can decode; anything else refuses
+    * loudly), and index the movi frame chunks WITHOUT decoding them —
+    * the demux step, so a frame sampler pays only for the frames it
+    * keeps.
     */
   private def parseAvi(docId: Long, b: Array[Byte]): AviParsed = {
     def le32(off: Int): Int =
@@ -527,6 +672,7 @@ object Multimodal {
       s"doc $docId: blob is not an AVI (RIFF) container")
     var width = -1
     var height = -1
+    var compression = -1
     // a multi-stream AVI (video + 'auds') has one strf PER stream and
     // the audio one is a WAVEFORMATEX, not a BITMAPINFOHEADER — only
     // the strf following a 'vids' stream header describes the frames
@@ -548,11 +694,11 @@ object Multimodal {
             width = le32(body + 4)
             height = le32(body + 8)
             val bitCount = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
-            val compression = le32(body + 16)
-            require(compression == 0 && bitCount == 24,
-              s"doc $docId: only uncompressed 24-bit DIB streams decode " +
+            compression = le32(body + 16)
+            require((compression == 0 && bitCount == 24) || compression == FourccMJPG,
+              s"doc $docId: only uncompressed 24-bit DIB and MJPG streams decode " +
                 s"(biCompression=$compression, biBitCount=$bitCount) — no pure-JDK " +
-                "codec exists for compressed video")
+                "codec exists for other video compressions")
           case "00db" | "00dc" => frames += ((body, size))
           case _ => ()
         }
@@ -561,7 +707,7 @@ object Multimodal {
     }
     walk(12, 12 + le32(4) - 4)
     require(width > 0 && height > 0, s"doc $docId: no stream format header in AVI")
-    AviParsed(width, height, frames.result())
+    AviParsed(width, height, compression, frames.result())
   }
 
   /** Decode one bottom-up BGR24 DIB frame payload: returns the frame's
@@ -603,6 +749,9 @@ object Multimodal {
     src.as(Encoders.product[ImageRow])
       .mapPartitions(_.map { r =>
         val p = parseAvi(r.doc_id, r.blob)
+        require(p.compression == 0,
+          s"doc ${r.doc_id}: decodeVideoStats reads raw DIB streams; use " +
+            s"decodeMjpegStats for MJPG (biCompression=${p.compression})")
         var sum = 0L
         p.frames.foreach { case (off, _) => sum += dibFrameSum(r.blob, off, p.width, p.height) }
         VideoStatsRow(r.doc_id, p.width, p.height, p.frames.size, sum, r.blob.length.toLong)
@@ -628,6 +777,9 @@ object Multimodal {
     src.as(Encoders.product[ImageRow])
       .mapPartitions(_.flatMap { r =>
         val p = parseAvi(r.doc_id, r.blob)
+        require(p.compression == 0,
+          s"doc ${r.doc_id}: sampleVideoFrames reads raw DIB streams " +
+            s"(biCompression=${p.compression})")
         p.frames.iterator.zipWithIndex.collect {
           case ((off, _), f) if f % every == 0 =>
             FrameRow(r.doc_id, f, dibFrameSum(r.blob, off, p.width, p.height))

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering — the
+  * classic "train a small LM on a curated slice, score the crawl,
+  * keep the head" pass every large-scale training-data pipeline runs
+  * (CCNet, LLaMA, RedPajama all filter CommonCrawl this way; the
+  * production form uses a KenLM 5-gram — this is the same shape as an
+  * add-one-smoothed trigram model, exactly oracle-checkable).
+  *
+  * Model: per language, p(w3 | w1 w2) = (c3 + 1) / (c2 + V) with
+  * c3 = trigram occurrences in the curated slice, c2 = that context's
+  * trigram-position occurrences, V = the slice's unigram vocabulary.
+  * A document's score is its mean negative log-likelihood over
+  * trigram positions (avg_nll, monotone in perplexity = exp(avg_nll)),
+  * and documents bucket into per-language NTILE(3) terciles —
+  * bucket 1 = head (keep), 3 = tail (drop).
+  *
+  * 100 TB shape: the model is TRAINED on a bounded curated slice
+  * (CCNet uses a fixed Wikipedia dump), so the count tables are
+  * broadcast to the scorers — scoring the crawl is then map-side only
+  * (three broadcast joins + one partial-aggregated groupBy per doc).
+  * Count building is two map-side-combinable groupBys over the slice.
+  * Nothing here is proportional to corpus x model.
+  *
+  * Exactness: all counts are exact longs; the only non-integer step is
+  * ln, built from IEEE-exact ops via [[portableLnSql]] and quantized
+  * per trigram to nano-nats BEFORE summing, so the per-doc sum is an
+  * order-independent BIGINT sum — bit-reproducible at any partition
+  * count and hash-identical to the DuckDB replay.
+  */
+object LanguageModel {
+
+  /** Portable natural log of a positive BIGINT SQL expression.
+    *
+    * `ln` is NOT an IEEE-exact operation — every engine's libm rounds
+    * the last ulp differently — so a hash-checked cross-engine oracle
+    * cannot use a builtin log on either side. This builds ln from ONLY
+    * correctly-rounded IEEE-754 operations (+ - * / on doubles), which
+    * Spark, DuckDB, and plain Java all evaluate bit-identically:
+    *
+    *   n = m * 2^e,  e = bitlength(n) - 1 (exact, via bin()),  m in [1,2)
+    *   t = (m-1)/(m+1) in [0, 1/3);  ln(m) = 2*artanh(t)
+    *   artanh(t) = t*(1 + t^2/3 + t^4/5 + ... + t^32/33)   (Horner)
+    *   ln(n) = ln(m) + e * LN2                   (LN2 a double literal)
+    *
+    * The truncation tail is < (1/3)^35 ~ 2^-55.5, so accuracy vs true
+    * ln is ~1 ulp (prototype-measured max abs error 9e-16 over
+    * 1..2^52) — but what the oracle needs is SHAPE parity, not the
+    * last ulp: both engines compute the same function of the same
+    * bits. The per-dialect seam is one token: Spark spells the exact
+    * power-of-two divisor `shiftleft(1L, e)`, DuckDB `1::BIGINT << e`.
+    */
+  def portableLnSql(x: String, duck: Boolean): String = {
+    val e = s"(length(bin(CAST($x AS BIGINT))) - 1)"
+    val shift =
+      if (duck) s"(CAST(1 AS BIGINT) << $e)"
+      else s"shiftleft(CAST(1 AS BIGINT), $e)"
+    val m = s"(CAST($x AS DOUBLE) / CAST($shift AS DOUBLE))"
+    val t = s"(($m - CAST(1.0 AS DOUBLE)) / ($m + CAST(1.0 AS DOUBLE)))"
+    val t2 = s"($t * $t)"
+    var h = "(CAST(1.0 AS DOUBLE) / CAST(33.0 AS DOUBLE))"
+    (31 to 1 by -2).foreach { k =>
+      h = s"($h * $t2 + (CAST(1.0 AS DOUBLE) / CAST($k.0 AS DOUBLE)))"
+    }
+    s"(CAST(2.0 AS DOUBLE) * $t * $h" +
+      s" + CAST($e AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE))"
+  }
+
+  /** The per-trigram quantized log-probability, in nano-nats:
+    * floor((ln(num) - ln(den)) * 1e9) as BIGINT. floor (not round)
+    * because floor has no tie rule to diverge on; the 1e9 multiply is
+    * an IEEE-exact op on identical inputs. num/den must be positive
+    * BIGINT expressions.
+    */
+  def lpNanoSql(num: String, den: String, duck: Boolean): String =
+    s"CAST(floor((${portableLnSql(num, duck)} - ${portableLnSql(den, duck)})" +
+      s" * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)"
+
+  /** Reference implementation of the portable ln shape in plain Java
+    * doubles — the spec's referee for the Spark-evaluated SQL (and the
+    * shape the DuckDB prototype was validated against bit for bit).
+    */
+  def portableLnRef(n: Long): Double = {
+    require(n >= 1, s"portable ln needs n >= 1, got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << e).toDouble
+    val t = (m - 1.0) / (m + 1.0)
+    val t2 = t * t
+    var h = 1.0 / 33.0
+    var k = 31
+    while (k >= 1) { h = h * t2 + 1.0 / k.toDouble; k -= 2 }
+    2.0 * t * h + e.toDouble * 0.6931471805599453
+  }
+
+  /** Train the per-language trigram LM on `trainPred` docs and score
+    * the rest. Output: (doc_id, lang, n_trigrams, logprob_nano,
+    * avg_nll, ppl_bucket) — one row per scored doc with >= 3 tokens.
+    *
+    * Plan shape: the three model tables ship as BROADCASTs (the
+    * curated slice is bounded by design — CCNet's is one Wikipedia
+    * dump — so its count tables fit executors at any corpus size);
+    * scoring is one generator-in-scan explode + three broadcast joins
+    * + a partially-aggregated groupBy(doc_id). The NTILE window
+    * partitions by language — never a global single-partition sort.
+    */
+  def perplexityScores(docs: DataFrame,
+                       trainPred: Column = expr("doc_id % 10 < 3")): DataFrame = {
+    val toks = docs
+      .withColumn("toks", expr(TextAnalysis.wordTokensSql("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("is_train", trainPred)
+      .select(col("doc_id"), col("lang"), col("toks"), col("is_train"))
+
+    def grams(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - 3), i ->
+            |  struct(concat(toks[i], ' ', toks[i+1]) AS ctx,
+            |         concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram))""".stripMargin))
+          .as("g"))
+      .select(col("doc_id"), col("lang"), col("g.ctx"), col("g.gram"))
+
+    val trainToks = toks.filter(col("is_train"))
+    val trainGrams = grams(trainToks)
+    val c3 = trainGrams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = trainGrams.groupBy(col("lang"), col("ctx"))
+      .agg(count(lit(1)).as("c2"))
+    val vocab = trainToks
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("v"))
+
+    val scored = grams(toks.filter(!col("is_train")))
+      .join(broadcast(c3), Seq("lang", "gram"), "left")
+      .join(broadcast(c2), Seq("lang", "ctx"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("num_arg", coalesce(col("c3"), lit(0L)) + lit(1L))
+      .withColumn("den_arg", coalesce(col("c2"), lit(0L)) + col("v"))
+      .withColumn("lp_nano", expr(lpNanoSql("num_arg", "den_arg", duck = false)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp_nano")).as("logprob_nano"))
+
+    scored
+      .withColumn("avg_nll",
+        -col("logprob_nano").cast("double") /
+          (col("n_trigrams") * lit(1000000000L)).cast("double"))
+      .withColumn("ppl_bucket",
+        ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("avg_nll"), col("doc_id"))))
+  }
+}

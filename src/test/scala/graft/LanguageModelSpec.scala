@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.LanguageModel
+
+/** CCNet-style trigram-LM perplexity filtering, and the portable-ln
+  * kernel it rides on (IEEE-exact ops only, so Spark / DuckDB / plain
+  * Java evaluate bit-identical doubles).
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("portable ln: Spark-evaluated SQL is bit-identical to the Java reference shape") {
+    val ns = (1L to 4096L) ++ Seq(999983L, 1000003L, 1L << 40, (1L << 52) + 12345L)
+    val got = ns.toDF("n")
+      .withColumn("pln", expr(LanguageModel.portableLnSql("n", duck = false)))
+      .select("n", "pln").as[(Long, Double)].collect().toMap
+    ns.foreach { n =>
+      val ref = LanguageModel.portableLnRef(n)
+      assert(java.lang.Double.doubleToLongBits(got(n)) ===
+        java.lang.Double.doubleToLongBits(ref), s"n=$n got=${got(n)} ref=$ref")
+    }
+  }
+
+  test("portable ln: within 4 ulps of Math.log across the count range") {
+    var n = 1L
+    while (n < (1L << 50)) {
+      val ref = math.log(n.toDouble)
+      val got = LanguageModel.portableLnRef(n)
+      val tol = 4 * math.max(math.ulp(ref), java.lang.Double.MIN_VALUE)
+      assert(math.abs(got - ref) <= tol, s"n=$n got=$got ref=$ref")
+      n = n * 3 + 1
+    }
+  }
+
+  test("perplexity: in-domain docs score lower avg_nll than shuffled-vocab docs") {
+    // train slice (doc_id % 10 < 3) speaks a tiny regular language;
+    // scored docs either reuse its phrases (in-domain) or use unseen
+    // vocabulary (out-of-domain) — the model must rank them apart
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val inDomain = (0L until 30L).map(i => (i, s"$phrase number $i", "en"))
+    val outDomain = Seq((94L, "zxq wvut kjh gfd zxq plmo qazx wsed rfgt yhuj", "en"))
+    val docs = (inDomain ++ outDomain).toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityScores(docs)
+      .select("doc_id", "avg_nll", "ppl_bucket").as[(Long, Double, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(0L), "train docs are not scored")
+    assert(out.contains(94L))
+    val inScores = out.filterNot(_._1 == 94L).values.map(_._1)
+    assert(inScores.nonEmpty)
+    assert(out(94L)._1 > inScores.max,
+      s"gibberish ${out(94L)._1} should exceed in-domain max ${inScores.max}")
+    assert(out(94L)._2 === 3, "gibberish lands in the tail tercile")
+    assert(out.values.map(_._2).toSet.subsetOf(Set(1, 2, 3)))
+  }
+
+  test("perplexity plan: model joins broadcast, no cartesian anywhere") {
+    val docs = (0L until 40L).map(i => (i, s"alpha beta gamma delta $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val plan = LanguageModel.perplexityScores(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "scoring must never form a cross product")
+  }
+
+  test("scores are partition-count invariant (order-free BIGINT sums)") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"one two three four five six seven ${i % 7} ${i % 3}", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val a = LanguageModel.perplexityScores(docs.repartition(1))
+      .select("doc_id", "logprob_nano").as[(Long, Long)].collect().toMap
+    val b = LanguageModel.perplexityScores(docs.repartition(13))
+      .select("doc_id", "logprob_nano").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}

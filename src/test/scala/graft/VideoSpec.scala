@@ -93,4 +93,71 @@ class VideoSpec extends SparkSpec {
       expect += Multimodal.synthVideoChannel(5L, f, c, x, y)
     assert(stats === ((nf, expect)))
   }
+
+  private def chainMsg(t: Throwable): String = {
+    def walk(c: Throwable): Seq[String] =
+      if (c == null) Seq.empty else Option(c.getMessage).toSeq ++ walk(c.getCause)
+    walk(t).mkString(" | ")
+  }
+
+  test("MJPEG: container facts exact, decoded sums within the lossy bound") {
+    val ids = Seq(0L, 3L, 11L, 42L, 257L)
+    val stats = Multimodal.decodeMjpegStats(Multimodal.withMjpegBlob(docs(ids: _*)))
+      .select("doc_id", "width", "height", "n_frames", "pixel_sum")
+      .as[(Long, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.synthVideoDims(id)
+      val nf = Multimodal.synthVideoFrames(id)
+      assert((stats(id)._2, stats(id)._3, stats(id)._4) === ((w, h, nf)), s"doc $id dims")
+      var expect = 0L
+      for (f <- 0 until nf; c <- 0 until 3; x <- 0 until w; y <- 0 until h)
+        expect += Multimodal.mjpegChannel(id, f, c, x, y)
+      val samples = w.toLong * h * 3 * nf
+      val err = math.abs(stats(id)._5 - expect)
+      assert(err <= samples * 4,
+        s"doc $id: decoded sum off by $err over $samples samples (mean ${err.toDouble / samples})")
+    }
+  }
+
+  test("MJPEG: per-pixel JPEG loss on the gradient raster stays bounded") {
+    // codec-loss pin for the q139 bound's headroom: a 0.95-quality JDK
+    // JPEG roundtrip of the mjpegChannel gradient never moves any
+    // channel sample by more than 32 (measured ~6-16; 2x headroom)
+    val id = 42L
+    val (w, h) = Multimodal.synthVideoDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (Multimodal.mjpegChannel(id, 0, 0, x, y) << 16) |
+          (Multimodal.mjpegChannel(id, 0, 1, x, y) << 8) |
+          Multimodal.mjpegChannel(id, 0, 2, x, y))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val got = (back.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      maxErr = math.max(maxErr, math.abs(got - Multimodal.mjpegChannel(id, 0, c, x, y)))
+    }
+    assert(maxErr <= 32, s"max per-pixel JPEG error $maxErr")
+  }
+
+  test("MJPEG and DIB refuse each other's decoder by name") {
+    val mj = Multimodal.withMjpegBlob(docs(7L))
+    val e1 = intercept[Exception](Multimodal.decodeVideoStats(mj).collect())
+    assert(chainMsg(e1).contains("decodeMjpegStats"), chainMsg(e1))
+    val e1b = intercept[Exception](Multimodal.sampleVideoFrames(mj).collect())
+    assert(chainMsg(e1b).contains("raw DIB"), chainMsg(e1b))
+    val dib = Multimodal.withVideoBlob(docs(7L))
+    val e2 = intercept[Exception](Multimodal.decodeMjpegStats(dib).collect())
+    assert(chainMsg(e2).contains("decodeVideoStats"), chainMsg(e2))
+  }
 }
