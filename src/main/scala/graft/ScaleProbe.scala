@@ -103,7 +103,13 @@ object ScaleProbe {
     // r16: real AVI encode→demux→decode — per-doc container codec,
     // embarrassingly parallel mapPartitions like images/audio: cost
     // must track the document count linearly, no shuffle at all
-    "q134_video_decode", "q135_video_frame_sample")
+    "q134_video_decode", "q135_video_frame_sample",
+    // r17: MJPEG is per-row codec CPU (shuffle-free) — expect linear
+    // absorbed by cores like the image/DIB paths; the LM probe pins
+    // the CCNet shape: 10x corpus = 10x train slice + 10x scored docs,
+    // model tables stay broadcast, scoring stays map-side — the
+    // sublinear claim is that NOTHING is corpus x model
+    "q139_mjpeg_decode", "q140_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,4 +152,31 @@ object LanguageModel {
         ntile(3).over(Window.partitionBy(col("lang"))
           .orderBy(col("avg_nll"), col("doc_id"))))
   }
+
+  /** The 100 TB bucketing path. [[perplexityScores]]' NTILE window is
+    * the ORACLE-exact form, but it sorts each language's entire scored
+    * set inside one window partition — with a handful of languages
+    * over billions of docs those partitions are the table. At scale,
+    * rank-exact terciles are not the requirement (CCNet itself cuts on
+    * head/middle/tail thresholds); this computes per-language
+    * approximate tercile CUT POINTS (one tiny two-row-per-language
+    * aggregate) and assigns buckets by comparison — a broadcast join +
+    * map-side when/otherwise, no window, no sort. Same q84 pattern:
+    * exact percentile for the oracle, approx_percentile as the
+    * documented scale path. Agreement with the exact terciles is
+    * boundary-ties-only (spec-pinned >= 90% on the fixture, and
+    * bucket order always respects avg_nll order by construction).
+    */
+  def bucketsByCutpoints(scores: DataFrame): DataFrame = {
+    val cuts = scores.groupBy(col("lang")).agg(expr(
+      "approx_percentile(avg_nll, array(0.3333333333333333, 0.6666666666666666), 10000)")
+      .as("cuts"))
+    scores.drop("ppl_bucket")
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("ppl_bucket",
+        when(col("avg_nll") <= col("cuts")(0), lit(1))
+          .when(col("avg_nll") <= col("cuts")(1), lit(2))
+          .otherwise(lit(3)))
+      .drop("cuts")
+  }
 }

@@ -65,6 +65,31 @@ class LanguageModelSpec extends SparkSpec {
       "scoring must never form a cross product")
   }
 
+  test("cutpoint buckets agree with exact terciles up to quantile boundaries") {
+    val docs = (0L until 200L).map { i =>
+      // near-continuous scores (a tie-heavy fixture would measure
+      // NTILE's tie-splitting, not the cutpoint path): each doc mixes
+      // the shared phrase with a doc-unique token block whose length
+      // varies, so avg_nll is distinct per doc almost everywhere
+      val known = "alpha beta gamma delta epsilon zeta " * (1 + (i % 3).toInt)
+      val unique = s"tok$i " * (1 + (i % 7).toInt)
+      (i, known + unique, if (i % 2 == 0) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    val exact = LanguageModel.perplexityScores(docs)
+    val approx = LanguageModel.bucketsByCutpoints(exact)
+      .select("doc_id", "lang", "avg_nll", "ppl_bucket").as[(Long, String, Double, Int)].collect()
+    val exactMap = exact.select("doc_id", "ppl_bucket").as[(Long, Int)].collect().toMap
+    // within a language, bucket order respects score order by construction
+    approx.groupBy(_._2).values.foreach { grp =>
+      grp.sortBy(_._3).foldLeft(0) { case (prev, (_, _, _, b)) =>
+        assert(b >= prev); b
+      }
+    }
+    val agree = approx.count { case (id, _, _, b) => exactMap(id) == b }
+    assert(agree.toDouble / approx.length >= 0.9,
+      s"only $agree/${approx.length} agree with exact terciles")
+  }
+
   test("scores are partition-count invariant (order-free BIGINT sums)") {
     val docs = (0L until 60L).map(i =>
       (i, s"one two three four five six seven ${i % 7} ${i % 3}", "xx"))
