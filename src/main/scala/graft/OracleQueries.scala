@@ -658,6 +658,39 @@ object OracleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // metadata-delete replay: the surviving customers — the Spark side
+    // dropped the middle file without reading it (asserted in-query)
+    "q143_metadata_delete" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT (c_custkey > 400 AND c_custkey <= 900)""".stripMargin,
+
+    // runtime-filter replay: the star join statically — the Spark side
+    // pruned fact files at execution time via the dim's surviving keys
+    // (asserted in-query through the skip probe)
+    "q144_runtime_filter_join" ->
+      """SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS od,
+        |  o_totalprice AS price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'
+        |  AND day(CAST(o_orderdate AS DATE)) <= 5""".stripMargin,
+
+    // metadata-aggregate replay: the same unfiltered aggregates over
+    // the raw parquet — the Spark side answered them from manifest
+    // stats without scanning a data file (asserted in-query)
+    "q142_metadata_agg" ->
+      """SELECT count(*) AS n, count(l_quantity) AS nq,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    // rate-limited catch-up: four capped micro-batches (asserted
+    // in-query) drain exactly the four appended quarters = the events
+    // table, each row exactly once
+    "q141_rate_limited_catchup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events""".stripMargin,
+
     // maintenance-tolerant stream: compaction/sort rewrites serve
     // nothing, appends serve once — the drain is the full replay
     "q132_stream_skip_rewrites" ->

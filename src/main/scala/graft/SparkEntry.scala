@@ -425,6 +425,138 @@ object SparkEntry {
       drainIo.read("default.drained")
     }),
 
+    // METADATA-ONLY aggregates (r17 — Iceberg/Delta's "count(*) from
+    // the manifest"): an unfiltered global COUNT/COUNT(col)/MIN/MAX
+    // over a catalog table answers from the per-file stats persisted
+    // into the manifest at commit, planned as a driver-side LocalScan —
+    // LocalTableScanExec, ZERO data tasks (asserted in-query). At
+    // 100 TB this is a catalog lookup standing in for a full-table
+    // scan. Exactness envelope (WHERE/GROUP BY/DISTINCT/strings/
+    // missing stats fall back to the real scan) is spec-pinned in
+    // AggregatePushdownSpec; the oracle replays the same aggregates
+    // over the raw parquet.
+    "q142_metadata_agg" -> ((s, dir) => {
+      val cname = "gmag"
+      val io = catalogIO(s, cname, "graft_mag_")
+      val t = "default.li_stats"
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      (0 to 2).foreach(k => io.append(li.filter(pmod(col("l_orderkey"), lit(3)) === k), t))
+      val df = s.sql(
+        s"""SELECT count(*) AS n, count(l_quantity) AS nq,
+           |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+           |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+           |FROM $cname.$t""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"metadata aggregate must plan as a LocalScan with zero data tasks:\n$plan")
+      df
+    }),
+
+    // METADATA-ONLY DELETE (r17 — Iceberg's metadata delete): a
+    // DELETE whose predicate PROVABLY covers whole files (per-file
+    // manifest stats) drops them from the manifest without reading or
+    // writing a byte — the partition-aligned retention delete every
+    // 100 TB table runs nightly. Here customers land in three
+    // disjoint-key files; the middle range deletes metadata-only
+    // (asserted in-query: the post-delete manifest is a SUBSET of the
+    // pre-delete one) and the survivors hash-match the SQL replay.
+    "q143_metadata_delete" -> ((s, dir) => {
+      val cname = "gmdl"
+      val io = catalogIO(s, cname, "graft_mdl_")
+      val t = "default.cust_ret"
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      io.append(cust.filter(col("c_custkey") <= 400).coalesce(1), t)
+      io.append(cust.filter(col("c_custkey") > 400 && col("c_custkey") <= 900).coalesce(1), t)
+      io.append(cust.filter(col("c_custkey") > 900).coalesce(1), t)
+      val before = io.catalog.manifest(t, io.catalog.currentVersion(t).get).toSet
+      s.sql(s"DELETE FROM $cname.$t WHERE c_custkey > 400 AND c_custkey <= 900")
+      val after = io.catalog.manifest(t, io.catalog.currentVersion(t).get).toSet
+      require(before.size == 3 && after.subsetOf(before) && after.size == 2,
+        s"a fully-covered file must DROP metadata-only: before=${before.size} after=${after.size}")
+      io.read(t).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // DSv2 RUNTIME FILTERING (r17 — dynamic partition pruning for the
+    // star join): the fact table lands under a hidden days(ts) layout,
+    // the dim side carries a selective filter, and at EXECUTION time
+    // the join's surviving keys prune whole fact files by path
+    // arithmetic — asserted in-query via the skip probe (kept < total).
+    // The scan-side mechanics are what 1000-executor star joins live
+    // on; the oracle replays the join statically.
+    "q144_runtime_filter_join" -> ((s, dir) => {
+      val cname = "grtf"
+      val io = catalogIO(s, cname, "graft_rtf_")
+      val t = "default.ord_days"
+      s.sql(s"CREATE TABLE $cname.$t (okey BIGINT, od DATE, price DOUBLE) " +
+        "PARTITIONED BY (days(od))")
+      val ords = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice").as("price"))
+        .filter(col("od") >= lit("1996-01-01") && col("od") < lit("1996-02-01"))
+      io.append(ords, t)
+      // dim: a file-backed date list, only 5 tagged 'keep'
+      io.append(ords.select(col("od").as("dd")).distinct()
+        .withColumn("tag", when(dayofmonth(col("dd")) <= 5, lit("keep")).otherwise(lit("drop"))),
+        "default.dim_dates")
+      val key = "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+      val old = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "false") // tiny plan: let DPP build its own subquery
+        graft.io.RuntimeSkipProbe.last = None
+        val joined = s.table(s"$cname.$t")
+          .join(s.table(s"$cname.default.dim_dates").filter(col("tag") === "keep"),
+            col("od") === col("dd"))
+          .select(col("okey"), col("od"), col("price"))
+        val out = joined.collect()
+        val skip = graft.io.RuntimeSkipProbe.last
+        require(skip.exists { case (kept, total) => kept < total },
+          s"the fact scan must runtime-prune files, probe=$skip")
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq), joined.schema)
+      } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }),
+
+    // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
+    // Iceberg's max-files-per-micro-batch): four event quarters land
+    // as four commits, and the stream drains them under
+    // maxVersionsPerBatch=1 + Trigger.AvailableNow — the source
+    // implements SupportsTriggerAvailableNow, so the capped catch-up
+    // runs FOUR bounded micro-batches to the pinned target instead of
+    // one history-sized batch (the checkpoint-interval / state-spike
+    // wall a consumer starting deep in a 100 TB table's history hits).
+    // The batch count is asserted in-query; the drained union is
+    // hash-oracled against the events replay (exactly-once across
+    // capped batches).
+    "q141_rate_limited_catchup" -> ((s, dir) => {
+      val cname = "grlc"
+      val io = catalogIO(s, cname, "graft_rlc_")
+      val t = "default.ev_rate"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val v0 = io.catalog.currentVersion(t).getOrElse(0)
+      (0 to 3).foreach(k => io.append(ev.filter(pmod(col("event_id"), lit(4)) === k), t))
+      val drainIo = TableIO(s, tempDir("graft_rlcd_"))
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream
+        .option("startingVersion", v0.toString)
+        .option("maxVersionsPerBatch", "1")
+        .table(s"$cname.$t")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tempDir("graft_rlcc_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          nBatches.incrementAndGet()
+          graft.streaming.TableSink.commitStreamBatch(
+            drainIo, "default.drained", id, batch)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      require(nBatches.get == 4,
+        s"rate-limited catch-up must run one micro-batch per commit (4), ran ${nBatches.get}")
+      drainIo.read("default.drained")
+    }),
+
     // The streaming consumer RIDING THROUGH table maintenance
     // (Iceberg's streaming-skip-overwrite-snapshots / Delta's
     // skipChangeCommits, rewrite flavor): a checkpointed stream drains

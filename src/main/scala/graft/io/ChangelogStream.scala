@@ -209,7 +209,8 @@ private[io] class ChangelogMicroBatchStream(
     options: CaseInsensitiveStringMap,
     checkpointLocation: String,
     branch: Option[String] = None
-) extends MicroBatchStream {
+) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val label = branch.fold(tableName)(b => s"$tableName@$b")
 
@@ -272,6 +273,35 @@ private[io] class ChangelogMicroBatchStream(
         v
       }.getOrElse(1) // fork record: "the branch's own changes", the batch default
   }
+
+  // admission control (Delta CDF's rate limiting): a CDC consumer
+  // catching up on a long history must not stage and serve every
+  // commit's diff in ONE micro-batch — checkpoint progress and
+  // downstream state both want bounded batches. The version cap is
+  // the natural unit here (each changelog row belongs to exactly one
+  // commit); exactly-once is untouched (progress = checkpointed
+  // version offset, staged diffs keyed per version).
+  private val maxVersions: Option[Int] = StreamShape.positiveIntOption(
+    "changelog stream", label, options, "maxVersionsPerBatch")
+
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(headVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = versionOf(start)
+    val target = availableNowTarget.getOrElse(headVersion)
+    val e = maxVersions.fold(target)(mv => math.min(target, s + mv))
+    offsetAt(math.max(e, s))
+  }
+
+  override def reportLatestOffset(): Offset = offsetAt(headVersion)
 
   override def initialOffset(): Offset = offsetAt(startV)
   override def latestOffset(): Offset = offsetAt(headVersion)

@@ -299,6 +299,38 @@ object FileStats {
     else cmp(cs.min, v).forall(_ <= 0) && cmp(cs.max, v).forall(_ >= 0)
   }
 
+  /** The OTHER direction of [[mightMatch]]: does the predicate
+    * PROVABLY select EVERY row of the file? `true` licenses a
+    * metadata-only DELETE — the file drops from the manifest without
+    * being read — so the default for anything unprovable is `false`
+    * (which only costs a rewrite, never a wrong result). Null
+    * semantics are SQL's: a comparison selects a NULL row as false, so
+    * comparison shapes additionally require `nullCount == 0`.
+    * Absent stats prove nothing.
+    */
+  def mustMatchAll(stats: Map[String, ColStats], filters: Seq[Filter]): Boolean =
+    filters.forall(f => mustMatchOne(stats, f))
+
+  private def mustMatchOne(stats: Map[String, ColStats], f: Filter): Boolean = f match {
+    case EqualTo(a, v) => stats.get(a).exists(s =>
+      s.nullCount == 0 && s.min != null &&
+        cmp(s.min, v).contains(0) && cmp(s.max, v).contains(0))
+    case In(a, vs) => vs.length == 1 && mustMatchOne(stats, EqualTo(a, vs.head))
+    case GreaterThan(a, v) => stats.get(a).exists(s =>
+      s.nullCount == 0 && s.min != null && cmp(s.min, v).exists(_ > 0))
+    case GreaterThanOrEqual(a, v) => stats.get(a).exists(s =>
+      s.nullCount == 0 && s.min != null && cmp(s.min, v).exists(_ >= 0))
+    case LessThan(a, v) => stats.get(a).exists(s =>
+      s.nullCount == 0 && s.max != null && cmp(s.max, v).exists(_ < 0))
+    case LessThanOrEqual(a, v) => stats.get(a).exists(s =>
+      s.nullCount == 0 && s.max != null && cmp(s.max, v).exists(_ <= 0))
+    case IsNull(a) => stats.get(a).exists(s => s.nullCount == s.rowCount)
+    case IsNotNull(a) => stats.get(a).exists(_.nullCount == 0)
+    case And(l, r) => mustMatchOne(stats, l) && mustMatchOne(stats, r)
+    case Or(l, r) => mustMatchOne(stats, l) || mustMatchOne(stats, r)
+    case _ => false // Not / strings / unknown shapes: never provable
+  }
+
   /** Bloom probe for equality/IN pruning. The index is built over
     * `CAST(col AS STRING)` (TableIO.addBloomIndex), so the probe
     * canonicalizes the filter literal the same way Spark's cast does;

@@ -725,29 +725,46 @@ private[io] class GraftTable(
       case None => baseVersion.map(cat.manifest(tableName, _)).getOrElse(Seq.empty)
     }
     val toLogicalName = renames.map(_.swap)
-    val (kept, candidates) =
+    def logicalStats(f: String, conf: org.apache.hadoop.conf.Configuration) =
+      FileStats.cached(f, conf).map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
+    val (kept, touched) =
       try {
         val conf = spark.sessionState.newHadoopConf()
         all.partition { f =>
-          val stats = FileStats.cached(f, conf)
-            .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
-          !FileStats.mightMatch(stats, filters.toSeq) ||
+          !FileStats.mightMatch(logicalStats(f, conf), filters.toSeq) ||
             (pspec.nonEmpty &&
               !PartitionTransforms.fileMightMatch(f, filters.toSeq, pspec, schema()))
         }
       } catch { case scala.util.control.NonFatal(_) => (Seq.empty, all) }
-    if (candidates.isEmpty) return // nothing can match: no new snapshot
+    if (touched.isEmpty) return // nothing can match: no new snapshot
     val cond = filters.flatMap(GraftTable.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val remaining = io.readFiles(tableName, candidates)
-      .filter(not(coalesce(cond, lit(false))))
     branchHead match {
       case Some((b, h)) =>
+        // branch deletes keep the rewrite path (fork-base props rebase)
+        val remaining = io.readFiles(tableName, touched)
+          .filter(not(coalesce(cond, lit(false))))
         io.commitBranchReplacement(remaining, tableName, b, kept, partitionCols, baseHead = h)
         ()
       case None =>
-        io.commitReplacement(remaining, tableName, kept, partitionCols,
-          baseVersion = baseVersion.getOrElse(0))
+        // METADATA-ONLY tier (Iceberg's metadata delete): a file whose
+        // stats PROVE the predicate selects every row simply drops
+        // from the manifest — no read, no rewrite. A partition-aligned
+        // DELETE (drop a day, drop a bucket) touches zero data bytes
+        // at any table size; only predicate-boundary files rewrite.
+        val (dropped, candidates) =
+          try {
+            val conf = spark.sessionState.newHadoopConf()
+            touched.partition(f => FileStats.mustMatchAll(logicalStats(f, conf), filters.toSeq))
+          } catch { case scala.util.control.NonFatal(_) => (Seq.empty, touched) }
+        if (candidates.isEmpty)
+          io.commitMetadataDelete(tableName, kept, baseVersion.getOrElse(0))
+        else {
+          val remaining = io.readFiles(tableName, candidates)
+            .filter(not(coalesce(cond, lit(false))))
+          io.commitReplacement(remaining, tableName, kept, partitionCols,
+            baseVersion = baseVersion.getOrElse(0))
+        }
     }
   }
 
@@ -1554,12 +1571,17 @@ private[io] class StatsPruningScanBuilder(
     streamSource0: Option[(TableCatalog, String)] = None
 ) extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var current: ScanBuilder = delegate.newScanBuilder(options)
   private var prunedColumns: Option[StructType] = None
   // the post-pruning file list — what a bucket-keyed scan keys over
   private var keptFiles: Seq[String] = delegate.paths
+  // any WHERE clause disables metadata aggregates (stats describe
+  // whole files; a filtered count/min/max needs the rows)
+  private var anyFilter = false
+  private var pushedAgg: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   // Conservative catalyst -> v1 translation for stats evaluation only:
   // shapes we don't recognize contribute NO constraint (the delegate
@@ -1572,6 +1594,7 @@ private[io] class StatsPruningScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
   ): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    anyFilter = anyFilter || filters.nonEmpty
     val v1 = filters.flatMap(toV1)
     val keep =
       if (v1.isEmpty) delegate.paths
@@ -1628,6 +1651,161 @@ private[io] class StatsPruningScanBuilder(
     }
   }
 
+  // ---- METADATA-ONLY aggregates (Iceberg/Delta's "count(*) from the
+  // manifest"): an unfiltered global COUNT / COUNT(col) / MIN / MAX
+  // answers from the per-file stats persisted into the manifest at
+  // commit time — O(manifest), zero data tasks, planned as a
+  // driver-side LocalScan (LocalTableScanExec in the physical plan).
+  // At 100 TB this is the difference between a catalog lookup and a
+  // full-table scan. EXACTNESS RULES (refuse -> normal scan, never
+  // approximate): no WHERE clause, no GROUP BY, no DISTINCT; every
+  // file must carry stats for the referenced column (a file predating
+  // ADD COLUMN has none — refused, so schema evolution can't fake
+  // nulls away); MIN/MAX only over types whose parquet footer stats
+  // are exact and unit-unambiguous (int/long/float/double/date/
+  // decimal — strings can be writer-truncated and timestamps carry a
+  // unit this layer doesn't verify, so both refuse); float/double
+  // columns containing NaN get NO footer stats from parquet-mr and
+  // thus refuse. Dirty MOR snapshots never reach this builder
+  // (GraftMorTable overrides newScanBuilder), so pending deletes
+  // cannot skew a count.
+  private def aggFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (anyFilter || agg.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    val fields = delegate.schema.fields.map(f => f.name -> f.dataType).toMap
+    def minMaxable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | FloatType | DoubleType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    // resolve every requested aggregate to a (schema field, per-stats computer)
+    type Stats = Seq[Map[String, FileStats.ColStats]]
+    val resolved: Seq[Option[(StructField, (Stats, Seq[Long]) => Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((
+          StructField("count(*)", LongType, nullable = false),
+          (_: Stats, rows: Seq[Long]) => rows.sum))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).filter(fields.contains).map { name =>
+            (StructField(s"count($name)", LongType, nullable = false),
+              (st: Stats, _: Seq[Long]) =>
+                st.map(m => m(name).rowCount - m(name).nullCount).sum)
+          }
+        case m: Min =>
+          colOf(m.column).filter(n => fields.get(n).exists(minMaxable)).map { name =>
+            (StructField(s"min($name)", fields(name), nullable = true),
+              (st: Stats, _: Seq[Long]) => foldMinMax(st, name, fields(name), isMin = true))
+          }
+        case m: Max =>
+          colOf(m.column).filter(n => fields.get(n).exists(minMaxable)).map { name =>
+            (StructField(s"max($name)", fields(name), nullable = true),
+              (st: Stats, _: Seq[Long]) => foldMinMax(st, name, fields(name), isMin = false))
+          }
+        case _ => None
+      }
+    if (resolved.exists(_.isEmpty)) return None
+    val need = resolved.flatten
+    val neededCols: Set[String] = need.map(_._1.name)
+      .collect { case n if n.startsWith("count(") && n != "count(*)" =>
+        n.stripPrefix("count(").stripSuffix(")")
+      }.toSet ++ need.map(_._1.name).collect {
+        case n if n.startsWith("min(") => n.stripPrefix("min(").stripSuffix(")")
+        case n if n.startsWith("max(") => n.stripPrefix("max(").stripSuffix(")")
+      }
+    val dbg = sys.env.contains("GRAFT_AGG_DEBUG")
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      // ZERO-ROW part files (a write's empty partitions) carry no
+      // column stats at all — they contribute nothing to any
+      // aggregate, so they are excluded rather than counted as
+      // "stats missing"
+      val all = delegate.paths.map { f =>
+        val m = FileStats.cached(f, conf)
+        val rc = m.values.headOption.map(_.rowCount).getOrElse(FileStats.rowCount(f, conf))
+        (m, rc)
+      }
+      val nonEmpty = all.filter(_._2 > 0)
+      // every referenced column must have stats in EVERY non-empty file
+      if (neededCols.exists(c => nonEmpty.exists(!_._1.contains(c)))) {
+        if (dbg) println(s"[aggdbg] missing stats: " + neededCols.map(c =>
+          c -> nonEmpty.count(!_._1.contains(c))).toMap + s" of ${nonEmpty.size} files")
+        return None
+      }
+      val stats: Stats = nonEmpty.map(_._1)
+      val rowCounts: Seq[Long] = nonEmpty.map(_._2)
+      val values = need.map { case (_, compute) => compute(stats, rowCounts) }
+      val schema = StructType(need.map(_._1))
+      Some((schema,
+        Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+    } catch { case scala.util.control.NonFatal(e) =>
+      if (dbg) println(s"[aggdbg] refused: $e")
+      None
+    }
+  }
+
+  /** Fold a column's per-file min/max stats to one CATALYST-internal
+    * value; all-null files contribute nothing, an all-null column
+    * yields null (SQL MIN/MAX semantics). Throws (-> refusal) on a
+    * stats value whose runtime type doesn't match the declared one.
+    */
+  private def foldMinMax(stats: Seq[Map[String, FileStats.ColStats]],
+                         name: String, dt: org.apache.spark.sql.types.DataType,
+                         isMin: Boolean): Any = {
+    import org.apache.spark.sql.types._
+    // footer-sourced stats carry the parquet physical boxes (Integer,
+    // Float); MANIFEST-decoded stats widen integrals to Long and
+    // floats to Double (FileStats.encodeEntries' "i"/"f" kinds) —
+    // accept both and narrow by the declared type. The narrowing is
+    // exact: the value originated in a column of that type.
+    def internal(v: Any): Any = (v, dt) match {
+      case (n: java.lang.Number, IntegerType | DateType) => n.intValue()
+      case (n: java.lang.Number, LongType) => n.longValue()
+      case (n: java.lang.Number, FloatType) => n.floatValue()
+      case (n: java.lang.Number, DoubleType) => n.doubleValue()
+      case (bd: java.math.BigDecimal, t: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(bd), t.precision, t.scale)
+      case _ => throw new IllegalStateException(
+        s"stats value type ${v.getClass} does not match declared $dt for $name")
+    }
+    val vals = stats.flatMap { m =>
+      val cs = m(name)
+      Option(if (isMin) cs.min else cs.max)
+    }.map(internal)
+    if (vals.isEmpty) null
+    else {
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Int, y: Int) => x < y
+        case (x: Long, y: Long) => x < y
+        case (x: Float, y: Float) => x < y
+        case (x: Double, y: Double) => x < y
+        case (x: Decimal, y: Decimal) => x.compare(y) < 0
+        case _ => throw new IllegalStateException(s"uncomparable stats for $name")
+      }
+      vals.reduce((a, b) => if (lt(a, b) == isMin) a else b)
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggFromStats(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val r = aggFromStats(agg)
+    pushedAgg = r
+    r.isDefined
+  }
+
   /** The built scan — wrapped with storage-partitioned-join key
     * reporting when the layout contains a `bucket` transform and EVERY
     * kept file yields a key value for EVERY transform (pre-spec files
@@ -1640,6 +1818,16 @@ private[io] class StatsPruningScanBuilder(
     * matches `PartitionedFile.filePath.toUri.getPath`.
     */
   override def build(): Scan = {
+    pushedAgg.foreach { case (aggSchema, aggRows) =>
+      // metadata-only aggregate: a driver-side LocalScan — the
+      // physical plan is LocalTableScanExec, zero data tasks
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = aggRows
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftMetadataAggScan ${delegate.name} [${aggSchema.fieldNames.mkString(", ")}]"
+      }
+    }
     val inner = current.build()
     // the stream reads per-batch files under THIS scan's (possibly
     // column-pruned) schema — renames are empty on this path, so the
@@ -1653,7 +1841,26 @@ private[io] class StatsPruningScanBuilder(
       else KeyedLayoutScan.fileKeys(keptFiles, pspec, delegate.schema).map(keys =>
         new KeyedLayoutScan(inner, pspec,
           pspec.map(PartitionTransforms.v2Transform).toArray, keys, stream))
-    keyed.getOrElse(new StreamableParquetScan(inner, stream))
+    keyed.getOrElse(new StreamableParquetScan(inner, stream, runtimeSkipInfo))
+  }
+
+  /** Runtime-filter (DPP) advertisement for the built scan: hidden
+    * partition transforms' SOURCE columns (path-arithmetic skips) and
+    * bloom-indexed columns (point-lookup skips) — the columns whose
+    * metadata actually drops files. None when the table offers
+    * neither; the bloom probe is O(primed stats cache), no I/O.
+    */
+  private def runtimeSkipInfo: Option[RuntimeFileSkip] = {
+    val bloomCols: Seq[String] =
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        keptFiles.flatMap(f => FileStats.cached(f, conf).collect {
+          case (col, cs) if cs.bloom.isDefined => col
+        }).distinct
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val attrs = (pspec.map(_.src) ++ bloomCols).distinct
+    if (attrs.isEmpty) None
+    else Some(RuntimeFileSkip(keptFiles, pspec, delegate.schema, attrs))
   }
 }
 

@@ -127,6 +127,16 @@ private[io] object StreamShape {
   /** Epoch-millis, ISO instant, or `yyyy-mm-dd hh:mm:ss` — the one
     * timestamp-literal rule every timestamp-bounded option shares.
     */
+  /** A strictly-positive integer option, absent -> None, anything
+    * else -> an error naming the option.
+    */
+  def positiveIntOption(label: String, tableName: String,
+                        options: CaseInsensitiveStringMap, key: String): Option[Int] =
+    Option(options.get(key)).map { raw =>
+      raw.trim.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+        s"$label over $tableName: option $key must be a positive integer, got '$raw'"))
+    }
+
   def parseTimestamp(label: String, tableName: String, key: String, raw: String): Long = {
     val s = raw.trim
     s.toLongOption
@@ -143,7 +153,8 @@ private[io] class GraftMicroBatchStream(
     cat: TableCatalog,
     physSchema: StructType,
     options: CaseInsensitiveStringMap
-) extends MicroBatchStream {
+) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class V(v: Int) extends Offset {
     override def json(): String = v.toString
@@ -156,6 +167,78 @@ private[io] class GraftMicroBatchStream(
     options.getBoolean("skipRewriteCommits", false)
   private val skipChanges: Boolean =
     options.getBoolean("skipChangeCommits", false)
+
+  // ---- admission control (Delta's maxFilesPerTrigger / Iceberg's
+  // max-files-per-micro-batch): a stream starting deep in a long
+  // history must NOT drain everything into one micro-batch — one
+  // giant batch means one giant checkpoint interval (no progress
+  // survives a mid-drain crash) and an executor-memory-sized state
+  // spike downstream. The caps bound each batch; exactly-once is
+  // untouched because progress is still the checkpointed version.
+  private val maxVersions: Option[Int] =
+    StreamShape.positiveIntOption("table stream", tableName, options, "maxVersionsPerBatch")
+  private val maxFiles: Option[Int] =
+    StreamShape.positiveIntOption("table stream", tableName, options, "maxFilesPerBatch")
+
+  // Trigger.AvailableNow: pin the drain target at stream start, then
+  // run capped batches until the checkpointed offset reaches it —
+  // without this trait Spark falls back to one single uncapped batch
+  // (and warns); with it, caps + AvailableNow compose into a bounded
+  // catch-up that terminates even while writers keep committing.
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(cat.currentVersion(tableName).getOrElse(0))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[V].v
+    val target = availableNowTarget
+      .getOrElse(cat.currentVersion(tableName).getOrElse(0))
+    var e = target
+    maxVersions.foreach(mv => e = math.min(e, s + mv))
+    maxFiles.foreach { mf =>
+      // metadata-only forward walk: stop BEFORE the version that would
+      // push the batch past the cap, but always admit at least one
+      // version (a single commit larger than the cap must still flow).
+      // Served-file counting mirrors planInputPartitions: a
+      // file-removing commit serves nothing under the skip flags, so
+      // it is free here; if it would REFUSE (or its manifest is
+      // expired), admit it and let planInputPartitions raise the loud
+      // error rather than stalling the stream silently at the cap walk.
+      try {
+        var prev: Set[String] =
+          (if (s == 0) Seq.empty else cat.manifest(tableName, s)).toSet
+        var files = 0
+        var chosen = s
+        var v = s + 1
+        var stop = false
+        while (v <= e && !stop) {
+          val cur = cat.manifest(tableName, v).toSet
+          val servedHere =
+            if (prev.diff(cur).isEmpty) cur.diff(prev).size else 0
+          if (chosen > s && files + servedHere > mf) stop = true
+          else {
+            files += servedHere
+            chosen = v
+            prev = cur
+            v += 1
+          }
+        }
+        e = chosen
+      } catch {
+        case _: java.nio.file.NoSuchFileException => () // planInputPartitions refuses loudly
+      }
+    }
+    V(math.max(e, s))
+  }
+
+  override def reportLatestOffset(): Offset =
+    V(cat.currentVersion(tableName).getOrElse(0))
 
   override def initialOffset(): Offset = V(startV)
   override def latestOffset(): Offset = V(cat.currentVersion(tableName).getOrElse(0))
@@ -293,33 +376,124 @@ private[io] trait GraftStreamableScan extends Scan {
     }
 }
 
+/** What a scan needs to RUNTIME-skip whole files (DSv2 dynamic
+  * pruning): the planned file list, the hidden partition spec, the
+  * schema the transforms read, and the columns worth advertising —
+  * hidden-transform SOURCE columns (path arithmetic skips, no I/O)
+  * and bloom-indexed columns (point-lookup skips range stats can't
+  * make). Plain range stats on arbitrary columns are deliberately NOT
+  * advertised: overlapping ranges skip nothing, and advertising every
+  * column would invite runtime filters that only cost plan overhead.
+  */
+private[io] final case class RuntimeFileSkip(
+    files: Seq[String],
+    pspec: Seq[PartitionTransform],
+    schema: StructType,
+    attrs: Seq[String])
+
+/** Observability for specs and plan audits: the (kept, total) file
+  * counts of the most recent runtime-filter evaluation in this JVM.
+  */
+private[graft] object RuntimeSkipProbe {
+  @volatile var last: Option[(Int, Int)] = None
+}
+
 /** A plain graft scan with the streaming half attached — batch
   * planning (schema, partitions, stats, explain description) forwards
   * untouched to the pruned parquet scan.
+  *
+  * Runtime filtering (Spark's DSv2 dynamic partition pruning): when
+  * the table has a hidden layout or bloom indexes, the scan advertises
+  * those SOURCE columns, and a join against a filtered dimension
+  * injects the build side's key set at execution time —
+  * [[filter]] then drops whole files via the same metadata the
+  * plan-time skip uses (manifest stats + blooms + partition-dir
+  * arithmetic), and [[toBatch]] re-plans over the survivors. The star
+  * join every warehouse runs — fact ⋈ filtered dim — scans only the
+  * fact files that can hold the dim's surviving keys.
   */
 private[io] class StreamableParquetScan(
     inner: Scan,
-    val streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)]
+    val streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)],
+    runtime: Option[RuntimeFileSkip] = None
 ) extends Scan with GraftStreamableScan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
 
-  // forward DSv2 runtime filtering (e.g. dynamic partition pruning on
-  // Hive-dir-partitioned tables) — wrapping must not silently disable
-  // what the unwrapped file scan exposed
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    inner match {
-      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filterAttributes()
-      case _ => Array.empty
+  // normalized-path keep set after a runtime filter; None = keep all.
+  // Read at planInputPartitions time (Spark calls filter() between
+  // toBatch and the re-plan), so it must be live state, not captured.
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+  // observability for specs/plan audits: files kept / files planned
+  @volatile var lastRuntimeSkip: Option[(Int, Int)] = None
+
+  private def normalize(f: String): String =
+    java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      private val base = inner.toBatch
+      override def planInputPartitions(): Array[InputPartition] = {
+        val parts = base.planInputPartitions()
+        runtimeKeep match {
+          case None => parts
+          case Some(keep) =>
+            val filtered = parts.flatMap {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                val fs = fp.files.filter(pf =>
+                  keep(normalize(pf.filePath.toUri.getPath)))
+                if (fs.isEmpty) None
+                else if (fs.length == fp.files.length) Some(fp)
+                else Some(fp.copy(files = fs))
+              case other => Some(other) // unknown partition shape: keep, never wrong
+            }
+            filtered.zipWithIndex.map {
+              case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+                fp.copy(index = i)
+              case (o, _) => o
+            }
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        base.createReaderFactory()
     }
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+
+  // our metadata-skip attributes, plus whatever the inner file scan
+  // exposed (wrapping must not silently disable it)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val innerAttrs = inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filterAttributes()
+      case _ => Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
+    }
+    val ours = runtime.toSeq.flatMap(_.attrs).map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+    (innerAttrs ++ ours).distinct
+  }
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    runtime.foreach { r =>
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val keep = r.files.filter { f =>
+          FileStats.mightMatch(FileStats.cached(f, conf), filters.toSeq) &&
+            (r.pspec.isEmpty ||
+              PartitionTransforms.fileMightMatch(f, filters.toSeq, r.pspec, r.schema))
+        }
+        lastRuntimeSkip = Some((keep.size, r.files.size))
+        RuntimeSkipProbe.last = Some((keep.size, r.files.size))
+        runtimeKeep = Some(keep.map(normalize).toSet)
+      } catch {
+        // a failed skip evaluation keeps every file — never wrong rows
+        case scala.util.control.NonFatal(_) => runtimeKeep = None
+      }
+    }
     inner match {
       case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => f.filter(filters)
       case _ => ()
     }
+  }
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>

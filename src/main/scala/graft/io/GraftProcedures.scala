@@ -152,6 +152,21 @@ private[io] object GraftProcedures {
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
         }))
+    case "compact_where" =>
+      // predicate-scoped compaction: only files the predicate can
+      // touch rewrite (Iceberg rewrite_data_files(where) / Delta
+      // OPTIMIZE WHERE); returns how many did
+      Some(proc("compact_where",
+        Seq("table" -> StringType, "predicate" -> StringType),
+        new StructType().add("files_rewritten", LongType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val pred = in.getUTF8String(1).toString
+          val spark = SparkSession.active
+          val io = new TableIO(spark, cat)
+          val n = io.compactWhere(t, org.apache.spark.sql.functions.expr(pred))
+          Seq(new GenericInternalRow(Array[Any](n.toLong)))
+        }))
     case "compact_sorted" =>
       // sort_cols is comma-separated; target_files bounds the rewrite
       Some(proc("compact_sorted",

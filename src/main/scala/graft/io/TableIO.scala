@@ -2178,6 +2178,26 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     } finally lock.release()
   }
 
+  /** METADATA-ONLY DELETE commit (Iceberg's metadata delete): the new
+    * snapshot is the base manifest minus the dropped files — nothing
+    * is read, nothing is written. Callers have already PROVEN every
+    * row of every dropped file matches the predicate
+    * ([[FileStats.mustMatchAll]]); dropped files stay on disk for time
+    * travel until snapshot expiry + GC, like any logical overwrite.
+    * No `graft.op` stamp: this removes DATA, so changelog/stream
+    * consumers must treat it exactly like a COW delete commit.
+    */
+  private[graft] def commitMetadataDelete(name: String, keepFiles: Seq[String],
+                                          baseVersion: Int): Unit = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      catalog.commitSnapshotAt(name, keepFiles, baseVersion + 1, Map.empty,
+        stats = commitStats(name, keepFiles, Seq.empty))
+      ()
+    } finally lock.release()
+  }
+
   /** Row-level UPSERT (last-write-wins by key): every key present in
     * `rows` is replaced by its `rows` row(s); all other rows are
     * untouched. The CDC-apply primitive the streaming upsert sink
@@ -2865,6 +2885,41 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     val df = read(name)
     overwrite(clusterByLayout(df, name, pcols, targetFiles), name, pcols,
       props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
+  }
+
+  /** Predicate-scoped compaction (Iceberg's `rewrite_data_files`
+    * with a where clause / Delta's `OPTIMIZE ... WHERE`): rewrite ONLY
+    * the files the predicate can touch — scoped by the same
+    * manifest-stats + hidden-layout pruning the read path uses — and
+    * carry everything else verbatim. A 100 TB table compacts
+    * yesterday's partition for yesterday's bytes, never the table's.
+    * Content-preserving (candidate files rewrite WHOLLY, rows are
+    * never filtered), so the commit carries the `graft.op = rewrite`
+    * stamp and `skipRewriteCommits` streams ride through it. Refuses
+    * pending MOR deletes: `applyDeletes` already compacts dirty files,
+    * run it first. Returns the number of files rewritten (0 = no-op,
+    * no new snapshot).
+    */
+  def compactWhere(name: String, cond: org.apache.spark.sql.Column,
+                   targetFiles: Int = 1,
+                   partitionCols: Seq[String] = Seq.empty): Int = {
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    require(catalog.pendingDeletes(name, v).isEmpty,
+      s"compactWhere on $name: snapshot $v carries pending merge-on-read deletes — " +
+        "run applyDeletes first (its rewrite already compacts the dirty files)")
+    val files = catalog.manifest(name, v)
+    val candidates = pruneForCondition(name, files, cond,
+      try catalog.manifestStats(name, v)
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, FileStats.ColStats]] })
+    if (candidates.isEmpty) return 0
+    val kept = files.diff(candidates)
+    val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
+    val out = clusterByLayout(readFiles(name, candidates), name, pcols, targetFiles)
+    commitReplacement(out, name, kept, pcols, baseVersion = v,
+      props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
+    candidates.size
   }
 
   /** Cluster a rewrite by the table's layout so each partition gets

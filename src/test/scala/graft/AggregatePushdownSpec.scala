@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.io.{GraftCatalog, TableIO}
+
+/** Metadata-only aggregates (Iceberg/Delta's "count(*) from the
+  * manifest"): unfiltered global COUNT/COUNT(col)/MIN/MAX answer from
+  * manifest-persisted per-file stats as a driver-side LocalScan —
+  * LocalTableScanExec in the plan, zero data tasks. Everything outside
+  * the exactness envelope falls back to the real scan with identical
+  * results.
+  */
+class AggregatePushdownSpec extends SparkSpec {
+
+  private def withCat(cat: String)(body: TableIO => Unit): Unit = {
+    val wh = Files.createTempDirectory("graft_agg_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(TableIO(spark, wh)) finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def isMetadataOnly(sql: String): Boolean = {
+    val p = planOf(sql)
+    p.contains("LocalTableScan") && !p.contains("BatchScan") && !p.contains("FileScan")
+  }
+
+  test("unfiltered COUNT/COUNT(col)/MIN/MAX answer from the manifest as a LocalScan") {
+    withCat("gxagg") { io =>
+      import spark.implicits._
+      val t = "default.stats_t"
+      val df1 = Seq((1L, 10, Option(2.5), "a"), (2L, 20, None, "b"))
+        .toDF("id", "n", "x", "s")
+      val df2 = Seq((3L, 5, Option(9.5), "c"), (4L, 40, Option(-1.0), "d"))
+        .toDF("id", "n", "x", "s")
+      io.append(df1.coalesce(1), t)
+      io.append(df2.coalesce(1), t)
+
+      val q = "SELECT count(*) AS c, count(x) AS cx, min(n) AS mn, max(n) AS mx, " +
+        "min(x) AS mnx, max(x) AS mxx FROM gxagg.default.stats_t"
+      assert(isMetadataOnly(q), planOf(q))
+      val r = spark.sql(q).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)) === ((4L, 3L, 5, 40, -1.0, 9.5)))
+
+      // time travel: the older snapshot's metadata answers for ITS files
+      val q0 = "SELECT count(*) FROM gxagg.default.stats_t VERSION AS OF 1"
+      assert(isMetadataOnly(q0), planOf(q0))
+      assert(spark.sql(q0).collect().head.getLong(0) === 2L)
+    }
+  }
+
+  test("the exactness envelope: WHERE, GROUP BY, DISTINCT, strings, and missing stats all fall back to the scan") {
+    withCat("gxfb") { io =>
+      import spark.implicits._
+      val t = "default.fb_t"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+
+      val filtered = "SELECT count(*) FROM gxfb.default.fb_t WHERE id > 1"
+      assert(!isMetadataOnly(filtered), planOf(filtered))
+      assert(spark.sql(filtered).collect().head.getLong(0) === 2L)
+
+      val grouped = "SELECT s, count(*) FROM gxfb.default.fb_t GROUP BY s"
+      assert(!isMetadataOnly(grouped))
+      assert(spark.sql(grouped).collect().length === 3)
+
+      val distinct = "SELECT count(DISTINCT id) FROM gxfb.default.fb_t"
+      assert(!isMetadataOnly(distinct))
+      assert(spark.sql(distinct).collect().head.getLong(0) === 3L)
+
+      // string min/max: parquet writers may truncate binary stats —
+      // refuse, never risk a wrong value
+      val strMin = "SELECT min(s) FROM gxfb.default.fb_t"
+      assert(!isMetadataOnly(strMin), planOf(strMin))
+      assert(spark.sql(strMin).collect().head.getString(0) === "a")
+
+      // ADD COLUMN: pre-ALTER files have no stats for the new column —
+      // min(new) falls back and still answers correctly (nulls ignored)
+      spark.sql("ALTER TABLE gxfb.default.fb_t ADD COLUMN extra INT")
+      spark.sql("INSERT INTO gxfb.default.fb_t SELECT 9, 'z', 7")
+      val mNew = "SELECT min(extra) FROM gxfb.default.fb_t"
+      assert(!isMetadataOnly(mNew), planOf(mNew))
+      assert(spark.sql(mNew).collect().head.getInt(0) === 7)
+      // count(*) stays metadata-only through schema evolution
+      val cAll = "SELECT count(*) FROM gxfb.default.fb_t"
+      assert(isMetadataOnly(cAll), planOf(cAll))
+      assert(spark.sql(cAll).collect().head.getLong(0) === 4L)
+    }
+  }
+
+  test("nulls and decimals: SQL MIN/MAX semantics hold on the metadata path") {
+    withCat("gxnd") { io =>
+      import spark.implicits._
+      val t = "default.nd_t"
+      val d1 = Seq((1L, Option(BigDecimal("12.34"))), (2L, None))
+        .toDF("id", "amt").select(col("id"), col("amt").cast("decimal(10,2)").as("amt"))
+      val d2 = Seq((3L, Option(BigDecimal("-0.50"))), (4L, Option(BigDecimal("99.99"))))
+        .toDF("id", "amt").select(col("id"), col("amt").cast("decimal(10,2)").as("amt"))
+      io.append(d1.coalesce(1), t)
+      io.append(d2.coalesce(1), t)
+      val q = "SELECT count(amt) AS c, min(amt) AS mn, max(amt) AS mx FROM gxnd.default.nd_t"
+      assert(isMetadataOnly(q), planOf(q))
+      val r = spark.sql(q).collect().head
+      assert(r.getLong(0) === 3L)
+      assert(r.getDecimal(1) === new java.math.BigDecimal("-0.50"))
+      assert(r.getDecimal(2) === new java.math.BigDecimal("99.99"))
+
+      // an all-null column yields NULL min/max (not a crash, not 0)
+      val tn = "default.nd_null"
+      io.append(Seq((1L, Option.empty[java.lang.Double]), (2L, None))
+        .toDF("id", "v").coalesce(1), tn)
+      val qn = "SELECT min(v) AS mn, count(v) AS c FROM gxnd.default.nd_null"
+      assert(isMetadataOnly(qn), planOf(qn))
+      val rn = spark.sql(qn).collect().head
+      assert(rn.isNullAt(0) && rn.getLong(1) === 0L)
+    }
+  }
+
+  test("dirty MOR snapshots never use the metadata path: counts reflect pending deletes") {
+    withCat("gxmor") { io =>
+      import spark.implicits._
+      val t = "default.mor_t"
+      io.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhereMOR(t, col("id") <= 3L)
+      val q = "SELECT count(*) FROM gxmor.default.mor_t"
+      assert(!isMetadataOnly(q), planOf(q))
+      assert(spark.sql(q).collect().head.getLong(0) === 7L)
+      // after materializing the deletes the table is clean again:
+      // metadata path resumes with the correct count
+      io.applyDeletes(t)
+      assert(isMetadataOnly(q), planOf(q))
+      assert(spark.sql(q).collect().head.getLong(0) === 7L)
+    }
+  }
+}

@@ -419,4 +419,42 @@ class ChangelogStreamSpec extends SparkSpec {
       assert(msgChain(e2).contains("batch-only"), msgChain(e2))
     }
   }
+
+  test("admission control: maxVersionsPerBatch bounds CDF catch-up batches, union equals the uncapped drain") {
+    withCat("gcdadm") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.cdfrate"
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      io.deleteWhere(t, col("id") === 1L) // COW DML: DELETE + carried rows
+      io.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t)
+
+      // capped: one commit per micro-batch -> version sets per batch
+      // are singletons; union equals the uncapped replay
+      val batches = mutable.ArrayBuffer.empty[Set[Int]]
+      val rows = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+      val q = spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(s"gcdadm.$t.changelog").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_cdfadm_").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select("_change_type", "_change_version", "id", "s")
+            .as[(String, Int, Long, String)].collect()
+          if (got.nonEmpty) batches.synchronized {
+            batches += got.map(_._2).toSet
+            rows ++= got
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(batches.forall(_.size == 1),
+        s"a capped batch mixed versions: $batches")
+      assert(batches.length === 4, s"got $batches") // v1, v2 appends; v3 DML diff; v4 append
+      val uncapped = drain(s"gcdadm.$t.changelog",
+        Files.createTempDirectory("graft_cdfadm2_").toString)
+      assert(rows.toSet === uncapped.toSet)
+    }
+  }
 }

@@ -132,4 +132,57 @@ class ClusteringSpec extends SparkSpec {
     assert(back.filter(col("yr") === 2020).count() == 1L)
     assert(back.filter(col("yr") === 2021).count() == 50L)
   }
+
+  test("compactWhere rewrites only predicate-scoped files; out-of-scope files carry verbatim") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cw_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.cw_t"
+    // four small files in the "hot" id range, one in the "cold" range
+    (0 until 4).foreach { k =>
+      io.append((0L until 25L).map(i => (k * 25L + i, s"h$k$i")).toDF("id", "s").coalesce(1), t)
+    }
+    io.append((1000L to 1010L).map(i => (i, s"c$i")).toDF("id", "s").coalesce(1), t)
+    val v0 = io.catalog.currentVersion(t).get
+    val before = io.catalog.manifest(t, v0)
+    val contentBefore = io.read(t).as[(Long, String)].collect().toSet
+
+    val n = io.compactWhere(t, col("id") < 100L)
+    assert(n === 4, s"exactly the four hot files rewrite, got $n")
+    val v1 = io.catalog.currentVersion(t).get
+    assert(v1 === v0 + 1)
+    val after = io.catalog.manifest(t, v1)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size === 1, s"the cold file carries verbatim: $carried")
+    assert(after.size === 2, s"hot files merge to one: ${after.size}")
+    assert(io.read(t).as[(Long, String)].collect().toSet === contentBefore,
+      "compaction preserves content exactly")
+    // the rewrite stamp: maintenance-tolerant streams ride through it
+    assert(io.catalog.manifestProps(t, v1).get(graft.io.TableCatalog.OpProp)
+      .contains(graft.io.TableCatalog.OpRewrite))
+
+    // nothing in scope: no-op, no new snapshot
+    assert(io.compactWhere(t, col("id") > 5000L) === 0)
+    assert(io.catalog.currentVersion(t).get === v1)
+
+    // pending MOR deletes refuse naming the recovery
+    io.deleteWhereMOR(t, col("id") === 3L)
+    val e = intercept[IllegalArgumentException](io.compactWhere(t, col("id") < 100L))
+    assert(e.getMessage.contains("applyDeletes"), e.getMessage)
+
+    // SQL surface (fresh table in a registered catalog)
+    spark.conf.set("spark.sql.catalog.gxcw", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxcw.warehouse", wh)
+    try {
+      val t2 = "default.cw_sql"
+      io.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1), t2)
+      io.append((10L until 20L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1), t2)
+      val res = spark.sql("CALL gxcw.system.compact_where('default.cw_sql', 'id < 100')")
+        .collect()
+      assert(res.head.getLong(0) === 2L)
+      assert(io.read(t2).count() === 20L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gxcw")
+      spark.conf.unset("spark.sql.catalog.gxcw.warehouse")
+    }
+  }
 }

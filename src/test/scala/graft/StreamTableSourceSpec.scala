@@ -364,4 +364,105 @@ class StreamTableSourceSpec extends SparkSpec {
       assert(msgChain(e).contains("batch-only"), msgChain(e))
     }
   }
+
+  /** Drain under AvailableNow recording EACH micro-batch's rows —
+    * the admission-control observable.
+    */
+  private def drainBatches(tableRef: String, checkpoint: String,
+                           opts: Map[String, String]): Seq[Seq[(Long, String)]] = {
+    val buf = mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+    val q = reader.table(tableRef).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("id", "s").as[(Long, String)].collect().toSeq
+        buf.synchronized { if (rows.nonEmpty) buf += rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("admission control: maxVersionsPerBatch bounds each micro-batch; AvailableNow drains to the pinned target") {
+    withCat("gadm") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.rated"
+      (1 to 6).foreach { i =>
+        io.append(Seq((i.toLong, s"s$i")).toDF("id", "s").coalesce(1), t)
+      }
+      // capped catch-up: 6 commits at 2 versions/batch = 3 batches,
+      // union identical to the uncapped drain
+      val ckpt = Files.createTempDirectory("graft_adm_").toString
+      val batches = drainBatches(s"gadm.$t", ckpt, Map("maxVersionsPerBatch" -> "2"))
+      assert(batches.length === 3, s"got ${batches.map(_.size)}")
+      assert(batches.forall(_.size <= 2))
+      assert(batches.flatten.toSet ===
+        (1 to 6).map(i => i.toLong -> s"s$i").toSet)
+      // exactly-once across the capped batches: no overlap
+      assert(batches.flatten.size === 6)
+
+      // a restart resumes from the checkpoint, still capped
+      io.append(Seq((7L, "s7")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((8L, "s8")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((9L, "s9")).toDF("id", "s").coalesce(1), t)
+      val batches2 = drainBatches(s"gadm.$t", ckpt, Map("maxVersionsPerBatch" -> "2"))
+      assert(batches2.length === 2 && batches2.flatten.toSet ===
+        Set(7L -> "s7", 8L -> "s8", 9L -> "s9"))
+    }
+  }
+
+  test("admission control: maxFilesPerBatch packs whole commits up to the cap; an oversized commit still flows") {
+    withCat("gadf") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.fcap"
+      // commit sizes in files: 2, 2, 5(> cap), 1 — range-partitioned
+      // on distinct ids so every partition holds exactly one row
+      // (round-robin repartition packs unevenly at these sizes)
+      io.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .repartitionByRange(2, col("id")), t)
+      io.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+        .repartitionByRange(2, col("id")), t)
+      io.append((5L to 9L).map(i => (i, s"x$i")).toDF("id", "s")
+        .repartitionByRange(5, col("id")), t)
+      io.append(Seq((10L, "z")).toDF("id", "s").coalesce(1), t)
+      // the batching assertions below assume these per-commit file
+      // counts — pin them so a packing change fails diagnostically
+      val sizes = (1 to 4).map(v => io.catalog.manifest(t, v).size)
+      assert(sizes === Seq(2, 4, 9, 10), s"cumulative manifest sizes drifted: $sizes")
+      val ckpt = Files.createTempDirectory("graft_admf_").toString
+      val batches = drainBatches(s"gadf.$t", ckpt, Map("maxFilesPerBatch" -> "4"))
+      // v1+v2 pack into one 4-file batch; v3 exceeds the cap ALONE and
+      // must still be admitted (its own batch); v4 trails
+      assert(batches.length === 3, s"got ${batches.map(_.size)}")
+      assert(batches(0).map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+      assert(batches(1).map(_._1).toSet === (5L to 9L).toSet)
+      assert(batches(2).map(_._1).toSet === Set(10L))
+    }
+  }
+
+  test("admission control: invalid caps refuse naming the option; caps compose with skipRewriteCommits") {
+    withCat("gadv") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.vcap"
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      val e = intercept[Exception] {
+        drainBatches(s"gadv.$t", Files.createTempDirectory("graft_admv_").toString,
+          Map("maxVersionsPerBatch" -> "0"))
+      }
+      assert(msgChain(e).contains("maxVersionsPerBatch"), msgChain(e))
+
+      // caps + maintenance tolerance: the compaction version is free
+      // (serves nothing) and the stream still sees every append once
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.compact(t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      val ckpt = Files.createTempDirectory("graft_admw_").toString
+      val batches = drainBatches(s"gadv.$t", ckpt,
+        Map("maxVersionsPerBatch" -> "2", "skipRewriteCommits" -> "true"))
+      assert(batches.flatten.toSet === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      assert(batches.flatten.size === 3)
+    }
+  }
 }
