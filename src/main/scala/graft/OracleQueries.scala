@@ -661,8 +661,10 @@ object OracleQueries {
     // metadata-delete replay: the surviving customers — the Spark side
     // dropped the middle file without reading it (asserted in-query)
     "q143_metadata_delete" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT (c_custkey > 400 AND c_custkey <= 900)""".stripMargin,
+      """WITH m AS (SELECT max(c_custkey) // 3 AS a, 2 * max(c_custkey) // 3 AS b
+        |           FROM customer)
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer, m
+        |WHERE NOT (c_custkey > m.a AND c_custkey <= m.b)""".stripMargin,
 
     // runtime-filter replay: the star join statically — the Spark side
     // pruned fact files at execution time via the dim's surviving keys

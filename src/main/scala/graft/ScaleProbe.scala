@@ -109,7 +109,14 @@ object ScaleProbe {
     // the CCNet shape: 10x corpus = 10x train slice + 10x scored docs,
     // model tables stay broadcast, scoring stays map-side — the
     // sublinear claim is that NOTHING is corpus x model
-    "q139_mjpeg_decode", "q140_lm_perplexity")
+    "q139_mjpeg_decode", "q140_lm_perplexity",
+    // r17 table-layer features: the rate-limited catch-up serves 10x
+    // rows per capped batch (cap is in VERSIONS, so batch count stays
+    // 4); the metadata aggregate and metadata delete are O(manifest)
+    // by construction — the probe pins FLAT; the runtime-filtered star
+    // join scans only matching fact files at either scale
+    "q141_rate_limited_catchup", "q142_metadata_agg",
+    "q143_metadata_delete", "q144_runtime_filter_join")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

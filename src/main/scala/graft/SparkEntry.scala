@@ -441,7 +441,9 @@ object SparkEntry {
       val t = "default.li_stats"
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-      (0 to 2).foreach(k => io.append(li.filter(pmod(col("l_orderkey"), lit(3)) === k), t))
+      // rerun-safe: overwrite the first slice, append the rest
+      io.overwrite(li.filter(pmod(col("l_orderkey"), lit(3)) === 0), t)
+      (1 to 2).foreach(k => io.append(li.filter(pmod(col("l_orderkey"), lit(3)) === k), t))
       val df = s.sql(
         s"""SELECT count(*) AS n, count(l_quantity) AS nq,
            |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
@@ -467,11 +469,17 @@ object SparkEntry {
       val t = "default.cust_ret"
       val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
         col("c_mktsegment"))
-      io.append(cust.filter(col("c_custkey") <= 400).coalesce(1), t)
-      io.append(cust.filter(col("c_custkey") > 400 && col("c_custkey") <= 900).coalesce(1), t)
-      io.append(cust.filter(col("c_custkey") > 900).coalesce(1), t)
+      // SF-scaling tertile cutoffs (fixed literals would leave empty
+      // slices at small SFs — an empty file has no stats to prove)
+      val mx = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val (ca, cb) = (mx / 3, 2 * mx / 3)
+      // rerun-safe (catalogIO reuses the warehouse per JVM): the
+      // OVERWRITE pins this run's content regardless of prior runs
+      io.overwrite(cust.filter(col("c_custkey") <= ca).coalesce(1), t)
+      io.append(cust.filter(col("c_custkey") > ca && col("c_custkey") <= cb).coalesce(1), t)
+      io.append(cust.filter(col("c_custkey") > cb).coalesce(1), t)
       val before = io.catalog.manifest(t, io.catalog.currentVersion(t).get).toSet
-      s.sql(s"DELETE FROM $cname.$t WHERE c_custkey > 400 AND c_custkey <= 900")
+      s.sql(s"DELETE FROM $cname.$t WHERE c_custkey > $ca AND c_custkey <= $cb")
       val after = io.catalog.manifest(t, io.catalog.currentVersion(t).get).toSet
       require(before.size == 3 && after.subsetOf(before) && after.size == 2,
         s"a fully-covered file must DROP metadata-only: before=${before.size} after=${after.size}")
@@ -489,14 +497,15 @@ object SparkEntry {
       val cname = "grtf"
       val io = catalogIO(s, cname, "graft_rtf_")
       val t = "default.ord_days"
-      s.sql(s"CREATE TABLE $cname.$t (okey BIGINT, od DATE, price DOUBLE) " +
+      // rerun-safe: IF NOT EXISTS + OVERWRITE pin this run's content
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (okey BIGINT, od DATE, price DOUBLE) " +
         "PARTITIONED BY (days(od))")
       val ords = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
         to_date(col("o_orderdate")).as("od"), col("o_totalprice").as("price"))
         .filter(col("od") >= lit("1996-01-01") && col("od") < lit("1996-02-01"))
-      io.append(ords, t)
+      io.overwrite(ords, t)
       // dim: a file-backed date list, only 5 tagged 'keep'
-      io.append(ords.select(col("od").as("dd")).distinct()
+      io.overwrite(ords.select(col("od").as("dd")).distinct()
         .withColumn("tag", when(dayofmonth(col("dd")) <= 5, lit("keep")).otherwise(lit("drop"))),
         "default.dim_dates")
       val key = "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"

@@ -1858,9 +1858,11 @@ private[io] class StatsPruningScanBuilder(
           case (col, cs) if cs.bloom.isDefined => col
         }).distinct
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // attrs may be empty — the scan still carries the file list for
+    // exact manifest-rowCount statistics reporting; an empty attrs
+    // list advertises nothing, so no runtime filter ever arrives
     val attrs = (pspec.map(_.src) ++ bloomCols).distinct
-    if (attrs.isEmpty) None
-    else Some(RuntimeFileSkip(keptFiles, pspec, delegate.schema, attrs))
+    Some(RuntimeFileSkip(keptFiles, pspec, delegate.schema, attrs))
   }
 }
 

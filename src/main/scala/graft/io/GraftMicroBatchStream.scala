@@ -494,13 +494,34 @@ private[io] class StreamableParquetScan(
       case _ => ()
     }
   }
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  /** Size from the inner file scan (bytes on disk × compression
+    * heuristics), rows EXACT from the manifest-persisted per-file
+    * rowCounts when every planned file has them — an upper bound once
+    * residual filters apply, which is what a planner estimate is. A
+    * correct row count is what lets the broadcast-join threshold fire
+    * on a small-but-wide dimension that byte-size heuristics misjudge.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val innerStats = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-      }
+        Some(s.estimateStatistics())
+      case _ => None
     }
+    val manifestRows: Option[Long] = runtime.flatMap { r =>
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val counts = r.files.map(f =>
+          FileStats.cached(f, conf).values.headOption.map(_.rowCount))
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        innerStats.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        manifestRows.map(java.util.OptionalLong.of)
+          .orElse(innerStats.map(_.numRows()))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 }

@@ -125,6 +125,19 @@ class AggregatePushdownSpec extends SparkSpec {
     }
   }
 
+  test("scans report EXACT row counts from manifest stats to the planner") {
+    withCat("gxst") { io =>
+      import spark.implicits._
+      val t = "default.stats_rows"
+      io.append((1L to 700L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(2), t)
+      io.append((701L to 1000L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1), t)
+      val rc = spark.table("gxst.default.stats_rows")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(1000)),
+        s"planner must see the exact manifest row count, got $rc")
+    }
+  }
+
   test("dirty MOR snapshots never use the metadata path: counts reflect pending deletes") {
     withCat("gxmor") { io =>
       import spark.implicits._
