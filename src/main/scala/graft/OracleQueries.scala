@@ -658,6 +658,11 @@ object OracleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // scoped-compaction replay: content preservation — the orders
+    // slice unchanged through the predicate-scoped rewrite
+    "q145_scoped_compaction" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
     // metadata-delete replay: the surviving customers — the Spark side
     // dropped the middle file without reading it (asserted in-query)
     "q143_metadata_delete" ->
@@ -1923,6 +1928,43 @@ object OracleQueries {
         |    AND (5 * n_alpha_words >= 4 * n_words)
         |    AND (n_stop >= 2)) AS keep
         |FROM c""".stripMargin,
+
+    // DSIR replay: same tokenizer, same hashed unigram+bigram buckets
+    // (portable md5 % 10000), same add-one bucket models and the same
+    // portable-ln nano-nat log-ratios — the per-doc weight is an exact
+    // BIGINT dot product, hash-identical across engines. sum(BIGINT)
+    // is HUGEINT in DuckDB -> cast back.
+    "q146_dsir_selection" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWordToks AS toks, doc_id % 10 < 3 AS is_target
+         |  FROM documents WHERE len($duckWordToks) >= 1),
+         |f AS (
+         |  SELECT doc_id, is_target, unnest(list_concat(toks,
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS f
+         |  FROM t),
+         |bk AS (
+         |  SELECT doc_id, is_target,
+         |    CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 10000 AS b
+         |  FROM f),
+         |ct AS (SELECT b, count(*) AS ct FROM bk WHERE is_target GROUP BY 1),
+         |cs AS (SELECT b, count(*) AS cs FROM bk WHERE NOT is_target GROUP BY 1),
+         |nt AS (SELECT count(*) AS nt FROM bk WHERE is_target),
+         |ns AS (SELECT count(*) AS ns FROM bk WHERE NOT is_target),
+         |m AS (
+         |  SELECT cs.b,
+         |    ${graft.text.LanguageModel.lpNanoSql("(coalesce(ct.ct, 0) + 1)", "(nt.nt + 10000)", duck = true)}
+         |    - ${graft.text.LanguageModel.lpNanoSql("(cs.cs + 1)", "(ns.ns + 10000)", duck = true)} AS wb
+         |  FROM cs LEFT JOIN ct ON cs.b = ct.b, nt, ns),
+         |d AS (SELECT doc_id, b, count(*) AS c FROM bk WHERE NOT is_target GROUP BY 1, 2),
+         |w AS (
+         |  SELECT d.doc_id, CAST(sum(d.c * m.wb) AS BIGINT) AS weight_nano
+         |  FROM d JOIN m ON d.b = m.b GROUP BY 1),
+         |k AS (SELECT count(*) // 4 AS k FROM w),
+         |r AS (
+         |  SELECT doc_id, weight_nano,
+         |    CAST(row_number() OVER (ORDER BY weight_nano DESC, doc_id) AS INT) AS rk
+         |  FROM w)
+         |SELECT doc_id, weight_nano, rk FROM r, k WHERE rk <= k.k""".stripMargin,
 
     // LM perplexity replay: same tokenizer, same trigram counts over
     // the doc_id%10<3 train slice, same add-one model — and the SAME

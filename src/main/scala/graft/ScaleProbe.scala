@@ -116,7 +116,12 @@ object ScaleProbe {
     // by construction — the probe pins FLAT; the runtime-filtered star
     // join scans only matching fact files at either scale
     "q141_rate_limited_catchup", "q142_metadata_agg",
-    "q143_metadata_delete", "q144_runtime_filter_join")
+    "q143_metadata_delete", "q144_runtime_filter_join",
+    // scoped compaction rewrites only the predicate-touched bytes
+    // (10x hot range = 10x rewrite, never table-sized); DSIR's bucket
+    // model is capped at 10k rows at ANY corpus size — broadcast
+    // scoring should hold near-flat against 10x docs
+    "q145_scoped_compaction", "q146_dsir_selection")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, SetSimilarity}
 import graft.events.Events
-import graft.io.TableIO
+import graft.io.{TableCatalog, TableIO}
 import graft.pipeline.{Aggregations, Dimensions, Fact, Ingestion, Quality}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -523,6 +523,36 @@ object SparkEntry {
           s"the fact scan must runtime-prune files, probe=$skip")
         s.createDataFrame(s.sparkContext.parallelize(out.toSeq), joined.schema)
       } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }),
+
+    // Predicate-SCOPED compaction (r17 — Iceberg rewrite_data_files
+    // (where) / Delta OPTIMIZE WHERE): only the files the predicate
+    // can touch rewrite (two hot-range files merge to one), the cold
+    // file carries VERBATIM (asserted in-query), content is preserved
+    // exactly (the hash oracle), and the commit is rewrite-stamped so
+    // maintenance-tolerant streams ride through. At 100 TB you compact
+    // yesterday's partition for yesterday's bytes — never the table's.
+    "q145_scoped_compaction" -> ((s, dir) => {
+      val cname = "gscw"
+      val io = catalogIO(s, cname, "graft_scw_")
+      val t = "default.ord_scw"
+      val ords = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val mx = ords.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (ca, cb) = (mx / 3, 2 * mx / 3)
+      io.overwrite(ords.filter(col("o_orderkey") <= ca).coalesce(1), t)
+      io.append(ords.filter(col("o_orderkey") > ca && col("o_orderkey") <= cb).coalesce(1), t)
+      io.append(ords.filter(col("o_orderkey") > cb).coalesce(1), t)
+      val before = io.catalog.manifest(t, io.catalog.currentVersion(t).get).toSet
+      val n = io.compactWhere(t, col("o_orderkey") <= cb)
+      val v1 = io.catalog.currentVersion(t).get
+      val after = io.catalog.manifest(t, v1).toSet
+      require(n == 2 && after.size == 2 && after.intersect(before).size == 1,
+        s"scoped compaction must rewrite the two hot files and carry the cold one: " +
+          s"n=$n before=${before.size} after=${after.size} carried=${after.intersect(before).size}")
+      require(io.catalog.manifestProps(t, v1).get(TableCatalog.OpProp)
+        .contains(TableCatalog.OpRewrite), "scoped compaction must stamp graft.op=rewrite")
+      io.read(t)
     }),
 
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
@@ -2387,6 +2417,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("word_chars"), col("n_stop"),
           col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
           col("r_alpha_words"), col("r_stopwords"), col("keep"))),
+
+    // DSIR-style data selection (r17 — Xie et al. 2023, the
+    // importance-resampling pass that picks crawl docs LOOKING like a
+    // curated target corpus): hashed unigram+bigram bucket models
+    // (10k portable-md5 buckets) for target (doc_id%10<3) vs source,
+    // per-doc log importance weight = exact BIGINT dot product of
+    // feature counts x portable-ln bucket log-ratios, deterministic
+    // top-quarter selection. The bucket model is <= 10k rows ->
+    // broadcast; scoring is map-side — nothing is corpus x model.
+    "q146_dsir_selection" -> ((s, dir) =>
+      graft.text.LanguageModel.dsirSelect(Tables.documents(s, dir))
+        .select(col("doc_id"), col("weight_nano"), col("rk"))),
 
     // CCNet-style LM perplexity filter (r17): per-language add-one
     // trigram model trained on the doc_id%10<3 curated slice, the rest

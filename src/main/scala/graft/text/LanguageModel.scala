@@ -167,6 +167,88 @@ object LanguageModel {
     * boundary-ties-only (spec-pinned >= 90% on the fixture, and
     * bucket order always respects avg_nll order by construction).
     */
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the pass LLaMA-class
+    * pipelines use to pick crawl documents that LOOK like a curated
+    * target corpus). Features are HASHED unigram+bigram buckets
+    * (10k portable-md5 buckets, the paper's hashed n-gram model);
+    * each bucket gets an add-one log-probability under the TARGET
+    * model (the curated slice) and the SOURCE model (the rest), and a
+    * document's log importance weight is the feature-count-weighted
+    * sum of the bucket log-ratios. The top quarter by weight is
+    * selected (the paper resamples with Gumbel noise; the
+    * deterministic top-k form is the exactly-oracle-checkable
+    * variant, ties broken by doc_id).
+    *
+    * Exactness: bucket counts are exact longs; bucket log-ratios go
+    * through [[lpNanoSql]] (portable ln, nano-nat longs), so the
+    * per-doc weight is an order-free BIGINT dot product — the DuckDB
+    * replay hash-matches bit for bit.
+    *
+    * 100 TB shape: the bucket model is AT MOST `buckets` rows (10k) —
+    * broadcast; scoring is a map-side explode + broadcast join + one
+    * partially-aggregated groupBy(doc). The only global step is the
+    * top-k rank; at crawl scale replace it with a weight THRESHOLD
+    * from approx_percentile (the [[bucketsByCutpoints]] pattern).
+    *
+    * Output: (doc_id, weight_nano, rk) for the selected source docs.
+    */
+  def dsirSelect(docs: DataFrame, buckets: Int = 10000,
+                 trainPred: Column = expr("doc_id % 10 < 3"),
+                 keepDenominator: Long = 4L): DataFrame = {
+    val toks = docs
+      .withColumn("toks", expr(TextAnalysis.wordTokensSql("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("is_target", trainPred)
+    // unigrams + bigrams, hashed into portable-md5 buckets
+    val feats = toks.select(col("doc_id"), col("is_target"),
+      explode(expr(
+        """concat(toks,
+          |  zip_with(slice(toks, 1, size(toks) - 1),
+          |           slice(toks, 2, size(toks) - 1),
+          |           (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("f"))
+      .withColumn("b",
+        expr(s"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+    // ONE pass over the feature explode builds both models: the
+    // (bucket, side) count frame is <= 2 x buckets rows, cached so the
+    // tgt/src splits and the nt/ns totals don't re-tokenize the corpus
+    val bcounts = feats.groupBy(col("b"), col("is_target"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = bcounts.filter(col("is_target")).select(col("b"), col("c").as("ct"))
+    val src = bcounts.filter(!col("is_target")).select(col("b"), col("c").as("cs"))
+    val totals = bcounts.groupBy(col("is_target"))
+      .agg(sum(col("c")).as("n")).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nt = totals.getOrElse(true, 0L)
+    val ns = totals.getOrElse(false, 0L)
+    // bucket log-ratio model: source buckets left-joined to target
+    // counts; absent target bucket -> add-one numerator of 1
+    val model = src.join(broadcast(tgt), Seq("b"), "left")
+      .withColumn("t_num", coalesce(col("ct"), lit(0L)) + lit(1L))
+      .withColumn("t_den", lit(nt + buckets))
+      .withColumn("s_num", col("cs") + lit(1L))
+      .withColumn("s_den", lit(ns + buckets))
+      .withColumn("wb",
+        expr(lpNanoSql("t_num", "t_den", duck = false)) -
+          expr(lpNanoSql("s_num", "s_den", duck = false)))
+      .select(col("b"), col("wb"))
+    // second (and last) corpus pass: per-doc bucket counts -> weight;
+    // cached because the count() for k and the ranked output both read it
+    val weights = feats.filter(!col("is_target"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("wb")).as("weight_nano"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = weights.count() / keepDenominator
+    weights
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("weight_nano").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+  }
+
   def bucketsByCutpoints(scores: DataFrame): DataFrame = {
     val cuts = scores.groupBy(col("lang")).agg(expr(
       "approx_percentile(avg_nll, array(0.3333333333333333, 0.6666666666666666), 10000)")

@@ -90,6 +90,41 @@ class LanguageModelSpec extends SparkSpec {
       s"only $agree/${approx.length} agree with exact terciles")
   }
 
+  test("DSIR: source docs resembling the target corpus outrank alien-vocabulary docs") {
+    // target slice (doc_id % 10 < 3) speaks "wiki" vocabulary; source
+    // docs either share it or use crawl-junk tokens — importance
+    // weights must rank the look-alikes into the kept quarter
+    val target = (0L until 30L).filter(_ % 10 < 3).map(i =>
+      (i, s"science history culture method theory result number $i", "en"))
+    // source ids must dodge the doc_id % 10 < 3 target split
+    val lookalike = (104L until 110L).map(i =>
+      (i, "science method theory result history of culture", "en"))
+    val junk = (0 until 18).map { j =>
+      val i = 300L + (j / 7) * 10 + 3 + (j % 7)
+      (i, s"zzz$i qqq${i * 7} click here buy now spam${i % 5} xx yy", "en")
+    }
+    val docs = (target ++ lookalike ++ junk).toDF("doc_id", "text", "lang")
+    val out = LanguageModel.dsirSelect(docs)
+      .select("doc_id", "rk").as[(Long, Int)].collect().toMap
+    // 24 source docs -> top 6 kept; exactly the 6 look-alikes
+    assert(out.keySet === (104L until 110L).toSet,
+      s"kept ${out.keySet.toSeq.sorted} instead of the look-alikes")
+    assert(out.values.toSeq.sorted === (1 to 6))
+  }
+
+  test("DSIR: weights are exact and partition-count invariant; the model broadcasts") {
+    val docs = (0L until 80L).map(i =>
+      (i, s"alpha beta ${i % 9} gamma delta tok${i % 17}", "xx")).toDF("doc_id", "text", "lang")
+    val a = LanguageModel.dsirSelect(docs.repartition(1))
+      .select("doc_id", "weight_nano").as[(Long, Long)].collect().toMap
+    val b = LanguageModel.dsirSelect(docs.repartition(13))
+      .select("doc_id", "weight_nano").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    val plan = LanguageModel.dsirSelect(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("scores are partition-count invariant (order-free BIGINT sums)") {
     val docs = (0L until 60L).map(i =>
       (i, s"one two three four five six seven ${i % 7} ${i % 3}", "xx"))
