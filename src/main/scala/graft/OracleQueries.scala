@@ -658,6 +658,11 @@ object OracleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // write-sort-order replay: content preservation — the layout is
+    // physical only (the sorted-file tiling is asserted in-query)
+    "q147_write_sort_order" ->
+      "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+
     // scoped-compaction replay: content preservation — the orders
     // slice unchanged through the predicate-scoped rewrite
     "q145_scoped_compaction" ->

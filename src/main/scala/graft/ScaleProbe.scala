@@ -121,7 +121,11 @@ object ScaleProbe {
     // (10x hot range = 10x rewrite, never table-sized); DSIR's bucket
     // model is capped at 10k rows at ANY corpus size — broadcast
     // scoring should hold near-flat against 10x docs
-    "q145_scoped_compaction", "q146_dsir_selection")
+    "q145_scoped_compaction", "q146_dsir_selection",
+    // write sort order: the range shuffle + sort is the honest linear
+    // cost (10x rows sorted); the claim under test is that nothing is
+    // table-sized beyond the batch being written
+    "q147_write_sort_order")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -555,6 +555,39 @@ object SparkEntry {
       io.read(t)
     }),
 
+    // Persisted WRITE SORT ORDER (r17 — Iceberg's write.sort-order):
+    // once declared, every append lands range-distributed + sorted, so
+    // each new file's footer min/max tile the key space disjointly and
+    // a point predicate scans O(1) files instead of every file — the
+    // sorted-layout property as a STANDING write-path guarantee
+    // instead of a compactSorted maintenance pass. In-query assert: a
+    // probe key can live in exactly ONE of the sorted commit's files.
+    "q147_write_sort_order" -> ((s, dir) => {
+      val cname = "gwso"
+      val io = catalogIO(s, cname, "graft_wso_")
+      val t = "default.li_sorted"
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      io.overwrite(li.filter(pmod(col("l_orderkey"), lit(2)) === 0), t)
+      io.setWriteSortOrder(t, Seq("l_orderkey"))
+      val v0 = io.catalog.currentVersion(t).get
+      io.append(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), t)
+      val v1 = io.catalog.currentVersion(t).get
+      val sortedFiles = io.catalog.manifest(t, v1).toSet
+        .diff(io.catalog.manifest(t, v0).toSet)
+      if (sortedFiles.size > 1) {
+        val conf = s.sessionState.newHadoopConf()
+        val probe = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2 | 1L
+        val canHold = sortedFiles.count { f =>
+          graft.io.FileStats.mightMatch(graft.io.FileStats.cached(f, conf),
+            Seq(org.apache.spark.sql.sources.EqualTo("l_orderkey", probe)))
+        }
+        require(canHold <= 1,
+          s"sorted files must tile the key space: probe key fits $canHold files")
+      }
+      io.read(t)
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

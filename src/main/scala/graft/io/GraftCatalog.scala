@@ -503,11 +503,16 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
           s"graft catalog supports ADD/DROP/RENAME COLUMN only, got: $other")
     }
     // one atomic metadata commit: schema + renames + dropped move
-    // together or not at all (no crash window between pieces)
+    // together or not at all (no crash window between pieces).
+    // partitionSpec and sortOrder CARRY from the prior meta — a fresh
+    // TableMeta here would silently strip a hidden layout (or the
+    // write order) on any ALTER
     val c1 = catalog
+    val meta0 = c1.readMeta(name)
     c1.writeMeta(name, c1.TableMeta(
       schemaJson = Some(schema.json), partitionCols = Some(pcols),
-      renames = renames, dropped = dropped.toSeq))
+      renames = renames, dropped = dropped.toSeq,
+      partitionSpec = meta0.partitionSpec, sortOrder = meta0.sortOrder))
     loadTable(ident)
   }
 

@@ -33,7 +33,7 @@ private[io] object GraftProcedures {
       "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
       "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
-      "apply_deletes_branch")
+      "apply_deletes_branch", "compact_where", "set_write_order")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -151,6 +151,20 @@ private[io] object GraftProcedures {
           io.compact(t, pcols)
           val after = cat.currentVersion(t).map(cat.manifest(t, _).size).getOrElse(0)
           Seq(new GenericInternalRow(Array[Any](before.toLong, after.toLong)))
+        }))
+    case "set_write_order" =>
+      // persisted write sort order (Iceberg's write.sort-order):
+      // '' clears it; comma-separated columns set it
+      Some(proc("set_write_order",
+        Seq("table" -> StringType, "sort_cols" -> StringType),
+        new StructType().add("sort_cols", StringType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+          val io = new TableIO(SparkSession.active, cat)
+          io.setWriteSortOrder(t, cols.toSeq)
+          Seq(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
         }))
     case "compact_where" =>
       // predicate-scoped compaction: only files the predicate can

@@ -321,7 +321,12 @@ final case class TableCatalog(warehouse: String) {
                              // canonical spec strings, parsed by
                              // PartitionTransforms.parse. When present,
                              // pcols holds the DERIVED layout names.
-                             partitionSpec: Seq[String] = Seq.empty)
+                             partitionSpec: Seq[String] = Seq.empty,
+                             // persisted WRITE SORT ORDER (Iceberg's
+                             // write.sort-order): appends/overwrites
+                             // land range-distributed + sorted on
+                             // these columns
+                             sortOrder: Seq[String] = Seq.empty)
 
   def readMeta(name: String): TableMeta = {
     val f = metaPath(name).resolve("meta.json")
@@ -337,7 +342,8 @@ final case class TableCatalog(warehouse: String) {
         renames = TableCatalog.parseStringArrayAt(json, "renames")
           .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
         dropped = TableCatalog.parseStringArrayAt(json, "dropped"),
-        partitionSpec = TableCatalog.parseStringArrayAt(json, "pspec"))
+        partitionSpec = TableCatalog.parseStringArrayAt(json, "pspec"),
+        sortOrder = TableCatalog.parseStringArrayAt(json, "sort"))
     }
   }
 
@@ -377,6 +383,7 @@ final case class TableCatalog(warehouse: String) {
     meta.schemaJson.foreach(s => fields += s""""schema": "${TableCatalog.escape(s)}"""")
     meta.partitionCols.foreach(p => fields += s""""pcols": ${arr(p)}""")
     if (meta.partitionSpec.nonEmpty) fields += s""""pspec": ${arr(meta.partitionSpec)}"""
+    if (meta.sortOrder.nonEmpty) fields += s""""sort": ${arr(meta.sortOrder)}"""
     fields += s""""renames": ${arr(meta.renames.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) })}"""
     fields += s""""dropped": ${arr(meta.dropped.distinct.sorted)}"""
     val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID()}.json.tmp")
@@ -3611,9 +3618,37 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     {
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()
-      try writeLocked(df, name, append, partitionCols, props)
+      try writeLocked(applyWriteOrder(df, name), name, append, partitionCols, props)
       finally lock.release()
     }
+
+  /** Apply the table's persisted WRITE SORT ORDER (Iceberg's
+    * write.sort-order) to an incoming append/overwrite: range-
+    * distribute + sort on the declared columns, so every new file's
+    * footer min/max tile the key space disjointly and plan-time stats
+    * skipping prunes point/range predicates to O(matching files) —
+    * compactSorted's clustering as a STANDING property of the write
+    * path instead of a maintenance pass. A batch missing any sort
+    * column (schema-on-read drift) writes UNSORTED rather than
+    * failing — the order is a layout optimization, never a gate.
+    */
+  private def applyWriteOrder(df: DataFrame, name: String): DataFrame = {
+    val cols =
+      try catalog.readMeta(name).sortOrder
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    if (cols.isEmpty || !cols.forall(df.columns.contains)) df
+    else df.repartitionByRange(cols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Declare (or clear, with Seq.empty) the table's write sort order;
+    * persisted in table meta, honored by every subsequent append and
+    * overwrite. SQL surface: CALL system.set_write_order(table, cols).
+    */
+  def setWriteSortOrder(name: String, cols: Seq[String]): Unit = {
+    val meta = catalog.readMeta(name)
+    catalog.writeMeta(name, meta.copy(sortOrder = cols))
+  }
 
   private def writeLocked(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],
                           props: Map[String, String]): Unit = {

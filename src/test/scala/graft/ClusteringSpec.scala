@@ -133,6 +133,82 @@ class ClusteringSpec extends SparkSpec {
     assert(back.filter(col("yr") === 2021).count() == 50L)
   }
 
+  test("write sort order: appends land range-sorted so point queries skip files; drift-safe; ALTER carries it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wso_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.wso_t"
+    // un-ordered baseline: shuffled keys, every file spans the domain
+    val shuffled = new scala.util.Random(7).shuffle((0L until 4000L).toVector)
+    io.append(shuffled.take(2000).map(i => (i, s"v$i")).toDF("id", "s").repartition(4), t)
+    io.setWriteSortOrder(t, Seq("id"))
+    // at fixture scale AQE coalesces the range shuffle to one
+    // partition (desirable at real scale — fewer small files); pin it
+    // off so the tiling claim is observable across several files
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try io.append(shuffled.drop(2000).map(i => (i, s"v$i")).toDF("id", "s").repartition(4), t)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert(io.catalog.readMeta(t).sortOrder === Seq("id"))
+
+    // the sorted commit's files tile the key space: a point read scans
+    // at most ONE of them (+ every pre-order file, which can't prune)
+    val conf = spark.sessionState.newHadoopConf()
+    val v = io.catalog.currentVersion(t).get
+    val sortedFiles = io.catalog.manifest(t, v).toSet.diff(io.catalog.manifest(t, v - 1).toSet)
+    assert(sortedFiles.size >= 2, s"range distribution should yield several files: ${sortedFiles.size}")
+    val probe = 1234L
+    val canHold = sortedFiles.count { f =>
+      graft.io.FileStats.mightMatch(graft.io.FileStats.cached(f, conf),
+        Seq(org.apache.spark.sql.sources.EqualTo("id", probe)))
+    }
+    assert(canHold === 1, s"a point key must live in exactly one sorted file, matched $canHold")
+    // content intact, order is layout-only
+    assert(io.read(t).count() === 4000L)
+
+    // a drifted batch MISSING the sort column writes unsorted, never fails
+    io.setWriteSortOrder(t, Seq("nope"))
+    io.append(Seq((9999L, "x")).toDF("id", "s").coalesce(1), t)
+    assert(io.read(t).count() === 4001L)
+
+    // ALTER carries sortOrder (and the rest of meta) instead of stripping it
+    io.setWriteSortOrder(t, Seq("id"))
+    spark.conf.set("spark.sql.catalog.gxws", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxws.warehouse", wh)
+    try {
+      spark.sql(s"ALTER TABLE gxws.$t ADD COLUMN extra INT")
+      assert(io.catalog.readMeta(t).sortOrder === Seq("id"),
+        "ALTER must carry the write sort order, not strip it")
+      // SQL surface: clear it
+      spark.sql(s"CALL gxws.system.set_write_order('$t', '')")
+      assert(io.catalog.readMeta(t).sortOrder === Seq.empty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gxws")
+      spark.conf.unset("spark.sql.catalog.gxws.warehouse")
+    }
+  }
+
+  test("ALTER on a hidden-layout table keeps the partition spec (regression: fresh meta stripped pspec)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_psc_").toString
+    spark.conf.set("spark.sql.catalog.gxps", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxps.warehouse", wh)
+    try {
+      val io = graft.io.TableIO(spark, wh)
+      spark.sql("CREATE TABLE gxps.default.psc_t (k BIGINT, s STRING) PARTITIONED BY (bucket(4, k))")
+      io.append((0L until 200L).map(i => (i, s"v$i")).toDF("k", "s"), "default.psc_t")
+      val specBefore = io.catalog.readMeta("default.psc_t").partitionSpec
+      assert(specBefore.nonEmpty)
+      spark.sql("ALTER TABLE gxps.default.psc_t ADD COLUMN extra INT")
+      assert(io.catalog.readMeta("default.psc_t").partitionSpec === specBefore,
+        "ALTER must carry the hidden partition spec")
+      // the layout still works: writes derive dirs, reads prune
+      spark.sql("INSERT INTO gxps.default.psc_t SELECT 1000, 'z', 5")
+      assert(spark.sql("SELECT count(*) FROM gxps.default.psc_t WHERE k = 1000")
+        .head().getLong(0) === 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gxps")
+      spark.conf.unset("spark.sql.catalog.gxps.warehouse")
+    }
+  }
+
   test("compactWhere rewrites only predicate-scoped files; out-of-scope files carry verbatim") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cw_").toString
     val io = graft.io.TableIO(spark, wh)
