@@ -232,6 +232,17 @@ object Bench {
       case (k, v) if histMin.get(k.split('_').head)
         .exists(h => v > 3.0 * h && v - h > 1.0) => k
     }.sorted
+    // Floor flag (r17 verdict gap): contended_hist compares MEDIANS at
+    // 3x and let a 2.6x FLOOR shift (q119 r17: best-of-3 3.52 s vs
+    // all-rounds 1.24 s) pass silently. A query whose BEST run this
+    // pass exceeds 2x its all-rounds best (and by > 0.5 s absolute —
+    // sub-second jitter stays out) has a moved floor: code regression
+    // or whole-pass ambient load, named either way so it gets
+    // adjudicated instead of shipped silently.
+    val floorHist = mins.collect {
+      case (k, v) if histMin.get(k.split('_').head)
+        .exists(h => v > 2.0 * h && v - h > 0.5) => k
+    }.sorted
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmtRuns(m: Iterable[(String, Seq[Double])]) =
@@ -267,7 +278,7 @@ object Bench {
     // Headline LAST: qNN-prefix keys keep it inside the tail budget,
     // and total/canaries sit at line END so front-truncation can't eat
     // them (full names: queries_median line + the runs file).
-    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"contended_io":${fmtList(contendedIo.map(short))},"contended_hist":${fmtList(contendedHist.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
+    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"contended_io":${fmtList(contendedIo.map(short))},"contended_hist":${fmtList(contendedHist.map(short))},"floor_hist":${fmtList(floorHist.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -512,13 +512,13 @@ object SparkEntry {
       val old = s.conf.getOption(key)
       try {
         s.conf.set(key, "false") // tiny plan: let DPP build its own subquery
-        graft.io.RuntimeSkipProbe.last = None
         val joined = s.table(s"$cname.$t")
           .join(s.table(s"$cname.default.dim_dates").filter(col("tag") === "keep"),
             col("od") === col("dd"))
           .select(col("okey"), col("od"), col("price"))
         val out = joined.collect()
-        val skip = graft.io.RuntimeSkipProbe.last
+        // read from THIS query's executed plan — concurrency-safe
+        val skip = graft.io.RuntimeSkipProbe.ofExecuted(joined)
         require(skip.exists { case (kept, total) => kept < total },
           s"the fact scan must runtime-prune files, probe=$skip")
         s.createDataFrame(s.sparkContext.parallelize(out.toSeq), joined.schema)

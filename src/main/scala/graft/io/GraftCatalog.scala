@@ -417,6 +417,18 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val name = qualified(ident)
     if (!catalog.tableExists(name)) throw new NoSuchTableException(ident)
+    // the whole ALTER is a read-modify-write of table meta: hold the
+    // table's write lock so a concurrent set_write_order / ALTER can't
+    // interleave and lose fields, and collapse the five meta reads
+    // below into one catalog round-trip for the lock's duration
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try catalog.cachedMeta { alterTableLocked(ident, name, changes) }
+    finally lock.release()
+  }
+
+  private def alterTableLocked(ident: Identifier, name: String,
+                               changes: Seq[TableChange]): Table = {
     // tables created via the path API have no schema.json yet — seed it
     // from the current snapshot so evolution works on them too
     val current = catalog.tableSchemaJson(name)
@@ -1784,6 +1796,16 @@ private[io] class StatsPruningScanBuilder(
     }
     val vals = stats.flatMap { m =>
       val cs = m(name)
+      // min==null is only "contributes nothing" when the file is ALL
+      // nulls. A float/double column holding NaN plus at least one
+      // null also reads (min=null, max=null) — parquet-mr clears
+      // min/max on NaN while numNulls stays set — but its real values
+      // must not be skipped: refuse, so the aggregate falls back to a
+      // scan instead of returning a wrong extremum.
+      if (cs.min == null && cs.max == null && cs.nullCount != cs.rowCount)
+        throw new IllegalStateException(
+          s"column $name: a file has values but no min/max stats (NaN shape) — " +
+            "metadata-only MIN/MAX would be wrong")
       Option(if (isMin) cs.min else cs.max)
     }.map(internal)
     if (vals.isEmpty) null

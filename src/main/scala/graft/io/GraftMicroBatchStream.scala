@@ -124,9 +124,6 @@ private[io] object StreamShape {
     }).getOrElse(0)
   }
 
-  /** Epoch-millis, ISO instant, or `yyyy-mm-dd hh:mm:ss` — the one
-    * timestamp-literal rule every timestamp-bounded option shares.
-    */
   /** A strictly-positive integer option, absent -> None, anything
     * else -> an error naming the option.
     */
@@ -137,6 +134,9 @@ private[io] object StreamShape {
         s"$label over $tableName: option $key must be a positive integer, got '$raw'"))
     }
 
+  /** Epoch-millis, ISO instant, or `yyyy-mm-dd hh:mm:ss` — the one
+    * timestamp-literal rule every timestamp-bounded option shares.
+    */
   def parseTimestamp(label: String, tableName: String, key: String, raw: String): Long = {
     val s = raw.trim
     s.toLongOption
@@ -391,11 +391,37 @@ private[io] final case class RuntimeFileSkip(
     schema: StructType,
     attrs: Seq[String])
 
-/** Observability for specs and plan audits: the (kept, total) file
-  * counts of the most recent runtime-filter evaluation in this JVM.
+/** Observability for specs and plan audits: per-scan (kept, total)
+  * file counts of runtime-filter evaluations, read from the EXECUTED
+  * plan's own scan instances — never a JVM global, so concurrent graft
+  * queries can't clobber each other's observation.
   */
 private[graft] object RuntimeSkipProbe {
-  @volatile var last: Option[(Int, Int)] = None
+  /** The (kept, total) of every graft scan in `df`'s executed plan
+    * that received a runtime filter. Call AFTER materializing `df`
+    * (runtime filters fire during execution); unwraps AQE stages.
+    */
+  def ofExecuted(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[(Int, Int)] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case s: StreamableParquetScan => s.lastRuntimeSkip.toSeq
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
 
 /** A plain graft scan with the streaming half attached — batch
@@ -482,7 +508,6 @@ private[io] class StreamableParquetScan(
               PartitionTransforms.fileMightMatch(f, filters.toSeq, r.pspec, r.schema))
         }
         lastRuntimeSkip = Some((keep.size, r.files.size))
-        RuntimeSkipProbe.last = Some((keep.size, r.files.size))
         runtimeKeep = Some(keep.map(normalize).toSet)
       } catch {
         // a failed skip evaluation keeps every file — never wrong rows

@@ -328,7 +328,34 @@ final case class TableCatalog(warehouse: String) {
                              // these columns
                              sortOrder: Seq[String] = Seq.empty)
 
+  /** Scoped per-thread meta cache: one logical write reads table meta
+    * several times on the driver thread (write order, renames ×2,
+    * layout spec) — harmless against a local meta.json, but against a
+    * remote catalog each read is an RPC, and at a 100 TB table's
+    * commit rate four round-trips per commit is three too many.
+    * `cachedMeta(body)` memoizes readMeta for the dynamic extent of
+    * `body` on this thread; writeMeta refreshes the cached entry so a
+    * scope that mutates meta (ALTER under lock) keeps reading its own
+    * writes. Nested scopes reuse the outer cache. Only coherent while
+    * the caller holds the table's write lock (no foreign writer can
+    * change meta mid-scope), which is exactly where it is used.
+    */
+  private val metaCacheTL = new ThreadLocal[scala.collection.mutable.Map[String, TableMeta]]
+
+  def cachedMeta[T](body: => T): T =
+    if (metaCacheTL.get() != null) body
+    else {
+      metaCacheTL.set(scala.collection.mutable.Map.empty)
+      try body finally metaCacheTL.remove()
+    }
+
   def readMeta(name: String): TableMeta = {
+    val c = metaCacheTL.get()
+    if (c == null) readMetaUncached(name)
+    else c.getOrElseUpdate(name, readMetaUncached(name))
+  }
+
+  private def readMetaUncached(name: String): TableMeta = {
     val f = metaPath(name).resolve("meta.json")
     if (!Files.isRegularFile(f)) readLegacyMeta(name)
     else {
@@ -400,6 +427,8 @@ final case class TableCatalog(warehouse: String) {
     // next commit.)
     Seq("schema.json", "pcols.json", "renames.json", "dropped.json")
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    // keep an active cachedMeta scope reading its own writes
+    Option(metaCacheTL.get()).foreach(_.update(name, meta))
   }
 
   def tableSchemaJson(name: String): Option[String] = readMeta(name).schemaJson
@@ -3618,7 +3647,12 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     {
       val lock = TableIO.writeLock(catalog.pathOf(name))
       lock.acquire()
-      try writeLocked(applyWriteOrder(df, name), name, append, partitionCols, props)
+      // cachedMeta: the helpers below (applyWriteOrder, toPhysical,
+      // withLayout) each read table meta — one catalog round-trip per
+      // commit, not four (r17 verdict item 1)
+      try catalog.cachedMeta {
+        writeLocked(applyWriteOrder(df, name), name, append, partitionCols, props)
+      }
       finally lock.release()
     }
 
@@ -3646,8 +3680,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * overwrite. SQL surface: CALL system.set_write_order(table, cols).
     */
   def setWriteSortOrder(name: String, cols: Seq[String]): Unit = {
-    val meta = catalog.readMeta(name)
-    catalog.writeMeta(name, meta.copy(sortOrder = cols))
+    // locked read-modify-write: a concurrent ALTER TABLE or another
+    // set_write_order must not have its meta fields clobbered by this
+    // writer's stale read
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val meta = catalog.readMeta(name)
+      catalog.writeMeta(name, meta.copy(sortOrder = cols))
+    } finally lock.release()
   }
 
   private def writeLocked(df: DataFrame, name: String, append: Boolean, partitionCols: Seq[String],

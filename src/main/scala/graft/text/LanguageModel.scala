@@ -223,30 +223,43 @@ object LanguageModel {
     val nt = totals.getOrElse(true, 0L)
     val ns = totals.getOrElse(false, 0L)
     // bucket log-ratio model: source buckets left-joined to target
-    // counts; absent target bucket -> add-one numerator of 1
-    val model = src.join(broadcast(tgt), Seq("b"), "left")
-      .withColumn("t_num", coalesce(col("ct"), lit(0L)) + lit(1L))
-      .withColumn("t_den", lit(nt + buckets))
-      .withColumn("s_num", col("cs") + lit(1L))
-      .withColumn("s_den", lit(ns + buckets))
-      .withColumn("wb",
-        expr(lpNanoSql("t_num", "t_den", duck = false)) -
-          expr(lpNanoSql("s_num", "s_den", duck = false)))
-      .select(col("b"), col("wb"))
-    // second (and last) corpus pass: per-doc bucket counts -> weight;
-    // cached because the count() for k and the ranked output both read it
+    // counts; absent target bucket -> add-one numerator of 1.
+    // Materialized DRIVER-SIDE (<= buckets rows — the same bound that
+    // makes it broadcastable) so bcounts can be dropped here instead
+    // of leaking a cached block per call in a long-lived session.
+    val model = {
+      val planned = src.join(broadcast(tgt), Seq("b"), "left")
+        .withColumn("t_num", coalesce(col("ct"), lit(0L)) + lit(1L))
+        .withColumn("t_den", lit(nt + buckets))
+        .withColumn("s_num", col("cs") + lit(1L))
+        .withColumn("s_den", lit(ns + buckets))
+        .withColumn("wb",
+          expr(lpNanoSql("t_num", "t_den", duck = false)) -
+            expr(lpNanoSql("s_num", "s_den", duck = false)))
+        .select(col("b"), col("wb"))
+      val rows = planned.collect() // bounded: one row per source bucket
+      val local = docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), planned.schema)
+      bcounts.unpersist()
+      local
+    }
+    // second (and last) corpus pass: per-doc bucket counts -> weight.
+    // k rides along as a global-window count over the SAME
+    // single-partition pass that ranks, so nothing needs caching and
+    // the corpus is read exactly twice end to end (model + scoring).
     val weights = feats.filter(!col("is_target"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("wb")).as("weight_nano"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = weights.count() / keepDenominator
     weights
       .withColumn("rk", row_number().over(
         Window.orderBy(col("weight_nano").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
+      // floor division (SQL DIV) — `/` on BIGINTs is a double divide
+      .filter(col("rk") <= expr(s"n_src DIV ${keepDenominator}L"))
+      .drop("n_src")
   }
 
   def bucketsByCutpoints(scores: DataFrame): DataFrame = {

@@ -125,6 +125,30 @@ class AggregatePushdownSpec extends SparkSpec {
     }
   }
 
+  test("NaN-plus-null stats shape refuses MIN/MAX: fallback scan, never a wrong extremum") {
+    withCat("gxnan") { io =>
+      import spark.implicits._
+      val t = "default.nan_t"
+      // one file holding a real value, a NaN and a null: parquet-mr
+      // clears min/max on NaN while numNulls stays set, so the footer
+      // reads (min=null, max=null, nullCount=1, rowCount=3) — the
+      // all-null shape with values hiding behind it. Metadata MIN/MAX
+      // must refuse (treating it as all-null would skip 1.0 and NaN).
+      io.append(Seq(Option(1.0), Option(Double.NaN), Option.empty[Double])
+        .toDF("v").coalesce(1), t)
+      io.append(Seq(Option(5.0)).toDF("v").coalesce(1), t)
+      val q = "SELECT min(v) AS mn, max(v) AS mx FROM gxnan.default.nan_t"
+      assert(!isMetadataOnly(q), planOf(q))
+      val r = spark.sql(q).collect().head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1).isNaN)
+      // COUNT only needs rowCount/nullCount — still metadata-only
+      val qc = "SELECT count(v) AS c FROM gxnan.default.nan_t"
+      assert(isMetadataOnly(qc), planOf(qc))
+      assert(spark.sql(qc).collect().head.getLong(0) === 3L)
+    }
+  }
+
   test("scans report EXACT row counts from manifest stats to the planner") {
     withCat("gxst") { io =>
       import spark.implicits._

@@ -28,9 +28,9 @@ class RuntimeFilterSpec extends SparkSpec {
   }
 
   private def runtimeSkipOf(df: DataFrame): Option[(Int, Int)] = {
-    graft.io.RuntimeSkipProbe.last = None
     df.collect() // execute: runtime filters fire during execution
-    graft.io.RuntimeSkipProbe.last
+    // per-scan probe from THIS query's executed plan (no JVM global)
+    graft.io.RuntimeSkipProbe.ofExecuted(df).headOption
   }
 
   /** These fixtures are too small for the broadcast-reuse heuristic:
