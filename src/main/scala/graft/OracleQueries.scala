@@ -185,6 +185,7 @@ object OracleQueries {
     // stay as the quality gate).
     "q20_ann_lsh" -> q20AnnLshSql,
     "q28_ann_ivf" -> q28AnnIvfSql,
+    "q149_distributed_centroids" -> q149DistributedCentroidsSql,
 
     // portable minhash: first-60-bits-of-md5 shingle hash ('0x'-cast
     // here, conv(,16,10) on the Spark side), double-hashed mod 2^31-1
@@ -686,6 +687,20 @@ object OracleQueries {
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'
         |  AND day(CAST(o_orderdate AS DATE)) <= 5""".stripMargin,
+
+    // filtered metadata-aggregate replay: the same aggregates under
+    // the same day-aligned WHERE over the raw parquet — the Spark side
+    // answered them from manifest stats of the surviving files only,
+    // with zero data tasks (asserted in-query)
+    "q148_filtered_metadata_agg" ->
+      """SELECT count(*) AS n, count(o_totalprice) AS np,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+        |  min(CAST(o_orderdate AS DATE)) AS min_od,
+        |  max(CAST(o_orderdate AS DATE)) AS max_od,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-02-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
 
     // metadata-aggregate replay: the same unfiltered aggregates over
     // the raw parquet — the Spark side answered them from manifest
@@ -1940,36 +1955,32 @@ object OracleQueries {
     // BIGINT dot product, hash-identical across engines. sum(BIGINT)
     // is HUGEINT in DuckDB -> cast back.
     "q146_dsir_selection" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $duckWordToks AS toks, doc_id % 10 < 3 AS is_target
-         |  FROM documents WHERE len($duckWordToks) >= 1),
-         |f AS (
-         |  SELECT doc_id, is_target, unnest(list_concat(toks,
-         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS f
-         |  FROM t),
-         |bk AS (
-         |  SELECT doc_id, is_target,
-         |    CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 10000 AS b
-         |  FROM f),
-         |ct AS (SELECT b, count(*) AS ct FROM bk WHERE is_target GROUP BY 1),
-         |cs AS (SELECT b, count(*) AS cs FROM bk WHERE NOT is_target GROUP BY 1),
-         |nt AS (SELECT count(*) AS nt FROM bk WHERE is_target),
-         |ns AS (SELECT count(*) AS ns FROM bk WHERE NOT is_target),
-         |m AS (
-         |  SELECT cs.b,
-         |    ${graft.text.LanguageModel.lpNanoSql("(coalesce(ct.ct, 0) + 1)", "(nt.nt + 10000)", duck = true)}
-         |    - ${graft.text.LanguageModel.lpNanoSql("(cs.cs + 1)", "(ns.ns + 10000)", duck = true)} AS wb
-         |  FROM cs LEFT JOIN ct ON cs.b = ct.b, nt, ns),
-         |d AS (SELECT doc_id, b, count(*) AS c FROM bk WHERE NOT is_target GROUP BY 1, 2),
-         |w AS (
-         |  SELECT d.doc_id, CAST(sum(d.c * m.wb) AS BIGINT) AS weight_nano
-         |  FROM d JOIN m ON d.b = m.b GROUP BY 1),
+      s"""WITH $q146WeightsCtes,
          |k AS (SELECT count(*) // 4 AS k FROM w),
          |r AS (
          |  SELECT doc_id, weight_nano,
          |    CAST(row_number() OVER (ORDER BY weight_nano DESC, doc_id) AS INT) AS rk
          |  FROM w)
          |SELECT doc_id, weight_nano, rk FROM r, k WHERE rk <= k.k""".stripMargin,
+
+    // DSIR threshold selection (the crawl-scale form): the SAME
+    // weights, but the keep cut is the top-quartile value of a
+    // deterministic md5-admitted 1/4 sample, selection a plain >= —
+    // replayed here exactly (same sample, same cut, ties kept)
+    "q151_dsir_threshold" ->
+      s"""WITH $q146WeightsCtes,
+         |sw AS (SELECT * FROM w
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0),
+         |rw AS (
+         |  SELECT weight_nano,
+         |    row_number() OVER (ORDER BY weight_nano DESC, doc_id) AS srn,
+         |    count(*) OVER () AS ns
+         |  FROM sw),
+         |thr AS (
+         |  SELECT coalesce(max(CASE WHEN srn = greatest(1, (ns + 3) // 4)
+         |    THEN weight_nano END), -9223372036854775808) AS t
+         |  FROM rw)
+         |SELECT doc_id, weight_nano FROM w, thr WHERE weight_nano >= thr.t""".stripMargin,
 
     // LM perplexity replay: same tokenizer, same trigram counts over
     // the doc_id%10<3 train slice, same add-one model — and the SAME
@@ -1978,45 +1989,35 @@ object OracleQueries {
     // longs per trigram so the per-doc sum is order-free. sum(BIGINT)
     // is HUGEINT in DuckDB -> cast back before the one division.
     "q140_lm_perplexity" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, $duckWordToks AS toks, doc_id % 10 < 3 AS is_train
-         |  FROM documents WHERE len($duckWordToks) >= 3),
-         |g AS (
-         |  SELECT doc_id, lang, is_train,
-         |    unnest(list_transform(range(1, len(toks) - 1), i ->
-         |      {'ctx': toks[i] || ' ' || toks[i+1],
-         |       'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}),
-         |      recursive := true)
-         |  FROM t),
-         |c3 AS (SELECT lang, gram, count(*) AS c3 FROM g WHERE is_train GROUP BY 1, 2),
-         |c2 AS (SELECT lang, ctx, count(*) AS c2 FROM g WHERE is_train GROUP BY 1, 2),
-         |v AS (SELECT lang, count(DISTINCT tok) AS v
-         |      FROM (SELECT lang, unnest(toks) AS tok FROM t WHERE is_train)
-         |      GROUP BY 1),
-         |args AS (
-         |  SELECT g.doc_id, g.lang,
-         |    coalesce(c3.c3, 0) + 1 AS num_arg,
-         |    coalesce(c2.c2, 0) + v.v AS den_arg
-         |  FROM g
-         |  LEFT JOIN c3 ON g.lang = c3.lang AND g.gram = c3.gram
-         |  LEFT JOIN c2 ON g.lang = c2.lang AND g.ctx = c2.ctx
-         |  JOIN v ON g.lang = v.lang
-         |  WHERE NOT g.is_train),
-         |lp AS (
-         |  SELECT doc_id, lang,
-         |    ${graft.text.LanguageModel.lpNanoSql("num_arg", "den_arg", duck = true)} AS lp_nano
-         |  FROM args),
-         |d AS (
-         |  SELECT doc_id, lang, count(*) AS n_trigrams,
-         |    CAST(sum(lp_nano) AS BIGINT) AS logprob_nano
-         |  FROM lp GROUP BY 1, 2),
-         |s AS (
-         |  SELECT doc_id, lang, n_trigrams, logprob_nano,
-         |    -CAST(logprob_nano AS DOUBLE) / CAST(n_trigrams * 1000000000 AS DOUBLE) AS avg_nll
-         |  FROM d)
+      s"""WITH $q140ScoresCtes
          |SELECT doc_id, lang, n_trigrams, logprob_nano, avg_nll,
          |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS INT) AS ppl_bucket
          |FROM s""".stripMargin,
+
+    // perplexity buckets from SAMPLE cut points (the crawl-scale
+    // form): same scores, but per-language tercile cuts read off a
+    // deterministic md5-admitted 1/4 sample and assigned by
+    // comparison — no corpus-wide NTILE sort; replayed here exactly
+    "q150_ppl_sample_buckets" ->
+      s"""WITH $q140ScoresCtes,
+         |samp AS (SELECT * FROM s
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0),
+         |rs AS (
+         |  SELECT lang, avg_nll,
+         |    row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS srn,
+         |    count(*) OVER (PARTITION BY lang) AS ns
+         |  FROM samp),
+         |cuts AS (
+         |  SELECT lang,
+         |    max(CASE WHEN srn = (ns + 2) // 3 THEN avg_nll END) AS cut1,
+         |    max(CASE WHEN srn = (2 * ns + 2) // 3 THEN avg_nll END) AS cut2
+         |  FROM rs GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.avg_nll,
+         |  CAST(CASE WHEN cuts.cut1 IS NULL THEN 1
+         |    WHEN s.avg_nll <= cuts.cut1 THEN 1
+         |    WHEN s.avg_nll <= cuts.cut2 THEN 2
+         |    ELSE 3 END AS INT) AS ppl_bucket
+         |FROM s LEFT JOIN cuts ON s.lang = cuts.lang""".stripMargin,
 
     // analytic pixel-sum replay of the REAL PNG round trip: dims
     // 16 + id%33 x 16 + (id*7)%33, channel value
@@ -2394,28 +2395,7 @@ object OracleQueries {
          |      row_number() OVER (PARTITION BY s.vec_id
          |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
          |    FROM $src s CROSS JOIN $cents c) WHERE $rnCond""".stripMargin
-    def lloyd(assigned: String, prev: String): String =
-      s"""SELECT p.cell, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN (
-         |    SELECT cell, list(m ORDER BY pos) AS cv FROM (
-         |      SELECT a.cell, r.pos,
-         |        (CAST(sum(CAST(round(a.v[r.pos + 1] * 100000000.0) AS BIGINT)) AS DOUBLE)
-         |          / 100000000.0) / count(*) AS m
-         |      FROM $assigned a CROSS JOIN range(64) r(pos)
-         |      GROUP BY a.cell, r.pos) GROUP BY cell) m ON p.cell = m.cell""".stripMargin
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-       |samp AS (
-       |  SELECT vec_id, v FROM e
-       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-       |  LIMIT 4096),
-       |a1 AS (${assign("samp", "c0", "rn = 1")}),
-       |c1 AS (${lloyd("a1", "c0")}),
-       |a2 AS (${assign("samp", "c1", "rn = 1")}),
-       |c2 AS (${lloyd("a2", "c1")}),
+    s"""WITH $q28TrainingCtes,
        |corpus AS (${assign("e", "c2", "rn = 1")}),
        |probes AS (
        |  SELECT vec_id AS q_id, v AS qv, cell FROM (
@@ -2432,6 +2412,122 @@ object OracleQueries {
        |FROM scored
        |QUALIFY rn <= 5""".stripMargin
   }
+
+  /** Shared q146/q151 CTE chain: documents -> hashed unigram+bigram
+    * buckets -> target/source add-one bucket models -> per-doc exact
+    * BIGINT importance weight `w(doc_id, weight_nano)`.
+    */
+  private def q146WeightsCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, $duckWordToks AS toks, doc_id % 10 < 3 AS is_target
+       |  FROM documents WHERE len($duckWordToks) >= 1),
+       |f AS (
+       |  SELECT doc_id, is_target, unnest(list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS f
+       |  FROM t),
+       |bk AS (
+       |  SELECT doc_id, is_target,
+       |    CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 10000 AS b
+       |  FROM f),
+       |ct AS (SELECT b, count(*) AS ct FROM bk WHERE is_target GROUP BY 1),
+       |cs AS (SELECT b, count(*) AS cs FROM bk WHERE NOT is_target GROUP BY 1),
+       |nt AS (SELECT count(*) AS nt FROM bk WHERE is_target),
+       |ns AS (SELECT count(*) AS ns FROM bk WHERE NOT is_target),
+       |m AS (
+       |  SELECT cs.b,
+       |    ${graft.text.LanguageModel.lpNanoSql("(coalesce(ct.ct, 0) + 1)", "(nt.nt + 10000)", duck = true)}
+       |    - ${graft.text.LanguageModel.lpNanoSql("(cs.cs + 1)", "(ns.ns + 10000)", duck = true)} AS wb
+       |  FROM cs LEFT JOIN ct ON cs.b = ct.b, nt, ns),
+       |d AS (SELECT doc_id, b, count(*) AS c FROM bk WHERE NOT is_target GROUP BY 1, 2),
+       |w AS (
+       |  SELECT d.doc_id, CAST(sum(d.c * m.wb) AS BIGINT) AS weight_nano
+       |  FROM d JOIN m ON d.b = m.b GROUP BY 1)""".stripMargin
+
+  /** Shared q140/q150 CTE chain: documents -> per-language add-one
+    * trigram model over the train slice -> per-doc score frame
+    * `s(doc_id, lang, n_trigrams, logprob_nano, avg_nll)`.
+    */
+  private def q140ScoresCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, $duckWordToks AS toks, doc_id % 10 < 3 AS is_train
+       |  FROM documents WHERE len($duckWordToks) >= 3),
+       |g AS (
+       |  SELECT doc_id, lang, is_train,
+       |    unnest(list_transform(range(1, len(toks) - 1), i ->
+       |      {'ctx': toks[i] || ' ' || toks[i+1],
+       |       'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}),
+       |      recursive := true)
+       |  FROM t),
+       |c3 AS (SELECT lang, gram, count(*) AS c3 FROM g WHERE is_train GROUP BY 1, 2),
+       |c2 AS (SELECT lang, ctx, count(*) AS c2 FROM g WHERE is_train GROUP BY 1, 2),
+       |v AS (SELECT lang, count(DISTINCT tok) AS v
+       |      FROM (SELECT lang, unnest(toks) AS tok FROM t WHERE is_train)
+       |      GROUP BY 1),
+       |args AS (
+       |  SELECT g.doc_id, g.lang,
+       |    coalesce(c3.c3, 0) + 1 AS num_arg,
+       |    coalesce(c2.c2, 0) + v.v AS den_arg
+       |  FROM g
+       |  LEFT JOIN c3 ON g.lang = c3.lang AND g.gram = c3.gram
+       |  LEFT JOIN c2 ON g.lang = c2.lang AND g.ctx = c2.ctx
+       |  JOIN v ON g.lang = v.lang
+       |  WHERE NOT g.is_train),
+       |lp AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.text.LanguageModel.lpNanoSql("num_arg", "den_arg", duck = true)} AS lp_nano
+       |  FROM args),
+       |d AS (
+       |  SELECT doc_id, lang, count(*) AS n_trigrams,
+       |    CAST(sum(lp_nano) AS BIGINT) AS logprob_nano
+       |  FROM lp GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, lang, n_trigrams, logprob_nano,
+       |    -CAST(logprob_nano AS DOUBLE) / CAST(n_trigrams * 1000000000 AS DOUBLE) AS avg_nll
+       |  FROM d)""".stripMargin
+
+  /** The shared IVF training replay (bootstrap + two Lloyd rounds over
+    * the md5-TakeOrdered sample) — q28's assignment/probing and q149's
+    * distributed-training output both read the trained `c2` CTE.
+    */
+  private def q28TrainingCtes: String = {
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, v, cell FROM (
+         |    SELECT s.vec_id, s.v, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def lloyd(assigned: String, prev: String): String =
+      s"""SELECT p.cell, COALESCE(m.cv, p.cv) AS cv FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         |      SELECT a.cell, r.pos,
+         |        (CAST(sum(CAST(round(a.v[r.pos + 1] * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |          / 100000000.0) / count(*) AS m
+         |      FROM $assigned a CROSS JOIN range(64) r(pos)
+         |      GROUP BY a.cell, r.pos) GROUP BY cell) m ON p.cell = m.cell""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |samp AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+       |  LIMIT 4096),
+       |a1 AS (${assign("samp", "c0")}),
+       |c1 AS (${lloyd("a1", "c0")}),
+       |a2 AS (${assign("samp", "c1")}),
+       |c2 AS (${lloyd("a2", "c1")})""".stripMargin
+  }
+
+  /** q149: the distributed-training path must land on the SAME c2 the
+    * driver-loop replay computes — unnested to scalar cells so the
+    * hash compare is positional.
+    */
+  private def q149DistributedCentroidsSql: String =
+    s"""WITH $q28TrainingCtes
+       |SELECT cell, CAST(r.pos AS INT) AS pos, c2.cv[r.pos + 1] AS x
+       |FROM c2 CROSS JOIN range(64) r(pos)""".stripMargin
 
   /** DuckDB fragments shared by the document-corpus oracles. */
 

@@ -588,6 +588,39 @@ object SparkEntry {
       io.read(t)
     }),
 
+    // FILTERED metadata-only aggregates (r18 — extends q142's
+    // envelope): COUNT/MIN/MAX under a WHERE stays a zero-task
+    // LocalScan when the exact-prune proof holds — every pushed
+    // filter implemented exactly by file pruning (here: a day-aligned
+    // range over a hidden days(od) layout, proven by path arithmetic;
+    // footer stats prove the key-range flavor — both spec-pinned in
+    // AggregatePushdownSpec with boundary-file and null fallbacks).
+    // "How many rows did yesterday ingest?" is the most common 100 TB
+    // metadata question; this answers it from the manifest.
+    "q148_filtered_metadata_agg" -> ((s, dir) => {
+      val cname = "gfma"
+      val io = catalogIO(s, cname, "graft_fma_")
+      val t = "default.ord_ing"
+      // rerun-safe: IF NOT EXISTS + OVERWRITE pin this run's content
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (okey BIGINT, od DATE, price DOUBLE) " +
+        "PARTITIONED BY (days(od))")
+      val ords = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice").as("price"))
+        .filter(col("od") >= lit("1996-01-01") && col("od") < lit("1996-04-01"))
+      io.overwrite(ords, t)
+      val df = s.sql(
+        s"""SELECT count(*) AS n, count(price) AS np,
+           |  min(okey) AS min_ok, max(okey) AS max_ok,
+           |  min(od) AS min_od, max(od) AS max_od,
+           |  min(price) AS min_price, max(price) AS max_price
+           |FROM $cname.$t
+           |WHERE od >= DATE'1996-02-01' AND od < DATE'1996-03-01'""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"filtered metadata aggregate must stay a LocalScan under the day-aligned WHERE:\n$plan")
+      df
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under
@@ -1274,6 +1307,27 @@ object SparkEntry {
     "q28_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 16, k = 5)
         .select(col("q_id"), col("neighbor_id"), col("rn"))),
+
+    // DISTRIBUTED centroid training (r18 — the big-k path
+    // trainCentroids refuses above nlist 4096): the same Lloyd rounds
+    // as q28's training, but centroids stay a (cell, vector) FRAME end
+    // to end — assignment is a broadcast nested-loop folded into a
+    // map-side max aggregate, means are the posexplode hash-agg, and
+    // the driver never sees a vector at any k. Value parity with the
+    // driver loop is spec-pinned (EventsSimilaritySpec trains k=10^4
+    // without a collect); the oracle replays both rounds in SQL and
+    // must land on bit-identical centroids.
+    "q149_distributed_centroids" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr(Similarity.doubleVec("embedding")).as("v"))
+      val cents = Similarity.trainCentroidsFrame(e, nlist = 16, iters = 2)
+      val out = cents.select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .orderBy("cell", "pos")
+      // pin the output before releasing the training cache
+      val rows = out.collect()
+      cents.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq), out.schema)
+    }),
 
     // Embedding-cosine near-dup pairs: exact results via the
     // cell-bucketed triangle-inequality join (no corpus broadcast,
@@ -2477,6 +2531,29 @@ object SparkEntry {
       graft.text.LanguageModel.perplexityScores(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("n_trigrams"),
           col("logprob_nano"), col("avg_nll"), col("ppl_bucket"))),
+
+    // Perplexity buckets from SAMPLE cut points (r18 — q140's
+    // crawl-scale form as an oracle row): the same scores, but the
+    // per-language tercile cuts come EXACTLY from a deterministic
+    // md5-admitted 1/4 sample and buckets assign by broadcast-join
+    // comparison — the only sorts are per-language windows over the
+    // sample, never the corpus-wide NTILE. Exactly replayable: the
+    // oracle recomputes the same sample and the same cut values.
+    "q150_ppl_sample_buckets" -> ((s, dir) => {
+      val scores = graft.text.LanguageModel.perplexityScores(Tables.documents(s, dir))
+      graft.text.LanguageModel.bucketsBySampleCutpoints(scores)
+        .select(col("doc_id"), col("lang"), col("avg_nll"), col("ppl_bucket"))
+    }),
+
+    // DSIR selection by THRESHOLD (r18 — q146's crawl-scale form as an
+    // oracle row): the same exact BIGINT weights, but the keep cut is
+    // the top-quartile VALUE of a deterministic 1/4 sample and
+    // selection is a map-side >= against the broadcast one-row
+    // threshold — no global rank of every source document. Ties at
+    // the threshold are kept; the oracle replays sample + cut exactly.
+    "q151_dsir_threshold" -> ((s, dir) =>
+      graft.text.LanguageModel.dsirSelectByThreshold(Tables.documents(s, dir))
+        .select(col("doc_id"), col("weight_nano"))),
 
     // REAL image decode (javax.imageio): per-doc deterministic rasters
     // are PNG-encoded, decoded back, and pixel-summed on executors;

@@ -702,11 +702,20 @@ private[io] class GraftTable(
       }
       override def build(): Scan = {
         val ds = db.build()
-        // GraftStreamableScan with streamSource = None: readStream on a
-        // renamed-column table reaches the loud batch-only refusal
-        // instead of Spark's generic micro-batch-unsupported error
+        // Streaming through RENAME, Iceberg-field-ID style: a column's
+        // PHYSICAL name (its name at birth) is its stable ID — every
+        // data file before and after any RENAME stores it, so the
+        // stream reads files by the delegate's physical read schema
+        // and the rows line up positionally under the scan's logical
+        // names. RENAME stays metadata-only (zero rewrite) and a
+        // checkpointed stream drains straight through an ALTER RENAME;
+        // a restart re-resolves the same physical IDs under the new
+        // logical names. Hive-DIR-partitioned tables stay batch-only
+        // (dir names carry values the streaming row shape can't).
         new Scan with GraftStreamableScan {
-          override def streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)] = None
+          override def streamSource: Option[(TableCatalog, String, StructType, CaseInsensitiveStringMap)] =
+            if (partitionCols.forall(_.startsWith(PartitionTransforms.Prefix)))
+              Some((cat, tableName, ds.readSchema(), options)) else None
           override def readSchema(): StructType = logical(ds.readSchema())
           override def toBatch: Batch = ds.toBatch
           override def description(): String = ds.description()
@@ -1595,9 +1604,18 @@ private[io] class StatsPruningScanBuilder(
   private var prunedColumns: Option[StructType] = None
   // the post-pruning file list — what a bucket-keyed scan keys over
   private var keptFiles: Seq[String] = delegate.paths
-  // any WHERE clause disables metadata aggregates (stats describe
-  // whole files; a filtered count/min/max needs the rows)
+  // a WHERE clause disables metadata aggregates (stats describe whole
+  // files) UNLESS the exact-prune proof below holds for every pushed
+  // filter — then the filter IS the file pruning and the aggregate
+  // stays answerable from the surviving files' stats
   private var anyFilter = false
+  // true while every filter pushed so far is EXACTLY implemented by
+  // file-level pruning: each translated to V1, excluded files provably
+  // match no row (mightMatch false), and every kept non-empty file
+  // provably matches ALL rows (mustMatchAll). Under this proof the
+  // Filter node is dropped from the plan ("how many rows did
+  // yesterday ingest?" stays a catalog lookup at 100 TB).
+  private var exactPrune = true
   private var pushedAgg: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   // Conservative catalyst -> v1 translation for stats evaluation only:
@@ -1646,7 +1664,38 @@ private[io] class StatsPruningScanBuilder(
         case _ => ()
       })
     }
-    current match {
+    // Exact-prune proof for THIS call's filters: every filter STRICTLY
+    // translated (a weakened And-translation must not back a claim),
+    // excluded files provably empty of matches (that is what `keep`
+    // established), and every kept non-empty file provably matches ALL
+    // its rows — per filter, by footer stats (mustMatchAll) OR by
+    // hidden-layout path arithmetic (fileMustMatchAll — the
+    // day-aligned predicate over a days() layout). Zero-row part files
+    // carry no column stats and no rows: exempt, not refusals.
+    val v1Strict = filters.map(e => FilterTranslation.toV1(e, strict = true))
+    val provenExact = filters.isEmpty || (v1Strict.forall(_.isDefined) && {
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val strict = v1Strict.flatten
+        keep.forall { f =>
+          strict.forall { flt =>
+            FileStats.mustMatchAll(FileStats.cached(f, conf), Seq(flt)) ||
+              (pspec.nonEmpty &&
+                PartitionTransforms.fileMustMatchAll(f, Seq(flt), pspec, delegate.schema))
+          } || FileStats.rowCount(f, conf) == 0L
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    })
+    exactPrune = exactPrune && provenExact
+    // Under the proof, pruning IS the filter: drop it from the plan
+    // so Aggregate sits directly on the scan and the metadata-
+    // aggregate path stays reachable. The filters must then NOT reach
+    // the inner parquet builder either — with the Filter node gone,
+    // Spark prunes the filter columns out of the read schema, and a
+    // parquet-pushed predicate over a column absent from the read
+    // schema evaluates against nothing and drops every row.
+    if (provenExact) Seq.empty
+    else current match {
       case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
         c.pushFilters(filters)
       case _ => filters
@@ -1675,7 +1724,10 @@ private[io] class StatsPruningScanBuilder(
   // driver-side LocalScan (LocalTableScanExec in the physical plan).
   // At 100 TB this is the difference between a catalog lookup and a
   // full-table scan. EXACTNESS RULES (refuse -> normal scan, never
-  // approximate): no WHERE clause, no GROUP BY, no DISTINCT; every
+  // approximate): no WHERE clause unless the exact-prune proof holds
+  // (every pushed filter implemented exactly by file pruning — the
+  // partition-aligned "how many rows did yesterday ingest?" case);
+  // no GROUP BY, no DISTINCT; every
   // file must carry stats for the referenced column (a file predating
   // ADD COLUMN has none — refused, so schema evolution can't fake
   // nulls away); MIN/MAX only over types whose parquet footer stats
@@ -1691,7 +1743,9 @@ private[io] class StatsPruningScanBuilder(
       : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (anyFilter || agg.groupByExpressions.nonEmpty) return None
+    // filters allowed only under the exact-prune proof: the surviving
+    // files' rows ARE the filtered rows, so their stats still answer
+    if ((anyFilter && !exactPrune) || agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference
@@ -1746,7 +1800,10 @@ private[io] class StatsPruningScanBuilder(
       // column stats at all — they contribute nothing to any
       // aggregate, so they are excluded rather than counted as
       // "stats missing"
-      val all = delegate.paths.map { f =>
+      // keptFiles, not delegate.paths: under exact-prune the filtered
+      // aggregate answers from the SURVIVING files only (identical to
+      // delegate.paths when no filter was pushed)
+      val all = keptFiles.map { f =>
         val m = FileStats.cached(f, conf)
         val rc = m.values.headOption.map(_.rowCount).getOrElse(FileStats.rowCount(f, conf))
         (m, rc)

@@ -301,11 +301,17 @@ object PartitionTransforms {
   private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Compare a directory's (string) layout value to a transformed
-    * literal: longs numerically, everything else as strings.
+    * literal: longs numerically, strings in UNSIGNED UTF-8 byte order
+    * — Spark compares strings as UTF8 binary, and java's compareTo
+    * (UTF-16 code units) disagrees for supplementary characters
+    * (emoji), which would mis-prune (might) or mis-claim (must) a
+    * range predicate against a string identity/truncate layout.
     */
   private def cmp(dir: String, lit: Any): Option[Int] = lit match {
     case l: Long => dir.toLongOption.map(java.lang.Long.compare(_, l))
-    case s: String => Some(dir.compareTo(s))
+    case s: String => Some(java.util.Arrays.compareUnsigned(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
   }
 
@@ -361,7 +367,12 @@ object PartitionTransforms {
       case (Some(d), sources.GreaterThanOrEqual(a, v)) if a == t.src && t.monotonic =>
         lv(v).flatMap(cmp(d, _)).forall(_ >= 0)
       case (Some(d), sources.LessThan(a, v)) if a == t.src && t.monotonic =>
-        lv(v).flatMap(cmp(d, _)).forall(_ <= 0)
+        // d == t(v) with v exactly at the period start proves NO row
+        // can sit below v (rows of d never precede d's own start) —
+        // the day-aligned upper bound `ts < next-day-midnight` drops
+        // the next day's file instead of keeping it conservatively
+        lv(v).flatMap(cmp(d, _)).forall(c =>
+          c < 0 || (c == 0 && !periodStart(t, srcType, v)))
       case (Some(d), sources.LessThanOrEqual(a, v)) if a == t.src && t.monotonic =>
         lv(v).flatMap(cmp(d, _)).forall(_ <= 0)
       case (Some(d), sources.StringStartsWith(a, p)) if a == t.src =>
@@ -395,6 +406,94 @@ object PartitionTransforms {
         filters.forall(might(t, f.dataType, dir, _))
       }
     }
+
+  /** Is `v` the SMALLEST source value mapping to its layout value —
+    * the period start for the time transforms? A layout value `d`
+    * whose dir compares EQUAL to `t(v)` then proves `row >= v` for
+    * every row of the file (rows in d can't go below d's own start).
+    */
+  private def periodStart(t: PartitionTransform, srcType: DataType, v: Any): Boolean = {
+    // epoch day of v, requiring a timestamp to sit exactly on midnight
+    def alignedEpochDay(v: Any): Option[Long] = microsOf(v) match {
+      case Some(m) =>
+        if (Math.floorMod(m, DayMicros) == 0L) Some(Math.floorDiv(m, DayMicros)) else None
+      case None => epochDaysOf(v).map(_.toLong)
+    }
+    t match {
+      case Identity(_) => true
+      case Days(_) => alignedEpochDay(v).isDefined
+      case Hours(_) => microsOf(v).exists(m => Math.floorMod(m, HourMicros) == 0L)
+      case Months(_) => alignedEpochDay(v)
+        .exists(d => java.time.LocalDate.ofEpochDay(d).getDayOfMonth == 1)
+      case Years(_) => alignedEpochDay(v)
+        .exists(d => java.time.LocalDate.ofEpochDay(d).getDayOfYear == 1)
+      case _ => false // bucket is non-monotonic; truncate untreated
+    }
+  }
+
+  /** Can the layout value PROVE that every row of the file satisfies
+    * the filter? Dual of [[might]] and strictly conservative: `false`
+    * is always safe (the caller falls back to reading rows). The
+    * layout-dir invariant (every row's transform value IS the dir
+    * value, established by the partitioned write) gives, for a
+    * monotonic transform t and dir d:
+    *   d > t(v)  ⟹  every row > v   (row ≤ v would put t(row) ≤ t(v) < d)
+    *   d < t(v)  ⟹  every row < v
+    *   d = t(v) and v is the period start  ⟹  every row ≥ v
+    *   injective t (identity; days over a DATE source) and d = t(v)
+    *     ⟹  every row = v
+    * A non-null dir proves IsNotNull (transforms are null-preserving,
+    * so null rows land only in the null partition).
+    */
+  private def must(t: PartitionTransform, srcType: DataType,
+                   dir: Option[String], f: sources.Filter): Boolean = {
+    def dcmp(v: Any): Option[Int] = t.literal(v, srcType).flatMap(cmp(dir.get, _))
+    val injective = t match {
+      case Identity(_) => true
+      case Days(_) => srcType == DateType
+      case _ => false
+    }
+    if (dir.isEmpty || dir.contains(NullPartition)) return false
+    f match {
+      case sources.EqualTo(a, v) if a == t.src =>
+        injective && v != null && dcmp(v).contains(0)
+      case sources.In(a, vs) if a == t.src =>
+        vs.length == 1 && must(t, srcType, dir, sources.EqualTo(a, vs.head))
+      case sources.GreaterThan(a, v) if a == t.src && t.monotonic =>
+        dcmp(v).exists(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) if a == t.src && t.monotonic =>
+        dcmp(v).exists(_ > 0) ||
+          (dcmp(v).contains(0) && (injective || periodStart(t, srcType, v)))
+      case sources.LessThan(a, v) if a == t.src && t.monotonic =>
+        dcmp(v).exists(_ < 0)
+      case sources.LessThanOrEqual(a, v) if a == t.src && t.monotonic =>
+        dcmp(v).exists(_ < 0) || (injective && dcmp(v).contains(0))
+      case sources.IsNotNull(a) if a == t.src => true
+      case sources.And(l, r) =>
+        must(t, srcType, dir, l) && must(t, srcType, dir, r)
+      case sources.Or(l, r) =>
+        must(t, srcType, dir, l) || must(t, srcType, dir, r)
+      case _ => false
+    }
+  }
+
+  /** Path-arithmetic MUST-match (the layout dual of
+    * [[fileMightMatch]]): true only when EVERY filter is proven to
+    * hold for every row of the file by some transform's layout value.
+    * This is what makes "how many rows did yesterday ingest?" a
+    * metadata-only answer on a days()-partitioned table: the
+    * day-aligned predicate fully covers every surviving file.
+    */
+  def fileMustMatchAll(path: String, filters: Seq[sources.Filter],
+                       specs: Seq[PartitionTransform],
+                       schema: StructType): Boolean =
+    filters.forall { f =>
+      specs.exists { t =>
+        schema.find(_.name == t.src).exists { sf =>
+          must(t, sf.dataType, pathValue(path, t.derivedName), f)
+        }
+      }
+    }
 }
 
 /** Conservative catalyst -> v1 `Filter` translation, shared by the
@@ -420,6 +519,16 @@ private[io] object FilterTranslation {
 
   def toV1(
       e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): Option[org.apache.spark.sql.sources.Filter] = toV1(e, strict = false)
+
+  /** `strict = false` (pruning): a partially-translated conjunction
+    * yields the translated side — a WEAKER constraint, sound for
+    * might-match skipping. `strict = true` (exact-prune claims): any
+    * untranslatable piece fails the whole expression — a must-match
+    * proof over a weakened filter would claim more than it proved.
+    */
+  def toV1(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, strict: Boolean
   ): Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
     import org.apache.spark.sql.catalyst.expressions._
@@ -456,12 +565,13 @@ private[io] object FilterTranslation {
       case StartsWith(Attr(a), Literal(v, StringType)) =>
         Some(sources.StringStartsWith(a, v.toString))
       case And(l, r) =>
-        (toV1(l), toV1(r)) match {
+        (toV1(l, strict), toV1(r, strict)) match {
           case (Some(lf), Some(rf)) => Some(sources.And(lf, rf))
+          case _ if strict => None
           case (one, other) => one.orElse(other) // a conjunct alone is still a valid constraint
         }
       case Or(l, r) =>
-        for { lf <- toV1(l); rf <- toV1(r) } yield sources.Or(lf, rf)
+        for { lf <- toV1(l, strict); rf <- toV1(r, strict) } yield sources.Or(lf, rf)
       case _ => None
     }
   }

@@ -171,7 +171,7 @@ object Similarity {
     * also makes training deterministic under Spark's own partition-
     * order variation.
     */
-  private[similarity] def trainCentroids(
+  private[graft] def trainCentroids(
       e: DataFrame,
       nlist: Int,
       iters: Int,
@@ -218,6 +218,79 @@ object Similarity {
       } finally sample.unpersist()
     }
     centroids
+  }
+
+  /** Distributed Lloyd for clustering-scale k — the big-k path
+    * [[trainCentroids]] refuses above nlist 4096. Identical math to
+    * the driver loop, value-for-value (spec-pinned at small k in
+    * EventsSimilaritySpec): same lowest-vec_id bootstrap, same
+    * md5-TakeOrdered sample, same exact 1e-8-grid integer mean, same
+    * (cosine DESC, cell ASC) assignment tie-break — but centroids live
+    * as a (cell, cv) FRAME end to end. No driver collect at any k:
+    * assignment is a broadcast nested-loop of the sample against the
+    * centroid frame folded straight into a partial hash aggregate
+    * (the sample x k pairs stream through map-side max, never
+    * shuffle), and means are the posexplode hash-agg. Each round
+    * materializes k x dim rows (persisted; the previous round is
+    * unpersisted), so plan depth stays O(1) per round; the RETURNED
+    * frame is persisted — callers that train many models in one
+    * session should unpersist it when done.
+    */
+  def trainCentroidsFrame(
+      e: DataFrame,
+      nlist: Int,
+      iters: Int,
+      samplePerCell: Int = 256
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1, s"trainCentroidsFrame: nlist = $nlist must be >= 1")
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    // bootstrap: the nlist lowest vec_ids, cell = rank order (the
+    // window runs over nlist rows post-limit — a k-sized sort, not a
+    // corpus sort)
+    var cents = materialize(
+      e.orderBy("vec_id").limit(nlist)
+        .withColumn("cell",
+          row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+        .select(col("cell"), col("v").as("cv")))
+    if (iters > 0) {
+      val sample = materialize(e
+        .withColumn("__h",
+          expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
+        .drop("__h"))
+      try {
+        (1 to iters).foreach { _ =>
+          // argmax cell per vector WITHOUT a k-wide literal: struct
+          // max orders by (cosine, -cell), so ties go to the lowest
+          // cell — bit-identical to withCell's array_position-of-max
+          val assigned = sample.crossJoin(broadcast(cents))
+            .withColumn("__cos", expr(cosineSql("cv", "v")))
+            .groupBy(col("vec_id"), col("v"))
+            .agg(max(struct(col("__cos"), (-col("cell")).as("__nc"))).as("best"))
+            .select(col("v"), (-col("best.__nc")).as("cell"))
+          val means = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos")
+            .agg(((sum(round(col("x") * lit(1e8)).cast("long")).cast("double") / lit(1e8))
+              / count(lit(1))).as("m"))
+            .groupBy("cell")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+              .as("mv"))
+          // empty cells keep their previous centroid, as in the driver loop
+          val next = materialize(
+            cents.join(means, Seq("cell"), "left")
+              .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv")))
+          cents.unpersist()
+          cents = next
+        }
+      } finally sample.unpersist()
+    }
+    cents
   }
 
   /** Per-group mean embedding (centroid) + group size — the

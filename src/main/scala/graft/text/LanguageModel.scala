@@ -196,6 +196,22 @@ object LanguageModel {
   def dsirSelect(docs: DataFrame, buckets: Int = 10000,
                  trainPred: Column = expr("doc_id % 10 < 3"),
                  keepDenominator: Long = 4L): DataFrame = {
+    val weights = dsirWeights(docs, buckets, trainPred)
+    weights
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("weight_nano").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
+      // floor division (SQL DIV) — `/` on BIGINTs is a double divide
+      .filter(col("rk") <= expr(s"n_src DIV ${keepDenominator}L"))
+      .drop("n_src")
+  }
+
+  /** The shared DSIR scoring pass: per-source-doc exact BIGINT log
+    * importance weight. [[dsirSelect]] ranks it (oracle-exact top-k);
+    * [[dsirSelectByThreshold]] thresholds it (the crawl-scale path).
+    */
+  private def dsirWeights(docs: DataFrame, buckets: Int,
+                          trainPred: Column): DataFrame = {
     val toks = docs
       .withColumn("toks", expr(TextAnalysis.wordTokensSql("text")))
       .filter(size(col("toks")) >= 1)
@@ -243,23 +259,76 @@ object LanguageModel {
       bcounts.unpersist()
       local
     }
-    // second (and last) corpus pass: per-doc bucket counts -> weight.
-    // k rides along as a global-window count over the SAME
-    // single-partition pass that ranks, so nothing needs caching and
-    // the corpus is read exactly twice end to end (model + scoring).
-    val weights = feats.filter(!col("is_target"))
+    // second (and last) corpus pass: per-doc bucket counts -> weight
+    feats.filter(!col("is_target"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("wb")).as("weight_nano"))
-    weights
-      .withColumn("rk", row_number().over(
+  }
+
+  /** Shared deterministic-admission predicate: keep a doc when the
+    * portable 60-bit md5 of its id lands on the sampleMod grid — no
+    * sort, no RNG state, and DuckDB computes the identical set.
+    */
+  private def sampleAdmit(sampleMod: Int): Column =
+    expr(s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $sampleMod = 0")
+
+  /** DSIR selection by THRESHOLD — the crawl-scale form of
+    * [[dsirSelect]] (r17 verdict item 6): instead of ranking every
+    * source document in one global window, the keep-quartile CUT
+    * VALUE is read off a deterministic 1/sampleMod sample (md5
+    * admission — no sort of the corpus, no RNG), and selection is a
+    * map-side `weight >= threshold` against the broadcast one-row
+    * threshold. Ties at the threshold are kept (deterministic, and
+    * exactly replayable: the oracle recomputes the same sample and
+    * the same cut). An empty sample keeps everything (threshold
+    * coalesces to Long.MinValue) rather than dropping the corpus.
+    */
+  def dsirSelectByThreshold(docs: DataFrame, buckets: Int = 10000,
+                            trainPred: Column = expr("doc_id % 10 < 3"),
+                            keepDenominator: Long = 4L,
+                            sampleMod: Int = 4): DataFrame = {
+    val weights = dsirWeights(docs, buckets, trainPred)
+    val thr = weights.filter(sampleAdmit(sampleMod))
+      .withColumn("srn", row_number().over(
         Window.orderBy(col("weight_nano").desc, col("doc_id"))))
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
-      // floor division (SQL DIV) — `/` on BIGINTs is a double divide
-      .filter(col("rk") <= expr(s"n_src DIV ${keepDenominator}L"))
-      .drop("n_src")
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("srn") === expr(s"greatest(1L, (ns + ${keepDenominator - 1}L) DIV ${keepDenominator}L)"))
+      .select(col("weight_nano").as("thr"))
+    weights.crossJoin(broadcast(
+        thr.agg(coalesce(max(col("thr")), lit(Long.MinValue)).as("thr"))))
+      .filter(col("weight_nano") >= col("thr"))
+      .select(col("doc_id"), col("weight_nano"))
+  }
+
+  /** Per-language tercile buckets from SAMPLE cut points — the
+    * crawl-scale form of [[perplexityScores]]' NTILE (r17 verdict
+    * item 6), with the cut points EXACT over a deterministic
+    * 1/sampleMod md5-admitted sample instead of approximate over the
+    * corpus, so a SQL oracle replays them bit-for-bit. The only sorts
+    * are per-language windows over the SAMPLE; assignment is a
+    * broadcast join + comparison chain. A language absent from the
+    * sample degenerates to bucket 1 (cut points null — kept, never
+    * dropped).
+    */
+  def bucketsBySampleCutpoints(scores: DataFrame, sampleMod: Int = 4): DataFrame = {
+    val ranked = scores.filter(sampleAdmit(sampleMod))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val cuts = ranked.groupBy(col("lang")).agg(
+      max(when(col("srn") === expr("(ns + 2) DIV 3"), col("avg_nll"))).as("cut1"),
+      max(when(col("srn") === expr("(2 * ns + 2) DIV 3"), col("avg_nll"))).as("cut2"))
+    scores.drop("ppl_bucket")
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("ppl_bucket",
+        when(col("cut1").isNull, lit(1))
+          .when(col("avg_nll") <= col("cut1"), lit(1))
+          .when(col("avg_nll") <= col("cut2"), lit(2))
+          .otherwise(lit(3)))
+      .drop("cut1", "cut2")
   }
 
   def bucketsByCutpoints(scores: DataFrame): DataFrame = {

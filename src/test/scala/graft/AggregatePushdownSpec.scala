@@ -125,6 +125,78 @@ class AggregatePushdownSpec extends SparkSpec {
     }
   }
 
+  test("filtered metadata aggregates: a day-aligned WHERE over a days() layout stays a LocalScan") {
+    withCat("gxfagg") { io =>
+      import spark.implicits._
+      val t = "default.ing_days"
+      spark.sql(s"CREATE TABLE gxfagg.$t (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+      val rows = Seq(
+        ("2024-03-01 00:00:00", 10L), ("2024-03-01 23:59:59", 11L),
+        ("2024-03-02 08:00:00", 20L), ("2024-03-02 09:30:00", 21L),
+        ("2024-03-03 12:00:00", 30L))
+        .map { case (s, v) => (java.sql.Timestamp.valueOf(s), v) }
+        .toDF("ts", "v")
+      io.append(rows, t)
+      // "how many rows did 2024-03-02 ingest?" — the predicate is
+      // day-aligned, every surviving file is fully covered by path
+      // arithmetic: COUNT/MIN/MAX answer from the manifest
+      val q = "SELECT count(*) AS c, min(v) AS mn, max(v) AS mx FROM gxfagg.default.ing_days " +
+        "WHERE ts >= TIMESTAMP'2024-03-02 00:00:00' AND ts < TIMESTAMP'2024-03-03 00:00:00'"
+      assert(isMetadataOnly(q), planOf(q))
+      val r = spark.sql(q).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 20L, 21L)))
+
+      // two full days: still metadata-only
+      val q2 = "SELECT count(*) AS c FROM gxfagg.default.ing_days " +
+        "WHERE ts >= TIMESTAMP'2024-03-01 00:00:00' AND ts < TIMESTAMP'2024-03-03 00:00:00'"
+      assert(isMetadataOnly(q2), planOf(q2))
+      assert(spark.sql(q2).collect().head.getLong(0) === 4L)
+
+      // BOUNDARY predicate (mid-day cut): the 03-02 file is only
+      // partially covered — refuse, fall back, stay correct
+      val qb = "SELECT count(*) AS c FROM gxfagg.default.ing_days " +
+        "WHERE ts >= TIMESTAMP'2024-03-02 09:00:00'"
+      assert(!isMetadataOnly(qb), planOf(qb))
+      assert(spark.sql(qb).collect().head.getLong(0) === 2L)
+
+      // day-aligned >= without an upper bound: files at the boundary
+      // day and after are all fully covered
+      val qa = "SELECT count(*) AS c FROM gxfagg.default.ing_days " +
+        "WHERE ts >= TIMESTAMP'2024-03-02 00:00:00'"
+      assert(isMetadataOnly(qa), planOf(qa))
+      assert(spark.sql(qa).collect().head.getLong(0) === 3L)
+    }
+  }
+
+  test("filtered metadata aggregates: footer-stats full coverage, null fallback, non-aggregate scans") {
+    withCat("gxfst") { io =>
+      import spark.implicits._
+      val t = "default.cov_t"
+      // file 1: ids 1-2, file 2: ids 3-4 — footer min/max tile the key
+      io.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").coalesce(1), t)
+      io.append(Seq((3L, 3.0), (4L, 4.0)).toDF("id", "x").coalesce(1), t)
+      // id <= 2 exactly covers file 1 and excludes file 2 via stats
+      val q = "SELECT count(*) AS c, max(x) AS mx FROM gxfst.default.cov_t WHERE id <= 2"
+      assert(isMetadataOnly(q), planOf(q))
+      val r = spark.sql(q).collect().head
+      assert((r.getLong(0), r.getDouble(1)) === ((2L, 2.0)))
+
+      // a NULL in the predicate column breaks the full-coverage proof
+      // (a null row fails the predicate): fall back, stay correct
+      val tn = "default.cov_null"
+      io.append(Seq(Option(1L), Option(2L), None).toDF("id").coalesce(1), tn)
+      val qn = "SELECT count(*) AS c FROM gxfst.default.cov_null WHERE id >= 1"
+      assert(!isMetadataOnly(qn), planOf(qn))
+      assert(spark.sql(qn).collect().head.getLong(0) === 2L)
+
+      // exact-prune also drops the Filter node on PLAIN scans: rows
+      // come back identical to the unpruned evaluation
+      val rows = spark.sql("SELECT id, x FROM gxfst.default.cov_t WHERE id <= 2 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq === Seq((1L, 1.0), (2L, 2.0)))
+    }
+  }
+
   test("NaN-plus-null stats shape refuses MIN/MAX: fallback scan, never a wrong extremum") {
     withCat("gxnan") { io =>
       import spark.implicits._

@@ -194,6 +194,43 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPartial.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
   }
 
+  test("trainCentroidsFrame equals the driver Lloyd loop value-for-value at small k") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), expr(Similarity.doubleVec("embedding")).as("v"))
+    val driver = Similarity.trainCentroids(e, nlist = 8, iters = 2)
+    val frame = Similarity.trainCentroidsFrame(e, nlist = 8, iters = 2)
+    val got = frame.collect()
+      .map(r => r.getAs[Long]("cell") -> r.getSeq[Double](1).toSeq).toMap
+    frame.unpersist()
+    assert(got.keySet === driver.indices.map(_.toLong).toSet)
+    driver.indices.foreach { c =>
+      assert(got(c.toLong) === driver(c), s"cell $c diverged")
+    }
+  }
+
+  test("trainCentroidsFrame trains k = 10^4 centroids with no driver collect") {
+    // clustering-scale k: 10k centroids over 12k synthetic vectors —
+    // the driver loop refuses above 4096 (collect + literal scale with
+    // k x dims); the frame path's only driver traffic is counts
+    val k = 10000
+    val e = spark.range(12000).selectExpr("id AS vec_id",
+      // 4-dim deterministic unit-ish vectors, distinct per id
+      """array(CAST(1 + id % 97 AS DOUBLE), CAST(1 + id % 89 AS DOUBLE),
+        |      CAST(1 + id % 83 AS DOUBLE), CAST(1 + (id * 7) % 101 AS DOUBLE)) AS v""".stripMargin)
+    val cents = Similarity.trainCentroidsFrame(e, nlist = k, iters = 1, samplePerCell = 1)
+    assert(cents.count() === k.toLong)
+    // a refinement happened: at least one centroid moved off bootstrap
+    val boot = e.orderBy("vec_id").limit(k)
+    val moved = cents.join(boot, cents("cell") === boot("vec_id"))
+      .filter(col("cv") =!= col("v")).count()
+    assert(moved > 0, "one Lloyd round must move at least one centroid")
+    cents.unpersist()
+    // the driver path refuses the same k, naming the bound
+    val ex = intercept[IllegalArgumentException](
+      Similarity.trainCentroids(e, nlist = k, iters = 1))
+    assert(ex.getMessage.contains("4096"))
+  }
+
   private def recallOn(corpus: org.apache.spark.sql.DataFrame,
                        approx: org.apache.spark.sql.DataFrame,
                        nQueries: Int, k: Int): Double = {

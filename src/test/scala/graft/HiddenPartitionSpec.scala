@@ -62,12 +62,16 @@ class HiddenPartitionSpec extends SparkSpec {
       // (`ts < midnight` maps to `days <= that day`), never more
       val q = s"SELECT count(*) AS n FROM ghp1.$t " +
         "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'"
-      assert(pathsIn(q) <= 3 * (total / 10), s"expected <= ${3 * (total / 10)} of $total files")
+      // the day-aligned count is now METADATA-ONLY (exact-prune proof
+      // + manifest stats): no file index at all, and still exact
+      assert(spark.sql(q).queryExecution.executedPlan.toString.contains("LocalTableScan"))
       assert(spark.sql(q).as[Long].head() === 40L)
+      // the row-returning form still prunes to <= 3 of the 10 day-dirs
+      val qrows = s"SELECT event_id FROM ghp1.$t " +
+        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'"
+      assert(pathsIn(qrows) <= 3 * (total / 10), s"expected <= ${3 * (total / 10)} of $total files")
       // exactness against the unpruned in-memory filter, boundary included
-      val got = spark.sql(s"SELECT event_id FROM ghp1.$t " +
-        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'")
-        .as[Long].collect().toSet
+      val got = spark.sql(qrows).as[Long].collect().toSet
       val want = rows.filter(col("ts") >= lit("2024-03-03 00:00:00") &&
           col("ts") < lit("2024-03-05 00:00:00"))
         .select("event_id").as[Long].collect().toSet
@@ -240,9 +244,12 @@ class HiddenPartitionSpec extends SparkSpec {
       assert(total >= 10, s"40 rows x 7h apart span ~12 days, got $total files")
       val q = "SELECT count(*) FROM ghp5.default.ddlev " +
         "WHERE ts >= TIMESTAMP '2024-06-05 00:00:00' AND ts < TIMESTAMP '2024-06-07 00:00:00'"
-      // 3 of ~12 day-dirs survive (2 in-range + the non-strict upper
-      // boundary day); a dir may hold one file per insert task
-      assert(pathsIn(q) <= total / 2, s"expected <= ${total / 2} of $total files")
+      // day-aligned count: metadata-only via the exact-prune proof
+      assert(spark.sql(q).queryExecution.executedPlan.toString.contains("LocalTableScan"))
+      // the row-returning form still prunes to 2 in-range day-dirs
+      assert(pathsIn("SELECT id FROM ghp5.default.ddlev " +
+        "WHERE ts >= TIMESTAMP '2024-06-05 00:00:00' AND ts < TIMESTAMP '2024-06-07 00:00:00'")
+        <= total / 2, s"expected <= ${total / 2} of $total files")
       // 2-day window at 7h cadence: exactness vs direct arithmetic
       val want = (0 until 40).count { id =>
         val h = id * 7L
@@ -347,7 +354,11 @@ class HiddenPartitionSpec extends SparkSpec {
       val total = cur.size
       val q = s"SELECT count(*) FROM ghp7.$t " +
         "WHERE ts >= TIMESTAMP '2024-07-03 00:00:00' AND ts < TIMESTAMP '2024-07-05 00:00:00'"
-      assert(pathsIn(q) < total, "day-range must prune the re-specced layout")
+      // day-aligned count over the NEW layout: metadata-only
+      assert(spark.sql(q).queryExecution.executedPlan.toString.contains("LocalTableScan"))
+      assert(pathsIn(s"SELECT event_id FROM ghp7.$t " +
+        "WHERE ts >= TIMESTAMP '2024-07-03 00:00:00' AND ts < TIMESTAMP '2024-07-05 00:00:00'")
+        < total, "day-range must prune the re-specced layout")
       val want = rows.filter(col("ts") >= lit("2024-07-03 00:00:00") &&
         col("ts") < lit("2024-07-05 00:00:00")).count()
       assert(spark.sql(q).as[Long].head() === want && want > 0)

@@ -118,14 +118,40 @@ class StreamTableSourceSpec extends SparkSpec {
       val e3 = intercept[Exception](drain(s"gstsr.$t3", ckpt3))
       assert(msg(e3).contains("batch-only"), msg(e3))
 
-      // renamed-column table: the NAMED batch-only refusal, not
-      // Spark's generic micro-batch-unsupported error
+      // RENAME mid-stream is METADATA-ONLY (r18 — Iceberg field-IDs /
+      // Delta column mapping): the physical (birth) name is the
+      // stable ID every data file stores, so a checkpointed stream
+      // drains straight through an ALTER RENAME with zero rewrite,
+      // and batch reads of pre-rename files stay green
       val t4 = "default.rnsrc"
       io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t4)
+      val ckpt4 = Files.createTempDirectory("graft_stsn_").toString
+      assert(drain(s"gstsr.$t4", ckpt4).toSet === Set(1L -> "a"))
+      val v4 = io.catalog.currentVersion(t4).get
+      val files4 = io.catalog.manifest(t4, v4)
       spark.sql(s"ALTER TABLE gstsr.$t4 RENAME COLUMN s TO label")
-      val e4 = intercept[Exception](drain(s"gstsr.$t4",
-        Files.createTempDirectory("graft_stsn_").toString))
-      assert(msg(e4).contains("batch-only"), msg(e4))
+      // zero rewrite: same version, byte-identical file list
+      assert(io.catalog.currentVersion(t4).get === v4)
+      assert(io.catalog.manifest(t4, v4) === files4)
+      // writes keep landing under the physical name; the SAME
+      // checkpoint drains only the new commit, under the new schema
+      io.append(Seq((2L, "b")).toDF("id", "label").coalesce(1), t4)
+      val buf4 = mutable.ArrayBuffer.empty[(Long, String)]
+      val q4 = spark.readStream.table(s"gstsr.$t4").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt4)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf4.synchronized {
+            buf4 ++= batch.select("id", "label").as[(Long, String)].collect()
+          }
+          ()
+        }
+        .start()
+      q4.awaitTermination()
+      assert(buf4.toSet === Set(2L -> "b"))
+      // batch reads resolve BOTH generations of files by physical ID
+      assert(spark.table(s"gstsr.$t4").select("id", "label").as[(Long, String)]
+        .collect().toSet === Set(1L -> "a", 2L -> "b"))
     }
   }
 
@@ -346,22 +372,29 @@ class StreamTableSourceSpec extends SparkSpec {
       assert(buf.toSet === Set((2L, "b", None), (3L, "c", Some("T"))),
         s"pre-ALTER files must null-fill the added column, got ${buf.toSet}")
 
-      // RENAME against the live checkpoint: per-batch file reads run
-      // under PHYSICAL names — the stream refuses loudly rather than
-      // serving rows whose column names silently diverge from the
-      // resolved schema; compact() (rewrite under current names) is
-      // the documented recovery
+      // RENAME against the live checkpoint (r18 — supersedes the r17
+      // refuse-loudly contract): per-batch file reads run under
+      // PHYSICAL names, which are exactly the stable field IDs every
+      // data file stores — the restarted reader resolves the NEW
+      // logical names over old and new files alike, zero rewrite
       spark.sql(s"ALTER TABLE gsev.$t RENAME COLUMN s TO label")
       spark.sql(s"INSERT INTO gsev.$t SELECT 4, 'd', 'U'")
-      val e = intercept[Exception] {
-        val q2 = spark.readStream.table(s"gsev.$t").writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
-          .start()
-        q2.awaitTermination()
-      }
-      assert(msgChain(e).contains("batch-only"), msgChain(e))
+      val buf2 = mutable.ArrayBuffer.empty[(Long, String, Option[String])]
+      val q2 = spark.readStream.table(s"gsev.$t").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf2.synchronized {
+            buf2 ++= batch.select("id", "label", "tag")
+              .collect().map(r => (r.getLong(0), r.getString(1),
+                Option(r.getString(2))))
+          }
+          ()
+        }
+        .start()
+      q2.awaitTermination()
+      assert(buf2.toSet === Set((4L, "d", Some("U"))),
+        s"the checkpointed stream must drain through RENAME, got ${buf2.toSet}")
     }
   }
 
