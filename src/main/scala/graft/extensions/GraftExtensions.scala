@@ -162,5 +162,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           num(children(1), "expectedItems").toLong, num(children(2), "fpp"))
       }
     ))
+    // Iceberg's WRITE ORDERED BY DDL as sugar over the
+    // system.set_write_order procedure — a delegating parser (the same
+    // pattern Iceberg's extensions use) that rewrites the one custom
+    // statement and hands everything else to Spark's parser untouched.
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
+}
+
+/** Delegating SQL parser adding exactly two statements:
+  *   ALTER TABLE <ident> WRITE ORDERED BY (c1, c2, ...)
+  *   ALTER TABLE <ident> WRITE UNORDERED
+  * rewritten to `CALL [cat.]system.set_write_order(table, cols)` —
+  * one code path for the DDL and the procedure spelling. Anything
+  * else (including quoted identifiers these regexes don't cover)
+  * parses through the delegate, so no existing statement changes
+  * meaning.
+  */
+private[extensions] class GraftSqlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface
+) extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private val WriteOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(?\s*([\w.,\s]+?)\s*\)?\s*;?\s*""".r
+  private val WriteUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+
+  private def callFor(ident: String, cols: String): String = {
+    val parts = ident.split('.')
+    // 3+ parts name a catalog explicitly; 1-2 parts resolve CALL
+    // system.* against the session's current catalog, same as the
+    // table reference itself would
+    val (catPrefix, tbl) =
+      if (parts.length >= 3) (parts.head + ".", parts.tail.mkString("."))
+      else ("", parts.mkString("."))
+    s"CALL ${catPrefix}system.set_write_order('$tbl', '$cols')"
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case WriteOrdered(ident, cols) =>
+      delegate.parsePlan(callFor(ident, cols.split(',').map(_.trim).filter(_.nonEmpty).mkString(",")))
+    case WriteUnordered(ident) => delegate.parsePlan(callFor(ident, ""))
+    case _ => delegate.parsePlan(sqlText)
+  }
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) = delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) = delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
 }

@@ -283,6 +283,13 @@ private[io] class ChangelogMicroBatchStream(
   // version offset, staged diffs keyed per version).
   private val maxVersions: Option[Int] = StreamShape.positiveIntOption(
     "changelog stream", label, options, "maxVersionsPerBatch")
+  // byte-budget admission (the third rate knob): a commit's CDC cost
+  // scales with the bytes its diff reads — budgeted here as the bytes
+  // of the files the commit ADDED (appends/rewrites; a pure-delete
+  // commit reads carried files, bounded by the same history it
+  // replaced). At least one version always flows.
+  private val maxBytes: Option[Long] = StreamShape.positiveLongOption(
+    "changelog stream", label, options, "maxBytesPerBatch")
 
   @volatile private var availableNowTarget: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -297,7 +304,40 @@ private[io] class ChangelogMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = versionOf(start)
     val target = availableNowTarget.getOrElse(headVersion)
-    val e = maxVersions.fold(target)(mv => math.min(target, s + mv))
+    var e = maxVersions.fold(target)(mv => math.min(target, s + mv))
+    maxBytes.foreach { mb =>
+      // metadata-only walk mirroring the table stream's cap: stop
+      // BEFORE the version whose added bytes would blow the budget,
+      // always admitting at least one version. An expired manifest
+      // admits — the batch planner raises the loud refusal.
+      try {
+        def manifestAt(v: Int): Set[String] =
+          if (v == 0) Set.empty
+          else (branch match {
+            case Some(b) => cat.branchManifest(tableName, b, v)
+            case None => cat.manifest(tableName, v)
+          }).toSet
+        var prev = manifestAt(s)
+        var bytes = 0L
+        var chosen = s
+        var v = s + 1
+        var stop = false
+        while (v <= e && !stop) {
+          val cur = manifestAt(v)
+          val bytesHere = cur.diff(prev).iterator.map(StreamShape.fileSize).sum
+          if (chosen > s && bytes + bytesHere > mb) stop = true
+          else {
+            bytes += bytesHere
+            chosen = v
+            prev = cur
+            v += 1
+          }
+        }
+        e = chosen
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+    }
     offsetAt(math.max(e, s))
   }
 

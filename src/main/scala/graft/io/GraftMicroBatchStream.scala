@@ -134,6 +134,22 @@ private[io] object StreamShape {
         s"$label over $tableName: option $key must be a positive integer, got '$raw'"))
     }
 
+  /** A strictly-positive LONG option (byte budgets exceed Int). */
+  def positiveLongOption(label: String, tableName: String,
+                         options: CaseInsensitiveStringMap, key: String): Option[Long] =
+    Option(options.get(key)).map { raw =>
+      raw.trim.toLongOption.filter(_ >= 1L).getOrElse(throw new IllegalArgumentException(
+        s"$label over $tableName: option $key must be a positive integer, got '$raw'"))
+    }
+
+  /** On-disk size of a data file for byte-budget admission; a missing
+    * file (expired manifest) counts 0 here — the batch planner raises
+    * the loud refusal, the cap walk must not stall the stream first.
+    */
+  def fileSize(f: String): Long =
+    try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** Epoch-millis, ISO instant, or `yyyy-mm-dd hh:mm:ss` — the one
     * timestamp-literal rule every timestamp-bounded option shares.
     */
@@ -179,6 +195,11 @@ private[io] class GraftMicroBatchStream(
     StreamShape.positiveIntOption("table stream", tableName, options, "maxVersionsPerBatch")
   private val maxFiles: Option[Int] =
     StreamShape.positiveIntOption("table stream", tableName, options, "maxFilesPerBatch")
+  // the third Delta/Iceberg rate knob (maxBytesPerTrigger /
+  // max-bytes-per-micro-batch): file counts don't bound batch COST
+  // when file sizes vary 1000x — a byte budget does
+  private val maxBytes: Option[Long] =
+    StreamShape.positiveLongOption("table stream", tableName, options, "maxBytesPerBatch")
 
   // Trigger.AvailableNow: pin the drain target at stream start, then
   // run capped batches until the checkpointed offset reaches it —
@@ -201,12 +222,12 @@ private[io] class GraftMicroBatchStream(
       .getOrElse(cat.currentVersion(tableName).getOrElse(0))
     var e = target
     maxVersions.foreach(mv => e = math.min(e, s + mv))
-    maxFiles.foreach { mf =>
+    if (maxFiles.nonEmpty || maxBytes.nonEmpty) {
       // metadata-only forward walk: stop BEFORE the version that would
-      // push the batch past the cap, but always admit at least one
-      // version (a single commit larger than the cap must still flow).
-      // Served-file counting mirrors planInputPartitions: a
-      // file-removing commit serves nothing under the skip flags, so
+      // push the batch past a cap (files or bytes), but always admit
+      // at least one version (a single commit larger than the cap must
+      // still flow). Served-file counting mirrors planInputPartitions:
+      // a file-removing commit serves nothing under the skip flags, so
       // it is free here; if it would REFUSE (or its manifest is
       // expired), admit it and let planInputPartitions raise the loud
       // error rather than stalling the stream silently at the cap walk.
@@ -214,16 +235,20 @@ private[io] class GraftMicroBatchStream(
         var prev: Set[String] =
           (if (s == 0) Seq.empty else cat.manifest(tableName, s)).toSet
         var files = 0
+        var bytes = 0L
         var chosen = s
         var v = s + 1
         var stop = false
         while (v <= e && !stop) {
           val cur = cat.manifest(tableName, v).toSet
-          val servedHere =
-            if (prev.diff(cur).isEmpty) cur.diff(prev).size else 0
-          if (chosen > s && files + servedHere > mf) stop = true
+          val addedHere = if (prev.diff(cur).isEmpty) cur.diff(prev) else Set.empty[String]
+          val bytesHere = if (maxBytes.isEmpty) 0L else addedHere.iterator.map(StreamShape.fileSize).sum
+          val over = maxFiles.exists(mf => files + addedHere.size > mf) ||
+            maxBytes.exists(mb => bytes + bytesHere > mb)
+          if (chosen > s && over) stop = true
           else {
-            files += servedHere
+            files += addedHere.size
+            bytes += bytesHere
             chosen = v
             prev = cur
             v += 1

@@ -457,4 +457,42 @@ class ChangelogStreamSpec extends SparkSpec {
       assert(rows.toSet === uncapped.toSet)
     }
   }
+
+  test("admission control: maxBytesPerBatch budgets CDF batches by added-file bytes, oversized commits still flow") {
+    withCat("gcdbyt") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.cdfbytes"
+      // two small appends, one ~50x bigger, one small trailer
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.append((100L to 2000L).map(i => (i, s"pad$i" * 40)).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      val small = io.catalog.manifest(t, 1).map(f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      val batches = mutable.ArrayBuffer.empty[Set[Int]]
+      val rows = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+      val q = spark.readStream
+        .option("maxBytesPerBatch", (small * 3).toString)
+        .table(s"gcdbyt.$t.changelog").writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_cdfbyt_").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select("_change_type", "_change_version", "id", "s")
+            .as[(String, Int, Long, String)].collect()
+          if (got.nonEmpty) batches.synchronized {
+            batches += got.map(_._2).toSet
+            rows ++= got
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // v1+v2 fit the budget together; v3 exceeds it ALONE and still
+      // flows; v4 trails
+      assert(batches.toSeq === Seq(Set(1, 2), Set(3), Set(4)), s"got $batches")
+      val uncapped = drain(s"gcdbyt.$t.changelog",
+        Files.createTempDirectory("graft_cdfbyt2_").toString)
+      assert(rows.toSet === uncapped.toSet)
+    }
+  }
 }

@@ -180,6 +180,15 @@ class ClusteringSpec extends SparkSpec {
       // SQL surface: clear it
       spark.sql(s"CALL gxws.system.set_write_order('$t', '')")
       assert(io.catalog.readMeta(t).sortOrder === Seq.empty)
+      // DDL sugar (r18): WRITE ORDERED BY / WRITE UNORDERED route
+      // through the same procedure — one code path
+      spark.sql(s"ALTER TABLE gxws.$t WRITE ORDERED BY (id, s)")
+      assert(io.catalog.readMeta(t).sortOrder === Seq("id", "s"))
+      spark.sql(s"ALTER TABLE gxws.$t WRITE UNORDERED")
+      assert(io.catalog.readMeta(t).sortOrder === Seq.empty)
+      // every other ALTER still parses through the delegate
+      spark.sql(s"ALTER TABLE gxws.$t ADD COLUMN extra2 INT")
+      assert(spark.table(s"gxws.$t").columns.contains("extra2"))
     } finally {
       spark.conf.unset("spark.sql.catalog.gxws")
       spark.conf.unset("spark.sql.catalog.gxws.warehouse")

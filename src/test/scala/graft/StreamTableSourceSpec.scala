@@ -475,6 +475,36 @@ class StreamTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("admission control: maxBytesPerBatch budgets commits by file bytes; an oversized commit still flows") {
+    withCat("gadb") { wh =>
+      val io = TableIO(spark, wh)
+      val t = "default.bcap"
+      // four single-file commits; the third is ~50x larger than the rest
+      io.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+      io.append((100L to 2000L).map(i => (i, s"pad$i" * 40)).toDF("id", "s").coalesce(1), t)
+      io.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+      val small = io.catalog.manifest(t, 1).map(f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      // budget: both small commits fit together, the big one never does
+      val batches = drainBatches(s"gadb.$t",
+        Files.createTempDirectory("graft_admb_").toString,
+        Map("maxBytesPerBatch" -> (small * 3).toString))
+      // v1+v2 pack into one batch; v3 exceeds the budget ALONE and
+      // must still be admitted; v4 trails
+      assert(batches.length === 3, s"got ${batches.map(_.size)}")
+      assert(batches(0).map(_._1).toSet === Set(1L, 2L))
+      assert(batches(1).map(_._1).toSet === (100L to 2000L).toSet)
+      assert(batches(2).map(_._1).toSet === Set(3L))
+      // invalid budget refuses naming the option
+      val e = intercept[Exception] {
+        drainBatches(s"gadb.$t", Files.createTempDirectory("graft_admb2_").toString,
+          Map("maxBytesPerBatch" -> "nope"))
+      }
+      assert(msgChain(e).contains("maxBytesPerBatch"), msgChain(e))
+    }
+  }
+
   test("admission control: invalid caps refuse naming the option; caps compose with skipRewriteCommits") {
     withCat("gadv") { wh =>
       val io = TableIO(spark, wh)
