@@ -125,7 +125,16 @@ object ScaleProbe {
     // write sort order: the range shuffle + sort is the honest linear
     // cost (10x rows sorted); the claim under test is that nothing is
     // table-sized beyond the batch being written
-    "q147_write_sort_order")
+    "q147_write_sort_order",
+    // r18: the filtered metadata aggregate is O(manifest) like q142 —
+    // probe pins FLAT-ish (the fixture write is the linear part);
+    // distributed centroid training is O(sample x nlist) independent
+    // of corpus size past the sample cap — near-flat expected; the
+    // two crawl-scale alternates must hold the shapes they were built
+    // for: q150 has no corpus-wide NTILE (near-linear in the scan),
+    // q151 swaps the global rank for a sample threshold (same)
+    "q148_filtered_metadata_agg", "q149_distributed_centroids",
+    "q150_ppl_sample_buckets", "q151_dsir_threshold")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
