@@ -669,6 +669,16 @@ object OracleQueries {
     "q145_scoped_compaction" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
+    // column-defaults replay: the base slice (written WITHOUT the
+    // column) serves the default via existence fill; the three
+    // inserts pin explicit-value, omitted-column, and DEFAULT-keyword
+    // resolution
+    "q152_column_defaults" ->
+      """SELECT c_custkey, c_name, 'std' AS tier FROM customer WHERE c_custkey <= 100
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'manual', 'gold'
+        |UNION ALL SELECT CAST(-2 AS BIGINT), 'auto', 'std'
+        |UNION ALL SELECT CAST(-3 AS BIGINT), 'kw', 'std'""".stripMargin,
+
     // metadata-delete replay: the surviving customers — the Spark side
     // dropped the middle file without reading it (asserted in-query)
     "q143_metadata_delete" ->

@@ -621,6 +621,32 @@ object SparkEntry {
       df
     }),
 
+    // COLUMN DEFAULT VALUES (r18 — Iceberg v3 initial/write defaults,
+    // Delta column defaults): ADD COLUMN ... DEFAULT is metadata-only;
+    // rows in files written without the column serve the default (the
+    // parquet readers' existence-default fill — never null, never a
+    // rewrite), INSERTs omitting the column or writing the DEFAULT
+    // keyword resolve the current default, explicit values win. The
+    // base slice is written WITHOUT the tier column, so every one of
+    // its rows exercises the existence fill.
+    "q152_column_defaults" -> ((s, dir) => {
+      val cname = "gcdf"
+      val io = catalogIO(s, cname, "graft_cdf2_")
+      val t = "default.cust_tier"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (c_custkey BIGINT, c_name STRING)")
+      // rerun-safe: the overwrite logically replaces prior runs' rows
+      io.overwrite(
+        Tables.customer(s, dir).filter(col("c_custkey") <= 100)
+          .select(col("c_custkey"), col("c_name")), t)
+      if (!s.table(s"$cname.$t").columns.contains("tier"))
+        s.sql(s"ALTER TABLE $cname.$t ADD COLUMN tier STRING DEFAULT 'std'")
+      s.sql(s"INSERT INTO $cname.$t VALUES (-1, 'manual', 'gold')")
+      s.sql(s"INSERT INTO $cname.$t (c_custkey, c_name) VALUES (-2, 'auto')")
+      s.sql(s"INSERT INTO $cname.$t VALUES (-3, 'kw', DEFAULT)")
+      s.table(s"$cname.$t").select(col("c_custkey"), col("c_name"), col("tier"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

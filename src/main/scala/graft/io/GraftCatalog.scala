@@ -298,6 +298,17 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     * reference: IngestionJob.scala:80-84), and hand back a writable
     * table for the SELECT's rows.
     */
+  /** Column DEFAULT values (Iceberg v3 initial/write defaults, Delta
+    * column defaults): declaring the capability lets CREATE/ALTER
+    * accept DEFAULT clauses; the values live as Spark's standard
+    * CURRENT_DEFAULT / EXISTS_DEFAULT field metadata inside the
+    * persisted schema JSON, so INSERT default resolution and the
+    * parquet readers' existence-default fill work unmodified.
+    */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -453,7 +464,24 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
-        val field = StructField(add.fieldNames()(0), add.dataType(), add.isNullable)
+        val field0 = StructField(add.fieldNames()(0), add.dataType(), add.isNullable)
+        // ADD COLUMN ... DEFAULT <v> (Iceberg v3 initial/write
+        // defaults, Delta column defaults): encode Spark's standard
+        // CURRENT_DEFAULT (future INSERTs missing the column) and
+        // EXISTS_DEFAULT (rows in files written before the column
+        // existed — the parquet readers fill it instead of null)
+        // into the field metadata; both persist inside schema.json.
+        val field = Option(add.defaultValue()) match {
+          case Some(dv) =>
+            val litSql = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value, dv.getValue.dataType).sql
+            field0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(field0.metadata)
+              .putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(litSql))
+              .putString("EXISTS_DEFAULT", litSql)
+              .build())
+          case None => field0
+        }
         require(!schema.fieldNames.contains(field.name),
           s"column already exists: ${field.name}")
         // a new column is born with physical name == its logical name;

@@ -573,4 +573,57 @@ class SchemaCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gs.warehouse")
     }
   }
+
+  test("column DEFAULT values: CREATE/ALTER defaults, INSERT omission, old files fill the default") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dflt_").toString
+    spark.conf.set("spark.sql.catalog.gdfl", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdfl.warehouse", wh)
+    try {
+      // CREATE TABLE with a declared default: omitted column, explicit
+      // DEFAULT keyword, and explicit value all resolve
+      spark.sql("CREATE TABLE gdfl.default.d1 (id BIGINT, tier STRING DEFAULT 'std')")
+      spark.sql("INSERT INTO gdfl.default.d1 VALUES (1, 'gold')")
+      spark.sql("INSERT INTO gdfl.default.d1 (id) VALUES (2)")
+      spark.sql("INSERT INTO gdfl.default.d1 VALUES (3, DEFAULT)")
+      assert(spark.table("gdfl.default.d1").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "gold"), (2L, "std"), (3L, "std")))
+
+      // ALTER TABLE ADD COLUMN ... DEFAULT (Iceberg v3 initial
+      // default): rows in files written BEFORE the column existed
+      // serve the default, not null — no rewrite, metadata-only
+      spark.sql("CREATE TABLE gdfl.default.d2 (id BIGINT)")
+      spark.sql("INSERT INTO gdfl.default.d2 VALUES (10)")
+      val io = TableIO(spark, wh)
+      val filesBefore = io.catalog.manifest("default.d2",
+        io.catalog.currentVersion("default.d2").get)
+      spark.sql("ALTER TABLE gdfl.default.d2 ADD COLUMN score INT DEFAULT 7")
+      assert(io.catalog.manifest("default.d2",
+        io.catalog.currentVersion("default.d2").get) === filesBefore,
+        "ADD COLUMN DEFAULT must be metadata-only")
+      spark.sql("INSERT INTO gdfl.default.d2 (id) VALUES (11)") // current default
+      spark.sql("INSERT INTO gdfl.default.d2 VALUES (12, 99)")
+      assert(spark.table("gdfl.default.d2").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+        Seq((10L, 7), (11L, 7), (12L, 99)))
+      // both defaults persist in the schema JSON (survive restarts)
+      val json = io.catalog.readMeta("default.d2").schemaJson.get
+      assert(json.contains("EXISTS_DEFAULT") && json.contains("CURRENT_DEFAULT"))
+      // time travel reads under the CURRENT declared schema (the
+      // documented Delta-style semantics here): the pre-ALTER snapshot
+      // serves the default for the added column, not null
+      val preAlterV = io.catalog.currentVersion("default.d2").get - 2 // before the two post-ALTER inserts
+      val tt = spark.sql(s"SELECT id, score FROM gdfl.default.d2 VERSION AS OF $preAlterV")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(tt.toSeq === Seq((10L, 7)))
+      // aggregates over the default-filled column stay value-correct
+      // (old files carry no stats for it -> metadata path refuses)
+      val agg = spark.sql(
+        "SELECT count(score) AS c, min(score) AS mn FROM gdfl.default.d2").collect().head
+      assert((agg.getLong(0), agg.getInt(1)) === ((3L, 7)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdfl")
+      spark.conf.unset("spark.sql.catalog.gdfl.warehouse")
+    }
+  }
 }
