@@ -679,6 +679,15 @@ object OracleQueries {
         |UNION ALL SELECT CAST(-2 AS BIGINT), 'auto', 'std'
         |UNION ALL SELECT CAST(-3 AS BIGINT), 'kw', 'std'""".stripMargin,
 
+    // type-widening replay: the narrow-typed base slice read back
+    // under the widened schema (float->double is value-exact), plus
+    // the post-ALTER row that only fits the wide type
+    "q153_type_widening" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS ckey,
+        |  CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey <= 100
+        |UNION ALL SELECT CAST(9999999999 AS BIGINT), CAST(0.5 AS DOUBLE)""".stripMargin,
+
     // metadata-delete replay: the surviving customers — the Spark side
     // dropped the middle file without reading it (asserted in-query)
     "q143_metadata_delete" ->

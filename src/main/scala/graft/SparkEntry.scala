@@ -647,6 +647,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // TYPE WIDENING (r18 — Iceberg/Delta `ALTER COLUMN ... TYPE`):
+    // metadata-only lossless widening (int->bigint, float->double,
+    // decimal precision growth); old files keep their narrow physical
+    // type and the parquet readers widen at scan time, so a value past
+    // Int.MaxValue can land right after the ALTER with zero rewrite.
+    // Lossy retypes refuse (Spark's analyzer catches narrowing, the
+    // catalog's lossless rule catches long->double and scale changes).
+    "q153_type_widening" -> ((s, dir) => {
+      val cname = "gtw"
+      val io = catalogIO(s, cname, "graft_tw_")
+      val t = "default.cust_wide"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (ckey INT, bal FLOAT)")
+      // base slice under the NARROW types; rerun-safe logical replace
+      io.overwrite(Tables.customer(s, dir).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").cast("int").as("ckey"),
+          col("c_acctbal").cast("float").as("bal")), t)
+      if (s.table(s"$cname.$t").schema("ckey").dataType !=
+          org.apache.spark.sql.types.LongType) {
+        s.sql(s"ALTER TABLE $cname.$t ALTER COLUMN ckey TYPE BIGINT")
+        s.sql(s"ALTER TABLE $cname.$t ALTER COLUMN bal TYPE DOUBLE")
+      }
+      s.sql(s"INSERT INTO $cname.$t VALUES (9999999999, 0.5)")
+      s.table(s"$cname.$t").select(col("ckey"), col("bal")).orderBy(col("ckey"))
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

@@ -538,9 +538,35 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         renames -= from
         if (to != phys) renames += (to -> phys) // renaming back to the birth name clears the entry
         schema = StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      case upd: TableChange.UpdateColumnType =>
+        // ALTER COLUMN ... TYPE (Iceberg/Delta type widening):
+        // metadata-only — existing files keep their narrow physical
+        // type, Spark 4's parquet readers widen at scan time, and the
+        // stats comparators already box-mix (Integer stat vs Long
+        // literal, Float vs Double). Only LOSSLESS widenings are
+        // accepted; anything else refuses naming the rule (a narrow
+        // or lossy retype would silently corrupt values/pruning).
+        require(upd.fieldNames().length == 1,
+          s"nested ALTER COLUMN not supported: ${upd.fieldNames().mkString(".")}")
+        val from = upd.fieldNames()(0)
+        require(schema.fieldNames.contains(from), s"no such column: $from")
+        require(!pcols.contains(from), s"cannot retype partition column: $from")
+        require(!specSources.contains(from),
+          s"cannot retype partition-spec source column: $from (directory arithmetic " +
+            "depends on the source type)")
+        val old = schema(from).dataType
+        val nt = upd.newDataType()
+        require(GraftCatalog.widens(old, nt),
+          s"ALTER COLUMN $from TYPE: only lossless widenings are supported — " +
+            s"${old.simpleString} -> ${nt.simpleString} is not (allowed: " +
+            "byte<short<int<long, float->double, byte/short/int->double, " +
+            "decimal precision growth at fixed scale)")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(dataType = nt) else f))
       case other =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ADD/DROP/RENAME COLUMN only, got: $other")
+          s"graft catalog supports ADD/DROP/RENAME COLUMN and lossless " +
+            s"ALTER COLUMN TYPE only, got: $other")
     }
     // one atomic metadata commit: schema + renames + dropped move
     // together or not at all (no crash window between pieces).
@@ -2048,6 +2074,28 @@ private[io] object GraftTable {
 }
 
 private[io] object GraftCatalog {
+  /** Is `from -> to` a LOSSLESS type widening? Every value of `from`
+    * converts exactly: integral chains, float->double (every float is
+    * a double), small-integral->double (ints are exact below 2^53),
+    * decimal precision growth at a FIXED scale. long->double is
+    * deliberately absent (lossy above 2^53), as is any scale change.
+    */
+  def widens(from: org.apache.spark.sql.types.DataType,
+             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
   /** Best-effort recursive delete of a private staging dir. */
   def sweepDir(dir: java.nio.file.Path): Unit =
     try {

@@ -574,6 +574,58 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widens losslessly and metadata-only; lossy retypes refuse naming the rule") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wide_").toString
+    spark.conf.set("spark.sql.catalog.gwid", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwid.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gwid.default.w1 (k INT, x FLOAT, amt DECIMAL(5,2))")
+      spark.sql("INSERT INTO gwid.default.w1 VALUES (1, CAST(1.5 AS FLOAT), 12.34), " +
+        "(2147483647, CAST(2.5 AS FLOAT), 99.99)")
+      val io = TableIO(spark, wh)
+      val before = io.catalog.manifest("default.w1",
+        io.catalog.currentVersion("default.w1").get)
+      spark.sql("ALTER TABLE gwid.default.w1 ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE gwid.default.w1 ALTER COLUMN x TYPE DOUBLE")
+      spark.sql("ALTER TABLE gwid.default.w1 ALTER COLUMN amt TYPE DECIMAL(12,2)")
+      // metadata-only: no rewrite; old narrow files read under the
+      // wide schema (Spark 4 parquet readers widen at scan time)
+      assert(io.catalog.manifest("default.w1",
+        io.catalog.currentVersion("default.w1").get) === before)
+      spark.sql("INSERT INTO gwid.default.w1 VALUES (9999999999, 3.25, 12345678.90)")
+      val got = spark.table("gwid.default.w1").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDecimal(2).toString))
+      assert(got.toSeq === Seq((1L, 1.5, "12.34"),
+        (2147483647L, 2.5, "99.99"), (9999999999L, 3.25, "12345678.90")))
+      // point predicate across MIXED stat boxes (Integer footer stats
+      // in old files, Long in the new one) stays exact
+      assert(spark.sql("SELECT count(*) FROM gwid.default.w1 WHERE k = 9999999999")
+        .collect().head.getLong(0) === 1L)
+      // lossy retypes refuse: plain narrowing dies in Spark's own
+      // analyzer (NOT_SUPPORTED_CHANGE_COLUMN); the shapes Spark's
+      // looser up-cast lattice lets through (long->double loses above
+      // 2^53, decimal SCALE changes re-render every value) die on our
+      // lossless rule by name
+      Seq("ALTER COLUMN k TYPE INT", "ALTER COLUMN x TYPE FLOAT",
+        "ALTER COLUMN k TYPE DOUBLE", "ALTER COLUMN amt TYPE DECIMAL(12,4)")
+        .foreach { ddl =>
+          val e = intercept[Exception](spark.sql(s"ALTER TABLE gwid.default.w1 $ddl"))
+          assert(e.getMessage.contains("lossless") ||
+            e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), s"$ddl: ${e.getMessage}")
+        }
+      // layout-bearing columns refuse: their directory arithmetic
+      // depends on the source type
+      spark.sql("CREATE TABLE gwid.default.w2 (d DATE, v INT) PARTITIONED BY (days(d))")
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE gwid.default.w2 ALTER COLUMN d TYPE TIMESTAMP"))
+      assert(e2.getMessage.contains("partition-spec source") ||
+        e2.getMessage.contains("lossless"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gwid")
+      spark.conf.unset("spark.sql.catalog.gwid.warehouse")
+    }
+  }
+
   test("column DEFAULT values: CREATE/ALTER defaults, INSERT omission, old files fill the default") {
     val wh = java.nio.file.Files.createTempDirectory("graft_dflt_").toString
     spark.conf.set("spark.sql.catalog.gdfl", classOf[graft.io.GraftCatalog].getName)
