@@ -679,6 +679,15 @@ object OracleQueries {
         |UNION ALL SELECT CAST(-2 AS BIGINT), 'auto', 'std'
         |UNION ALL SELECT CAST(-3 AS BIGINT), 'kw', 'std'""".stripMargin,
 
+    // write-distribution replay: content is layout-only — the slice
+    // unchanged (the Spark side asserts one file per day in-query)
+    "q154_write_distribution" ->
+      """SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS od,
+        |  o_totalprice AS price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'""".stripMargin,
+
     // type-widening replay: the narrow-typed base slice read back
     // under the widened schema (float->double is value-exact), plus
     // the post-ALTER row that only fits the wide type

@@ -647,6 +647,35 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // WRITE DISTRIBUTION MODE (r18 — Iceberg's
+    // write.distribution-mode = hash): the batch clusters by its
+    // layout columns before the partitioned write, so each partition
+    // value is written by ONE task — one file per day per commit
+    // (asserted in-query) instead of (tasks x partitions) small files,
+    // the dominant small-file source on partitioned 100 TB appends.
+    // Content is layout-only: the read hash-matches the plain slice.
+    "q154_write_distribution" -> ((s, dir) => {
+      val cname = "gwdq"
+      val io = catalogIO(s, cname, "graft_wdq_")
+      val t = "default.ord_dist"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (okey BIGINT, od DATE, price DOUBLE) " +
+        "PARTITIONED BY (days(od))")
+      io.setWriteDistribution(t, "hash")
+      val ords = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice").as("price"))
+        .filter(col("od") >= lit("1996-01-01") && col("od") < lit("1996-02-01"))
+      // a deliberately fragmented input: without the mode this writes
+      // up to 8 files per day
+      io.overwrite(ords.repartition(8), t)
+      val v = io.catalog.currentVersion(t).get
+      val perDay = io.catalog.manifest(t, v)
+        .groupBy(f => f.split("gp_days_od=")(1).split('/')(0))
+      require(perDay.nonEmpty && perDay.values.forall(_.size == 1),
+        s"hash distribution must write ONE file per day, got " +
+          perDay.view.mapValues(_.size).toMap)
+      io.read(t).select(col("okey"), col("od"), col("price"))
+    }),
+
     // TYPE WIDENING (r18 — Iceberg/Delta `ALTER COLUMN ... TYPE`):
     // metadata-only lossless widening (int->bigint, float->double,
     // decimal precision growth); old files keep their narrow physical

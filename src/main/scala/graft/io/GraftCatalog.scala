@@ -578,7 +578,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     c1.writeMeta(name, c1.TableMeta(
       schemaJson = Some(schema.json), partitionCols = Some(pcols),
       renames = renames, dropped = dropped.toSeq,
-      partitionSpec = meta0.partitionSpec, sortOrder = meta0.sortOrder))
+      partitionSpec = meta0.partitionSpec, sortOrder = meta0.sortOrder,
+      distribution = meta0.distribution))
     loadTable(ident)
   }
 

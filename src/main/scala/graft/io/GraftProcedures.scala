@@ -33,7 +33,7 @@ private[io] object GraftProcedures {
       "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
       "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
-      "apply_deletes_branch", "compact_where", "set_write_order")
+      "apply_deletes_branch", "compact_where", "set_write_order", "set_write_distribution")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -165,6 +165,20 @@ private[io] object GraftProcedures {
           io.setWriteSortOrder(t, cols.toSeq)
           Seq(new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
+        }))
+    case "set_write_distribution" =>
+      // write distribution mode (Iceberg's write.distribution-mode):
+      // 'hash' clusters each batch by the layout columns; 'none' clears
+      Some(proc("set_write_distribution",
+        Seq("table" -> StringType, "mode" -> StringType),
+        new StructType().add("mode", StringType, nullable = false),
+        (in: InternalRow) => {
+          val t = in.getUTF8String(0).toString
+          val mode = in.getUTF8String(1).toString
+          val io = new TableIO(SparkSession.active, cat)
+          io.setWriteDistribution(t, mode)
+          Seq(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(mode.trim.toLowerCase))))
         }))
     case "compact_where" =>
       // predicate-scoped compaction: only files the predicate can

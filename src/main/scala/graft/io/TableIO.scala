@@ -326,7 +326,14 @@ final case class TableCatalog(warehouse: String) {
                              // write.sort-order): appends/overwrites
                              // land range-distributed + sorted on
                              // these columns
-                             sortOrder: Seq[String] = Seq.empty)
+                             sortOrder: Seq[String] = Seq.empty,
+                             // WRITE DISTRIBUTION MODE (Iceberg's
+                             // write.distribution-mode): Some("hash")
+                             // clusters each batch by the layout
+                             // columns before the partitioned write —
+                             // one file per partition value per
+                             // commit, not (tasks x partitions)
+                             distribution: Option[String] = None)
 
   /** Scoped per-thread meta cache: one logical write reads table meta
     * several times on the driver thread (write order, renames ×2,
@@ -370,7 +377,8 @@ final case class TableCatalog(warehouse: String) {
           .grouped(2).collect { case Seq(l, p) => l -> p }.toMap,
         dropped = TableCatalog.parseStringArrayAt(json, "dropped"),
         partitionSpec = TableCatalog.parseStringArrayAt(json, "pspec"),
-        sortOrder = TableCatalog.parseStringArrayAt(json, "sort"))
+        sortOrder = TableCatalog.parseStringArrayAt(json, "sort"),
+        distribution = TableCatalog.parseStringAt(json, "dist"))
     }
   }
 
@@ -411,6 +419,7 @@ final case class TableCatalog(warehouse: String) {
     meta.partitionCols.foreach(p => fields += s""""pcols": ${arr(p)}""")
     if (meta.partitionSpec.nonEmpty) fields += s""""pspec": ${arr(meta.partitionSpec)}"""
     if (meta.sortOrder.nonEmpty) fields += s""""sort": ${arr(meta.sortOrder)}"""
+    meta.distribution.foreach(d => fields += s""""dist": "${TableCatalog.escape(d)}"""")
     fields += s""""renames": ${arr(meta.renames.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) })}"""
     fields += s""""dropped": ${arr(meta.dropped.distinct.sorted)}"""
     val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID()}.json.tmp")
@@ -3609,7 +3618,22 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * `listDataFiles`); `removeOrphanFiles` can reclaim it.
     */
   private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String]): Seq[String] = {
-    val (laid, layoutCols) = withLayout(df, name, partitionCols)
+    val (laid0, layoutCols) = withLayout(df, name, partitionCols)
+    // WRITE DISTRIBUTION MODE (Iceberg's write.distribution-mode =
+    // hash): cluster the batch by its layout columns so each partition
+    // value is written by ONE task — one file per partition per commit
+    // instead of (tasks x partitions) small files, the dominant
+    // small-file source on partitioned 100 TB appends. Deferred when a
+    // write SORT ORDER is declared (the range distribution already
+    // owns the batch's layout); meta read is cached for the write.
+    val laid = {
+      val meta =
+        try catalog.readMeta(name)
+        catch { case scala.util.control.NonFatal(_) => catalog.TableMeta() }
+      if (layoutCols.nonEmpty && meta.distribution.contains("hash") && meta.sortOrder.isEmpty)
+        laid0.repartition(layoutCols.map(col): _*)
+      else laid0
+    }
     val tableRoot = Paths.get(catalog.pathOf(name))
     Files.createDirectories(tableRoot)
     val staging = Files.createTempDirectory(tableRoot, ".stage-")
@@ -3679,6 +3703,23 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * persisted in table meta, honored by every subsequent append and
     * overwrite. SQL surface: CALL system.set_write_order(table, cols).
     */
+  /** Declare (or clear, with "none") the table's write distribution
+    * mode; persisted in table meta, honored by every subsequent
+    * partitioned append/overwrite/rewrite. SQL surface:
+    * CALL system.set_write_distribution(table, mode).
+    */
+  def setWriteDistribution(name: String, mode: String): Unit = {
+    val m = mode.trim.toLowerCase
+    require(m == "hash" || m == "none",
+      s"setWriteDistribution: mode must be 'hash' or 'none', got '$mode'")
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val meta = catalog.readMeta(name)
+      catalog.writeMeta(name, meta.copy(distribution = if (m == "none") None else Some(m)))
+    } finally lock.release()
+  }
+
   def setWriteSortOrder(name: String, cols: Seq[String]): Unit = {
     // locked read-modify-write: a concurrent ALTER TABLE or another
     // set_write_order must not have its meta fields clobbered by this

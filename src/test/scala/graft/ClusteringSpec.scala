@@ -195,6 +195,56 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("write distribution 'hash': one file per partition value per commit; mode persists and clears") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wd_").toString
+    val io = graft.io.TableIO(spark, wh)
+    val t = "default.wd_t"
+    io.setPartitionSpec(t, Seq("days(ts)"))
+    def batch(off: Int) = (0 until 120).map { i =>
+      (off + i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-05-01T06:00:00Z").plusSeconds((i % 3) * 86400L + i)))
+    }.toDF("id", "ts")
+    def newFiles(prevV: Int): Seq[String] = {
+      val v = io.catalog.currentVersion(t).get
+      io.catalog.manifest(t, v).diff(
+        if (prevV == 0) Seq.empty else io.catalog.manifest(t, prevV))
+    }
+    def perDay(files: Seq[String]): Map[String, Int] =
+      files.groupBy(f => f.split("gp_days_ts=")(1).split('/')(0)).view.mapValues(_.size).toMap
+    // default mode: every task writes every day it holds -> several
+    // files per day-dir
+    io.append(batch(0).repartition(8), t)
+    val v1 = io.catalog.currentVersion(t).get
+    assert(perDay(newFiles(0)).values.max > 1,
+      s"fixture must produce multi-file days without the mode: ${perDay(newFiles(0))}")
+    // hash mode: each day lands in ONE task -> exactly one file per day
+    io.setWriteDistribution(t, "hash")
+    io.append(batch(1000).repartition(8), t)
+    val v2 = io.catalog.currentVersion(t).get
+    assert(perDay(newFiles(v1)).values.toSet === Set(1),
+      s"hash mode must write one file per day: ${perDay(newFiles(v1))}")
+    // content is layout-only
+    assert(io.read(t).count() === 240L)
+    // clearing restores the default behavior
+    io.setWriteDistribution(t, "none")
+    io.append(batch(2000).repartition(8), t)
+    assert(perDay(newFiles(v2)).values.max > 1)
+    assert(io.catalog.readMeta(t).distribution.isEmpty)
+    // SQL surface + invalid mode refusal
+    spark.conf.set("spark.sql.catalog.gxwd", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gxwd.warehouse", wh)
+    try {
+      spark.sql(s"CALL gxwd.system.set_write_distribution('$t', 'hash')")
+      assert(io.catalog.readMeta(t).distribution === Some("hash"))
+      val e = intercept[Exception](
+        spark.sql(s"CALL gxwd.system.set_write_distribution('$t', 'range')"))
+      assert(e.getMessage.contains("hash"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gxwd")
+      spark.conf.unset("spark.sql.catalog.gxwd.warehouse")
+    }
+  }
+
   test("ALTER on a hidden-layout table keeps the partition spec (regression: fresh meta stripped pspec)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_psc_").toString
     spark.conf.set("spark.sql.catalog.gxps", classOf[graft.io.GraftCatalog].getName)
