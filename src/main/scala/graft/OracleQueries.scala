@@ -679,6 +679,12 @@ object OracleQueries {
         |UNION ALL SELECT CAST(-2 AS BIGINT), 'auto', 'std'
         |UNION ALL SELECT CAST(-3 AS BIGINT), 'kw', 'std'""".stripMargin,
 
+    // check-constraint replay: the valid rows only — the violating
+    // insert refused without committing (asserted in-query)
+    "q155_check_constraints" ->
+      """SELECT c_custkey AS ckey, c_acctbal AS bal FROM customer WHERE c_custkey <= 100
+        |UNION ALL SELECT CAST(1000000 AS BIGINT), CAST(1.5 AS DOUBLE)""".stripMargin,
+
     // write-distribution replay: content is layout-only — the slice
     // unchanged (the Spark side asserts one file per day in-query)
     "q154_write_distribution" ->

@@ -647,6 +647,32 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // CHECK CONSTRAINTS (r18 — Delta's ALTER TABLE ADD CONSTRAINT):
+    // the predicate persists in table meta and is reported through
+    // DSv2 `Table.constraints()`, so SQL inserts enforce through
+    // Spark's own CHECK_CONSTRAINT_VIOLATION path while programmatic
+    // writes validate in the SAME pass that writes (an assert_true
+    // guard in the scan pipeline — zero extra passes). A violating
+    // insert refuses WITHOUT committing, asserted in-query.
+    "q155_check_constraints" -> ((s, dir) => {
+      val cname = "gchq"
+      val io = catalogIO(s, cname, "graft_chq_")
+      val t = "default.cust_chk"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (ckey BIGINT, bal DOUBLE)")
+      io.overwrite(Tables.customer(s, dir).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("ckey"), col("c_acctbal").as("bal")), t)
+      if (io.catalog.readMeta(t).checks.isEmpty)
+        s.sql(s"ALTER TABLE $cname.$t ADD CONSTRAINT ckey_nonneg CHECK (ckey >= 0)")
+      s.sql(s"INSERT INTO $cname.$t VALUES (1000000, 1.5)")
+      val v = io.catalog.currentVersion(t).get
+      val refused =
+        try { s.sql(s"INSERT INTO $cname.$t VALUES (-1, 0.0)"); false }
+        catch { case _: Exception => true }
+      require(refused && io.catalog.currentVersion(t).get == v,
+        "a violating insert must refuse without committing a snapshot")
+      io.read(t).select(col("ckey"), col("bal"))
+    }),
+
     // WRITE DISTRIBUTION MODE (r18 — Iceberg's
     // write.distribution-mode = hash): the batch clusters by its
     // layout columns before the partitioned write, so each partition

@@ -307,7 +307,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     */
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def createTable(
       ident: Identifier,
@@ -451,6 +452,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     var schema = current
     var renames = catalog.renames(name)
     var dropped = catalog.droppedCols(name).toSet
+    var checks = catalog.readMeta(name).checks
     // hidden-partition SOURCE columns are as load-bearing as the
     // layout columns themselves: the spec string and the on-disk
     // gp_* directory names both embed the source name, so dropping
@@ -563,10 +565,39 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
             "decimal precision growth at fixed scale)")
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(dataType = nt) else f))
+      case ac: TableChange.AddConstraint =>
+        // CHECK constraints (Delta's ADD CONSTRAINT ... CHECK): the
+        // predicate persists in table meta and every subsequent write
+        // validates rows in-pass (TableIO.applyChecks). EXISTING rows
+        // validate NOW — adding a constraint the current data violates
+        // fails here instead of lurking (Delta semantics).
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val cn = c.name()
+            require(!checks.contains(cn), s"constraint already exists: $cn")
+            val pred = Option(c.predicateSql()).getOrElse(
+              throw new IllegalArgumentException(s"CHECK constraint $cn has no SQL predicate"))
+            val io = new TableIO(SparkSession.active, catalog)
+            val bad =
+              if (catalog.currentVersion(name).isEmpty) 0L
+              else io.read(name)
+                .filter(org.apache.spark.sql.functions.expr(s"($pred) <=> false"))
+                .limit(1).count()
+            require(bad == 0L,
+              s"cannot add CHECK constraint $cn: existing rows violate ($pred)")
+            checks += (cn -> pred)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported, got: ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        require(checks.contains(dc.name) || dc.ifExists,
+          s"no such constraint: ${dc.name}")
+        checks -= dc.name
       case other =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports ADD/DROP/RENAME COLUMN and lossless " +
-            s"ALTER COLUMN TYPE only, got: $other")
+          s"graft catalog supports ADD/DROP/RENAME COLUMN, lossless " +
+            s"ALTER COLUMN TYPE, and ADD/DROP CONSTRAINT (CHECK) only, got: $other")
     }
     // one atomic metadata commit: schema + renames + dropped move
     // together or not at all (no crash window between pieces).
@@ -579,7 +610,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       schemaJson = Some(schema.json), partitionCols = Some(pcols),
       renames = renames, dropped = dropped.toSeq,
       partitionSpec = meta0.partitionSpec, sortOrder = meta0.sortOrder,
-      distribution = meta0.distribution))
+      distribution = meta0.distribution, checks = checks))
     loadTable(ident)
   }
 
@@ -728,6 +759,19 @@ private[io] class GraftTable(
   override def partitioning(): Array[Transform] =
     if (pspec.isEmpty) partitionCols.map(Expressions.identity).toArray
     else pspec.map(PartitionTransforms.v2Transform).toArray
+
+  // CHECK constraints, reported enforced+VALID: existing rows were
+  // validated when the constraint was added, and every write since
+  // validated in-pass (TableIO.applyChecks)
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    cat.readMeta(tableName).checks.toSeq.sortBy(_._1).map { case (n, pred) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(pred)
+        .enforced(true)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

@@ -333,7 +333,13 @@ final case class TableCatalog(warehouse: String) {
                              // columns before the partitioned write —
                              // one file per partition value per
                              // commit, not (tasks x partitions)
-                             distribution: Option[String] = None)
+                             distribution: Option[String] = None,
+                             // CHECK constraints (Delta's ALTER TABLE
+                             // ADD CONSTRAINT ... CHECK): name -> SQL
+                             // predicate; every write path validates
+                             // rows in-pass and refuses on a FALSE
+                             // (NULL passes, SQL CHECK semantics)
+                             checks: Map[String, String] = Map.empty)
 
   /** Scoped per-thread meta cache: one logical write reads table meta
     * several times on the driver thread (write order, renames ×2,
@@ -378,7 +384,9 @@ final case class TableCatalog(warehouse: String) {
         dropped = TableCatalog.parseStringArrayAt(json, "dropped"),
         partitionSpec = TableCatalog.parseStringArrayAt(json, "pspec"),
         sortOrder = TableCatalog.parseStringArrayAt(json, "sort"),
-        distribution = TableCatalog.parseStringAt(json, "dist"))
+        distribution = TableCatalog.parseStringAt(json, "dist"),
+        checks = TableCatalog.parseStringArrayAt(json, "checks")
+          .grouped(2).collect { case Seq(n, p) => n -> p }.toMap)
     }
   }
 
@@ -420,6 +428,8 @@ final case class TableCatalog(warehouse: String) {
     if (meta.partitionSpec.nonEmpty) fields += s""""pspec": ${arr(meta.partitionSpec)}"""
     if (meta.sortOrder.nonEmpty) fields += s""""sort": ${arr(meta.sortOrder)}"""
     meta.distribution.foreach(d => fields += s""""dist": "${TableCatalog.escape(d)}"""")
+    if (meta.checks.nonEmpty)
+      fields += s""""checks": ${arr(meta.checks.toSeq.sortBy(_._1).flatMap { case (n, p) => Seq(n, p) })}"""
     fields += s""""renames": ${arr(meta.renames.toSeq.sortBy(_._1).flatMap { case (l, p) => Seq(l, p) })}"""
     fields += s""""dropped": ${arr(meta.dropped.distinct.sorted)}"""
     val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID()}.json.tmp")
@@ -3675,10 +3685,31 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // withLayout) each read table meta — one catalog round-trip per
       // commit, not four (r17 verdict item 1)
       try catalog.cachedMeta {
-        writeLocked(applyWriteOrder(df, name), name, append, partitionCols, props)
+        writeLocked(applyWriteOrder(applyChecks(df, name), name),
+          name, append, partitionCols, props)
       }
       finally lock.release()
     }
+
+  /** Enforce the table's CHECK constraints on an incoming write in the
+    * SAME pass that writes the rows: every row evaluates every
+    * predicate through an assert_true guard (a violation fails the
+    * write job before anything commits), so enforcement costs zero
+    * extra scans. SQL CHECK semantics: only a FALSE predicate
+    * violates — NULL (unknown) passes. A predicate referencing a
+    * column the batch doesn't carry fails the write loudly (analysis
+    * error), never silently skips the check.
+    */
+  private def applyChecks(df: DataFrame, name: String): DataFrame = {
+    val checks =
+      try catalog.readMeta(name).checks
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cn, pred)) =>
+      val msg = s"CHECK constraint $cn violated".replace("'", "")
+      d.filter(org.apache.spark.sql.functions.expr(
+        s"isnull(assert_true(NOT (($pred) <=> false), '$msg'))"))
+    }
+  }
 
   /** Apply the table's persisted WRITE SORT ORDER (Iceberg's
     * write.sort-order) to an incoming append/overwrite: range-

@@ -626,6 +626,53 @@ class SchemaCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: add validates existing rows, writes enforce in-pass, NULL passes, DROP clears") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_chk_").toString
+    spark.conf.set("spark.sql.catalog.gchk", classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gchk.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gchk.default.c1 (id BIGINT, qty INT)")
+      spark.sql("INSERT INTO gchk.default.c1 VALUES (1, 5)")
+      spark.sql("ALTER TABLE gchk.default.c1 ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+      // SQL inserts enforce through the reported constraint (Spark's
+      // own CHECK_CONSTRAINT_VIOLATION path)
+      val e1 = intercept[Exception](
+        spark.sql("INSERT INTO gchk.default.c1 VALUES (2, -3)"))
+      assert(e1.getMessage.contains("qty_pos"), e1.getMessage)
+      // programmatic writes enforce in the SAME pass that writes
+      // (TableIO.applyChecks assert_true guard) — nothing commits
+      val io = TableIO(spark, wh)
+      val v0 = io.catalog.currentVersion("default.c1").get
+      val e2 = intercept[Exception](
+        io.append(Seq((3L, -9)).toDF("id", "qty").coalesce(1), "default.c1"))
+      def chain(x: Throwable): String = {
+        def walk(c: Throwable): Seq[String] =
+          if (c == null) Seq.empty else Option(c.getMessage).toSeq ++ walk(c.getCause)
+        walk(x).mkString(" | ")
+      }
+      assert(chain(e2).contains("qty_pos"), chain(e2))
+      assert(io.catalog.currentVersion("default.c1").get === v0,
+        "a refused write must not commit a snapshot")
+      // NULL passes (SQL CHECK semantics: only FALSE violates)
+      spark.sql("INSERT INTO gchk.default.c1 VALUES (4, NULL)")
+      assert(spark.table("gchk.default.c1").count() === 2L)
+      // adding a constraint the data violates refuses up front
+      val e3 = intercept[Exception](
+        spark.sql("ALTER TABLE gchk.default.c1 ADD CONSTRAINT id_small CHECK (id < 2)"))
+      assert(e3.getMessage.toLowerCase.contains("violat"), e3.getMessage)
+      // constraints persist in meta and survive a fresh catalog read
+      assert(io.catalog.readMeta("default.c1").checks === Map("qty_pos" -> "qty > 0"))
+      // DROP CONSTRAINT clears enforcement
+      spark.sql("ALTER TABLE gchk.default.c1 DROP CONSTRAINT qty_pos")
+      spark.sql("INSERT INTO gchk.default.c1 VALUES (5, -1)")
+      assert(spark.table("gchk.default.c1").count() === 3L)
+      assert(io.catalog.readMeta("default.c1").checks.isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gchk")
+      spark.conf.unset("spark.sql.catalog.gchk.warehouse")
+    }
+  }
+
   test("column DEFAULT values: CREATE/ALTER defaults, INSERT omission, old files fill the default") {
     val wh = java.nio.file.Files.createTempDirectory("graft_dflt_").toString
     spark.conf.set("spark.sql.catalog.gdfl", classOf[graft.io.GraftCatalog].getName)
