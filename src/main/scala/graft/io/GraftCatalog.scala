@@ -453,6 +453,23 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     var renames = catalog.renames(name)
     var dropped = catalog.droppedCols(name).toSet
     var checks = catalog.readMeta(name).checks
+    var sortOrder = catalog.readMeta(name).sortOrder
+    // conservative reference set of a CHECK predicate — DROP/RENAME of
+    // a referenced column would break EVERY future write's validation
+    // (analysis error on the guard), so those ALTERs refuse by name;
+    // an unparseable predicate blocks (never silently allows)
+    def checkRefs(pred: String): Set[String] =
+      try SparkSession.active.sessionState.sqlParser.parseExpression(pred)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }.toSet
+      catch { case scala.util.control.NonFatal(_) => schema.fieldNames.toSet }
+    def requireNotChecked(colName: String, what: String): Unit =
+      checks.find { case (_, p) => checkRefs(p).contains(colName) }.foreach {
+        case (cn, p) => throw new IllegalArgumentException(
+          s"cannot $what column '$colName': CHECK constraint $cn references it ($p) — " +
+            "drop the constraint first")
+      }
     // hidden-partition SOURCE columns are as load-bearing as the
     // layout columns themselves: the spec string and the on-disk
     // gp_* directory names both embed the source name, so dropping
@@ -523,9 +540,13 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
               "entries key on it — run applyDeletes (and applyDeletesBranch for dirty " +
               "branches) first")
         }
+        requireNotChecked(colName, "drop")
         dropped += physOf(colName)
         renames -= colName
         schema = StructType(schema.fields.filterNot(_.name == colName))
+        // a dropped sort column leaves the order (Iceberg's behavior);
+        // the remaining columns keep clustering writes
+        sortOrder = sortOrder.filterNot(_ == colName)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1,
           s"nested RENAME COLUMN not supported: ${ren.fieldNames().mkString(".")}")
@@ -536,10 +557,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         require(!pcols.contains(from), s"cannot rename partition column: $from")
         require(!specSources.contains(from),
           s"cannot rename partition-spec source column: $from")
+        requireNotChecked(from, "rename")
         val phys = physOf(from)
         renames -= from
         if (to != phys) renames += (to -> phys) // renaming back to the birth name clears the entry
         schema = StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        // the write sort order follows the rename — a stale name would
+        // silently stop clustering every future write
+        sortOrder = sortOrder.map(c => if (c == from) to else c)
       case upd: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE (Iceberg/Delta type widening):
         // metadata-only — existing files keep their narrow physical
@@ -609,7 +634,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     c1.writeMeta(name, c1.TableMeta(
       schemaJson = Some(schema.json), partitionCols = Some(pcols),
       renames = renames, dropped = dropped.toSeq,
-      partitionSpec = meta0.partitionSpec, sortOrder = meta0.sortOrder,
+      partitionSpec = meta0.partitionSpec, sortOrder = sortOrder,
       distribution = meta0.distribution, checks = checks))
     loadTable(ident)
   }

@@ -189,6 +189,13 @@ class ClusteringSpec extends SparkSpec {
       // every other ALTER still parses through the delegate
       spark.sql(s"ALTER TABLE gxws.$t ADD COLUMN extra2 INT")
       assert(spark.table(s"gxws.$t").columns.contains("extra2"))
+      // the sort order FOLLOWS a rename and sheds a dropped column —
+      // a stale name would silently stop clustering future writes
+      spark.sql(s"ALTER TABLE gxws.$t WRITE ORDERED BY (id, extra2)")
+      spark.sql(s"ALTER TABLE gxws.$t RENAME COLUMN extra2 TO extra3")
+      assert(io.catalog.readMeta(t).sortOrder === Seq("id", "extra3"))
+      spark.sql(s"ALTER TABLE gxws.$t DROP COLUMN extra3")
+      assert(io.catalog.readMeta(t).sortOrder === Seq("id"))
     } finally {
       spark.conf.unset("spark.sql.catalog.gxws")
       spark.conf.unset("spark.sql.catalog.gxws.warehouse")

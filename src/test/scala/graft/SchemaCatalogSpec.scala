@@ -662,6 +662,14 @@ class SchemaCatalogSpec extends SparkSpec {
       assert(e3.getMessage.toLowerCase.contains("violat"), e3.getMessage)
       // constraints persist in meta and survive a fresh catalog read
       assert(io.catalog.readMeta("default.c1").checks === Map("qty_pos" -> "qty > 0"))
+      // DROP/RENAME of a check-referenced column refuse by name — a
+      // stale reference would break every future write's validation
+      val e4 = intercept[Exception](
+        spark.sql("ALTER TABLE gchk.default.c1 DROP COLUMN qty"))
+      assert(e4.getMessage.contains("qty_pos"), e4.getMessage)
+      val e5 = intercept[Exception](
+        spark.sql("ALTER TABLE gchk.default.c1 RENAME COLUMN qty TO amount"))
+      assert(e5.getMessage.contains("qty_pos"), e5.getMessage)
       // DROP CONSTRAINT clears enforcement
       spark.sql("ALTER TABLE gchk.default.c1 DROP CONSTRAINT qty_pos")
       spark.sql("INSERT INTO gchk.default.c1 VALUES (5, -1)")
