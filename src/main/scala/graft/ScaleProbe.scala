@@ -134,7 +134,15 @@ object ScaleProbe {
     // for: q150 has no corpus-wide NTILE (near-linear in the scan),
     // q151 swaps the global rank for a sample threshold (same)
     "q148_filtered_metadata_agg", "q149_distributed_centroids",
-    "q150_ppl_sample_buckets", "q151_dsir_threshold")
+    "q150_ppl_sample_buckets", "q151_dsir_threshold",
+    // r18 table-feature batch: all four are fixture-write-dominated
+    // (the feature itself is metadata + an in-pass guard/clustering) —
+    // the probe pins nothing super-linear: defaults/constraints are
+    // per-row codegen'd projections, widening is pure metadata, and
+    // hash distribution replaces the write's task fan-out with one
+    // shuffle of the batch being written
+    "q152_column_defaults", "q153_type_widening",
+    "q154_write_distribution", "q155_check_constraints")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
