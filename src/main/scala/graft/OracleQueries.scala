@@ -703,6 +703,16 @@ object OracleQueries {
         |FROM customer WHERE c_custkey <= 100
         |UNION ALL SELECT CAST(9999999999 AS BIGINT), CAST(0.5 AS DOUBLE)""".stripMargin,
 
+    // persisted-view replay: the view body over the raw slice — the
+    // Spark side resolved it through a persisted catalog view read
+    // back by a fresh catalog instance (rename + SHOW VIEWS asserted
+    // in-query)
+    "q156_persisted_view" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  sum(o_totalprice) AS total
+        |FROM orders WHERE o_custkey <= 500
+        |GROUP BY o_orderpriority""".stripMargin,
+
     // metadata-delete replay: the surviving customers — the Spark side
     // dropped the middle file without reading it (asserted in-query)
     "q143_metadata_delete" ->

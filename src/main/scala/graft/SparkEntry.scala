@@ -727,6 +727,44 @@ object SparkEntry {
       s.table(s"$cname.$t").select(col("ckey"), col("bal")).orderBy(col("ckey"))
     }),
 
+    // PERSISTED CATALOG VIEWS (r19 — Iceberg view spec / Delta catalog
+    // views; DSv2 ViewCatalog + graft's extension rules, since Spark
+    // 4.1 OSS has no analyzer path to a v2 ViewCatalog): CREATE VIEW
+    // persists the SQL + captured resolution context in the warehouse;
+    // the RESULT reads the view back through a SECOND catalog instance
+    // over the same warehouse root — a session-state answer cannot
+    // pass, only the persisted document can. Rename round-trip and
+    // SHOW VIEWS introspection asserted in-query; the full DDL surface
+    // is spec-pinned in ViewCatalogSpec. Resolution is pure metadata
+    // (one ~KB document at analysis time), so the view layer adds
+    // nothing to executor cost at 100 TB.
+    "q156_persisted_view" -> ((s, dir) => {
+      val cname = "gvq"
+      val io = catalogIO(s, cname, "graft_vq_")
+      val t = "default.ord_vsrc"
+      io.overwrite(
+        Tables.orders(s, dir).filter(col("o_custkey") <= 500)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), t)
+      s.sql(s"CREATE OR REPLACE VIEW $cname.default.ord_pri AS " +
+        s"SELECT o_orderpriority AS prio, count(*) AS n, sum(o_totalprice) AS total " +
+        s"FROM $cname.$t GROUP BY o_orderpriority")
+      // rename round-trip: the view survives ALTER VIEW ... RENAME TO
+      s.sql(s"ALTER VIEW $cname.default.ord_pri RENAME TO $cname.default.ord_pri_x")
+      s.sql(s"ALTER VIEW $cname.default.ord_pri_x RENAME TO $cname.default.ord_pri")
+      val shown = s.sql(s"SHOW VIEWS IN $cname.default").collect().map(_.getString(1))
+      require(shown.contains("ord_pri"),
+        s"SHOW VIEWS must list the stored view, got ${shown.mkString(",")}")
+      // fresh catalog instance over the SAME warehouse — proves the
+      // view resolves from the persisted document, not session state
+      val c2 = "gvq2"
+      if (s.conf.getOption(s"spark.sql.catalog.$c2").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$c2", classOf[graft.io.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$c2.warehouse",
+          s.conf.get(s"spark.sql.catalog.$cname.warehouse"))
+      }
+      s.table(s"$c2.default.ord_pri")
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

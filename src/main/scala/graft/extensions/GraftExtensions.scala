@@ -166,7 +166,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // system.set_write_order procedure — a delegating parser (the same
     // pattern Iceberg's extensions use) that rewrites the one custom
     // statement and hands everything else to Spark's parser untouched.
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // The same parser also routes view DDL aimed at a graft catalog to
+    // the graft ViewCatalog (GraftViewSupport.rewriteDdl) — Spark 4.1
+    // OSS has no analyzer path to a v2 ViewCatalog yet.
+    ext.injectParser((session, delegate) => new GraftSqlParser(delegate, Option(session)))
+    // Read-side view expansion: `SELECT ... FROM <stored view>`.
+    ext.injectResolutionRule(session => ResolveGraftViewRelations(session))
   }
 }
 
@@ -180,7 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * meaning.
   */
 private[extensions] class GraftSqlParser(
-    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
+    session: Option[org.apache.spark.sql.SparkSession] = None
 ) extends org.apache.spark.sql.catalyst.parser.ParserInterface {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
@@ -204,7 +210,11 @@ private[extensions] class GraftSqlParser(
     case WriteOrdered(ident, cols) =>
       delegate.parsePlan(callFor(ident, cols.split(',').map(_.trim).filter(_.nonEmpty).mkString(",")))
     case WriteUnordered(ident) => delegate.parsePlan(callFor(ident, ""))
-    case _ => delegate.parsePlan(sqlText)
+    case _ =>
+      val plan = delegate.parsePlan(sqlText)
+      // view DDL aimed at a graft catalog routes to the graft
+      // ViewCatalog; everything else passes through untouched
+      session.fold(plan)(s => GraftViewSupport.rewriteDdl(s, plan))
   }
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)

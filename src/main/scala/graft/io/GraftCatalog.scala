@@ -43,10 +43,15 @@ import scala.jdk.CollectionConverters._
   */
 class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = "graft"
   private var catalog: TableCatalog = _
+
+  /** The warehouse root — the view store keys off it directly. */
+  private[io] def warehousePath: String = catalog.warehouse
+  private[graft] def tableCatalog: TableCatalog = catalog
 
   // FunctionCatalog: the transform functions hidden partition specs
   // use. Spark resolves a scan's reported KeyGroupedPartitioning
@@ -317,6 +322,10 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String]): Table = {
     val name = qualified(ident)
     if (catalog.tableExists(name)) throw new TableAlreadyExistsException(ident)
+    // one namespace for tables and views (Spark semantics): a table
+    // may not shadow an existing view
+    if (ViewStore.exists(catalog.warehouse, name))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     // DDL `PARTITIONED BY (...)`: identity columns keep the classic
     // Hive layout; transform partitions (days/hours/months/years/
     // bucket/truncate) become a hidden partition SPEC — derived at
@@ -398,6 +407,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       try {
         if (!catalog.tableExists(qualified(oldIdent))) throw new NoSuchTableException(oldIdent)
         if (catalog.tableExists(qualified(target))) throw new TableAlreadyExistsException(target)
+        if (ViewStore.exists(catalog.warehouse, qualified(target)))
+          throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(target)
         val dst = java.nio.file.Paths.get(catalog.pathOf(qualified(target)))
         java.nio.file.Files.createDirectories(dst.getParent)
         // manifests store table-relative paths, so the directory move IS
@@ -637,6 +648,97 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       partitionSpec = meta0.partitionSpec, sortOrder = sortOrder,
       distribution = meta0.distribution, checks = checks))
     loadTable(ident)
+  }
+
+  // ---- ViewCatalog: persisted catalog views (Iceberg view-spec /
+  // Delta catalog-view parity). Spark 4.1's OSS analyzer does not yet
+  // route view SQL to a v2 ViewCatalog (no built-in rule calls
+  // loadView — verified against the 4.1.2 jars), so the DDL and
+  // read-side resolution ride graft's session extensions
+  // (graft.extensions.GraftViewSupport); this interface is the
+  // engine-facing contract those rules call through, and the code
+  // Spark's native v2-view support will hit when it lands upstream.
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+
+  private def viewName(ident: Identifier): String = qualified(ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    ViewStore.exists(catalog.warehouse, viewName(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (ns.nonEmpty && !namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    ViewStore.list(catalog.warehouse, ns.toSeq)
+      .map(n => Identifier.of(ns, n)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val rec = ViewStore.load(catalog.warehouse, viewName(ident))
+      .getOrElse(throw new NoSuchViewException(ident))
+    GraftCatalog.materializeView(viewName(ident), rec)
+  }
+
+  private def recordOf(info: ViewInfo): ViewStore.ViewRecord =
+    ViewStore.ViewRecord(
+      sql = info.sql,
+      schemaJson = info.schema.json,
+      currentCatalog = info.currentCatalog,
+      currentNamespace = info.currentNamespace.toSeq,
+      queryColumnNames = info.queryColumnNames.toSeq,
+      columnAliases = info.columnAliases.toSeq,
+      columnComments = info.columnComments.toSeq,
+      properties = info.properties.asScala.toMap)
+
+  override def createView(info: ViewInfo): View = {
+    val name = viewName(info.ident)
+    // a view may not shadow a table (one namespace, Spark semantics)
+    if (catalog.tableExists(name))
+      throw new TableAlreadyExistsException(info.ident)
+    if (!ViewStore.create(catalog.warehouse, name, recordOf(info)))
+      throw new ViewAlreadyExistsException(info.ident)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val name = viewName(info.ident)
+    if (catalog.tableExists(name))
+      throw new TableAlreadyExistsException(info.ident)
+    if (!orCreate && !ViewStore.exists(catalog.warehouse, name))
+      throw new NoSuchViewException(info.ident)
+    ViewStore.replace(catalog.warehouse, name, recordOf(info))
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val name = viewName(ident)
+    val rec = ViewStore.load(catalog.warehouse, name)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(rec.properties) {
+      case (m, set: ViewChange.SetProperty) => m + (set.property -> set.value)
+      case (m, rm: ViewChange.RemoveProperty) => m - rm.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported view change: $other")
+    }
+    ViewStore.replace(catalog.warehouse, name, rec.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ViewStore.drop(catalog.warehouse, viewName(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    if (catalog.tableExists(viewName(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    try ViewStore.rename(catalog.warehouse, viewName(oldIdent), viewName(newIdent))
+    catch {
+      // a racer created the target between the check and the move
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ViewAlreadyExistsException(newIdent)
+    }
   }
 
   // ---- ProcedureCatalog: Iceberg's CALL surface —
@@ -2144,6 +2246,24 @@ private[io] object GraftTable {
 }
 
 private[io] object GraftCatalog {
+  /** A stored view record as the DSv2 `View` interface. */
+  private[io] def materializeView(name0: String, rec: ViewStore.ViewRecord)
+      : org.apache.spark.sql.connector.catalog.View =
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = name0
+      override def query(): String = rec.sql
+      override def currentCatalog(): String = rec.currentCatalog
+      override def currentNamespace(): Array[String] = rec.currentNamespace.toArray
+      override def schema(): StructType =
+        if (rec.schemaJson.isEmpty) new StructType()
+        else DataType.fromJson(rec.schemaJson).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = rec.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = rec.columnAliases.toArray
+      override def columnComments(): Array[String] = rec.columnComments.toArray
+      override def properties(): java.util.Map[String, String] =
+        rec.properties.asJava
+    }
+
   /** Is `from -> to` a LOSSLESS type widening? Every value of `from`
     * converts exactly: integral chains, float->double (every float is
     * a double), small-integral->double (ints are exact below 2^53),
