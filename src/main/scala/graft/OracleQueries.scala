@@ -703,6 +703,14 @@ object OracleQueries {
         |FROM customer WHERE c_custkey <= 100
         |UNION ALL SELECT CAST(9999999999 AS BIGINT), CAST(0.5 AS DOUBLE)""".stripMargin,
 
+    // not-null-constraint replay: the valid rows plus the one
+    // re-admitted null row — both violating writes refused without
+    // committing (asserted in-query)
+    "q157_notnull_constraints" ->
+      """SELECT c_custkey AS ckey, c_mktsegment AS seg FROM customer WHERE c_custkey <= 100
+        |UNION ALL SELECT CAST(1000000 AS BIGINT), 'MACHINERY'
+        |UNION ALL SELECT CAST(1000002 AS BIGINT), CAST(NULL AS VARCHAR)""".stripMargin,
+
     // persisted-view replay: the view body over the raw slice — the
     // Spark side resolved it through a persisted catalog view read
     // back by a fresh catalog instance (rename + SHOW VIEWS asserted

@@ -727,6 +727,53 @@ object SparkEntry {
       s.table(s"$cname.$t").select(col("ckey"), col("bal")).orderBy(col("ckey"))
     }),
 
+    // NOT NULL COLUMN CONSTRAINTS (r19 — Delta's most-used
+    // constraint, sibling of q155's CHECK machinery): declared at
+    // CREATE (reported through the table schema, so Spark's own
+    // INSERT resolution enforces SQL writes) or via ALTER COLUMN ...
+    // SET NOT NULL (parser sugar over the validating
+    // system.set_column_nullability procedure — Spark's v2 ALTER
+    // refuses the direction outright; existing rows validate up
+    // front); programmatic writes enforce in the SAME pass that
+    // writes (TableIO.applyChecks). Both violation flavors refuse
+    // WITHOUT committing (asserted in-query); DROP NOT NULL
+    // re-admission lands the final null row.
+    "q157_notnull_constraints" -> ((s, dir) => {
+      val cname = "gnnq"
+      val io = catalogIO(s, cname, "graft_nnq_")
+      val t = "default.cust_nn"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cname.$t (ckey BIGINT NOT NULL, seg STRING)")
+      io.overwrite(Tables.customer(s, dir).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("ckey"), col("c_mktsegment").as("seg")), t)
+      // nullable -> NOT NULL via the DDL sugar (validates existing rows)
+      if (s.table(s"$cname.$t").schema("seg").nullable)
+        s.sql(s"ALTER TABLE $cname.$t ALTER COLUMN seg SET NOT NULL")
+      require(!s.table(s"$cname.$t").schema("seg").nullable,
+        "SET NOT NULL must surface through the reported table schema")
+      s.sql(s"INSERT INTO $cname.$t VALUES (1000000, 'MACHINERY')")
+      val v = io.catalog.currentVersion(t).get
+      val sqlRefused =
+        try { s.sql(s"INSERT INTO $cname.$t VALUES (1000001, CAST(NULL AS STRING))"); false }
+        catch { case _: Exception => true }
+      val progRefused =
+        try {
+          io.append(s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(null, "BUILDING")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("ckey",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("seg",
+                org.apache.spark.sql.types.StringType)))), t)
+          false
+        } catch { case _: Exception => true }
+      require(sqlRefused && progRefused && io.catalog.currentVersion(t).get == v,
+        "violating SQL and programmatic writes must refuse without committing")
+      // DROP NOT NULL re-admits nulls (Spark's native relaxing ALTER)
+      s.sql(s"ALTER TABLE $cname.$t ALTER COLUMN seg DROP NOT NULL")
+      s.sql(s"INSERT INTO $cname.$t VALUES (1000002, CAST(NULL AS STRING))")
+      io.read(t).select(col("ckey"), col("seg"))
+    }),
+
     // PERSISTED CATALOG VIEWS (r19 — Iceberg view spec / Delta catalog
     // views; DSv2 ViewCatalog + graft's extension rules, since Spark
     // 4.1 OSS has no analyzer path to a v2 ViewCatalog): CREATE VIEW

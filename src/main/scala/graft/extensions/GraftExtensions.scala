@@ -194,22 +194,38 @@ private[extensions] class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(?\s*([\w.,\s]+?)\s*\)?\s*;?\s*""".r
   private val WriteUnordered =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+  // SET NOT NULL must bypass Spark's blanket nullable->non-nullable
+  // CheckAnalysis refusal — rewritten to the validating procedure
+  // (CALL system.set_column_nullability). DROP NOT NULL stays native.
+  private val SetNotNull =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+
+  /** Split `cat.ns.t` into the CALL's catalog prefix + table arg: 3+
+    * parts name a catalog explicitly; 1-2 parts resolve CALL system.*
+    * against the session's current catalog, same as the table
+    * reference itself would.
+    */
+  private def catAndTable(ident: String): (String, String) = {
+    val parts = ident.split('.')
+    if (parts.length >= 3) (parts.head + ".", parts.tail.mkString("."))
+    else ("", parts.mkString("."))
+  }
 
   private def callFor(ident: String, cols: String): String = {
-    val parts = ident.split('.')
-    // 3+ parts name a catalog explicitly; 1-2 parts resolve CALL
-    // system.* against the session's current catalog, same as the
-    // table reference itself would
-    val (catPrefix, tbl) =
-      if (parts.length >= 3) (parts.head + ".", parts.tail.mkString("."))
-      else ("", parts.mkString("."))
+    val (catPrefix, tbl) = catAndTable(ident)
     s"CALL ${catPrefix}system.set_write_order('$tbl', '$cols')"
+  }
+
+  private def notNullCallFor(ident: String, column: String): String = {
+    val (catPrefix, tbl) = catAndTable(ident)
+    s"CALL ${catPrefix}system.set_column_nullability('$tbl', '$column', false)"
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case WriteOrdered(ident, cols) =>
       delegate.parsePlan(callFor(ident, cols.split(',').map(_.trim).filter(_.nonEmpty).mkString(",")))
     case WriteUnordered(ident) => delegate.parsePlan(callFor(ident, ""))
+    case SetNotNull(ident, column) => delegate.parsePlan(notNullCallFor(ident, column))
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // view DDL aimed at a graft catalog routes to the graft

@@ -227,8 +227,19 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     // restored at the Table/Scan boundary (GraftTable) — renames stay
     // metadata-only while every data file keeps its at-birth column name
     val renames = catalog.renames(name)
+    // The DELEGATE's read schema is forced nullable: parquet's
+    // vectorized reader refuses a file that lacks a REQUIRED column
+    // outright ("Required column is missing"), which would brick reads
+    // of NOT NULL tables whose older files predate a defaulted column.
+    // Nullable-at-read keeps the null/EXISTS_DEFAULT fill working;
+    // the TABLE still reports the declared nullability (GraftTable
+    // .schema), and the write paths enforce it (TableIO.applyChecks +
+    // Spark's INSERT resolution) — so a null can't legally land.
     val physicalSchema = declared.map { s =>
-      StructType(s.fields.map(f => renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+      StructType(s.fields.map { f0 =>
+        val f = renames.get(f0.name).map(p => f0.copy(name = p)).getOrElse(f0)
+        f.copy(nullable = true)
+      })
     }
     // Schema-on-read tables (no schema.json) must merge footers: the
     // TableIO read surface passes mergeSchema=true, and without it the
@@ -514,6 +525,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         }
         require(!schema.fieldNames.contains(field.name),
           s"column already exists: ${field.name}")
+        // ADD COLUMN ... NOT NULL over existing rows needs a value for
+        // them: without a DEFAULT the fill would be null — an instant
+        // standing violation (Delta refuses this the same way)
+        require(add.isNullable || field.metadata.contains("EXISTS_DEFAULT") ||
+            catalog.currentVersion(name).forall(v => catalog.manifest(name, v).isEmpty),
+          s"cannot add NOT NULL column '${field.name}' to a non-empty table without " +
+            "a DEFAULT: existing rows would read null — add a DEFAULT or add it " +
+            "nullable and backfill")
         // a new column is born with physical name == its logical name;
         // live data files may still carry bytes under that name (a
         // previously dropped column, or the on-disk name of a renamed
@@ -601,6 +620,32 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
             "decimal precision growth at fixed scale)")
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(dataType = nt) else f))
+      case nl: TableChange.UpdateColumnNullability =>
+        // NOT NULL column constraints (Delta's most-used constraint):
+        // SET NOT NULL validates EXISTING rows up front (a null
+        // already on disk would make every future read a lie), then
+        // flips the declared nullability — Spark's own INSERT
+        // resolution enforces it on SQL writes from the reported
+        // schema, and TableIO.applyChecks guards programmatic writes
+        // in the same pass that writes. DROP NOT NULL re-admits nulls
+        // with no validation (widening the contract is always safe).
+        require(nl.fieldNames().length == 1,
+          s"nested ALTER COLUMN not supported: ${nl.fieldNames().mkString(".")}")
+        val colName = nl.fieldNames()(0)
+        require(schema.fieldNames.contains(colName), s"no such column: $colName")
+        if (!nl.nullable()) {
+          val io = new TableIO(SparkSession.active, catalog)
+          val bad =
+            if (catalog.currentVersion(name).isEmpty) 0L
+            else io.read(name)
+              .filter(org.apache.spark.sql.functions.col(colName).isNull)
+              .limit(1).count()
+          require(bad == 0L,
+            s"cannot set column '$colName' NOT NULL: existing rows hold nulls — " +
+              "clean them first (UPDATE/DELETE), then re-run the ALTER")
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == colName) f.copy(nullable = nl.nullable()) else f))
       case ac: TableChange.AddConstraint =>
         // CHECK constraints (Delta's ADD CONSTRAINT ... CHECK): the
         // predicate persists in table meta and every subsequent write
@@ -878,9 +923,24 @@ private[io] class GraftTable(
 
   override def name(): String = delegate.name
   override def schema(): StructType = {
+    // Field ORDER comes from the delegate (file tables move partition
+    // columns to the end — the established INSERT-by-position
+    // contract); NULLABILITY and metadata come from the DECLARED
+    // schema when one exists, because the file-table delegate forces
+    // every field nullable (file sources can always produce nulls),
+    // which would erase declared NOT NULL columns and default
+    // metadata. Renamed tables use the declared schema outright (the
+    // delegate speaks physical names); undeclared (path-written)
+    // tables keep pure schema-on-read.
     val base =
       if (renames.nonEmpty) declaredSchema.getOrElse(delegate.schema) else delegate.schema
-    StructType(base.fields.filterNot(hide))
+    val declaredByName: Map[String, org.apache.spark.sql.types.StructField] =
+      declaredSchema.map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty)
+    StructType(base.fields.filterNot(hide).map { f =>
+      declaredByName.get(f.name)
+        .map(d => f.copy(nullable = d.nullable, metadata = d.metadata))
+        .getOrElse(f)
+    })
   }
 
   override def partitioning(): Array[Transform] =
@@ -923,7 +983,11 @@ private[io] class GraftTable(
       private def logical(s: StructType): StructType =
         StructType(s.fields.map(f => toLogicalName.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
       override def pruneColumns(requiredSchema: StructType): Unit = db match {
-        case p: SupportsPushDownRequiredColumns => p.pruneColumns(physical(requiredSchema))
+        case p: SupportsPushDownRequiredColumns =>
+          // physical names + nullable at the reader (missing columns
+          // must null/default-fill — see StatsPruningScanBuilder)
+          p.pruneColumns(StructType(
+            physical(requiredSchema).fields.map(_.copy(nullable = true))))
         case _ => ()
       }
       override def build(): Scan = {
@@ -1938,7 +2002,12 @@ private[io] class StatsPruningScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit = {
     prunedColumns = Some(requiredSchema)
     current match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case p: SupportsPushDownRequiredColumns =>
+        // nullable at the READER: a declared NOT NULL column keeps its
+        // required-ness in the relation, but a parquet file missing
+        // the column (written before a defaulted ADD COLUMN) must
+        // null/default-fill, not refuse ("Required column is missing")
+        p.pruneColumns(StructType(requiredSchema.fields.map(_.copy(nullable = true))))
       case _ => ()
     }
   }

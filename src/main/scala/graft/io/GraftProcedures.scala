@@ -30,7 +30,8 @@ private[io] object GraftProcedures {
 
   def list(): Array[String] =
     Array("expire_snapshots", "remove_orphan_files", "compact", "compact_sorted",
-      "compact_zorder", "add_bloom_index", "rewrite_partition_spec", "tag_snapshot",
+      "compact_zorder", "add_bloom_index", "set_column_nullability",
+      "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
       "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
       "apply_deletes_branch", "compact_where", "set_write_order", "set_write_distribution")
@@ -179,6 +180,22 @@ private[io] object GraftProcedures {
           io.setWriteDistribution(t, mode)
           Seq(new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(mode.trim.toLowerCase))))
+        }))
+    case "set_column_nullability" =>
+      // NOT NULL constraint surface: Spark's v2 ALTER refuses
+      // nullable->non-nullable in CheckAnalysis, so SET NOT NULL rides
+      // this procedure (and the ALTER TABLE ... SET NOT NULL parser
+      // sugar over it); existing rows validate inside
+      Some(proc("set_column_nullability",
+        Seq("table" -> StringType, "column" -> StringType, "nullable" -> BooleanType),
+        new StructType().add("column", StringType, nullable = false)
+          .add("nullable", BooleanType, nullable = false),
+        (in: InternalRow) => {
+          val (t, c, n) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+            in.getBoolean(2))
+          val io = new TableIO(SparkSession.active, cat)
+          io.setColumnNullability(t, c, n)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(c), n)))
         }))
     case "compact_where" =>
       // predicate-scoped compaction: only files the predicate can

@@ -3701,13 +3701,35 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * error), never silently skips the check.
     */
   private def applyChecks(df: DataFrame, name: String): DataFrame = {
-    val checks =
-      try catalog.readMeta(name).checks
-      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
-    checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cn, pred)) =>
+    val meta =
+      try catalog.readMeta(name)
+      catch { case scala.util.control.NonFatal(_) => catalog.TableMeta() }
+    val checked = meta.checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cn, pred)) =>
       val msg = s"CHECK constraint $cn violated".replace("'", "")
       d.filter(org.apache.spark.sql.functions.expr(
         s"isnull(assert_true(NOT (($pred) <=> false), '$msg'))"))
+    }
+    // NOT NULL columns (declared nullable=false in the table schema):
+    // same single-pass assert_true discipline as CHECK predicates. A
+    // batch MISSING a NOT NULL column refuses loudly unless the column
+    // carries an existence DEFAULT (the readers fill it — never null);
+    // silently accepting would make every read of the batch a
+    // violation discovered too late.
+    val notNullCols = meta.schemaJson
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(_.fields.filterNot(_.nullable).toSeq).getOrElse(Seq.empty)
+    notNullCols.foldLeft(checked) { case (d, f) =>
+      if (!d.columns.contains(f.name)) {
+        require(f.metadata.contains("EXISTS_DEFAULT"),
+          s"write to $name: batch is missing NOT NULL column '${f.name}' " +
+            "(and the column has no DEFAULT to fill it)")
+        d
+      } else {
+        val msg = s"NOT NULL constraint violated: column ${f.name} is null".replace("'", "")
+        d.filter(org.apache.spark.sql.functions.expr(
+          s"isnull(assert_true(`${f.name}` IS NOT NULL, '$msg'))"))
+      }
     }
   }
 
@@ -3748,6 +3770,45 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     try {
       val meta = catalog.readMeta(name)
       catalog.writeMeta(name, meta.copy(distribution = if (m == "none") None else Some(m)))
+    } finally lock.release()
+  }
+
+  /** Flip a column's declared nullability. SET NOT NULL (nullable =
+    * false) validates EXISTING rows first — a null already on disk
+    * would make every future read a lie — and Spark's v2 ALTER refuses
+    * nullable->non-nullable outright (CheckAnalysis), so this is the
+    * SQL surface's backing primitive:
+    *   ALTER TABLE t ALTER COLUMN c SET NOT NULL   (parser sugar)
+    *   CALL cat.system.set_column_nullability('t', 'c', false)
+    * DROP NOT NULL needs no validation and also flows through Spark's
+    * native ALTER (relaxing is always admitted). Semantics match the
+    * GraftCatalog.alterTable UpdateColumnNullability path (the
+    * programmatic TableChange route) — both spec-pinned.
+    */
+  def setColumnNullability(name: String, column: String, nullable: Boolean): Unit = {
+    val lock = TableIO.writeLock(catalog.pathOf(name))
+    lock.acquire()
+    try {
+      val meta = catalog.readMeta(name)
+      val schema = meta.schemaJson
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(org.apache.spark.sql.types.StructType(read(name).schema.fields))
+      require(schema.fieldNames.contains(column),
+        s"setColumnNullability: no such column in $name: $column")
+      if (!nullable) {
+        val bad =
+          if (catalog.currentVersion(name).isEmpty) 0L
+          else read(name)
+            .filter(org.apache.spark.sql.functions.col(column).isNull)
+            .limit(1).count()
+        require(bad == 0L,
+          s"cannot set column '$column' NOT NULL: existing rows hold nulls — " +
+            "clean them first (UPDATE/DELETE), then re-run the ALTER")
+      }
+      val updated = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == column) f.copy(nullable = nullable) else f))
+      catalog.writeMeta(name, meta.copy(schemaJson = Some(updated.json)))
     } finally lock.release()
   }
 
