@@ -2227,10 +2227,89 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     lock.acquire()
     try {
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
-      catalog.commitSnapshotAt(name, keepFiles ++ newFiles, baseVersion + 1, props,
-        stats = commitStats(name, keepFiles, newFiles))
-      ()
+      commitReplacementFiles(name, keepFiles, newFiles, baseVersion, props)
     } finally lock.release()
+  }
+
+  /** The replacement COMMIT with Iceberg-style optimistic
+    * retry-with-revalidation (multi-writer semantics): the first
+    * attempt is PINNED at `baseVersion + 1`; when a racer landed in
+    * between, the conflict is adjudicated by FILE OVERLAP —
+    *
+    *   - every file this rewrite REPLACED is still in the racer's
+    *     manifest, and no pending merge-on-read delete of the racer's
+    *     head references one -> REBASE: the new manifest is the
+    *     racer's file list minus the replaced set plus the
+    *     replacement files (an append-vs-compact race: both land,
+    *     nobody re-runs, nothing lost — this also covers a racer that
+    *     removed a KEPT file, whose removal survives the rebase);
+    *   - a replaced file is gone from the racer's manifest (it
+    *     rewrote or deleted the same rows), or a racer MOR delete
+    *     targets one -> REFUSE by name (rebasing would resurrect or
+    *     lose rows — the caller re-runs against the new snapshot,
+    *     Iceberg's serializable behavior).
+    *
+    * A stream-marked replacement (the sketch/upsert sinks) re-checks
+    * its exactly-once mark inside the loop — losing the race to a
+    * recovered query instance replaying the SAME batch must stop,
+    * not double-apply. Bounded retries; callers hold the same-JVM
+    * table lock, so the loop only spins on cross-process racers.
+    */
+  private def commitReplacementFiles(name: String, keepFiles: Seq[String],
+                                     newFiles: Seq[String], baseVersion: Int,
+                                     props: Map[String, String]): Unit = {
+    def norm(f: String): String = Paths.get(f).toAbsolutePath.normalize.toString
+    val replaced: Set[String] =
+      (try catalog.manifest(name, baseVersion)
+       catch { case scala.util.control.NonFatal(_) => Seq.empty[String] })
+        .map(norm).toSet -- keepFiles.map(norm)
+    val streamMark = props.collectFirst {
+      case (k, v) if k.startsWith(TableCatalog.StreamBatchProp) => (k, v)
+    }
+    val streamBatchId = streamMark.flatMap(_._2.toLongOption)
+    var keep = keepFiles
+    var base = baseVersion
+    var extraProps = Map.empty[String, String]
+    var attempt = 0
+    while (true) {
+      try {
+        catalog.commitSnapshotAt(name, keep ++ newFiles, base + 1, extraProps ++ props,
+          stats = commitStats(name, keep, newFiles))
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          // replay guard (see writeLocked): the racer may BE this batch
+          if (streamBatchId.exists(id =>
+              catalog.streamBatchMark(name, streamMark.get._1).exists(_ >= id)))
+            return
+          val cur = catalog.currentVersion(name).getOrElse(throw e)
+          val curFiles = catalog.manifest(name, cur)
+          val curSet = curFiles.map(norm).toSet
+          val overlapped = replaced.filterNot(curSet)
+          if (overlapped.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"concurrent commit to $name: another writer removed or rewrote " +
+                s"${overlapped.size} of the files this rewrite replaced " +
+                s"(e.g. ${overlapped.head}) — rebasing would lose or resurrect rows; " +
+                "re-run the operation against the new snapshot")
+          val racerDeletes =
+            try catalog.pendingDeletes(name, cur)
+            catch { case scala.util.control.NonFatal(_) =>
+              Seq.empty[TableCatalog.DeleteEntry] }
+          if (racerDeletes.exists(_.dirtyFiles.map(norm).exists(replaced)))
+            throw new ConcurrentCommitException(
+              s"concurrent commit to $name: a racing merge-on-read delete targets files " +
+                "this rewrite replaced — rebasing would resurrect its deleted rows; " +
+                "re-run the operation against the new snapshot")
+          keep = curFiles.filterNot(f => replaced(norm(f)))
+          base = cur
+          // surviving racer deletes (disjoint from the replaced set by
+          // the check above) ride the rebased commit
+          extraProps = catalog.deletesCarry(name, cur)
+      }
+    }
   }
 
   /** METADATA-ONLY DELETE commit (Iceberg's metadata delete): the new
@@ -2246,11 +2325,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                                           baseVersion: Int): Unit = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
-    try {
-      catalog.commitSnapshotAt(name, keepFiles, baseVersion + 1, Map.empty,
-        stats = commitStats(name, keepFiles, Seq.empty))
-      ()
-    } finally lock.release()
+    try commitReplacementFiles(name, keepFiles, Seq.empty, baseVersion, Map.empty)
+    finally lock.release()
   }
 
   /** Row-level UPSERT (last-write-wins by key): every key present in
@@ -2937,8 +3013,20 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def compact(name: String, partitionCols: Seq[String] = Seq.empty,
               targetFiles: Int = 1): Unit = {
     val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-    val df = read(name)
-    overwrite(clusterByLayout(df, name, pcols, targetFiles), name, pcols,
+    // PINNED at the version the rewrite read (not a blind overwrite):
+    // a racing cross-process append surfaces as a version conflict and
+    // REBASES (the appended files ride into the compacted manifest)
+    // instead of being silently dropped from the new snapshot; a
+    // racing overlapping rewrite refuses by name. See
+    // commitReplacementFiles. readVersion merges pending MOR deletes,
+    // so compacting a dirty snapshot materializes them (prop cleared
+    // by the replacement commit), same as before.
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val df = readVersion(name, v)
+    commitReplacement(
+      applyWriteOrder(clusterByLayout(df, name, pcols, targetFiles), name),
+      name, Seq.empty, pcols, baseVersion = v,
       props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
@@ -3009,10 +3097,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     import org.apache.spark.sql.functions.col
     require(sortCols.nonEmpty, "compactSorted requires sort columns")
     val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-    val out = read(name)
+    // pinned + rebase-on-disjoint, same discipline as compact()
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val out = readVersion(name, v)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    overwrite(out, name, pcols,
+    commitReplacement(out, name, Seq.empty, pcols, baseVersion = v,
       props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 
@@ -3033,12 +3124,15 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // was created by SQL DDL (declared pcols) or by path writes
     val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
     val z = "__graft_z"
-    val out = read(name)
+    // pinned + rebase-on-disjoint, same discipline as compact()
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val out = readVersion(name, v)
       .withColumn(z, graft.functions.ZOrder.zvalue(col(colA), col(colB)))
       .repartitionByRange(targetFiles, col(z))
       .sortWithinPartitions(col(z))
       .drop(z) // projection after the sort: row order within partitions survives
-    overwrite(out, name, pcols,
+    commitReplacement(out, name, Seq.empty, pcols, baseVersion = v,
       props = Map(TableCatalog.OpProp -> TableCatalog.OpRewrite))
   }
 

@@ -312,6 +312,42 @@ class CrossProcessSpec extends graft.SparkSpec {
     }
   }
 
+  test("compaction racing a second JVM's appends: every append survives, every compact lands") {
+    val wh = Files.createTempDirectory("graft_xcmp_").toString
+    val t = "default.cmpxjvm"
+    val io = TableIO(spark, wh)
+    io.append((0L until 20L).map(i => (i, s"seed$i")).toDF("id", "s").repartition(4), t)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val log = Files.createTempFile("graft_xcmp_w", ".log").toFile
+    val appends = 6
+    val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessAppendWorker",
+      wh, t, "7", appends.toString)).asJava
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+      .redirectOutput(log).start()
+    // full compactions from THIS JVM while the worker appends from its
+    // own: each compaction is PINNED at the version it read, so a
+    // worker append landing in between surfaces as a version conflict
+    // and the compaction REBASES (the appended file rides into the
+    // compacted manifest) — the race that a blind overwrite would have
+    // resolved by silently dropping the append
+    val compactions = 5
+    (0 until compactions).foreach { _ => io.compact(t); Thread.sleep(120) }
+    assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+    assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+      Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+
+    // every commit landed: seed + 6 worker appends + 5 compactions
+    val total = 1 + appends + compactions
+    assert(io.versions(t) == (1 to total), s"expected 1..$total, got ${io.versions(t)}")
+    // NO append lost to any compaction rebase
+    val expect = (0L until 20L).map(i => (i, s"seed$i")).toSet ++
+      (0 until appends).map(k => (7000L + k, s"w7-$k")).toSet
+    assert(io.read(t).as[(Long, String)].collect().toSet == expect)
+  }
+
   test("row-level DML racing a second JVM's appends: fail-fast or consistent, never corrupt") {
     val wh = Files.createTempDirectory("graft_xdml_").toString
     val t = "default.dmlxjvm"
