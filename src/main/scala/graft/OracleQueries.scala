@@ -711,6 +711,53 @@ object OracleQueries {
         |UNION ALL SELECT CAST(1000000 AS BIGINT), 'MACHINERY'
         |UNION ALL SELECT CAST(1000002 AS BIGINT), CAST(NULL AS VARCHAR)""".stripMargin,
 
+    // BPE tokenizer replay: the identical greedy merge loop as a
+    // recursive CTE over the identical merge table (interpolated from
+    // graft.functions.Bpe — one source of truth); counts hash-match
+    // bit for bit
+    "q158_bpe_token_count" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT c.doc_id, c.n_tokens AS n_tokens_bpe,
+         |  CAST(len($duckWordToks) AS BIGINT) AS n_tokens_ws
+         |FROM bpe_counts c JOIN documents USING (doc_id)""".stripMargin,
+
+    // BPE-denominated sequence packing (the q43 variant the verdict
+    // asked for): identical shard/cumsum/div-mod machinery, token
+    // counts from the BPE replay instead of whitespace words
+    "q159_bpe_sequence_pack" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (
+         |  SELECT d.doc_id,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+         |    c.n_tokens
+         |  FROM documents d JOIN bpe_counts c USING (doc_id)),
+         |cc AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+         |FROM cc""".stripMargin,
+
+    // BPE-denominated token-budget mix (the q103 variant): same
+    // per-source hash-ordered admission, budget priced in BPE tokens
+    "q160_bpe_budget_mix" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (
+         |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         |    c.n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents d JOIN bpe_counts c USING (doc_id)),
+         |cc AS (
+         |  SELECT doc_id, text, lang, source, n_chars, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, text, lang, source, n_chars, n_tokens, cum_tokens
+         |FROM cc WHERE cum_tokens - n_tokens < 20000""".stripMargin,
+
     // persisted-view replay: the view body over the raw slice — the
     // Spark side resolved it through a persisted catalog view read
     // back by a fresh catalog instance (rename + SHOW VIEWS asserted
@@ -2598,6 +2645,54 @@ object OracleQueries {
   /** The shared word tokenizer (TextAnalysis.wordTokensSql parity). */
   private def duckWordToks: String =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Recursive-CTE replay of `graft_bpe_count` (graft.functions.Bpe):
+    * the SAME merge table (interpolated from the Scala object — one
+    * source of truth, never a copy), the same `[^a-z0-9]+`
+    * pre-tokenization, and the same greedy loop — each step fuses
+    * every occurrence of the lowest-ranked adjacent pair, disjointness
+    * guaranteed by the table's l != r invariant, until no pair is in
+    * the table. Terminal states are the rows with no applicable pair;
+    * their symbol counts sum per document into
+    * `bpe_counts(doc_id, n_tokens)`. Embedding queries must open with
+    * WITH RECURSIVE.
+    */
+  private def bpeCtes: String =
+    s"""bpe_m(rank, ml, mr) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.Bpe.mergesSqlValues}) v(rank, ml, mr)),
+       |bpe_w AS (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS wid
+       |  FROM (SELECT doc_id, $duckWordToks AS ws FROM documents)),
+       |bpe_r AS (
+       |  SELECT doc_id, wid, list_transform(range(1, length(word)+1),
+       |    i -> word[CAST(i AS INT)]) AS s
+       |  FROM bpe_w
+       |  UNION ALL
+       |  SELECT doc_id, wid,
+       |    list_filter(list_transform(range(1, len(s)+1), i ->
+       |      CASE WHEN i < len(s) AND s[CAST(i AS INT)] = ml AND s[CAST(i+1 AS INT)] = mr
+       |             THEN ml || mr
+       |           WHEN i > 1 AND s[CAST(i-1 AS INT)] = ml AND s[CAST(i AS INT)] = mr
+       |             THEN NULL
+       |           ELSE s[CAST(i AS INT)] END), x -> x IS NOT NULL) AS s
+       |  FROM (
+       |    SELECT doc_id, wid, s,
+       |      (SELECT min(m.rank) FROM bpe_m m
+       |        WHERE list_contains(list_transform(range(1, len(s)),
+       |          i -> s[CAST(i AS INT)] || chr(1) || s[CAST(i+1 AS INT)]),
+       |          m.ml || chr(1) || m.mr)) AS br
+       |    FROM bpe_r) t
+       |  JOIN bpe_m mm ON mm.rank = t.br),
+       |bpe_done AS (
+       |  SELECT doc_id, wid, len(s) AS n FROM bpe_r
+       |  WHERE (SELECT min(m.rank) FROM bpe_m m
+       |          WHERE list_contains(list_transform(range(1, len(s)),
+       |            i -> s[CAST(i AS INT)] || chr(1) || s[CAST(i+1 AS INT)]),
+       |            m.ml || chr(1) || m.mr)) IS NULL),
+       |bpe_counts AS (
+       |  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, sum(n) AS n FROM bpe_done GROUP BY doc_id) c USING (doc_id))""".stripMargin
 
   private def duckTok: String =
     """len(regexp_extract_all(text, '\S+'))"""

@@ -812,6 +812,35 @@ object SparkEntry {
       s.table(s"$c2.default.ord_pri")
     }),
 
+    // PORTABLE BPE TOKENIZER (r19 — closes the token-pricing realism
+    // gap): q43/q103 counted whitespace word tokens, which misprices
+    // non-space-delimited text at crawl scale where budgets are
+    // BPE-denominated. graft_bpe_count is a codegen kernel running the
+    // classic greedy merge loop over graft's fixed, versioned merge
+    // table (graft.functions.Bpe); the DuckDB oracle replays the SAME
+    // loop over the SAME table (interpolated — one source of truth) as
+    // a recursive CTE and hash-matches bit for bit. One fused
+    // projection, zero shuffles — nothing changes at 100 TB.
+    "q158_bpe_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("graft_bpe_count(text)").as("n_tokens_bpe"),
+        expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql("text")}) AS BIGINT)")
+          .as("n_tokens_ws"))),
+
+    // q43's sequence packing driven by BPE counts: identical
+    // shard/running-total/div-mod machinery, budgets priced in BPE
+    // tokens (what a training run actually consumes)
+    "q159_bpe_sequence_pack" -> ((s, dir) =>
+      graft.text.Packing.sequencePack(Tables.documents(s, dir),
+        tokenCount = Some(expr("graft_bpe_count(text)")))),
+
+    // q103's token-budget mixture sampling driven by BPE counts
+    "q160_bpe_budget_mix" -> ((s, dir) =>
+      graft.sampling.Sampling.tokenBudgetSample(
+        Tables.documents(s, dir), "source", budget = 20000L,
+        tokenCount = Some(expr("graft_bpe_count(text)")))),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

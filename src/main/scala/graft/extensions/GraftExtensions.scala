@@ -138,6 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => TextCounts(children(0))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      info("graft_bpe_count", "graft_bpe_count(text) - portable BPE token count under graft's fixed merge table"),
+      (children: Seq[Expression]) => graft.functions.BpeCount(children(0))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "graft_bloom_contains(bloom, s) - might-contain probe of a serialized bloom filter"),
       (children: Seq[Expression]) => BloomContains(children(0), children(1))

@@ -188,7 +188,11 @@ object Sampling {
 
   def tokenBudgetSample(df: DataFrame, strataCol: String, budget: Long,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        // None = whitespace word tokens; Some(c) =
+                        // caller-supplied count (e.g. graft_bpe_count —
+                        // crawl budgets are BPE-denominated)
+                        tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(portableHash(idCol).asc, col(idCol).asc)
@@ -199,7 +203,8 @@ object Sampling {
     // n_tokens and cum_tokens append so the consumer sees what each
     // admitted document cost against the budget
     df.withColumn("n_tokens",
-        expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)"))
+        tokenCount.getOrElse(
+          expr(s"CAST(size(${graft.text.TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)")))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
   }

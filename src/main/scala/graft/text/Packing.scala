@@ -31,7 +31,11 @@ object Packing {
       textCol: String = "text",
       idCol: String = "doc_id",
       seqLen: Int = 2048,
-      shards: Int = 8
+      shards: Int = 8,
+      // None = whitespace word tokens; Some(c) = caller-supplied count
+      // (e.g. graft_bpe_count(text) — sequence budgets at crawl scale
+      // are BPE-denominated, and whitespace counts misprice CJK/code)
+      tokenCount: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -39,7 +43,8 @@ object Packing {
       .select(
         col(idCol),
         Sampling.portableBucket(idCol, shards).as("shard"),
-        expr(s"CAST(size(${TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)").as("n_tokens"))
+        tokenCount.getOrElse(
+          expr(s"CAST(size(${TextAnalysis.wordTokensSql(textCol)}) AS BIGINT)")).as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(
         col(idCol), col("shard"), col("n_tokens"),
