@@ -185,6 +185,10 @@ object OracleQueries {
     // stay as the quality gate).
     "q20_ann_lsh" -> q20AnnLshSql,
     "q28_ann_ivf" -> q28AnnIvfSql,
+
+    // IVF-PQ replay: full training + nibble-packed encoding + ADC
+    // scoring rebuilt in SQL (see q161AnnIvfPqSql)
+    "q161_ann_ivfpq" -> q161AnnIvfPqSql,
     "q149_distributed_centroids" -> q149DistributedCentroidsSql,
 
     // portable minhash: first-60-bits-of-md5 shingle hash ('0x'-cast
@@ -2509,6 +2513,95 @@ object OracleQueries {
        |SELECT q_id, vec_id AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
        |FROM scored
+       |QUALIFY rn <= 5""".stripMargin
+  }
+
+  /** Full SQL replay of Similarity.ivfPqTopK at the q161 call site
+    * (nQueries=16, k=5, nlist=16, nprobe=6, iters=2, m=8, ksub=16,
+    * dim=64): coarse training rides the shared q28 CTEs; each
+    * subspace's codebook replays the identical bootstrap + two Lloyd
+    * rounds over the SAME md5-TakeOrdered sample, sliced; encoding is
+    * the same argmax-cosine (ties to the lowest codeword) nibble-
+    * packed; ADC scores are the same left-associated dot-product sums
+    * over decoded codewords. Deterministic end to end — the hash
+    * compare is exact.
+    */
+  private def q161AnnIvfPqSql: String = {
+    val m = 8; val sub = 8; val ksub = 16
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = s * sub + sub
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, v, cell FROM (
+         |    SELECT s.vec_id, s.v, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def lloyd(assigned: String, prev: String): String =
+      s"""SELECT p.cell, COALESCE(mm.cv, p.cv) AS cv FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         |      SELECT a.cell, r.pos,
+         |        (CAST(sum(CAST(round(a.v[r.pos + 1] * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |          / 100000000.0) / count(*) AS m
+         |      FROM $assigned a CROSS JOIN range($sub) r(pos)
+         |      GROUP BY a.cell, r.pos) GROUP BY cell) mm ON p.cell = mm.cell""".stripMargin
+    val subCtes = (0 until m).map { s =>
+      s"""es$s AS (SELECT vec_id, v[${lo(s)}:${hi(s)}] AS v FROM e),
+         |k0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS cv
+         |  FROM (SELECT vec_id, v FROM es$s ORDER BY vec_id LIMIT $ksub)),
+         |ks$s AS (SELECT vec_id, v[${lo(s)}:${hi(s)}] AS v FROM samp),
+         |ka1_$s AS (${assign(s"ks$s", s"k0_$s")}),
+         |kc1_$s AS (${lloyd(s"ka1_$s", s"k0_$s")}),
+         |ka2_$s AS (${assign(s"ks$s", s"kc1_$s")}),
+         |kc2_$s AS (${lloyd(s"ka2_$s", s"kc1_$s")}),
+         |code$s AS (
+         |  SELECT vec_id, cell AS c FROM (
+         |    SELECT t.vec_id, cb.cell,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${duckCos("cb.cv", "t.v")} DESC, cb.cell ASC) AS rn
+         |    FROM es$s t CROSS JOIN kc2_$s cb) WHERE rn = 1),
+         |cbl$s AS (SELECT list(cv ORDER BY cell) AS cb FROM kc2_$s)""".stripMargin
+    }.mkString(",\n")
+    val code64 = (0 until m).map(s => s"c$s.c * ${1L << (s * 4)}").mkString(" + ")
+    val codeJoins = (1 until m).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    def cw(s: Int) = s"b$s.cb[CAST((c.code64 >> ${s * 4}) & 15 AS INT) + 1]"
+    val adc = (0 until m)
+      .map(s => s"list_dot_product(p.qv[${lo(s)}:${hi(s)}], ${cw(s)})").mkString(" + ")
+    val n2 = (0 until m).map(s => s"list_dot_product(${cw(s)}, ${cw(s)})").mkString(" + ")
+    val cblJoins = (0 until m).map(s => s"CROSS JOIN cbl$s b$s").mkString(" ")
+    s"""WITH $q28TrainingCtes,
+       |$subCtes,
+       |codes AS (
+       |  SELECT c0.vec_id, $code64 AS code64
+       |  FROM code0 c0 $codeJoins),
+       |coarse AS (${assign("e", "c2")}),
+       |corpus AS (
+       |  SELECT coarse.vec_id, coarse.cell, codes.code64
+       |  FROM coarse JOIN codes USING (vec_id)),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, cell FROM (
+       |    SELECT s.vec_id, s.v, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${duckCos("c.cv", "s.v")} DESC, c.cell ASC) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 16) s CROSS JOIN c2 c) WHERE rn <= 6),
+       |adc_scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |    ($adc) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt($n2)) AS adc
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell $cblJoins
+       |  WHERE c.vec_id <> p.q_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS rn
+       |    FROM adc_scored) WHERE rn <= 64),
+       |reranked AS (
+       |  SELECT s.q_id, s.vec_id, ${duckCos("q.v", "x.v")} AS cos
+       |  FROM shortlist s
+       |  JOIN e x ON x.vec_id = s.vec_id
+       |  JOIN e q ON q.vec_id = s.q_id)
+       |SELECT q_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn
+       |FROM reranked
        |QUALIFY rn <= 5""".stripMargin
   }
 

@@ -841,6 +841,31 @@ object SparkEntry {
         Tables.documents(s, dir), "source", budget = 20000L,
         tokenCount = Some(expr("graft_bpe_count(text)")))),
 
+    // IVF-PQ ANN (r19 — the last ANN scale lever): q28's IVF ships
+    // full float vectors per probed cell; here the corpus side of the
+    // probe join carries ONE nibble-packed BIGINT per vector (8
+    // subspaces x 4-bit codes — FAISS PQx4-style), a 32-64x shipped-
+    // bytes reduction, which is what makes 100 TB embedding search
+    // IO-feasible. Codebooks train distributed via the q149
+    // trainCentroidsFrame path; scoring is asymmetric (full-precision
+    // query vs codeword reconstruction), every term a fixed-order dot
+    // product — so the DuckDB oracle replays training, encoding, and
+    // ADC bit-for-bit. Recall vs q19 brute force asserted in-query
+    // (PQ is approximate by construction; floor measured on this
+    // corpus, near-random vectors = PQ's worst case).
+    "q161_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val res = graft.similarity.Similarity.ivfPqTopK(emb, nQueries = 16, k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bf = graft.similarity.Similarity.bruteForceTopK(emb, 16, 5)
+        .select(col("q_id"), col("neighbor_id"))
+      val recall = res.join(bf, Seq("q_id", "neighbor_id")).count() / 80.0
+      require(recall >= 0.45,
+        f"IVF-PQ recall@5 vs brute force fell below the pinned floor: $recall%.3f")
+      res.unpersist()
+      res
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

@@ -609,6 +609,131 @@ object Similarity {
       k)
   }
 
+  /** IVF-PQ (product-quantized) ANN — the last ANN scale lever on top
+    * of [[ivfTopK]]: the IVF join's corpus side ships a packed CODE,
+    * not the vector. The 64-dim double corpus row (512 B in flight)
+    * becomes ONE BIGINT: `m` subspaces of dim/m coordinates, each
+    * encoded as the argmax-cosine codeword index in that subspace's
+    * `ksub`-entry codebook, nibble-packed (ksub <= 16, FAISS's
+    * PQx4-style 4-bit codes). At 100 TB of embeddings this is what
+    * makes the probe join IO-feasible: shipped bytes scale with
+    * CODES (8 B/vector + id), not vectors — a 32-64x reduction.
+    *
+    * Codebooks train DISTRIBUTED via [[trainCentroidsFrame]] (the
+    * q149 no-driver-collect path) on each subvector slice; only the
+    * finished codebooks — m x ksub x (dim/m) doubles, a few KB,
+    * bounded by construction — are collected to drive the encode /
+    * ADC literals.
+    *
+    * Scoring is ASYMMETRIC (ADC): the query stays full-precision and
+    * scores against each candidate's RECONSTRUCTION x̂ (the
+    * concatenated codewords): subspaces are disjoint coordinates, so
+    * dot(q, x̂) = Σ_s dot(q_s, cw_s) and |x̂|² = Σ_s |cw_s|² exactly.
+    * Every term is a fixed-order dot product over doubles decoded
+    * from the codebook — deterministic and engine-portable, so the
+    * DuckDB oracle replays training, encoding, and ADC bit-for-bit
+    * (codebooks are data, not model weights).
+    *
+    * Accuracy: ADC ranks by the quantized reconstruction, which is
+    * deliberately coarse — so the ADC pass produces a SHORTLIST
+    * (`rerank` ids per query) that re-scores exactly against the full
+    * vectors (FAISS's refine stage). Only queries x rerank vectors
+    * ever ship at full precision, corpus-independent. Recall floors
+    * vs brute force are pinned in SimilaritySpec and in-query
+    * (near-random vectors are PQ's worst case; clustered production
+    * embeddings sit far above).
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 6,
+      iters: Int = 2,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerank: Int = 64
+  ): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: dim $dim must split evenly into $m subspaces")
+    require(ksub >= 2 && ksub <= 16,
+      s"ivfPqTopK: ksub = $ksub outside [2, 16] — codes nibble-pack into one BIGINT")
+    require(m * 4 <= 60, s"ivfPqTopK: $m nibbles overflow the code word")
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val coarse = trainCentroids(e, nlist, iters)
+
+    // per-subspace codebooks: distributed training on the subvector
+    // frame, tiny bounded collect of the finished codebook
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val sf = e.select(col("vec_id"), expr(s"slice(v, ${s * sub + 1}, $sub)").as("v"))
+      val cf = trainCentroidsFrame(sf, ksub, iters)
+      val rows = cf.orderBy("cell").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toSeq).toSeq
+      cf.unpersist()
+      rows
+    }
+    val cb = typedlit(codebooks)
+
+    // encode: per subspace, argmax cosine against the codebook (ties
+    // to the lowest index — withCell's rule), nibble-packed. The
+    // corpus side of the probe join carries ONLY (vec_id, cell,
+    // code64): the whole point.
+    val corpus = withCell(e, coarse)
+      .withColumn("__cb", cb)
+      .withColumn("code64", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> acc + shiftleft(
+           |  CAST(array_position(
+           |    transform(sequence(0, ${ksub - 1}),
+           |      c -> graft_cosine(__cb[s][c], slice(v, s * $sub + 1, $sub))),
+           |    array_max(transform(sequence(0, ${ksub - 1}),
+           |      c -> graft_cosine(__cb[s][c], slice(v, s * $sub + 1, $sub))))) - 1 AS BIGINT),
+           |  CAST(s * 4 AS INT)))""".stripMargin))
+      .select(col("vec_id"), col("cell"), col("code64"))
+
+    val probes = withCell(e.filter(col("vec_id") < nQueries), coarse)
+      .withColumn(
+        "__probes",
+        expr(s"""transform(slice(array_sort(
+                |    zip_with(__scores, sequence(0, ${coarse.size - 1}),
+                |             (s, i) -> named_struct('s', s, 'i', i)),
+                |    (l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+                |              WHEN l.i < r.i THEN -1 ELSE 1 END),
+                |  1, $nprobe), x -> x.i)""".stripMargin)
+      )
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(col("__probes")).as("cell"))
+
+    // ADC: left-associated sums over the m subspaces (the oracle
+    // replays the identical association order)
+    def cw(s: Int) = s"__cb[$s][CAST(shiftright(code64, ${s * 4}) & 15 AS INT)]"
+    val adc = (0 until m)
+      .map(s => s"graft_dot(slice(qv, ${s * sub + 1}, $sub), ${cw(s)})").mkString(" + ")
+    val n2 = (0 until m).map(s => s"graft_dot(${cw(s)}, ${cw(s)})").mkString(" + ")
+    val shortlist = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("__cb", cb)
+      .withColumn("adc", expr(
+        s"($adc) / (sqrt(graft_dot(qv, qv)) * sqrt($n2))"))
+      // ADC SHORTLIST -> EXACT RE-RANK (FAISS's refine stage): the
+      // code-only scores cut the probed cells down to `rerank`
+      // candidates per query, and only those few ids fetch their full
+      // vector for exact scoring — shipped bytes stay code-sized on
+      // the corpus side, plus O(queries x rerank) vectors, corpus-
+      // independent. This is what holds recall on hard (near-random)
+      // corpora where 32-bit codes alone rank too coarsely.
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(adc, vec_id, 0, $rerank)").as("top"))
+      .select(col("q_id"), explode(expr("transform(top, e -> e.id1)")).as("vec_id"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    topKPerQuery(
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", expr(cosineSql("qv", "v")))
+        .select("q_id", "vec_id", "cos"),
+      k).select(col("q_id"), col("neighbor_id"), col("rn"))
+  }
+
   /** Approximate top-k via multi-table (band-OR) hyperplane LSH with
     * multi-probe. `nTables` independent plane sets: a neighbor at
     * cosine c agrees with one plane w.p. s = 1 - arccos(c)/pi, so one

@@ -278,6 +278,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.75, s"IVF recall@5 = $r")
   }
 
+  test("IVF-PQ with full probes and corpus-wide rerank equals brute force exactly") {
+    // the ADC shortlist is the only approximation beyond IVF probing:
+    // probe every cell and let the rerank cover the corpus, and the
+    // exact re-scoring stage must reproduce brute force bit-for-bit
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.bruteForceTopK(e, nQueries = 4, k = 3)
+      .select("q_id", "rn", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val pq = Similarity.ivfPqTopK(e, nQueries = 4, k = 3, nlist = 8, nprobe = 8,
+      iters = 1, rerank = 100000)
+      .select("q_id", "rn", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pq == bf)
+  }
+
+  test("IVF-PQ recall@5 vs brute force meets a quantitative floor at default probes") {
+    // Deterministic end to end (fixed bootstrap, bounded deterministic
+    // Lloyd samples for coarse cells AND subspace codebooks, fixed
+    // data): measured 0.95 at the nlist=16/nprobe=6/m=8/ksub=16/
+    // rerank=64 defaults on this corpus (0.6125 at sf0.1's 5000
+    // near-random vectors — PQ's worst case); floor leaves margin for
+    // testdata regeneration, not run-to-run noise.
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = recallVsBruteForce(
+      Similarity.ivfPqTopK(e, nQueries = 16, k = 5), 16, 5)
+    assert(r >= 0.75, s"IVF-PQ recall@5 = $r")
+  }
+
   test("LSH recall@5 vs brute force meets a quantitative floor") {
     // Deterministic (fixed plane seeds, fixed data): measured 0.8375
     // at the p=8/r=2/L=4 defaults on this corpus; floor leaves margin
@@ -295,9 +323,12 @@ class SimilaritySpec extends SparkSpec {
     val e = clusteredEmbeddings()
     val rLsh = recallOn(e, Similarity.lshTopK(e, nQueries = 16, k = 5), 16, 5)
     val rIvf = recallOn(e, Similarity.ivfTopK(e, nQueries = 16, k = 5), 16, 5)
+    val rPq = recallOn(e,
+      Similarity.ivfPqTopK(e, nQueries = 16, k = 5, dim = 32), 16, 5)
     assert(rLsh >= 0.9, s"clustered LSH recall@5 = $rLsh")
     assert(rIvf >= 0.9, s"clustered IVF recall@5 = $rIvf")
-    info(s"clustered recall@5: LSH=$rLsh IVF=$rIvf")
+    assert(rPq >= 0.9, s"clustered IVF-PQ recall@5 = $rPq")
+    info(s"clustered recall@5: LSH=$rLsh IVF=$rIvf IVF-PQ=$rPq")
   }
 
   test("bucketed near-dup join equals the exact all-pairs oracle, with no nested-loop join") {
