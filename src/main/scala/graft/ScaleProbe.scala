@@ -142,7 +142,21 @@ object ScaleProbe {
     // hash distribution replaces the write's task fan-out with one
     // shuffle of the batch being written
     "q152_column_defaults", "q153_type_widening",
-    "q154_write_distribution", "q155_check_constraints")
+    "q154_write_distribution", "q155_check_constraints",
+    // r19: views resolve at ANALYSIS time (one ~KB document read) —
+    // the probe pins the query cost as the underlying aggregate's,
+    // with zero view-layer scaling; NOT NULL rides the same in-pass
+    // guard as CHECK (fixture-write dominated)
+    "q156_persisted_view", "q157_notnull_constraints",
+    // r19 BPE: one codegen projection per doc (q158), plus the same
+    // shard-window machinery as q43/q103 — linear in the corpus,
+    // no new shuffle; the kernel cost is per-byte, not per-merge-table
+    "q158_bpe_token_count", "q159_bpe_sequence_pack", "q160_bpe_budget_mix",
+    // r19 IVF-PQ: the claim under test is SHIPPED-BYTES scaling — the
+    // probe join's corpus side carries one BIGINT code per vector, so
+    // 10x vectors cost 10x codes (+ the fixed queries x rerank exact
+    // re-scores), never 10x full vectors through the join
+    "q161_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -663,16 +663,9 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val coarse = trainCentroids(e, nlist, iters)
 
-    // per-subspace codebooks: distributed training on the subvector
-    // frame, tiny bounded collect of the finished codebook
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      val sf = e.select(col("vec_id"), expr(s"slice(v, ${s * sub + 1}, $sub)").as("v"))
-      val cf = trainCentroidsFrame(sf, ksub, iters)
-      val rows = cf.orderBy("cell").collect()
-        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toSeq).toSeq
-      cf.unpersist()
-      rows
-    }
+    // per-subspace codebooks: distributed training, tiny bounded
+    // collect of the finished codebooks (m x ksub x sub doubles)
+    val codebooks = trainCodebooks(e, m, sub, ksub, iters)
     val cb = typedlit(codebooks)
 
     // encode: per subspace, argmax cosine against the codebook (ties
@@ -732,6 +725,85 @@ object Similarity {
         .withColumn("cos", expr(cosineSql("qv", "v")))
         .select("q_id", "vec_id", "cos"),
       k).select(col("q_id"), col("neighbor_id"), col("rn"))
+  }
+
+  /** All `m` PQ codebooks trained in ONE keyed frame — the
+    * [[trainCentroidsFrame]] math generalized over a `sub` key, so
+    * every per-subspace value is IDENTICAL to m independent
+    * trainCentroidsFrame calls on the sliced frames (spec-pinned in
+    * SimilaritySpec): same lowest-vec_id bootstrap rows, same
+    * md5-TakeOrdered sample, same (cosine DESC, cell ASC) assignment
+    * tie-break, same exact 1e-8-grid integer means — all keyed by
+    * (sub, cell) instead of run m times sequentially. One job chain
+    * instead of m: at m=8 this is the difference between ~8x Spark
+    * scheduling fixed cost and 1x (the training itself is
+    * O(sample x ksub x m) either way, corpus-independent past the
+    * sample cap). Returns codebooks(sub)(cell) = centroid.
+    */
+  private[graft] def trainCodebooks(
+      e: DataFrame,
+      m: Int,
+      sub: Int,
+      ksub: Int,
+      iters: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    def explodeSubs(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  s -> named_struct('sub', s, 'sv', slice(v, s * $sub + 1, $sub)))""".stripMargin))
+        .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("v"))
+    // bootstrap: the ksub lowest vec_ids, every subspace's slice of
+    // the SAME rows, cell = rank order within each subspace
+    var cents = materialize(
+      explodeSubs(e.orderBy("vec_id").limit(ksub))
+        .withColumn("cell",
+          row_number().over(Window.partitionBy("sub").orderBy("vec_id")).cast("long") - 1)
+        .select(col("sub"), col("cell"), col("v").as("cv")))
+    if (iters > 0) {
+      val sample = materialize(explodeSubs(e
+        .withColumn("__h",
+          expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .orderBy("__h", "vec_id").limit(ksub * 256)
+        .drop("__h")))
+      try {
+        (1 to iters).foreach { _ =>
+          val assigned = sample.join(broadcast(cents), Seq("sub"))
+            .withColumn("__cos", expr(cosineSql("cv", "v")))
+            .groupBy(col("sub"), col("vec_id"), col("v"))
+            .agg(max(struct(col("__cos"), (-col("cell")).as("__nc"))).as("best"))
+            .select(col("sub"), col("v"), (-col("best.__nc")).as("cell"))
+          val means = assigned
+            .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("sub", "cell", "pos")
+            .agg(((sum(round(col("x") * lit(1e8)).cast("long")).cast("double") / lit(1e8))
+              / count(lit(1))).as("m"))
+            .groupBy("sub", "cell")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+              .as("mv"))
+          val next = materialize(
+            cents.join(means, Seq("sub", "cell"), "left")
+              .select(col("sub"), col("cell"), coalesce(col("mv"), col("cv")).as("cv")))
+          cents.unpersist()
+          cents = next
+        }
+      } finally sample.unpersist()
+    }
+    val rows = cents.collect()
+      .map(r => (r.getAs[Number]("sub").longValue(), r.getAs[Long]("cell"),
+        r.getSeq[Double](2).toSeq))
+    cents.unpersist()
+    val bySub = rows.groupBy(_._1)
+    (0 until m).map { s =>
+      val cellsOf = bySub.getOrElse(s.toLong, Array.empty).map(t => t._2 -> t._3).toMap
+      (0 until ksub).map(c => cellsOf(c.toLong)).toVector
+    }.toVector
   }
 
   /** Approximate top-k via multi-table (band-OR) hyperplane LSH with

@@ -278,6 +278,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.75, s"IVF recall@5 = $r")
   }
 
+  test("keyed codebook training equals m independent trainCentroidsFrame runs value-for-value") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), expr(Similarity.doubleVec("embedding")).as("v"))
+    val keyed = Similarity.trainCodebooks(e, m = 4, sub = 16, ksub = 8, iters = 2)
+    (0 until 4).foreach { s =>
+      val sf = e.select(col("vec_id"), expr(s"slice(v, ${s * 16 + 1}, 16)").as("v"))
+      val cf = Similarity.trainCentroidsFrame(sf, nlist = 8, iters = 2)
+      val solo = cf.collect()
+        .map(r => r.getAs[Long]("cell") -> r.getSeq[Double](1).toSeq).toMap
+      cf.unpersist()
+      (0 until 8).foreach { c =>
+        assert(keyed(s)(c) === solo(c.toLong), s"subspace $s cell $c diverged")
+      }
+    }
+  }
+
   test("IVF-PQ with full probes and corpus-wide rerank equals brute force exactly") {
     // the ADC shortlist is the only approximation beyond IVF probing:
     // probe every cell and let the rerank cover the corpus, and the
