@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, RenameTable, ShowCreateTable, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -138,6 +138,23 @@ object GraftViewSupport {
           RenameGraftViewCommand(catName, ident, newName)
         case None => rt
       }
+    // introspection on a STORED VIEW: tables keep Spark's native v2
+    // paths; only identifiers that positively name an existing graft
+    // view reroute (existence checked here — parse time — against the
+    // persisted document, the same read resolution does)
+    case sc @ ShowCreateTable(u: UnresolvedTableOrView, false, output) =>
+      target(session, u.multipartIdentifier) match {
+        case Some((g, catName, ident)) if g.viewExists(ident) =>
+          ShowCreateGraftViewCommand(catName, ident, output)
+        case _ => sc
+      }
+    case d @ DescribeRelation(u: UnresolvedTableOrView, partitionSpec, isExtended, output) =>
+      target(session, u.multipartIdentifier) match {
+        case Some((g, catName, ident)) if g.viewExists(ident) =>
+          require(partitionSpec.isEmpty, "DESCRIBE ... PARTITION is not valid on a view")
+          DescribeGraftViewCommand(catName, ident, isExtended, output)
+        case _ => d
+      }
     case other => other
   }
 
@@ -266,6 +283,70 @@ case class ShowGraftViewsCommand(
       case None => names
     }
     filtered.sorted.map(n => Row(namespace.mkString("."), n, false))
+  }
+}
+
+/** `SHOW CREATE TABLE` on a stored view: reconstruct the CREATE VIEW
+  * statement from the persisted document (Spark's own behavior for
+  * session-catalog views — SHOW CREATE TABLE serves views too).
+  */
+case class ShowCreateGraftViewCommand(
+    catName: String,
+    ident: Identifier,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = GraftViewSupport.graftCatalog(session, catName)
+    val v = g.loadView(ident)
+    val cols =
+      if (v.columnAliases().isEmpty) ""
+      else v.columnAliases().zip(
+        v.columnComments() ++ Array.fill(v.columnAliases().length)("")).map {
+          case (a, c) if c.nonEmpty => s"$a COMMENT '${c.replace("'", "''")}'"
+          case (a, _) => a
+        }.mkString(" (", ", ", ")")
+    val props = v.properties().asScala.toSeq
+      .filterNot { case (k, _) => ViewCatalog.RESERVED_PROPERTIES.contains(k) }
+      .sortBy(_._1)
+    val tbl = if (props.isEmpty) ""
+      else props.map { case (k, p) => s"'$k' = '$p'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
+    val stmt = s"CREATE VIEW ${GraftViewSupport.fullParts(catName, ident).mkString(".")}" +
+      s"$cols$tbl AS ${v.query()}"
+    Seq(Row(stmt))
+  }
+}
+
+/** `DESCRIBE [EXTENDED]` on a stored view: the captured schema, plus
+  * the view-information block under EXTENDED (text, captured context,
+  * properties) — the session-catalog DESCRIBE shape.
+  */
+case class DescribeGraftViewCommand(
+    catName: String,
+    ident: Identifier,
+    isExtended: Boolean,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = GraftViewSupport.graftCatalog(session, catName)
+    val v = g.loadView(ident)
+    val cols = v.schema().fields.map(f =>
+      Row(f.name, f.dataType.simpleString, null: String)).toSeq
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", null: String),
+      Row("# View Information", "", null: String),
+      Row("Catalog", catName, null: String),
+      Row("Namespace", ident.namespace().mkString("."), null: String),
+      Row("View Name", ident.name(), null: String),
+      Row("View Text", v.query(), null: String),
+      Row("View Original Catalog", v.currentCatalog(), null: String),
+      Row("View Original Namespace", v.currentNamespace().mkString("."), null: String)) ++
+      v.properties().asScala.toSeq.sortBy(_._1).map { case (k, p) =>
+        Row(s"View Property: $k", p, null: String)
+      }
   }
 }
 

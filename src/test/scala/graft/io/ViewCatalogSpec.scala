@@ -173,6 +173,25 @@ class ViewCatalogSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
   }
 
+  test("SHOW CREATE TABLE and DESCRIBE work on stored views; tables keep native paths") {
+    io
+    spark.sql("CREATE OR REPLACE VIEW gvw.default.vintro (total COMMENT 'sum') AS " +
+      "SELECT sum(amt) FROM gvw.default.vt")
+    val stmt = spark.sql("SHOW CREATE TABLE gvw.default.vintro").head().getString(0)
+    assert(stmt.startsWith("CREATE VIEW gvw.default.vintro (total COMMENT 'sum')"), stmt)
+    assert(stmt.contains("AS SELECT sum(amt) FROM gvw.default.vt"), stmt)
+    val desc = spark.sql("DESCRIBE gvw.default.vintro").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("total", "double")), desc.mkString(","))
+    val ext = spark.sql("DESCRIBE EXTENDED gvw.default.vintro").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext.get("View Text").contains("SELECT sum(amt) FROM gvw.default.vt"))
+    assert(ext.get("Catalog").contains("gvw"))
+    // a TABLE still takes Spark's native v2 describe path
+    val tdesc = spark.sql("DESCRIBE gvw.default.vt").collect().map(_.getString(0))
+    assert(tdesc.contains("id") && tdesc.contains("amt"))
+  }
+
   test("temp views keep precedence for short names; stored views don't leak into the session catalog") {
     io
     Seq((99, "tmp")).toDF("id", "s").createOrReplaceTempView("vprec")
