@@ -762,6 +762,26 @@ object OracleQueries {
          |SELECT doc_id, text, lang, source, n_chars, n_tokens, cum_tokens
          |FROM cc WHERE cum_tokens - n_tokens < 20000""".stripMargin,
 
+    // partitioned-DML replay: UPDATE (1996 doubled) then MERGE
+    // (matched %7 keys +1000, one synthetic insert into a fresh
+    // partition) as plain per-row arithmetic over the slice — the
+    // Spark side additionally asserts the layout-scoped rewrite and
+    // the minted partition dir in-query
+    "q162_partitioned_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS oyr
+        |  FROM orders WHERE o_custkey <= 300),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN oyr = 1996 THEN o_totalprice * 2 ELSE o_totalprice END AS p, oyr
+        |  FROM base)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN p + 1000.0 ELSE p END AS o_totalprice, oyr
+        |FROM u
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(42.0 AS DOUBLE), 2099""".stripMargin,
+
     // persisted-view replay: the view body over the raw slice — the
     // Spark side resolved it through a persisted catalog view read
     // back by a fresh catalog instance (rename + SHOW VIEWS asserted

@@ -156,7 +156,13 @@ object ScaleProbe {
     // probe join's corpus side carries one BIGINT code per vector, so
     // 10x vectors cost 10x codes (+ the fixed queries x rerank exact
     // re-scores), never 10x full vectors through the join
-    "q161_ann_ivfpq")
+    "q161_ann_ivfpq",
+    // r19: partitioned DML — the UPDATE is layout-dir scoped (only
+    // the matching year's files rewrite, at any table size) and the
+    // MERGE's cost is the matched files + the layout hop's second
+    // write of REPLACED bytes only — the probe pins nothing
+    // table-sized beyond the fixture's own 10x overwrite
+    "q162_partitioned_dml")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -866,6 +866,46 @@ object SparkEntry {
       res
     }),
 
+    // PARTITIONED-TABLE DML (r19 — previously DELETE-only): SQL
+    // UPDATE and MERGE INTO over a Hive-partitioned table. The
+    // copy-on-write replacement takes a LAYOUT HOP (flat rewrite
+    // output re-staged under the table's partition dirs — rows may
+    // move partitions, e.g. the MERGE's insert minting a new year
+    // dir), and scoping prunes by LAYOUT DIRECTORIES: the
+    // partition-aligned UPDATE provably rewrites only the matching
+    // year's files (asserted in-query; partition columns aren't in
+    // parquet footers, so dir arithmetic is the only possible proof).
+    "q162_partitioned_dml" -> ((s, dir) => {
+      val cname = "gpdq"
+      val io = catalogIO(s, cname, "graft_pdq_")
+      val t = "default.ord_pdml"
+      val ords = Tables.orders(s, dir).filter(col("o_custkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(to_date(col("o_orderdate"))).as("oyr"))
+      io.overwrite(ords.repartition(col("oyr")), t, Seq("oyr"))
+      val v0 = io.catalog.currentVersion(t).get
+      val before = io.catalog.manifest(t, v0)
+      s.sql(s"UPDATE $cname.$t SET o_totalprice = o_totalprice * 2 WHERE oyr = 1996")
+      val after = io.catalog.manifest(t, io.catalog.currentVersion(t).get)
+      require(before.filterNot(_.contains("oyr=1996")).toSet ==
+          after.filterNot(_.contains("oyr=1996")).toSet,
+        "partition-aligned UPDATE must carry every other partition's files verbatim")
+      ords.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), lit(1000.0).as("delta"))
+        .unionByName(s.sql("SELECT CAST(-1 AS BIGINT) AS o_orderkey, CAST(42.0 AS DOUBLE) AS delta"))
+        .createOrReplaceTempView("pdml_src_q162")
+      s.sql(
+        s"""MERGE INTO $cname.$t t USING pdml_src_q162 s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.delta
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice, oyr)
+           |  VALUES (s.o_orderkey, -1, s.delta, 2099)""".stripMargin)
+      s.catalog.dropTempView("pdml_src_q162")
+      val files = io.catalog.manifest(t, io.catalog.currentVersion(t).get)
+      require(files.forall(_.contains("oyr=")) && files.exists(_.contains("oyr=2099")),
+        "the MERGE insert must mint its own partition directory")
+      io.read(t).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("oyr"))
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

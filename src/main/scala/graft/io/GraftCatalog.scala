@@ -279,9 +279,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         else new GraftMorTable(name, catalog, delegate, pcols, declared, renames, pspec,
           writeBranch, mv, morBranch)
       case None =>
-        if (pcols.isEmpty)
-          new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch)
-        else new GraftTable(name, catalog, delegate, pcols, declared, renames, pspec, writeBranch)
+        // clean snapshots carry the row-level ops regardless of
+        // layout (r19): partitioned replacements take the layout hop
+        // in the commit (see GraftRowOpsTable doc)
+        new GraftRowOpsTable(name, catalog, delegate, declared, renames, writeBranch,
+          pcols, pspec)
     }
   }
 
@@ -1123,6 +1125,20 @@ private[io] class GraftTable(
   * commit. This is the copy-on-write half of Iceberg's row-level DML
   * with footer stats standing in for manifest column stats (the
   * merge-on-read delta path is deliberately out of scope).
+  *
+  * PARTITIONED tables (r19): the replacement write takes a LAYOUT
+  * HOP — the rewrite plan's DSv2 parquet write lands flat in the
+  * private staging (the v2 file write can't lay Hive directories),
+  * and the commit re-writes those staged rows through TableIO's
+  * partitioned staging (`stageReplacement`: same withLayout /
+  * distribution / hidden-spec derivation as every append) before the
+  * manifest commit. Cost: the REPLACED bytes are written twice —
+  * bounded by the file-scoped rewrite, never table-sized — in
+  * exchange for UPDATE/MERGE on partitioned tables with rows free to
+  * MOVE between partitions. Scoping additionally prunes by layout
+  * directories (identity dirs and hidden-spec arithmetic,
+  * PartitionTransforms.fileMightMatch), so a partition-aligned
+  * UPDATE rewrites only the matching partition's files.
   */
 private[io] class GraftRowOpsTable(
     tableName: String,
@@ -1130,10 +1146,25 @@ private[io] class GraftRowOpsTable(
     delegate: ParquetTable,
     declaredSchema: Option[StructType],
     renames: Map[String, String],
-    writeBranch: Option[String] = None
-) extends GraftTable(tableName, cat, delegate, Seq.empty, declaredSchema, renames,
-    writeBranch = writeBranch)
+    writeBranch: Option[String] = None,
+    partitionCols: Seq[String] = Seq.empty,
+    pspec: Seq[PartitionTransform] = Seq.empty
+) extends GraftTable(tableName, cat, delegate, partitionCols, declaredSchema, renames,
+    pspec, writeBranch = writeBranch)
   with SupportsRowLevelOperations {
+
+  /** Layout-aware might-match for the rewrite's file scoping: hidden
+    * specs when declared, else the identity dirs of a Hive layout —
+    * `false` only when the DIRECTORY proves the predicate can't match
+    * (typed dir parsing; unparseable or absent dirs stay candidates).
+    */
+  private def layoutMightMatch(f: String,
+                               filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val specs =
+      if (pspec.nonEmpty) pspec
+      else partitionCols.map(PartitionTransforms.Identity)
+    specs.isEmpty || PartitionTransforms.fileMightMatch(f, filters, specs, schema())
+  }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
@@ -1210,10 +1241,13 @@ private[io] class GraftRowOpsTable(
                   allFiles.partition { f =>
                     // stats carry physical names; filters logical
                     // (cached = manifest-primed at loadTable, footer
-                    // fallback for pre-stats files)
+                    // fallback for pre-stats files); layout dirs prove
+                    // what footers can't — partition columns aren't IN
+                    // the footers of a partitioned write
                     val stats = FileStats.cached(f, conf)
                       .map { case (k, v) => toLogicalName.getOrElse(k, k) -> v }
-                    !FileStats.mightMatch(stats, filters.toSeq)
+                    !FileStats.mightMatch(stats, filters.toSeq) ||
+                      !layoutMightMatch(f, filters.toSeq)
                   }
                 } catch { case scala.util.control.NonFatal(_) => (Seq.empty, allFiles) } // unreadable: rewrite all
               chosen = scanned
@@ -1236,7 +1270,20 @@ private[io] class GraftRowOpsTable(
                 else ParquetTable(s"${delegate.name}#scoped", SparkSession.active,
                   delegate.options, chosen, schemaForScoped,
                   classOf[ParquetFileFormat])
-              val ds = scanTable.newScanBuilder(options).build()
+              val builder = scanTable.newScanBuilder(options)
+              // hidden LAYOUT columns (gp_* dirs a hidden spec derives)
+              // must not surface in the rewrite scan: the relation's
+              // output is the VISIBLE schema, and Spark's row-level
+              // scan planning maps readSchema attributes to it by
+              // name. The layout hop re-derives them on write.
+              builder match {
+                case p: SupportsPushDownRequiredColumns =>
+                  val visible = StructType(scanTable.schema.fields.filterNot(f =>
+                    f.name.startsWith(PartitionTransforms.Prefix)))
+                  if (visible.length != scanTable.schema.length) p.pruneColumns(visible)
+                case _ => ()
+              }
+              val ds = builder.build()
               new Scan {
                 override def readSchema(): StructType = {
                   val s = ds.readSchema()
@@ -1368,10 +1415,36 @@ private[io] class GraftRowOpsTable(
                     // (carried over verbatim) + this write's replacement
                     // files, moved in from the private staging (cheap
                     // same-filesystem atomic renames); logical
-                    // overwrite, prior versions untouched
+                    // overwrite, prior versions untouched. PARTITIONED
+                    // tables take the layout hop (class doc): re-write
+                    // the flat staged rows through TableIO's
+                    // partitioned staging so every replacement row
+                    // lands under its Hive/hidden-layout directory —
+                    // incl. rows an UPDATE moved between partitions.
                     val dataRoot = java.nio.file.Paths.get(cat.dataPath(tableName))
                     java.nio.file.Files.createDirectories(dataRoot)
-                    val newFiles = TableIO.moveStagedFiles(staging, dataRoot)
+                    val newFiles =
+                      if (partitionCols.isEmpty) TableIO.moveStagedFiles(staging, dataRoot)
+                      else {
+                        val flat = {
+                          val s = java.nio.file.Files.walk(staging)
+                          try s.iterator().asScala
+                            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                              p.toString.endsWith(".parquet"))
+                            .map(_.toString).toSeq
+                          finally s.close()
+                        }
+                        if (flat.isEmpty) Seq.empty
+                        else {
+                          val io2 = new TableIO(SparkSession.active, cat)
+                          // explicit schema: an all-deleted rewrite has
+                          // nothing to infer from, and physical names
+                          // are already what stageReplacement expects
+                          val df = SparkSession.active.read
+                            .schema(physInfo.schema()).parquet(flat: _*)
+                          io2.stageReplacement(df, tableName, partitionCols)
+                        }
+                      }
                     // stats ride along (carried forward for untouched
                     // files, footer-read for replacements) so a DML
                     // commit keeps plan-time pruning O(manifest) —

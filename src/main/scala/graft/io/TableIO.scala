@@ -3721,6 +3721,16 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * dot-prefixed staging dir (invisible to readers and to
     * `listDataFiles`); `removeOrphanFiles` can reclaim it.
     */
+  /** The row-level DML layout hop (GraftRowOpsTable): stage an
+    * already-physical-named replacement frame under the table's
+    * partitioned layout — same withLayout / distribution path as
+    * every append. Package-visible, not public: callers must already
+    * hold the table's write lock and own the manifest commit.
+    */
+  private[io] def stageReplacement(df: DataFrame, name: String,
+                                   partitionCols: Seq[String]): Seq[String] =
+    stageWrite(df, name, partitionCols)
+
   private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String]): Seq[String] = {
     val (laid0, layoutCols) = withLayout(df, name, partitionCols)
     // WRITE DISTRIBUTION MODE (Iceberg's write.distribution-mode =
