@@ -862,8 +862,14 @@ object SparkEntry {
       val recall = res.join(bf, Seq("q_id", "neighbor_id")).count() / 80.0
       require(recall >= 0.45,
         f"IVF-PQ recall@5 vs brute force fell below the pinned floor: $recall%.3f")
+      // localize the queries x k result (80 rows) before unpersisting:
+      // the consumer's action would otherwise re-run the whole
+      // train+encode+score DAG a second time — the q03 driver
+      // round-trip idiom, bounded by construction
+      val local = s.createDataFrame(
+        java.util.List.of(res.collect(): _*), res.schema)
       res.unpersist()
-      res
+      local
     }),
 
     // PARTITIONED-TABLE DML (r19 — previously DELETE-only): SQL

@@ -107,6 +107,15 @@ class PartitionedDmlSpec extends SparkSpec {
       "the untouched day's file must carry over verbatim")
     assert(spark.table("pd4.default.ev").select("id", "v").as[(Long, Double)]
       .collect().toSet == Set((1L, 1.0), (2L, 20.0)))
+    // updating the hidden spec's SOURCE column moves the row's derived
+    // directory (the partition-move case for hidden layouts)
+    spark.sql("UPDATE pd4.default.ev SET od = DATE'2024-03-15' WHERE id = 2")
+    val d3 = java.time.LocalDate.parse("2024-03-15").toEpochDay
+    val moved = io.catalog.manifest(t, io.catalog.currentVersion(t).get)
+    assert(moved.exists(_.contains(s"gp_days_od=$d3")) &&
+      !moved.exists(_.contains(s"gp_days_od=$d2")), s"row must move dirs: $moved")
+    assert(spark.table("pd4.default.ev").filter(col("id") === 2)
+      .select("od").head().getDate(0).toString == "2024-03-15")
   }
 
   test("DELETE on a partitioned table keeps its metadata/COW path (no regression)") {
