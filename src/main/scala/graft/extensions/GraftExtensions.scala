@@ -143,6 +143,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.functions.BpeCount(children(0))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_pln"),
+      info("graft_pln", "graft_pln(n) - portable IEEE-exact natural log of a positive BIGINT"),
+      (children: Seq[Expression]) => graft.functions.PortableLn(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lp_nano"),
+      info("graft_lp_nano", "graft_lp_nano(num, den) - floor((graft_pln(num) - graft_pln(den)) * 1e9) as BIGINT"),
+      (children: Seq[Expression]) => graft.functions.PortableLpNano(children(0), children(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "graft_bloom_contains(bloom, s) - might-contain probe of a serialized bloom filter"),
       (children: Seq[Expression]) => BloomContains(children(0), children(1))

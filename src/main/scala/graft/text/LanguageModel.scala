@@ -75,6 +75,13 @@ object LanguageModel {
     * because floor has no tie rule to diverge on; the 1e9 multiply is
     * an IEEE-exact op on identical inputs. num/den must be positive
     * BIGINT expressions.
+    *
+    * This macro form is the ORACLE spelling (duck = true) and the
+    * spec referee. The Spark hot path uses the bit-identical codegen
+    * kernel `graft_lp_nano` ([[graft.functions.PortableLpNano]])
+    * instead — the textual expansion repeats the argument ~128x per
+    * ln, which bloated q140's projection to plan-truncating size
+    * (r19 verdict finding #1); the kernel is one compiled call.
     */
   def lpNanoSql(num: String, den: String, duck: Boolean): String =
     s"CAST(floor((${portableLnSql(num, duck)} - ${portableLnSql(den, duck)})" +
@@ -84,17 +91,7 @@ object LanguageModel {
     * doubles — the spec's referee for the Spark-evaluated SQL (and the
     * shape the DuckDB prototype was validated against bit for bit).
     */
-  def portableLnRef(n: Long): Double = {
-    require(n >= 1, s"portable ln needs n >= 1, got $n")
-    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
-    val m = n.toDouble / (1L << e).toDouble
-    val t = (m - 1.0) / (m + 1.0)
-    val t2 = t * t
-    var h = 1.0 / 33.0
-    var k = 31
-    while (k >= 1) { h = h * t2 + 1.0 / k.toDouble; k -= 2 }
-    2.0 * t * h + e.toDouble * 0.6931471805599453
-  }
+  def portableLnRef(n: Long): Double = graft.functions.PortableLnKernel.ln(n)
 
   /** Train the per-language trigram LM on `trainPred` docs and score
     * the rest. Output: (doc_id, lang, n_trigrams, logprob_nano,
@@ -140,7 +137,7 @@ object LanguageModel {
       .join(broadcast(vocab), Seq("lang"))
       .withColumn("num_arg", coalesce(col("c3"), lit(0L)) + lit(1L))
       .withColumn("den_arg", coalesce(col("c2"), lit(0L)) + col("v"))
-      .withColumn("lp_nano", expr(lpNanoSql("num_arg", "den_arg", duck = false)))
+      .withColumn("lp_nano", expr("graft_lp_nano(num_arg, den_arg)"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("lp_nano")).as("logprob_nano"))
 
@@ -250,8 +247,8 @@ object LanguageModel {
         .withColumn("s_num", col("cs") + lit(1L))
         .withColumn("s_den", lit(ns + buckets))
         .withColumn("wb",
-          expr(lpNanoSql("t_num", "t_den", duck = false)) -
-            expr(lpNanoSql("s_num", "s_den", duck = false)))
+          expr("graft_lp_nano(t_num, t_den)") -
+            expr("graft_lp_nano(s_num, s_den)"))
         .select(col("b"), col("wb"))
       val rows = planned.collect() // bounded: one row per source bucket
       val local = docs.sparkSession.createDataFrame(

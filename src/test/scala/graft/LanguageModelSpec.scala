@@ -23,6 +23,28 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("portable ln kernel: graft_pln / graft_lp_nano are bit-identical to the SQL macro") {
+    // the codegen kernel (r19 verdict item 1) replaced the ~128x
+    // macro expansion in the LM hot path — the oracle still replays
+    // the duck-side macro, so the two spellings must never diverge
+    val pairs = for {
+      num <- Seq(1L, 2L, 3L, 7L, 100L, 999983L, 1L << 40, (1L << 52) + 12345L)
+      den <- Seq(1L, 5L, 10007L, 1L << 33)
+    } yield (num, den)
+    val got = pairs.toDF("num", "den")
+      .withColumn("pln_macro", expr(LanguageModel.portableLnSql("num", duck = false)))
+      .withColumn("pln_kernel", expr("graft_pln(num)"))
+      .withColumn("lp_macro", expr(LanguageModel.lpNanoSql("num", "den", duck = false)))
+      .withColumn("lp_kernel", expr("graft_lp_nano(num, den)"))
+      .select("num", "den", "pln_macro", "pln_kernel", "lp_macro", "lp_kernel")
+      .as[(Long, Long, Double, Double, Long, Long)].collect()
+    got.foreach { case (num, den, pm, pk, lm, lk) =>
+      assert(java.lang.Double.doubleToLongBits(pm) ===
+        java.lang.Double.doubleToLongBits(pk), s"graft_pln($num): macro=$pm kernel=$pk")
+      assert(lm === lk, s"graft_lp_nano($num, $den): macro=$lm kernel=$lk")
+    }
+  }
+
   test("portable ln: within 4 ulps of Math.log across the count range") {
     var n = 1L
     while (n < (1L << 50)) {
