@@ -782,6 +782,18 @@ object OracleQueries {
         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
         |  CAST(42.0 AS DOUBLE), 2099""".stripMargin,
 
+    // materialized-view replay: final base state (append widened the
+    // custkey slice to 1200, the MOR delete struck totalprice >=
+    // 250000) aggregated with the exact-decimal sum — the Spark side
+    // served this from the incrementally-maintained backing table and
+    // asserted maintained == recompute in-query
+    "q163_materialized_view" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey <= 1200 AND o_totalprice < 250000
+        |GROUP BY 1""".stripMargin,
+
     // persisted-view replay: the view body over the raw slice — the
     // Spark side resolved it through a persisted catalog view read
     // back by a fresh catalog instance (rename + SHOW VIEWS asserted

@@ -912,6 +912,52 @@ object SparkEntry {
       io.read(t).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("oyr"))
     }),
 
+    // MATERIALIZED VIEW end-to-end (r19 — Iceberg/Delta-DLT parity,
+    // and exactly what the reference's AggregationJob.scala:43-90
+    // rollup tables want to be): CREATE MATERIALIZED VIEW
+    // full-computes a backing summary table ONCE and persists the
+    // IVM recipe + staleness marker on the q156 view document; then
+    // an append and a MOR positional delete land on the base, and
+    // each CALL system.refresh_mv rolls the summary forward by the
+    // CHANGELOG delta (q85's exact-decimal IVM) — O(changed files +
+    // groups), never a base rescan (10x probe in
+    // MaterializedViewSpec). Marker advancement per refresh and
+    // maintained == full-recompute (bit-exact) are asserted
+    // in-query; the result reads the MV through plain persisted-view
+    // resolution.
+    "q163_materialized_view" -> ((s, dir) => {
+      val cname = "gmvq"
+      val io = catalogIO(s, cname, "graft_mvq_")
+      val t = "default.ord_mv"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.orders(s, dir).filter(col("o_custkey") <= 800)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v1
+      s.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $cname.default.ord_rev AS " +
+        s"SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price " +
+        s"FROM $cname.$t GROUP BY o_orderpriority")
+      io.append(Tables.orders(s, dir)
+        .filter(col("o_custkey") > 800 && col("o_custkey") <= 1200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v2
+      val r1 = s.sql(s"CALL $cname.system.refresh_mv('default.ord_rev')").head()
+      io.deleteWhereMOR(t, col("o_totalprice") >= 250000.0) // v3: MOR delete
+      val r2 = s.sql(s"CALL $cname.system.refresh_mv('default.ord_rev')").head()
+      require(r1.getInt(0) == 1 && r1.getInt(1) == 2 &&
+          r2.getInt(0) == 2 && r2.getInt(1) == 3,
+        s"staleness marker must advance per refresh, got $r1 then $r2")
+      // maintained state == full recompute, bit for bit (q85's IVM
+      // exactness property, here through the whole SQL surface)
+      val recomputed = graft.operators.ViewMaintenance.summarize(
+        io.read(t), Seq("o_orderpriority"), "n_orders",
+        Seq(graft.operators.ViewMaintenance.Measure("o_totalprice", "total_price", 2)))
+      val served = io.read("default.__mv_ord_rev")
+      require(served.exceptAll(recomputed).isEmpty && recomputed.exceptAll(served).isEmpty,
+        "maintained MV must equal a full recompute")
+      s.table(s"$cname.default.ord_rev")
+        .select(col("o_orderpriority"), col("n_orders"), col("total_price"))
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

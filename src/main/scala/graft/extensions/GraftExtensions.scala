@@ -187,6 +187,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) => new GraftSqlParser(delegate, Option(session)))
     // Read-side view expansion: `SELECT ... FROM <stored view>`.
     ext.injectResolutionRule(session => ResolveGraftViewRelations(session))
+    // Post-analysis guard: stored-view output must still match the
+    // captured column names (incompatible base-table change check).
+    ext.injectCheckRule(session => GraftViewSchemaCheck(session))
   }
 }
 
@@ -212,8 +215,28 @@ private[extensions] class GraftSqlParser(
   // SET NOT NULL must bypass Spark's blanket nullable->non-nullable
   // CheckAnalysis refusal — rewritten to the validating procedure
   // (CALL system.set_column_nullability). DROP NOT NULL stays native.
+  // Guarded by inGraftCatalog: the statement is valid Spark syntax
+  // that another catalog (session catalog, Iceberg) may own — those
+  // pass through to the delegate untouched (r19 advice).
   private val SetNotNull =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  // MATERIALIZED VIEW DDL (graft-only syntax — plain Spark has no
+  // MATERIALIZED keyword, so non-graft targets fall through to the
+  // delegate's native parse error)
+  private val CreateMv =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+
+  /** Does `ident` resolve to a graft catalog in this session? (The
+    * rewrite guard — statements owned by other catalogs keep their
+    * native paths.)
+    */
+  private def graftTarget(ident: String)
+      : Option[(graft.io.GraftCatalog, String, org.apache.spark.sql.connector.catalog.Identifier)] =
+    session.flatMap(s => GraftViewSupport.target(s, ident.split('.').toSeq))
 
   /** Split `cat.ns.t` into the CALL's catalog prefix + table arg: 3+
     * parts name a catalog explicitly; 1-2 parts resolve CALL system.*
@@ -240,7 +263,25 @@ private[extensions] class GraftSqlParser(
     case WriteOrdered(ident, cols) =>
       delegate.parsePlan(callFor(ident, cols.split(',').map(_.trim).filter(_.nonEmpty).mkString(",")))
     case WriteUnordered(ident) => delegate.parsePlan(callFor(ident, ""))
-    case SetNotNull(ident, column) => delegate.parsePlan(notNullCallFor(ident, column))
+    case SetNotNull(ident, column) if graftTarget(ident).isDefined =>
+      delegate.parsePlan(notNullCallFor(ident, column))
+    case CreateMv(replace, ident, query) =>
+      graftTarget(ident) match {
+        case Some((_, catName, id)) => CreateGraftMvCommand(catName, id, query, replace != null)
+        case None => delegate.parsePlan(sqlText)
+      }
+    case DropMv(ifExists, ident) =>
+      graftTarget(ident) match {
+        case Some((_, catName, id)) => DropGraftMvCommand(catName, id, ifExists != null)
+        case None => delegate.parsePlan(sqlText)
+      }
+    case RefreshMv(ident) =>
+      graftTarget(ident) match {
+        case Some((_, catName, id)) =>
+          delegate.parsePlan(s"CALL $catName.system.refresh_mv(" +
+            s"'${(id.namespace() :+ id.name()).mkString(".")}')")
+        case None => delegate.parsePlan(sqlText)
+      }
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       // view DDL aimed at a graft catalog routes to the graft

@@ -222,6 +222,14 @@ case class AlterGraftViewAsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val g = GraftViewSupport.graftCatalog(session, catName)
     val prior = g.loadView(ident) // throws NoSuchViewException when absent
+    // an MV's SQL is derived from its recipe — redefinition goes
+    // through CREATE OR REPLACE MATERIALIZED VIEW (which recomputes
+    // the backing table), never a raw text swap
+    if (prior.properties().asScala.get(graft.io.MaterializedViews.PropIsMv)
+        .contains("true"))
+      throw new IllegalArgumentException(
+        s"${GraftViewSupport.fullParts(catName, ident).mkString(".")} is a " +
+          "materialized view — use CREATE OR REPLACE MATERIALIZED VIEW")
     val analyzed = session.sessionState.executePlan(query).analyzed
     val cm = session.sessionState.catalogManager
     val info = new ViewInfo(ident, originalText, cm.currentCatalog.name(),
@@ -239,7 +247,48 @@ case class DropGraftViewCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val g = GraftViewSupport.graftCatalog(session, catName)
+    // a materialized view owns a backing table; plain DROP VIEW would
+    // orphan it — route to the statement that drops both
+    if (g.viewExists(ident) &&
+        g.loadView(ident).properties().asScala.get(graft.io.MaterializedViews.PropIsMv)
+          .contains("true"))
+      throw new IllegalArgumentException(
+        s"${GraftViewSupport.fullParts(catName, ident).mkString(".")} is a " +
+          "materialized view — use DROP MATERIALIZED VIEW")
     if (!g.dropView(ident) && !ifExists) throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+/** `CREATE [OR REPLACE] MATERIALIZED VIEW`: analyze the defining
+  * query here (run time), then hand the validated recipe + initial
+  * full compute to [[graft.io.MaterializedViews.create]].
+  */
+case class CreateGraftMvCommand(
+    catName: String,
+    ident: Identifier,
+    querySql: String,
+    replace: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = GraftViewSupport.graftCatalog(session, catName)
+    val parsed = session.sessionState.sqlParser.parseQuery(querySql)
+    val analyzed = session.sessionState.executePlan(parsed).analyzed
+    val name = (ident.namespace() :+ ident.name()).mkString(".")
+    graft.io.MaterializedViews.create(session, g, name, analyzed, replace)
+    Seq.empty
+  }
+}
+
+case class DropGraftMvCommand(
+    catName: String,
+    ident: Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = GraftViewSupport.graftCatalog(session, catName)
+    val name = (ident.namespace() :+ ident.name()).mkString(".")
+    graft.io.MaterializedViews.drop(session, g.tableCatalog, name, ifExists)
     Seq.empty
   }
 }
@@ -355,12 +404,45 @@ case class DescribeGraftViewCommand(
   */
 case class ResolveGraftViewRelations(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if !u.isStreaming =>
-      GraftViewSupport.viewFor(session, u.multipartIdentifier) match {
-        case Some((_, catName, ident, view)) => expand(catName, ident, view)
-        case None => u
-      }
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
+
+  /** A stored view is never a write target: refuse INSERT/UPDATE/
+    * DELETE/MERGE aimed at one with the standard
+    * expect-table-not-view error instead of expanding the view into
+    * the target position and failing downstream with a confusing
+    * unresolved-write error (r19 advice).
+    */
+  private def refuseWriteTarget(target: LogicalPlan, operation: String): Unit = {
+    def parts(p: LogicalPlan): Option[Seq[String]] = p match {
+      case u: UnresolvedRelation => Some(u.multipartIdentifier)
+      case SubqueryAlias(_, child) => parts(child)
+      case _ => None
+    }
+    parts(target).foreach { ps =>
+      if (GraftViewSupport.viewFor(session, ps).isDefined)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "EXPECT_TABLE_NOT_VIEW.NO_ALTERNATIVE",
+          messageParameters = Map(
+            "operation" -> operation,
+            "viewName" -> ps.mkString(".")))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case i: InsertIntoStatement => refuseWriteTarget(i.table, "INSERT INTO")
+      case d: DeleteFromTable => refuseWriteTarget(d.table, "DELETE FROM")
+      case u: UpdateTable => refuseWriteTarget(u.table, "UPDATE")
+      case m: MergeIntoTable => refuseWriteTarget(m.targetTable, "MERGE INTO")
+      case _ =>
+    }
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if !u.isStreaming =>
+        GraftViewSupport.viewFor(session, u.multipartIdentifier) match {
+          case Some((_, catName, ident, view)) => expand(catName, ident, view)
+          case None => u
+        }
+    }
   }
 
   private def expand(catName: String, ident: Identifier,
@@ -411,4 +493,43 @@ case class ResolveGraftViewRelations(session: SparkSession) extends Rule[Logical
     parts.length >= 2 && (
       try { session.sessionState.catalogManager.catalog(parts.head); true }
       catch { case scala.util.control.NonFatal(_) => false })
+}
+
+/** Post-analysis check: a stored view's RESOLVED output must still
+  * match the column names captured at creation. Without this, an
+  * incompatible change to an underlying table (a column added under
+  * SELECT *, dropped, or renamed) silently changes the view's output
+  * while DESCRIBE keeps reporting the stale captured schema — Spark
+  * session views and Iceberg's ResolveViews both fail this case with
+  * an incompatible-view-change error (r19 advice). Views declared
+  * with explicit column aliases are covered natively by the alias
+  * count check in UnresolvedSubqueryColumnAliases.
+  */
+case class GraftViewSchemaCheck(session: SparkSession) extends (LogicalPlan => Unit) {
+
+  override def apply(plan: LogicalPlan): Unit = plan.foreach {
+    case a: SubqueryAlias if a.identifier.qualifier.length >= 2 =>
+      val parts = a.identifier.qualifier :+ a.identifier.name
+      GraftViewSupport.viewFor(session, parts) match {
+        case Some((_, _, _, view))
+            if view.columnAliases().isEmpty && view.queryColumnNames().nonEmpty =>
+          val expected = view.queryColumnNames().toSeq
+          val actual = a.output.map(_.name)
+          if (actual != expected) {
+            val missing = expected.diff(actual).headOption
+              .orElse(expected.zip(actual).collectFirst { case (e, g) if e != g => e })
+              .getOrElse(expected.last)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INCOMPATIBLE_VIEW_SCHEMA_CHANGE",
+              messageParameters = Map(
+                "viewName" -> parts.mkString("."),
+                "colName" -> missing,
+                "expectedNum" -> expected.count(_ == missing).toString,
+                "actualCols" -> actual.mkString("[", ",", "]"),
+                "suggestion" -> s"CREATE OR REPLACE VIEW ${parts.mkString(".")} AS ${view.query()}"))
+          }
+        case _ =>
+      }
+    case _ =>
+  }
 }

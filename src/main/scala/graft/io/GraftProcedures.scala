@@ -34,7 +34,8 @@ private[io] object GraftProcedures {
       "rewrite_partition_spec", "tag_snapshot",
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
       "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
-      "apply_deletes_branch", "compact_where", "set_write_order", "set_write_distribution")
+      "apply_deletes_branch", "compact_where", "set_write_order", "set_write_distribution",
+      "refresh_mv")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -348,6 +349,21 @@ private[io] object GraftProcedures {
             throw new IllegalArgumentException(s"table not found: $t"))
           val cur = cat.rollbackTo(t, v)
           Seq(new GenericInternalRow(Array[Any](prev, cur)))
+        }))
+    case "refresh_mv" =>
+      // incremental materialized-view refresh: roll the backing
+      // summary forward by the base table's changelog since the last
+      // refreshed version (O(delta), never a recompute) and advance
+      // the view document's staleness marker
+      Some(proc("refresh_mv",
+        Seq("view" -> StringType),
+        new StructType().add("from_version", IntegerType, nullable = false)
+          .add("to_version", IntegerType, nullable = false)
+          .add("rows_applied", LongType, nullable = false),
+        (in: InternalRow) => {
+          val v = in.getUTF8String(0).toString
+          val (from, to, n) = MaterializedViews.refresh(SparkSession.active, cat, v)
+          Seq(new GenericInternalRow(Array[Any](from, to, n)))
         }))
     case "remove_tag" =>
       Some(proc("remove_tag",
