@@ -794,6 +794,18 @@ object OracleQueries {
         |WHERE o_custkey <= 1200 AND o_totalprice < 250000
         |GROUP BY 1""".stripMargin,
 
+    // schema-evolution MERGE replay: custkey<=400 base, matched
+    // ck<=200 repriced +100 with the audit tag, 400<ck<=500 inserted
+    // with their source tag, everything else NULL for the evolved
+    // column — per-row closed form over the raw slice
+    "q164_merge_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey <= 200 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_custkey <= 200 THEN 'repriced'
+        |       WHEN o_custkey > 400 THEN 'src_' || o_orderpriority END AS audit_tag
+        |FROM orders WHERE o_custkey <= 500""".stripMargin,
+
     // persisted-view replay: the view body over the raw slice — the
     // Spark side resolved it through a persisted catalog view read
     // back by a fresh catalog instance (rename + SHOW VIEWS asserted

@@ -958,6 +958,48 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("n_orders"), col("total_price"))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION (r19 — Delta's schema-evolution
+    // MERGE / Iceberg's merge-schema writes, via Spark 4.1's native
+    // AUTOMATIC_SCHEMA_EVOLUTION capability): the source carries an
+    // audit column the table doesn't have; the MERGE lands the
+    // column AND the row changes in ONE data commit — the analyzer
+    // routes the new column through the catalog's validated
+    // alterTable (nullable AddColumn; lossless `widens` for retypes,
+    // refusal shapes spec-pinned in MergeSchemaEvolutionSpec).
+    // Asserted in-query: exactly one version hop, and the
+    // pre-evolution snapshot time-travels with the new column null
+    // for every old row (no stale-byte resurrection).
+    "q164_merge_schema_evolution" -> ((s, dir) => {
+      val cname = "gsev"
+      val io = catalogIO(s, cname, "graft_sev_")
+      val t = "default.ord_sev"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.orders(s, dir).filter(col("o_custkey") <= 400)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), t) // v1
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_custkey") > 400 && col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          concat(lit("src_"), col("o_orderpriority")).as("audit_tag"))
+        .unionByName(ord.filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"),
+            lit("repriced").as("audit_tag")))
+        .createOrReplaceTempView("sev_src_q164")
+      val v0 = io.catalog.currentVersion(t).get
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cname.$t t USING sev_src_q164 s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.dropTempView("sev_src_q164")
+      require(io.catalog.currentVersion(t).get == v0 + 1,
+        "schema + rows must land as ONE data commit")
+      require(io.readVersion(t, v0).filter(col("audit_tag").isNotNull).count() == 0,
+        "pre-evolution rows must read null for the evolved column")
+      io.read(t).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("audit_tag"))
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

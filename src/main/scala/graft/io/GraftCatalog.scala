@@ -963,8 +963,17 @@ private[io] class GraftTable(
     }.toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION lights up Spark 4.1's native
+    // `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer hands the
+    // source's new/widened columns to alterTable IN the same
+    // statement, where the existing validation applies — nullable
+    // AddColumn (old files serve nulls / existence defaults) and the
+    // lossless-only `widens` rule for retypes; anything lossy refuses
+    // there with the rule named. Opt-in per statement (the WITH
+    // clause), never on a plain MERGE.
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (renames.isEmpty)
