@@ -977,7 +977,16 @@ private[io] class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (renames.isEmpty)
-      new StatsPruningScanBuilder(delegate, options, pspec,
+      // Hive-DIR layouts prune and prove like identity hidden specs:
+      // the dir value IS the column value, so fileMightMatch drops
+      // partition-skipped files from keptFiles (planner statistics
+      // then report the SURVIVING rows, not the table's) and
+      // fileMustMatchAll backs the exact-prune proof for
+      // partition-aligned predicates — the same arithmetic the
+      // row-ops rewrite scoping already trusts (layoutMightMatch).
+      new StatsPruningScanBuilder(delegate, options,
+        if (pspec.nonEmpty) pspec
+        else partitionCols.map(PartitionTransforms.Identity),
         // Hive-DIR-partitioned tables (incl. identity hidden layouts)
         // carry column VALUES in directory names whose append position
         // can't match the fixed streaming row shape — they stay
