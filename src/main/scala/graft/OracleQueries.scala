@@ -794,6 +794,22 @@ object OracleQueries {
         |WHERE o_custkey <= 1200 AND o_totalprice < 250000
         |GROUP BY 1""".stripMargin,
 
+    // vacuum retention replay: the reclaimed-inventory counts are
+    // LITERAL (scripted history: v1's two superseded files + one
+    // planted crashed orphan reclaim; v2 survives via its tag; the
+    // branch fork record expires under keep_last=2) and the surviving
+    // surfaces replay as slice counts over orders
+    "q165_vacuum_retention" ->
+      """SELECT 'expired_snapshots' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'expired_branch_snapshots', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'orphan_files', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'rows_current',
+        |  (SELECT count(*) FROM orders WHERE o_custkey <= 500)
+        |UNION ALL SELECT 'rows_tag_gold',
+        |  (SELECT count(*) FROM orders WHERE o_custkey <= 300)
+        |UNION ALL SELECT 'rows_branch',
+        |  (SELECT count(*) FROM orders WHERE o_custkey <= 450)""".stripMargin,
+
     // schema-evolution MERGE replay: custkey<=400 base, matched
     // ck<=200 repriced +100 with the audit tag, 400<ck<=500 inserted
     // with their source tag, everything else NULL for the evolved

@@ -1000,6 +1000,67 @@ object SparkEntry {
         col("o_totalprice"), col("audit_tag"))
     }),
 
+    // UNIFIED RETENTION SWEEP (r19 — `CALL system.vacuum`): one
+    // procedure composing expire_snapshots -> branch expiry -> the
+    // age-guarded orphan sweep in the only safe order (expiry is what
+    // turns a superseded snapshot's exclusive files into orphans).
+    // The scripted fixture plants every reference kind — a tagged
+    // snapshot beyond the retention window (survives), an expired
+    // overwrite whose two files become reclaimable, a branch chain
+    // whose oldest manifest expires, and an aged crashed-write orphan
+    // — and the output pins the reclaimed inventory BY LITERAL COUNTS
+    // plus the surviving surfaces' row counts against the oracle.
+    // Bytes are reported by the CALL (VacuumSpec pins attribution)
+    // but excluded here: parquet encoding details aren't part of the
+    // cross-engine contract.
+    "q165_vacuum_retention" -> ((s, dir) => {
+      import s.implicits._
+      val cname = "gvc"
+      val io = catalogIO(s, cname, "graft_vacq_")
+      val t = "default.ord_vac"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      io.overwrite(ord.filter(col("o_custkey") <= 300).repartition(2), t) // v1: 2 files
+      io.overwrite(ord.filter(col("o_custkey") <= 300).coalesce(1), t) // v2 supersedes both
+      io.catalog.tagSnapshot(t, "gold", 2)
+      io.append(ord.filter(col("o_custkey") > 300 && col("o_custkey") <= 400), t) // v3
+      io.createBranch(t, "audit") // branch v1 (fork at main v3 — pinned for life)
+      io.appendToBranch(ord.filter(col("o_custkey") > 400 && col("o_custkey") <= 425)
+        .coalesce(1), t, "audit") // branch v2 — the one that expires
+      io.appendToBranch(ord.filter(col("o_custkey") > 425 && col("o_custkey") <= 437)
+        .coalesce(1), t, "audit") // branch v3
+      io.appendToBranch(ord.filter(col("o_custkey") > 437 && col("o_custkey") <= 450)
+        .coalesce(1), t, "audit") // branch v4
+      io.append(ord.filter(col("o_custkey") > 400 && col("o_custkey") <= 500), t) // v4
+      // aged crashed-write residue: a parquet file no manifest references
+      val orphan = java.nio.file.Paths.get(io.catalog.dataPath(t),
+        "part-orphan-crashed.snappy.parquet")
+      java.nio.file.Files.deleteIfExists(orphan)
+      val tmpSrc = tempDir("graft_vaco_")
+      ord.filter(col("o_custkey") === 1).coalesce(1).write.mode("overwrite").parquet(tmpSrc)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmpSrc)).iterator()
+        .forEachRemaining(p =>
+          if (p.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, orphan,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000)
+      io.catalog.manifest(t, 1).foreach(f =>
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(f), old))
+      java.nio.file.Files.setLastModifiedTime(orphan, old)
+      val report = s.sql(s"CALL $cname.system.vacuum('$t', 2)")
+        .select(col("action")).as[String].collect()
+      Seq(
+        ("expired_snapshots", report.count(_ == "expired_snapshot").toLong),
+        ("expired_branch_snapshots", report.count(_ == "expired_branch_snapshot").toLong),
+        ("orphan_files", report.count(_ == "orphan_file").toLong),
+        ("rows_current", io.read(t).count()),
+        ("rows_tag_gold", io.readVersion(t, 2).count()),
+        ("rows_branch", io.readBranch(t, "audit").count())
+      ).toDF("metric", "value")
+    }),
+
     // Rate-limited stream catch-up (r17 — Delta's maxFilesPerTrigger /
     // Iceberg's max-files-per-micro-batch): four event quarters land
     // as four commits, and the stream drains them under

@@ -35,7 +35,7 @@ private[io] object GraftProcedures {
       "remove_tag", "rollback_to_snapshot", "create_branch", "fast_forward",
       "drop_branch", "expire_branch_snapshots", "mor_delete", "apply_deletes",
       "apply_deletes_branch", "compact_where", "set_write_order", "set_write_distribution",
-      "refresh_mv")
+      "refresh_mv", "vacuum")
 
   def load(cat: TableCatalog, name: String): Option[UnboundProcedure] = name match {
     case "expire_snapshots" =>
@@ -350,6 +350,56 @@ private[io] object GraftProcedures {
           val cur = cat.rollbackTo(t, v)
           Seq(new GenericInternalRow(Array[Any](prev, cur)))
         }))
+    case "vacuum" =>
+      // Unified retention sweep (r19 verdict item 6): the safe
+      // composition of the three maintenance CALLs in the only
+      // correct order — expire main snapshots, expire every branch's
+      // chain, THEN the age-guarded orphan sweep (expiry is what
+      // turns an old snapshot's superseded files into orphans; a
+      // sweep-first order would find nothing). Tags always survive
+      // (expireSnapshots skips tagged versions), branch heads and the
+      // newest stream-marked manifest always survive (their expiry
+      // guards), and the age guard protects commit-in-flight writers
+      // in other processes. Returns the reclaimed inventory:
+      //   (action, ref, reclaimed_bytes)
+      // with byte sizes captured BEFORE deletion.
+      Some(new UnboundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String = "graft maintenance procedure vacuum"
+        override def bind(inputType: StructType): BoundProcedure = {
+          val withAge = inputType.size >= 3
+          val params = Seq("table" -> StringType, "keep_last" -> IntegerType) ++
+            (if (withAge) Seq("older_than_ms" -> LongType) else Nil)
+          bound("vacuum", params,
+            new StructType().add("action", StringType, nullable = false)
+              .add("ref", StringType, nullable = false)
+              .add("reclaimed_bytes", LongType, nullable = false),
+            (in: InternalRow) => {
+              val t = in.getUTF8String(0).toString
+              val keep = in.getInt(1)
+              val age = if (withAge && !in.isNullAt(2)) in.getLong(2) else 24L * 3600 * 1000
+              // size every data file BEFORE the sweep so the report
+              // can attribute reclaimed bytes after deletion
+              val sizes: Map[String, Long] = cat.listDataFiles(t).map { f =>
+                f -> (try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+                      catch { case _: java.io.IOException => 0L })
+              }.toMap
+              def row(action: String, ref: String, bytes: Long) =
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(action), UTF8String.fromString(ref), bytes))
+              val expired = cat.expireSnapshots(t, keep)
+                .map(v => row("expired_snapshot", s"v$v", 0L))
+              val branchExpired = cat.listBranches(t).sorted.flatMap { b =>
+                cat.expireBranchSnapshots(t, b, keep)
+                  .map(v => row("expired_branch_snapshot", s"$b@v$v", 0L))
+              }
+              val orphans = cat.removeOrphanFiles(t, age).sorted.map { f =>
+                row("orphan_file", f, sizes.getOrElse(f, 0L))
+              }
+              expired ++ branchExpired ++ orphans
+            })
+        }
+      })
     case "refresh_mv" =>
       // incremental materialized-view refresh: roll the backing
       // summary forward by the base table's changelog since the last
