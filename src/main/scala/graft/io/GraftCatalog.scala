@@ -259,13 +259,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     )
     val pcols = catalog.tablePartitionCols(name)
       .getOrElse(partitionColsFromPaths(name, files))
-    // Unpartitioned tables additionally expose group-based (copy-on-
-    // write) row-level operations — SQL UPDATE / MERGE INTO. The
-    // rewrite's DSv2 replacement write doesn't lay out Hive-style
-    // partition directories, which would leave a partitioned table
-    // with mixed directory depths (breaking partition discovery), so
-    // partitioned tables keep DELETE-only DML (SupportsDelete V1
-    // path) plus the programmatic TableIO.updateWhere.
+    // Every clean snapshot exposes group-based (copy-on-write)
+    // row-level operations — SQL UPDATE / MERGE INTO (r19). The
+    // rewrite's DSv2 replacement write emits a FLAT staged layout, so
+    // partitioned tables take the LAYOUT HOP at commit: the staged
+    // replacement files re-stage through TableIO.stageReplacement,
+    // which re-partitions them into the table's Hive/hidden directory
+    // arithmetic before the manifest commit — directory depths stay
+    // uniform and partition discovery keeps working (q162; see
+    // GraftRowOpsTable doc).
     val pspec = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
     morVersion match {
       case Some(mv) =>
@@ -1073,6 +1075,17 @@ private[io] class GraftTable(
         }
       } catch { case scala.util.control.NonFatal(_) => (Seq.empty, all) }
     if (touched.isEmpty) return // nothing can match: no new snapshot
+    // serializable conflict-detection filter for the optimistic-retry
+    // rebase: a racer-appended file that might hold predicate-matching
+    // rows refuses the rebase (the exact check the row-ops commit loop
+    // performs) instead of silently surviving this DELETE
+    val newcomerConflicts: String => Boolean = f =>
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        FileStats.mightMatch(logicalStats(f, conf), filters.toSeq) &&
+          (pspec.isEmpty ||
+            PartitionTransforms.fileMightMatch(f, filters.toSeq, pspec, schema()))
+      } catch { case scala.util.control.NonFatal(_) => true }
     val cond = filters.flatMap(GraftTable.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
     branchHead match {
@@ -1094,12 +1107,14 @@ private[io] class GraftTable(
             touched.partition(f => FileStats.mustMatchAll(logicalStats(f, conf), filters.toSeq))
           } catch { case scala.util.control.NonFatal(_) => (Seq.empty, touched) }
         if (candidates.isEmpty)
-          io.commitMetadataDelete(tableName, kept, baseVersion.getOrElse(0))
+          io.commitMetadataDelete(tableName, kept, baseVersion.getOrElse(0),
+            Some(newcomerConflicts))
         else {
           val remaining = io.readFiles(tableName, candidates)
             .filter(not(coalesce(cond, lit(false))))
           io.commitReplacement(remaining, tableName, kept, partitionCols,
-            baseVersion = baseVersion.getOrElse(0))
+            baseVersion = baseVersion.getOrElse(0),
+            newcomerConflicts = Some(newcomerConflicts))
         }
     }
   }

@@ -2222,12 +2222,13 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                                        keepFiles: Seq[String],
                                        partitionCols: Seq[String],
                                        baseVersion: Int,
-                                       props: Map[String, String] = Map.empty): Unit = {
+                                       props: Map[String, String] = Map.empty,
+                                       newcomerConflicts: Option[String => Boolean] = None): Unit = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
     try {
       val newFiles = stageWrite(toPhysical(df, name), name, partitionCols)
-      commitReplacementFiles(name, keepFiles, newFiles, baseVersion, props)
+      commitReplacementFiles(name, keepFiles, newFiles, baseVersion, props, newcomerConflicts)
     } finally lock.release()
   }
 
@@ -2254,15 +2255,28 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * recovered query instance replaying the SAME batch must stop,
     * not double-apply. Bounded retries; callers hold the same-JVM
     * table lock, so the loop only spins on cross-process racers.
+    *
+    * `newcomerConflicts` is Iceberg's conflict-detection filter
+    * (serializable isolation for row-REMOVING commands): when set, a
+    * racer's NEW file that might hold rows the command's predicate
+    * selects kills the rebase — a cross-process append of matching
+    * rows landing between a DELETE/UPDATE's scan and its commit must
+    * surface, not silently survive a "successful" DELETE (the same
+    * check (c) the GraftRowOpsTable commit loop performs). None =
+    * row-preserving rewrite (compact family, applyDeletes, upsert's
+    * last-write-wins apply) — rebasing is order-equivalent, rebase
+    * freely.
     */
   private def commitReplacementFiles(name: String, keepFiles: Seq[String],
                                      newFiles: Seq[String], baseVersion: Int,
-                                     props: Map[String, String]): Unit = {
+                                     props: Map[String, String],
+                                     newcomerConflicts: Option[String => Boolean] = None): Unit = {
     def norm(f: String): String = Paths.get(f).toAbsolutePath.normalize.toString
-    val replaced: Set[String] =
+    val baseSet: Set[String] =
       (try catalog.manifest(name, baseVersion)
        catch { case scala.util.control.NonFatal(_) => Seq.empty[String] })
-        .map(norm).toSet -- keepFiles.map(norm)
+        .map(norm).toSet
+    val replaced: Set[String] = baseSet -- keepFiles.map(norm)
     val streamMark = props.collectFirst {
       case (k, v) if k.startsWith(TableCatalog.StreamBatchProp) => (k, v)
     }
@@ -2303,6 +2317,18 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
               s"concurrent commit to $name: a racing merge-on-read delete targets files " +
                 "this rewrite replaced — rebasing would resurrect its deleted rows; " +
                 "re-run the operation against the new snapshot")
+          // conflict-detection filter (serializable check for
+          // row-removing commands): a racer-ADDED file that might hold
+          // predicate-matching rows must not ride the rebase
+          newcomerConflicts.foreach { mayConflict =>
+            val conflicting = curFiles.filter(f => !baseSet(norm(f)) && mayConflict(f))
+            if (conflicting.nonEmpty)
+              throw new ConcurrentCommitException(
+                s"concurrent commit to $name: a racing writer added ${conflicting.size} " +
+                  s"file(s) that may hold rows this command's predicate selects " +
+                  s"(e.g. ${conflicting.head}) — rebasing would let them silently " +
+                  "survive the DELETE/UPDATE; re-run against the new snapshot")
+          }
           keep = curFiles.filterNot(f => replaced(norm(f)))
           base = cur
           // surviving racer deletes (disjoint from the replaced set by
@@ -2322,11 +2348,43 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     * consumers must treat it exactly like a COW delete commit.
     */
   private[graft] def commitMetadataDelete(name: String, keepFiles: Seq[String],
-                                          baseVersion: Int): Unit = {
+                                          baseVersion: Int,
+                                          newcomerConflicts: Option[String => Boolean] = None): Unit = {
     val lock = TableIO.writeLock(catalog.pathOf(name))
     lock.acquire()
-    try commitReplacementFiles(name, keepFiles, Seq.empty, baseVersion, Map.empty)
+    try commitReplacementFiles(name, keepFiles, Seq.empty, baseVersion, Map.empty,
+      newcomerConflicts)
     finally lock.release()
+  }
+
+  /** Conflict-detection predicate for [[commitReplacement]]'s rebase:
+    * "might this file hold rows `cond` selects?" — the command's
+    * condition translated ONCE to v1 filters (via an analyzed probe,
+    * like [[pruneForCondition]]) and evaluated per file against
+    * footer/manifest stats plus hidden-layout path arithmetic.
+    * Untranslatable conditions degrade to every-file-conflicts —
+    * conservative: a refused rebase re-runs, never wrong rows.
+    */
+  private def conflictFnFor(name: String, cond: org.apache.spark.sql.Column)
+      : String => Boolean = {
+    val v1: Seq[org.apache.spark.sql.sources.Filter] =
+      try {
+        val probe = read(name).filter(cond)
+        probe.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.flatMap(FilterTranslation.toV1)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (v1.isEmpty) (_: String) => true // unknown predicate: refuse every newcomer
+    else {
+      val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
+      lazy val schema = read(name).schema
+      (f: String) =>
+        try {
+          val conf = spark.sessionState.newHadoopConf()
+          FileStats.mightMatch(FileStats.cached(f, conf), v1) &&
+            (specs.isEmpty || PartitionTransforms.fileMightMatch(f, v1, specs, schema))
+        } catch { case scala.util.control.NonFatal(_) => true }
+    }
   }
 
   /** Row-level UPSERT (last-write-wins by key): every key present in
@@ -3145,7 +3203,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   def deleteWhere(name: String, condition: org.apache.spark.sql.Column,
                   partitionCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    overwrite(read(name).filter(not(coalesce(condition, lit(false)))), name, partitionCols)
+    // PINNED at the scanned version with the serializable
+    // conflict-detection filter (r19 advice): a racing append lands
+    // via rebase UNLESS its new files might hold predicate-matching
+    // rows — those must not silently survive a "successful" DELETE.
+    // The blind-overwrite form would also drop a racer's files
+    // entirely (lost update); the pinned commit surfaces every
+    // overlap. Checks + write order ride along as on any write.
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val remaining = readVersion(name, v).filter(not(coalesce(condition, lit(false))))
+    commitReplacement(applyWriteOrder(applyChecks(remaining, name), name),
+      name, Seq.empty, partitionCols, baseVersion = v,
+      newcomerConflicts = Some(conflictFnFor(name, condition)))
   }
 
   /** Copy-on-write row-level UPDATE: rows matching `condition` get the
@@ -3158,7 +3228,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                   assignments: Map[String, org.apache.spark.sql.Column],
                   partitionCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    val cur = read(name)
+    // pinned + conflict-checked like deleteWhere: a racer's appended
+    // rows matching the predicate must not dodge the UPDATE silently
+    val v = catalog.currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val cur = readVersion(name, v)
     assignments.keys.foreach(k =>
       require(cur.columns.contains(k), s"no such column in $name: $k"))
     val cond = coalesce(condition, lit(false))
@@ -3167,7 +3241,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         .map(v => when(cond, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
-    overwrite(updated, name, partitionCols)
+    commitReplacement(applyWriteOrder(applyChecks(updated, name), name),
+      name, Seq.empty, partitionCols, baseVersion = v,
+      newcomerConflicts = Some(conflictFnFor(name, condition)))
   }
 
   // ---- Merge-on-read position deletes (Iceberg's MOR DELETE).

@@ -110,4 +110,49 @@ class ReplacementRebaseSpec extends SparkSpec {
     assert(io.read(t).as[(Long, String)].collect().map(_._1).contains(200L),
       "the racing append's rows must survive the metadata-delete rebase")
   }
+
+  // -- serializable conflict-detection filter (r19 advice): a
+  // row-REMOVING command's rebase must refuse a racer-added file that
+  // might hold predicate-matching rows; disjoint appends still rebase.
+
+  private def statsConflictFn(io: TableIO, filters: Seq[org.apache.spark.sql.sources.Filter])
+      : String => Boolean = f =>
+    try FileStats.mightMatch(
+      FileStats.cached(f, spark.sessionState.newHadoopConf()), filters)
+    catch { case scala.util.control.NonFatal(_) => true }
+
+  test("conflict filter: a racer append DISJOINT from the DELETE's predicate rebases") {
+    val io = freshIo("graft_rb6_")
+    val t = "default.rb6"
+    io.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1), t) // v1
+    val v = io.catalog.currentVersion(t).get
+    // the command: DELETE WHERE id >= 1000 (provably misses the racer)
+    val filters = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1000L))
+    val remaining = io.readVersion(t, v).filter(col("id") < 1000L)
+    io.append(Seq((500L, "racer")).toDF("id", "s").coalesce(1), t) // racer v2, ids < 1000
+    io.commitReplacement(remaining, t, Seq.empty, Seq.empty, baseVersion = v,
+      newcomerConflicts = Some(statsConflictFn(io, filters)))
+    assert(io.catalog.currentVersion(t).get == 3)
+    assert(io.read(t).as[(Long, String)].collect().map(_._1).toSet ==
+      ((0L until 10L).toSet + 500L), "disjoint racer rows survive, nothing deleted twice")
+  }
+
+  test("conflict filter: a racer append that MIGHT match the DELETE's predicate refuses") {
+    val io = freshIo("graft_rb7_")
+    val t = "default.rb7"
+    io.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1), t) // v1
+    val v = io.catalog.currentVersion(t).get
+    // the command: DELETE WHERE id >= 5
+    val filters = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 5L))
+    val remaining = io.readVersion(t, v).filter(col("id") < 5L)
+    io.append(Seq((7L, "racer")).toDF("id", "s").coalesce(1), t) // racer holds a matching row
+    val e = intercept[ConcurrentCommitException] {
+      io.commitReplacement(remaining, t, Seq.empty, Seq.empty, baseVersion = v,
+        newcomerConflicts = Some(statsConflictFn(io, filters)))
+    }
+    assert(e.getMessage.contains("may hold rows"), e.getMessage)
+    assert(io.catalog.currentVersion(t).get == 2, "the refused DELETE must not commit")
+    assert(io.read(t).as[(Long, String)].collect().map(_._1).contains(7L),
+      "the racer's commit is intact — the caller re-runs against it")
+  }
 }
