@@ -162,7 +162,21 @@ object ScaleProbe {
     // MERGE's cost is the matched files + the layout hop's second
     // write of REPLACED bytes only — the probe pins nothing
     // table-sized beyond the fixture's own 10x overwrite
-    "q162_partitioned_dml")
+    "q162_partitioned_dml",
+    // r20: materialized view — creation pays one fixture-sized full
+    // compute by design; the REFRESH half is the scale claim
+    // (O(changelog delta + groups), byte-probed directly in
+    // MaterializedViewSpec) and the fixture's two refreshes dominate
+    // the timing at neither scale
+    "q163_materialized_view",
+    // r20: schema-evolution MERGE — the evolution itself is one
+    // metadata ALTER inside the commit; the MERGE pays the normal
+    // row-ops rewrite (file-scoped by the join's key range)
+    "q164_merge_schema_evolution",
+    // r20: vacuum — expiry is O(manifests), the sweep is one
+    // directory listing + liveness set union (O(manifest entries)),
+    // never a data read; the fixture's writes dominate at any scale
+    "q165_vacuum_retention")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -224,7 +224,7 @@ private[extensions] class GraftSqlParser(
   // MATERIALIZED keyword, so non-graft targets fall through to the
   // delegate's native parse error)
   private val CreateMv =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val RefreshMv =
@@ -265,9 +265,12 @@ private[extensions] class GraftSqlParser(
     case WriteUnordered(ident) => delegate.parsePlan(callFor(ident, ""))
     case SetNotNull(ident, column) if graftTarget(ident).isDefined =>
       delegate.parsePlan(notNullCallFor(ident, column))
-    case CreateMv(replace, ident, query) =>
+    case CreateMv(replace, ifNotExists, ident, query) =>
+      require(replace == null || ifNotExists == null,
+        "CREATE MATERIALIZED VIEW: OR REPLACE and IF NOT EXISTS cannot be combined")
       graftTarget(ident) match {
-        case Some((_, catName, id)) => CreateGraftMvCommand(catName, id, query, replace != null)
+        case Some((_, catName, id)) =>
+          CreateGraftMvCommand(catName, id, query, replace != null, ifNotExists != null)
         case None => delegate.parsePlan(sqlText)
       }
     case DropMv(ifExists, ident) =>

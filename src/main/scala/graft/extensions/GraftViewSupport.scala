@@ -268,13 +268,15 @@ case class CreateGraftMvCommand(
     catName: String,
     ident: Identifier,
     querySql: String,
-    replace: Boolean) extends LeafRunnableCommand {
+    replace: Boolean,
+    ifNotExists: Boolean = false) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val g = GraftViewSupport.graftCatalog(session, catName)
+    val name = (ident.namespace() :+ ident.name()).mkString(".")
+    if (ifNotExists && g.viewExists(ident)) return Seq.empty
     val parsed = session.sessionState.sqlParser.parseQuery(querySql)
     val analyzed = session.sessionState.executePlan(parsed).analyzed
-    val name = (ident.namespace() :+ ident.name()).mkString(".")
     graft.io.MaterializedViews.create(session, g, name, analyzed, replace)
     Seq.empty
   }

@@ -70,10 +70,15 @@ class SchemaCatalogSpec extends SparkSpec {
       // snapshot SQL — the reference's Iceberg VERSION AS OF surface
       assert(spark.sql("SELECT count(*) c FROM gtest.default.sales VERSION AS OF 1")
         .head().getLong(0) == 2L)
-      // partition column survives the manifest read and prunes
+      // partition column survives the manifest read and prunes — at
+      // the MANIFEST level since r20: the dir-arithmetic exact-prune
+      // proof drops non-matching files (and the Filter) before the
+      // scan, so the file index carries ONLY yr=2021 paths
       val pruned = spark.sql("SELECT id FROM gtest.default.sales WHERE yr = 2021")
       assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
-      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(yr"))
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("yr=2021") && !prunedPlan.contains("yr=2020"),
+        s"scan must plan only the matching partition's files:\n$prunedPlan")
       // catalog listing through SQL
       val listed = spark.sql("SHOW TABLES IN gtest.default").collect().map(_.getString(1))
       assert(listed.contains("sales"))
@@ -228,10 +233,13 @@ class SchemaCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO gw.default.sales SELECT 3, 'c', 2021")
       assert(spark.sql("SELECT count(*) c FROM gw.default.sales").head().getLong(0) == 3L)
 
-      // partition pruning works on SQL-written data
+      // partition pruning works on SQL-written data (manifest-level
+      // dir-arithmetic prune since r20 — only yr=2021 files plan)
       val pruned = spark.sql("SELECT id FROM gw.default.sales WHERE yr = 2021")
       assert(pruned.as[Int].collect().toSet == Set(2, 3))
-      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(yr"))
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("yr=2021") && !prunedPlan.contains("yr=2020"),
+        s"scan must plan only the matching partition's files:\n$prunedPlan")
 
       // INSERT OVERWRITE is a logical replace; prior snapshots stay readable
       spark.sql("INSERT OVERWRITE gw.default.sales SELECT 9, 'z', 2022")

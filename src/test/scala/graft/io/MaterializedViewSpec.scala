@@ -210,6 +210,10 @@ class MaterializedViewSpec extends SparkSpec {
       "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmv.default.mvb10 GROUP BY grp"))
     assert(e.getMessage.contains("already exists"))
     io.append(Seq((500L, "g0", 2.0, 0)).toDF("id", "grp", "amt", "m"), "default.mvb10")
+    // IF NOT EXISTS: no-op against the live MV (stale content stays)
+    spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS gmv.default.mv10 AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmv.default.mvb10 GROUP BY grp")
+    assert(mvContent("mv10") != recompute("mvb10"), "IF NOT EXISTS must not recompute")
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmv.default.mv10 AS " +
       "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmv.default.mvb10 GROUP BY grp")
     assert(mvContent("mv10") == recompute("mvb10"))
