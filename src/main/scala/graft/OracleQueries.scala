@@ -810,6 +810,18 @@ object OracleQueries {
         |UNION ALL SELECT 'rows_branch',
         |  (SELECT count(*) FROM orders WHERE o_custkey <= 450)""".stripMargin,
 
+    // streaming-MV replay: final base state (custkey widened to 900,
+    // COW delete struck totalprice >= 200000) aggregated with the
+    // exact-decimal sum — the Spark side served this from the
+    // stream-maintained backing table and asserted marker-caught-up
+    // in-query
+    "q166_mv_stream_maintain" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey <= 900 AND o_totalprice < 200000
+        |GROUP BY 1""".stripMargin,
+
     // schema-evolution MERGE replay: custkey<=400 base, matched
     // ck<=200 repriced +100 with the audit tag, 400<ck<=500 inserted
     // with their source tag, everything else NULL for the evolved

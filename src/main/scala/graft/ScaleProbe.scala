@@ -176,7 +176,11 @@ object ScaleProbe {
     // r20: vacuum — expiry is O(manifests), the sweep is one
     // directory listing + liveness set union (O(manifest entries)),
     // never a data read; the fixture's writes dominate at any scale
-    "q165_vacuum_retention")
+    "q165_vacuum_retention",
+    // r20: streaming MV maintenance — per micro-batch the same
+    // O(delta + groups) math as batch refresh, plus the stream's
+    // fixed WAL/commit overhead
+    "q166_mv_stream_maintain")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1000,6 +1000,44 @@ object SparkEntry {
         col("o_totalprice"), col("audit_tag"))
     }),
 
+    // STREAMING MV MAINTENANCE (the continuous twin of q163's CALL
+    // refresh_mv): the base's scripted history (append + COW delete
+    // after the MV's creation) streams through `.changelog` under
+    // Trigger.AvailableNow, and each micro-batch applies its exact-
+    // decimal IVM delta to the backing table and advances the
+    // staleness marker — the Delta-Live-Tables-style always-fresh
+    // rollup. Asserted in-query: after the drain a batch refresh_mv
+    // is a NO-OP (marker caught up — the stream and the CALL share
+    // one progress contract), and the served MV equals the final
+    // recompute by the hash oracle.
+    "q166_mv_stream_maintain" -> ((s, dir) => {
+      val cname = "gmvs"
+      val io = catalogIO(s, cname, "graft_mvs_")
+      val t = "default.ord_mvs"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.orders(s, dir).filter(col("o_custkey") <= 600)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v1
+      s.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $cname.default.ord_srev AS " +
+        s"SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price " +
+        s"FROM $cname.$t GROUP BY o_orderpriority")
+      io.append(Tables.orders(s, dir)
+        .filter(col("o_custkey") > 600 && col("o_custkey") <= 900)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v2
+      io.deleteWhere(t, col("o_totalprice") >= 200000.0) // v3: COW delete
+      val g = s.sessionState.catalogManager.catalog(cname)
+        .asInstanceOf[graft.io.GraftCatalog]
+      val q = graft.io.MaterializedViews.maintainStream(s, g, "default.ord_srev",
+        tempDir("graft_mvsc_"))
+      q.awaitTermination()
+      val r = s.sql(s"CALL $cname.system.refresh_mv('default.ord_srev')").head()
+      require(r.getLong(2) == 0L && r.getInt(0) == r.getInt(1),
+        s"the stream must leave the marker caught up (batch refresh = no-op), got $r")
+      s.table(s"$cname.default.ord_srev")
+        .select(col("o_orderpriority"), col("n_orders"), col("total_price"))
+    }),
+
     // UNIFIED RETENTION SWEEP (r19 — `CALL system.vacuum`): one
     // procedure composing expire_snapshots -> branch expiry -> the
     // age-guarded orphan sweep in the only safe order (expiry is what
