@@ -190,6 +190,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Post-analysis guard: stored-view output must still match the
     // captured column names (incompatible base-table change check).
     ext.injectCheckRule(session => GraftViewSchemaCheck(session))
+    // Transparent MV query rewrite: a matching GROUP BY aggregate
+    // over a base table is answered from its FRESH materialized view
+    // (freshness-gated on the scan's pinned snapshot version).
+    ext.injectResolutionRule(session => RewriteAggregatesToMv(session))
   }
 }
 

@@ -276,7 +276,15 @@ case class CreateGraftMvCommand(
     val name = (ident.namespace() :+ ident.name()).mkString(".")
     if (ifNotExists && g.viewExists(ident)) return Seq.empty
     val parsed = session.sessionState.sqlParser.parseQuery(querySql)
-    val analyzed = session.sessionState.executePlan(parsed).analyzed
+    // the defining query must analyze AS WRITTEN: with the transparent
+    // MV rewrite live, CREATE OR REPLACE's own definition would match
+    // the MV being replaced and collapse to a backing-table scan
+    val rewriteKey = "spark.graft.mv.rewrite.enabled"
+    val prev = session.conf.getOption(rewriteKey)
+    session.conf.set(rewriteKey, "false")
+    val analyzed =
+      try session.sessionState.executePlan(parsed).analyzed
+      finally prev.fold(session.conf.unset(rewriteKey))(session.conf.set(rewriteKey, _))
     graft.io.MaterializedViews.create(session, g, name, analyzed, replace)
     Seq.empty
   }

@@ -231,6 +231,39 @@ object MaterializedViews {
   def isMv(rec: ViewStore.ViewRecord): Boolean =
     rec.properties.get(PropIsMv).contains("true")
 
+  /** One MV's refresh-relevant metadata, decoded from its stored
+    * properties — what the transparent query-rewrite rule matches
+    * against ([[graft.extensions.RewriteAggregatesToMv]]).
+    */
+  final case class MvInfo(
+      viewName: String,
+      base: String,
+      predicateSql: Option[String],
+      keys: Seq[String],
+      countAlias: String,
+      measures: Seq[(Measure, String)],
+      backing: String,
+      refreshedVersion: Int)
+
+  /** Every MV in `ns` whose base is `base` (catalog-relative name) —
+    * a metadata directory listing plus one ~KB document read per MV;
+    * invoked only when a plan fragment already has the rewritable
+    * aggregate-over-graft-table shape.
+    */
+  def mvInfosOn(cat: TableCatalog, ns: Seq[String], base: String): Seq[MvInfo] =
+    ViewStore.list(cat.warehouse, ns).flatMap { n =>
+      val full = (ns :+ n).mkString(".")
+      ViewStore.load(cat.warehouse, full)
+        .filter(isMv)
+        .filter(_.properties.get(PropBase).contains(base))
+        .map { rec =>
+          val p = rec.properties
+          MvInfo(full, base, p.get(PropPredicate), p(PropKeys).split(',').toSeq,
+            p(PropCount), decodeMeasures(p.getOrElse(PropMeasures, "")),
+            p(PropBacking), p(PropRefreshedVersion).toInt)
+        }
+    }
+
   /** CREATE: pin the base's current version, full-compute the summary
     * into the backing table ONCE, persist the view document with the
     * recipe + staleness marker. Every later refresh is incremental.
