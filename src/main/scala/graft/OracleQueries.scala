@@ -810,6 +810,17 @@ object OracleQueries {
         |UNION ALL SELECT 'rows_branch',
         |  (SELECT count(*) FROM orders WHERE o_custkey <= 450)""".stripMargin,
 
+    // MV-rewrite replay: the user's aggregate over the final base
+    // state (custkey <= 800, the MV's own WHERE) — the Spark side
+    // served it from the refreshed backing table with the
+    // rewrite/stale/refresh cycle plan-asserted in-query
+    "q167_mv_query_rewrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey <= 800 AND o_totalprice < 150000
+        |GROUP BY 1""".stripMargin,
+
     // streaming-MV replay: final base state (custkey widened to 900,
     // COW delete struck totalprice >= 200000) aggregated with the
     // exact-decimal sum — the Spark side served this from the

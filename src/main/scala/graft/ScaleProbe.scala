@@ -180,7 +180,12 @@ object ScaleProbe {
     // r20: streaming MV maintenance — per micro-batch the same
     // O(delta + groups) math as batch refresh, plus the stream's
     // fixed WAL/commit overhead
-    "q166_mv_stream_maintain")
+    "q166_mv_stream_maintain",
+    // r20: MV query rewrite — SERVING is the scale claim: the
+    // rewritten aggregate reads O(groups) backing rows regardless of
+    // base size (plan-asserted in-query at both scales); the fixture
+    // pays the create's full compute + one refresh
+    "q167_mv_query_rewrite")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1038,6 +1038,45 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("n_orders"), col("total_price"))
     }),
 
+    // TRANSPARENT MV QUERY REWRITE end-to-end (the serving half of
+    // the MV system — Databricks/BigQuery-style aggregate matching):
+    // a USER-written GROUP BY aggregate over the BASE table is
+    // answered from the fresh MV's backing table (plan asserted
+    // in-query: backing scan present, base table absent — O(groups)
+    // served rows, no base scan, no shuffle); after a base append the
+    // SAME statement falls back to the base (stale MV must never
+    // lie — asserted), and a CALL refresh_mv restores the rewrite.
+    // The returned frame is the post-refresh rewritten answer,
+    // hash-oracled against the direct DuckDB aggregate.
+    "q167_mv_query_rewrite" -> ((s, dir) => {
+      val cname = "gmrq"
+      val io = catalogIO(s, cname, "graft_mrq_")
+      val t = "default.ord_rwbase"
+      io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      io.overwrite(Tables.orders(s, dir).filter(col("o_custkey") <= 700)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v1
+      s.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $cname.default.ord_rwv AS " +
+        s"SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price " +
+        s"FROM $cname.$t WHERE o_totalprice < 150000.0 GROUP BY o_orderpriority")
+      val sql = s"SELECT o_orderpriority, count(*) AS n_orders, " +
+        s"sum(o_totalprice) AS total_price FROM $cname.$t " +
+        s"WHERE o_totalprice < 150000.0 GROUP BY o_orderpriority"
+      def planOf(): String = s.sql(sql).queryExecution.optimizedPlan.toString
+      require(planOf().contains("__mv_ord_rwv") && !planOf().contains("ord_rwbase@"),
+        s"a fresh MV must answer the user's aggregate:\n${planOf()}")
+      io.append(Tables.orders(s, dir)
+        .filter(col("o_custkey") > 700 && col("o_custkey") <= 800)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")), t) // v2: MV now stale
+      require(!planOf().contains("__mv_ord_rwv"),
+        s"a STALE MV must never serve:\n${planOf()}")
+      s.sql(s"CALL $cname.system.refresh_mv('default.ord_rwv')")
+      require(planOf().contains("__mv_ord_rwv"),
+        s"refresh must restore the rewrite:\n${planOf()}")
+      s.sql(sql)
+    }),
+
     // UNIFIED RETENTION SWEEP (r19 — `CALL system.vacuum`): one
     // procedure composing expire_snapshots -> branch expiry -> the
     // age-guarded orphan sweep in the only safe order (expiry is what
