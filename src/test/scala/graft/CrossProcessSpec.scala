@@ -61,6 +61,34 @@ object CrossProcessMorWorker {
   }
 }
 
+/** Worker `main` for the conflict-filter race: N sequential appends,
+  * each batch carrying one predicate-MATCHING row (flag=1) and one
+  * non-matching row (flag=0) — so a parent DELETE WHERE flag=1 racing
+  * these commits must refuse its rebase (the matching newcomer) while
+  * never losing the non-matching halves.
+  */
+object CrossProcessFlagAppendWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(wh, table, nStr) = args.take(3)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-xflag-worker")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val io = TableIO(spark, wh)
+      (0 until nStr.toInt).foreach { k =>
+        io.append(Seq(
+          (9000L + k * 2, 0L, s"keep-w$k"),
+          (9001L + k * 2, 1L, s"drop-w$k")).toDF("id", "flag", "s"), table)
+      }
+    } finally spark.stop()
+    sys.exit(0)
+  }
+}
+
 /** End-to-end proof that the commit protocol is safe ACROSS PROCESSES,
   * not just across threads: the in-JVM per-table write semaphore
   * cannot serialize two JVMs, so simultaneous appends from separate
@@ -408,5 +436,67 @@ class CrossProcessSpec extends graft.SparkSpec {
       spark.conf.unset("spark.sql.catalog.gxp")
       spark.conf.unset("spark.sql.catalog.gxp.warehouse")
     }
+  }
+
+  test("predicate DELETE racing a second JVM's MATCHING appends: conflict filter refuses, retry converges") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_xcf_").toString
+    val t = "default.cfxjvm"
+    val io = graft.io.TableIO(spark, wh)
+    // seed: matching (flag=1) and non-matching rows
+    io.append(Seq((1L, 0L, "keep-1"), (2L, 1L, "drop-2"), (3L, 0L, "keep-3"))
+      .toDF("id", "flag", "s"), t)
+
+    // the worker appends id batches from its own JVM; odd worker ids
+    // land as flag=1 below via the parity convention in this fixture
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val log = Files.createTempFile("graft_xcf_w", ".log").toFile
+    val cmd = (Seq(javaBin) ++ jvmOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.io.CrossProcessFlagAppendWorker",
+      wh, t, "5")).asJava
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true)
+      .redirectOutput(log).start()
+
+    // the caller contract under the serializable conflict filter: a
+    // DELETE that loses to a racer's MATCHING append refuses loudly
+    // (rebasing would let those rows silently survive) and the caller
+    // re-runs against the new snapshot. Loop until the worker is done
+    // and one final DELETE wins cleanly.
+    var refusals = 0
+    def chain(e: Throwable): Seq[Throwable] = if (e == null) Nil else e +: chain(e.getCause)
+    def deleteOnce(): Boolean =
+      try { io.deleteWhere(t, col("flag") === 1L); true }
+      catch {
+        case e: Throwable =>
+          assert(chain(e).exists(_.isInstanceOf[graft.io.ConcurrentCommitException]),
+            s"DELETE failed with something other than a commit conflict: $e")
+          refusals += 1
+          false
+      }
+    while (proc.isAlive) { deleteOnce(); Thread.sleep(100) }
+    assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS), s"worker timed out; $log")
+    assert(proc.exitValue() == 0, s"worker failed; tail:\n" +
+      Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+    // worker finished: the final retry must succeed and reach the fixpoint
+    var settled = false
+    var attempts = 0
+    while (!settled && attempts < 5) { settled = deleteOnce(); attempts += 1 }
+    assert(settled, "the post-race DELETE must converge")
+
+    // fixpoint invariants: zero matching rows survive; every
+    // NON-matching row — seeded or appended mid-race — survives
+    val rows = io.read(t).as[(Long, Long, String)].collect()
+    assert(rows.forall(_._2 == 0L), s"flag=1 rows dodged the DELETE: ${rows.mkString(",")}")
+    val keepers = rows.map(_._1).toSet
+    assert(keepers.contains(1L) && keepers.contains(3L), "seeded non-matching rows lost")
+    // the worker wrote 5 batches of (flag=0, flag=1) pairs; all its
+    // flag=0 rows must have survived every refused/rebased DELETE
+    assert((0 until 5).forall(k => keepers.contains(9000L + k * 2)),
+      s"a racer's non-matching append was lost: $keepers")
+    // history is sound: contiguous versions, every snapshot readable
+    val vs = io.versions(t)
+    assert(vs == (vs.head to vs.last), s"version history has holes: $vs")
+    vs.foreach(v => io.readVersion(t, v).count())
   }
 }
