@@ -820,7 +820,12 @@ object Dedup {
       .select(col("new_id"), col("old_id")).distinct()
     // fetch + re-shingle ONLY candidate corpus docs
     val candOld = cand.select(col("old_id").as(idCol)).distinct()
-    val oldSh = corpus.join(candOld, Seq(idCol), "left_semi")
+    // scatter the candidate fetch BEFORE re-shingling: the semi-join
+    // keeps the corpus scan's layout (broadcast, no exchange), so on a
+    // single-file corpus the shingle kernel would run one-task
+    val oldSh = scatterForCpuStage(
+        corpus.join(candOld, Seq(idCol), "left_semi"), parallelism,
+        sc.defaultParallelism)
       .select(col(idCol).as("old_id"),
         expr(s"graft_shingle_hashes($textCol, $shingleN)").as("sh_b"))
     // eager localCheckpoint, not persist: the result is often reduced

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive pre-scatter for CPU-bound per-row kernels (shingle /
+  * minhash / tokenize / PQ-encode / codec stages).
+  *
+  * The problem (optimization guide §2.5, "input skew — one huge
+  * unsplittable file"): a scan whose input is a single file (or a
+  * single parquet ROW GROUP — splits cannot cross one) plans ONE task,
+  * and whole-stage codegen pipelines every expensive projection above
+  * it into that task — the kernel runs on one core regardless of
+  * cluster size. The guide's prescription is to repartition
+  * immediately after the read.
+  *
+  * The gate keeps it scale-honest: scatter only when the frame's scan
+  * reports FEWER input files than the session's default parallelism —
+  * a driver-metadata check (`inputFiles` — no physical planning, no
+  * job). A 100 TB table scans as thousands of files, the gate is then
+  * the identity and no payload shuffle is added; the tiny/single-file
+  * corpus pays one exchange of the (small by definition) input to buy
+  * a cores-wide kernel stage. Same semantics as
+  * [[graft.dedup.Dedup.scatterForCpuStage]] with `parallelism = None`
+  * — shared here so non-dedup operators (similarity, text scoring)
+  * use one audited gate.
+  *
+  * Determinism note for callers: hash/round-robin scatter changes the
+  * row-to-partition layout, so it is only safe above kernels whose
+  * downstream aggregation is partition-order-free (exact integer /
+  * decimal sums, min/max, per-row projections, deterministic top-k
+  * tie-breaks). Every call site below is oracle-hash-verified.
+  */
+object Scatter {
+  def cpu(df: DataFrame): DataFrame = {
+    val default = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (nFiles < default) df.repartition(default) else df
+  }
+}

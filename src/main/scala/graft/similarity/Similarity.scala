@@ -54,7 +54,8 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (query set broadcast). */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val q = broadcast(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     )
@@ -91,7 +92,8 @@ object Similarity {
     * so the deterministic id tie-break is load-bearing.
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int, k: Int, grid: Int = 256): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(quantizeSql("embedding", grid)).as("v8"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(quantizeSql("embedding", grid)).as("v8")))
     val q = broadcast(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v8").as("q8")))
     e.crossJoin(q)
@@ -194,6 +196,10 @@ object Similarity {
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
         .drop("__h")
+        // the TakeOrdered limit collapses to ONE partition; scatter the
+        // (bounded) sample so each Lloyd round's assignment/means run
+        // cores-wide instead of single-task (guide §2.5)
+        .repartition(e.sparkSession.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // Lloyd refinement: assign -> element-wise mean per cell (via
@@ -262,7 +268,10 @@ object Similarity {
         .withColumn("__h",
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
-        .drop("__h"))
+        .drop("__h")
+        // post-limit single partition -> scatter the bounded sample so
+        // per-round assignment/means run cores-wide (guide §2.5)
+        .repartition(e.sparkSession.sparkContext.defaultParallelism))
       try {
         (1 to iters).foreach { _ =>
           // argmax cell per vector WITHOUT a k-wide literal: struct
@@ -379,7 +388,8 @@ object Similarity {
     * (cell-bucketed, exact), pinned equal to this by spec.
     */
   def embeddingNearDuplicatesExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val right = broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb")))
     e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(right, col("id_a") < col("id_b"))
@@ -416,7 +426,8 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val centroids = trainCentroids(e, nlist, iters)
 
     val assigned = withCell(e, centroids)
@@ -518,7 +529,8 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): DataFrame = {
-    val c = corpus.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val c = graft.operators.Scatter.cpu(
+      corpus.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val b = bench.select(col("vec_id").as("bid"), expr(doubleVec("embedding")).as("vb"))
     val centroids = trainCentroids(
       c.unionByName(b.select(col("bid").as("vec_id"), col("vb").as("v"))), nlist, iters)
@@ -586,7 +598,8 @@ object Similarity {
       nprobe: Int = 6,
       iters: Int = 2
   ): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val centroids = trainCentroids(e, nlist, iters)
 
     val corpus = withCell(e, centroids).select(col("vec_id"), col("v"), col("cell"))
@@ -660,7 +673,8 @@ object Similarity {
       s"ivfPqTopK: ksub = $ksub outside [2, 16] — codes nibble-pack into one BIGINT")
     require(m * 4 <= 60, s"ivfPqTopK: $m nibbles overflow the code word")
     val sub = dim / m
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val coarse = trainCentroids(e, nlist, iters)
 
     // per-subspace codebooks: distributed training, tiny bounded
@@ -771,7 +785,10 @@ object Similarity {
         .withColumn("__h",
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(ksub * 256)
-        .drop("__h")))
+        .drop("__h")
+        // post-limit single partition -> scatter the bounded sample so
+        // per-round assignment/means run cores-wide (guide §2.5)
+        .repartition(e.sparkSession.sparkContext.defaultParallelism)))
       try {
         (1 to iters).foreach { _ =>
           val assigned = sample.join(broadcast(cents), Seq("sub"))
@@ -840,7 +857,9 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8,
               probeRadius: Int = 2, nTables: Int = 4): DataFrame = {
     val eb = withLshBucketTables(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), "v", nPlanes, nTables
+      graft.operators.Scatter.cpu(
+        embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))),
+      "v", nPlanes, nTables
     )
     val corpus = eb.select(
       col("vec_id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
@@ -880,7 +899,8 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): (DataFrame, DataFrame) = {
-    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
+    val e = graft.operators.Scatter.cpu(
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
     val centroids = trainCentroids(e, nlist, iters)
     val assigned = withCell(e, centroids)
       .withColumn("ccos", expr("array_max(__scores)"))
@@ -921,7 +941,8 @@ object Similarity {
       .map(r => (r.getAs[Long]("cell"), r.getSeq[Double](1).toSeq, r.getAs[Double]("radius")))
     val centroids = cents.map(_._2).toSeq
     val assignedB = withCell(
-      batch.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), centroids)
+      graft.operators.Scatter.cpu(
+        batch.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))), centroids)
       .withColumn("ccos", expr("array_max(__scores)"))
       .drop("__scores")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -106,7 +106,10 @@ object LanguageModel {
     */
   def perplexityScores(docs: DataFrame,
                        trainPred: Column = expr("doc_id % 10 < 3")): DataFrame = {
-    val toks = docs
+    // scatter BEFORE the tokenize/explode kernel: a single-file corpus
+    // scan would otherwise run the whole gram pipeline (and its
+    // partial aggregates) in one task (guide §2.5)
+    val toks = graft.operators.Scatter.cpu(docs)
       .withColumn("toks", expr(TextAnalysis.wordTokensSql("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("is_train", trainPred)
@@ -209,7 +212,10 @@ object LanguageModel {
     */
   private def dsirWeights(docs: DataFrame, buckets: Int,
                           trainPred: Column): DataFrame = {
-    val toks = docs
+    // scatter BEFORE the tokenize/explode kernel (guide §2.5): both
+    // feature passes (model counts, per-doc counts) pipeline the
+    // tokenizer into the scan stage — single-task on a one-file corpus
+    val toks = graft.operators.Scatter.cpu(docs)
       .withColumn("toks", expr(TextAnalysis.wordTokensSql("text")))
       .filter(size(col("toks")) >= 1)
       .withColumn("is_target", trainPred)
