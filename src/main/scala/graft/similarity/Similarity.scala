@@ -54,8 +54,7 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (query set broadcast). */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val q = broadcast(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     )
@@ -92,8 +91,7 @@ object Similarity {
     * so the deterministic id tie-break is load-bearing.
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int, k: Int, grid: Int = 256): DataFrame = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(quantizeSql("embedding", grid)).as("v8")))
+    val e = embeddings.select(col("vec_id"), expr(quantizeSql("embedding", grid)).as("v8"))
     val q = broadcast(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v8").as("q8")))
     e.crossJoin(q)
@@ -196,10 +194,6 @@ object Similarity {
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
         .drop("__h")
-        // the TakeOrdered limit collapses to ONE partition; scatter the
-        // (bounded) sample so each Lloyd round's assignment/means run
-        // cores-wide instead of single-task (guide §2.5)
-        .repartition(e.sparkSession.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // Lloyd refinement: assign -> element-wise mean per cell (via
@@ -268,10 +262,7 @@ object Similarity {
         .withColumn("__h",
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(nlist * samplePerCell)
-        .drop("__h")
-        // post-limit single partition -> scatter the bounded sample so
-        // per-round assignment/means run cores-wide (guide §2.5)
-        .repartition(e.sparkSession.sparkContext.defaultParallelism))
+        .drop("__h"))
       try {
         (1 to iters).foreach { _ =>
           // argmax cell per vector WITHOUT a k-wide literal: struct
@@ -388,8 +379,7 @@ object Similarity {
     * (cell-bucketed, exact), pinned equal to this by spec.
     */
   def embeddingNearDuplicatesExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val right = broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb")))
     e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .join(right, col("id_a") < col("id_b"))
@@ -426,8 +416,7 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): DataFrame = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val centroids = trainCentroids(e, nlist, iters)
 
     val assigned = withCell(e, centroids)
@@ -529,8 +518,7 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): DataFrame = {
-    val c = graft.operators.Scatter.cpu(
-      corpus.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val c = corpus.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val b = bench.select(col("vec_id").as("bid"), expr(doubleVec("embedding")).as("vb"))
     val centroids = trainCentroids(
       c.unionByName(b.select(col("bid").as("vec_id"), col("vb").as("v"))), nlist, iters)
@@ -598,11 +586,14 @@ object Similarity {
       nprobe: Int = 6,
       iters: Int = 2
   ): DataFrame = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val centroids = trainCentroids(e, nlist, iters)
 
-    val corpus = withCell(e, centroids).select(col("vec_id"), col("v"), col("cell"))
+    // scatter ONLY the corpus-side scoring pass (guide §2.5): the
+    // assignment + probe-join kernel is the O(corpus) cost; training
+    // and the tiny probe frame stay on the scan's own layout
+    val corpus = withCell(graft.operators.Scatter.cpu(e), centroids)
+      .select(col("vec_id"), col("v"), col("cell"))
     val probes = withCell(e.filter(col("vec_id") < nQueries), centroids)
       .withColumn(
         "__probes",
@@ -673,8 +664,7 @@ object Similarity {
       s"ivfPqTopK: ksub = $ksub outside [2, 16] — codes nibble-pack into one BIGINT")
     require(m * 4 <= 60, s"ivfPqTopK: $m nibbles overflow the code word")
     val sub = dim / m
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val coarse = trainCentroids(e, nlist, iters)
 
     // per-subspace codebooks: distributed training, tiny bounded
@@ -686,7 +676,10 @@ object Similarity {
     // to the lowest index — withCell's rule), nibble-packed. The
     // corpus side of the probe join carries ONLY (vec_id, cell,
     // code64): the whole point.
-    val corpus = withCell(e, coarse)
+    // scatter ONLY the corpus encode (guide §2.5): the PQ argmax is
+    // ~2 x m x ksub cosines per row — by far the heaviest per-row
+    // kernel here — and a single-file scan would run it one-task
+    val corpus = withCell(graft.operators.Scatter.cpu(e), coarse)
       .withColumn("__cb", cb)
       .withColumn("code64", expr(
         s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> acc + shiftleft(
@@ -785,10 +778,7 @@ object Similarity {
         .withColumn("__h",
           expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
         .orderBy("__h", "vec_id").limit(ksub * 256)
-        .drop("__h")
-        // post-limit single partition -> scatter the bounded sample so
-        // per-round assignment/means run cores-wide (guide §2.5)
-        .repartition(e.sparkSession.sparkContext.defaultParallelism)))
+        .drop("__h")))
       try {
         (1 to iters).foreach { _ =>
           val assigned = sample.join(broadcast(cents), Seq("sub"))
@@ -857,9 +847,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8,
               probeRadius: Int = 2, nTables: Int = 4): DataFrame = {
     val eb = withLshBucketTables(
-      graft.operators.Scatter.cpu(
-        embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))),
-      "v", nPlanes, nTables
+      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), "v", nPlanes, nTables
     )
     val corpus = eb.select(
       col("vec_id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
@@ -899,8 +887,7 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2
   ): (DataFrame, DataFrame) = {
-    val e = graft.operators.Scatter.cpu(
-      embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v")))
+    val e = embeddings.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))
     val centroids = trainCentroids(e, nlist, iters)
     val assigned = withCell(e, centroids)
       .withColumn("ccos", expr("array_max(__scores)"))
@@ -941,8 +928,7 @@ object Similarity {
       .map(r => (r.getAs[Long]("cell"), r.getSeq[Double](1).toSeq, r.getAs[Double]("radius")))
     val centroids = cents.map(_._2).toSeq
     val assignedB = withCell(
-      graft.operators.Scatter.cpu(
-        batch.select(col("vec_id"), expr(doubleVec("embedding")).as("v"))), centroids)
+      batch.select(col("vec_id"), expr(doubleVec("embedding")).as("v")), centroids)
       .withColumn("ccos", expr("array_max(__scores)"))
       .drop("__scores")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
