@@ -59,6 +59,19 @@ object Profile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // planning-phase accounting: every DataFrame action's analysis /
+    // optimization / physical-planning driver time, summed per query
+    val phaseTotals = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.tracker.phases.foreach { case (phase, summary) =>
+          phaseTotals.computeIfAbsent(phase, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(summary.durationMs)
+        }
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = record(qe)
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(qeListener)
 
     val names = if (args.nonEmpty) args.toSeq else Seq("q161_ann_ivfpq")
     if (sys.env.get("SPARK_GRAFT_PROFILE_WARM").contains("1")) {
@@ -69,6 +82,7 @@ object Profile {
     }
     names.foreach { name =>
       jobs.clear(); stages.clear(); stageToJob.clear()
+      graft.io.Timers.reset(); phaseTotals.clear()
       val t0 = System.nanoTime()
       val n =
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -92,6 +106,13 @@ object Profile {
       val snapStages = listener.synchronized { stages.values.toVector }
       snapStages.sortBy(s => -s.wallMs).take(25).foreach { s =>
         println(f"  stage ${s.id}%4d job=${stageToJob.getOrElse(s.id, -1)}%4d n=${s.nTasks}%3d wall=${s.wallMs}%6d ms task=${s.taskMs}%7d ms shufR=${s.shufR / 1024}%7d KB shufW=${s.shufW / 1024}%7d KB  ${s.name}")
+      }
+      import scala.jdk.CollectionConverters._
+      val phases = phaseTotals.asScala.toSeq.map { case (k, v) => k -> v.sum() }
+        .sortBy(-_._2).map { case (k, v) => f"$k=$v%d ms" }.mkString(", ")
+      println(s"  planning phases: $phases")
+      graft.io.Timers.snapshot().foreach { case (label, sec, n) =>
+        println(f"  timer $label%-26s ${sec}%7.3f s  n=$n")
       }
     }
     spark.stop()

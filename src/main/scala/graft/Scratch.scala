@@ -9,7 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,27 +19,28 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def time(label: String)(f: => Unit): Unit = {
-      // two runs: cold (codegen compile) + warm
-      val t0 = System.nanoTime(); f; val t1 = System.nanoTime(); f; val t2 = System.nanoTime()
-      println(f"[scratch] $label%-50s cold=${(t1 - t0) / 1e9}%6.2f warm=${(t2 - t1) / 1e9}%6.2f")
+    def time(label: String, reps: Int = 5)(f: Int => Unit): Unit = {
+      f(-1) // warm
+      val t0 = System.nanoTime()
+      (0 until reps).foreach(f)
+      println(f"[scratch] $label%-46s ${(System.nanoTime() - t0) / 1e9 / reps}%6.3f s/op")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
-    import graft.tables.Tables
-    val docs = Tables.documents(spark, sfDir)
-    val bucket = graft.sampling.Sampling.portableBucket("doc_id", 10)
-    val corpus = docs.filter(bucket < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    val tiny1 = spark.range(1000).selectExpr("id", "id * 3 as v").coalesce(1)
+      .persist(); tiny1.count()
+    val tiny32 = spark.range(1000).selectExpr("id", "id * 3 as v").repartition(32)
+      .persist(); tiny32.count()
 
-    time("scan docs count")(docs.count())
-    time("scan docs noop")(noop(docs))
-    time("corpus filter noop")(noop(corpus))
-    time("corpus repartition(32) noop")(noop(corpus.repartition(32)))
-    time("shingle only, no scatter")(noop(
-      docs.filter(bucket < 8).withColumn("sh", expr("graft_shingle_hashes(text, 5)")).select(col("doc_id"), size(col("sh")))))
-    time("signatureIndex default")(noop(graft.dedup.Dedup.signatureIndex(corpus)))
-    time("signatureIndex par=0 (no scatter)")(noop(graft.dedup.Dedup.signatureIndex(corpus, parallelism = Some(0))))
-    time("signatureIndex.repartition(4) [q55 shape]")(noop(graft.dedup.Dedup.signatureIndex(corpus).repartition(4)))
+    time("write tiny df 1 cached partition") { i =>
+      tiny1.write.mode("overwrite").parquet(s"$dir/w1_$i") }
+    time("write tiny df 32 cached partitions") { i =>
+      tiny32.write.mode("overwrite").parquet(s"$dir/w32_$i") }
+
+    val io = graft.io.TableIO(spark, java.nio.file.Files.createTempDirectory("graft-scw").toString)
+    graft.io.Timers.reset()
+    time("io.append tiny 1-part", reps = 10) { i => io.append(tiny1, "default.t1") }
+    time("io.append tiny 32-part", reps = 10) { i => io.append(tiny32, "default.t32") }
+    graft.io.Timers.snapshot().foreach { case (l, s, n) => println(f"[scratch] timer $l%-24s $s%7.3f s n=$n") }
   }
 }

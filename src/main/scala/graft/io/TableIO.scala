@@ -145,10 +145,18 @@ final case class TableCatalog(warehouse: String) {
                   catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, FileStats.ColStats]] })
         .getOrElse(Map.empty)
     val carried = kept.flatMap(f => prev.get(f).map(f -> _))
-    val fresh = newFiles.flatMap { f =>
-      try Some(f -> FileStats.read(f, conf))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }
+    // footer reads are independent per file and IO-bound — read them
+    // CONCURRENTLY instead of serially on the driver (guide §7.3: a
+    // 32-file commit paid 32 sequential footer opens, the dominant
+    // driver-gap cost of small commits; at large file counts this is
+    // the difference between O(files) and O(files / pool) wall time)
+    val fresh = newFiles.asJava.parallelStream()
+      .map[Option[(String, Map[String, FileStats.ColStats])]] { f =>
+        try Some(f -> FileStats.read(f, conf))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .collect(java.util.stream.Collectors.toList[Option[(String, Map[String, FileStats.ColStats])]])
+      .asScala.flatten
     (carried ++ fresh).toMap
   }
 
@@ -261,7 +269,7 @@ final case class TableCatalog(warehouse: String) {
     val files = filesIn.distinct
     val meta = metaPath(name)
     Files.createDirectories(meta)
-    val json = manifestJson(name, files, props, stats)
+    val json = Timers.time("commit.manifestJson")(manifestJson(name, files, props, stats))
     // tmp name must be writer-unique: two racers sharing `.vN.json.tmp`
     // could interleave write/link so the winner links the LOSER's
     // content — the whole point of the exclusive link is defeated
@@ -624,7 +632,7 @@ final case class TableCatalog(warehouse: String) {
     val files = filesIn.distinct
     val meta = metaPath(name)
     Files.createDirectories(meta)
-    val json = manifestJson(name, files, props, stats)
+    val json = Timers.time("commit.manifestJson")(manifestJson(name, files, props, stats))
     val tmp = meta.resolve(s".branch-$branch-v$v-${java.util.UUID.randomUUID()}.json.tmp")
     Files.writeString(tmp, json)
     val target = branchFile(name, branch, v)
@@ -1555,9 +1563,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                                 stats: Map[String, Map[String, FileStats.ColStats]]): Seq[String] = {
     if (files.isEmpty) return files
     val probe = readFiles(name, files).filter(cond)
-    val v1 = probe.queryExecution.optimizedPlan.collect {
+    val v1 = Timers.time("dml.pruneProbe")(probe.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.flatMap(FilterTranslation.toV1)
+    }.flatMap(FilterTranslation.toV1))
     if (v1.isEmpty) files
     else {
       val specs = catalog.readMeta(name).partitionSpec.map(PartitionTransforms.parse)
@@ -2205,7 +2213,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     */
   private def commitStats(name: String, kept: Seq[String], newFiles: Seq[String])
       : Map[String, Map[String, FileStats.ColStats]] =
-    catalog.statsForCommit(name, kept, newFiles, spark.sessionState.newHadoopConf())
+    Timers.time("commit.stats")(
+      catalog.statsForCommit(name, kept, newFiles, spark.sessionState.newHadoopConf()))
 
   /** Commit `df`'s rows as the replacement for everything EXCEPT
     * `keepFiles`, which carry into the new manifest verbatim — the
@@ -2368,7 +2377,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
   private def conflictFnFor(name: String, cond: org.apache.spark.sql.Column)
       : String => Boolean = {
     val v1: Seq[org.apache.spark.sql.sources.Filter] =
-      try {
+      try Timers.time("dml.conflictProbe") {
         val probe = read(name).filter(cond)
         probe.queryExecution.optimizedPlan.collect {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -2471,12 +2480,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
           try files.partition(f => !FileStats.mightMatch(FileStats.cached(f, conf), filter))
           catch { case scala.util.control.NonFatal(_) => (Seq.empty[String], files) }
       }
+      // the cached batch's partition layout (e.g. 32 post-shuffle
+      // partitions of a streaming micro-batch) bypasses AQE
+      // coalescing and would stage one KB-sized file per partition;
+      // a scoped batch is bounded by maxScopedKeys, so one write task
+      // is the right shape — unscoped (keyVals None) batches keep
+      // their parallel layout
+      val batchOut = if (keyVals.isDefined) pinned.coalesce(1) else pinned
       val survivors =
-        if (candidates.isEmpty) pinned
+        if (candidates.isEmpty) batchOut
         else readFiles(name, candidates)
           .join(pinned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
             keyCols, "left_anti")
-          .unionByName(pinned)
+          .unionByName(batchOut)
       commitReplacement(survivors, name, kept, partitionCols, v, props)
     } finally { pinned.unpersist(); () }
   }
@@ -3684,10 +3700,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             catch { case scala.util.control.NonFatal(_) => files }
         }
         val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-        // a pure-delete batch appends nothing — no empty-file junk
+        // a pure-delete batch appends nothing — no empty-file junk.
+        // Below the shard bound, coalesce the (cached — its partition
+        // layout would otherwise defeat AQE coalescing) batch to one
+        // write task: a CDC batch is O(batch) by design, and a 32-
+        // partition cached micro-batch would stage 32 KB-sized files
+        // per commit — paying 32 footer-stat reads and manifest
+        // entries for one batch's worth of rows.
         val newFiles =
           if (pinned.isEmpty) Seq.empty[String]
-          else stageWrite(toPhysical(pinned, name), name, pcols)
+          else stageWrite(toPhysical(
+            if (n > morShardRows) pinned else pinned.coalesce(1), name), name, pcols)
         // stats prove no file holds the keys: pure append (no entry)
         val (entriesRaw, dirtyRel) =
           if (dirty.isEmpty) (None, Seq.empty[String])
@@ -3830,9 +3853,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     try {
       val w = laid.write.mode(SaveMode.Append)
       val withParts = if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w
-      withParts.parquet(staging.toString)
+      Timers.time("stageWrite.writeJob")(withParts.parquet(staging.toString))
       val dataRoot = Paths.get(catalog.dataPath(name))
-      TableIO.moveStagedFiles(staging, dataRoot)
+      Timers.time("stageWrite.move")(TableIO.moveStagedFiles(staging, dataRoot))
     } finally {
       // the staging tree holds no data files anymore (moved or failed);
       // best-effort removal, never masking the write's own outcome
