@@ -1053,21 +1053,34 @@ object SparkEntry {
       val io = catalogIO(s, cname, "graft_mrq_")
       val t = "default.ord_rwbase"
       io.catalog.dropTable(t) // reruns share the session warehouse: fresh history
+      // the measure is stored DECIMAL in the base: the transparent
+      // rewrite refuses to serve a floating-point sum (the backing
+      // table's quantized double sum would silently differ on
+      // non-cents data — the "can miss, never lie" contract), so the
+      // rewrite-eligible shape is an exact-typed measure; the final
+      // select casts the exact sum to DOUBLE (cents-identical to the
+      // pre-decimal fixture, oracle-pinned)
       io.overwrite(Tables.orders(s, dir).filter(col("o_custkey") <= 700)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
           col("o_orderpriority")), t) // v1
       s.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $cname.default.ord_rwv AS " +
         s"SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price " +
         s"FROM $cname.$t WHERE o_totalprice < 150000.0 GROUP BY o_orderpriority")
-      val sql = s"SELECT o_orderpriority, count(*) AS n_orders, " +
+      val aggSql = s"SELECT o_orderpriority, count(*) AS n_orders, " +
         s"sum(o_totalprice) AS total_price FROM $cname.$t " +
         s"WHERE o_totalprice < 150000.0 GROUP BY o_orderpriority"
+      // decimal-free output schema (driver-hash rule): exact decimal
+      // internally, DOUBLE in the final select
+      val sql = "SELECT o_orderpriority, n_orders, " +
+        s"CAST(total_price AS DOUBLE) AS total_price FROM ($aggSql)"
       def planOf(): String = s.sql(sql).queryExecution.optimizedPlan.toString
       require(planOf().contains("__mv_ord_rwv") && !planOf().contains("ord_rwbase@"),
         s"a fresh MV must answer the user's aggregate:\n${planOf()}")
       io.append(Tables.orders(s, dir)
         .filter(col("o_custkey") > 700 && col("o_custkey") <= 800)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
           col("o_orderpriority")), t) // v2: MV now stale
       require(!planOf().contains("__mv_ord_rwv"),
         s"a STALE MV must never serve:\n${planOf()}")

@@ -278,13 +278,13 @@ case class CreateGraftMvCommand(
     val parsed = session.sessionState.sqlParser.parseQuery(querySql)
     // the defining query must analyze AS WRITTEN: with the transparent
     // MV rewrite live, CREATE OR REPLACE's own definition would match
-    // the MV being replaced and collapse to a backing-table scan
-    val rewriteKey = "spark.graft.mv.rewrite.enabled"
-    val prev = session.conf.getOption(rewriteKey)
-    session.conf.set(rewriteKey, "false")
-    val analyzed =
-      try session.sessionState.executePlan(parsed).analyzed
-      finally prev.fold(session.conf.unset(rewriteKey))(session.conf.set(rewriteKey, _))
+    // the MV being replaced and collapse to a backing-table scan.
+    // Thread-scoped suppression (not a session-conf toggle): analysis
+    // happens on this thread, and other sessions'/threads' queries
+    // must keep the rewrite during this window.
+    val analyzed = RewriteAggregatesToMv.withRewriteSuppressed {
+      session.sessionState.executePlan(parsed).analyzed
+    }
     graft.io.MaterializedViews.create(session, g, name, analyzed, replace)
     Seq.empty
   }

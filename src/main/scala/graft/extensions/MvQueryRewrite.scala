@@ -38,12 +38,34 @@ import graft.io.{GraftCatalog, MaterializedViews}
   * DDL path disables it around analysis of a defining query so
   * CREATE OR REPLACE never matches the MV being replaced.
   */
+object RewriteAggregatesToMv {
+  /** Thread-scoped suppression for the MV DDL path: CREATE OR REPLACE
+    * analyzes its defining query on THIS thread and must not match the
+    * MV being replaced — a session-conf toggle would blind every
+    * concurrently-analyzing query in the session (and two racing
+    * CREATEs could clobber each other's restore, leaving the rewrite
+    * off for good).
+    */
+  private val suppressed = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  def withRewriteSuppressed[T](f: => T): T = {
+    val prev = suppressed.get()
+    suppressed.set(java.lang.Boolean.TRUE)
+    try f finally suppressed.set(prev)
+  }
+
+  private[extensions] def isSuppressed: Boolean = suppressed.get()
+}
+
 case class RewriteAggregatesToMv(session: SparkSession) extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.mv.rewrite.enabled"
   private val VersionSuffix = ".*@v(\\d+)$".r
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (RewriteAggregatesToMv.isSuppressed) return plan
     if (!session.conf.get(EnabledKey, "true").toBoolean) return plan
     plan.resolveOperatorsUp {
       case agg: Aggregate if agg.resolved => tryRewrite(agg).getOrElse(agg)
@@ -122,6 +144,18 @@ case class RewriteAggregatesToMv(session: SparkSession) extends Rule[LogicalPlan
             byName.get(mv.countAlias)
               .map(b => Alias(cast(b, al.dataType), name)(exprId = al.exprId))
           case AggregateExpression(s: Sum, _, false, None, _) =>
+            // NEVER serve a floating-point sum from the backing table:
+            // the MV stores double/float measures quantized to a
+            // DECIMAL(30,s) grid (exact only for data already on that
+            // grid), and a TRANSPARENT rewrite of a plain sum(double)
+            // would silently change sub-grid answers — breaking the
+            // "can miss, never lie" contract. Explicit MV reads still
+            // see the documented quantized sum; exact types serve.
+            s.child.dataType match {
+              case org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType => return None
+              case _ =>
+            }
             val src = s.child match {
               case a: AttributeReference => a.name
               case Cast(a: AttributeReference, _, _, _) => a.name

@@ -140,8 +140,16 @@ object ViewStore {
     Files.move(viewPath(warehouse, from), dst)
   }
 
+  /** Number of [[list]] directory listings performed — a test hook:
+    * the MV rewrite rule's no-MV fast path is pinned by counting that
+    * analysis of ordinary aggregates performs ZERO listings (the
+    * mtime-validated cache in [[MaterializedViews.mvInfosOn]]).
+    */
+  val listCalls = new java.util.concurrent.atomic.LongAdder
+
   /** View names (last part only) directly under one namespace. */
   def list(warehouse: String, namespace: Seq[String]): Seq[String] = {
+    listCalls.increment()
     val dir = Paths.get((warehouse +: namespace).mkString("/"))
     if (!Files.isDirectory(dir)) Seq.empty
     else Using.resource(Files.list(dir)) { s =>

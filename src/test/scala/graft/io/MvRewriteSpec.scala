@@ -21,10 +21,14 @@ class MvRewriteSpec extends SparkSpec {
     TableIO(spark, wh)
   }
 
+  // amt is DECIMAL: the rewrite REFUSES to serve floating-point sums
+  // (the backing store quantizes double measures — "can miss, never
+  // lie"), so the rewrite-eligible fixture measure is exact-typed
   private def fresh(t: String, n: Int = 60): Unit = {
     io.catalog.dropTable(t)
     io.overwrite((1 to n).map(i => (i.toLong, s"g${i % 4}", (i * 10).toDouble, i % 3))
-      .toDF("id", "grp", "amt", "m"), t)
+      .toDF("id", "grp", "amt", "m")
+      .withColumn("amt", col("amt").cast("decimal(12,2)")), t)
   }
 
   private def planOf(sql: String): String =
@@ -39,7 +43,9 @@ class MvRewriteSpec extends SparkSpec {
     assert(plan.contains("__mv_rw1") && !plan.contains("rwb1"),
       s"fresh MV must answer the aggregate:\n$plan")
     assert(!plan.contains("Aggregate"), s"no aggregation left to run:\n$plan")
-    val got = spark.sql(q).orderBy("grp").as[(String, Long, Double)].collect().toSeq
+    val got = spark.sql(q).orderBy("grp")
+      .selectExpr("grp", "c", "CAST(s AS DOUBLE) AS s")
+      .as[(String, Long, Double)].collect().toSeq
     val direct = io.read("default.rwb1").groupBy(col("grp"))
       .agg(count(lit(1)).as("c"),
         sum(col("amt").cast("decimal(30,2)")).cast("double").as("s"))
@@ -59,7 +65,8 @@ class MvRewriteSpec extends SparkSpec {
     fresh("default.rwb3")
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw3 AS " +
       "SELECT grp, count(*) AS n FROM gmrw.default.rwb3 GROUP BY grp")
-    io.append(Seq((999L, "g0", 1.0, 0)).toDF("id", "grp", "amt", "m"), "default.rwb3")
+    io.append(Seq((999L, "g0", 1.0, 0)).toDF("id", "grp", "amt", "m")
+      .withColumn("amt", col("amt").cast("decimal(12,2)")), "default.rwb3")
     val q = "SELECT grp, count(*) AS c FROM gmrw.default.rwb3 GROUP BY grp"
     val plan = planOf(q)
     assert(plan.contains("rwb3") && !plan.contains("__mv_rw3"),
@@ -75,7 +82,8 @@ class MvRewriteSpec extends SparkSpec {
     fresh("default.rwb4")
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw4 AS " +
       "SELECT grp, count(*) AS n FROM gmrw.default.rwb4 GROUP BY grp") // marker = v1
-    io.append(Seq((999L, "g0", 1.0, 0)).toDF("id", "grp", "amt", "m"), "default.rwb4") // v2
+    io.append(Seq((999L, "g0", 1.0, 0)).toDF("id", "grp", "amt", "m")
+      .withColumn("amt", col("amt").cast("decimal(12,2)")), "default.rwb4") // v2
     val atV1 = planOf(
       "SELECT grp, count(*) AS c FROM gmrw.default.rwb4 VERSION AS OF 1 GROUP BY grp")
     assert(atV1.contains("__mv_rw4"), s"v1 is exactly what the MV covers:\n$atV1")
@@ -123,11 +131,13 @@ class MvRewriteSpec extends SparkSpec {
     fresh("default.rwb7")
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw7 AS " +
       "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmrw.default.rwb7 GROUP BY grp")
-    io.append(Seq((500L, "g1", 3.0, 0)).toDF("id", "grp", "amt", "m"), "default.rwb7")
+    io.append(Seq((500L, "g1", 3.0, 0)).toDF("id", "grp", "amt", "m")
+      .withColumn("amt", col("amt").cast("decimal(12,2)")), "default.rwb7")
     spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw7 AS " +
       "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmrw.default.rwb7 GROUP BY grp")
     val got = spark.table("gmrw.default.rw7").orderBy("grp")
-      .select(col("grp"), col("n"), col("total")).as[(String, Long, Double)].collect().toSeq
+      .select(col("grp"), col("n"), col("total").cast("double").as("total"))
+      .as[(String, Long, Double)].collect().toSeq
     val direct = io.read("default.rwb7").groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         sum(col("amt").cast("decimal(30,2)")).cast("double").as("total"))
@@ -144,5 +154,62 @@ class MvRewriteSpec extends SparkSpec {
     val plan = planOf("SELECT * FROM gmrw.default.pv8")
     assert(plan.contains("__mv_rw8") && !plan.contains("rwb8"),
       s"view expansion should hit the MV rewrite:\n$plan")
+  }
+
+  test("a floating-point sum NEVER rewrites (quantized backing sum must not serve a plain sum(double))") {
+    io.catalog.dropTable("default.rwb9")
+    io.overwrite((1 to 40).map(i => (i.toLong, s"g${i % 4}", i * 10.0))
+      .toDF("id", "grp", "amt"), "default.rwb9")
+    spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw9 AS " +
+      "SELECT grp, count(*) AS n, sum(amt) AS total FROM gmrw.default.rwb9 GROUP BY grp")
+    // count-only still serves (the MV itself is fine) ...
+    assert(planOf("SELECT grp, count(*) AS c FROM gmrw.default.rwb9 GROUP BY grp")
+      .contains("__mv_rw9"))
+    // ... but the double-typed sum must MISS, never serve the
+    // DECIMAL(30,2)-quantized stored sum in place of a direct sum
+    val plan = planOf("SELECT grp, sum(amt) AS s FROM gmrw.default.rwb9 GROUP BY grp")
+    assert(!plan.contains("__mv_rw9"), s"double sum must not rewrite:\n$plan")
+  }
+
+  test("no-MV fast path: analysis of an aggregate performs ZERO view-store listings") {
+    io.catalog.dropTable("default.rwb10")
+    io.overwrite((1 to 40).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp"), "default.rwb10")
+    val q = "SELECT grp, count(*) AS c FROM gmrw.default.rwb10 GROUP BY grp"
+    spark.sql(q).collect() // prime the mtime-validated cache
+    val before = ViewStore.listCalls.sum()
+    (1 to 5).foreach(_ => spark.sql(q).queryExecution.optimizedPlan)
+    assert(ViewStore.listCalls.sum() == before,
+      "analysis over an unchanged warehouse must not relist the view store")
+    // a fresh CREATE in the same session invalidates (dir mtime moved)
+    // and the rewrite serves immediately
+    spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw10 AS " +
+      "SELECT grp, count(*) AS n FROM gmrw.default.rwb10 GROUP BY grp")
+    assert(planOf(q).contains("__mv_rw10"),
+      "a CREATE after cached analyses must be picked up via mtime invalidation")
+  }
+
+  test("refresh is idempotent across the overwrite->marker crash window (no double-apply)") {
+    io.catalog.dropTable("default.rwb11")
+    io.overwrite((1 to 40).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp"), "default.rwb11")
+    spark.sql("CREATE OR REPLACE MATERIALIZED VIEW gmrw.default.rw11 AS " +
+      "SELECT grp, count(*) AS n FROM gmrw.default.rwb11 GROUP BY grp")
+    io.append(Seq((100L, "g1"), (101L, "g2")).toDF("id", "grp"), "default.rwb11")
+    // complete refresh, then REWIND the marker to simulate a crash
+    // after the backing overwrite but before the marker replace
+    spark.sql("CALL gmrw.system.refresh_mv('default.rw11')")
+    val rec = ViewStore.load(wh, "default.rw11").get
+    val rolledBack = rec.copy(properties =
+      rec.properties + (MaterializedViews.PropRefreshedVersion -> "1"))
+    ViewStore.replace(wh, "default.rw11", rolledBack)
+    // the replayed refresh must detect the backing table's applied
+    // stamp and only advance the marker — counts stay exact
+    spark.sql("CALL gmrw.system.refresh_mv('default.rw11')")
+    val got = spark.table("gmrw.default.rw11").orderBy("grp")
+      .as[(String, Long)].collect().toSeq
+    val direct = io.read("default.rwb11").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n")).orderBy("grp").as[(String, Long)].collect().toSeq
+    assert(got == direct, s"replayed refresh must not double-apply: $got vs $direct")
   }
 }
