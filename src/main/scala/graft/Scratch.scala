@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway measurement harness for optimization experiments (guide
   * §1: isolate the computation with the noop sink). Not part of any
@@ -19,28 +18,35 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def time(label: String, reps: Int = 5)(f: Int => Unit): Unit = {
-      f(-1) // warm
+    def time(label: String, reps: Int = 10)(f: Int => Unit): Unit = {
+      f(-1); f(-2) // warm
       val t0 = System.nanoTime()
       (0 until reps).foreach(f)
-      println(f"[scratch] $label%-46s ${(System.nanoTime() - t0) / 1e9 / reps}%6.3f s/op")
+      println(f"[scratch] $label%-52s ${(System.nanoTime() - t0) / 1e9 / reps}%6.3f s/op")
     }
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
     val tiny1 = spark.range(1000).selectExpr("id", "id * 3 as v").coalesce(1)
       .persist(); tiny1.count()
-    val tiny32 = spark.range(1000).selectExpr("id", "id * 3 as v").repartition(32)
-      .persist(); tiny32.count()
 
-    time("write tiny df 1 cached partition") { i =>
-      tiny1.write.mode("overwrite").parquet(s"$dir/w1_$i") }
-    time("write tiny df 32 cached partitions") { i =>
-      tiny32.write.mode("overwrite").parquet(s"$dir/w32_$i") }
-
-    val io = graft.io.TableIO(spark, java.nio.file.Files.createTempDirectory("graft-scw").toString)
-    graft.io.Timers.reset()
-    time("io.append tiny 1-part", reps = 10) { i => io.append(tiny1, "default.t1") }
-    time("io.append tiny 32-part", reps = 10) { i => io.append(tiny32, "default.t32") }
-    graft.io.Timers.snapshot().foreach { case (l, s, n) => println(f"[scratch] timer $l%-24s $s%7.3f s n=$n") }
+    time("count cached")(_ => tiny1.count())
+    time("noop write")(_ => tiny1.write.format("noop").mode("overwrite").save())
+    time("parquet write")(i => tiny1.write.mode("overwrite").parquet(s"$dir/p_$i"))
+    time("csv write")(i => tiny1.write.mode("overwrite").csv(s"$dir/c_$i"))
+    spark.sessionState.conf.setConfString("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    time("parquet write v2 committer")(i => tiny1.write.mode("overwrite").parquet(s"$dir/v2_$i"))
+    spark.sessionState.conf.setConfString("spark.sql.parquet.compression.codec", "uncompressed")
+    time("parquet write uncompressed")(i => tiny1.write.mode("overwrite").parquet(s"$dir/u_$i"))
+    spark.sessionState.conf.setConfString("spark.sql.parquet.compression.codec", "zstd")
+    time("parquet write zstd")(i => tiny1.write.mode("overwrite").parquet(s"$dir/z_$i"))
+    spark.sessionState.conf.setConfString("spark.sql.parquet.compression.codec", "lz4")
+    time("parquet write lz4")(i => tiny1.write.mode("overwrite").parquet(s"$dir/l_$i"))
+    spark.sessionState.conf.setConfString("spark.sql.parquet.compression.codec", "snappy")
+    // larger frame: does the codec-init delta persist at real sizes?
+    val big = spark.range(2000000).selectExpr("id", "id * 3 as v", "cast(id % 1000 as string) as s")
+      .coalesce(4).persist(); big.count()
+    time("parquet write 2M rows snappy", reps = 5)(i => big.write.mode("overwrite").parquet(s"$dir/bs_$i"))
+    spark.sessionState.conf.setConfString("spark.sql.parquet.compression.codec", "zstd")
+    time("parquet write 2M rows zstd", reps = 5)(i => big.write.mode("overwrite").parquet(s"$dir/bz_$i"))
   }
 }
