@@ -3644,12 +3644,14 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // A null op makes `col(opCol) =!= deleteOp` null, which filter()
     // drops — the row would silently become a DELETE event (its key
     // stays in keySource). Refuse loudly instead, like the null-key
-    // guard in cdcMOR.
-    require(batch.filter(col(opCol).isNull).isEmpty,
-      s"cdcApplyMOR into $name: op column '$opCol' must be non-null " +
-        "(a null op is neither an upsert nor a delete event)")
+    // guard in cdcMOR — fused into cdcMOR's single validation
+    // aggregate (one job, not one per check).
     cdcMOR(name, batch.filter(col(opCol) =!= deleteOp).drop(opCol),
-      batch, keyCols, partitionCols, props, maxScopedKeys, branch)
+      batch, keyCols, partitionCols, props, maxScopedKeys, branch,
+      rowsPred = Some(col(opCol) =!= deleteOp),
+      preChecks = Seq((col(opCol).isNull,
+        s"cdcApplyMOR into $name: op column '$opCol' must be non-null " +
+          "(a null op is neither an upsert nor a delete event)")))
   }
 
   /** Shared zero-read MOR batch commit: `rows` append (may select
@@ -3663,20 +3665,41 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                      partitionCols: Seq[String],
                      props: Map[String, String],
                      maxScopedKeys: Int,
-                     branch: Option[String] = None): (Int, Long) = {
+                     branch: Option[String] = None,
+                     rowsPred: Option[org.apache.spark.sql.Column] = None,
+                     preChecks: Seq[(org.apache.spark.sql.Column, String)] = Seq.empty)
+      : (Int, Long) = {
     require(keyCols.nonEmpty, "upsertMOR/cdcApplyMOR needs at least one key column")
     val pinnedKeys = keySource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pinned = rowsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(pinnedKeys.filter(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty,
+      // ONE validation aggregate over the (persisted) batch replaces a
+      // job per check (null-op require, null-key require, batch count,
+      // upsert-empty probe) — per-micro-batch commits pay Spark's
+      // fixed per-job cost four fewer times, and the pass doubles as
+      // the cache materialization
+      import org.apache.spark.sql.functions.{count, lit, when}
+      val keyNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
+      val aggCols =
+        Seq(count(lit(1)), count(when(keyNull, lit(1)))) ++
+          preChecks.map { case (p, _) => count(when(p, lit(1))) } ++
+          rowsPred.map(p => count(when(p, lit(1)))).toSeq
+      val vrow = pinnedKeys.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = vrow.getLong(0)
+      preChecks.zipWithIndex.foreach { case ((_, msg), i) =>
+        require(vrow.getLong(2 + i) == 0, msg)
+      }
+      require(vrow.getLong(1) == 0,
         s"MOR batch into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      // rows to append: with a rowsPred, pinned = keySource.filter(pred)
+      val nUpserts = rowsPred.fold(n)(_ => vrow.getLong(2 + preChecks.size))
       if (catalog.currentVersion(name).isEmpty) {
         require(branch.isEmpty,
           s"branch MOR write into $name: the table does not exist yet — " +
             "create it (a main append/overwrite) before branching CDC onto it")
         // table creation: deletes against nothing are no-ops
         append(pinned, name, partitionCols, props)
-        return (catalog.currentVersion(name).get, pinnedKeys.count())
+        return (catalog.currentVersion(name).get, n)
       }
       branch.foreach(ensureBranch(name, _)) // outside the non-reentrant lock
       val lock = TableIO.writeLock(catalog.pathOf(name))
@@ -3685,7 +3708,6 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val chain = morChain(name, branch)
         val v = chain.head
         val files = chain.manifest
-        val n = pinnedKeys.count()
         if (n == 0) {
           // idle batch: metadata-only mark commit (same as upsert)
           if (props.nonEmpty) {
@@ -3720,7 +3742,7 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         // per commit — paying 32 footer-stat reads and manifest
         // entries for one batch's worth of rows.
         val newFiles =
-          if (pinned.isEmpty) Seq.empty[String]
+          if (nUpserts == 0) Seq.empty[String]
           else stageWrite(toPhysical(
             if (n > morShardRows) pinned else pinned.coalesce(1), name), name, pcols)
         // stats prove no file holds the keys: pure append (no entry)
