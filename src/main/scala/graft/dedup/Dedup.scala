@@ -727,7 +727,17 @@ object Dedup {
     case Some(n) => df.repartition(n)
     case None =>
       val nFiles = try df.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
-      if (nFiles < default) df.repartition(default) else df
+      if (nFiles >= default) df
+      else {
+        // the file heuristic under-counts frames that were ALREADY
+        // scattered upstream (e.g. a generated-blob frame: 1 source
+        // file, 32 post-shuffle partitions) — re-scattering those
+        // would shuffle the heavy payload a second time for nothing
+        // (guide §8). Check the planned partition count before paying
+        // an exchange.
+        val parts = try df.rdd.getNumPartitions catch { case scala.util.control.NonFatal(_) => 0 }
+        if (parts >= default) df else df.repartition(default)
+      }
   }
 
   /** Persistable LSH signature index of a corpus: `(idCol, n_sh,

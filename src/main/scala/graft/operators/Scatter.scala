@@ -36,6 +36,15 @@ object Scatter {
     val nFiles =
       try df.inputFiles.length
       catch { case scala.util.control.NonFatal(_) => 0 }
-    if (nFiles < default) df.repartition(default) else df
+    if (nFiles >= default) df
+    else {
+      // already-scattered frames (few source files, many post-shuffle
+      // partitions) keep their layout — re-scattering would move the
+      // payload twice (guide §8)
+      val parts =
+        try df.rdd.getNumPartitions
+        catch { case scala.util.control.NonFatal(_) => 0 }
+      if (parts >= default) df else df.repartition(default)
+    }
   }
 }

@@ -91,7 +91,10 @@ object SpanDedup {
       idCol: String = "doc_id",
       cache: Boolean = true
   ): DataFrame = {
-    val gramsRaw = docs.select(
+    // scatter BEFORE the positional-gram kernel (guide §2.5): a
+    // single-file corpus scan would hash every gram — and cache the
+    // exploded frame — in one partition
+    val gramsRaw = graft.operators.Scatter.cpu(docs).select(
       col(idCol),
       posexplode(expr(posGramHashesSql(textCol, n))).as(Seq("pos", "h")))
     val grams =

@@ -267,7 +267,13 @@ object TextAnalysis {
     // moved the projection into whole-stage codegen). The cached rows
     // are (id, hash): ~2/(w+1) of the gram count, a tiny fraction of
     // the corpus text — cacheable at 100 TB where the text is not.
-    val fp = winnowFingerprints(docs, k, w, textCol, idCol).persist(storage)
+    // scatter BEFORE the winnow kernel (guide §2.5): on a single-file
+    // corpus the selection would run — and the persisted copy every
+    // consumer reads would live — in one partition. Deliberately NOT
+    // inside winnowFingerprints: the fingerprint-only path (q73) is a
+    // plan-pinned shuffle-free projection.
+    val fp = winnowFingerprints(graft.operators.Scatter.cpu(docs), k, w, textCol, idCol)
+      .persist(storage)
     val rare = fp.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
