@@ -733,10 +733,16 @@ object Dedup {
         // scattered upstream (e.g. a generated-blob frame: 1 source
         // file, 32 post-shuffle partitions) — re-scattering those
         // would shuffle the heavy payload a second time for nothing
-        // (guide §8). Check the planned partition count before paying
-        // an exchange.
-        val parts = try df.rdd.getNumPartitions catch { case scala.util.control.NonFatal(_) => 0 }
-        if (parts >= default) df else df.repartition(default)
+        // (guide §8). Inspect the LOGICAL plan's narrow top chain only
+        // (Scatter.topChainScattered) — never df.rdd/physical
+        // planning, which under AQE EXECUTES the upstream stages just
+        // to count partitions, and never a whole-tree search, which
+        // would mistake a repartition buried under a join's OTHER
+        // input for this frame's layout.
+        val scattered =
+          try graft.operators.Scatter.topChainScattered(df.queryExecution.logical)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (scattered) df else df.repartition(default)
       }
   }
 

@@ -40,11 +40,36 @@ object Scatter {
     else {
       // already-scattered frames (few source files, many post-shuffle
       // partitions) keep their layout — re-scattering would move the
-      // payload twice (guide §8)
-      val parts =
-        try df.rdd.getNumPartitions
-        catch { case scala.util.control.NonFatal(_) => 0 }
-      if (parts >= default) df else df.repartition(default)
+      // payload twice (guide §8). Logical top-chain inspection only:
+      // under AQE, df.rdd would EXECUTE the upstream stages to count
+      // partitions.
+      val scattered =
+        try topChainScattered(df.queryExecution.logical)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (scattered) df else df.repartition(default)
     }
+  }
+
+  /** Does the frame's own narrow top chain carry a repartition? Walks
+    * ONLY through partitioning-preserving unary nodes (project /
+    * filter / generate / object maps / aliases): a repartition found
+    * there IS this frame's layout. Anything else (join, aggregate,
+    * union, window) stops the walk — a repartition buried below, e.g.
+    * under a join's other input, says nothing about this frame's
+    * partitioning and must not suppress a needed scatter.
+    */
+  private[graft] def topChainScattered(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @scala.annotation.tailrec
+    def walk(n: LogicalPlan): Boolean = n match {
+      case _: RepartitionOperation => true
+      case u @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+                _: DeserializeToObject | _: SerializeFromObject |
+                _: MapPartitions | _: TypedFilter) =>
+        walk(u.asInstanceOf[UnaryNode].child)
+      case _ => false
+    }
+    walk(p)
   }
 }
