@@ -154,7 +154,11 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 5
   ): DataFrame =
-    docs.select(
+    // scatter BEFORE the kernel (guide §2.5): the md5 double-hash
+    // family costs k hashes per shingle per doc, and a single-file
+    // corpus scan would run all of it on one task. Per-row projection:
+    // partitioning cannot change a single output value.
+    graft.operators.Scatter.cpu(docs).select(
       col(idCol),
       explode(expr(s"graft_minhash_md5_bands(${shingleSql(textCol, shingleN)}, $k, $bands)")).as("e")
     ).select(col(idCol), col("e.band").as("band"), col("e.sig_a").as("sig_a"),

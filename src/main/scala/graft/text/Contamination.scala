@@ -50,7 +50,13 @@ object Contamination {
   ): DataFrame = {
     val bucket = Sampling.portableBucket(idCol, buckets)
     val bench = benchGrams(docs, textCol, idCol, n, benchBuckets, buckets)
-    dropContaminated(docs.filter(bucket >= benchBuckets), bench, textCol, idCol, n)
+    // scatter the corpus side BEFORE the gram explode (guide §2.5): on
+    // a single-file corpus the tokenizer + explode + broadcast semi-
+    // join would run in the scan's one task. Done here, not in
+    // dropContaminated — q57 feeds that an already-parallel
+    // checkpointed frame whose layout the scan-file gate cannot see.
+    dropContaminated(graft.operators.Scatter.cpu(docs.filter(bucket >= benchBuckets)),
+      bench, textCol, idCol, n)
   }
 
   /** The benchmark gram set: distinct word `n`-grams of the docs whose
