@@ -729,25 +729,11 @@ object Dedup {
                                         default: Int): DataFrame = parallelism match {
     case Some(0) => df
     case Some(n) => df.repartition(n)
-    case None =>
-      val nFiles = try df.inputFiles.length catch { case scala.util.control.NonFatal(_) => 0 }
-      if (nFiles >= default) df
-      else {
-        // the file heuristic under-counts frames that were ALREADY
-        // scattered upstream (e.g. a generated-blob frame: 1 source
-        // file, 32 post-shuffle partitions) — re-scattering those
-        // would shuffle the heavy payload a second time for nothing
-        // (guide §8). Inspect the LOGICAL plan's narrow top chain only
-        // (Scatter.topChainScattered) — never df.rdd/physical
-        // planning, which under AQE EXECUTES the upstream stages just
-        // to count partitions, and never a whole-tree search, which
-        // would mistake a repartition buried under a join's OTHER
-        // input for this frame's layout.
-        val scattered =
-          try graft.operators.Scatter.topChainScattered(df.queryExecution.logical)
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (scattered) df else df.repartition(default)
-      }
+    // the shared gate (graft.operators.Scatter): file-count check,
+    // already-scattered top-chain check, and the size-bound width —
+    // ceil(scanBytes / targetPartitionBytes) capped at `default` —
+    // all audited in one place
+    case None => graft.operators.Scatter.cpuTo(df, default)
   }
 
   /** Persistable LSH signature index of a corpus: `(idCol, n_sh,

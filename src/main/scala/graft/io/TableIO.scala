@@ -2441,12 +2441,41 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
     // the check could smuggle NULL keys past it)
     val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // NULL keys cannot upsert: the anti-join's equality never
-      // matches NULL, so a NULL-key row would DUPLICATE on every
-      // batch instead of replacing — reject loudly up front
-      require(pinned.filter(keyCols.map(k =>
-          org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)).isEmpty,
-        s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+      // ONE probe job fuses the NULL-key guard with the scoped-rewrite
+      // key collect (r21 verdict item 5 — the MOR path's fused-
+      // validation pattern): distinct first-key groups each carry a
+      // count of rows violating the null-key rule, ordered violations-
+      // first so the TakeOrdered head is exhaustive — if ANY group
+      // anywhere held a NULL key it sorts into position 1, regardless
+      // of how many distinct keys the limit cuts. NULL keys cannot
+      // upsert: the anti-join's equality never matches NULL, so a
+      // NULL-key row would DUPLICATE on every batch instead of
+      // replacing — reject loudly up front. The probe doubles as the
+      // cache materialization.
+      val keyNull = keyCols.map(k =>
+        org.apache.spark.sql.functions.col(k).isNull).reduce(_ || _)
+      val keyVals: Option[Array[Any]] =
+        try {
+          import org.apache.spark.sql.functions.{col, count, desc, lit, when}
+          val groups = pinned
+            .groupBy(col(keyCols.head).as("__k0"))
+            .agg(count(when(keyNull, lit(1))).as("__nulls"))
+            .orderBy(desc("__nulls"))
+            .limit(maxScopedKeys + 1)
+            .collect()
+          require(groups.isEmpty || groups.head.getLong(1) == 0L,
+            s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+          if (groups.length > maxScopedKeys) None else Some(groups.map(_.get(0)))
+        } catch {
+          case e: IllegalArgumentException => throw e
+          case scala.util.control.NonFatal(_) =>
+            // probe failed for an unrelated reason: re-run the guard
+            // standalone (the check must NEVER be skipped), fall back
+            // to the unscoped rewrite
+            require(pinned.filter(keyNull).isEmpty,
+              s"upsert into $name: key columns (${keyCols.mkString(",")}) must be non-null")
+            None
+        }
       val base = catalog.currentVersion(name)
       if (base.isEmpty) { append(pinned, name, partitionCols, props); return }
       val v = base.get
@@ -2463,13 +2492,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         catch { case scala.util.control.NonFatal(_) =>
           Map.empty[String, Map[String, FileStats.ColStats]] }
       FileStats.prime(manifestStats)
-      // scope by the FIRST key column's value set (sound for compound
-      // keys: a file with no first-key match holds no affected row)
-      val keyVals: Option[Array[Any]] =
-        try {
-          val ks = pinned.select(keyCols.head).distinct().limit(maxScopedKeys + 1).collect()
-          if (ks.length > maxScopedKeys) None else Some(ks.map(_.get(0)))
-        } catch { case scala.util.control.NonFatal(_) => None }
+      // scoping (computed by the fused probe above) is by the FIRST
+      // key column's value set — sound for compound keys: a file with
+      // no first-key match holds no affected row.
       // an EMPTY batch touches nothing: In(key, []) reads as "might
       // match anything" to the stats layer, which would turn a routine
       // empty micro-batch into a full-table rewrite. No data moves at
@@ -3458,13 +3483,22 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val id = java.util.UUID.randomUUID().toString.take(12)
         val dir = Paths.get(catalog.pathOf(name), "deletes", id)
         // small delete sets (the designed regime) write ONE file in one
-        // task; above the shard bound the write repartitions by dirty
+        // task — via the single-file fast path (no commit protocol);
+        // above the shard bound the write repartitions by dirty
         // file key so a predicate matching millions of rows never
         // serializes through a single task (multi-file delete sets are
         // first-class: one entry per file, shared dirty list)
-        (if (nHits > morShardRows) hits.repartition(col("gd_file"))
-         else hits.coalesce(1))
-          .write.parquet(dir.toString)
+        if (nHits > morShardRows
+            || !org.apache.spark.sql.GraftSingleFileWrite.sessionSafe(spark)) {
+          (if (nHits > morShardRows) hits.repartition(col("gd_file"))
+           else hits.coalesce(1))
+            .write.parquet(dir.toString)
+        } else {
+          Files.createDirectories(dir)
+          org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(
+            hits.coalesce(1), dir.toString, compression = None)
+          ()
+        }
         val files = Using.resource(Files.list(dir)) { s =>
           s.iterator().asScala.map(_.toString)
             .filter(_.endsWith(".parquet")).toSeq.sorted
@@ -3576,9 +3610,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         if (n == 0) return (v, 0L)
         val id = java.util.UUID.randomUUID().toString.take(12)
         val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
-        (if (n > morShardRows) positions.repartition(col("gd_file"))
-         else positions.coalesce(1))
-          .write.parquet(outDir.toString)
+        if (n > morShardRows
+            || !org.apache.spark.sql.GraftSingleFileWrite.sessionSafe(spark)) {
+          (if (n > morShardRows) positions.repartition(col("gd_file"))
+           else positions.coalesce(1))
+            .write.parquet(outDir.toString)
+        } else {
+          // sub-shard position set: single-file fast path (no commit
+          // protocol — same rationale as deleteWhereMOR's write)
+          Files.createDirectories(outDir)
+          org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(
+            positions.coalesce(1), outDir.toString, compression = None)
+          ()
+        }
         val dirtyKeys = agg.getSeq[String](1).sorted
         val delFiles = Using.resource(Files.list(outDir)) { s =>
           s.iterator().asScala.map(_.toString)
@@ -3743,8 +3787,11 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         // entries for one batch's worth of rows.
         val newFiles =
           if (nUpserts == 0) Seq.empty[String]
-          else stageWrite(toPhysical(
-            if (n > morShardRows) pinned else pinned.coalesce(1), name), name, pcols)
+          else if (n > morShardRows) stageWrite(toPhysical(pinned, name), name, pcols)
+          // sub-shard batch: one write task AND the single-file fast
+          // path (no commit protocol) — the per-micro-batch floor
+          else stageWrite(toPhysical(pinned.coalesce(1), name), name, pcols,
+            singleTask = true)
         // stats prove no file holds the keys: pure append (no entry)
         val (entriesRaw, dirtyRel) =
           if (dirty.isEmpty) (None, Seq.empty[String])
@@ -3756,10 +3803,19 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
             val outDir = Paths.get(catalog.pathOf(name), "deletes", id)
             val keyRows = toPhysical(pinnedKeys.select(keyCols.map(col): _*).distinct(), name)
             // a CDC batch is O(batch) by design; above the shard bound
-            // the key write parallelizes by key instead of one task
-            (if (n > morShardRows) keyRows.repartition(col(physKeys.head))
-             else keyRows.coalesce(1))
-              .write.parquet(outDir.toString)
+            // the key write parallelizes by key instead of one task —
+            // below it, the single-file fast path (no commit protocol)
+            if (n > morShardRows
+                || !org.apache.spark.sql.GraftSingleFileWrite.sessionSafe(spark)) {
+              (if (n > morShardRows) keyRows.repartition(col(physKeys.head))
+               else keyRows.coalesce(1))
+                .write.parquet(outDir.toString)
+            } else {
+              Files.createDirectories(outDir)
+              org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(
+                keyRows.coalesce(1), outDir.toString, compression = None)
+              ()
+            }
             val delFiles = Using.resource(Files.list(outDir)) { s =>
               s.iterator().asScala.map(_.toString)
                 .filter(_.endsWith(".parquet")).toSeq.sorted
@@ -3864,7 +3920,8 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
                                    partitionCols: Seq[String]): Seq[String] =
     stageWrite(df, name, partitionCols)
 
-  private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String]): Seq[String] = {
+  private def stageWrite(df: DataFrame, name: String, partitionCols: Seq[String],
+                         singleTask: Boolean = false): Seq[String] = {
     val (laid0, layoutCols) = withLayout(df, name, partitionCols)
     // WRITE DISTRIBUTION MODE (Iceberg's write.distribution-mode =
     // hash): cluster the batch by its layout columns so each partition
@@ -3889,9 +3946,21 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
       // at similar read speed — the right trade at 100 TB scan
       // volume; locally it also shaves the per-file snappy codec
       // init, ~25 ms on every small-commit write job)
-      val w = laid.write.mode(SaveMode.Append).option("compression", "zstd")
-      val withParts = if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w
-      Timers.time("stageWrite.writeJob")(withParts.parquet(staging.toString))
+      if (singleTask && layoutCols.isEmpty
+          && org.apache.spark.sql.GraftSingleFileWrite.sessionSafe(spark)) {
+        // sub-shard single-file fast path (r21 verdict item 3): one
+        // task writes Spark's own parquet OutputWriter directly into
+        // the private staging dir — no commit-protocol fixed cost.
+        // The staging-dir + atomic-move contract below is unchanged.
+        Timers.time("stageWrite.writeJob")(
+          org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(
+            laid, staging.toString, Some("zstd")))
+        ()
+      } else {
+        val w = laid.write.mode(SaveMode.Append).option("compression", "zstd")
+        val withParts = if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w
+        Timers.time("stageWrite.writeJob")(withParts.parquet(staging.toString))
+      }
       val dataRoot = Paths.get(catalog.dataPath(name))
       Timers.time("stageWrite.move")(TableIO.moveStagedFiles(staging, dataRoot))
     } finally {

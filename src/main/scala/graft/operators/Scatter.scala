@@ -31,11 +31,28 @@ import org.apache.spark.sql.DataFrame
   * tie-breaks). Every call site below is oracle-hash-verified.
   */
 object Scatter {
-  def cpu(df: DataFrame): DataFrame = {
-    val default = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles =
-      try df.inputFiles.length
-      catch { case scala.util.control.NonFatal(_) => 0 }
+  /** Bytes of scan input one scattered partition should carry. The
+    * width is derived from the INPUT (r21 verdict item 1): a flat
+    * `defaultParallelism` fan-out over-parallelizes tiny corpora — at
+    * sf0.1 the 32-way round-robin exchange + 32-task scheduling cost
+    * more than the kernel saved on the smallest inputs (driver-
+    * measured q99 0.80x, q74 0.80x, q28 0.75x, with 8-core ratios
+    * BELOW 1). Runtime-settable so production tunes it per storage
+    * tier; the width is still capped at defaultParallelism, so this
+    * only ever LOWERS task count on small inputs — at 100 TB the file
+    * gate is the identity long before the byte bound matters.
+    */
+  val TargetBytesKey = "spark.graft.scatter.targetPartitionBytes"
+  val TargetBytesDefault = 65536L
+
+  def cpu(df: DataFrame): DataFrame =
+    cpuTo(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  private[graft] def cpuTo(df: DataFrame, default: Int): DataFrame = {
+    val files =
+      try df.inputFiles
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    val nFiles = files.length
     if (nFiles >= default) df
     else {
       // already-scattered frames (few source files, many post-shuffle
@@ -46,8 +63,35 @@ object Scatter {
       val scattered =
         try topChainScattered(df.queryExecution.logical)
         catch { case scala.util.control.NonFatal(_) => false }
-      if (scattered) df else df.repartition(default)
+      if (scattered) df
+      else {
+        val width = targetWidth(df, files, default)
+        // never repartition DOWN: the gate exists to fan out a
+        // too-narrow scan, not to coalesce one that is already wide
+        if (width <= nFiles) df else df.repartition(width)
+      }
     }
+  }
+
+  /** ceil(scanBytes / targetPartitionBytes), clamped to [1, default].
+    * File sizes come from driver-side metadata stats (at most
+    * `default - 1` of them by the gate's own condition — no job, no
+    * physical planning). Non-file inputs (zero files) and stat
+    * failures scatter to `default`, the pre-r22 conservative behavior.
+    */
+  private def targetWidth(df: DataFrame, files: Array[String], default: Int): Int = {
+    if (files.isEmpty) default
+    else
+      try {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        val bytes = files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        val per = df.sparkSession.conf
+          .get(TargetBytesKey, TargetBytesDefault.toString).toLong.max(1L)
+        math.min(default.toLong, math.max(1L, (bytes + per - 1) / per)).toInt
+      } catch { case scala.util.control.NonFatal(_) => default }
   }
 
   /** Does the frame's own narrow top chain carry a repartition? Walks
