@@ -232,6 +232,26 @@ object Bench {
       case (k, v) if histMin.get(k.split('_').head)
         .exists(h => v > 3.0 * h && v - h > 1.0) => k
     }.sorted
+    // End-of-pass rerun of history-flagged rows (r21 verdict item 8):
+    // a row whose median exceeded 2x its all-rounds best while the
+    // canaries read clean gets ONE extra measurement here, after the
+    // whole pass, when any mid-pass burst has had time to clear. The
+    // rerun is OUTSIDE the timed region and changes NOTHING in the
+    // headline (medians, total, flags all stay as measured) — it is
+    // recorded in the runs file so the adjudication between "code
+    // regression" and "box burst" ships with the artifact instead of
+    // needing a manual follow-up pass.
+    val rerunCandidates = med.collect {
+      case (k, v) if histMin.get(k.split('_').head)
+        .exists(h => v > 2.0 * h && v - h > 0.5) => k
+    }.sorted
+    val reruns: Seq[(String, Double)] =
+      if (rerunCandidates.isEmpty) Seq.empty
+      else {
+        val byName = SparkEntry.queries
+        rerunCandidates.flatMap(k =>
+          byName.get(k).flatMap(fn => timeOnce(fn).map(t => k -> r4(t._1))))
+      }
     // Floor flag (r17 verdict gap): contended_hist compares MEDIANS at
     // 3x and let a 2.6x FLOOR shift (q119 r17: best-of-3 3.52 s vs
     // all-rounds 1.24 s) pass silently. A query whose BEST run this
@@ -250,7 +270,7 @@ object Bench {
     def fmtList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def short(name: String): String = name.split('_').head
     val total = r4(med.map(_._2).sum)
-    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"fsync_runs":${fmtRuns(fsyncs)},"order":"sorted","runs":$runs,"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)}}"""
+    val runsLine = s"""{"metric":"queries_runs","queries_runs":${fmtRuns(ok)},"canary_runs":${fmtRuns(canaries)},"fsync_runs":${fmtRuns(fsyncs)},"order":"sorted","runs":$runs,"flagged_reruns":${fmt(reruns)},"canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)}}"""
     val writesLine = writes
       .map { case (k, (f, b)) => s"\"" + k + "\":{\"files\":" + f + ",\"bytes\":" + b + "}" }
       .mkString("""{"metric":"queries_writes","queries_writes":{""", ",", "}}")
@@ -278,7 +298,18 @@ object Bench {
     // Headline LAST: qNN-prefix keys keep it inside the tail budget,
     // and total/canaries sit at line END so front-truncation can't eat
     // them (full names: queries_median line + the runs file).
-    println(s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"contended_io":${fmtList(contendedIo.map(short))},"contended_hist":${fmtList(contendedHist.map(short))},"floor_hist":${fmtList(floorHist.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}""")
+    val headline = s"""{"metric":"total","queries":${fmt(med.map { case (k, v) => short(k) -> v })},"contended":${fmtList(contended.map(short))},"contended_io":${fmtList(contendedIo.map(short))},"contended_hist":${fmtList(contendedHist.map(short))},"floor_hist":${fmtList(floorHist.map(short))},"runs":$runs,"sf":"$sfDir","canary_cpu_sec":${r4(canaryCpu)},"canary_io_sec":${r4(canaryIo)},"canary_cpu_end_sec":${r4(canaryCpuEnd)},"canary_fsync_ms":${r4(canaryFsync)},"canary_fsync_end_ms":${r4(canaryFsyncEnd)},"unit":"sec","value":$total}"""
+    // The headline ALSO lands in a file (r21 verdict item 3/7: the
+    // round-20 driver capture was front-truncated mid-JSON and the
+    // whole round's per-query comparison went dark — a clipped stdout
+    // tail must never again erase the machine-readable result).
+    // Print stays byte-identical.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_LAST_FILE", "BENCH_LAST.json")),
+      (headline + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] last file write failed: $e") }
+    println(headline)
     spark.stop()
   }
 }

@@ -26,76 +26,71 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
 
     import graft.tables.Tables
-    import graft.dedup.Dedup
-    import graft.text.TextAnalysis
-    val docs = Tables.documents(spark, sfDir)
-    val b10 = graft.sampling.Sampling.portableBucket("doc_id", 10)
-    val corpus = docs.filter(b10 < 8)
-    val batch = docs.filter(b10 >= 8)
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    println(s"[scratch] embeddings rows = ${emb.count()}, dim = " +
+      emb.selectExpr("size(embedding)").head().getInt(0))
 
-    time("1 sigIndex(corpus).repartition(4) noop")(noop(Dedup.signatureIndex(corpus).repartition(4)))
-    val dedupB = Dedup.dropExactDuplicates(batch)
-      .join(corpus.select(expr("md5(text)").as("__ch")).distinct(),
-        expr("md5(text)") === col("__ch"), "left_anti")
-    time("2 dedupB noop")(noop(dedupB))
-    val scored = TextAnalysis.scoreDocuments(dedupB).filter(col("quality") >= 0.5)
-    time("3 scored noop")(noop(scored))
-    val bench = graft.text.Contamination.benchGrams(docs)
-    time("4 benchGrams noop")(noop(bench))
-    val b1000 = graft.sampling.Sampling.portableBucket("doc_id", 1000)
-    time("5 cand localCheckpoint") {
-      val c = scored.filter(b1000 >= 50).localCheckpoint(true); c.unpersist(); ()
+    val e = emb.select(col("vec_id"), expr(Similarity.doubleVec("embedding")).as("v"))
+    time("bf scoring (crossJoin 16q + cosine + topk)")(
+      noop(Similarity.bruteForceTopK(emb, 16, 5)))
+
+    // the PQ encode expression in isolation (same shape as ivfPqTopK)
+    val m = 8; val ksub = 16; val sub = 8
+    val cbLit = typedlit(Seq.fill(m)(Seq.fill(ksub)(Seq.fill(sub)(0.123))))
+    val enc = graft.operators.Scatter.cpu(e)
+      .withColumn("__cb", cbLit)
+      .withColumn("code64", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> acc + shiftleft(
+           |  CAST(array_position(
+           |    transform(sequence(0, ${ksub - 1}),
+           |      c -> graft_cosine(__cb[s][c], slice(v, s * $sub + 1, $sub))),
+           |    array_max(transform(sequence(0, ${ksub - 1}),
+           |      c -> graft_cosine(__cb[s][c], slice(v, s * $sub + 1, $sub))))) - 1 AS BIGINT),
+           |  CAST(s * 4 AS INT)))""".stripMargin))
+      .select(col("vec_id"), col("code64"))
+    time("pq encode HOF expression")(noop(enc))
+    val encN = graft.operators.Scatter.cpu(e)
+      .withColumn("__cb", cbLit)
+      .withColumn("code64", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> acc + shiftleft(
+           |  CAST(array_position(
+           |    graft_cosine_many(__cb[s], slice(v, s * $sub + 1, $sub)),
+           |    array_max(
+           |      graft_cosine_many(__cb[s], slice(v, s * $sub + 1, $sub)))) - 1 AS BIGINT),
+           |  CAST(s * 4 AS INT)))""".stripMargin))
+      .select(col("vec_id"), col("code64"))
+    time("pq encode native cosine_many")(noop(encN))
+
+    // withCell alone (16-centroid transform + argmax)
+    val cents = Seq.fill(16)(Seq.fill(64)(0.456))
+    val wc = graft.operators.Scatter.cpu(e)
+      .withColumn("__cent", typedlit(cents))
+      .withColumn("__scores", expr(s"transform(sequence(0, 15), i -> graft_cosine(__cent[i], v))"))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
+      .select(col("vec_id"), col("cell"))
+    time("withCell (16-cent transform+argmax)")(noop(wc))
+    val wcN = graft.operators.Scatter.cpu(e)
+      .withColumn("__cent", typedlit(cents))
+      .withColumn("__scores", expr("graft_cosine_many(__cent, v)"))
+      .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
+      .select(col("vec_id"), col("cell"))
+    time("withCell native cosine_many")(noop(wcN))
+
+    time("ivfPqTopK end-to-end")(noop(Similarity.ivfPqTopK(emb, 16, 5)))
+
+    // committed write path vs single-file fast path, tiny frame
+    val tiny = spark.range(2000).selectExpr("id", "id * 3 as v").coalesce(1)
+    val base = java.nio.file.Files.createTempDirectory("graft-w").toString
+    var n = 0
+    time("df.write.parquet (commit protocol), 1 task", reps = 10) {
+      n += 1
+      tiny.write.mode("overwrite").option("compression", "zstd").parquet(s"$base/a$n")
     }
-    val cand = scored.filter(b1000 >= 50).localCheckpoint(true)
-    val clean = graft.text.Contamination.dropContaminated(cand, bench)
-    time("6 dropContaminated noop")(noop(clean))
-    val sig = Dedup.signatureIndex(corpus).repartition(4).localCheckpoint(true)
-    // bisect incrementalNearDups internals (mirrors Dedup.scala)
-    locally {
-      import org.apache.spark.sql.expressions.Window
-      val clean2 = clean.select(col("doc_id"), col("text"))
-      time("7a batch signatures persist+count") {
-        val bb = graft.dedup.Dedup.scatterForCpuStage(clean2, None, 32)
-          .withColumn("sh", expr("graft_shingle_hashes(text, 5)"))
-          .withColumn("mh", expr("graft_minhash_hashed(sh, 32)"))
-          .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"),
-            expr("graft_lsh_bands(mh, 4)").as("bands"))
-          .persist()
-        bb.count(); bb.unpersist(); ()
-      }
-      val bb = graft.dedup.Dedup.scatterForCpuStage(clean2, None, 32)
-        .withColumn("sh", expr("graft_shingle_hashes(text, 5)"))
-        .withColumn("mh", expr("graft_minhash_hashed(sh, 32)"))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"),
-          expr("graft_lsh_bands(mh, 4)").as("bands"))
-        .persist()
-      bb.count()
-      val newB = bb.select(col("doc_id").as("new_id"), col("n_sh").as("n_new"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-      val oldB = sig.select(col("doc_id").as("old_id"), col("n_sh").as("n_old"),
-          posexplode(col("bands")).as(Seq("band", "bucket")))
-        .withColumn("rn", row_number().over(Window.partitionBy("band", "bucket").orderBy(col("old_id"))))
-        .filter(col("rn") <= 1000).drop("rn")
-      val cand2 = newB.join(oldB, Seq("band", "bucket"))
-        .filter(least(col("n_new"), col("n_old")).cast("double") / greatest(col("n_new"), col("n_old")) >= 0.7)
-        .select(col("new_id"), col("old_id")).distinct()
-      time("7b cand noop")(noop(cand2))
-      val candOld = cand2.select(col("old_id").as("doc_id")).distinct()
-      val oldSh = graft.dedup.Dedup.scatterForCpuStage(
-          corpus.join(candOld, Seq("doc_id"), "left_semi"), None, 32)
-        .select(col("doc_id").as("old_id"), expr("graft_shingle_hashes(text, 5)").as("sh_b"))
-      time("7c oldSh noop")(noop(oldSh))
-      time("7d verify join noop")(noop(
-        cand2.join(bb.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
-          .join(oldSh, "old_id")
-          .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
-          .filter(col("jaccard") >= 0.7)))
-      bb.unpersist(); ()
-    }
-    time("7 incrementalNearDups") {
-      val nd = Dedup.incrementalNearDups(clean.select("doc_id", "text"), corpus, sig, threshold = 0.7)
-        .select("doc_id").distinct()
-      noop(clean.join(broadcast(nd), Seq("doc_id"), "left_anti"))
+    time("GraftSingleFileWrite.writeOneFile, 1 task", reps = 10) {
+      n += 1
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/b$n"))
+      org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(tiny, s"$base/b$n", Some("zstd"))
     }
   }
 }

@@ -856,19 +856,23 @@ object SparkEntry {
     "q161_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val res = graft.similarity.Similarity.ivfPqTopK(emb, nQueries = 16, k = 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bf = graft.similarity.Similarity.bruteForceTopK(emb, 16, 5)
-        .select(col("q_id"), col("neighbor_id"))
-      val recall = res.join(bf, Seq("q_id", "neighbor_id")).count() / 80.0
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("__hit"))
+      // ONE action fuses the recall-floor assert with the result
+      // localization (r21 verdict item 2): a LEFT join against the
+      // brute-force top-k keeps exactly the queries x k result rows
+      // ((q_id, neighbor_id) is unique on both sides) and tags the
+      // hits, so a single collect yields the rows AND the recall —
+      // previously persist + count + collect, three jobs and a cache
+      // entry, ran the same DAG. Localizing 80 rows is the q03 driver
+      // round-trip idiom, bounded by construction.
+      val rows = res.join(bf, Seq("q_id", "neighbor_id"), "left").collect()
+      val recall = rows.count(!_.isNullAt(3)) / 80.0
       require(recall >= 0.45,
         f"IVF-PQ recall@5 vs brute force fell below the pinned floor: $recall%.3f")
-      // localize the queries x k result (80 rows) before unpersisting:
-      // the consumer's action would otherwise re-run the whole
-      // train+encode+score DAG a second time — the q03 driver
-      // round-trip idiom, bounded by construction
       val local = s.createDataFrame(
-        java.util.List.of(res.collect(): _*), res.schema)
-      res.unpersist()
+        java.util.List.of(rows.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))): _*), res.schema)
       local
     }),
 

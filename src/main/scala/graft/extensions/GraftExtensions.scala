@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, DotProduct, JaccardSorted, LshBands, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint, WordGramHashes}
+import graft.functions.{BloomAggregate, BloomContains, CosineSimilarity, CosineSimilarityMany, DotProduct, JaccardSorted, LshBands, MinHashFromHashes, MinHashSignature, PortableMinHashBands, RepetitionStats, ShingleHashes, TextCounts, TopKByScore, WinnowFingerprint, WordGramHashes}
 
 /** Session extension injecting graft's native Catalyst expressions.
   *
@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double> vectors"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_many"),
+      info("graft_cosine_many",
+        "graft_cosine_many(mat, vec) - cosine of every array<array<double>> row against vec, in row order"),
+      (children: Seq[Expression]) => CosineSimilarityMany(children(0), children(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

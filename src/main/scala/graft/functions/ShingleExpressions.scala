@@ -44,16 +44,37 @@ case class ShingleHashes(left: Expression, right: Expression)
 object ShingleHashes {
   private final val Seed = 0x51ed270bL
 
-  /** Sorted distinct xxhash64 of every `n`-codepoint shingle. */
+  /** Sorted distinct xxhash64 of every `n`-codepoint shingle.
+    *
+    * One decode pass collects the codepoint byte offsets, then each
+    * shingle hashes its byte slice directly (the SimHash kernel's
+    * idiom). The previous `substringSQL(i + 1, n)` per position
+    * re-scanned the string from byte 0 to LOCATE codepoint i — an
+    * O(chars²) walk that dominated every minhash/shingle stage on
+    * long documents. Hash input bytes are identical (a codepoint
+    * window's bytes are the slice [off(i), off(i+n))), so signatures
+    * are unchanged bit-for-bit.
+    */
   def hashes(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
     val chars = text.numChars()
+    val off = new Array[Int](chars + 1)
+    var bi = 0
+    var c = 0
+    while (c < chars) {
+      off(c) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      c += 1
+    }
+    off(chars) = bytes.length
     val count = math.max(chars - n + 1, 1)
     val raw = new Array[Long](count)
     var i = 0
     while (i < count) {
-      // substring is codepoint-based, matching the SQL formulation
-      val s = text.substringSQL(i + 1, n)
-      raw(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      val s0 = off(i)
+      val e0 = off(math.min(i + n, chars))
+      raw(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s0, e0 - s0, Seed)
       i += 1
     }
     java.util.Arrays.sort(raw)

@@ -3952,7 +3952,9 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         // task writes Spark's own parquet OutputWriter directly into
         // the private staging dir — no commit-protocol fixed cost.
         // The staging-dir + atomic-move contract below is unchanged.
-        Timers.time("stageWrite.writeJob")(
+        // (Own timer label so the committed-path floor and the fast
+        // path are separately attributable in Profile output.)
+        Timers.time("stageWrite.writeJobFast")(
           org.apache.spark.sql.GraftSingleFileWrite.writeOneFile(
             laid, staging.toString, Some("zstd")))
         ()

@@ -72,7 +72,11 @@ object Contamination {
       benchBuckets: Int = 50,
       buckets: Int = 1000
   ): DataFrame =
-    docs.filter(Sampling.portableBucket(idCol, buckets) < benchBuckets)
+    // scatter before the gram explode (guide §2.5): the interpreted
+    // transform/concat_ws gram kernel over a single-file bench bucket
+    // otherwise runs one-task; distinct is partition-order-free
+    graft.operators.Scatter.cpu(
+        docs.filter(Sampling.portableBucket(idCol, buckets) < benchBuckets))
       .select(explode(expr(wordGramsSql(textCol, n))).as("gram")).distinct()
 
   /** The decontamination join itself: drop every `frame` row sharing a
