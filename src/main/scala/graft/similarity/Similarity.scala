@@ -822,26 +822,37 @@ object Similarity {
       bootFrom: Option[DataFrame] = None,
       sampleFrom: Option[(DataFrame, Int)] = None
   ): Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.sql.expressions.Window
-    def materialize(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
-    def explodeSubs(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}),
-           |  s -> named_struct('sub', s, 'sv', slice(v, s * $sub + 1, $sub)))""".stripMargin))
-        .as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("v"))
+    // DRIVER-SIDE CONTRACT (the trainCentroids rule): each round
+    // collects m x ksub x (dim/m) per-cell means and re-enters them as
+    // a broadcast literal — bounded by construction (ksub <= 16 is
+    // required for nibble packing, m * 4 <= 60), KBs at any corpus
+    // size. The previous frame-to-frame formulation paid, per round, a
+    // broadcast join of the exploded sample against the centroid frame
+    // plus an aggregate GROUPING BY the subvector ARRAY (a hashed
+    // GenericArrayData per candidate row — profiled at ~2.5 s of task
+    // time per round); the literal + graft_cosine_many projection
+    // computes the identical argmax in one codegen pass and feeds the
+    // identical 1e-8-grid mean aggregate. Every value is unchanged:
+    // same lowest-vec_id bootstrap (rank order within each subspace),
+    // same md5-TakeOrdered sample, same (cosine DESC, cell ASC)
+    // assignment tie-break (array_position-of-max = struct-max with
+    // negated cell), same exact integer-grid means with empty cells
+    // keeping their centroid — spec-pinned value-equal to m
+    // independent trainCentroidsFrame runs (EventsSimilaritySpec).
+    require(ksub >= 1 && ksub <= 16,
+      s"trainCodebooks: ksub = $ksub outside [1, 16] — the per-round driver " +
+        "collect and the codebook literal are bounded by nibble-packable ksub")
     // bootstrap: the ksub lowest vec_ids, every subspace's slice of
     // the SAME rows, cell = rank order within each subspace.
     // bootFrom/sampleFrom: caller-shared pools — see trainCentroids.
-    var cents = materialize(
-      explodeSubs(bootFrom.getOrElse(e).orderBy("vec_id").limit(ksub))
-        .withColumn("cell",
-          row_number().over(Window.partitionBy("sub").orderBy("vec_id")).cast("long") - 1)
-        .select(col("sub"), col("cell"), col("v").as("cv")))
+    val bootRows = bootFrom.getOrElse(e).orderBy("vec_id").limit(ksub)
+      .collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue(), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .map(_._2)
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      bootRows.toSeq.map(v => v.slice(s * sub, s * sub + sub).toSeq)
+    }
     if (iters > 0) {
       val sampleBase = sampleFrom match {
         case Some((pool, poolN)) =>
@@ -851,40 +862,40 @@ object Similarity {
           .withColumn("__h", expr(SampleHashSql))
           .orderBy("__h", "vec_id").limit(ksub * 256)
           .drop("__h")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      val sample = materialize(explodeSubs(sampleBase))
       try {
         (1 to iters).foreach { _ =>
-          val assigned = sample.join(broadcast(cents), Seq("sub"))
-            .withColumn("__cos", expr(cosineSql("cv", "v")))
-            .groupBy(col("sub"), col("vec_id"), col("v"))
-            .agg(max(struct(col("__cos"), (-col("cell")).as("__nc"))).as("best"))
-            .select(col("sub"), col("v"), (-col("best.__nc")).as("cell"))
-          val means = assigned
+          val cbLit = typedlit(books)
+          val dims = sampleBase
+            .select(explode(expr(
+              s"""transform(sequence(0, ${m - 1}),
+                 |  s -> named_struct('sub', s, 'sv', slice(v, s * $sub + 1, $sub)))""".stripMargin))
+              .as("e"))
+            .select(col("e.sub").as("sub"), col("e.sv").as("v"))
+            .withColumn("__cbt", cbLit)
+            .withColumn("__scores", expr("graft_cosine_many(__cbt[sub], v)"))
+            .withColumn("cell", expr("array_position(__scores, array_max(__scores)) - 1"))
             .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
             .groupBy("sub", "cell", "pos")
             .agg(((sum(round(col("x") * lit(1e8)).cast("long")).cast("double") / lit(1e8))
               / count(lit(1))).as("m"))
-            .groupBy("sub", "cell")
-            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-              .as("mv"))
-          val next = materialize(
-            cents.join(means, Seq("sub", "cell"), "left")
-              .select(col("sub"), col("cell"), coalesce(col("mv"), col("cv")).as("cv")))
-          cents.unpersist()
-          cents = next
+            .collect()
+          val byCell = dims.groupBy(r =>
+            (r.getAs[Number]("sub").longValue(), r.getAs[Number]("cell").longValue()))
+          books = books.indices.map { s =>
+            books(s).indices.map { c =>
+              byCell.get((s.toLong, c.toLong)) match {
+                case Some(rows) =>
+                  rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+                case None => books(s)(c) // empty cell keeps its centroid
+              }
+            }
+          }
         }
-      } finally sample.unpersist()
+      } finally sampleFrom.fold { sampleBase.unpersist(); () }(_ => ())
     }
-    val rows = cents.collect()
-      .map(r => (r.getAs[Number]("sub").longValue(), r.getAs[Long]("cell"),
-        r.getSeq[Double](2).toSeq))
-    cents.unpersist()
-    val bySub = rows.groupBy(_._1)
-    (0 until m).map { s =>
-      val cellsOf = bySub.getOrElse(s.toLong, Array.empty).map(t => t._2 -> t._3).toMap
-      (0 until ksub).map(c => cellsOf(c.toLong)).toVector
-    }.toVector
+    books.map(_.map(_.toVector).toVector).toVector
   }
 
   /** Approximate top-k via multi-table (band-OR) hyperplane LSH with
