@@ -3632,12 +3632,17 @@ final class TableIO(spark: SparkSession, val catalog: TableCatalog) {
         val newEntries = delFiles.map(df =>
           TableCatalog.DeleteEntry(root.relativize(
             Paths.get(df).toAbsolutePath.normalize).toString, dirtyKeys))
-        // the replacement rows: matched rows with assignments applied
+        // the replacement rows: matched rows with assignments applied.
+        // n is known (the shard-decision aggregate above): sub-shard
+        // replacement sets take the single-file fast path
         val bare = matched.drop(TableIO.PosFileCol, TableIO.PosIdxCol)
         val updated = bare.select(bare.columns.toSeq.map(c =>
           assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         val pcols = if (partitionCols.nonEmpty) partitionCols else layoutPartitionCols(name)
-        val newFiles = stageWrite(toPhysical(updated, name), name, pcols)
+        val newFiles =
+          if (n > morShardRows) stageWrite(toPhysical(updated, name), name, pcols)
+          else stageWrite(toPhysical(updated.coalesce(1), name), name, pcols,
+            singleTask = true)
         val conf = spark.sessionState.newHadoopConf()
         val nv = commitMorRebasing(name, branch, chain, newFiles,
           Some(TableCatalog.encodeDeletes(newEntries)), dirtyKeys,
