@@ -157,8 +157,10 @@ object Dedup {
     // scatter BEFORE the kernel (guide §2.5): the md5 double-hash
     // family costs k hashes per shingle per doc, and a single-file
     // corpus scan would run all of it on one task. Per-row projection:
-    // partitioning cannot change a single output value.
-    graft.operators.Scatter.cpu(docs).select(
+    // partitioning cannot change a single output value. 16 KB/partition
+    // hint: this kernel burns ~4x the CPU per input byte of the
+    // xxhash shingle family (interleaved A/B in Scatter's scaladoc).
+    graft.operators.Scatter.cpu(docs, bytesPerPartitionHint = 16384L).select(
       col(idCol),
       explode(expr(s"graft_minhash_md5_bands(${shingleSql(textCol, shingleN)}, $k, $bands)")).as("e")
     ).select(col(idCol), col("e.band").as("band"), col("e.sig_a").as("sig_a"),

@@ -48,7 +48,18 @@ object Scatter {
   def cpu(df: DataFrame): DataFrame =
     cpuTo(df, df.sparkSession.sparkContext.defaultParallelism)
 
-  private[graft] def cpuTo(df: DataFrame, default: Int): DataFrame = {
+  /** [[cpu]] with a call-site bytes-per-partition hint for kernels
+    * whose per-byte cost is far off the default's assumption (the
+    * md5 double-hash family costs ~4x the xxhash shingle kernel per
+    * byte — interleaved A/B: q12 at 16 KB/partition 0.35 s vs 0.46 s
+    * at the 64 KB default). The session conf still overrides both, so
+    * one knob A/Bs every site.
+    */
+  def cpu(df: DataFrame, bytesPerPartitionHint: Long): DataFrame =
+    cpuTo(df, df.sparkSession.sparkContext.defaultParallelism, Some(bytesPerPartitionHint))
+
+  private[graft] def cpuTo(df: DataFrame, default: Int,
+                           hint: Option[Long] = None): DataFrame = {
     val files =
       try df.inputFiles
       catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
@@ -65,7 +76,7 @@ object Scatter {
         catch { case scala.util.control.NonFatal(_) => false }
       if (scattered) df
       else {
-        val width = targetWidth(df, files, default)
+        val width = targetWidth(df, files, default, hint)
         // never repartition DOWN: the gate exists to fan out a
         // too-narrow scan, not to coalesce one that is already wide
         if (width <= nFiles) df else df.repartition(width)
@@ -79,7 +90,8 @@ object Scatter {
     * physical planning). Non-file inputs (zero files) and stat
     * failures scatter to `default`, the pre-r22 conservative behavior.
     */
-  private def targetWidth(df: DataFrame, files: Array[String], default: Int): Int = {
+  private def targetWidth(df: DataFrame, files: Array[String], default: Int,
+                          hint: Option[Long]): Int = {
     if (files.isEmpty) default
     else
       try {
@@ -88,8 +100,13 @@ object Scatter {
           val p = new org.apache.hadoop.fs.Path(f)
           p.getFileSystem(conf).getFileStatus(p).getLen
         }.sum
-        val per = df.sparkSession.conf
-          .get(TargetBytesKey, TargetBytesDefault.toString).toLong.max(1L)
+        // precedence: session conf (the global A/B knob) > call-site
+        // kernel-cost hint > default
+        val per = df.sparkSession.conf.getOption(TargetBytesKey)
+          .map(_.toLong)
+          .orElse(hint)
+          .getOrElse(TargetBytesDefault)
+          .max(1L)
         math.min(default.toLong, math.max(1L, (bytes + per - 1) / per)).toInt
       } catch { case scala.util.control.NonFatal(_) => default }
   }
